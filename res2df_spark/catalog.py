@@ -1,0 +1,60 @@
+"""Case catalog: maps a data directory to lazily-read Spark DataFrames.
+
+Plays the role of the reference's ``ResdataFiles`` (lazy, memoizing
+per-case file handle — /root/reference/src/res2df/resdatafiles.py:48-73)
+for the Parquet world: one handle per "case" (directory), lazy
+``spark.read.parquet`` per table, so Catalyst sees the scan directly and
+can push filters/projections into it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
+
+#: Tables the verification driver generates (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        """Lazy parquet scan for ``name``; memoized so repeated use in one
+        query plan shares the relation."""
+        if name not in self._cache:
+            df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+                # TIMESTAMP(NANOS) read as int64 under
+                # spark.sql.legacy.parquet.nanosAsLong: truncate ns → µs
+                # (same truncation DuckDB applies reading the file).
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, prefix: str = "") -> None:
+        """Register every known table as a temp view (for spark.sql use)."""
+        for name in TABLES:
+            try:
+                self.table(name).createOrReplaceTempView(prefix + name)
+            except Exception:
+                pass  # table file absent in this sf_dir

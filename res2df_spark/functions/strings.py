@@ -1,0 +1,44 @@
+"""String functions.
+
+``well_template_to_regex`` reimplements the reference's well-pattern
+matcher semantics (/root/reference/src/res2df/common.py:955-980): ``*``
+and ``?`` are glob wildcards; a leading ``\\`` escapes a literal well
+name that starts with a wildcard character.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, functions as F
+
+
+def well_template_to_regex(template: str) -> str:
+    """Glob well template → anchored regex string (driver-side, templates
+    are query constants)."""
+    if template.startswith("\\"):
+        return "^" + re.escape(template[1:]) + "$"
+    out = []
+    for ch in template:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def matches_template(col: Column | str, template: str) -> Column:
+    """Column predicate: well name matches glob template."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(well_template_to_regex(template))
+
+
+def pair_key(a: Column | str, b: Column | str, sep: str = "-") -> Column:
+    """Unordered pair key ``min-max`` (A3:
+    /root/reference/src/res2df/trans.py:195-200) via least/greatest —
+    makes (a,b) and (b,a) group together."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.concat_ws(sep, F.least(ca, cb), F.greatest(ca, cb))

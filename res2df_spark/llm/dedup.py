@@ -1,0 +1,201 @@
+"""Deduplication operators over a documents table.
+
+Scale notes (the design target is a 100 TB corpus):
+
+* ``exact_duplicates`` — one hash-aggregate on md5(text): a single
+  shuffle on a uniformly distributed 128-bit key; no skew by
+  construction.
+* ``ngram_jaccard_pairs`` — all-pairs verification is O(n²); it is
+  gated behind candidate generation (shared-token inverted index or
+  MinHash-LSH).  Hot tokens are capped (``max_token_df``) exactly like a
+  production inverted index drops stop-shingles, bounding the blowup of
+  the token-join.
+* ``minhash_lsh_candidates`` — the scalable near-dup path: signature is
+  a per-doc aggregate (partition-local after one explode), banding turns
+  O(n²) into equality joins on band keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from res2df_spark.functions.textan import (
+    doc_tokens_long,
+    minhash_signature,
+    shingles,
+    tokens,
+)
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical texts by md5; returns one row per duplicate group
+    with the keeper (min id) and the group size."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _doc_token_sets(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_token_df: int | None,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """(id, token) long form; ``shingle_k`` switches the set elements from
+    words to k-word shingles (much more selective — the scale path)."""
+    if shingle_k:
+        toks = docs.select(
+            F.col(id_col),
+            F.explode(shingles(tokens(text_col), shingle_k)).alias("token"),
+        ).distinct()
+    else:
+        toks = doc_tokens_long(docs, id_col, text_col, distinct=True)
+    if max_token_df is not None:
+        hot = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_token_df)
+            .select("token")
+        )
+        toks = toks.join(hot, "token")
+    return toks
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_token_df: int | None = None,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """Pairs of docs with token-set Jaccard ≥ threshold.
+
+    Candidate pairs come from an inverted-index self-join (docs sharing a
+    token); the Jaccard is |∩| / (|A|+|B|−|∩|) from the shared-token
+    count and per-doc set sizes — no array materialization, three
+    aggregates and one equi-join.
+    """
+    toks = _doc_token_sets(docs, id_col, text_col, max_token_df, shingle_k)
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    t1 = toks.select(F.col(id_col).alias("d1"), "token")
+    t2 = toks.select(F.col(id_col).alias("d2"), "token")
+    shared = (
+        t1.join(t2, "token")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("set_size").alias("size1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("set_size").alias("size2"))
+    out = (
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("size1") + F.col("size2") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return out.select("d1", "d2", "n_shared", "size1", "size2", "jaccard")
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    band_size: int = 4,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """MinHash + LSH banding: candidate near-duplicate pairs.
+
+    signature[i] = min over tokens of md5(i || ':' || token) (see
+    functions.textan.minhash_signature); bands of ``band_size`` hashes
+    are concatenated into a band key; docs sharing any (band_idx,
+    band_key) become a candidate pair.  Returns distinct (d1 < d2) pairs
+    with the number of matching bands.
+
+    Docs with an empty element set are excluded (their signature would be
+    all-NULL and would spuriously collide).
+    """
+    assert num_hashes % band_size == 0
+    elems = tokens(text_col) if not shingle_k else shingles(tokens(text_col), shingle_k)
+    sig = docs.select(F.col(id_col), elems.alias("__e")).filter(F.size("__e") > 0).select(
+        F.col(id_col), minhash_signature(F.col("__e"), num_hashes).alias("sig")
+    )
+    n_bands = num_hashes // band_size
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "|", *[F.col("sig").getItem(b * band_size + j) for j in range(band_size)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+    b1 = bands.select(F.col(id_col).alias("d1"), "band_idx", "band_key")
+    b2 = bands.select(F.col(id_col).alias("d2"), "band_idx", "band_key")
+    return (
+        b1.join(b2, ["band_idx", "band_key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash signature per document as a bigint.
+
+    Bit *b* of the signature is the sign of Σ_tokens (2·bit_b(md5(tok))−1).
+    Implemented relationally: explode tokens → explode bit positions via
+    hex-nibble arithmetic → per-(doc, bit) vote sum → recombine.  All
+    built-ins; the same arithmetic is expressible in the SQL oracle.
+    """
+    if bits != 64:
+        raise ValueError("md5-backed simhash supports up to 64 bits; use 64")
+    toks = doc_tokens_long(docs, id_col, text_col, distinct=True)
+    # One row per (doc, token, bit). The bit value of md5 hex digest:
+    # nibble index = bit // 4, bit-within-nibble is big-endian.
+    bit_votes = toks.select(
+        id_col,
+        F.md5(F.col("token")).alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    ).select(
+        id_col,
+        "bit",
+        F.when(
+            F.expr(
+                "(shiftright(cast(conv(substring(h, cast(floor(bit / 4) as int) + 1, 1), 16, 10) as int),"
+                " 3 - cast(bit % 4 as int)) & 1) = 1"
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("vote"),
+    )
+    sig_bits = bit_votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("votes"))
+    return sig_bits.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("votes") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
+            .otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )

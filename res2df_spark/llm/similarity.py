@@ -1,0 +1,114 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* ``brute_force_topk`` — exact: broadcast the (small) query set against
+  the corpus; one pass over the corpus, per-partition top-k via window.
+  At 100 TB corpus scale this is a map-side broadcast join (queries are
+  broadcast, corpus never shuffles) followed by a top-k aggregation —
+  the heavy shuffle is only k·|queries| rows.
+* ``lsh_bucketed_topk`` — approximate: random-hyperplane signs bucket
+  the corpus; queries probe only their own bucket.  The bucketing is a
+  deterministic projection (md5-derived pseudo-random hyperplanes), so
+  results are reproducible without a fitted model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+from res2df_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k most similar
+    corpus vectors (excluding itself when ids collide)."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    scored = corpus.crossJoin(broadcast(q)).filter(
+        F.col(query_id_col) != F.col(id_col)
+    ).select(
+        query_id_col,
+        id_col,
+        cosine_similarity(F.col("__qv"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 — no RNG
+    state, reproducible across engines and runs."""
+    import hashlib
+
+    vals = []
+    i = 0
+    while len(vals) < dim:
+        h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        for off in range(0, 16, 4):
+            if len(vals) >= dim:
+                break
+            u = int.from_bytes(h[off : off + 4], "big")
+            vals.append((u / 2**31) - 1.0)  # ~uniform in [-1, 1)
+        i += 1
+    return vals
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets.
+
+    Corpus and queries get an ``n_planes``-bit sign bucket; candidates
+    are same-bucket pairs (an equality join — shuffle on bucket key, no
+    cross join).  Recall improves with multi-probe (not implemented) or
+    fewer planes.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = [_hyperplane(dim, s) for s in range(n_planes)]
+
+    def bucket(vc):
+        bits = []
+        for p in planes:
+            arr = F.array(*[F.lit(x) for x in p])
+            proj = F.aggregate(
+                F.zip_with(vc, arr, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    c = corpus.withColumn("__bucket", bucket(F.col(vec_col)))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+    ).withColumn("__bucket", bucket(F.col("__qv")))
+    scored = c.join(q, "__bucket").filter(F.col(query_id_col) != F.col(id_col)).select(
+        query_id_col,
+        id_col,
+        cosine_similarity(F.col("__qv"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

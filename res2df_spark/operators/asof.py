@@ -1,0 +1,98 @@
+"""As-of (point-in-time) join, the J9/J10 family of SURVEY.md §2.4.
+
+The reference implements point-in-time lookups as per-action pandas
+filters (``date <= action_date`` then keep-last —
+/root/reference/src/res2df/compdat.py:326-345,791-924).  A naive Spark
+translation is a non-equi join (range join → broadcast nested loop) that
+explodes at scale.  The scalable construction used here is the
+**union-window** as-of join:
+
+    1. tag left rows (queries) and right rows (observations),
+    2. union them on aligned schemas,
+    3. one window per key, ordered by (time, right-before-left tiebreak),
+       forward-fills the observation payload,
+    4. keep the left rows.
+
+Cost: ONE shuffle on the join keys (same as any equi-join), no row
+explosion, no range-join blowup — this is the standard trick used by
+large-scale timeseries stores.  Skewed keys are handled by AQE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str] | None = None,
+    tolerance_expr: str | None = None,
+    suffix: str = "",
+    strict: bool = False,
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right_time <= left_time`` (``<`` if ``strict``) and equal keys.
+
+    ``value_cols`` — right columns to carry (default: all non-key,
+    non-time columns).  Ties on ``right_time`` resolve to the right row
+    that sorts last under the right DataFrame's remaining columns
+    (deterministic given unique (keys, time) on the right; pass a
+    pre-deduped right otherwise).
+    """
+    on = list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in on and c != right_time]
+    value_cols = list(value_cols)
+
+    lt = F.col("__t")
+    # Align schemas: left rows carry NULL payload; right rows carry NULL
+    # for left-only columns.
+    left_cols = [c for c in left.columns]
+    l_tagged = left.select(
+        *on,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left_cols if c not in on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in on],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # Right rows sort before left rows at equal time unless strict, in
+    # which case they sort after (so an equal-time observation is NOT
+    # visible to the left row).
+    order = [lt.asc(), F.col("__is_left").asc() if not strict else F.col("__is_left").desc()]
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    filled = unioned
+    for c in value_cols:
+        filled = filled.withColumn(
+            f"__v_{c}", F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w)
+        )
+    if strict:
+        # with right rows ordered after left rows at equal __t, the window
+        # frame already excludes equal-time observations.
+        pass
+
+    out = filled.filter(F.col("__is_left") == 1)
+    renames = {f"__v_{c}": (c + suffix) for c in value_cols}
+    out = out.select(
+        *on,
+        F.col("__t").alias(left_time),
+        *[F.col(c) for c in left_cols if c not in on and c != left_time],
+        *[F.col(src).alias(dst) for src, dst in renames.items()],
+    )
+    if tolerance_expr is not None:
+        raise NotImplementedError("tolerance not yet supported")
+    return out

@@ -1,0 +1,54 @@
+"""Linear interpolation of NULL gaps in ordered series (P11/A8).
+
+The reference interpolates defaulted saturation-function values with
+``pandas.interpolate(limit_area="inside")`` per SATNUM
+(/root/reference/src/res2df/satfunc.py:132-157).  The Spark
+reconstruction is windowed: previous/next non-null value and x-position
+via ``last(ignorenulls)`` / ``first(ignorenulls)`` over
+preceding/following frames, then straight-line arithmetic — two window
+passes over one shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def interpolate_linear(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    partition_by: Sequence[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill NULLs in ``y_col`` by linear interpolation against ``x_col``
+    within each partition, *inside only* (leading/trailing NULLs stay
+    NULL, matching ``limit_area="inside"``)."""
+    out_col = out_col or y_col
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    y_x = F.when(y.isNotNull(), x)
+
+    wp = (
+        Window.partitionBy(*partition_by)
+        .orderBy(x.asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(*partition_by)
+        .orderBy(x.asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_y = F.last(y, ignorenulls=True).over(wp)
+    prev_x = F.last(y_x, ignorenulls=True).over(wp)
+    next_y = F.first(y, ignorenulls=True).over(wn)
+    next_x = F.first(y_x, ignorenulls=True).over(wn)
+
+    frac = F.when(next_x != prev_x, (x - prev_x) / (next_x - prev_x)).otherwise(F.lit(0.0))
+    interp = prev_y + (next_y - prev_y) * frac
+    filled = F.when(y.isNotNull(), y).when(
+        prev_y.isNotNull() & next_y.isNotNull(), interp
+    )
+    return df.withColumn(out_col, filled)

@@ -1,0 +1,149 @@
+"""Time resampling (W8) — date spines and as-of resampling with
+rate/total-aware interpolation.
+
+The reference resolves a frequency mnemonic to a pandas date_range and
+lets the native summary reader interpolate
+(/root/reference/src/res2df/summary.py:195-290,398; semantics in
+docs/usage/summary.rst:31-45: *cumulative* vectors interpolate linearly
+in time, *rate* vectors take the value of the next report step —
+backward fill).  Here the spine is ``explode(sequence(...))`` and the
+interpolation is window arithmetic over a union — one shuffle per key,
+no UDF, no driver loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+_FREQ_INTERVAL = {
+    "daily": "interval 1 day",
+    "weekly": "interval 1 week",
+    "monthly": "interval 1 month",
+    "yearly": "interval 1 year",
+}
+
+
+def date_spine(
+    spark: SparkSession,
+    start,
+    end,
+    freq: str = "monthly",
+    date_col: str = "DATE",
+) -> DataFrame:
+    """DataFrame of one DATE per period boundary in [start, end].
+
+    Mirrors ``resample_smry_dates`` normalization
+    (/root/reference/src/res2df/summary.py:195-290): start is rolled back
+    to the period start, end rolled forward, so the spine covers the
+    observation range.
+    """
+    interval = _FREQ_INTERVAL[freq]
+    trunc_unit = {"daily": "day", "weekly": "week", "monthly": "month", "yearly": "year"}[freq]
+    one = spark.range(1)
+    return one.select(
+        F.explode(
+            F.expr(
+                f"sequence(date_trunc('{trunc_unit}', to_timestamp('{start}')), "
+                f"date_trunc('{trunc_unit}', to_timestamp('{end}')) + {interval}, {interval})"
+            )
+        ).alias(date_col)
+    ).select(F.col(date_col).cast("date").alias(date_col))
+
+
+def spine_from_observations(
+    obs: DataFrame, date_col: str, freq: str = "monthly"
+) -> DataFrame:
+    """Date spine spanning the observed min/max of ``date_col``.
+
+    Computed without collecting to the driver: a single-row aggregate
+    cross-joined (broadcast, 1 row) with the generated sequence.
+    """
+    interval = _FREQ_INTERVAL[freq]
+    trunc_unit = {"daily": "day", "weekly": "week", "monthly": "month", "yearly": "year"}[freq]
+    bounds = obs.agg(
+        F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
+    )
+    return bounds.select(
+        F.explode(
+            F.expr(
+                f"sequence(date_trunc('{trunc_unit}', __lo), "
+                f"date_trunc('{trunc_unit}', __hi) + {interval}, {interval})"
+            )
+        ).alias(date_col)
+    ).select(F.col(date_col).cast("date").alias(date_col))
+
+
+def resample_asof(
+    obs: DataFrame,
+    spine: DataFrame,
+    keys: Sequence[str],
+    date_col: str,
+    value_col: str,
+    how: str = "linear",
+) -> DataFrame:
+    """Resample (keys, date, value) observations onto spine dates.
+
+    ``how='linear'`` — linear interpolation in time (the reference's
+    semantics for cumulative/total vectors); ``how='bfill'`` — value of
+    the next observation (rate vectors, which are valid backwards in
+    time, docs/usage/summary.rst:31-45); ``how='ffill'`` — previous
+    observation.
+
+    Implemented as union + two windows: one shuffle on ``keys``.
+    """
+    keys = list(keys)
+    spine_keys = obs.select(*keys).distinct().crossJoin(spine.select(date_col))
+    tagged_obs = obs.select(
+        *keys,
+        F.col(date_col).cast("timestamp").alias("__t"),
+        F.col(value_col).cast("double").alias("__y"),
+        F.lit(0).alias("__is_spine"),
+    )
+    tagged_spine = spine_keys.select(
+        *keys,
+        F.col(date_col).cast("timestamp").alias("__t"),
+        F.lit(None).cast("double").alias("__y"),
+        F.lit(1).alias("__is_spine"),
+    )
+    u = tagged_obs.unionByName(tagged_spine)
+    x = F.col("__t").cast("double")
+    y = F.col("__y")
+    y_x = F.when(y.isNotNull(), x)
+    # observation sorts before the spine row at equal time → exact hits
+    # take the observed value.
+    wp = (
+        Window.partitionBy(*keys)
+        .orderBy(x.asc(), F.col("__is_spine").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(*keys)
+        .orderBy(x.asc(), F.col("__is_spine").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_y = F.last(y, ignorenulls=True).over(wp)
+    prev_x = F.last(y_x, ignorenulls=True).over(wp)
+    next_y = F.first(y, ignorenulls=True).over(wn)
+    next_x = F.first(y_x, ignorenulls=True).over(wn)
+    if how == "linear":
+        frac = F.when(next_x != prev_x, (x - prev_x) / (next_x - prev_x)).otherwise(F.lit(0.0))
+        val = (
+            F.when(prev_y.isNotNull() & next_y.isNotNull(), prev_y + (next_y - prev_y) * frac)
+            .otherwise(F.coalesce(prev_y, next_y))
+        )
+    elif how == "bfill":
+        val = F.coalesce(next_y, prev_y)
+    elif how == "ffill":
+        val = F.coalesce(prev_y, next_y)
+    else:
+        raise ValueError(how)
+    return (
+        u.filter(F.col("__is_spine") == 1)
+        .select(
+            *keys,
+            F.col("__t").cast("date").alias(date_col),
+            val.alias(value_col),
+        )
+    )

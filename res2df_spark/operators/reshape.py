@@ -1,0 +1,91 @@
+"""Reshape operators (SURVEY.md §2.7): range explodes and melts.
+
+The reference reshapes with numpy/pandas loops; here each reshape is a
+single generator expression (``explode(sequence(...))``) that runs inside
+whole-stage codegen — no shuffle, output partitioning inherited from the
+input, so a 100 TB input explodes partition-locally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def unroll_range(
+    df: DataFrame,
+    lo: str,
+    hi: str,
+    out: str,
+    keep_bounds: bool = False,
+) -> DataFrame:
+    """One row per integer in ``[lo, hi]`` (R1: the reference's
+    ``unrolldf`` for COMPDAT K1–K2 / WELSEGS SEGMENT1–SEGMENT2 ranges,
+    /root/reference/src/res2df/compdat.py:415-470).
+
+    Rows with NULL or inverted bounds are passed through with ``out`` =
+    ``lo`` (matching the reference, which leaves non-range rows alone).
+    """
+    seq = F.sequence(F.col(lo).cast("int"), F.col(hi).cast("int"))
+    valid = F.col(lo).isNotNull() & F.col(hi).isNotNull() & (F.col(hi) >= F.col(lo))
+    df = df.withColumn("__seq", F.when(valid, seq).otherwise(F.array(F.col(lo).cast("int"))))
+    df = df.withColumn(out, F.explode("__seq")).drop("__seq")
+    if not keep_bounds:
+        df = df.drop(lo, hi)
+    return df
+
+
+def box_explode(
+    df: DataFrame,
+    ranges: Mapping[str, tuple[str, str]],
+) -> DataFrame:
+    """N-dimensional index-box explode (R2: FAULTS boxes →
+    one row per (I, J, K), /root/reference/src/res2df/faults.py:40-60).
+
+    ``ranges`` maps output column name → (lo_col, hi_col).  Implemented
+    as nested ``explode(sequence(...))`` — partition-local, no shuffle.
+    """
+    for out, (lo, hi) in ranges.items():
+        df = df.withColumn(out, F.explode(F.sequence(F.col(lo).cast("int"), F.col(hi).cast("int"))))
+    return df
+
+
+def melt(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "VARIABLE",
+    value_name: str = "VALUE",
+    value_type: str = "double",
+) -> DataFrame:
+    """Wide → long (R6: ``stack_on_colnames``,
+    /root/reference/src/res2df/common.py:787-844).  Uses the ``stack``
+    generator — codegen'd, no shuffle."""
+    n = len(value_cols)
+    pairs = ", ".join(f"'{c}', cast(`{c}` as {value_type})" for c in value_cols)
+    stacked = df.select(
+        *id_cols, F.expr(f"stack({n}, {pairs}) as (`{var_name}`, `{value_name}`)")
+    )
+    return stacked
+
+
+def stack_dated_columns(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    dated_cols: Sequence[str],
+    sep: str = "@",
+    var_name: str = "VARIABLE",
+    date_name: str = "DATE",
+    value_name: str = "VALUE",
+) -> DataFrame:
+    """Melt ``NAME@YYYY-MM-DD`` wide columns into (VARIABLE, DATE, VALUE)
+    rows (R6 variant used by pillars stackdates,
+    /root/reference/src/res2df/common.py:787-844)."""
+    out = melt(df, id_cols, dated_cols, var_name="__nv", value_name=value_name)
+    split = F.split(F.col("__nv"), sep, 2)
+    return (
+        out.withColumn(var_name, split.getItem(0))
+        .withColumn(date_name, F.to_date(split.getItem(1)))
+        .drop("__nv")
+    )

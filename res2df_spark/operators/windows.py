@@ -1,0 +1,110 @@
+"""Order-dependent operators (SURVEY.md §2.6), reconstructed as Spark
+window functions.
+
+The reference implements these as stateful pandas scans that depend on
+row order; Spark has no row order, so every operator here takes explicit
+ordering columns.  All of them compile to a single window exchange
+(hash-partition by the partition keys) — at 100 TB the partition keys
+(well, user, connection) are high-cardinality so the shuffle is balanced,
+and AQE splits any skewed key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _window(partition_by: Sequence[str | Column], order_by: Sequence[str | Column]):
+    if partition_by:
+        return Window.partitionBy(*partition_by).orderBy(*order_by)
+    return Window.partitionBy().orderBy(*order_by)
+
+
+def ffill(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str | Column] = (),
+    out_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """Forward-fill: propagate the last non-null value of each column over
+    an explicit ordering.
+
+    Reconstruction of the reference's date-cursor state machine (W1:
+    /root/reference/src/res2df/compdat.py:99-114, wcon.py:36-50) and RFT
+    record grouping (W4: rft.py:86-94): flatten to rows carrying a
+    monotone index, then ``last(col, ignorenulls=True)`` over
+    ``ROWS UNBOUNDED PRECEDING``.
+    """
+    w = _window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    out_names = list(out_names or cols)
+    for col, out in zip(cols, out_names):
+        df = df.withColumn(out, F.last(F.col(col), ignorenulls=True).over(w))
+    return df
+
+
+def dedup_keep(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+    keep: str = "last",
+) -> DataFrame:
+    """Keep-first/keep-last deduplication over explicit ordering.
+
+    pandas ``drop_duplicates(subset, keep="last")`` after a stable sort
+    (A5: /root/reference/src/res2df/compdat.py:917-922, gruptree.py:181,
+    wellcompletiondata.py:207) becomes
+    ``row_number() OVER (PARTITION BY keys ORDER BY ord DESC) = 1`` —
+    one shuffle on the dedup keys, map-side combinable by AQE.
+    """
+    ordering = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if keep == "last":
+        ordering = [c.desc() for c in ordering]
+    elif keep != "first":
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+    w = _window(keys, ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def repair_duplicate_timestamps(
+    df: DataFrame,
+    ts_col: str,
+    partition_by: Sequence[str],
+    tiebreak: Sequence[str | Column],
+    unit: str = "SECOND",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Separate duplicated timestamps by adding ``(k-1)`` units to the
+    k-th duplicate (W5: /root/reference/src/res2df/summary.py:435-483,
+    which adds TIMESTEP to duplicated DATE index entries)."""
+    w = _window([*partition_by, ts_col], tiebreak)
+    rn = F.row_number().over(w)
+    out_col = out_col or ts_col
+    return df.withColumn(out_col, F.timestamp_add(unit, rn - F.lit(1), F.col(ts_col)))
+
+
+def status_changes(
+    df: DataFrame,
+    state_col: str | Column,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str],
+) -> DataFrame:
+    """Emit only the rows where ``state_col`` differs from its previous
+    value within the partition (first row always emitted).
+
+    Reconstruction of W3 (/root/reference/src/res2df/wellconnstatus.py:34-86):
+    per-connection CPI series → status events at sign changes; the lag
+    comparison is `lag() OVER` + filter, one window exchange.
+    """
+    w = _window(partition_by, order_by)
+    state = F.col(state_col) if isinstance(state_col, str) else state_col
+    prev = F.lag(state).over(w)
+    return df.withColumn("__prev", prev).filter(
+        F.col("__prev").isNull() | (state != F.col("__prev"))
+    ).drop("__prev")

@@ -1,0 +1,66 @@
+"""SparkSession bootstrap tuned for the res2df_spark engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads);
+the same configuration keys are the ones that matter on a 1000-executor
+cluster: AQE (runtime re-planning, skew-join splitting, partition
+coalescing), a generous broadcast threshold (every dimension table in the
+res2df data model — zonemaps, parameters, vector metadata, region/nation
+— is tiny next to the fact tables), and Arrow for the few pandas-UDF
+paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configuration applied to sessions we create AND (where runtime-settable)
+#: to sessions handed to us by a driver.
+RUNTIME_CONF = {
+    # AQE: runtime shuffle-partition coalescing + skew-join handling are
+    # the main levers that make one static config survive 1000x scale-up.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dim tables (region/nation/zonemap/smry_meta/parameters) are small;
+    # broadcast aggressively so fact-side joins never shuffle the big side.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Deterministic timestamp semantics for oracle comparison.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for the pandas-UDF paths (multimodal decode, WLIST fold).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver's events table stores TIMESTAMP(NANOS) which Spark's
+    # reader rejects; read as int64 nanos and convert in the catalog.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "res2df-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's configuration."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an externally-created session
+    (e.g. the verification driver's).  Static conf (memory, master) is
+    left untouched."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static in some builds
+            pass
+    return spark
