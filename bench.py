@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline suite queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"name": sec, ...}, "sf": 0.1}
+
+Each query is forced to full execution with the ``noop`` sink (all
+partitions computed, nothing collected to the driver), which is the
+closest local analogue of a cluster write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from res2df_spark import suite  # noqa: E402
+from res2df_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline queries — one per operator family that matters at scale.
+HEADLINE = [
+    "a1_pricing_summary",      # groupBy agg, partial aggregation
+    "a3_pair_aggregation",     # 4-way join + pair-key agg
+    "a5_dedup_keep_last",      # window dedup (shuffle on keys)
+    "j4_region_revenue",       # broadcast dim-chain join (TPC-H Q5 shape)
+    "j9_asof_join",            # union-window as-of join
+    "q3_top_orders",           # filtered join + top-k
+    "w8_resample_monthly",     # date spine + cumulative window
+    "r1_unroll_range",         # explode(sequence())
+    "p11_interpolate",         # windowed linear interpolation
+    "dedup_exact",             # hash groupBy
+    "dedup_minhash_lsh",       # minhash + LSH banding
+    "dedup_simhash",           # relational simhash
+    "ann_cosine_topk",         # brute-force cosine top-k
+    "text_stats",              # array-native text metrics
+    "text_fingerprint",        # min-hash fingerprint
+]
+
+
+def infer_sf(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def run_one(spark, name: str) -> float:
+    df = suite.QUERIES[name](spark, SF_DIR)
+    t0 = time.time()
+    df.write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark("res2df-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # plans, not first-touch overhead
+    run_one(spark, "dedup_exact")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_one(spark, name), 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": infer_sf(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
