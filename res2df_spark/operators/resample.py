@@ -139,11 +139,14 @@ def resample_asof(
         val = F.coalesce(prev_y, next_y)
     else:
         raise ValueError(how)
+    # Evaluate the windows BEFORE dropping observation rows — filtering
+    # first would leave the windows nothing but NULL-payload spine rows.
     return (
-        u.filter(F.col("__is_spine") == 1)
+        u.withColumn("__val", val)
+        .filter(F.col("__is_spine") == 1)
         .select(
             *keys,
             F.col("__t").cast("date").alias(date_col),
-            val.alias(value_col),
+            F.col("__val").alias(value_col),
         )
     )

@@ -1,0 +1,37 @@
+"""Driver-contract invariants for __spark_entry__.py."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_queries_oracle_keys_align():
+    qs, os_ = E.queries(), E.oracle_sql()
+    assert set(os_) <= set(qs), "every oracle key must have a query"
+    missing = set(qs) - set(os_)
+    # non-SQL-expressible ops may omit oracles; list them explicitly so
+    # additions are deliberate
+    assert missing <= set(), f"queries without oracle: {missing}"
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_all_queries_run_at_smoke_sf(spark):
+    if not os.path.isdir(SF_SMOKE):
+        import pytest
+
+        pytest.skip("driver testdata absent")
+    for name, fn in E.queries().items():
+        df = fn(spark, SF_SMOKE)
+        assert df.count() >= 0, name

@@ -1,0 +1,106 @@
+"""LLM-pipeline operators: dedup, similarity (north-star extensions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from res2df_spark.llm.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from res2df_spark.llm.similarity import brute_force_topk, lsh_bucketed_topk
+from tests.conftest import rows
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "the quick brown fox jumps over a lazy dog"),    # near dup
+            (4, "completely different text about spark engines here"),
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_exact_duplicates(spark):
+    out = exact_duplicates(_docs(spark))
+    groups = {r[1]: r[2] for r in rows(out, "text_md5", "keeper_id", "n_docs")}
+    assert groups[1] == 2  # docs 1+2 share a group, keeper = min id
+    assert groups[3] == 1
+
+
+def test_ngram_jaccard(spark):
+    # docs 1/3 share 4 of 10 distinct 3-shingles → jaccard 0.4
+    out = ngram_jaccard_pairs(_docs(spark), threshold=0.35, shingle_k=3)
+    got = rows(out, "d1", "d2")
+    assert (1, 2) in got  # identical docs: jaccard 1.0
+    assert (1, 3) in got and (2, 3) in got  # near dups at 0.4
+    assert all(d2 != 4 for _, d2 in got)  # unrelated doc never paired
+
+
+def test_jaccard_values(spark):
+    out = ngram_jaccard_pairs(_docs(spark), threshold=0.99, shingle_k=3)
+    exact = [r for r in out.collect() if r.d1 == 1 and r.d2 == 2]
+    assert len(exact) == 1 and exact[0].jaccard == pytest.approx(1.0)
+
+
+def test_minhash_lsh_finds_exact_dups(spark):
+    out = minhash_lsh_candidates(_docs(spark), num_hashes=16, band_size=4, shingle_k=3)
+    got = {(r.d1, r.d2): r.n_bands for r in out.collect()}
+    assert got[(1, 2)] == 4  # identical signature → all bands match
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_minhash_empty_doc_excluded(spark):
+    out = minhash_lsh_candidates(_docs(spark), num_hashes=8, band_size=4)
+    assert all(r.d1 != 5 and r.d2 != 5 for r in out.collect())
+
+
+def test_simhash_properties(spark):
+    out = simhash_signatures(_docs(spark))
+    sigs = {r.doc_id: r.simhash for r in out.collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    # near-dup should be closer in Hamming distance than unrelated
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+
+
+def _emb(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+
+
+def test_brute_force_topk(spark):
+    emb = _emb(spark)
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
+    got = rows(out, "q_id", "vec_id", "rank")
+    assert got == [(0, 1, 1), (0, 2, 2)]
+
+
+def test_brute_force_excludes_self(spark):
+    emb = _emb(spark)
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+    assert all(r.vec_id != 0 for r in out.collect())
+
+
+def test_lsh_bucketed_topk_recalls_near_neighbor(spark):
+    emb = _emb(spark)
+    out = lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") == 0), k=3, n_planes=2)
+    got = rows(out, "q_id", "vec_id")
+    # vec 1 is nearly identical to the query → must share every
+    # random-hyperplane bucket and be recalled
+    assert (0, 1) in got
