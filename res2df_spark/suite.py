@@ -1070,3 +1070,8 @@ def mm_binary_meta(spark, sf_dir):
         # match the canonical continuous encoding.
         F.regexp_replace(F.base64(b), "[\\r\\n]", "").alias("b64"),
     )
+
+
+# Register part-2 queries (J8/J10/R3/R5/R7/W2/W7/P4/W8-linear) into
+# QUERIES/ORACLES — import must stay at the bottom (suite_ext imports _q).
+from res2df_spark import suite_ext  # noqa: E402,F401

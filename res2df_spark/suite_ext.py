@@ -1,0 +1,498 @@
+"""Oracle-checked query suite, part 2 — the remaining SURVEY.md §2
+operator families: chained/anti joins (J8), state rewrite (J10),
+wildcard expansion (R3), range-predicate join (R5), N-D table melt
+(R7), default fill (W2), tree snapshots (W7), constant-column probes
+(P4), and rate/total-aware resampling (W8 full semantics).
+
+Registered into ``suite.QUERIES`` / ``suite.ORACLES`` on import (the
+bottom of ``suite.py`` imports this module).
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import Window, functions as F
+from pyspark.sql.functions import broadcast
+
+from res2df_spark.catalog import Catalog
+from res2df_spark.functions.strings import well_template_to_regex
+from res2df_spark.operators.resample import resample_asof, spine_from_observations
+from res2df_spark.operators.reshape import melt
+from res2df_spark.operators.windows import dedup_keep, ffill
+from res2df_spark.suite import _q
+
+
+# ---------------------------------------------------------------------------
+# J8 — chained equi-joins + anti-join branch (rft.py:376-460: CON⋈ICD⋈SEG,
+# with non-ICD connections anti-joined then joined directly)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "j8_chain_anti",
+    """
+    WITH icd AS (SELECT p_partkey FROM part WHERE p_size <= 5),
+    via AS (
+        SELECT s.s_nationkey, l.l_quantity
+        FROM lineitem l JOIN icd ON l.l_partkey = icd.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    direct AS (
+        SELECT s.s_nationkey, l.l_quantity
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE NOT EXISTS (SELECT 1 FROM icd WHERE icd.p_partkey = l.l_partkey)),
+    u AS (
+        SELECT 'ICD' AS branch, * FROM via
+        UNION ALL SELECT 'DIRECT' AS branch, * FROM direct)
+    SELECT branch, CAST(s_nationkey AS BIGINT) AS nationkey,
+           count(*) AS n_items, CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+    FROM u GROUP BY branch, s_nationkey
+    """,
+)
+def j8_chain_anti(spark, sf_dir):
+    """Chained equi-joins with an anti-join fallback branch (J8 —
+    rft.py:376-460: ICD connections go through the ICD⋈SEG chain,
+    the rest are anti-joined then joined directly).  The ICD dim is
+    broadcast on both the semi and anti side — no extra fact shuffle."""
+    cat = Catalog(spark, sf_dir)
+    icd = cat.part.filter(F.col("p_size") <= 5).select("p_partkey")
+    li = cat.lineitem.select("l_partkey", "l_suppkey", "l_quantity")
+    sup = cat.supplier.select("s_suppkey", "s_nationkey")
+    via = (
+        li.join(broadcast(icd), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.lit("ICD").alias("branch"), "s_nationkey", "l_quantity")
+    )
+    direct = (
+        li.join(broadcast(icd), F.col("l_partkey") == F.col("p_partkey"), "left_anti")
+        .join(broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.lit("DIRECT").alias("branch"), "s_nationkey", "l_quantity")
+    )
+    return (
+        via.unionByName(direct)
+        .groupBy("branch", F.col("s_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10 — per-action state rewrite (applywelopen, compdat.py:791-924)
+# ---------------------------------------------------------------------------
+
+_STATE_ROWS = [
+    # (well, k, idx, status) — COMPDAT-defined connection states
+    ("OP1", 1, 10, "OPEN"),
+    ("OP1", 2, 10, "OPEN"),
+    ("OP1", 1, 40, "OPEN"),
+    ("OP2", 1, 20, "SHUT"),
+    ("OP2", 2, 20, "OPEN"),
+]
+_ACTION_ROWS = [
+    # (well, idx, newstatus) — WELOPEN actions rewriting the latest state
+    ("OP1", 30, "SHUT"),
+    ("OP2", 50, "AUTO"),
+]
+_J10_SQL = """
+    WITH state(well, k, idx, status) AS (VALUES
+        ('OP1', 1, 10, 'OPEN'), ('OP1', 2, 10, 'OPEN'), ('OP1', 1, 40, 'OPEN'),
+        ('OP2', 1, 20, 'SHUT'), ('OP2', 2, 20, 'OPEN')),
+    act(well, idx, newstatus) AS (VALUES ('OP1', 30, 'SHUT'), ('OP2', 50, 'AUTO')),
+    expanded AS (
+        SELECT s.well, s.k, a.idx, a.newstatus AS status,
+               row_number() OVER (PARTITION BY a.well, a.idx, s.k
+                                  ORDER BY s.idx DESC) AS rn
+        FROM act a JOIN state s ON s.well = a.well AND s.idx < a.idx),
+    unioned AS (
+        SELECT well, k, idx, status FROM state
+        UNION ALL SELECT well, k, idx, status FROM expanded WHERE rn = 1),
+    final AS (
+        SELECT *, row_number() OVER (PARTITION BY well, k ORDER BY idx DESC) AS rn
+        FROM unioned)
+    SELECT well, CAST(k AS BIGINT) AS k, CAST(idx AS BIGINT) AS idx, status
+    FROM final WHERE rn = 1
+"""
+
+
+@_q("j10_state_rewrite", _J10_SQL)
+def j10_state_rewrite(spark, sf_dir):
+    """WELOPEN-style state rewrite (J10 — compdat.py:791-924): each
+    action joins the latest prior connection rows of its well
+    (idx < action idx, keep-last per connection), rewrites the status,
+    appends; final state is keep-last per connection."""
+    state = spark.createDataFrame(_STATE_ROWS, "well string, k long, idx long, status string")
+    act = spark.createDataFrame(_ACTION_ROWS, "well string, idx long, newstatus string")
+    a = act.select(
+        F.col("well"), F.col("idx").alias("a_idx"), F.col("newstatus")
+    )
+    joined = state.alias("s").join(broadcast(a).alias("a"), "well").filter(
+        F.col("s.idx") < F.col("a_idx")
+    )
+    latest = dedup_keep(
+        joined, keys=["well", "a_idx", "k"], order_by=[F.col("s.idx")], keep="last"
+    ).select("well", "k", F.col("a_idx").alias("idx"), F.col("newstatus").alias("status"))
+    unioned = state.unionByName(latest)
+    final = dedup_keep(unioned, keys=["well", "k"], order_by=["idx"], keep="last")
+    return final.select("well", "k", "idx", "status")
+
+
+# ---------------------------------------------------------------------------
+# R3 — wildcard template expansion via broadcast regex join
+# (compdat.py:366-412 + common.py:955-980)
+# ---------------------------------------------------------------------------
+
+_WELL_ROWS = [
+    ("OP1", date(2020, 1, 1)),
+    ("OP2", date(2020, 2, 1)),
+    ("OPX", date(2020, 6, 1)),
+    ("WI1", date(2020, 1, 15)),
+    ("*X", date(2020, 1, 1)),
+]
+_TEMPLATE_ROWS = [
+    # (template, action_date, action)
+    ("OP*", date(2020, 3, 1), "SHUT"),
+    ("?I1", date(2020, 3, 1), "OPEN"),
+    ("\\*X", date(2020, 3, 1), "STOP"),
+]
+
+
+@_q(
+    "r3_wildcard_expand",
+    """
+    WITH wells(well, def_date) AS (VALUES
+        ('OP1', DATE '2020-01-01'), ('OP2', DATE '2020-02-01'),
+        ('OPX', DATE '2020-06-01'), ('WI1', DATE '2020-01-15'),
+        ('*X', DATE '2020-01-01')),
+    tmpl(template, rx, act_date, action) AS (VALUES
+        ('OP*', '^OP.*$', DATE '2020-03-01', 'SHUT'),
+        ('?I1', '^.I1$', DATE '2020-03-01', 'OPEN'),
+        ('\\*X', '^\\*X$', DATE '2020-03-01', 'STOP'))
+    SELECT t.template, w.well, CAST(t.act_date AS TIMESTAMP) AS act_date, t.action
+    FROM tmpl t JOIN wells w
+      ON regexp_matches(w.well, t.rx) AND w.def_date <= t.act_date
+    """,
+)
+def r3_wildcard_expand(spark, sf_dir):
+    """Wildcard well expansion (R3 — WELOPEN 'OP*' fans out to every
+    matching well defined at or before the action date).  Glob→regex
+    translation driver-side (templates are tiny), then a broadcast
+    rlike join — the fact side never shuffles."""
+    wells = spark.createDataFrame(_WELL_ROWS, "well string, def_date date")
+    tmpl = spark.createDataFrame(
+        [(t, well_template_to_regex(t), d, a) for t, d, a in _TEMPLATE_ROWS],
+        "template string, rx string, act_date date, action string",
+    )
+    out = wells.join(
+        broadcast(tmpl),
+        F.expr("well rlike rx") & (F.col("def_date") <= F.col("act_date")),
+    )
+    return out.select(
+        "template", "well", F.col("act_date").cast("timestamp").alias("act_date"), "action"
+    )
+
+
+# ---------------------------------------------------------------------------
+# R5 — range-predicate join (COMPLUMP C1–C2 membership, compdat.py:656-754)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "r5_range_join",
+    """
+    WITH lumps(well, c1, c2, lump) AS (VALUES
+        ('OP1', 1, 2, 10), ('OP1', 3, 5, 20), ('OP2', 1, 9, 30)),
+    conns AS (
+        SELECT 'OP' || CAST(1 + l_orderkey % 2 AS VARCHAR) AS well,
+               CAST(1 + l_linenumber % 5 AS INT) AS k,
+               count(*) AS n_conns
+        FROM lineitem GROUP BY 1, 2)
+    SELECT c.well, CAST(c.k AS BIGINT) AS k, CAST(l.lump AS BIGINT) AS lump,
+           CAST(c.n_conns AS BIGINT) AS n_conns
+    FROM conns c JOIN lumps l ON c.well = l.well AND c.k BETWEEN l.c1 AND l.c2
+    """,
+)
+def r5_range_join(spark, sf_dir):
+    """Range-membership join (R5 — COMPLUMP lump ranges pick up member
+    connections via N BETWEEN C1 AND C2).  The lump table is tiny →
+    broadcast; the non-equi BETWEEN predicate runs map-side, so the
+    fact side still never shuffles (checked: BroadcastNestedLoopJoin
+    over a broadcast dim is the intended plan at any corpus scale)."""
+    li = Catalog(spark, sf_dir).lineitem
+    conns = li.groupBy(
+        F.concat(F.lit("OP"), (F.lit(1) + F.col("l_orderkey") % 2).cast("string")).alias("well"),
+        (F.lit(1) + F.col("l_linenumber") % 5).cast("int").alias("k"),
+    ).agg(F.count(F.lit(1)).alias("n_conns"))
+    lumps = spark.createDataFrame(
+        [("OP1", 1, 2, 10), ("OP1", 3, 5, 20), ("OP2", 1, 9, 30)],
+        "lwell string, c1 int, c2 int, lump int",
+    )
+    out = conns.join(
+        broadcast(lumps),
+        (F.col("well") == F.col("lwell")) & F.col("k").between(F.col("c1"), F.col("c2")),
+    )
+    return out.select(
+        "well",
+        F.col("k").cast("long").alias("k"),
+        F.col("lump").cast("long").alias("lump"),
+        F.col("n_conns").cast("long").alias("n_conns"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7 — N-D interpolation-table melt (VFP BHP matrix → long rows,
+# vfp/_vfpcommon.py:89-167, _vfpprod.py:201-299)
+# ---------------------------------------------------------------------------
+
+_VFP_ROWS = [
+    (1, [100.0, 200.0, 300.0], [10.0, 20.0], [[500.0, 450.0, 400.0], [600.0, 550.0, 500.0]]),
+    (2, [50.0, 150.0], [5.0], [[300.0, 280.0]]),
+]
+
+
+@_q(
+    "r7_vfp_melt",
+    """
+    WITH v(tab, flow, thp, bhp) AS (VALUES
+        (1, [100.0, 200.0, 300.0], [10.0, 20.0],
+         [[500.0, 450.0, 400.0], [600.0, 550.0, 500.0]]),
+        (2, [50.0, 150.0], [5.0], [[300.0, 280.0]])),
+    ti AS (SELECT tab, flow, thp, bhp, unnest(generate_series(1, len(thp))) AS i FROM v),
+    fi AS (SELECT tab, thp[i] AS thp_val, bhp[i] AS bhp_row, flow,
+                  unnest(generate_series(1, len(flow))) AS j FROM ti)
+    SELECT CAST(tab AS BIGINT) AS tab, thp_val AS thp, flow[j] AS rate,
+           bhp_row[j] AS bhp
+    FROM fi
+    """,
+)
+def r7_vfp_melt(spark, sf_dir):
+    """VFP-table melt (R7 — the BHP matrix with axis vectors becomes one
+    row per (THP, RATE) point): posexplode the THP axis, index into the
+    matrix, then explode arrays_zip(flow, bhp_row).  Pure generators —
+    partition-local, no shuffle."""
+    src = spark.createDataFrame(
+        _VFP_ROWS, "tab long, flow array<double>, thp array<double>, bhp array<array<double>>"
+    )
+    by_thp = src.select(
+        "tab", "flow", "bhp", F.posexplode("thp").alias("ti", "thp_val")
+    ).select("tab", "flow", F.col("thp_val"), F.col("bhp").getItem(F.col("ti")).alias("bhp_row"))
+    zipped = by_thp.select(
+        "tab",
+        "thp_val",
+        F.explode(F.arrays_zip(F.col("flow"), F.col("bhp_row"))).alias("z"),
+    )
+    return zipped.select(
+        "tab",
+        F.col("thp_val").alias("thp"),
+        F.col("z.flow").alias("rate"),
+        F.col("z.bhp_row").alias("bhp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — defaulted-value fill from latest prior header record
+# (WELSPECS I/J defaults into COMPDAT, compdat.py:115-143)
+# ---------------------------------------------------------------------------
+
+_DECK_ROWS = [
+    # (idx, kind, well, i, j)
+    (1, "WELSPECS", "OP1", 5, 7),
+    (2, "COMPDAT", "OP1", 0, 0),
+    (3, "COMPDAT", "OP1", 9, 9),
+    (4, "WELSPECS", "OP1", 6, 8),
+    (5, "COMPDAT", "OP1", 0, 0),
+    (6, "COMPDAT", "OP2", 0, 0),
+]
+
+
+@_q(
+    "w2_default_fill",
+    """
+    WITH deck(idx, kind, well, i, j) AS (VALUES
+        (1, 'WELSPECS', 'OP1', 5, 7), (2, 'COMPDAT', 'OP1', 0, 0),
+        (3, 'COMPDAT', 'OP1', 9, 9), (4, 'WELSPECS', 'OP1', 6, 8),
+        (5, 'COMPDAT', 'OP1', 0, 0), (6, 'COMPDAT', 'OP2', 0, 0)),
+    f AS (
+        SELECT *,
+            last_value(CASE WHEN kind = 'WELSPECS' THEN i END IGNORE NULLS)
+                OVER (PARTITION BY well ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS head_i,
+            last_value(CASE WHEN kind = 'WELSPECS' THEN j END IGNORE NULLS)
+                OVER (PARTITION BY well ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS head_j
+        FROM deck)
+    SELECT CAST(idx AS BIGINT) AS idx, well,
+           CAST(CASE WHEN i = 0 THEN head_i ELSE i END AS BIGINT) AS eff_i,
+           CAST(CASE WHEN j = 0 THEN head_j ELSE j END AS BIGINT) AS eff_j
+    FROM f WHERE kind = 'COMPDAT'
+    """,
+)
+def w2_default_fill(spark, sf_dir):
+    """Defaulted-coordinate fill (W2 — COMPDAT I/J=0 replaced by the
+    latest prior WELSPECS head location per well): forward-fill of the
+    header values over the deck order, then a conditional swap."""
+    deck = spark.createDataFrame(_DECK_ROWS, "idx long, kind string, well string, i int, j int")
+    marked = deck.withColumn(
+        "__hi", F.when(F.col("kind") == "WELSPECS", F.col("i"))
+    ).withColumn("__hj", F.when(F.col("kind") == "WELSPECS", F.col("j")))
+    filled = ffill(
+        marked,
+        cols=["__hi", "__hj"],
+        order_by=["idx"],
+        partition_by=["well"],
+        out_names=["head_i", "head_j"],
+    )
+    return filled.filter(F.col("kind") == "COMPDAT").select(
+        "idx",
+        "well",
+        F.when(F.col("i") == 0, F.col("head_i")).otherwise(F.col("i")).cast("long").alias("eff_i"),
+        F.when(F.col("j") == 0, F.col("head_j")).otherwise(F.col("j")).cast("long").alias("eff_j"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W7 — tree snapshots: latest edge per child as of each snapshot date
+# (gruptree.py:94-182,215-287)
+# ---------------------------------------------------------------------------
+
+_EDGE_ROWS = [
+    (date(2020, 1, 1), "OP1", "PLATA"),
+    (date(2020, 1, 1), "PLATA", "FIELD"),
+    (date(2020, 3, 1), "OP1", "PLATB"),  # re-parent
+    (date(2020, 3, 1), "PLATB", "FIELD"),
+]
+
+
+@_q(
+    "w7_tree_snapshot",
+    """
+    WITH e(d, child, parent) AS (VALUES
+        (DATE '2020-01-01', 'OP1', 'PLATA'), (DATE '2020-01-01', 'PLATA', 'FIELD'),
+        (DATE '2020-03-01', 'OP1', 'PLATB'), (DATE '2020-03-01', 'PLATB', 'FIELD')),
+    snaps(sd) AS (SELECT DISTINCT d FROM e),
+    pairs AS (SELECT s.sd, c.child FROM snaps s CROSS JOIN (SELECT DISTINCT child FROM e) c),
+    ranked AS (
+        SELECT p.sd, p.child, e.parent,
+               row_number() OVER (PARTITION BY p.sd, p.child ORDER BY e.d DESC) AS rn
+        FROM pairs p JOIN e ON e.child = p.child AND e.d <= p.sd)
+    SELECT CAST(sd AS TIMESTAMP) AS snapshot_date, child, parent
+    FROM ranked WHERE rn = 1
+    """,
+)
+def w7_tree_snapshot(spark, sf_dir):
+    """Group-tree snapshotting (W7 — gruptree accumulates edge changes
+    and emits the ENTIRE current tree at each date with changes): the
+    snapshot is 'latest edge per child as of date', an as-of join of
+    (snapshot-date × child) against the edge log."""
+    edges = spark.createDataFrame(_EDGE_ROWS, "d date, child string, parent string")
+    snaps = edges.select(F.col("d").alias("sd")).distinct()
+    children = edges.select("child").distinct()
+    pairs = snaps.crossJoin(broadcast(children))
+    e2 = edges.select(
+        F.col("d").alias("e_d"), F.col("child").alias("e_child"), F.col("parent")
+    )
+    j = pairs.join(
+        broadcast(e2), (F.col("e_child") == F.col("child")) & (F.col("e_d") <= F.col("sd"))
+    ).select("sd", "child", "parent", "e_d")
+    latest = dedup_keep(j, keys=["sd", "child"], order_by=["e_d"], keep="last")
+    return latest.select(
+        F.col("sd").cast("timestamp").alias("snapshot_date"), "child", "parent"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — constant-column probe (grid.py:590-620: drop single-valued columns)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "p4_constant_probe",
+    """
+    SELECT 'l_returnflag' AS col_name, count(DISTINCT l_returnflag) AS n_distinct,
+           CAST(count(DISTINCT l_returnflag) > 1 AS BIGINT) AS keep FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', count(DISTINCT l_linestatus),
+           CAST(count(DISTINCT l_linestatus) > 1 AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(DISTINCT l_tax),
+           CAST(count(DISTINCT l_tax) > 1 AS BIGINT) FROM lineitem
+    """,
+)
+def p4_constant_probe(spark, sf_dir):
+    """Constant-column detection probe (P4 — grid.py:590-620 deletes
+    columns with one unique value).  One pass, all countDistincts in a
+    single aggregate, melted to (column, n_distinct, keep)."""
+    li = Catalog(spark, sf_dir).lineitem
+    cols = ["l_returnflag", "l_linestatus", "l_tax"]
+    agg = li.agg(*[F.countDistinct(c).alias(c) for c in cols])
+    long = melt(agg, id_cols=[], value_cols=cols, var_name="col_name", value_name="nd", value_type="bigint")
+    return long.select(
+        "col_name",
+        F.col("nd").alias("n_distinct"),
+        (F.col("nd") > 1).cast("long").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W8 full semantics — rate/total-aware resampling via resample_asof
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "w8_resample_linear",
+    """
+    WITH obs AS (
+        SELECT event_type, date_trunc('week', CAST(ts AS DATE)) AS wk,
+               round(sum(value), 2) AS y
+        FROM events GROUP BY 1, 2),
+    bounds AS (SELECT min(wk) AS lo, max(wk) AS hi FROM obs),
+    days AS (
+        SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                    CAST(hi AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds),
+    spine AS (
+        SELECT k.event_type, days.d
+        FROM days CROSS JOIN (SELECT DISTINCT event_type FROM obs) k),
+    f AS (
+        SELECT s.event_type, s.d,
+               CAST(epoch(CAST(s.d AS TIMESTAMP)) AS DOUBLE) AS x, o.y,
+               last_value(o.y IGNORE NULLS) OVER w_prev AS py,
+               last_value(CASE WHEN o.y IS NOT NULL
+                               THEN CAST(epoch(CAST(s.d AS TIMESTAMP)) AS DOUBLE) END
+                          IGNORE NULLS) OVER w_prev AS px,
+               first_value(o.y IGNORE NULLS) OVER w_next AS ny,
+               first_value(CASE WHEN o.y IS NOT NULL
+                                THEN CAST(epoch(CAST(s.d AS TIMESTAMP)) AS DOUBLE) END
+                           IGNORE NULLS) OVER w_next AS nx
+        FROM spine s LEFT JOIN obs o ON o.event_type = s.event_type AND o.wk = s.d
+        WINDOW
+            w_prev AS (PARTITION BY s.event_type ORDER BY s.d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_next AS (PARTITION BY s.event_type ORDER BY s.d
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, CAST(d AS TIMESTAMP) AS d,
+           CAST(round(CASE
+               WHEN py IS NOT NULL AND ny IS NOT NULL THEN
+                   py + (ny - py) * (CASE WHEN nx <> px THEN (x - px) / (nx - px) ELSE 0 END)
+               ELSE coalesce(py, ny) END, 4) AS DOUBLE) AS val
+    FROM f
+    """,
+)
+def w8_resample_linear(spark, sf_dir):
+    """Full W8 semantics: weekly observations resampled onto a daily
+    spine with linear-in-time interpolation (the reference's cumulative-
+    vector rule, docs/usage/summary.rst:31-45) via resample_asof —
+    union + two windows, one shuffle on the series key."""
+    ev = Catalog(spark, sf_dir).events
+    obs = (
+        ev.groupBy(
+            "event_type", F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("d")
+        )
+        .agg(F.round(F.sum("value"), 2).alias("y"))
+    )
+    spine = spine_from_observations(obs, "d", freq="daily")
+    out = resample_asof(obs, spine, keys=["event_type"], date_col="d", value_col="y", how="linear")
+    return out.select(
+        "event_type", F.col("d").cast("timestamp").alias("d"), F.round("y", 4).alias("val")
+    )
