@@ -38,17 +38,35 @@ def shingles(toks: Column, k: int = 3) -> Column:
     )
 
 
+#: hex chars per derived hash: 8 hex = 32 bits — ample for min-hashing
+#: (collision odds over ~1e6 set elements are negligible), and 4 hashes
+#: come out of every md5 digest.
+_CHUNK = 8
+_CHUNKS_PER_MD5 = 32 // _CHUNK
+
+
 def minhash_signature(toks: Column, num_hashes: int = 32) -> Column:
     """MinHash signature as array<string> of length ``num_hashes``:
-    element *i* = min over tokens of ``md5(i || ':' || token)``.
+    element *i* = min over tokens of an 8-hex-char slice of a seeded md5,
+    ``substr(md5((i div 4) || ':' || token), 1 + 8*(i mod 4), 8)``.
 
-    Seeded-md5 min-hashing: each seed acts as an independent uniform hash
-    of the token set; identical definition is expressible in ANSI SQL so
-    the DuckDB oracle matches exactly.
+    Each md5 digest yields four independent 32-bit hash values, so a
+    16-hash signature costs 4 digests per token instead of 16.  Fixed-
+    width hex slices compare lexicographically exactly like the
+    underlying integers, and the same expression is ANSI SQL so the
+    DuckDB oracle matches bit-for-bit.
     """
+    n_md5 = -(-num_hashes // _CHUNKS_PER_MD5)
+    # one pass computing all digests per token, concatenated …
+    digests = F.transform(
+        toks, lambda t: F.concat(*[F.md5(F.concat(F.lit(f"{s}:"), t)) for s in range(n_md5)])
+    )
+    # … then each signature element is a cheap substring min.
     return F.array(
         *[
-            F.array_min(F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{i}:"), t))))
+            F.array_min(
+                F.transform(digests, lambda h: F.substring(h, 1 + _CHUNK * i, _CHUNK))
+            )
             for i in range(num_hashes)
         ]
     )

@@ -19,9 +19,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from res2df_spark.session import spread
 from res2df_spark.functions.textan import (
     doc_tokens_long,
-    minhash_signature,
     shingles,
     tokens,
 )
@@ -49,6 +49,7 @@ def _doc_token_sets(
 ) -> DataFrame:
     """(id, token) long form; ``shingle_k`` switches the set elements from
     words to k-word shingles (much more selective — the scale path)."""
+    docs = spread(docs)
     if shingle_k:
         toks = docs.select(
             F.col(id_col),
@@ -126,9 +127,28 @@ def minhash_lsh_candidates(
     all-NULL and would spuriously collide).
     """
     assert num_hashes % band_size == 0
+    # signature hashing is CPU-bound per row — make sure the scan isn't a
+    # single small-file partition pinning the stage to one core
+    docs = spread(docs)
     elems = tokens(text_col) if not shingle_k else shingles(tokens(text_col), shingle_k)
-    sig = docs.select(F.col(id_col), elems.alias("__e")).filter(F.size("__e") > 0).select(
-        F.col(id_col), minhash_signature(F.col("__e"), num_hashes).alias("sig")
+    # Relational signature: explode the element set, compute the seeded
+    # digests ONCE per (doc, element) row, then one min() per signature
+    # position.  The array-expression form (functions.textan.
+    # minhash_signature) re-evaluates the md5 transform per position —
+    # higher-order lambdas get no common-subexpression elimination — so
+    # this explode+agg form is ~num_hashes× cheaper, at the cost of one
+    # narrow shuffle on the (uniform) doc id.
+    n_md5 = -(-num_hashes // 4)
+    exploded = docs.select(F.col(id_col), F.explode(elems).alias("__tok")).select(
+        id_col,
+        F.concat(
+            *[F.md5(F.concat(F.lit(f"{s}:"), F.col("__tok"))) for s in range(n_md5)]
+        ).alias("__h"),
+    )
+    sig = exploded.groupBy(id_col).agg(
+        F.array(
+            *[F.min(F.substring("__h", 1 + 8 * i, 8)) for i in range(num_hashes)]
+        ).alias("sig")
     )
     n_bands = num_hashes // band_size
     bands = sig.select(
@@ -172,7 +192,7 @@ def simhash_signatures(
     """
     if bits != 64:
         raise ValueError("md5-backed simhash supports up to 64 bits; use 64")
-    toks = doc_tokens_long(docs, id_col, text_col, distinct=True)
+    toks = doc_tokens_long(spread(docs), id_col, text_col, distinct=True)
     # One row per (doc, token, bit). The bit value of md5 hex digest:
     # nibble index = bit // 4, bit-within-nibble is big-endian.
     bit_votes = toks.select(

@@ -54,6 +54,22 @@ def get_spark(app_name: str = "res2df-spark", master: str | None = None) -> Spar
     return builder.getOrCreate()
 
 
+def spread(df, min_partitions: int | None = None):
+    """Ensure a DataFrame has at least ``min_partitions`` partitions
+    (default: the cluster's default parallelism).
+
+    CPU-bound per-row work (signature hashing, array transforms) is
+    throughput-limited by partition count, not data size: a small parquet
+    file arrives as ONE partition and pins the whole stage to one core.
+    On a real cluster large inputs already have enough splits — then this
+    is a no-op (we only widen, never shrink, and only when the scan has
+    fewer partitions than cores)."""
+    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an externally-created session
     (e.g. the verification driver's).  Static conf (memory, master) is

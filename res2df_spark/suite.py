@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.functions import broadcast
 
 from res2df_spark.catalog import Catalog
+from res2df_spark.session import spread
 from res2df_spark.functions.strings import matches_template, pair_key
 from res2df_spark.functions.textan import shingles, tokens
 from res2df_spark.llm.dedup import (
@@ -868,7 +869,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
     sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM idx),
-    sig AS (SELECT doc_id, g.s AS s, min(md5(CAST(g.s AS VARCHAR) || ':' || shingle)) AS mh
+    sig AS (SELECT doc_id, g.s AS s,
+                   min(substr(md5(CAST(g.s // 4 AS VARCHAR) || ':' || shingle),
+                              CAST(1 + 8 * (g.s % 4) AS INT), 8)) AS mh
             FROM sh, generate_series(0, 15) g(s) GROUP BY 1, 2),
     bands AS (SELECT doc_id, s // 4 AS band_idx, string_agg(mh, '|' ORDER BY s) AS band_key
               FROM sig GROUP BY 1, 2)
@@ -1038,7 +1041,7 @@ def text_langid(spark, sf_dir):
 def text_fingerprint(spark, sf_dir):
     """Document fingerprinting (north star): min-md5 over 3-word
     shingles (winnowing-style), md5(text) fallback for short docs."""
-    docs = Catalog(spark, sf_dir).documents
+    docs = spread(Catalog(spark, sf_dir).documents)
     sh = shingles(tokens("text"), 3)
     fp = F.array_min(F.transform(sh, F.md5))
     return docs.select(
