@@ -1,0 +1,120 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+The north-star pipeline treats image/audio/video as ``binary`` columns
+plus metadata (mime, byte length, content hash).  All Spark-side
+plumbing — schema, partition sizing, Arrow batch shape — is real; the
+actual codec step is stubbed (decode libraries are not in this
+environment) behind ``decoder=`` hooks:
+
+* pass ``decoder=None`` (default) → deterministic fake features derived
+  from the payload bytes (length, first/last byte, md5-derived values) —
+  stable across engines and useful for testing the plumbing;
+* pass a real decoder (e.g. PIL/torchaudio wrapper) in production.
+
+Design for 100 TB: ``mapInPandas`` streams Arrow record batches, so an
+executor never materializes more than ``spark.sql.execution.arrow.
+maxRecordsPerBatch`` payloads; binary payloads stay off the driver; the
+feature schema is fixed so downstream is pure relational.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Schema of the extracted feature record (fixed → relational downstream).
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("feat_0", DoubleType()),
+        StructField("feat_1", DoubleType()),
+    ]
+)
+
+
+def attach_binary_metadata(
+    df: DataFrame, payload_col: str = "payload", mime: str = "application/octet-stream"
+) -> DataFrame:
+    """Typed metadata columns for an opaque binary payload column."""
+    b = F.col(payload_col)
+    return df.withColumns(
+        {
+            "mime": F.lit(mime),
+            "n_bytes": F.octet_length(b).cast("long"),
+            "content_md5": F.md5(b),
+        }
+    )
+
+
+def _fake_features(payload: bytes) -> tuple[float, float]:
+    """Deterministic stand-in for a decode→embed step: two doubles
+    derived from the md5 digest.  Replace with a real decoder in
+    production; the Spark plumbing is identical."""
+    h = hashlib.md5(payload).digest()
+    return (
+        int.from_bytes(h[0:4], "big") / 2**32,
+        int.from_bytes(h[4:8], "big") / 2**32,
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], tuple[float, ...]] | None = None,
+) -> DataFrame:
+    """Decode/feature-extract binary payloads via ``mapInPandas``.
+
+    Arrow streams record batches through the Python worker; each batch
+    yields one feature frame.  ``decoder`` maps payload bytes → feature
+    tuple; the default is the deterministic fake (see module docstring).
+    A real image/audio decoder plugs in without touching the Spark side.
+    """
+    if not isinstance(df.schema[payload_col].dataType, BinaryType):
+        df = df.withColumn(payload_col, F.col(payload_col).cast("binary"))
+    dec = decoder or _fake_features
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            feats = [dec(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "content_md5": payloads.map(
+                        lambda p: hashlib.md5(bytes(p)).hexdigest()
+                    ),
+                    "feat_0": [f[0] for f in feats],
+                    "feat_1": [f[1] for f in feats],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_stub(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", every_n: int = 10
+) -> DataFrame:
+    """Video frame-sampling stub: the real implementation decodes and
+    keeps every ``every_n``-th frame.  Without codec libraries this
+    raises; it exists so the API surface (and its schema contract) is
+    pinned down and testable."""
+    raise NotImplementedError(
+        "frame sampling requires a video codec library not present in this "
+        "environment; use extract_features(decoder=...) with a real decoder"
+    )

@@ -1,0 +1,110 @@
+"""Streaming operators (extension beyond the batch-only reference).
+
+* ``status_change_stream`` — the streaming variant of W3
+  (/root/reference/src/res2df/wellconnstatus.py:34-86: emit an event
+  when a per-connection state flips).  Batch W3 is a ``lag()`` window;
+  in a stream the previous state is per-key mutable state, kept with
+  ``applyInPandasWithState`` (Arrow-batched, partitioned by key — each
+  executor holds only its keys' state, so state size scales out).
+* ``windowed_rollup_stream`` — watermarked tumbling-window aggregation
+  (the streaming shape of A1-style rollups with bounded late data).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def status_change_stream(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    state_col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Emit one row per state *change* per key from a streaming DataFrame.
+
+    Within a micro-batch, rows are processed in ``ts_col`` order; the
+    last seen state per key is carried across batches as group state.
+    Output schema: key columns + (ts, new_status).
+
+    Note: cross-batch ordering relies on the watermark bounding
+    out-of-order arrival, the same contract as any stateful streaming
+    op.
+    """
+    key_cols = list(key_cols)
+    out_fields = [events.schema[c] for c in key_cols] + [
+        StructField("ts", TimestampType()),
+        StructField("new_status", StringType()),
+    ]
+    out_schema = StructType(out_fields)
+    state_schema = StructType([StructField("last_status", StringType())])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        changes = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for ts, st in zip(pdf[ts_col], pdf[state_col]):
+                if st != last:
+                    changes.append((ts, st))
+                    last = st
+        state.update((last,))
+        if changes:
+            out = pd.DataFrame(changes, columns=["ts", "new_status"])
+            for c, v in zip(key_cols, key):
+                out.insert(0, c, v)
+            yield out[ [*key_cols, "ts", "new_status"] ]
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def windowed_rollup_stream(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window count/sum per key with a watermark for late data.
+
+    The streaming shape of the reference's grouped aggregations (A1/A4):
+    partial aggregation map-side per micro-batch, final state per
+    (window, key) — emitted once the watermark passes the window end."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *key_cols,
+            "n",
+            "total",
+        )
+    )

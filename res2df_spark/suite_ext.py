@@ -496,3 +496,115 @@ def w8_resample_linear(spark, sf_dir):
     return out.select(
         "event_type", F.col("d").cast("timestamp").alias("d"), F.round("y", 4).alias("val")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature extraction — Pandas-UDF (mapInPandas) path with a full
+# oracle: the deterministic fake decoder derives features from md5 bytes,
+# which ANSI SQL can reproduce nibble-by-nibble.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "mm_extract_features",
+    """
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                      md5(text) AS h FROM documents),
+    u AS (SELECT doc_id, n_bytes, h, unnest(generate_series(1, 16)) AS i FROM m),
+    v AS (SELECT doc_id, n_bytes, h,
+                 sum(CASE WHEN i <= 8 THEN (strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1)
+                          * power(16.0, 8 - i) ELSE 0 END) AS w0,
+                 sum(CASE WHEN i > 8 THEN (strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1)
+                          * power(16.0, 16 - i) ELSE 0 END) AS w1
+          FROM u GROUP BY 1, 2, 3)
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, h AS content_md5,
+           CAST(round(w0 / 4294967296.0, 6) AS DOUBLE) AS feat_0,
+           CAST(round(w1 / 4294967296.0, 6) AS DOUBLE) AS feat_1
+    FROM v
+    """,
+)
+def mm_extract_features(spark, sf_dir):
+    """Multimodal decode/feature-extract over mapInPandas (north star):
+    payloads stream through the Python worker as Arrow batches; the
+    deterministic fake decoder (md5-derived doubles) stands in for a
+    real image/audio codec, so the WHOLE path — binary cast, batch
+    iteration, fixed feature schema — is oracle-verified."""
+    from res2df_spark.llm.multimodal import extract_features
+
+    docs = Catalog(spark, sf_dir).documents
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    out = extract_features(src)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "content_md5",
+        F.round("feat_0", 6).alias("feat_0"),
+        F.round("feat_1", 6).alias("feat_1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path — random-hyperplane LSH bucketing (llm/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def _planes_sql(dim: int = 64, n_planes: int = 8) -> str:
+    from res2df_spark.llm.similarity import _hyperplane
+
+    rows = []
+    for s in range(n_planes):
+        vals = ", ".join(repr(x) for x in _hyperplane(dim, s))
+        rows.append(f"({s}, [{vals}])")
+    return ",\n        ".join(rows)
+
+
+_ANN_LSH_SQL = f"""
+    WITH planes(pi, pv) AS (VALUES
+        {_planes_sql()}),
+    b AS (
+        SELECT e.vec_id,
+               string_agg(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv) >= 0
+                               THEN '1' ELSE '0' END, '' ORDER BY p.pi) AS bucket
+        FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+    q AS (SELECT e.vec_id AS q_id, e.embedding AS qv, b.bucket
+          FROM embeddings e JOIN b ON b.vec_id = e.vec_id WHERE e.vec_id < 8),
+    cand AS (
+        SELECT q.q_id, cb.vec_id, q.qv, e.embedding AS ev
+        FROM q JOIN b cb ON cb.bucket = q.bucket
+        JOIN embeddings e ON e.vec_id = cb.vec_id
+        WHERE cb.vec_id <> q.q_id),
+    expl AS (SELECT q_id, vec_id, qv, ev, unnest(generate_series(1, 64)) AS i FROM cand),
+    dots AS (SELECT q_id, vec_id,
+                    sum(CAST(qv[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS dot,
+                    sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS nq,
+                    sum(CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS ne
+             FROM expl GROUP BY 1, 2),
+    ranked AS (SELECT q_id, vec_id, dot / (sqrt(nq) * sqrt(ne)) AS cosine,
+                      row_number() OVER (PARTITION BY q_id
+                          ORDER BY dot / (sqrt(nq) * sqrt(ne)) DESC, vec_id) AS rnk
+               FROM dots)
+    SELECT q_id, vec_id, CAST(round(cosine, 6) AS DOUBLE) AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+"""
+
+
+@_q("ann_lsh_bucketed", _ANN_LSH_SQL)
+def ann_lsh_bucketed(spark, sf_dir):
+    """Approximate cosine top-k via random-hyperplane LSH buckets
+    (llm/similarity.py lsh_bucketed_topk) — the O(n)·probe scale path
+    next to the brute-force baseline.  Deterministic md5-derived
+    hyperplanes make the bucketing reproducible in the SQL oracle."""
+    from res2df_spark.llm.similarity import lsh_bucketed_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    out = lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 8), k=10, n_planes=8)
+    return out.select(
+        "q_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rnk"),
+    )

@@ -1,0 +1,79 @@
+"""Structured Streaming extension tests (memory source/sink)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from res2df_spark.streaming.ops import status_change_stream, windowed_rollup_stream
+
+
+def _run_stream(df, name):
+    q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_status_change_stream(spark):
+    rows = [
+        ("c1", datetime(2020, 1, 1, 0, 0), "OPEN"),
+        ("c1", datetime(2020, 1, 1, 1, 0), "OPEN"),
+        ("c1", datetime(2020, 1, 1, 2, 0), "SHUT"),
+        ("c2", datetime(2020, 1, 1, 0, 30), "SHUT"),
+        ("c1", datetime(2020, 1, 1, 3, 0), "OPEN"),
+    ]
+    src = spark.createDataFrame(rows, "conn string, ts timestamp, st string")
+    path = "/tmp/res2df_stream_src"
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    out = status_change_stream(stream, key_cols=["conn"], state_col="st", ts_col="ts")
+    _run_stream(out, "status_sink")
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT conn, ts, new_status FROM status_sink").collect()
+    )
+    assert got == [
+        ("c1", datetime(2020, 1, 1, 0, 0), "OPEN"),
+        ("c1", datetime(2020, 1, 1, 2, 0), "SHUT"),
+        ("c1", datetime(2020, 1, 1, 3, 0), "OPEN"),
+        ("c2", datetime(2020, 1, 1, 0, 30), "SHUT"),
+    ]
+
+
+def test_windowed_rollup_stream(spark):
+    rows = [
+        ("a", datetime(2020, 1, 1, 0, 10), 1.0),
+        ("a", datetime(2020, 1, 1, 0, 50), 2.0),
+        ("a", datetime(2020, 1, 1, 1, 10), 4.0),
+        ("b", datetime(2020, 1, 1, 0, 20), 8.0),
+    ]
+    src = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    path = "/tmp/res2df_stream_src2"
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    out = windowed_rollup_stream(stream, ts_col="ts", key_cols=["k"], value_col="v")
+    # complete-mode-ish check via update-less append: with a bounded file
+    # source the watermark never passes, so use the aggregation in a
+    # batch read instead to validate semantics, and just assert the
+    # streaming query starts and produces a valid plan.
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rollup_sink")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # semantics checked batch-side (same expression tree; watermark is a
+    # no-op on a bounded input):
+    got = sorted(
+        tuple(r)
+        for r in windowed_rollup_stream(src, ts_col="ts", key_cols=["k"], value_col="v")
+        .select("window_start", "k", "n", "total")
+        .collect()
+    )
+    assert got == [
+        (datetime(2020, 1, 1, 0, 0), "a", 2, 3.0),
+        (datetime(2020, 1, 1, 0, 0), "b", 1, 8.0),
+        (datetime(2020, 1, 1, 1, 0), "a", 1, 4.0),
+    ]
