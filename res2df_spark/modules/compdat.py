@@ -1,0 +1,157 @@
+"""Connection-table pipeline: the engine-layer equivalent of the
+reference's ``compdat.df()`` (/root/reference/src/res2df/compdat.py),
+rebuilt as pure DataFrame composition over deck records:
+
+1. **Date cursor** (W1, compdat.py:99-114): every record inherits the
+   latest DATES/START/TSTEP date — ``ffill`` over KEYWORD_IDX.
+2. **WELSPECS default fill** (W2, compdat.py:115-143): COMPDAT I/J of
+   0/NULL take the latest prior WELSPECS head location per well.
+3. **K-range unroll** (R1, compdat.py:415-470): one row per K in K1–K2.
+4. **WELOPEN application** (J9/J10/R3/R4, compdat.py:283-412,791-924):
+   wildcard wells expand via regex match, defaulted coordinates fan out
+   to all of the well's connections as of the action date, matching
+   connections get a rewritten-status row at the action date; final
+   state is keep-last per (WELL, I, J, K, DATE).
+
+Everything distributes: windows partition by WELL (high-cardinality at
+scale), the deck is parsed once driver-side (decks are tiny next to the
+data they describe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import broadcast
+
+from res2df_spark.functions.strings import well_template_to_regex
+from res2df_spark.operators.reshape import unroll_range
+from res2df_spark.operators.windows import dedup_keep, ffill
+from res2df_spark.sources.deck import deck_records, schedule_events
+
+#: WELOPEN statuses mapped onto connection OP/SH values
+#: (STOP acts as SHUT at the connection level — compdat.py:902-910).
+_STATUS_MAP = {"OPEN": "OPEN", "SHUT": "SHUT", "STOP": "SHUT", "AUTO": "AUTO"}
+
+
+def _with_dates(df: DataFrame, events: DataFrame) -> DataFrame:
+    """Stamp every record with the date cursor: union the date events,
+    forward-fill DATE over KEYWORD_IDX, keep the data records (W1)."""
+    cols = df.columns
+    dated = events.filter(F.col("DATE").isNotNull()).select(
+        "KEYWORD_IDX", "KEYWORD", "RECORD_IDX", "DATE",
+        *[F.lit(None).cast(df.schema[c].dataType).alias(c)
+          for c in cols if c not in ("KEYWORD_IDX", "KEYWORD", "RECORD_IDX", "DATE")],
+    )
+    u = df.unionByName(dated)
+    filled = ffill(
+        u, cols=["DATE"], order_by=["KEYWORD_IDX", "RECORD_IDX"], out_names=["DATE_EFF"]
+    )
+    return (
+        filled.filter(~F.col("KEYWORD").isin("DATES", "START", "TSTEP"))
+        .drop("DATE")
+        .withColumnRenamed("DATE_EFF", "DATE")
+    )
+
+
+def df(spark: SparkSession, deck_text: str) -> DataFrame:
+    """Deck text → connection table
+    (WELL, I, J, K, OP_SH, DATE, SATN, KH, SKIN)."""
+    events = schedule_events(spark, deck_text)
+    compdat = deck_records(spark, deck_text, "COMPDAT")
+    welspecs = deck_records(spark, deck_text, "WELSPECS")
+    welopen = deck_records(spark, deck_text, "WELOPEN")
+
+    compdat = _with_dates(compdat, events)
+    welopen_dated = (
+        _with_dates(welopen, events) if welopen.take(1) else None
+    )
+
+    # W2: WELSPECS head-location fill.  Union the header rows, ffill the
+    # head coords per well over deck order, apply to defaulted I/J.
+    heads = welspecs.select(
+        "KEYWORD_IDX", "RECORD_IDX", "WELL",
+        F.col("I").alias("__head_i"), F.col("J").alias("__head_j"),
+    )
+    tagged = compdat.unionByName(
+        heads.select(
+            "KEYWORD_IDX", "RECORD_IDX", "WELL", "__head_i", "__head_j"
+        ),
+        allowMissingColumns=True,
+    )
+    filled = ffill(
+        tagged,
+        cols=["__head_i", "__head_j"],
+        order_by=["KEYWORD_IDX", "RECORD_IDX"],
+        partition_by=["WELL"],
+        out_names=["head_i", "head_j"],
+    )
+    compdat = (
+        filled.filter(F.col("KEYWORD") == "COMPDAT")
+        .withColumn(
+            "I",
+            F.when(F.col("I").isNull() | (F.col("I") == 0), F.col("head_i")).otherwise(F.col("I")),
+        )
+        .withColumn(
+            "J",
+            F.when(F.col("J").isNull() | (F.col("J") == 0), F.col("head_j")).otherwise(F.col("J")),
+        )
+        .drop("__head_i", "__head_j", "head_i", "head_j")
+    )
+
+    # R1: K-range unroll.
+    conns = unroll_range(compdat, "K1", "K2", "K").select(
+        "WELL", "I", "J", "K",
+        F.col("OP/SH").alias("OP_SH"), "DATE", "KEYWORD_IDX", "SATN", "KH", "SKIN",
+    )
+
+    if welopen_dated is None:
+        return dedup_keep(
+            conns, keys=["WELL", "I", "J", "K", "DATE"], order_by=["KEYWORD_IDX"], keep="last"
+        ).select("WELL", "I", "J", "K", "OP_SH", "DATE", "SATN", "KH", "SKIN")
+
+    # R3: wildcard wells expand against wells defined at <= action date.
+    # Templates are deck constants → regex translation driver-side.
+    actions = welopen_dated.select(
+        F.col("WELL").alias("TEMPLATE"), "STATUS", "I", "J", "K",
+        F.col("DATE").alias("A_DATE"), F.col("KEYWORD_IDX").alias("A_IDX"),
+    )
+    tmpl_rows = [r["TEMPLATE"] for r in actions.select("TEMPLATE").distinct().collect()]
+    rx = spark.createDataFrame(
+        [(t, well_template_to_regex(t)) for t in tmpl_rows], "TEMPLATE string, RX string"
+    )
+    actions = actions.join(broadcast(rx), "TEMPLATE")
+
+    # J9/J10/R4: match each action to the latest prior state of each
+    # connection of its well(s); defaulted coords (NULL/0) match all.
+    a = broadcast(actions)
+    matched = conns.alias("c").join(
+        a.alias("a"),
+        F.expr("c.WELL rlike a.RX")
+        & (F.col("c.KEYWORD_IDX") < F.col("a.A_IDX"))
+        & (F.col("a.I").isNull() | (F.col("a.I") == 0) | (F.col("a.I") == F.col("c.I")))
+        & (F.col("a.J").isNull() | (F.col("a.J") == 0) | (F.col("a.J") == F.col("c.J")))
+        & (F.col("a.K").isNull() | (F.col("a.K") == 0) | (F.col("a.K") == F.col("c.K"))),
+    )
+    latest = dedup_keep(
+        matched,
+        keys=["c.WELL", "c.I", "c.J", "c.K", "A_IDX"],
+        order_by=[F.col("c.KEYWORD_IDX")],
+        keep="last",
+    )
+    status_expr = F.coalesce(
+        *[F.when(F.col("STATUS") == k, F.lit(v)) for k, v in _STATUS_MAP.items()]
+    )
+    rewritten = latest.select(
+        F.col("c.WELL").alias("WELL"), F.col("c.I").alias("I"),
+        F.col("c.J").alias("J"), F.col("c.K").alias("K"),
+        status_expr.alias("OP_SH"), F.col("A_DATE").alias("DATE"),
+        F.col("A_IDX").alias("KEYWORD_IDX"),
+        F.col("c.SATN").alias("SATN"), F.col("c.KH").alias("KH"),
+        F.col("c.SKIN").alias("SKIN"),
+    )
+
+    all_rows = conns.unionByName(rewritten)
+    final = dedup_keep(
+        all_rows, keys=["WELL", "I", "J", "K", "DATE"], order_by=["KEYWORD_IDX"], keep="last"
+    )
+    return final.select("WELL", "I", "J", "K", "OP_SH", "DATE", "SATN", "KH", "SKIN")

@@ -1,0 +1,149 @@
+"""Sinks (SURVEY.md §2.2, K1–K5).
+
+The reference's terminal writes are CSV/stdout (K1:
+/root/reference/src/res2df/common.py:116-152), typed Arrow files with
+column metadata (K2: summary.py:486-526), and Eclipse include-file text
+rendered from small result tables (K3/K4: common.py:508-750; K5 grid
+properties with run-length encoding, grid.py:623-756 + common.py:753-784).
+
+Spark split: big tables go through ``df.write`` (distributed); include-
+file text is driver-side templating over a COLLECTED table — include
+files are small by nature (they are simulator input text).  The one
+writer that can be big — per-cell grid properties — gets a distributed
+RLE: consecutive-run detection is two windows over GLOBAL_INDEX, after
+which only (run_length, value) pairs are collected.
+"""
+
+from __future__ import annotations
+
+import sys
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def write_dataframe(df: DataFrame, path: str, fmt: str = "csv", mode: str = "overwrite") -> None:
+    """K1/K2 terminal write.  ``path='-'`` streams CSV to stdout (the
+    reference's convention); otherwise a distributed ``df.write``."""
+    if path == "-":
+        df.toPandas().to_csv(sys.stdout, index=False)
+        return
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+
+
+def write_parquet_with_metadata(
+    df: DataFrame, path: str, column_metadata: dict[str, dict], mode: str = "overwrite"
+) -> None:
+    """K2: attach per-column metadata (unit, is_rate, …) that survives the
+    Parquet round-trip, matching the reference's Arrow field metadata
+    (summary.py:506-521)."""
+    for col, meta in column_metadata.items():
+        df = df.withColumn(col, F.col(col).alias(col, metadata=meta))
+    df.write.mode(mode).parquet(path)
+
+
+def _fmt_value(v, float_fmt: str = "%g") -> str:
+    """One deck item: NULL → the Eclipse 'defaulted' token ``1*``;
+    strings quoted; floats compact (common.py:694-750)."""
+    if v is None:
+        return "1*"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        return float_fmt % v
+    if isinstance(v, str):
+        return f"'{v}'"
+    return str(v)
+
+
+def df_to_include(
+    df: DataFrame,
+    keyword: str,
+    columns: Sequence[str] | None = None,
+    comment: str | None = None,
+    drop_trailing_defaults: bool = True,
+) -> str:
+    """K3/K4: render a (small, collected) table as an Eclipse keyword
+    block::
+
+        KEYWORD
+        -- comment
+          'OP1' 1 1 2 'OPEN' /
+          'OP2' 2 2 1* 'SHUT' /
+        /
+
+    NULLs become ``1*``; trailing defaulted items are dropped entirely
+    (the reference's trailing-default rule, common.py:628-750).  Column
+    order follows ``columns`` (the keyword's item order)."""
+    cols = list(columns or df.columns)
+    rows = df.select(*cols).collect()
+    lines = [keyword]
+    if comment:
+        lines.append(f"-- {comment}")
+    for r in rows:
+        items = [_fmt_value(r[c]) for c in cols]
+        if drop_trailing_defaults:
+            while items and items[-1] == "1*":
+                items.pop()
+        lines.append("  " + " ".join(items) + " /")
+    lines.append("/")
+    return "\n".join(lines) + "\n"
+
+
+def rle_encode(values: Iterable) -> str:
+    """K5 RLE for grid-property export: ``2 2 2 5`` → ``3*2 5``
+    (common.py:753-784).  Driver-side, for already-collected vectors."""
+    out: list[str] = []
+    run_val, run_len = object(), 0
+    for v in values:
+        if v == run_val:
+            run_len += 1
+        else:
+            if run_len:
+                out.append(f"{run_len}*{run_val}" if run_len > 1 else str(run_val))
+            run_val, run_len = v, 1
+    if run_len:
+        out.append(f"{run_len}*{run_val}" if run_len > 1 else str(run_val))
+    return " ".join(out)
+
+
+def rle_encode_distributed(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
+    """Distributed RLE: collapse consecutive equal values (in
+    ``order_col`` order) into (start_idx, run_length, value) rows.
+
+    Two windows over one global sort: run starts where the lagged value
+    differs; run id = running count of starts; then one groupBy.  At
+    grid scale (billions of cells) only the collapsed runs ever reach
+    the driver — the full vector never does.  The global window is the
+    price of the format's strict cell ordering; AQE handles the
+    single-partition sort spill."""
+    w = Window.orderBy(order_col)
+    marked = df.select(
+        F.col(order_col), F.col(value_col),
+        F.when(
+            F.lag(value_col).over(w).isNull()
+            | (F.lag(value_col).over(w) != F.col(value_col)),
+            1,
+        )
+        .otherwise(0)
+        .alias("__start"),
+    )
+    runs = marked.withColumn(
+        "__run", F.sum("__start").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        runs.groupBy("__run")
+        .agg(
+            F.min(order_col).alias("start_idx"),
+            F.count(F.lit(1)).alias("run_length"),
+            F.first(value_col).alias("value"),
+        )
+        .drop("__run")
+        .orderBy("start_idx")
+    )

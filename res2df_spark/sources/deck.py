@@ -1,0 +1,194 @@
+"""Deck-text ingest (SURVEY.md §2.1 S1): Eclipse-style schedule text →
+typed record DataFrames.
+
+The reference delegates parsing to the opm.io C++ library
+(/root/reference/src/res2df/resdatafiles.py:79-105) with JSON keyword
+schemas (common.py:37-85).  This is an independent, pure-Python parser
+for the schedule-section subset the engine's modules consume — decks are
+small driver-side text; all downstream work is DataFrame ops.
+
+Grammar handled: ``--`` comments, quoted/unquoted items, ``n*`` repeated
+defaults and ``n*v`` repeated values, ``/`` record terminators, single-
+vs multi-record keywords, and the DATES/START month-name date format
+(including the Eclipse ``JLY`` alias, common.py:96-111).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import date, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: item schemas for the supported keywords: (name, kind) with kind in
+#: {str,int,float}; mirrors the role of the reference's opmkeywords JSON
+#: registry (schema source of truth → DataFrame schema).
+KEYWORD_ITEMS: dict[str, list[tuple[str, str]]] = {
+    "WELSPECS": [
+        ("WELL", "str"), ("GROUP", "str"), ("I", "int"), ("J", "int"),
+        ("REF_DEPTH", "float"), ("PHASE", "str"),
+    ],
+    "COMPDAT": [
+        ("WELL", "str"), ("I", "int"), ("J", "int"), ("K1", "int"), ("K2", "int"),
+        ("OP/SH", "str"), ("SATN", "int"), ("TRAN", "float"), ("WBDIA", "float"),
+        ("KH", "float"), ("SKIN", "float"), ("DFACT", "float"), ("DIR", "str"),
+    ],
+    "WELOPEN": [
+        ("WELL", "str"), ("STATUS", "str"), ("I", "int"), ("J", "int"), ("K", "int"),
+        ("C1", "int"), ("C2", "int"),
+    ],
+    "COMPLUMP": [
+        ("WELL", "str"), ("I", "int"), ("J", "int"), ("K1", "int"), ("K2", "int"),
+        ("N", "int"),
+    ],
+    "WCONPROD": [
+        ("WELL", "str"), ("STATUS", "str"), ("CMODE", "str"), ("ORAT", "float"),
+        ("WRAT", "float"), ("GRAT", "float"),
+    ],
+    "WCONINJE": [
+        ("WELL", "str"), ("TYPE", "str"), ("STATUS", "str"), ("CMODE", "str"),
+        ("RATE", "float"),
+    ],
+    "GRUPTREE": [("CHILD", "str"), ("PARENT", "str")],
+}
+
+#: keywords whose payload is exactly one record (no terminating lone /).
+SINGLE_RECORD = {"START", "TSTEP"}
+
+#: schedule keywords that advance the date cursor (W1).
+DATE_KEYWORDS = {"START", "DATES", "TSTEP"}
+
+_MONTHS = {
+    "JAN": 1, "FEB": 2, "MAR": 3, "APR": 4, "MAY": 5, "JUN": 6,
+    "JUL": 7, "JLY": 7, "AUG": 8, "SEP": 9, "OCT": 10, "NOV": 11, "DEC": 12,
+}
+
+_TOKEN_RE = re.compile(r"'[^']*'|\S+")
+
+
+def _tokenize(text: str) -> list[str]:
+    toks: list[str] = []
+    for line in text.splitlines():
+        line = line.split("--", 1)[0]
+        toks.extend(_TOKEN_RE.findall(line))
+    return toks
+
+
+def _expand(items: list[str]) -> list[str | None]:
+    """``3*`` → three defaults; ``2*0.5`` → two 0.5s; ``'X'`` unquoted."""
+    out: list[str | None] = []
+    for t in items:
+        m = re.fullmatch(r"(\d+)\*(.*)", t)
+        if m:
+            n, v = int(m.group(1)), m.group(2)
+            out.extend([v if v else None] * n)
+        else:
+            out.append(t)
+    return out
+
+
+def _coerce(raw: str | None, kind: str):
+    if raw is None:
+        return None
+    s = raw.strip("'")
+    if kind == "int":
+        return int(s)
+    if kind == "float":
+        return float(s)
+    return s
+
+
+def _parse_date(items: list[str]) -> date:
+    """``1 'JAN' 2000`` (optionally with a time-of-day item)."""
+    d, mon, y = items[0], items[1].strip("'").upper(), items[2]
+    return date(int(y), _MONTHS[mon[:3]], int(d))
+
+
+def parse_deck(text: str) -> list[dict]:
+    """Deck text → flat record list, each a dict with ``KEYWORD_IDX``
+    (monotone position of the keyword instance in the deck — the
+    ordering contract every window operator relies on), ``KEYWORD``,
+    ``RECORD_IDX``, ``DATE`` (the cursor value, W1 applied at parse
+    time for date keywords only — data records carry None; cursor
+    propagation across data records is the engine's ffill), and the
+    typed items per KEYWORD_ITEMS."""
+    toks = _tokenize(text)
+    records: list[dict] = []
+    cursor: date | None = None
+    kw_idx = -1
+    i = 0
+    known = set(KEYWORD_ITEMS) | DATE_KEYWORDS
+    while i < len(toks):
+        kw = toks[i]
+        i += 1
+        if kw not in known:
+            # skip unknown keyword: consume through its terminating '/'
+            # (best effort: until a record boundary followed by another
+            # known keyword or EOF)
+            while i < len(toks) and toks[i] not in known:
+                i += 1
+            continue
+        kw_idx += 1
+        rec_idx = 0
+        while i < len(toks):
+            rec: list[str] = []
+            while i < len(toks) and toks[i] != "/":
+                rec.append(toks[i])
+                i += 1
+            i += 1  # consume '/'
+            if not rec:
+                break  # lone '/' terminates a multi-record keyword
+            if kw == "START" or kw == "DATES":
+                cursor = _parse_date(rec)
+                records.append(
+                    {"KEYWORD_IDX": kw_idx, "KEYWORD": kw, "RECORD_IDX": rec_idx,
+                     "DATE": cursor}
+                )
+            elif kw == "TSTEP":
+                for step in _expand(rec):
+                    cursor = cursor + timedelta(days=float(step))
+                records.append(
+                    {"KEYWORD_IDX": kw_idx, "KEYWORD": kw, "RECORD_IDX": rec_idx,
+                     "DATE": cursor}
+                )
+            else:
+                row: dict = {"KEYWORD_IDX": kw_idx, "KEYWORD": kw,
+                             "RECORD_IDX": rec_idx, "DATE": None}
+                expanded = _expand(rec)
+                for (name, kind), raw in zip(KEYWORD_ITEMS[kw], expanded):
+                    row[name] = _coerce(raw, kind)
+                for name, _ in KEYWORD_ITEMS[kw][len(expanded):]:
+                    row[name] = None
+                records.append(row)
+            rec_idx += 1
+            if kw in SINGLE_RECORD:
+                break
+    return records
+
+
+_SPARK_KIND = {"str": "string", "int": "int", "float": "double"}
+
+
+def deck_records(spark: SparkSession, text: str, keyword: str) -> DataFrame:
+    """Records of one keyword as a typed DataFrame, with the shared
+    ordering/state columns (KEYWORD_IDX, RECORD_IDX, DATE — DATE filled
+    for date keywords, None otherwise)."""
+    recs = [r for r in parse_deck(text) if r["KEYWORD"] == keyword or keyword == "*"]
+    base = "KEYWORD_IDX long, KEYWORD string, RECORD_IDX long, DATE date"
+    items = KEYWORD_ITEMS.get(keyword, [])
+    schema = base + "".join(f", `{n}` {_SPARK_KIND[k]}" for n, k in items)
+    cols = ["KEYWORD_IDX", "KEYWORD", "RECORD_IDX", "DATE"] + [n for n, _ in items]
+    rows = [tuple(r.get(c) for c in cols) for r in recs]
+    return spark.createDataFrame(rows, schema)
+
+
+def schedule_events(spark: SparkSession, text: str) -> DataFrame:
+    """All records of all keywords, dates resolved at parse time for the
+    date keywords — the substrate for the W1 ffill date cursor."""
+    recs = parse_deck(text)
+    rows = [
+        (r["KEYWORD_IDX"], r["KEYWORD"], r["RECORD_IDX"], r["DATE"]) for r in recs
+    ]
+    return spark.createDataFrame(
+        rows, "KEYWORD_IDX long, KEYWORD string, RECORD_IDX long, DATE date"
+    )

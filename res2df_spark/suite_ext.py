@@ -608,3 +608,71 @@ def ann_lsh_bucketed(spark, sf_dir):
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full schedule pipeline — deck text → connection table
+# (modules/compdat.py: W1 date cursor + W2 head fill + R1 unroll +
+# R3/R4/J10 WELOPEN application), checked against a hand-derived
+# expected table, the reference's own test style (tests/test_welopen.py).
+# ---------------------------------------------------------------------------
+
+_PIPE_DECK = """
+START
+  1 JAN 2020 /
+WELSPECS
+  'OP1' 'G1' 3 4 1000.0 'OIL' /
+  'OP2' 'G1' 5 6 1000.0 'OIL' /
+/
+COMPDAT
+  'OP1' 2* 1 2 'OPEN' /
+  'OP2' 5 6 1 1 'OPEN' /
+/
+DATES
+  1 FEB 2020 /
+/
+COMPDAT
+  'OP2' 5 6 2 2 'OPEN' /
+/
+DATES
+  1 MAR 2020 /
+/
+WELOPEN
+  'OP*' 'SHUT' /
+/
+"""
+
+
+@_q(
+    "compdat_pipeline",
+    """
+    WITH expected(well, i, j, k, op_sh, d) AS (VALUES
+        ('OP1', 3, 4, 1, 'OPEN', DATE '2020-01-01'),
+        ('OP1', 3, 4, 2, 'OPEN', DATE '2020-01-01'),
+        ('OP2', 5, 6, 1, 'OPEN', DATE '2020-01-01'),
+        ('OP2', 5, 6, 2, 'OPEN', DATE '2020-02-01'),
+        ('OP1', 3, 4, 1, 'SHUT', DATE '2020-03-01'),
+        ('OP1', 3, 4, 2, 'SHUT', DATE '2020-03-01'),
+        ('OP2', 5, 6, 1, 'SHUT', DATE '2020-03-01'),
+        ('OP2', 5, 6, 2, 'SHUT', DATE '2020-03-01'))
+    SELECT well, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(k AS BIGINT) AS k, op_sh, CAST(d AS TIMESTAMP) AS d
+    FROM expected
+    """,
+)
+def compdat_pipeline(spark, sf_dir):
+    """End-to-end schedule pipeline on an embedded deck: date cursor,
+    WELSPECS default fill (OP1's defaulted I/J → 3/4), K-range unroll,
+    wildcard WELOPEN SHUT of both wells at the final date.  The oracle
+    is the hand-derived expected connection table."""
+    from res2df_spark.modules import compdat
+
+    out = compdat.df(spark, _PIPE_DECK)
+    return out.select(
+        F.col("WELL").alias("well"),
+        F.col("I").cast("long").alias("i"),
+        F.col("J").cast("long").alias("j"),
+        F.col("K").cast("long").alias("k"),
+        F.col("OP_SH").alias("op_sh"),
+        F.col("DATE").cast("timestamp").alias("d"),
+    )
