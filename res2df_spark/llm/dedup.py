@@ -167,11 +167,32 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
-    b1 = bands.select(F.col(id_col).alias("d1"), "band_idx", "band_key")
-    b2 = bands.select(F.col(id_col).alias("d2"), "band_idx", "band_key")
+    # Candidate pairs per bucket WITHOUT a self-join: a self-join would
+    # evaluate the whole signature pipeline twice (no cross-branch plan
+    # reuse) and add a shuffle.  Instead, group docs per (band_idx,
+    # band_key) and enumerate the (i < j) pairs with array combinatorics
+    # — one aggregation, signature computed once.  Bucket sizes are
+    # small by LSH construction (that is the point of banding), so the
+    # per-bucket quadratic is bounded; a pathological all-identical
+    # corpus degrades exactly like the equivalent self-join would.
+    buckets = bands.groupBy("band_idx", "band_key").agg(
+        F.sort_array(F.collect_set(id_col)).alias("ids")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size("ids")),
+                    lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+                ),
+            )
+        )
+    )
     return (
-        b1.join(b2, ["band_idx", "band_key"])
-        .filter(F.col("d1") < F.col("d2"))
+        buckets.filter(F.size("ids") > 1)
+        .select(pair.alias("p"))
+        .select("p.d1", "p.d2")
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
@@ -193,29 +214,45 @@ def simhash_signatures(
     if bits != 64:
         raise ValueError("md5-backed simhash supports up to 64 bits; use 64")
     toks = doc_tokens_long(spread(docs), id_col, text_col, distinct=True)
-    # One row per (doc, token, bit). The bit value of md5 hex digest:
-    # nibble index = bit // 4, bit-within-nibble is big-endian.
-    bit_votes = toks.select(
-        id_col,
-        F.md5(F.col("token")).alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    # Nibble-wise evaluation: one exploded row per (doc, token, hex
+    # nibble) — 16 rows per token instead of 64 — with the nibble
+    # converted to int ONCE and its four bit-votes carried as integer
+    # columns.  Signature bit b lives at nibble p = b//4 + 1, position
+    # j = b%4 (big-endian within the nibble): identical definition to
+    # the per-bit formulation, just 4× fewer rows and no per-bit string
+    # ops — this is what keeps the vote stage cheap at corpus scale.
+    nibbles = toks.select(
+        id_col, F.md5(F.col("token")).alias("h")
     ).select(
         id_col,
-        "bit",
-        F.when(
-            F.expr(
-                "(shiftright(cast(conv(substring(h, cast(floor(bit / 4) as int) + 1, 1), 16, 10) as int),"
-                " 3 - cast(bit % 4 as int)) & 1) = 1"
-            ),
-            F.lit(1),
-        )
-        .otherwise(F.lit(-1))
-        .alias("vote"),
+        F.explode(F.sequence(F.lit(1), F.lit(bits // 4))).alias("p"),
+        F.col("h"),
+    ).select(
+        id_col,
+        "p",
+        F.expr("cast(conv(substring(h, cast(p as int), 1), 16, 10) as int)").alias("nv"),
     )
-    sig_bits = bit_votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("votes"))
-    return sig_bits.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("votes") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
-            .otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
+    votes = nibbles.select(
+        id_col,
+        "p",
+        *[
+            (
+                F.when(F.expr(f"(shiftright(nv, {3 - j}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(4)
+        ],
     )
+    per_nibble = votes.groupBy(id_col, "p").agg(
+        *[F.sum(f"v{j}").alias(f"s{j}") for j in range(4)]
+    )
+    contrib = per_nibble.select(
+        id_col,
+        sum(
+            F.when(
+                F.col(f"s{j}") > 0,
+                F.expr(f"shiftleft(cast(1 as bigint), cast((p - 1) * 4 + {j} as int))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for j in range(4)
+        ).alias("c"),
+    )
+    return contrib.groupBy(id_col).agg(F.sum("c").alias("simhash"))

@@ -1,0 +1,31 @@
+"""Connection-status events from per-connection time series: the
+engine-layer equivalent of the reference's ``wellconnstatus.df()``
+(/root/reference/src/res2df/wellconnstatus.py:34-86).
+
+The reference scans CPI:* summary vectors per connection and emits an
+event whenever the value crosses zero (first event is always OPEN).
+Relationally: derive the OPEN/SHUT state per observation, then W3
+status-change extraction (lag window) — one shuffle on the connection
+key.  The streaming variant is streaming.ops.status_change_stream."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from res2df_spark.operators.windows import status_changes
+
+
+def df(cpi_long: DataFrame,
+       well_col: str = "WELL",
+       conn_cols: tuple[str, ...] = ("I", "J", "K"),
+       date_col: str = "DATE",
+       value_col: str = "VALUE") -> DataFrame:
+    """(WELL, I, J, K, DATE, VALUE) CPI observations → status-change
+    events (WELL, I, J, K, DATE, OP/SH)."""
+    keys = [well_col, *conn_cols]
+    state = (
+        F.when(F.col(value_col) > 0, F.lit("OPEN")).otherwise(F.lit("SHUT")).alias("__st")
+    )
+    staged = cpi_long.withColumn("__st", state)
+    out = status_changes(staged, "__st", order_by=[date_col], partition_by=keys)
+    return out.select(*keys, date_col, F.col("__st").alias("OP/SH"))

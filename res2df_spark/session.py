@@ -65,7 +65,16 @@ def spread(df, min_partitions: int | None = None):
     is a no-op (we only widen, never shrink, and only when the scan has
     fewer partitions than cores)."""
     n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    # Metadata-only split estimate: len(inputFiles) never touches data,
+    # while df.rdd.getNumPartitions() under AQE can execute query stages
+    # just to learn the count.  Fewer files than cores → widen; a
+    # non-file source (createDataFrame fixtures) reports [] → widen too
+    # (they are tiny, the shuffle is free).
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits < n:
         return df.repartition(n)
     return df
 

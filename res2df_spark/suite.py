@@ -328,8 +328,8 @@ def j3_multikey_join(spark, sf_dir):
     (I,J,K), grid.py:365-408).  part/supplier are broadcast-size."""
     cat = Catalog(spark, sf_dir)
     return (
-        cat.lineitem.join(broadcast(cat.part.filter(F.col("p_size") <= 10)), F.col("l_partkey") == F.col("p_partkey"))
-        .join(broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        cat.lineitem.join(cat.part.filter(F.col("p_size") <= 10), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -359,9 +359,9 @@ def j4_region_revenue(spark, sf_dir):
     cat = Catalog(spark, sf_dir)
     return (
         cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            broadcast(cat.supplier),
+            cat.supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -712,7 +712,7 @@ def q3_top_orders(spark, sf_dir):
     return (
         cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            broadcast(cat.customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            cat.customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("o_orderkey", F.col("o_orderdate").alias("orderdate"), "o_orderpriority")

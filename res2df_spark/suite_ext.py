@@ -58,14 +58,16 @@ def j8_chain_anti(spark, sf_dir):
     icd = cat.part.filter(F.col("p_size") <= 5).select("p_partkey")
     li = cat.lineitem.select("l_partkey", "l_suppkey", "l_quantity")
     sup = cat.supplier.select("s_suppkey", "s_nationkey")
+    # part/supplier scale with SF: no forced broadcast — Catalyst picks
+    # BHJ locally from stats and degrades to SMJ at cluster scale.
     via = (
-        li.join(broadcast(icd), F.col("l_partkey") == F.col("p_partkey"))
-        .join(broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(icd, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(F.lit("ICD").alias("branch"), "s_nationkey", "l_quantity")
     )
     direct = (
-        li.join(broadcast(icd), F.col("l_partkey") == F.col("p_partkey"), "left_anti")
-        .join(broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(icd, F.col("l_partkey") == F.col("p_partkey"), "left_anti")
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(F.lit("DIRECT").alias("branch"), "s_nationkey", "l_quantity")
     )
     return (
@@ -675,4 +677,48 @@ def compdat_pipeline(spark, sf_dir):
         F.col("K").cast("long").alias("k"),
         F.col("OP_SH").alias("op_sh"),
         F.col("DATE").cast("timestamp").alias("d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (north star dedup family)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_embedding_cosine",
+    """
+    WITH pairs AS (
+        SELECT a.vec_id AS v1, b.vec_id AS v2,
+               a.embedding AS ea, b.embedding AS eb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+    expl AS (SELECT v1, v2, ea, eb, unnest(generate_series(1, 64)) AS i FROM pairs),
+    dots AS (SELECT v1, v2,
+                    sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+                    sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+                    sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+             FROM expl GROUP BY 1, 2)
+    SELECT v1, v2,
+           CAST(round(dot / (sqrt(na) * sqrt(nb)), 6) AS DOUBLE) AS cosine
+    FROM dots WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact, threshold 0.4).
+
+    Exact all-pairs is the verification baseline; at corpus scale the
+    same predicate runs over LSH-bucket candidates (ann_lsh_bucketed /
+    llm.similarity.lsh_bucketed_topk) so the self-join is bucket-local
+    instead of O(n²).  JVM-side fold for the dot products, no UDF."""
+    from res2df_spark.functions.vectors import cosine_similarity
+
+    emb = Catalog(spark, sf_dir).embeddings
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("v1") < F.col("v2"))
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        pairs.select("v1", "v2", cos.alias("__c"))
+        .filter(F.col("__c") >= 0.4)
+        .select("v1", "v2", F.round("__c", 6).alias("cosine"))
     )
