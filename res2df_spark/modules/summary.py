@@ -1,0 +1,105 @@
+"""Summary time-series pipeline: engine-layer equivalent of the
+reference's ``summary.df()`` (/root/reference/src/res2df/summary.py:293-432).
+
+Data model (FIXTURES.md §1-2): observations live in a LONG table
+(DATE, VECTOR, VALUE) with a vector-metadata dim (VECTOR, IS_RATE,
+IS_TOTAL, UNIT, …).  The reference's native reader interpolates on
+read (summary.py:398); here the semantics are explicit window
+arithmetic (docs/usage/summary.rst:31-45):
+
+* **cumulative/total vectors** interpolate linearly in time;
+* **rate vectors** are valid backwards — a resampled point takes the
+  value of the *next* observation (bfill);
+* other vectors forward-fill.
+
+Pipeline: wildcard select (P1) → per-vector resample onto the requested
+spine (W8, one shuffle keyed by VECTOR) → optional pivot to the wide
+frame the reference returns.  At 100 TB the long layout is the scan-
+friendly one (predicate pushdown on VECTOR, date partition pruning);
+the wide pivot is a presentation step for bounded vector sets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+from res2df_spark.functions.strings import well_template_to_regex
+from res2df_spark.operators.resample import resample_asof, spine_from_observations
+
+
+def select_vectors(long: DataFrame, column_keys: Sequence[str], vector_col: str = "VECTOR") -> DataFrame:
+    """P1 wildcard vector selection: keep rows whose VECTOR matches any
+    glob in ``column_keys`` (reference summary.py:347-398)."""
+    if not column_keys:
+        return long
+    pred = None
+    for key in column_keys:
+        m = F.col(vector_col).rlike(well_template_to_regex(key))
+        pred = m if pred is None else (pred | m)
+    return long.filter(pred)
+
+
+def resample(
+    long: DataFrame,
+    meta: DataFrame,
+    freq: str = "monthly",
+    date_col: str = "DATE",
+    vector_col: str = "VECTOR",
+    value_col: str = "VALUE",
+) -> DataFrame:
+    """Resample every vector onto the ``freq`` spine with per-vector
+    interpolation semantics from the metadata dim (broadcast join —
+    the dim is one row per vector name)."""
+    spine = spine_from_observations(long, date_col, freq=freq)
+    tagged = long.join(
+        broadcast(meta.select(vector_col, "IS_RATE", "IS_TOTAL")), vector_col, "left"
+    )
+    parts = []
+    for how, cond in (
+        ("linear", F.col("IS_TOTAL") == True),  # noqa: E712
+        ("bfill", (F.col("IS_RATE") == True) & (F.col("IS_TOTAL") != True)),  # noqa: E712
+        ("ffill", F.col("IS_TOTAL").isNull() | ((F.col("IS_TOTAL") == False) & (F.col("IS_RATE") == False))),  # noqa: E712
+    ):
+        sub = tagged.filter(cond).select(vector_col, date_col, value_col)
+        parts.append(
+            resample_asof(
+                sub, spine, keys=[vector_col], date_col=date_col,
+                value_col=value_col, how=how,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pivot_wide(
+    long: DataFrame,
+    date_col: str = "DATE",
+    vector_col: str = "VECTOR",
+    value_col: str = "VALUE",
+    vectors: Sequence[str] | None = None,
+) -> DataFrame:
+    """Long → wide (one column per vector), the reference's return shape.
+    Passing ``vectors`` skips the extra distinct-values job and pins
+    column order."""
+    g = long.groupBy(date_col)
+    p = g.pivot(vector_col, list(vectors)) if vectors else g.pivot(vector_col)
+    return p.agg(F.first(value_col)).orderBy(date_col)
+
+
+def df(
+    long: DataFrame,
+    meta: DataFrame,
+    time_index: str = "monthly",
+    column_keys: Sequence[str] = (),
+    wide: bool = True,
+) -> DataFrame:
+    """The reference's ``summary.df(resdatafiles, time_index,
+    column_keys)`` equivalent over the long table + metadata dim."""
+    sel = select_vectors(long, column_keys)
+    res = resample(sel, meta, freq=time_index)
+    return pivot_wide(res) if wide else res

@@ -1,0 +1,77 @@
+"""Lookup-table keyword family: engine-layer equivalents of the
+reference's ``satfunc.df()`` / ``pvt.df()`` / ``equil.df()``
+(/root/reference/src/res2df/satfunc.py:63-157, pvt.py:199-242,
+equil.py:81-136).
+
+Shape contract (reference §1.1): ONE long DataFrame per family, tagged
+with a KEYWORD column (R9 union) and the region counter (SATNUM /
+PVTNUM / EQLNUM).  Records parse via the R10 reshape in sources/deck.py;
+defaulted saturation-function values interpolate per region (P11)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from res2df_spark.operators.interpolate import interpolate_linear
+from res2df_spark.sources.deck import TABLE_KEYWORDS, deck_records
+
+SATFUNC_KEYWORDS = ("SWOF", "SGOF", "SLGOF", "SWFN", "SGFN", "SOF2", "SOF3")
+PVT_KEYWORDS = ("PVDG", "PVDO", "DENSITY", "ROCK")
+
+
+def _family_df(
+    spark: SparkSession, deck_text: str, keywords: Sequence[str]
+) -> DataFrame | None:
+    frames = []
+    for kw in keywords:
+        f = deck_records(spark, deck_text, kw)
+        if f.take(1):
+            frames.append(f.drop("KEYWORD_IDX", "RECORD_IDX", "DATE"))
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)  # R9 tagged union
+    return out
+
+
+def satfunc_df(
+    spark: SparkSession, deck_text: str, interpolate_defaults: bool = True
+) -> DataFrame | None:
+    """Saturation-function tables → long frame (KEYWORD, SATNUM, ROW_IDX,
+    value columns).  Defaulted (1*) values interpolate linearly against
+    the saturation column inside each (KEYWORD, SATNUM) table — the
+    reference's per-SATNUM pandas interpolate (satfunc.py:132-157)."""
+    out = _family_df(spark, deck_text, SATFUNC_KEYWORDS)
+    if out is None or not interpolate_defaults:
+        return out
+    sat_col = F.coalesce(*[F.col(c) for c in ("SW", "SG", "SL", "SO") if c in out.columns])
+    out = out.withColumn("__x", sat_col)
+    value_cols = [
+        c for c in out.columns
+        if c not in ("KEYWORD", "SATNUM", "ROW_IDX", "__x")
+        and not c.startswith(("SW", "SG", "SL", "SO"))
+    ]
+    for c in value_cols:
+        out = interpolate_linear(
+            out, x_col="__x", y_col=c, partition_by=["KEYWORD", "SATNUM"], out_col=c
+        )
+    return out.drop("__x")
+
+
+def pvt_df(spark: SparkSession, deck_text: str) -> DataFrame | None:
+    """Dead-oil/dry-gas PVT + rock/density tables → long tagged frame."""
+    return _family_df(spark, deck_text, PVT_KEYWORDS)
+
+
+def equil_df(spark: SparkSession, deck_text: str) -> DataFrame | None:
+    """EQUIL initial-condition records, one row per EQLNUM region."""
+    f = deck_records(spark, deck_text, "EQUIL")
+    if not f.take(1):
+        return None
+    return f.drop("KEYWORD_IDX", "RECORD_IDX", "DATE", "ROW_IDX")
+
+
+__all__ = ["satfunc_df", "pvt_df", "equil_df", "TABLE_KEYWORDS"]

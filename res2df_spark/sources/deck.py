@@ -52,6 +52,27 @@ KEYWORD_ITEMS: dict[str, list[tuple[str, str]]] = {
     "GRUPTREE": [("CHILD", "str"), ("PARENT", "str")],
 }
 
+#: Table keywords (R10, common.py:187-266): each record is a flat float
+#: list reshaped to rows of ``len(columns)`` items; the record counter
+#: is the region number (SATNUM/PVTNUM/EQLNUM).
+TABLE_KEYWORDS: dict[str, tuple[list[str], str]] = {
+    "SWOF": (["SW", "KRW", "KROW", "PC"], "SATNUM"),
+    "SGOF": (["SG", "KRG", "KROG", "PC"], "SATNUM"),
+    "SLGOF": (["SL", "KRG", "KRO", "PC"], "SATNUM"),
+    "SWFN": (["SW", "KRW", "PC"], "SATNUM"),
+    "SGFN": (["SG", "KRG", "PC"], "SATNUM"),
+    "SOF2": (["SO", "KRO"], "SATNUM"),
+    "SOF3": (["SO", "KROW", "KROG"], "SATNUM"),
+    "PVDG": (["PRESSURE", "VOLUMEFACTOR", "VISCOSITY"], "PVTNUM"),
+    "PVDO": (["PRESSURE", "VOLUMEFACTOR", "VISCOSITY"], "PVTNUM"),
+    "DENSITY": (["OILDENSITY", "WATERDENSITY", "GASDENSITY"], "PVTNUM"),
+    "ROCK": (["PRESSURE", "COMPRESSIBILITY"], "PVTNUM"),
+    "EQUIL": (
+        ["Z", "PRESSURE", "OWC", "PCOWC", "GOC", "PCGOC", "INITRS", "INITRV", "ACCURACY"],
+        "EQLNUM",
+    ),
+}
+
 #: keywords whose payload is exactly one record (no terminating lone /).
 SINGLE_RECORD = {"START", "TSTEP"}
 
@@ -117,7 +138,7 @@ def parse_deck(text: str) -> list[dict]:
     cursor: date | None = None
     kw_idx = -1
     i = 0
-    known = set(KEYWORD_ITEMS) | DATE_KEYWORDS
+    known = set(KEYWORD_ITEMS) | DATE_KEYWORDS | set(TABLE_KEYWORDS)
     while i < len(toks):
         kw = toks[i]
         i += 1
@@ -131,6 +152,12 @@ def parse_deck(text: str) -> list[dict]:
         kw_idx += 1
         rec_idx = 0
         while i < len(toks):
+            # A record starting with a known keyword means the current
+            # keyword ended WITHOUT a lone '/' — the table-keyword style
+            # whose record count the reference infers via trial reparse
+            # (inferdims.py:18-84); token lookahead resolves it here.
+            if toks[i] in known:
+                break
             rec: list[str] = []
             while i < len(toks) and toks[i] != "/":
                 rec.append(toks[i])
@@ -151,6 +178,26 @@ def parse_deck(text: str) -> list[dict]:
                     {"KEYWORD_IDX": kw_idx, "KEYWORD": kw, "RECORD_IDX": rec_idx,
                      "DATE": cursor}
                 )
+            elif kw in TABLE_KEYWORDS:
+                # R10: flat float list → n×k rows; region = record no.
+                cols, region = TABLE_KEYWORDS[kw]
+                vals = [_coerce(v, "float") for v in _expand(rec)]
+                k = len(cols)
+                # EQUIL-style fixed single-row tables may come shorter
+                # than the item list — pad; true tables come in full
+                # multiples of k.
+                if len(vals) % k and len(vals) < k:
+                    vals = vals + [None] * (k - len(vals))
+                for ri in range(0, len(vals), k):
+                    chunk = vals[ri : ri + k]
+                    row = {"KEYWORD_IDX": kw_idx, "KEYWORD": kw,
+                           "RECORD_IDX": rec_idx, "DATE": None,
+                           region: rec_idx + 1, "ROW_IDX": ri // k}
+                    for name, v in zip(cols, chunk):
+                        row[name] = v
+                    for name in cols[len(chunk):]:
+                        row[name] = None
+                    records.append(row)
             else:
                 row: dict = {"KEYWORD_IDX": kw_idx, "KEYWORD": kw,
                              "RECORD_IDX": rec_idx, "DATE": None}
@@ -175,9 +222,16 @@ def deck_records(spark: SparkSession, text: str, keyword: str) -> DataFrame:
     for date keywords, None otherwise)."""
     recs = [r for r in parse_deck(text) if r["KEYWORD"] == keyword or keyword == "*"]
     base = "KEYWORD_IDX long, KEYWORD string, RECORD_IDX long, DATE date"
-    items = KEYWORD_ITEMS.get(keyword, [])
-    schema = base + "".join(f", `{n}` {_SPARK_KIND[k]}" for n, k in items)
-    cols = ["KEYWORD_IDX", "KEYWORD", "RECORD_IDX", "DATE"] + [n for n, _ in items]
+    if keyword in TABLE_KEYWORDS:
+        tcols, region = TABLE_KEYWORDS[keyword]
+        schema = base + f", `{region}` int, ROW_IDX int" + "".join(
+            f", `{n}` double" for n in tcols
+        )
+        cols = ["KEYWORD_IDX", "KEYWORD", "RECORD_IDX", "DATE", region, "ROW_IDX"] + tcols
+    else:
+        items = KEYWORD_ITEMS.get(keyword, [])
+        schema = base + "".join(f", `{n}` {_SPARK_KIND[k]}" for n, k in items)
+        cols = ["KEYWORD_IDX", "KEYWORD", "RECORD_IDX", "DATE"] + [n for n, _ in items]
     rows = [tuple(r.get(c) for c in cols) for r in recs]
     return spark.createDataFrame(rows, schema)
 

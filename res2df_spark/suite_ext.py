@@ -722,3 +722,62 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("__c") >= 0.4)
         .select("v1", "v2", F.round("__c", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Table-keyword pipeline — deck text → tagged long table with per-region
+# interpolation of defaulted values (modules/tables.py: R9 + R10 + P11)
+# ---------------------------------------------------------------------------
+
+_SATFUNC_DECK = """
+SWOF
+  0.1 0.0  1.0  0.0
+  0.5 1*   0.5  0.0
+  0.9 1.0  0.0  0.0
+/
+  0.2 0.0  1.0  0.0
+  0.8 1.0  0.0  0.0
+/
+SGOF
+  0.0 0.0 1.0 0.0
+  1.0 1.0 0.0 0.0
+/
+"""
+
+
+@_q(
+    "satfunc_pipeline",
+    """
+    WITH expected(keyword, satnum, row_idx, sat, krw, kro, pc) AS (VALUES
+        ('SWOF', 1, 0, 0.1, 0.0, 1.0, 0.0),
+        ('SWOF', 1, 1, 0.5, 0.5, 0.5, 0.0),
+        ('SWOF', 1, 2, 0.9, 1.0, 0.0, 0.0),
+        ('SWOF', 2, 0, 0.2, 0.0, 1.0, 0.0),
+        ('SWOF', 2, 1, 0.8, 1.0, 0.0, 0.0),
+        ('SGOF', 1, 0, 0.0, 0.0, 1.0, 0.0),
+        ('SGOF', 1, 1, 1.0, 1.0, 0.0, 0.0))
+    SELECT keyword, CAST(satnum AS BIGINT) AS satnum,
+           CAST(row_idx AS BIGINT) AS row_idx, sat, krw, kro, pc
+    FROM expected
+    """,
+)
+def satfunc_pipeline(spark, sf_dir):
+    """Saturation-table family end-to-end: R10 record reshape (regions =
+    record counter), R9 tagged union of SWOF+SGOF, P11 interpolation of
+    the defaulted KRW at SW=0.5 (→ 0.5, linear between neighbours).
+    Oracle = hand-derived expected table, reference test style."""
+    from res2df_spark.modules.tables import satfunc_df
+
+    out = satfunc_df(spark, _SATFUNC_DECK, interpolate_defaults=True)
+    sat = F.coalesce(F.col("SW"), F.col("SG"))
+    kr = F.coalesce(F.col("KRW"), F.col("KRG"))
+    kro = F.coalesce(F.col("KROW"), F.col("KROG"))
+    return out.select(
+        F.col("KEYWORD").alias("keyword"),
+        F.col("SATNUM").cast("long").alias("satnum"),
+        F.col("ROW_IDX").cast("long").alias("row_idx"),
+        sat.alias("sat"),
+        kr.alias("krw"),
+        kro.alias("kro"),
+        F.col("PC").alias("pc"),
+    )

@@ -1,0 +1,65 @@
+"""Summary module: wildcard select, rate/total resampling, pivot."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+
+from res2df_spark.modules import summary
+from tests.conftest import rows
+
+
+def _fixture(spark):
+    long = spark.createDataFrame(
+        [
+            # FOPT: cumulative (linear interpolation)
+            ("FOPT", date(2020, 1, 1), 0.0),
+            ("FOPT", date(2020, 3, 1), 60.0),
+            # FOPR: rate (valid backwards → bfill)
+            ("FOPR", date(2020, 1, 1), 100.0),
+            ("FOPR", date(2020, 3, 1), 50.0),
+            # WBHP:OP_1: neither → ffill
+            ("WBHP:OP_1", date(2020, 1, 1), 250.0),
+            ("WBHP:OP_1", date(2020, 3, 1), 240.0),
+        ],
+        "VECTOR string, DATE date, VALUE double",
+    )
+    meta = spark.createDataFrame(
+        [
+            ("FOPT", True, False),
+            ("FOPR", False, True),
+            ("WBHP:OP_1", False, False),
+        ],
+        "VECTOR string, IS_TOTAL boolean, IS_RATE boolean",
+    )
+    return long, meta
+
+
+def test_select_vectors_glob(spark):
+    long, _ = _fixture(spark)
+    sel = summary.select_vectors(long, ["F*"])
+    assert set(r[0] for r in rows(sel, "VECTOR")) == {"FOPT", "FOPR"}
+    sel2 = summary.select_vectors(long, ["WBHP:*", "FOPT"])
+    assert set(r[0] for r in rows(sel2, "VECTOR")) == {"WBHP:OP_1", "FOPT"}
+
+
+def test_resample_semantics(spark):
+    long, meta = _fixture(spark)
+    res = summary.resample(long, meta, freq="monthly")
+    got = {(r[0], r[1]): r[2] for r in rows(res, "VECTOR", "DATE", "VALUE")}
+    feb = date(2020, 2, 1)
+    # cumulative: linear in time (31 of 60 days elapsed)
+    assert got[("FOPT", feb)] == pytest.approx(60.0 * 31 / 60)
+    # rate: next observation's value
+    assert got[("FOPR", feb)] == 50.0
+    # plain: previous observation's value
+    assert got[("WBHP:OP_1", feb)] == 250.0
+
+
+def test_df_wide_shape(spark):
+    long, meta = _fixture(spark)
+    out = summary.df(long, meta, time_index="monthly", column_keys=["F*"])
+    assert set(out.columns) == {"DATE", "FOPT", "FOPR"}
+    first = out.orderBy("DATE").first()
+    assert first["FOPT"] == 0.0 and first["FOPR"] == 100.0

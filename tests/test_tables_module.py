@@ -1,0 +1,70 @@
+"""Table-keyword family: satfunc/pvt/equil (R9/R10/P11)."""
+
+from __future__ import annotations
+
+import pytest
+
+from res2df_spark.modules.tables import equil_df, pvt_df, satfunc_df
+from tests.conftest import rows
+
+SATFUNC_DECK = """
+SWOF
+  0.1 0.0  1.0  0.0
+  0.5 1*   0.5  0.0
+  0.9 1.0  0.0  0.0
+/
+  0.2 0.0  1.0  0.0
+  0.8 1.0  0.0  0.0
+/
+
+SGOF
+  0.0 0.0 1.0 0.0
+  1.0 1.0 0.0 0.0
+/
+"""
+
+
+def test_satfunc_regions_and_union(spark):
+    out = satfunc_df(spark, SATFUNC_DECK, interpolate_defaults=False)
+    got = rows(out, "KEYWORD", "SATNUM", "ROW_IDX", "SW")
+    # two SWOF regions from two records; SGOF tagged separately
+    assert ("SWOF", 1, 0, 0.1) in got
+    assert ("SWOF", 2, 0, 0.2) in got
+    assert out.filter("KEYWORD = 'SGOF'").count() == 2
+    # SGOF rows carry SG, not SW
+    sg = out.filter("KEYWORD = 'SGOF'").select("SG").collect()
+    assert sorted(r[0] for r in sg) == [0.0, 1.0]
+
+
+def test_satfunc_default_interpolation(spark):
+    out = satfunc_df(spark, SATFUNC_DECK, interpolate_defaults=True)
+    r = out.filter("KEYWORD = 'SWOF' AND SATNUM = 1 AND ROW_IDX = 1").first()
+    # KRW defaulted at SW=0.5 → linear between (0.1, 0.0) and (0.9, 1.0)
+    assert r["KRW"] == pytest.approx(0.5)
+    assert r["KROW"] == 0.5  # explicit values untouched
+
+
+def test_pvt_tables(spark):
+    deck = """
+PVDG
+  50  0.03 0.01
+  100 0.02 0.012
+/
+DENSITY
+  800 1000 1.2 /
+"""
+    out = pvt_df(spark, deck)
+    assert out.filter("KEYWORD = 'PVDG'").count() == 2
+    d = out.filter("KEYWORD = 'DENSITY'").first()
+    assert d["OILDENSITY"] == 800.0 and d["PVTNUM"] == 1
+
+
+def test_equil(spark):
+    deck = """
+EQUIL
+  2000 300 2100 0.0 1900 0.0 1 0 20 /
+  2500 320 2600 0.0 2400 0.0 1 0 20 /
+"""
+    out = equil_df(spark, deck)
+    got = rows(out, "EQLNUM", "Z", "OWC")
+    assert got == [(1, 2000.0, 2100.0), (2, 2500.0, 2600.0)]
