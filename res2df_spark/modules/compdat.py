@@ -109,10 +109,31 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
             conns, keys=["WELL", "I", "J", "K", "DATE"], order_by=["KEYWORD_IDX"], keep="last"
         ).select("WELL", "I", "J", "K", "OP_SH", "DATE", "SATN", "KH", "SKIN")
 
+    # COMPLUMP (R5, compdat.py:656-754): lump-number assignments per
+    # connection; WELOPEN actions carrying C1–C2 match by lump range
+    # instead of coordinates.
+    complump = deck_records(spark, deck_text, "COMPLUMP")
+    if complump.take(1):
+        lumps = unroll_range(complump, "K1", "K2", "K").select(
+            F.col("WELL").alias("L_WELL"),
+            F.col("I").alias("L_I"), F.col("J").alias("L_J"),
+            F.col("K").alias("L_K"), F.col("N").alias("LUMP"),
+        )
+        conns = conns.join(
+            broadcast(lumps),
+            (F.col("WELL") == F.col("L_WELL"))
+            & (F.col("L_I").isNull() | (F.col("L_I") == 0) | (F.col("L_I") == F.col("I")))
+            & (F.col("L_J").isNull() | (F.col("L_J") == 0) | (F.col("L_J") == F.col("J")))
+            & (F.col("L_K") == F.col("K")),
+            "left",
+        ).drop("L_WELL", "L_I", "L_J", "L_K")
+    else:
+        conns = conns.withColumn("LUMP", F.lit(None).cast("int"))
+
     # R3: wildcard wells expand against wells defined at <= action date.
     # Templates are deck constants → regex translation driver-side.
     actions = welopen_dated.select(
-        F.col("WELL").alias("TEMPLATE"), "STATUS", "I", "J", "K",
+        F.col("WELL").alias("TEMPLATE"), "STATUS", "I", "J", "K", "C1", "C2",
         F.col("DATE").alias("A_DATE"), F.col("KEYWORD_IDX").alias("A_IDX"),
     )
     tmpl_rows = [r["TEMPLATE"] for r in actions.select("TEMPLATE").distinct().collect()]
@@ -124,13 +145,18 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
     # J9/J10/R4: match each action to the latest prior state of each
     # connection of its well(s); defaulted coords (NULL/0) match all.
     a = broadcast(actions)
+    by_lump = F.col("a.C1").isNotNull() & F.col("a.C2").isNotNull()
+    coord_match = (
+        (F.col("a.I").isNull() | (F.col("a.I") == 0) | (F.col("a.I") == F.col("c.I")))
+        & (F.col("a.J").isNull() | (F.col("a.J") == 0) | (F.col("a.J") == F.col("c.J")))
+        & (F.col("a.K").isNull() | (F.col("a.K") == 0) | (F.col("a.K") == F.col("c.K")))
+    )
+    lump_match = F.col("c.LUMP").between(F.col("a.C1"), F.col("a.C2"))
     matched = conns.alias("c").join(
         a.alias("a"),
         F.expr("c.WELL rlike a.RX")
         & (F.col("c.KEYWORD_IDX") < F.col("a.A_IDX"))
-        & (F.col("a.I").isNull() | (F.col("a.I") == 0) | (F.col("a.I") == F.col("c.I")))
-        & (F.col("a.J").isNull() | (F.col("a.J") == 0) | (F.col("a.J") == F.col("c.J")))
-        & (F.col("a.K").isNull() | (F.col("a.K") == 0) | (F.col("a.K") == F.col("c.K"))),
+        & F.when(by_lump, lump_match).otherwise(coord_match),
     )
     latest = dedup_keep(
         matched,
@@ -150,7 +176,7 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
         F.col("c.SKIN").alias("SKIN"),
     )
 
-    all_rows = conns.unionByName(rewritten)
+    all_rows = conns.drop("LUMP").unionByName(rewritten)
     final = dedup_keep(
         all_rows, keys=["WELL", "I", "J", "K", "DATE"], order_by=["KEYWORD_IDX"], keep="last"
     )

@@ -1,0 +1,87 @@
+"""WLIST well-list state (W6/R11): the engine-layer equivalent of the
+reference's WLIST accumulation (/root/reference/src/res2df/compdat.py:517-653).
+
+WLIST is a *running* list algebra — NEW/ADD/DEL/MOV actions mutate
+named well lists, NEW may reference other lists recursively (``*LIST``)
+— and every action's effect depends on the full state before it.  The
+reference notes this is inherently sequential; lists are tiny (names of
+wells), so this is a driver-side fold over the parsed records, emitting
+a snapshot of every list at each action date.  Downstream consumption
+(expanding a ``*LIST`` well argument in WELOPEN) is a broadcast join of
+the snapshot table.
+"""
+
+from __future__ import annotations
+
+from datetime import date as _date
+
+from pyspark.sql import DataFrame, SparkSession
+
+from res2df_spark.sources.deck import parse_deck
+
+
+def _resolve(wells: list[str], state: dict[str, list[str]]) -> list[str]:
+    """Expand recursive ``*NAME`` references against current state."""
+    out: list[str] = []
+    for w in wells:
+        if w.startswith("*"):
+            out.extend(state.get(w, []))
+        else:
+            out.append(w)
+    # dedup, keep first occurrence (reference keeps insertion order)
+    seen: set[str] = set()
+    return [w for w in out if not (w in seen or seen.add(w))]
+
+
+def fold_wlist(records: list[dict]) -> list[tuple[_date | None, str, str]]:
+    """Sequential fold over parsed deck records → snapshot rows
+    (date, list_name, well) emitted after every WLIST action."""
+    state: dict[str, list[str]] = {}
+    cursor: _date | None = None
+    pending_at: _date | None = None
+    pending = False
+    snapshots: list[tuple[_date | None, str, str]] = []
+
+    def emit(at: _date | None) -> None:
+        for lname, lwells in state.items():
+            for w in lwells:
+                snapshots.append((at, lname, w))
+
+    for r in records:
+        if r["KEYWORD"] in ("START", "DATES", "TSTEP"):
+            # one snapshot per date with WLIST changes (the reference
+            # emits the full list state per date, compdat.py:556-653)
+            if pending and r["DATE"] != pending_at:
+                emit(pending_at)
+                pending = False
+            cursor = r["DATE"]
+            continue
+        if r["KEYWORD"] != "WLIST":
+            continue
+        name, action = r["NAME"], r["ACTION"]
+        wells = _resolve(r["WELLS"], state)
+        if action == "NEW":
+            state[name] = wells
+        elif action == "ADD":
+            state[name] = _resolve(state.get(name, []) + wells, state)
+        elif action == "DEL":
+            # R11 set difference
+            state[name] = [w for w in state.get(name, []) if w not in set(wells)]
+        elif action == "MOV":
+            for other in state:
+                if other != name:
+                    state[other] = [w for w in state[other] if w not in set(wells)]
+            state[name] = _resolve(state.get(name, []) + wells, state)
+        else:
+            raise ValueError(f"unknown WLIST action {action!r}")
+        pending, pending_at = True, cursor
+    if pending:
+        emit(pending_at)
+    return snapshots
+
+
+def df(spark: SparkSession, deck_text: str) -> DataFrame:
+    """Deck text → snapshot table (DATE, NAME, WELL): membership of every
+    list after each WLIST action."""
+    snaps = fold_wlist(parse_deck(deck_text))
+    return spark.createDataFrame(snaps, "DATE date, NAME string, WELL string")

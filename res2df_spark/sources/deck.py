@@ -138,7 +138,7 @@ def parse_deck(text: str) -> list[dict]:
     cursor: date | None = None
     kw_idx = -1
     i = 0
-    known = set(KEYWORD_ITEMS) | DATE_KEYWORDS | set(TABLE_KEYWORDS)
+    known = set(KEYWORD_ITEMS) | DATE_KEYWORDS | set(TABLE_KEYWORDS) | {"WLIST"}
     while i < len(toks):
         kw = toks[i]
         i += 1
@@ -198,6 +198,14 @@ def parse_deck(text: str) -> list[dict]:
                     for name in cols[len(chunk):]:
                         row[name] = None
                     records.append(row)
+            elif kw == "WLIST":
+                # variable-arity record: NAME ACTION well [well ...]
+                expanded = [t.strip("'") if t else t for t in _expand(rec)]
+                records.append(
+                    {"KEYWORD_IDX": kw_idx, "KEYWORD": kw, "RECORD_IDX": rec_idx,
+                     "DATE": None, "NAME": expanded[0], "ACTION": expanded[1],
+                     "WELLS": [w for w in expanded[2:] if w is not None]}
+                )
             else:
                 row: dict = {"KEYWORD_IDX": kw_idx, "KEYWORD": kw,
                              "RECORD_IDX": rec_idx, "DATE": None}

@@ -73,3 +73,74 @@ def test_wellconnstatus(spark):
         ("OP1", d(2020, 4, 1), "SHUT"),
         ("OP2", d(2020, 1, 1), "OPEN"),
     ]
+
+
+WLIST_DECK = """
+START
+  1 JAN 2020 /
+WLIST
+  '*L1' 'NEW' 'OP1' 'OP2' /
+/
+DATES
+  1 FEB 2020 /
+/
+WLIST
+  '*L2' 'NEW' '*L1' 'WI1' /
+  '*L1' 'DEL' 'OP2' /
+/
+DATES
+  1 MAR 2020 /
+/
+WLIST
+  '*L2' 'MOV' 'OP9' /
+/
+"""
+
+
+def test_wlist_fold(spark):
+    from res2df_spark.modules import wlist
+
+    out = wlist.df(spark, WLIST_DECK)
+    jan, feb, mar = date(2020, 1, 1), date(2020, 2, 1), date(2020, 3, 1)
+    got = set(rows(out, "DATE", "NAME", "WELL"))
+    # NEW
+    assert (jan, "*L1", "OP1") in got and (jan, "*L1", "OP2") in got
+    # recursive NEW resolves *L1's membership at definition time
+    assert (feb, "*L2", "OP1") in got and (feb, "*L2", "OP2") in got
+    assert (feb, "*L2", "WI1") in got
+    # DEL removes from L1 only
+    assert (feb, "*L1", "OP2") not in {(d, n, w) for d, n, w in got if n == "*L1" and d == feb} or True
+    l1_feb = {w for d, n, w in got if d == feb and n == "*L1"}
+    assert l1_feb == {"OP1"}
+    # MOV adds to L2
+    l2_mar = {w for d, n, w in got if d == mar and n == "*L2"}
+    assert "OP9" in l2_mar
+
+
+def test_compdat_complump_welopen(spark):
+    from res2df_spark.modules import compdat
+
+    deck = """
+START
+  1 JAN 2020 /
+WELSPECS
+  'OP1' 'G1' 1 1 1000.0 'OIL' /
+/
+COMPDAT
+  'OP1' 1 1 1 4 'OPEN' /
+/
+COMPLUMP
+  'OP1' 2* 1 2 7 /
+  'OP1' 2* 3 4 8 /
+/
+DATES
+  1 APR 2020 /
+/
+WELOPEN
+  'OP1' 'SHUT' 3* 8 8 /
+/
+"""
+    out = compdat.df(spark, deck)
+    got = rows(out.filter("DATE = DATE'2020-04-01'"), "K", "OP_SH")
+    # lump 8 covers K 3-4 only
+    assert got == [(3, "SHUT"), (4, "SHUT")]
