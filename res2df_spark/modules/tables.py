@@ -18,7 +18,7 @@ from res2df_spark.operators.interpolate import interpolate_linear
 from res2df_spark.sources.deck import TABLE_KEYWORDS, deck_records
 
 SATFUNC_KEYWORDS = ("SWOF", "SGOF", "SLGOF", "SWFN", "SGFN", "SOF2", "SOF3")
-PVT_KEYWORDS = ("PVDG", "PVDO", "DENSITY", "ROCK")
+PVT_KEYWORDS = ("PVDG", "PVDO", "PVTO", "PVTG", "DENSITY", "ROCK")
 
 
 def _family_df(

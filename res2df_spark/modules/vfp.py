@@ -1,0 +1,129 @@
+"""VFP lift-curve tables: engine-layer equivalent of the reference's
+``vfp.df()`` (/root/reference/src/res2df/vfp/_vfpprod.py:74-299,
+_vfpcommon.py:26-167).
+
+VFPPROD is a 5-D interpolation table (FLOW × THP × WFR × GFR × ALQ →
+BHP) stored as axis vectors plus one BHP record per (THP, WFR, GFR,
+ALQ) index tuple; VFPINJ is the 2-D analogue.  The reference melts with
+numpy loops; here the axis lookup is a broadcast index join and the
+FLOW unroll is ``explode(arrays_zip(...))`` (R7) — partition-local, no
+shuffle on the value rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import broadcast
+
+from res2df_spark.sources.deck import _coerce, _expand, _tokenize
+
+
+def _parse_blocks(text: str, keyword: str) -> list[dict]:
+    """Extract raw VFP blocks: meta record, axis records, value records."""
+    toks = _tokenize(text)
+    blocks = []
+    i = 0
+    while i < len(toks):
+        if toks[i] != keyword:
+            i += 1
+            continue
+        i += 1
+        recs: list[list] = []
+        # records until the next VFP keyword or EOF; VFP tables have no
+        # lone-slash terminator
+        while i < len(toks) and toks[i] not in ("VFPPROD", "VFPINJ"):
+            rec = []
+            while i < len(toks) and toks[i] != "/":
+                rec.append(toks[i])
+                i += 1
+            i += 1
+            if rec:
+                recs.append(rec)
+            else:
+                break
+        if recs:
+            blocks.append(recs)
+    out = []
+    for recs in blocks:
+        meta = recs[0]
+        n_axes = 5 if keyword == "VFPPROD" else 2
+        axes = [
+            [_coerce(v, "float") for v in _expand(r)] for r in recs[1 : 1 + n_axes]
+        ]
+        values = []
+        n_idx = 4 if keyword == "VFPPROD" else 1
+        for r in recs[1 + n_axes :]:
+            vals = [_coerce(v, "float") for v in _expand(r)]
+            values.append((
+                [int(v) for v in vals[:n_idx]],
+                vals[n_idx:],
+            ))
+        out.append({
+            "table": int(_coerce(meta[0], "int")),
+            "datum": _coerce(meta[1], "float"),
+            "axes": axes,
+            "values": values,
+        })
+    return out
+
+
+def df_prod(spark: SparkSession, deck_text: str) -> DataFrame | None:
+    """VFPPROD → long rows (TABLE, DATUM, THP, WFR, GFR, ALQ, RATE, BHP)."""
+    blocks = _parse_blocks(deck_text, "VFPPROD")
+    if not blocks:
+        return None
+    rows = []
+    axis_rows = []
+    for b in blocks:
+        flow, thp, wfr, gfr, alq = b["axes"]
+        for (ithp, iwfr, igfr, ialq), vals in b["values"]:
+            rows.append((b["table"], b["datum"], ithp, iwfr, igfr, ialq, flow, vals))
+        for name, ax in (("THP", thp), ("WFR", wfr), ("GFR", gfr), ("ALQ", alq)):
+            axis_rows.extend((b["table"], name, i + 1, v) for i, v in enumerate(ax))
+    recs = spark.createDataFrame(
+        rows,
+        "TABLE int, DATUM double, ITHP int, IWFR int, IGFR int, IALQ int, "
+        "FLOW array<double>, BHP array<double>",
+    )
+    axes = spark.createDataFrame(axis_rows, "TABLE int, AXIS string, IDX int, VAL double")
+
+    def ax(name, idx_col):
+        a = axes.filter(F.col("AXIS") == name).select(
+            F.col("TABLE").alias("T2"), F.col("IDX").alias("I2"), F.col("VAL").alias(name)
+        )
+        return broadcast(a), (F.col("TABLE") == F.col("T2")) & (F.col(idx_col) == F.col("I2"))
+
+    out = recs
+    for name, idx_col in (("THP", "ITHP"), ("WFR", "IWFR"), ("GFR", "IGFR"), ("ALQ", "IALQ")):
+        a, cond = ax(name, idx_col)
+        out = out.join(a, cond).drop("T2", "I2")
+    melted = out.select(
+        "TABLE", "DATUM", "THP", "WFR", "GFR", "ALQ",
+        F.explode(F.arrays_zip(F.col("FLOW").alias("RATE"), F.col("BHP").alias("BHP"))).alias("z"),
+    )
+    return melted.select(
+        "TABLE", "DATUM", "THP", "WFR", "GFR", "ALQ",
+        F.col("z.RATE").alias("RATE"), F.col("z.BHP").alias("BHP"),
+    )
+
+
+def df_inj(spark: SparkSession, deck_text: str) -> DataFrame | None:
+    """VFPINJ → long rows (TABLE, DATUM, THP, RATE, BHP)."""
+    blocks = _parse_blocks(deck_text, "VFPINJ")
+    if not blocks:
+        return None
+    rows = []
+    for b in blocks:
+        flow, thp = b["axes"]
+        for (ithp,), vals in b["values"]:
+            rows.append((b["table"], b["datum"], thp[ithp - 1], flow, vals))
+    recs = spark.createDataFrame(
+        rows, "TABLE int, DATUM double, THP double, FLOW array<double>, BHP array<double>"
+    )
+    melted = recs.select(
+        "TABLE", "DATUM", "THP",
+        F.explode(F.arrays_zip(F.col("FLOW").alias("RATE"), F.col("BHP").alias("BHP"))).alias("z"),
+    )
+    return melted.select(
+        "TABLE", "DATUM", "THP", F.col("z.RATE").alias("RATE"), F.col("z.BHP").alias("BHP")
+    )

@@ -73,6 +73,16 @@ TABLE_KEYWORDS: dict[str, tuple[list[str], str]] = {
     ),
 }
 
+#: Nested live-oil/wet-gas tables (R10 nested case, common.py:187-266):
+#: each record is (outer value, then N×inner tuples) — the undersaturated
+#: branch of one RS/PRESSURE node; a LONE '/' advances the region
+#: counter instead of ending the keyword (the empty-record counter the
+#: reference uses, common.py:230-254).
+NESTED_TABLE_KEYWORDS: dict[str, tuple[str, list[str], str]] = {
+    "PVTO": ("RS", ["PRESSURE", "VOLUMEFACTOR", "VISCOSITY"], "PVTNUM"),
+    "PVTG": ("PRESSURE", ["RV", "VOLUMEFACTOR", "VISCOSITY"], "PVTNUM"),
+}
+
 #: keywords whose payload is exactly one record (no terminating lone /).
 SINGLE_RECORD = {"START", "TSTEP"}
 
@@ -138,7 +148,8 @@ def parse_deck(text: str) -> list[dict]:
     cursor: date | None = None
     kw_idx = -1
     i = 0
-    known = set(KEYWORD_ITEMS) | DATE_KEYWORDS | set(TABLE_KEYWORDS) | {"WLIST"}
+    known = (set(KEYWORD_ITEMS) | DATE_KEYWORDS | set(TABLE_KEYWORDS)
+             | set(NESTED_TABLE_KEYWORDS) | {"WLIST"})
     while i < len(toks):
         kw = toks[i]
         i += 1
@@ -151,6 +162,7 @@ def parse_deck(text: str) -> list[dict]:
             continue
         kw_idx += 1
         rec_idx = 0
+        region = 1
         while i < len(toks):
             # A record starting with a known keyword means the current
             # keyword ended WITHOUT a lone '/' — the table-keyword style
@@ -164,6 +176,9 @@ def parse_deck(text: str) -> list[dict]:
                 i += 1
             i += 1  # consume '/'
             if not rec:
+                if kw in NESTED_TABLE_KEYWORDS:
+                    region += 1  # empty record = next region, not EOK
+                    continue
                 break  # lone '/' terminates a multi-record keyword
             if kw == "START" or kw == "DATES":
                 cursor = _parse_date(rec)
@@ -178,6 +193,22 @@ def parse_deck(text: str) -> list[dict]:
                     {"KEYWORD_IDX": kw_idx, "KEYWORD": kw, "RECORD_IDX": rec_idx,
                      "DATE": cursor}
                 )
+            elif kw in NESTED_TABLE_KEYWORDS:
+                outer_name, inner_cols, region_col = NESTED_TABLE_KEYWORDS[kw]
+                vals = [_coerce(v, "float") for v in _expand(rec)]
+                outer, rest = vals[0], vals[1:]
+                k = len(inner_cols)
+                for ri in range(0, len(rest), k):
+                    chunk = rest[ri : ri + k]
+                    row = {"KEYWORD_IDX": kw_idx, "KEYWORD": kw,
+                           "RECORD_IDX": rec_idx, "DATE": None,
+                           region_col: region, "ROW_IDX": ri // k,
+                           outer_name: outer}
+                    for name, v in zip(inner_cols, chunk):
+                        row[name] = v
+                    for name in inner_cols[len(chunk):]:
+                        row[name] = None
+                    records.append(row)
             elif kw in TABLE_KEYWORDS:
                 # R10: flat float list → n×k rows; region = record no.
                 cols, region = TABLE_KEYWORDS[kw]
@@ -230,7 +261,14 @@ def deck_records(spark: SparkSession, text: str, keyword: str) -> DataFrame:
     for date keywords, None otherwise)."""
     recs = [r for r in parse_deck(text) if r["KEYWORD"] == keyword or keyword == "*"]
     base = "KEYWORD_IDX long, KEYWORD string, RECORD_IDX long, DATE date"
-    if keyword in TABLE_KEYWORDS:
+    if keyword in NESTED_TABLE_KEYWORDS:
+        outer_name, inner_cols, region = NESTED_TABLE_KEYWORDS[keyword]
+        schema = base + f", `{region}` int, ROW_IDX int, `{outer_name}` double" + "".join(
+            f", `{n}` double" for n in inner_cols
+        )
+        cols = (["KEYWORD_IDX", "KEYWORD", "RECORD_IDX", "DATE", region, "ROW_IDX",
+                 outer_name] + inner_cols)
+    elif keyword in TABLE_KEYWORDS:
         tcols, region = TABLE_KEYWORDS[keyword]
         schema = base + f", `{region}` int, ROW_IDX int" + "".join(
             f", `{n}` double" for n in tcols

@@ -68,3 +68,27 @@ EQUIL
     out = equil_df(spark, deck)
     got = rows(out, "EQLNUM", "Z", "OWC")
     assert got == [(1, 2000.0, 2100.0), (2, 2500.0, 2600.0)]
+
+
+def test_pvto_nested_records(spark):
+    deck = """
+PVTO
+  20  50  1.2 1.0
+      100 1.1 1.1
+      150 1.0 1.2 /
+  40  80  1.3 0.9 /
+/
+  30  60  1.25 1.05 /
+/
+"""
+    out = pvt_df(spark, deck)
+    pvto = out.filter("KEYWORD = 'PVTO'")
+    got = rows(pvto, "PVTNUM", "RS", "ROW_IDX", "PRESSURE", "VOLUMEFACTOR")
+    # region 1: RS=20 with 3-point undersaturated branch, RS=40 single
+    assert (1, 20.0, 0, 50.0, 1.2) in got
+    assert (1, 20.0, 1, 100.0, 1.1) in got
+    assert (1, 20.0, 2, 150.0, 1.0) in got
+    assert (1, 40.0, 0, 80.0, 1.3) in got
+    # region 2 after the lone '/'
+    assert (2, 30.0, 0, 60.0, 1.25) in got
+    assert pvto.count() == 5
