@@ -1,0 +1,170 @@
+"""Grid-family operators: engine-layer equivalents of the reference's
+``grid.merge_initvectors`` (J3, /root/reference/src/res2df/grid.py:365-408),
+``trans.df()`` (J5/P5/A3, trans.py:104-219), ``nnc.df()`` (J6/P6,
+nnc.py:112-169) and ``pillars.df()`` (A1/A2, pillars.py:18-318).
+
+The grid table contract (SURVEY §1.1): one row per active cell with
+explicit I/J/K (+ GLOBAL_INDEX) columns — row order is never relied on;
+every positional join of the reference becomes an equi-join on the index
+columns.  Cell tables are THE big tables at 100 TB, so every operator
+here is shuffle-minimal: neighbour pairing shuffles once on the join
+key, pillar stats shuffle once on the pillar key, and all derived
+columns are codegen'd arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from res2df_spark.functions.strings import pair_key
+
+
+def merge_initvectors(
+    grid: DataFrame, init: DataFrame, on: Sequence[str] = ("I", "J", "K")
+) -> DataFrame:
+    """J3: attach per-cell INIT vectors by (I, J, K) equi-join."""
+    return grid.join(init, list(on))
+
+
+def neighbor_pairs(
+    grid: DataFrame,
+    directions: str = "IJK",
+    cell_cols: Sequence[str] = ("I", "J", "K"),
+) -> DataFrame:
+    """J5: build cell-neighbour pairs by index shift, tagged with DIR.
+
+    For each direction d, pair (c1, c2) where c2 = c1 shifted +1 along
+    d.  Implemented as projection + union of per-direction equi-joins —
+    both sides shuffle on the same (I, J, K) key, so Catalyst co-locates
+    them; no cartesian anything."""
+    ci, cj, ck = cell_cols
+    sides = []
+    for d in directions:
+        shift = {
+            "I": (F.col(ci) + 1, F.col(cj), F.col(ck)),
+            "J": (F.col(ci), F.col(cj) + 1, F.col(ck)),
+            "K": (F.col(ci), F.col(cj), F.col(ck) + 1),
+        }[d]
+        a = grid.select(
+            F.col(ci).alias("I1"), F.col(cj).alias("J1"), F.col(ck).alias("K1"),
+            *[F.col(c).alias(f"{c}1") for c in grid.columns if c not in cell_cols],
+            shift[0].alias("__ni"), shift[1].alias("__nj"), shift[2].alias("__nk"),
+        )
+        b = grid.select(
+            F.col(ci).alias("__ni"), F.col(cj).alias("__nj"), F.col(ck).alias("__nk"),
+            F.col(ci).alias("I2"), F.col(cj).alias("J2"), F.col(ck).alias("K2"),
+            *[F.col(c).alias(f"{c}2") for c in grid.columns if c not in cell_cols],
+        )
+        sides.append(
+            a.join(b, ["__ni", "__nj", "__nk"]).drop("__ni", "__nj", "__nk")
+            .withColumn("DIR", F.lit(d))
+        )
+    out = sides[0]
+    for s in sides[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def boundary_filter(pairs: DataFrame, region_col: str) -> DataFrame:
+    """P5: keep pairs crossing a region boundary
+    (``FIPNUM1 != FIPNUM2``, trans.py:179-187)."""
+    return pairs.filter(F.col(f"{region_col}1") != F.col(f"{region_col}2"))
+
+
+def interface_aggregate(
+    pairs: DataFrame, region_col: str, value_col: str
+) -> DataFrame:
+    """A3: aggregate pair values per unordered region interface
+    (``min-max`` pair key, trans.py:189-219)."""
+    key = pair_key(F.col(f"{region_col}1"), F.col(f"{region_col}2"))
+    return pairs.groupBy(key.alias("INTERFACE")).agg(
+        F.sum(value_col).alias(f"SUM_{value_col}"),
+        F.count(F.lit(1)).alias("N_PAIRS"),
+    )
+
+
+def nnc_coordinates(
+    nnc: DataFrame, geometry: DataFrame, coord_cols: Sequence[str] = ("X", "Y", "Z")
+) -> DataFrame:
+    """J6: attach both cells' coordinates to NNC pairs (two left joins)
+    and compute the interface midpoint as the per-pair mean ignoring
+    NULLs (nnc.py:112-147)."""
+    g1 = geometry.select(
+        F.col("I").alias("I1"), F.col("J").alias("J1"), F.col("K").alias("K1"),
+        *[F.col(c).alias(f"{c}1") for c in coord_cols],
+    )
+    g2 = geometry.select(
+        F.col("I").alias("I2"), F.col("J").alias("J2"), F.col("K").alias("K2"),
+        *[F.col(c).alias(f"{c}2") for c in coord_cols],
+    )
+    out = nnc.join(g1, ["I1", "J1", "K1"], "left").join(g2, ["I2", "J2", "K2"], "left")
+    for c in coord_cols:
+        a, b = F.col(f"{c}1"), F.col(f"{c}2")
+        both = a.isNotNull() & b.isNotNull()
+        out = out.withColumn(
+            f"{c}_MID", F.when(both, (a + b) / 2).otherwise(F.coalesce(a, b))
+        )
+    return out
+
+
+def vertical_nnc_filter(nnc: DataFrame) -> DataFrame:
+    """P6: vertical connections only (``I1==I2 & J1==J2``, nnc.py:150-169)."""
+    return nnc.filter((F.col("I1") == F.col("I2")) & (F.col("J1") == F.col("J2")))
+
+
+#: A1 aggregator map — the pillars AGGREGATORS pattern (pillars.py:18-35)
+PILLAR_AGGREGATORS: Mapping[str, str] = {
+    "VOLUME": "sum",
+    "PORV": "sum",
+    "PERMX": "avg",
+    "PORO": "avg",
+    "Z": "avg",
+}
+
+
+def pillar_stats(
+    grid: DataFrame,
+    region_col: str | None = None,
+    aggregators: Mapping[str, str] = PILLAR_AGGREGATORS,
+) -> DataFrame:
+    """A1: per-pillar statistics.  PILLAR = 'I-J'; one shuffle on the
+    pillar (+region) key; derived PORO = PORV/VOLUME after aggregation
+    (pillars.py:110-121)."""
+    pillar = F.concat_ws("-", F.col("I"), F.col("J"))
+    keys = [pillar.alias("PILLAR")] + ([F.col(region_col)] if region_col else [])
+    aggs = [
+        getattr(F, how)(c).alias(f"{c}_{how.upper()}")
+        for c, how in aggregators.items()
+        if c in grid.columns
+    ]
+    out = grid.groupBy(*keys).agg(*aggs)
+    if "PORV_SUM" in out.columns and "VOLUME_SUM" in out.columns:
+        out = out.withColumn(
+            "PORO_WMEAN",
+            F.when(F.col("VOLUME_SUM") > 0, F.col("PORV_SUM") / F.col("VOLUME_SUM")),
+        )
+    return out
+
+
+def contact_estimate(
+    grid: DataFrame,
+    sat_col: str = "SWAT",
+    z_col: str = "Z",
+    cutoff: float = 0.5,
+    region_col: str | None = None,
+) -> DataFrame:
+    """A2: contact depth per pillar — the shallowest cell (min Z) whose
+    saturation exceeds the cutoff, gated to pillars that have any such
+    cell (pillars.py:192-318)."""
+    pillar = F.concat_ws("-", F.col("I"), F.col("J"))
+    keys = [pillar.alias("PILLAR")] + ([F.col(region_col)] if region_col else [])
+    return (
+        grid.filter(F.col(sat_col) > cutoff)
+        .groupBy(*keys)
+        .agg(
+            F.min(z_col).alias("CONTACT_Z"),
+            F.count(F.lit(1)).alias("N_CELLS"),
+        )
+    )
