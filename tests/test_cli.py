@@ -1,0 +1,44 @@
+"""CLI integration (SURVEY §3.1 / §5 layer 4)."""
+
+from __future__ import annotations
+
+from res2df_spark import cli
+
+DECK = """
+START
+  1 JAN 2020 /
+WELSPECS
+  'OP1' 'G1' 3 4 1000.0 'OIL' /
+/
+COMPDAT
+  'OP1' 2* 1 2 'OPEN' /
+/
+SWOF
+  0.1 0.0 1.0 0.0
+  0.9 1.0 0.0 0.0
+/
+"""
+
+
+def test_cli_compdat_stdout(spark, tmp_path, capsys):
+    deck = tmp_path / "T.DATA"
+    deck.write_text(DECK)
+    assert cli.main(["compdat", str(deck), "-o", "-"]) == 0
+    out = capsys.readouterr().out
+    assert "WELL,I,J,K,OP_SH" in out
+    assert "OP1,3,4,1,OPEN,2020-01-01" in out
+
+
+def test_cli_satfunc(spark, tmp_path, capsys):
+    deck = tmp_path / "T.DATA"
+    deck.write_text(DECK)
+    assert cli.main(["satfunc", str(deck), "-o", "-"]) == 0
+    out = capsys.readouterr().out
+    assert "SWOF" in out and "SATNUM" in out
+
+
+def test_cli_no_matching_keywords(spark, tmp_path, capsys):
+    deck = tmp_path / "T.DATA"
+    deck.write_text("START\n 1 JAN 2020 /\n")
+    # table families return None when the deck has no matching keywords
+    assert cli.main(["pvt", str(deck), "-o", "-"]) == 1

@@ -144,3 +144,52 @@ WELOPEN
     got = rows(out.filter("DATE = DATE'2020-04-01'"), "K", "OP_SH")
     # lump 8 covers K 3-4 only
     assert got == [(3, "SHUT"), (4, "SHUT")]
+
+
+def test_wellcompletiondata(spark):
+    from res2df_spark.modules import wellcompletiondata
+
+    conns = spark.createDataFrame(
+        [
+            ("OP1", 1, 1, 1, "OPEN", date(2020, 1, 1), 10.0),
+            ("OP1", 1, 1, 2, "SHUT", date(2020, 1, 1), 20.0),
+            ("OP1", 1, 1, 3, "SHUT", date(2020, 1, 1), 30.0),
+            ("A1", 1, 1, 1, "OPEN", date(2020, 1, 1), 5.0),
+        ],
+        "WELL string, I int, J int, K int, OP_SH string, DATE date, KH double",
+    )
+    zonemap = spark.createDataFrame(
+        [(1, "UPPER"), (2, "UPPER"), (3, "LOWER")], "K int, ZONE string"
+    )
+    out = wellcompletiondata.df(conns, zonemap, excl_well_prefix="A")
+    got = rows(out, "WELL", "ZONE", "ZONE_OPEN", "KH")
+    # UPPER has one open conn → open, KH only from the open one;
+    # LOWER all shut → closed, KH 0; well A1 excluded by prefix
+    assert got == [
+        ("OP1", "LOWER", False, 0.0),
+        ("OP1", "UPPER", True, 10.0),
+    ]
+
+
+def test_rft_seg_topology(spark):
+    from res2df_spark.modules.rft import seg_topology
+
+    d = date(2020, 1, 1)
+    seg = spark.createDataFrame(
+        [
+            # tubing: 1←2, branch: 1←3; leaf segs 2,3; junction at 1
+            ("OP1", d, 1, None, 1000.0),
+            ("OP1", d, 2, 1, 1010.0),
+            ("OP1", d, 3, 1, 1020.0),
+            # lonely segment in another well
+            ("OP2", d, 7, None, 900.0),
+        ],
+        "WELL string, DATE date, SEGIDX int, SEGNXT int, DEPTH double",
+    )
+    out = seg_topology(seg)
+    got = {r.SEGIDX: r for r in out.filter("WELL = 'OP1'").collect()}
+    assert got[2].LEAF and got[3].LEAF and not got[1].LEAF
+    assert got[1].JUNCTION and not got[2].JUNCTION
+    assert got[2].UP_DEPTH == 1000.0  # upstream payload attached
+    lonely = out.filter("WELL = 'OP2'").first()
+    assert lonely.LONELY
