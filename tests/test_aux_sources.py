@@ -1,0 +1,68 @@
+"""Auxiliary sources: zonemap (S8), parameters (S9), fipreports (S7)."""
+
+from __future__ import annotations
+
+from res2df_spark.modules import fipreports
+from res2df_spark.sources.aux import (
+    attach_parameters,
+    load_parameters,
+    parse_zonemap,
+    zonemap_df,
+)
+from tests.conftest import rows
+
+
+def test_parse_zonemap():
+    text = """
+-- layer to zone
+'Upper Zone' 1-3
+Middle 4
+'Lower' 5 - 6  #FF0000
+"""
+    got = parse_zonemap(text)
+    assert ("Upper Zone", 1) in got and ("Upper Zone", 3) in got
+    assert ("Middle", 4) in got
+    assert ("Lower", 6) in got
+    assert len(got) == 6
+
+
+def test_zonemap_df(spark):
+    df = zonemap_df(spark, "'A' 1-2\n'B' 3\n")
+    assert rows(df, "K", "ZONE") == [(1, "A"), (2, "A"), (3, "B")]
+
+
+def test_parameters_discovery(tmp_path):
+    case = tmp_path / "real0" / "model"
+    case.mkdir(parents=True)
+    (tmp_path / "real0" / "parameters.txt").write_text("PORO_MEAN 0.25\nCASE base\n")
+    (case / "parameters.json").write_text('{"SEED": 42}')
+    params = load_parameters(str(case / "CASE.DATA"))
+    assert params == {"PORO_MEAN": "0.25", "CASE": "base", "SEED": 42}
+
+
+def test_attach_parameters(spark):
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    out = attach_parameters(df, {"CASE": "base", "SEED": 42})
+    got = rows(out, "x", "CASE", "SEED")
+    assert got == [(1, "base", 42), (2, "base", 42)]
+
+
+PRT = """\
+ NOISE
+ BALANCE  AT   1-JAN-2020    FIPNUM  REGION  1
+  CURRENTLY IN PLACE : LIQUID   1000.5
+  OUTFLOW TO OTHER REGIONS : LIQUID   2.5
+ BALANCE  AT   1-FEB-2020    FIPNUM  REGION  2
+  CURRENTLY IN PLACE : GAS      9.75E+03
+"""
+
+
+def test_fipreports(spark, tmp_path):
+    p = tmp_path / "CASE.PRT"
+    p.write_text(PRT)
+    out = fipreports.df(spark, str(p))
+    got = rows(out, "DATE_STR", "REGION", "DATATYPE", "PHASE", "AMOUNT")
+    assert ("1-JAN-2020", 1, "CURRENTLY IN PLACE", "LIQUID", 1000.5) in got
+    assert ("1-JAN-2020", 1, "OUTFLOW TO OTHER REGIONS", "LIQUID", 2.5) in got
+    assert ("1-FEB-2020", 2, "CURRENTLY IN PLACE", "GAS", 9750.0) in got
+    assert out.count() == 3
