@@ -6,8 +6,9 @@ stateful processing.  They are an extension, not a parity requirement.
 """
 
 from res2df_spark.streaming.ops import (
+    dedup_stream,
     status_change_stream,
     windowed_rollup_stream,
 )
 
-__all__ = ["status_change_stream", "windowed_rollup_stream"]
+__all__ = ["dedup_stream", "status_change_stream", "windowed_rollup_stream"]

@@ -108,3 +108,24 @@ def windowed_rollup_stream(
             "total",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key,
+    with state bounded by the watermark (``dropDuplicatesWithinWatermark``
+    — late duplicates beyond the watermark are the documented
+    approximation, the standard streaming-dedup contract).
+
+    The streaming shape of the LLM pipeline's exact dedup
+    (llm/dedup.exact_duplicates): at ingest time this removes exact
+    repeats before they ever land in the corpus."""
+    wm = events.withWatermark(ts_col, watermark)
+    try:
+        return wm.dropDuplicatesWithinWatermark(list(key_cols))
+    except AttributeError:  # pragma: no cover - older Spark
+        return wm.dropDuplicates([*key_cols])

@@ -781,3 +781,209 @@ def satfunc_pipeline(spark, sf_dir):
         kro.alias("kro"),
         F.col("PC").alias("pc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid / RFT module paths under oracle check (J6, J5+P5+A3, J7, A4/J11)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "j6_coord_midpoint",
+    """
+    WITH geom(i, j, k, z) AS (VALUES (1, 1, 1, 100.0), (5, 5, 5, 300.0)),
+    nnc(i1, j1, k1, i2, j2, k2, tran) AS (VALUES
+        (1, 1, 1, 5, 5, 5, 0.1), (1, 1, 1, 9, 9, 9, 0.2)),
+    j AS (
+        SELECT n.*, g1.z AS z1, g2.z AS z2
+        FROM nnc n
+        LEFT JOIN geom g1 ON g1.i = n.i1 AND g1.j = n.j1 AND g1.k = n.k1
+        LEFT JOIN geom g2 ON g2.i = n.i2 AND g2.j = n.j2 AND g2.k = n.k2)
+    SELECT CAST(i2 AS BIGINT) AS i2, tran,
+           CASE WHEN z1 IS NOT NULL AND z2 IS NOT NULL THEN (z1 + z2) / 2
+                ELSE coalesce(z1, z2) END AS z_mid
+    FROM j
+    """,
+)
+def j6_coord_midpoint(spark, sf_dir):
+    """NNC coordinate join + NULL-tolerant midpoint (J6 —
+    modules/grid.nnc_coordinates; nnc.py:112-147)."""
+    from res2df_spark.modules.grid import nnc_coordinates
+
+    geom = spark.createDataFrame(
+        [(1, 1, 1, 100.0), (5, 5, 5, 300.0)], "I int, J int, K int, Z double"
+    )
+    nnc = spark.createDataFrame(
+        [(1, 1, 1, 5, 5, 5, 0.1), (1, 1, 1, 9, 9, 9, 0.2)],
+        "I1 int, J1 int, K1 int, I2 int, J2 int, K2 int, TRAN double",
+    )
+    out = nnc_coordinates(nnc, geom, coord_cols=("Z",))
+    return out.select(
+        F.col("I2").cast("long").alias("i2"),
+        F.col("TRAN").alias("tran"),
+        F.col("Z_MID").alias("z_mid"),
+    )
+
+
+@_q(
+    "trans_interface",
+    """
+    WITH grid(i, j, k, fipnum, tran) AS (VALUES
+        (1, 1, 1, 1, 2.0), (1, 1, 2, 1, 2.0),
+        (2, 1, 1, 2, 2.0), (2, 1, 2, 2, 2.0),
+        (3, 1, 1, 3, 2.0)),
+    pairs AS (
+        SELECT a.fipnum AS f1, b.fipnum AS f2, a.tran
+        FROM grid a JOIN grid b
+          ON b.i = a.i + 1 AND b.j = a.j AND b.k = a.k
+        UNION ALL
+        SELECT a.fipnum, b.fipnum, a.tran
+        FROM grid a JOIN grid b
+          ON b.i = a.i AND b.j = a.j AND b.k = a.k + 1),
+    cross_pairs AS (SELECT * FROM pairs WHERE f1 <> f2)
+    SELECT CAST(least(f1, f2) AS VARCHAR) || '-' ||
+           CAST(greatest(f1, f2) AS VARCHAR) AS interface,
+           CAST(round(sum(tran), 2) AS DOUBLE) AS sum_tran,
+           count(*) AS n_pairs
+    FROM cross_pairs GROUP BY 1
+    """,
+)
+def trans_interface(spark, sf_dir):
+    """Transmissibility interface pipeline (J5 neighbour shift + P5
+    boundary filter + A3 pair-key aggregation — modules/grid;
+    trans.py:104-219)."""
+    from res2df_spark.modules.grid import (
+        boundary_filter,
+        interface_aggregate,
+        neighbor_pairs,
+    )
+
+    grid = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 2.0), (1, 1, 2, 1, 2.0),
+            (2, 1, 1, 2, 2.0), (2, 1, 2, 2, 2.0),
+            (3, 1, 1, 3, 2.0),
+        ],
+        "I int, J int, K int, FIPNUM int, TRAN double",
+    )
+    pairs = neighbor_pairs(grid, directions="IK")
+    cross = boundary_filter(pairs, "FIPNUM")
+    agg = interface_aggregate(cross, "FIPNUM", "TRAN1")
+    return agg.select(
+        F.col("INTERFACE").alias("interface"),
+        F.round("SUM_TRAN1", 2).alias("sum_tran"),
+        F.col("N_PAIRS").alias("n_pairs"),
+    )
+
+
+@_q(
+    "rft_seg_topology",
+    """
+    WITH seg(segidx, segnxt, depth) AS (VALUES
+        (1, CAST(NULL AS INT), 1000.0), (2, 1, 1010.0), (3, 1, 1020.0), (4, 2, 1030.0)),
+    up AS (
+        SELECT s.*, u.depth AS up_depth
+        FROM seg s LEFT JOIN seg u ON s.segnxt = u.segidx),
+    inc AS (SELECT segnxt AS segidx, count(*) AS n_in FROM seg
+            WHERE segnxt IS NOT NULL GROUP BY 1)
+    SELECT CAST(up.segidx AS BIGINT) AS segidx, up.depth, up.up_depth,
+           CAST(coalesce(inc.n_in, 0) = 0 AS BIGINT) AS leaf,
+           CAST(coalesce(inc.n_in, 0) > 1 AS BIGINT) AS junction
+    FROM up LEFT JOIN inc ON up.segidx = inc.segidx
+    """,
+)
+def rft_seg_topology(spark, sf_dir):
+    """Segment topology self-join with leaf/junction flags (J7 —
+    modules/rft.seg_topology; rft.py:219-276)."""
+    from datetime import date as _d
+
+    from res2df_spark.modules.rft import seg_topology
+
+    d = _d(2020, 1, 1)
+    seg = spark.createDataFrame(
+        [("W", d, 1, None, 1000.0), ("W", d, 2, 1, 1010.0),
+         ("W", d, 3, 1, 1020.0), ("W", d, 4, 2, 1030.0)],
+        "WELL string, DATE date, SEGIDX int, SEGNXT int, DEPTH double",
+    )
+    out = seg_topology(seg)
+    return out.select(
+        F.col("SEGIDX").cast("long").alias("segidx"),
+        F.col("DEPTH").alias("depth"),
+        F.col("UP_DEPTH").alias("up_depth"),
+        F.col("LEAF").cast("long").alias("leaf"),
+        F.col("JUNCTION").cast("long").alias("junction"),
+    )
+
+
+@_q(
+    "wcd_zone_agg",
+    """
+    WITH conns(well, k, op_sh, kh) AS (VALUES
+        ('OP1', 1, 'OPEN', 10.0), ('OP1', 2, 'SHUT', 20.0),
+        ('OP1', 3, 'SHUT', 30.0), ('AQ1', 1, 'OPEN', 5.0)),
+    zmap(k, zone) AS (VALUES (1, 'UPPER'), (2, 'UPPER'), (3, 'LOWER'))
+    SELECT c.well, z.zone,
+           CAST(max(CASE WHEN c.op_sh = 'OPEN' THEN 1 ELSE 0 END) AS BIGINT) AS zone_open,
+           CAST(round(coalesce(sum(CASE WHEN c.op_sh = 'OPEN' THEN c.kh END), 0.0), 2) AS DOUBLE) AS kh
+    FROM conns c JOIN zmap z ON c.k = z.k
+    WHERE c.well NOT LIKE 'AQ%'
+    GROUP BY 1, 2
+    """,
+)
+def wcd_zone_agg(spark, sf_dir):
+    """Zone-aggregated completions (A4/J11/P8 —
+    modules/wellcompletiondata; wellcompletiondata.py:129-215)."""
+    from datetime import date as _d
+
+    from res2df_spark.modules import wellcompletiondata
+
+    d = _d(2020, 1, 1)
+    conns = spark.createDataFrame(
+        [("OP1", 1, 1, 1, "OPEN", d, 10.0), ("OP1", 1, 1, 2, "SHUT", d, 20.0),
+         ("OP1", 1, 1, 3, "SHUT", d, 30.0), ("AQ1", 1, 1, 1, "OPEN", d, 5.0)],
+        "WELL string, I int, J int, K int, OP_SH string, DATE date, KH double",
+    )
+    zonemap = spark.createDataFrame(
+        [(1, "UPPER"), (2, "UPPER"), (3, "LOWER")], "K int, ZONE string"
+    )
+    out = wellcompletiondata.df(conns, zonemap, excl_well_prefix="AQ")
+    return out.select(
+        F.col("WELL").alias("well"),
+        F.col("ZONE").alias("zone"),
+        F.col("ZONE_OPEN").cast("long").alias("zone_open"),
+        F.round("KH", 2).alias("kh"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — hierarchical rollup (free from Spark/Catalyst; the reference has no
+# grouping sets — SURVEY §2.5 note — so this is engine surplus the oracle
+# still verifies)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "a9_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a9_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP aggregation — subtotals + grand total in one
+    pass (Spark `rollup()`; partial aggregation applies at every level)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )

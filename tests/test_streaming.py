@@ -77,3 +77,23 @@ def test_windowed_rollup_stream(spark):
         (datetime(2020, 1, 1, 0, 0), "b", 1, 8.0),
         (datetime(2020, 1, 1, 1, 0), "a", 1, 4.0),
     ]
+
+
+def test_dedup_stream(spark):
+    rows_in = [
+        ("a", datetime(2020, 1, 1, 0, 0), 1.0),
+        ("a", datetime(2020, 1, 1, 0, 5), 2.0),   # duplicate key
+        ("b", datetime(2020, 1, 1, 0, 1), 3.0),
+    ]
+    src = spark.createDataFrame(rows_in, "k string, ts timestamp, v double")
+    path = "/tmp/res2df_stream_src3"
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    from res2df_spark.streaming.ops import dedup_stream
+
+    out = dedup_stream(stream, key_cols=["k"], ts_col="ts")
+    q = out.writeStream.format("memory").queryName("dedup_sink").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.k for r in spark.sql("SELECT k FROM dedup_sink").collect())
+    assert got == ["a", "b"]  # one row per key
