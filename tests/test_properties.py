@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis): operator equivalence against
+pandas/numpy reference semantics on randomized inputs — a layer the
+reference's own suite lacks (SURVEY §5 notes no property testing)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from res2df_spark.sinks.writers import rle_encode
+from tests.conftest import rows
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=3), max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_rle_roundtrip(vals):
+    """RLE text decodes back to the input vector."""
+    text = rle_encode(vals)
+    decoded: list[int] = []
+    for tok in text.split():
+        if "*" in tok:
+            n, v = tok.split("*")
+            decoded.extend([int(v)] * int(n))
+        else:
+            decoded.append(int(tok))
+    assert decoded == vals
+
+
+@given(
+    left=st.lists(st.integers(0, 100), min_size=1, max_size=20),
+    right=st.lists(
+        st.tuples(st.integers(0, 100), st.floats(-10, 10, allow_nan=False)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+)
+@_slow
+def test_asof_matches_pandas_merge_asof(spark, left, right):
+    """asof_join ≡ pandas merge_asof(direction='backward') on one key."""
+    from res2df_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame([("k", t, i) for i, t in enumerate(left)], "k string, t long, qid long")
+    rdf = spark.createDataFrame([("k", t, v) for t, v in right], "k string, t long, v double")
+    got = {
+        r["qid"]: r["v"]
+        for r in asof_join(ldf, rdf, on=["k"], left_time="t", right_time="t", value_cols=["v"]).collect()
+    }
+    lp = pd.DataFrame({"t": left, "qid": range(len(left))}).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(right, columns=["t", "v"]).sort_values("t", kind="mergesort")
+    exp = pd.merge_asof(lp, rp, on="t", direction="backward")
+    for _, row in exp.iterrows():
+        g = got[row["qid"]]
+        if pd.isna(row["v"]):
+            assert g is None
+        else:
+            assert g == row["v"]
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(0, 100, allow_nan=False),
+            st.one_of(st.none(), st.floats(-5, 5, allow_nan=False)),
+        ),
+        min_size=2,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    )
+)
+@_slow
+def test_interpolate_matches_pandas(spark, pts):
+    """interpolate_linear ≡ pandas Series.interpolate(method='index',
+    limit_area='inside')."""
+    from res2df_spark.operators.interpolate import interpolate_linear
+
+    df = spark.createDataFrame([("g", x, y) for x, y in pts], "g string, x double, y double")
+    out = interpolate_linear(df, "x", "y", partition_by=["g"], out_col="f")
+    got = {r["x"]: r["f"] for r in out.collect()}
+
+    s = pd.Series(
+        [y for _, y in sorted(pts)], index=[x for x, _ in sorted(pts)], dtype=float
+    )
+    exp = s.interpolate(method="index", limit_area="inside")
+    for x, e in exp.items():
+        g = got[x]
+        if pd.isna(e):
+            assert g is None, (x, g, e)
+        else:
+            assert g is not None and abs(g - e) < 1e-9, (x, g, e)
+
+
+@given(
+    vals=st.lists(st.integers(0, 2), min_size=1, max_size=30),
+)
+@_slow
+def test_rle_distributed_matches_serial(spark, vals):
+    from res2df_spark.sinks.writers import rle_encode_distributed
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "idx int, v int")
+    runs = rle_encode_distributed(df, "idx", "v").orderBy("start_idx").collect()
+    text = " ".join(
+        f"{r.run_length}*{r.value}" if r.run_length > 1 else str(r.value) for r in runs
+    )
+    assert text == rle_encode(vals)
