@@ -91,6 +91,22 @@ def pivot_wide(
     return p.agg(F.first(value_col)).orderBy(date_col)
 
 
+def crop_mnemonic(
+    long: DataFrame, time_index: str, date_col: str = "DATE"
+) -> DataFrame:
+    """Date mnemonics (summary.py:88-127): ``raw`` keeps every report
+    step; ``first``/``last`` keep only the first/last observed date —
+    computed as a 1-row aggregate broadcast back as a semi-join, no
+    collect."""
+    if time_index == "raw":
+        return long
+    agg = F.min(date_col) if time_index == "first" else F.max(date_col)
+    bound = long.agg(agg.alias("__d"))
+    return long.join(
+        F.broadcast(bound), F.col(date_col) == F.col("__d")
+    ).drop("__d")
+
+
 def df(
     long: DataFrame,
     meta: DataFrame,
@@ -99,7 +115,14 @@ def df(
     wide: bool = True,
 ) -> DataFrame:
     """The reference's ``summary.df(resdatafiles, time_index,
-    column_keys)`` equivalent over the long table + metadata dim."""
+    column_keys)`` equivalent over the long table + metadata dim.
+
+    ``time_index``: a frequency (daily/weekly/monthly/yearly → resample
+    with rate/total-aware interpolation) or a mnemonic (raw/first/last →
+    crop, no interpolation)."""
     sel = select_vectors(long, column_keys)
-    res = resample(sel, meta, freq=time_index)
+    if time_index in ("raw", "first", "last"):
+        res = crop_mnemonic(sel, time_index)
+    else:
+        res = resample(sel, meta, freq=time_index)
     return pivot_wide(res) if wide else res

@@ -987,3 +987,78 @@ def a9_rollup(spark, sf_dir):
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pillar statistics + contact estimation under oracle check (A1/A2)
+# ---------------------------------------------------------------------------
+
+_GRID_ROWS = [
+    # (i, j, k, fipnum, z, volume, porv, swat)
+    (1, 1, 1, 1, 10.0, 100.0, 25.0, 0.2),
+    (1, 1, 2, 1, 20.0, 110.0, 22.0, 0.3),
+    (2, 1, 1, 2, 10.5, 120.0, 30.0, 0.6),
+    (2, 1, 2, 2, 20.5, 130.0, 39.0, 0.7),
+]
+_GRID_SQL_VALUES = """(VALUES
+        (1, 1, 1, 1, 10.0, 100.0, 25.0, 0.2),
+        (1, 1, 2, 1, 20.0, 110.0, 22.0, 0.3),
+        (2, 1, 1, 2, 10.5, 120.0, 30.0, 0.6),
+        (2, 1, 2, 2, 20.5, 130.0, 39.0, 0.7))"""
+
+
+def _grid_fixture(spark):
+    return spark.createDataFrame(
+        _GRID_ROWS,
+        "I int, J int, K int, FIPNUM int, Z double, VOLUME double, PORV double, SWAT double",
+    )
+
+
+@_q(
+    "pillar_stats",
+    f"""
+    WITH grid(i, j, k, fipnum, z, volume, porv, swat) AS {_GRID_SQL_VALUES}
+    SELECT CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS pillar,
+           CAST(round(sum(volume), 2) AS DOUBLE) AS volume_sum,
+           CAST(round(sum(porv), 2) AS DOUBLE) AS porv_sum,
+           CAST(round(avg(z), 4) AS DOUBLE) AS z_avg,
+           CAST(round(sum(porv) / sum(volume), 6) AS DOUBLE) AS poro_wmean
+    FROM grid GROUP BY 1
+    """,
+)
+def pillar_stats(spark, sf_dir):
+    """Per-pillar statistics with the AGGREGATORS map + volume-weighted
+    porosity (A1 — modules/grid.pillar_stats; pillars.py:18-121)."""
+    from res2df_spark.modules.grid import pillar_stats as _ps
+
+    out = _ps(_grid_fixture(spark))
+    return out.select(
+        F.col("PILLAR").alias("pillar"),
+        F.round("VOLUME_SUM", 2).alias("volume_sum"),
+        F.round("PORV_SUM", 2).alias("porv_sum"),
+        F.round("Z_AVG", 4).alias("z_avg"),
+        F.round("PORO_WMEAN", 6).alias("poro_wmean"),
+    )
+
+
+@_q(
+    "contact_estimate",
+    f"""
+    WITH grid(i, j, k, fipnum, z, volume, porv, swat) AS {_GRID_SQL_VALUES}
+    SELECT CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS pillar,
+           min(z) AS contact_z, count(*) AS n_cells
+    FROM grid WHERE swat > 0.5 GROUP BY 1
+    """,
+)
+def contact_estimate(spark, sf_dir):
+    """Contact-depth estimation: shallowest cell above the saturation
+    cutoff per pillar, gated to pillars with any such cell (A2 —
+    modules/grid.contact_estimate; pillars.py:192-318)."""
+    from res2df_spark.modules.grid import contact_estimate as _ce
+
+    out = _ce(_grid_fixture(spark), sat_col="SWAT", cutoff=0.5)
+    return out.select(
+        F.col("PILLAR").alias("pillar"),
+        F.col("CONTACT_Z").alias("contact_z"),
+        F.col("N_CELLS").alias("n_cells"),
+    )

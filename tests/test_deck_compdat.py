@@ -205,3 +205,65 @@ WELOPEN
         ("OPEN", date(2020, 3, 1)),
         ("SHUT", date(2020, 2, 1)),
     ]
+
+
+def test_welopen_defaulted_k_only(spark):
+    # R4: I/J defaulted (0), K set → matches that K on every column
+    deck = """
+START
+  1 JAN 2020 /
+WELSPECS
+  'OP1' 'G1' 1 1 1000.0 'OIL' /
+/
+COMPDAT
+  'OP1' 1 1 1 2 'OPEN' /
+  'OP1' 2 2 1 1 'OPEN' /
+/
+DATES
+  1 MAY 2020 /
+/
+WELOPEN
+  'OP1' 'SHUT' 0 0 1 /
+/
+"""
+    out = compdat.df(spark, deck)
+    shut = rows(out.filter("OP_SH = 'SHUT'"), "I", "J", "K")
+    # both K=1 connections shut (at I=1 and I=2); K=2 untouched
+    assert shut == [(1, 1, 1), (2, 2, 1)]
+
+
+def test_welopen_before_any_compdat_is_noop(spark):
+    deck = """
+START
+  1 JAN 2020 /
+WELSPECS
+  'OP1' 'G1' 1 1 1000.0 'OIL' /
+/
+WELOPEN
+  'OP1' 'SHUT' /
+/
+COMPDAT
+  'OP1' 1 1 1 1 'OPEN' /
+/
+"""
+    out = compdat.df(spark, deck)
+    # the action precedes every connection (KEYWORD_IDX) → matches none
+    assert rows(out, "OP_SH") == [("OPEN",)]
+
+
+def test_multiple_wells_same_deck(spark):
+    deck = """
+START
+  1 JAN 2020 /
+WELSPECS
+  'OP1' 'G1' 1 1 1000.0 'OIL' /
+  'OP2' 'G1' 2 2 1000.0 'OIL' /
+/
+COMPDAT
+  'OP1' 1 1 1 1 'OPEN' /
+  'OP2' 2 2 5 6 'SHUT' /
+/
+"""
+    out = compdat.df(spark, deck)
+    got = rows(out, "WELL", "K", "OP_SH")
+    assert got == [("OP1", 1, "OPEN"), ("OP2", 5, "SHUT"), ("OP2", 6, "SHUT")]

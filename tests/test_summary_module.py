@@ -63,3 +63,19 @@ def test_df_wide_shape(spark):
     assert set(out.columns) == {"DATE", "FOPT", "FOPR"}
     first = out.orderBy("DATE").first()
     assert first["FOPT"] == 0.0 and first["FOPR"] == 100.0
+
+
+def test_date_mnemonics(spark):
+    long, meta = _fixture(spark)
+    raw = summary.df(long, meta, time_index="raw", column_keys=["F*"])
+    assert raw.count() == 2  # both report dates kept
+
+    first = summary.df(long, meta, time_index="first", column_keys=["F*"])
+    r = first.collect()
+    assert len(r) == 1 and r[0]["DATE"] == date(2020, 1, 1)
+    assert r[0]["FOPT"] == 0.0
+
+    last = summary.df(long, meta, time_index="last", column_keys=["FOPT"])
+    r = last.collect()
+    assert len(r) == 1 and r[0]["DATE"] == date(2020, 3, 1)
+    assert r[0]["FOPT"] == 60.0
