@@ -91,6 +91,25 @@ def pivot_wide(
     return p.agg(F.first(value_col)).orderBy(date_col)
 
 
+def wide_to_long(
+    wide: DataFrame,
+    date_col: str = "DATE",
+    vector_col: str = "VECTOR",
+    value_col: str = "VALUE",
+) -> DataFrame:
+    """Ingest direction (S2): a reference-shaped wide summary frame
+    (DATE + one column per vector) → the engine's long layout.  stack()
+    generator: partition-local, no shuffle; the long layout is what
+    scan pruning and per-vector resampling key on."""
+    from res2df_spark.operators.reshape import melt
+
+    vectors = [c for c in wide.columns if c != date_col]
+    return melt(
+        wide, id_cols=[date_col], value_cols=vectors,
+        var_name=vector_col, value_name=value_col,
+    )
+
+
 def crop_mnemonic(
     long: DataFrame, time_index: str, date_col: str = "DATE"
 ) -> DataFrame:

@@ -79,3 +79,12 @@ def test_date_mnemonics(spark):
     r = last.collect()
     assert len(r) == 1 and r[0]["DATE"] == date(2020, 3, 1)
     assert r[0]["FOPT"] == 60.0
+
+
+def test_wide_to_long_roundtrip(spark):
+    long, meta = _fixture(spark)
+    wide = summary.pivot_wide(long)
+    back = summary.wide_to_long(wide)
+    assert rows(back.filter("VALUE IS NOT NULL"), "VECTOR", "DATE", "VALUE") == rows(
+        long, "VECTOR", "DATE", "VALUE"
+    )
