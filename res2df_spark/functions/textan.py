@@ -28,6 +28,22 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+#: GPT-2-style pretokenizer shape: contractions, letter runs, digit
+#: runs, punctuation runs, whitespace-attached words.  A regex
+#: approximation of BPE pretokenization — the token COUNT tracks real
+#: BPE token counts closely enough for data curation budgeting.
+_BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]+"
+
+
+def bpe_ish_tokens(text: Column | str, lowercase: bool = True) -> Column:
+    """BPE-ish regex tokenization → array<string> (north-star token
+    counting).  regexp_extract_all is codegen'd JVM-side — no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.regexp_extract_all(c, F.lit(_BPE_ISH), 0)
+
+
 def shingles(toks: Column, k: int = 3) -> Column:
     """k-word shingles from a token array → array<string> (joined by a
     single space).  Uses a transform over indices — partition-local."""

@@ -1062,3 +1062,100 @@ def contact_estimate(spark, sf_dir):
         F.col("CONTACT_Z").alias("contact_z"),
         F.col("N_CELLS").alias("n_cells"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (north-star token budgeting)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text),
+                '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]+'))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                x -> x <> '')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-ish regex token counts next to whitespace counts (north-star
+    token budgeting; functions/textan.bpe_ish_tokens — GPT-2-style
+    pretokenizer regex, codegen'd, no UDF)."""
+    from res2df_spark.functions.textan import bpe_ish_tokens, tokens
+
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        F.size(bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"),
+        F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite curation pipeline: quality filter → exact dedup → near-dup
+# removal — the end-to-end LLM-data-curation flow as ONE oracle-checked
+# dataflow (each stage is individually verified elsewhere).
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+
+@_q(
+    "curation_pipeline",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, text, len({_TOKS}) AS n_tokens,
+               length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE) AS alpha_ratio
+        FROM documents WHERE length(text) > 0),
+    quality AS (
+        SELECT doc_id, text FROM scored
+        WHERE n_tokens >= 5 AND alpha_ratio >= 0.5),
+    exact_kept AS (
+        SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+    kept AS (
+        SELECT q.doc_id, q.text FROM quality q
+        JOIN exact_kept e ON q.doc_id = e.doc_id),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM kept),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
+    sh AS (SELECT DISTINCT doc_id,
+                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    shared AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS n_shared
+               FROM sh s1 JOIN sh s2 USING (shingle)
+               WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2),
+    neardup_losers AS (
+        SELECT DISTINCT d2 AS doc_id FROM shared
+        JOIN sizes z1 ON z1.doc_id = d1 JOIN sizes z2 ON z2.doc_id = d2
+        WHERE n_shared / CAST(z1.sz + z2.sz - n_shared AS DOUBLE) >= 0.6)
+    SELECT k.doc_id FROM kept k
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM neardup_losers)
+    """,
+)
+def curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation: quality gate (≥5 tokens, ≥50% alpha)
+    → exact dedup (md5 groups keep min id) → near-dup removal (3-gram
+    Jaccard ≥ 0.6, higher doc_id loses).  One dataflow chaining the
+    individually-verified operators; returns surviving doc ids."""
+    from res2df_spark.functions.textan import tokens
+    from res2df_spark.llm.dedup import exact_duplicates, ngram_jaccard_pairs
+
+    docs = Catalog(spark, sf_dir).documents.filter(F.length("text") > 0)
+    n_alpha = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+    quality = docs.filter(
+        (F.size(tokens("text")) >= 5)
+        & (n_alpha / F.length("text").cast("double") >= 0.5)
+    ).select("doc_id", "text")
+    keepers = exact_duplicates(quality).select(F.col("keeper_id").alias("doc_id"))
+    kept = quality.join(keepers, "doc_id")
+    losers = (
+        ngram_jaccard_pairs(kept, threshold=0.6, shingle_k=3)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+    return kept.join(losers, "doc_id", "left_anti").select("doc_id")
