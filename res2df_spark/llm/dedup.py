@@ -256,3 +256,74 @@ def simhash_signatures(
         ).alias("c"),
     )
     return contrib.groupBy(id_col).agg(F.sum("c").alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve duplicate-pair edges into clusters: every node gets the
+    minimum reachable node id as its cluster label (the standard
+    dedup-cluster step after candidate verification).
+
+    Iterative min-label propagation with pointer jumping: each round a
+    node's label becomes min(own, neighbours' labels), then labels are
+    compressed one hop (label := label's label), so a diameter-D chain
+    converges in O(log D) rounds instead of O(D).  The loop stops at
+    fixpoint (no label changed).
+
+    Every round ends in ``localCheckpoint(eager=True)`` — iterative
+    plans MUST truncate lineage, otherwise each round's logical plan
+    embeds the whole history and Catalyst analysis time grows
+    exponentially (observed: 1s/round → 8s/round by round 6 on a
+    12-node chain).  On a real cluster with unreliable executors,
+    swap for ``checkpoint()`` with a checkpoint dir; the plan shape
+    (two key-partitioned shuffles per round) is unchanged.
+
+    ``edges``: (d1, d2) undirected pairs; ``nodes``: one row per id
+    (singletons label themselves).
+    """
+    bidir = (
+        edges.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .unionByName(edges.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr = (
+            bidir.join(labels, bidir["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        # min over self + neighbours, carrying the previous label for
+        # the fixpoint test
+        mid = labels.join(nbr, labels["node"] == nbr["a"], "left").select(
+            "node",
+            F.col("label").alias("__old"),
+            F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                "__mid"
+            ),
+        )
+        # pointer jumping: follow the label one hop (labels are node
+        # ids, so the hop is a self-join node==label)
+        parents = mid.select(F.col("node").alias("__p"), F.col("__mid").alias("__plabel"))
+        new_labels = (
+            mid.join(parents, mid["__mid"] == parents["__p"], "left")
+            .select(
+                "node",
+                F.least(F.col("__mid"), F.coalesce(F.col("__plabel"), F.col("__mid"))).alias(
+                    "label"
+                ),
+                (F.col("__mid") < F.col("__old")).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -1159,3 +1159,49 @@ def curation_pipeline(spark, sf_dir):
         .distinct()
     )
     return kept.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster resolution: near-dup pairs → connected components
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_clusters",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
+    sh AS (SELECT DISTINCT doc_id,
+                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    shared AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS n_shared
+               FROM sh s1 JOIN sh s2 USING (shingle)
+               WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2),
+    e AS (SELECT d1, d2 FROM shared
+          JOIN sizes z1 ON z1.doc_id = d1 JOIN sizes z2 ON z2.doc_id = d2
+          WHERE n_shared / CAST(z1.sz + z2.sz - n_shared AS DOUBLE) >= 0.6),
+    bidir AS (SELECT d1 AS a, d2 AS b FROM e UNION SELECT d2, d1 FROM e),
+    reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT a, b FROM bidir
+            UNION
+            SELECT r.a, bd.b FROM r JOIN bidir bd ON r.b = bd.a)
+        SELECT * FROM r)
+    SELECT d.doc_id,
+           CAST(least(d.doc_id, coalesce(min(reach.b), d.doc_id)) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN reach ON reach.a = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs (3-gram Jaccard ≥ 0.6) resolved into clusters via
+    iterative min-label propagation (llm/dedup.connected_components);
+    every doc gets the min doc_id of its duplicate component
+    (singletons label themselves).  Oracle: recursive-CTE reachability."""
+    from res2df_spark.llm.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6, shingle_k=3).select("d1", "d2")
+    out = connected_components(pairs, docs.select("doc_id"))
+    return out.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))

@@ -104,3 +104,24 @@ def test_lsh_bucketed_topk_recalls_near_neighbor(spark):
     # vec 1 is nearly identical to the query → must share every
     # random-hyperplane bucket and be recalled
     assert (0, 1) in got
+
+
+def test_connected_components(spark):
+    from res2df_spark.llm.dedup import connected_components
+
+    # two chains (1-2-3), (5-6) and a singleton 9
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "d1 long, d2 long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)], "doc_id long")
+    out = connected_components(edges, nodes)
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_connected_components_long_chain(spark):
+    from res2df_spark.llm.dedup import connected_components
+
+    n = 12  # diameter > a couple of iterations: exercises the loop
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, n)], "d1 long, d2 long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    out = connected_components(edges, nodes)
+    assert {r.cluster_id for r in out.collect()} == {1}
