@@ -1,0 +1,590 @@
+"""Pure-numpy reader/writer for Eclipse-format binary files (SMSPEC,
+UNSMRY, EGRID, INIT, UNRST, RFT) and their Spark ingest paths.
+
+Closes SURVEY.md §2 rows S2–S6 at the *file* layer (the reference
+delegates to a native reader library; see summary.py:350-398,
+grid.py:287-473 for the semantics reproduced here).  The format itself
+is public: big-endian Fortran sequential ("unformatted") records —
+each record framed by int32 byte-length markers — carrying
+(keyword, count, type) headers followed by data blocks of at most
+1000 numeric / 105 string elements per record.  Element types:
+
+    INTE int32   REAL float32   DOUB float64   LOGI int32 (0 = false)
+    CHAR 8-byte strings          C0NN NN-byte strings      MESS empty
+
+Scale design: one Eclipse file is small (MBs–GBs) but ensembles are
+many files; the distributed path maps one file → one task via Spark's
+``binaryFile`` source + ``mapInPandas`` (Arrow-batched), yielding long
+rows with a REAL (realization) column extracted from the path.  All
+per-file decode is vectorized numpy — no per-element Python loops on
+the hot path.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import re
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+
+_NUMERIC_BLOCK = 1000
+_STRING_BLOCK = 105
+
+_DTYPES = {
+    b"INTE": (np.dtype(">i4"), 4),
+    b"REAL": (np.dtype(">f4"), 4),
+    b"DOUB": (np.dtype(">f8"), 8),
+    b"LOGI": (np.dtype(">i4"), 4),
+}
+
+
+class EclFormatError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Low-level record stream
+# ---------------------------------------------------------------------------
+
+
+def iter_keywords(buf: bytes) -> Iterator[tuple[str, str, np.ndarray]]:
+    """Yield (keyword, type, values) from an Eclipse binary buffer.
+
+    values: numpy array — int32 for INTE, float32 REAL, float64 DOUB,
+    bool LOGI, fixed-width unicode for CHAR/C0NN, empty array for MESS.
+    """
+    pos, n = 0, len(buf)
+    while pos < n:
+        if n - pos < 4:
+            raise EclFormatError(f"truncated record marker at byte {pos}")
+        (rlen,) = struct.unpack_from(">i", buf, pos)
+        if rlen != 16:
+            raise EclFormatError(f"expected 16-byte keyword header, got {rlen} at {pos}")
+        kw = buf[pos + 4 : pos + 12]
+        (count,) = struct.unpack_from(">i", buf, pos + 12)
+        typ = buf[pos + 16 : pos + 20]
+        (tail,) = struct.unpack_from(">i", buf, pos + 20)
+        if tail != 16:
+            raise EclFormatError(f"unbalanced header markers at {pos}")
+        pos += 24
+        keyword = kw.decode("ascii", "replace").rstrip()
+        tname = typ.decode("ascii", "replace")
+        if typ == b"MESS" or count == 0:
+            yield keyword, tname, np.empty(0)
+            continue
+        if count < 0:
+            raise EclFormatError(f"X231 extension (count={count}) not supported")
+        if typ in _DTYPES:
+            dt, esize = _DTYPES[typ]
+            block = _NUMERIC_BLOCK
+        elif typ == b"CHAR":
+            dt, esize, block = None, 8, _STRING_BLOCK
+        elif typ[:1] == b"C" and typ[1:].isdigit():
+            dt, esize, block = None, int(typ[1:]), _STRING_BLOCK
+        else:
+            raise EclFormatError(f"unknown element type {typ!r} for {keyword!r}")
+        chunks = []
+        remaining = count
+        while remaining > 0:
+            take = min(remaining, block)
+            (rlen,) = struct.unpack_from(">i", buf, pos)
+            if rlen != take * esize:
+                raise EclFormatError(
+                    f"{keyword}: data record of {rlen} bytes, expected {take * esize}"
+                )
+            chunks.append(buf[pos + 4 : pos + 4 + rlen])
+            (tail,) = struct.unpack_from(">i", buf, pos + 4 + rlen)
+            if tail != rlen:
+                raise EclFormatError(f"{keyword}: unbalanced data markers at {pos}")
+            pos += 8 + rlen
+            remaining -= take
+        raw = b"".join(chunks)
+        if dt is not None:
+            arr = np.frombuffer(raw, dtype=dt).astype(dt.newbyteorder("="))
+            if typ == b"LOGI":
+                arr = arr != 0
+        else:
+            arr = np.frombuffer(raw, dtype=f"S{esize}")
+            arr = np.char.decode(np.char.rstrip(arr), "ascii")
+        yield keyword, tname, arr
+
+
+def read_keywords(path: str) -> list[tuple[str, str, np.ndarray]]:
+    with open(path, "rb") as f:
+        return list(iter_keywords(f.read()))
+
+
+def write_keyword(out, keyword: str, typ: str, values) -> None:
+    """Append one keyword (header + blocked data records) to a binary
+    stream ``out`` — the writer half (K7) used for fixtures and the
+    DataFrame→UNSMRY sink; byte-exact round-trips with iter_keywords."""
+    t = typ.encode("ascii")
+    if t in _DTYPES:
+        dt, esize = _DTYPES[t]
+        arr = np.asarray(values)
+        if t == b"LOGI":
+            arr = np.where(np.asarray(values, dtype=bool), np.int32(-1), np.int32(0))
+        arr = arr.astype(dt)
+        raw_items = [arr[i : i + _NUMERIC_BLOCK].tobytes() for i in range(0, len(arr), _NUMERIC_BLOCK)]
+        count, block = len(arr), _NUMERIC_BLOCK
+    elif t == b"MESS":
+        raw_items, count, esize = [], 0, 0
+    elif t == b"CHAR" or (t[:1] == b"C" and t[1:].isdigit()):
+        esize = 8 if t == b"CHAR" else int(t[1:])
+        svals = [str(v).ljust(esize)[:esize].encode("ascii") for v in values]
+        raw_items = [
+            b"".join(svals[i : i + _STRING_BLOCK]) for i in range(0, len(svals), _STRING_BLOCK)
+        ]
+        count = len(svals)
+    else:
+        raise EclFormatError(f"unknown element type {typ!r}")
+    out.write(struct.pack(">i", 16))
+    out.write(keyword.ljust(8)[:8].encode("ascii"))
+    out.write(struct.pack(">i", count))
+    out.write(t.ljust(4)[:4])
+    out.write(struct.pack(">i", 16))
+    for raw in raw_items:
+        out.write(struct.pack(">i", len(raw)))
+        out.write(raw)
+        out.write(struct.pack(">i", len(raw)))
+
+
+# ---------------------------------------------------------------------------
+# SMSPEC + UNSMRY → long summary rows
+# ---------------------------------------------------------------------------
+
+
+def _block_ijk(num: int, nx: int, ny: int) -> str:
+    n = num - 1
+    return f"{n % nx + 1},{n // nx % ny + 1},{n // (nx * ny) + 1}"
+
+
+def smspec_vector_names(
+    keywords: np.ndarray, wgnames: np.ndarray, nums: np.ndarray, nx: int, ny: int
+) -> list[str | None]:
+    """Compose the reference's colon-joined vector names
+    (summary.py:347-398 semantics): W*/G* append the well/group name,
+    B* the i,j,k of the NUMS global index, C* both, R*/A* the region
+    or aquifer number, S* well and segment; F* and misc stay bare.
+    Invalid/dummy entries (blank or ':+:+:+:+' names where one is
+    required, non-positive NUMS) yield None."""
+    out: list[str | None] = []
+    for kw, wg, num in zip(keywords, wgnames, nums):
+        kw = str(kw).strip()
+        wg = str(wg).strip()
+        bad_wg = wg in ("", ":+:+:+:+")
+        first = kw[:1]
+        if not kw:
+            out.append(None)
+        elif first in ("W", "G") and kw not in ("WNEWTON",):
+            out.append(None if bad_wg else f"{kw}:{wg}")
+        elif first == "C":
+            out.append(None if bad_wg or num <= 0 else f"{kw}:{wg}:{_block_ijk(num, nx, ny)}")
+        elif first == "B":
+            out.append(None if num <= 0 else f"{kw}:{_block_ijk(num, nx, ny)}")
+        elif first == "S" and kw not in ("STEPTYPE",):
+            out.append(None if bad_wg or num <= 0 else f"{kw}:{wg}:{num}")
+        elif first == "R" and num > 0:
+            out.append(f"{kw}:{num}")
+        elif first == "A" and num > 0:
+            out.append(f"{kw}:{num}")
+        else:
+            out.append(kw)
+    return out
+
+
+def parse_smspec(buf: bytes) -> dict:
+    kws = {k: v for k, v, *_ in ((k, v) for k, _t, v in iter_keywords(buf))}
+    dims = kws["DIMENS"]
+    nx, ny = int(dims[1]), int(dims[2])
+    start = kws["STARTDAT"]
+    micro = int(start[5]) if len(start) >= 6 else 0
+    startdate = datetime.datetime(
+        int(start[2]), int(start[1]), int(start[0]),
+        int(start[3]) if len(start) >= 4 else 0,
+        int(start[4]) if len(start) >= 5 else 0,
+        micro // 1_000_000, micro % 1_000_000,
+    )
+    names = kws.get("WGNAMES", kws.get("NAMES"))
+    vectors = smspec_vector_names(
+        kws["KEYWORDS"], names, kws["NUMS"].astype(np.int64), nx, ny
+    )
+    units = [str(u).strip() for u in kws["UNITS"]]
+    return {"startdate": startdate, "vectors": vectors, "units": units, "nx": nx, "ny": ny}
+
+
+def parse_unsmry(buf: bytes) -> list[np.ndarray]:
+    """All PARAMS vectors (one float32 row per ministep)."""
+    return [v for k, _t, v in iter_keywords(buf) if k == "PARAMS"]
+
+
+def summary_long_pandas(smspec_buf: bytes, unsmry_buf: bytes):
+    """(DATE, VECTOR, VALUE) pandas frame for one run — dates derive
+    from the TIME vector (days since STARTDAT).  Duplicate vector
+    entries (seen in malformed SMSPECs) keep the first occurrence."""
+    import pandas as pd
+
+    meta = parse_smspec(smspec_buf)
+    params = parse_unsmry(unsmry_buf)
+    if not params:
+        return pd.DataFrame({"DATE": [], "VECTOR": [], "VALUE": []})
+    mat = np.vstack(params).astype(np.float64)
+    vectors = meta["vectors"]
+    try:
+        time_idx = vectors.index("TIME")
+    except ValueError:
+        raise EclFormatError("SMSPEC has no TIME vector")
+    days = mat[:, time_idx]
+    dates = np.array(meta["startdate"], dtype="datetime64[us]") + (
+        days * 86_400_000_000
+    ).astype("timedelta64[us]")
+    keep, seen = [], set()
+    for i, v in enumerate(vectors):
+        if v is not None and v != "TIME" and v not in seen:
+            keep.append(i)
+            seen.add(v)
+    nstep = mat.shape[0]
+    return pd.DataFrame(
+        {
+            "DATE": np.repeat(dates, len(keep)),
+            "VECTOR": np.tile(np.array([vectors[i] for i in keep], dtype=object), nstep),
+            "VALUE": mat[:, keep].ravel(),
+        }
+    )
+
+
+def summary_long(spark, smspec_path: str, unsmry_path: str | None = None):
+    """Single-run driver-side parse → Spark DataFrame (the ensemble
+    path is ``summary_long_many``)."""
+    if unsmry_path is None:
+        unsmry_path = os.path.splitext(smspec_path)[0] + ".UNSMRY"
+    with open(smspec_path, "rb") as f:
+        smspec = f.read()
+    with open(unsmry_path, "rb") as f:
+        unsmry = f.read()
+    pdf = summary_long_pandas(smspec, unsmry)
+    return spark.createDataFrame(pdf, schema="DATE timestamp, VECTOR string, VALUE double")
+
+
+def summary_long_many(spark, root_glob: str):
+    """Distributed ensemble ingest: every ``*.SMSPEC`` under the glob
+    becomes one task that parses its run and emits long rows tagged
+    with REAL (realization id from a ``realization-N`` / ``real-N``
+    path segment, else the file stem).
+
+    ``binaryFile`` gives (path, content) rows — one whole file per
+    row — so partitioning is per-file and the cluster scales with the
+    ensemble size; decode is numpy inside ``mapInPandas`` (Arrow)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(root_glob)
+    files = files.filter(files["path"].endswith(".SMSPEC")).select("path", "content")
+
+    def parse(batches):
+        for pdf in batches:
+            for path, smspec in zip(pdf["path"], pdf["content"]):
+                local = re.sub("^file:", "", path)
+                unsmry = os.path.splitext(local)[0] + ".UNSMRY"
+                if not os.path.exists(unsmry):
+                    continue
+                with open(unsmry, "rb") as f:
+                    ubuf = f.read()
+                out = summary_long_pandas(bytes(smspec), ubuf)
+                m = re.search(r"real(?:ization)?-?(\d+)", local)
+                out["REAL"] = m.group(1) if m else os.path.splitext(os.path.basename(local))[0]
+                yield out
+            if len(pdf) == 0:
+                yield pd.DataFrame({"DATE": [], "VECTOR": [], "VALUE": [], "REAL": []})
+
+    return files.repartition("path").mapInPandas(
+        parse, schema="DATE timestamp, VECTOR string, VALUE double, REAL string"
+    )
+
+
+def write_summary(smspec_path: str, start: datetime.datetime, wide) -> None:
+    """K7 reverse writer (reference summary.py:602-689): a wide pandas
+    frame (DatetimeIndex, one column per vector) → SMSPEC + UNSMRY
+    pair.  Vector names are split back into KEYWORDS/WGNAMES/NUMS."""
+    vectors = list(wide.columns)
+    # grid dims must cover every B*/C* block address so NUMS round-trips
+    ijks = [
+        tuple(int(x) for x in str(v).split(":")[-1].split(","))
+        for v in vectors
+        if re.fullmatch(r"\d+,\d+,\d+", str(v).split(":")[-1])
+    ]
+    nx = max((t[0] for t in ijks), default=1)
+    ny = max((t[1] for t in ijks), default=1)
+    nz = max((t[2] for t in ijks), default=1)
+    keywords, wgnames, nums = ["TIME"], [":+:+:+:+"], [0]
+    for v in vectors:
+        parts = str(v).split(":")
+        keywords.append(parts[0])
+        wgnames.append(parts[1] if len(parts) > 1 and not parts[1][:1].isdigit() else ":+:+:+:+")
+        last = parts[-1]
+        if re.fullmatch(r"\d+,\d+,\d+", last):
+            i, j, k = (int(x) for x in last.split(","))
+            nums.append((i - 1) + nx * (j - 1) + nx * ny * (k - 1) + 1)
+        elif len(parts) > 1 and last.isdigit():
+            nums.append(int(last))
+        else:
+            nums.append(0)
+    with open(smspec_path, "wb") as f:
+        write_keyword(f, "INTEHEAD", "INTE", [1, 100])
+        write_keyword(f, "DIMENS", "INTE", [len(keywords), nx, ny, nz, 0, -1])
+        write_keyword(f, "KEYWORDS", "CHAR", keywords)
+        write_keyword(f, "WGNAMES", "CHAR", wgnames)
+        write_keyword(f, "NUMS", "INTE", nums)
+        write_keyword(f, "UNITS", "CHAR", [""] * len(keywords))
+        write_keyword(
+            f, "STARTDAT", "INTE",
+            [start.day, start.month, start.year, start.hour, start.minute,
+             start.second * 1_000_000 + start.microsecond],
+        )
+    with open(os.path.splitext(smspec_path)[0] + ".UNSMRY", "wb") as f:
+        for step, (ts, row) in enumerate(wide.iterrows()):
+            days = (ts.to_pydatetime() - start).total_seconds() / 86400.0
+            if step == 0:
+                write_keyword(f, "SEQHDR", "INTE", [0])
+            write_keyword(f, "MINISTEP", "INTE", [step])
+            write_keyword(f, "PARAMS", "REAL", [days] + [float(x) for x in row.to_numpy()])
+
+
+# ---------------------------------------------------------------------------
+# EGRID → per-active-cell geometry
+# ---------------------------------------------------------------------------
+
+
+def grid_geometry_pandas(egrid_buf: bytes):
+    """Corner-point geometry → per-active-cell frame with the
+    reference's grid columns (grid.py:287-345): 1-based I,J,K, center
+    X,Y,Z, Z_MIN/Z_MAX, VOLUME, GLOBAL_INDEX (0-based natural order)
+    and ACTIVE_INDEX (0-based among active cells — the explicit join
+    key replacing the reference's significant row order).
+
+    All-numpy: corner depths gathered from ZCORN (2nx·2ny·2nz, x
+    fastest), x/y linearly interpolated along the 4 COORD pillars,
+    volume via 6-tetrahedron decomposition around the 0–7 diagonal
+    (exact for planar-faced cells)."""
+    import pandas as pd
+
+    kws = {}
+    for k, _t, v in iter_keywords(egrid_buf):
+        kws.setdefault(k, v)
+    gh = kws["GRIDHEAD"]
+    nx, ny, nz = int(gh[1]), int(gh[2]), int(gh[3])
+    coord = np.asarray(kws["COORD"], dtype=np.float64).reshape(ny + 1, nx + 1, 6)
+    zcorn = np.asarray(kws["ZCORN"], dtype=np.float64).reshape(2 * nz, 2 * ny, 2 * nx)
+    actnum = (
+        np.asarray(kws["ACTNUM"], dtype=np.int64)
+        if "ACTNUM" in kws and len(kws["ACTNUM"])
+        else np.ones(nx * ny * nz, dtype=np.int64)
+    )
+
+    k_i, j_i, i_i = np.meshgrid(
+        np.arange(nz), np.arange(ny), np.arange(nx), indexing="ij"
+    )
+    # corner c = cx + 2*cy + 4*cz ; arrays shaped (nz,ny,nx,8)
+    cx = np.array([0, 1, 0, 1, 0, 1, 0, 1])
+    cy = np.array([0, 0, 1, 1, 0, 0, 1, 1])
+    cz = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    zc = zcorn[
+        2 * k_i[..., None] + cz, 2 * j_i[..., None] + cy, 2 * i_i[..., None] + cx
+    ]
+    pil = coord[j_i[..., None] + cy, i_i[..., None] + cx]  # (nz,ny,nx,8,6)
+    x1, y1, z1 = pil[..., 0], pil[..., 1], pil[..., 2]
+    x2, y2, z2 = pil[..., 3], pil[..., 4], pil[..., 5]
+    dz = z2 - z1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(np.abs(dz) > 1e-12, (zc - z1) / np.where(dz == 0, 1, dz), 0.0)
+    xc = x1 + t * (x2 - x1)
+    yc = y1 + t * (y2 - y1)
+
+    pts = np.stack([xc, yc, zc], axis=-1)  # (nz,ny,nx,8,3)
+    tets = [(0, 1, 3, 7), (0, 3, 2, 7), (0, 2, 6, 7), (0, 6, 4, 7), (0, 4, 5, 7), (0, 5, 1, 7)]
+    vol = np.zeros(pts.shape[:3])
+    for a, b, c, d in tets:
+        u = pts[..., b, :] - pts[..., a, :]
+        v = pts[..., c, :] - pts[..., a, :]
+        w = pts[..., d, :] - pts[..., a, :]
+        vol += np.einsum("...i,...i->...", u, np.cross(v, w)) / 6.0
+    vol = np.abs(vol)
+
+    glob = (i_i + nx * j_i + nx * ny * k_i).ravel()
+    active = actnum.ravel()[glob] != 0
+    order = np.argsort(glob[active], kind="stable")
+
+    def pick(a):
+        return a.ravel()[active][order]
+
+    df = pd.DataFrame(
+        {
+            "I": pick(i_i) + 1,
+            "J": pick(j_i) + 1,
+            "K": pick(k_i) + 1,
+            "X": pick(xc.mean(axis=-1)),
+            "Y": pick(yc.mean(axis=-1)),
+            "Z": pick(zc.mean(axis=-1)),
+            "Z_MIN": pick(zc.min(axis=-1)),
+            "Z_MAX": pick(zc.max(axis=-1)),
+            "VOLUME": pick(vol),
+            "GLOBAL_INDEX": glob[active][order],
+        }
+    )
+    df["ACTIVE_INDEX"] = np.arange(len(df), dtype=np.int64)
+    return df
+
+
+def grid_geometry(spark, egrid_path: str):
+    with open(egrid_path, "rb") as f:
+        pdf = grid_geometry_pandas(f.read())
+    return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# INIT / UNRST per-cell vectors
+# ---------------------------------------------------------------------------
+
+_INTEHEAD_DAY, _INTEHEAD_MONTH, _INTEHEAD_YEAR = 64, 65, 66
+
+
+def init_vectors_pandas(init_buf: bytes, nactive: int, nglobal: int, actnum=None):
+    """Static per-cell properties (reference grid.py:411-473): keep
+    float vectors whose length == nactive; PORV (global length) is
+    mapped global→active via ACTNUM.  One column per keyword, one row
+    per active cell (ACTIVE_INDEX key)."""
+    import pandas as pd
+
+    cols: dict[str, np.ndarray] = {}
+    for k, typ, v in iter_keywords(init_buf):
+        if typ not in ("REAL", "DOUB", "INTE"):
+            continue
+        if len(v) == nactive and k not in ("INTEHEAD", "LOGIHEAD"):
+            cols.setdefault(k, np.asarray(v, dtype=np.float64))
+        elif k == "PORV" and len(v) == nglobal and actnum is not None:
+            cols["PORV"] = np.asarray(v, dtype=np.float64)[np.asarray(actnum) != 0]
+    df = pd.DataFrame(cols)
+    df.insert(0, "ACTIVE_INDEX", np.arange(nactive, dtype=np.int64))
+    return df
+
+
+def unrst_vectors_pandas(unrst_buf: bytes, nactive: int, dates="all", vectors=None):
+    """Dynamic per-cell vectors at selected report steps
+    (grid.py:40-123,149-284): ``dates`` is the reference's mnemonic —
+    'first' | 'last' | 'all' | ISO date string / datetime.date —
+    resolved against each step's INTEHEAD day/month/year.  Returns
+    long-ish wide frame keyed by (DATE, ACTIVE_INDEX)."""
+    import pandas as pd
+
+    steps: list[dict] = []
+    cur: dict | None = None
+    for k, typ, v in iter_keywords(unrst_buf):
+        if k == "SEQNUM":
+            cur = {"_arrays": {}}
+            steps.append(cur)
+        elif cur is not None:
+            if k == "INTEHEAD":
+                cur["date"] = datetime.date(
+                    int(v[_INTEHEAD_YEAR]), int(v[_INTEHEAD_MONTH]), int(v[_INTEHEAD_DAY])
+                )
+            elif typ in ("REAL", "DOUB") and len(v) == nactive:
+                if vectors is None or k in vectors:
+                    cur["_arrays"].setdefault(k, np.asarray(v, dtype=np.float64))
+    if not steps:
+        return pd.DataFrame()
+    if dates == "first":
+        steps = steps[:1]
+    elif dates == "last":
+        steps = steps[-1:]
+    elif dates != "all":
+        want = dates if isinstance(dates, datetime.date) else datetime.date.fromisoformat(str(dates))
+        steps = [s for s in steps if s.get("date") == want]
+    frames = []
+    for s in steps:
+        df = pd.DataFrame(s["_arrays"])
+        df.insert(0, "ACTIVE_INDEX", np.arange(nactive, dtype=np.int64))
+        df.insert(0, "DATE", pd.Timestamp(s["date"]))
+        frames.append(df)
+    return pd.concat(frames, ignore_index=True)
+
+
+def grid_table(spark, egrid_path: str, init_path: str | None = None,
+               unrst_path: str | None = None, rstdates=None):
+    """The reference's ``grid.df()`` composition (grid.py:524-531):
+    geometry ⋈ INIT on ACTIVE_INDEX, optionally ⋈ UNRST (stacked with
+    DATE).  Equi-joins on the explicit index — never row order."""
+    with open(egrid_path, "rb") as f:
+        ebuf = f.read()
+    geo_pdf = grid_geometry_pandas(ebuf)
+    nactive, nglobal = len(geo_pdf), 0
+    actnum = None
+    for k, _t, v in iter_keywords(ebuf):
+        if k == "GRIDHEAD":
+            nglobal = int(v[1]) * int(v[2]) * int(v[3])
+        elif k == "ACTNUM" and len(v):
+            actnum = np.asarray(v)
+    if actnum is None:
+        actnum = np.ones(nglobal, dtype=np.int64)
+    df = spark.createDataFrame(geo_pdf)
+    if init_path:
+        with open(init_path, "rb") as f:
+            ini = init_vectors_pandas(f.read(), nactive, nglobal, actnum)
+        if len(ini.columns) > 1:
+            df = df.join(spark.createDataFrame(ini), "ACTIVE_INDEX", "left")
+    if unrst_path and rstdates is not None:
+        with open(unrst_path, "rb") as f:
+            rst = unrst_vectors_pandas(f.read(), nactive, dates=rstdates)
+        if len(rst):
+            df = df.join(spark.createDataFrame(rst), "ACTIVE_INDEX", "left")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# RFT → per-connection rows
+# ---------------------------------------------------------------------------
+
+
+def rft_pandas(rft_buf: bytes):
+    """Binary RFT surveys → long frame (DATE, WELL, CONIDX, I, J, K +
+    per-connection vectors DEPTH/PRESSURE/SWAT/SGAS...).  Survey
+    boundary = TIME keyword (reference rft.py works from the same
+    record grouping, S6)."""
+    import pandas as pd
+
+    surveys: list[dict] = []
+    cur: dict | None = None
+    for k, typ, v in iter_keywords(rft_buf):
+        if k == "TIME":
+            cur = {"_arrays": {}}
+            surveys.append(cur)
+        elif cur is None:
+            continue
+        elif k == "DATE" and len(v) >= 3:
+            cur["date"] = datetime.date(int(v[2]), int(v[1]), int(v[0]))
+        elif k == "WELLETC" and len(v) >= 2:
+            cur["well"] = str(v[1]).strip()
+        elif typ in ("REAL", "DOUB", "INTE") and k.startswith(("CON", "DEPTH", "PRESSURE", "SWAT", "SGAS")):
+            cur["_arrays"][k] = np.asarray(v, dtype=np.float64)
+    frames = []
+    for s in surveys:
+        arrays = s["_arrays"]
+        ncon = max((len(a) for a in arrays.values()), default=0)
+        cols = {k: a for k, a in arrays.items() if len(a) == ncon}
+        if not cols:
+            continue
+        df = pd.DataFrame(cols)
+        for c in ("CONIPOS", "CONJPOS", "CONKPOS"):
+            if c in df:
+                df[c] = df[c].astype(np.int64)
+        df.insert(0, "CONIDX", np.arange(ncon, dtype=np.int64))
+        df.insert(0, "WELL", s.get("well", ""))
+        df.insert(0, "DATE", pd.Timestamp(s.get("date", datetime.date(1900, 1, 1))))
+        frames.append(df)
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+
+def rft_table(spark, rft_path: str):
+    with open(rft_path, "rb") as f:
+        return spark.createDataFrame(rft_pandas(f.read()))
