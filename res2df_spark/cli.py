@@ -21,11 +21,13 @@ _DECK_MODULES = {
     "wlist": "Well-list snapshots",
     "vfpprod": "VFPPROD lift curves (melted)",
     "vfpinj": "VFPINJ lift curves (melted)",
+    "faults": "Per-cell fault table (FAULTS box explode)",
+    "wcon": "Dated well-control table (WCONHIST/INJE/INJH/PROD)",
 }
 
 
 def _run_deck_module(name: str, spark, deck_text: str):
-    from res2df_spark.modules import compdat, gruptree, tables, vfp, wlist
+    from res2df_spark.modules import compdat, faults, gruptree, tables, vfp, wcon, wlist
 
     if name == "compdat":
         return compdat.df(spark, deck_text)
@@ -43,6 +45,10 @@ def _run_deck_module(name: str, spark, deck_text: str):
         return vfp.df_prod(spark, deck_text)
     if name == "vfpinj":
         return vfp.df_inj(spark, deck_text)
+    if name == "faults":
+        return faults.df(spark, deck_text)
+    if name == "wcon":
+        return wcon.df(spark, deck_text)
     raise SystemExit(f"unknown module {name}")
 
 

@@ -43,11 +43,26 @@ KEYWORD_ITEMS: dict[str, list[tuple[str, str]]] = {
     ],
     "WCONPROD": [
         ("WELL", "str"), ("STATUS", "str"), ("CMODE", "str"), ("ORAT", "float"),
-        ("WRAT", "float"), ("GRAT", "float"),
+        ("WRAT", "float"), ("GRAT", "float"), ("VFP_TABLE", "int"),
+        ("ALQ", "float"), ("THP", "float"), ("BHP", "float"),
     ],
     "WCONINJE": [
         ("WELL", "str"), ("TYPE", "str"), ("STATUS", "str"), ("CMODE", "str"),
-        ("RATE", "float"),
+        ("RATE", "float"), ("RESV", "float"), ("BHP", "float"), ("THP", "float"),
+        ("VFP_TABLE", "int"),
+    ],
+    "WCONHIST": [
+        ("WELL", "str"), ("STATUS", "str"), ("CMODE", "str"), ("ORAT", "float"),
+        ("WRAT", "float"), ("GRAT", "float"), ("VFP_TABLE", "int"),
+        ("ALQ", "float"), ("THP", "float"), ("BHP", "float"),
+    ],
+    "WCONINJH": [
+        ("WELL", "str"), ("TYPE", "str"), ("STATUS", "str"), ("RATE", "float"),
+        ("BHP", "float"), ("THP", "float"), ("VFP_TABLE", "int"),
+    ],
+    "FAULTS": [
+        ("NAME", "str"), ("IX1", "int"), ("IX2", "int"), ("IY1", "int"),
+        ("IY2", "int"), ("IZ1", "int"), ("IZ2", "int"), ("FACE", "str"),
     ],
     "GRUPTREE": [("CHILD", "str"), ("PARENT", "str")],
 }

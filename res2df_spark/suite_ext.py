@@ -1205,3 +1205,109 @@ def dedup_clusters(spark, sf_dir):
     pairs = ngram_jaccard_pairs(docs, threshold=0.6, shingle_k=3).select("d1", "d2")
     out = connected_components(pairs, docs.select("doc_id"))
     return out.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# FAULTS box explode (modules/faults.py: R2 over the deck parser)
+# ---------------------------------------------------------------------------
+
+_FAULTS_DECK = """
+FAULTS
+  'F1' 1 2 1 1 1 3 'X' /
+  'F2' 4 4 2 3 1 1 'Y-' /
+/
+FAULTS
+  'F1' 7 7 7 7 1 2 'Z' /
+/
+"""
+
+
+@_q(
+    "faults_unroll",
+    """
+    WITH expected(name, i, j, k, face) AS (VALUES
+        ('F1', 1, 1, 1, 'X'), ('F1', 1, 1, 2, 'X'), ('F1', 1, 1, 3, 'X'),
+        ('F1', 2, 1, 1, 'X'), ('F1', 2, 1, 2, 'X'), ('F1', 2, 1, 3, 'X'),
+        ('F2', 4, 2, 1, 'Y-'), ('F2', 4, 3, 1, 'Y-'),
+        ('F1', 7, 7, 1, 'Z'), ('F1', 7, 7, 2, 'Z'))
+    SELECT name, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(k AS INT) AS k, face
+    FROM expected
+    """,
+)
+def faults_unroll(spark, sf_dir):
+    """FAULTS records (two keyword instances, concatenated like the
+    reference's multi-keyword loop) unrolled to per-cell rows through
+    the R2 nested explode(sequence) — no shuffle, no driver product
+    loop.  Oracle: hand-derived expected cell table."""
+    from res2df_spark.modules import faults
+
+    out = faults.df(spark, _FAULTS_DECK)
+    return out.select(
+        F.col("NAME").alias("name"), F.col("I").alias("i"),
+        F.col("J").alias("j"), F.col("K").alias("k"),
+        F.col("FACE").alias("face"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WCON* state machine (modules/wcon.py: W1 date cursor + R9 tagged union)
+# ---------------------------------------------------------------------------
+
+_WCON_DECK = """
+START
+  1 JAN 2020 /
+WCONPROD
+  'OP1' 'OPEN' 'ORAT' 1000.0 2* 5 /
+/
+DATES
+  1 FEB 2020 /
+/
+WCONHIST
+  'OP1' 'OPEN' 'ORAT' 1200.0 50.0 /
+/
+WCONINJE
+  'WI1' 'WATER' 'OPEN' 'RATE' 3000.0 /
+/
+TSTEP
+  28 /
+WCONINJH
+  'WI2' 'WATER' 'OPEN' 2500.0 250.0 /
+/
+"""
+
+
+@_q(
+    "wcon_pipeline",
+    """
+    WITH expected(d, keyword, well, status, cmode, orat, rate, bhp) AS (VALUES
+        (DATE '2020-01-01', 'WCONPROD', 'OP1', 'OPEN', 'ORAT',
+         1000.0, NULL, NULL),
+        (DATE '2020-02-01', 'WCONHIST', 'OP1', 'OPEN', 'ORAT',
+         1200.0, NULL, NULL),
+        (DATE '2020-02-01', 'WCONINJE', 'WI1', 'OPEN', 'RATE',
+         NULL, 3000.0, NULL),
+        (DATE '2020-02-29', 'WCONINJH', 'WI2', 'OPEN', NULL,
+         NULL, 2500.0, 250.0))
+    SELECT CAST(d AS TIMESTAMP) AS d, keyword, well, status, cmode,
+           CAST(orat AS DOUBLE) AS orat, CAST(rate AS DOUBLE) AS rate,
+           CAST(bhp AS DOUBLE) AS bhp
+    FROM expected
+    """,
+)
+def wcon_pipeline(spark, sf_dir):
+    """WCONHIST/WCONINJE/WCONINJH/WCONPROD records stamped with the
+    running date cursor (START + DATES + a TSTEP advance, leap-year
+    2020-02-01+28d = 2020-02-29) and tagged by keyword — the reference's
+    driver-side state machine (wcon.py:26-64) as one ffill window over
+    an R9 union.  Oracle: hand-derived expected control table."""
+    from res2df_spark.modules import wcon
+
+    out = wcon.df(spark, _WCON_DECK)
+    return out.select(
+        F.col("DATE").cast("timestamp").alias("d"),
+        F.col("KEYWORD").alias("keyword"), F.col("WELL").alias("well"),
+        F.col("STATUS").alias("status"), F.col("CMODE").alias("cmode"),
+        F.col("ORAT").alias("orat"), F.col("RATE").alias("rate"),
+        F.col("BHP").alias("bhp"),
+    )

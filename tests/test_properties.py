@@ -67,7 +67,10 @@ def test_asof_matches_pandas_merge_asof(spark, left, right):
 @given(
     pts=st.lists(
         st.tuples(
-            st.floats(0, 100, allow_nan=False),
+            # round x to 1e-6 grid: at denormal-scale x-gaps pandas'
+            # slope (y1-y0)/(x1-x0) overflows to ±inf, so the oracle
+            # itself is wrong there, not the operator under test
+            st.floats(0, 100, allow_nan=False).map(lambda v: round(v, 6)),
             st.one_of(st.none(), st.floats(-5, 5, allow_nan=False)),
         ),
         min_size=2,
