@@ -88,3 +88,110 @@ def df2res_welspecs(df: DataFrame) -> str:
         lines.append("  " + " ".join(items) + " /")
     lines.append("/")
     return "\n".join(lines) + "\n"
+
+
+def df2res_editnnc(df: DataFrame) -> str:
+    """NNC rows → EDITNNC keyword text (nnc.py:206-260): one record
+    ``I1 J1 K1 I2 J2 K2 TRANM`` per connection.  If a DIR column is
+    present only rows with DIR == 'NNC' are written (the reference's
+    convention for frames that mix neighbour and non-neighbour
+    connections)."""
+    if "DIR" in df.columns:
+        df = df.filter(df["DIR"] == "NNC")
+    rows = df.orderBy("I1", "J1", "K1", "I2", "J2", "K2").collect()
+    lines = ["EDITNNC"]
+    for r in rows:
+        lines.append(
+            "  " + " ".join(
+                _fmt(r[c]) for c in ("I1", "J1", "K1", "I2", "J2", "K2", "TRANM")
+            ) + " /"
+        )
+    lines.append("/")
+    return "\n".join(lines) + "\n"
+
+
+#: nested PVT keywords: (outer column, inner columns) — pvt.py:44-56.
+_NESTED_PVT = {
+    "PVTO": ("RS", ["PRESSURE", "VOLUMEFACTOR", "VISCOSITY"]),
+    "PVTG": ("PRESSURE", ["RV", "VOLUMEFACTOR", "VISCOSITY"]),
+}
+
+
+def df2res_pvt(df: DataFrame) -> str:
+    """Long tagged PVT frame → per-keyword include text
+    (pvt.py:329-645's df2res dispatch).  Flat tables (PVDG/PVDO/
+    DENSITY/ROCK) render one block per PVTNUM like the satfunc writer;
+    nested PVTO/PVTG render one record per outer value (RS / PRESSURE)
+    holding its undersaturated inner rows, a lone ``/`` closing each
+    PVTNUM — the reference's _pvto_pvtnum/_pvto_pvtnum_rs nesting."""
+    out = []
+    pdf = df.toPandas()
+    for kw in sorted(pdf["KEYWORD"].unique()):
+        sub = pdf[pdf["KEYWORD"] == kw]
+        out.append(kw)
+        if kw in _NESTED_PVT:
+            outer_col, inner_cols = _NESTED_PVT[kw]
+            for region in sorted(sub["PVTNUM"].dropna().unique()):
+                tbl = sub[sub["PVTNUM"] == region]
+                for outer in sorted(tbl[outer_col].dropna().unique()):
+                    recs = tbl[tbl[outer_col] == outer].sort_values("ROW_IDX")
+                    vals = [_fmt(float(outer))]
+                    for _, r in recs.iterrows():
+                        vals.extend(
+                            _fmt(None if r[c] != r[c] else float(r[c]))
+                            for c in inner_cols
+                        )
+                    out.append("  " + " ".join(vals) + " /")
+                out.append("/")
+        else:
+            cols, region_col = TABLE_KEYWORDS[kw]
+            for region in sorted(sub[region_col].dropna().unique()):
+                tbl = sub[sub[region_col] == region].sort_values("ROW_IDX")
+                for _, r in tbl.iterrows():
+                    vals = [r[c] for c in cols if c in tbl.columns]
+                    out.append(
+                        "  " + " ".join(
+                            _fmt(None if v != v else float(v)) for v in vals
+                        )
+                    )
+                out.append("/")
+        out.append("")
+    return "\n".join(out)
+
+
+def df2res_vfpprod(df: DataFrame) -> str:
+    """Melted VFPPROD rows (TABLE, DATUM, THP, WFR, GFR, ALQ, RATE,
+    BHP) → VFPPROD keyword text (vfp/_vfpprod.py's df2res): the axis
+    vectors are the sorted distinct values per table, value records
+    re-assemble BHP in flow order under their 4-axis index prefix."""
+    pdf = df.toPandas()
+    out = []
+    for table in sorted(pdf["TABLE"].unique()):
+        tbl = pdf[pdf["TABLE"] == table]
+        datum = float(tbl["DATUM"].iloc[0])
+        axes = {
+            name: sorted(tbl[name].dropna().unique())
+            for name in ("THP", "WFR", "GFR", "ALQ")
+        }
+        flow = sorted(tbl["RATE"].dropna().unique())
+        out.append("VFPPROD")
+        out.append(f"  {int(table)} {_fmt(datum)} /")
+        out.append("  " + " ".join(_fmt(float(v)) for v in flow) + " /")
+        for name in ("THP", "WFR", "GFR", "ALQ"):
+            out.append("  " + " ".join(_fmt(float(v)) for v in axes[name]) + " /")
+        idx = {
+            name: {v: i + 1 for i, v in enumerate(axes[name])}
+            for name in ("THP", "WFR", "GFR", "ALQ")
+        }
+        grouped = tbl.sort_values("RATE").groupby(["THP", "WFR", "GFR", "ALQ"])
+        recs = sorted(
+            (
+                (idx["THP"][t], idx["WFR"][w], idx["GFR"][g], idx["ALQ"][a], grp)
+                for (t, w, g, a), grp in grouped
+            ),
+            key=lambda x: x[:4],
+        )
+        for it, iw, ig, ia, grp in recs:
+            bhps = " ".join(_fmt(float(v)) for v in grp["BHP"])
+            out.append(f"  {it} {iw} {ig} {ia} {bhps} /")
+    return "\n".join(out) + "\n"

@@ -65,6 +65,10 @@ KEYWORD_ITEMS: dict[str, list[tuple[str, str]]] = {
         ("IY2", "int"), ("IZ1", "int"), ("IZ2", "int"), ("FACE", "str"),
     ],
     "GRUPTREE": [("CHILD", "str"), ("PARENT", "str")],
+    "EDITNNC": [
+        ("I1", "int"), ("J1", "int"), ("K1", "int"),
+        ("I2", "int"), ("J2", "int"), ("K2", "int"), ("TRANM", "float"),
+    ],
 }
 
 #: Table keywords (R10, common.py:187-266): each record is a flat float
