@@ -25,6 +25,35 @@ _DECK_MODULES = {
     "wcon": "Dated well-control table (WCONHIST/INJE/INJH/PROD)",
 }
 
+#: subcommands reading binary simulator output; argument is the case
+#: root (path without extension, reference res2csv's DATAFILE idiom)
+_BINARY_MODULES = {
+    "summary": "Long summary table from CASE.SMSPEC/.UNSMRY",
+    "grid": "Per-cell grid table from CASE.EGRID [+ .INIT, .UNRST]",
+    "rft": "Per-connection RFT table from CASE.RFT",
+}
+
+
+def _run_binary_module(name: str, spark, root: str, rstdates):
+    import os
+
+    from res2df_spark.sources import eclbin
+
+    if root.upper().endswith(".DATA"):
+        root = root[: -len(".DATA")]
+    if name == "summary":
+        return eclbin.summary_long(spark, root + ".SMSPEC")
+    if name == "grid":
+        init = root + ".INIT" if os.path.exists(root + ".INIT") else None
+        unrst = root + ".UNRST" if os.path.exists(root + ".UNRST") else None
+        return eclbin.grid_table(
+            spark, root + ".EGRID", init, unrst,
+            rstdates=rstdates if unrst else None,
+        )
+    if name == "rft":
+        return eclbin.rft_table(spark, root + ".RFT")
+    raise SystemExit(f"unknown module {name}")
+
 
 def _run_deck_module(name: str, spark, deck_text: str):
     from res2df_spark.modules import compdat, faults, gruptree, tables, vfp, wcon, wlist
@@ -62,16 +91,27 @@ def get_parser() -> argparse.ArgumentParser:
         s = sub.add_parser(name, help=help_)
         s.add_argument("deckfile", help="input .DATA / include file")
         s.add_argument("-o", "--output", default="-", help="CSV path, '-' = stdout")
+    for name, help_ in _BINARY_MODULES.items():
+        s = sub.add_parser(name, help=help_)
+        s.add_argument("case", help="case root (path with or without .DATA)")
+        s.add_argument("-o", "--output", default="-", help="CSV path, '-' = stdout")
+        s.add_argument(
+            "--rstdates", default="first",
+            help="grid: restart dates to stack (first/last/all/ISO date)",
+        )
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = get_parser().parse_args(argv)
-    with open(args.deckfile) as f:
-        deck_text = f.read()
     spark = get_spark(f"res2csv-{args.module}")
     spark.sparkContext.setLogLevel("ERROR")
-    df = _run_deck_module(args.module, spark, deck_text)
+    if args.module in _BINARY_MODULES:
+        df = _run_binary_module(args.module, spark, args.case, args.rstdates)
+    else:
+        with open(args.deckfile) as f:
+            deck_text = f.read()
+        df = _run_deck_module(args.module, spark, deck_text)
     if df is None:
         print("no matching keywords found in deck", file=sys.stderr)
         return 1

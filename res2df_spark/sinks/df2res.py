@@ -195,3 +195,80 @@ def df2res_vfpprod(df: DataFrame) -> str:
             bhps = " ".join(_fmt(float(v)) for v in grp["BHP"])
             out.append(f"  {it} {iw} {ig} {ia} {bhps} /")
     return "\n".join(out) + "\n"
+
+
+def df2res_grid_property(
+    grid_df: DataFrame,
+    keyword: str,
+    global_size: int | None = None,
+    fill=0,
+    int_dtype: bool = False,
+) -> str:
+    """Grid property rows → GRID-section keyword text (grid.py:623-760):
+    one value per GLOBAL cell (inactive cells get ``fill``), run-length
+    compressed to the ``N*V`` form.
+
+    The reference scatters into a driver-side numpy vector of
+    global_size; at billion-cell scale that vector never fits, so here
+    the dense vector is a ``spark.range(global_size)`` spine left-joined
+    to the active rows on GLOBAL_INDEX and the RLE collapse
+    (K5, sinks/writers.rle_encode_distributed) runs distributed — only
+    the collapsed (start, length, value) runs reach the driver."""
+    from pyspark.sql import functions as F
+
+    from res2df_spark.sinks.writers import rle_encode_distributed
+
+    spark = grid_df.sparkSession
+    if "GLOBAL_INDEX" not in grid_df.columns:
+        raise ValueError("grid_df needs a GLOBAL_INDEX column")
+    if keyword not in grid_df.columns:
+        raise ValueError(f"Keyword {keyword} not found in grid dataframe")
+    if global_size is None:
+        global_size = (
+            grid_df.agg(F.max("GLOBAL_INDEX").cast("long")).first()[0] + 1
+        )
+    spine = spark.range(global_size).withColumnRenamed("id", "GLOBAL_INDEX")
+    cast_t = "long" if int_dtype else "double"
+    dense = spine.join(
+        grid_df.select(
+            F.col("GLOBAL_INDEX").cast("long").alias("GLOBAL_INDEX"),
+            F.col(keyword).cast(cast_t).alias("__v"),
+        ),
+        "GLOBAL_INDEX",
+        "left",
+    ).select(
+        "GLOBAL_INDEX", F.coalesce("__v", F.lit(fill).cast(cast_t)).alias("__v")
+    )
+    runs = rle_encode_distributed(dense, "GLOBAL_INDEX", "__v").collect()
+    parts = []
+    for r in runs:
+        v = int(r["value"]) if int_dtype else f"{r['value']:g}"
+        parts.append(f"{r['run_length']}*{v}" if r["run_length"] > 1 else str(v))
+    lines = [keyword]
+    for i in range(0, len(parts), 8):
+        lines.append("  " + " ".join(parts[i : i + 8]))
+    lines.append("/")
+    return "\n".join(lines) + "\n"
+
+
+def df2res_vfpinj(df: DataFrame) -> str:
+    """Melted VFPINJ rows (TABLE, DATUM, THP, RATE, BHP) → VFPINJ
+    keyword text (vfp/_vfpinj.py's df2res) — the 2-axis case of the
+    VFPPROD re-assembly: FLOW + THP axes, one value record per THP
+    index."""
+    pdf = df.toPandas()
+    out = []
+    for table in sorted(pdf["TABLE"].unique()):
+        tbl = pdf[pdf["TABLE"] == table]
+        datum = float(tbl["DATUM"].iloc[0])
+        thps = sorted(tbl["THP"].dropna().unique())
+        flow = sorted(tbl["RATE"].dropna().unique())
+        out.append("VFPINJ")
+        out.append(f"  {int(table)} {_fmt(datum)} /")
+        out.append("  " + " ".join(_fmt(float(v)) for v in flow) + " /")
+        out.append("  " + " ".join(_fmt(float(v)) for v in thps) + " /")
+        for i, t in enumerate(thps, start=1):
+            grp = tbl[tbl["THP"] == t].sort_values("RATE")
+            bhps = " ".join(_fmt(float(v)) for v in grp["BHP"])
+            out.append(f"  {i} {bhps} /")
+    return "\n".join(out) + "\n"

@@ -42,3 +42,31 @@ def test_cli_no_matching_keywords(spark, tmp_path, capsys):
     deck.write_text("START\n 1 JAN 2020 /\n")
     # table families return None when the deck has no matching keywords
     assert cli.main(["pvt", str(deck), "-o", "-"]) == 1
+
+
+import os
+
+import pytest
+
+_EIGHT = "/root/reference/tests/data/eightcells"
+
+
+@pytest.mark.skipif(not os.path.isdir(_EIGHT), reason="fixtures not present")
+def test_cli_summary_binary(capsys):
+    from res2df_spark.cli import main
+
+    assert main(["summary", f"{_EIGHT}/EIGHTCELLS", "-o", "-"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0].split(",")[:3] == ["DATE", "VECTOR", "VALUE"]
+    assert any("FOPT" in line for line in out[1:])
+
+
+@pytest.mark.skipif(not os.path.isdir(_EIGHT), reason="fixtures not present")
+def test_cli_grid_binary(capsys):
+    from res2df_spark.cli import main
+
+    assert main(["grid", f"{_EIGHT}/EIGHTCELLS.DATA", "-o", "-"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    header = out[0].split(",")
+    assert {"I", "J", "K", "ACTIVE_INDEX"} <= set(header)
+    assert len(out) == 9  # 8 cells + header

@@ -140,3 +140,24 @@ def test_vfpprod_roundtrip(spark):
     df2 = df_prod(spark, text)
     key = ["TABLE", "DATUM", "THP", "WFR", "GFR", "ALQ", "RATE", "BHP"]
     assert rows(df1, *key) == rows(df2, *key)
+
+
+VFPINJ_DECK = """
+VFPINJ
+  2 1500.0 /
+  50.0 150.0 250.0 /
+  5.0 15.0 /
+  1 900.0 950.0 1000.0 /
+  2 1100.0 1150.0 1200.0 /
+"""
+
+
+def test_vfpinj_roundtrip(spark):
+    from res2df_spark.modules.vfp import df_inj
+    from res2df_spark.sinks.df2res import df2res_vfpinj
+
+    df1 = df_inj(spark, VFPINJ_DECK)
+    text = df2res_vfpinj(df1)
+    df2 = df_inj(spark, text)
+    key = ["TABLE", "DATUM", "THP", "RATE", "BHP"]
+    assert rows(df1, *key) == rows(df2, *key)

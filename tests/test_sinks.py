@@ -81,3 +81,35 @@ def test_write_stdout(spark, capsys):
     write_dataframe(df, "-")
     out = capsys.readouterr().out
     assert "id,s" in out and "1,x" in out
+
+
+def test_df2res_grid_property(spark):
+    from res2df_spark.sinks.df2res import df2res_grid_property
+
+    # active cells 0,1,2,5 in a 10-cell global grid
+    g = spark.createDataFrame(
+        [(0, 100.0), (1, 100.0), (2, 200.0), (5, 300.0)],
+        "GLOBAL_INDEX long, PERMX double",
+    )
+    text = df2res_grid_property(g, "PERMX", global_size=10)
+    body = " ".join(text.splitlines()[1:-1]).split()
+    # decode N*V back to the dense vector
+    dense = []
+    for tok in body:
+        if "*" in tok:
+            n, v = tok.split("*")
+            dense.extend([float(v)] * int(n))
+        else:
+            dense.append(float(tok))
+    assert dense == [100.0, 100.0, 200.0, 0.0, 0.0, 300.0, 0.0, 0.0, 0.0, 0.0]
+    assert text.startswith("PERMX") and text.rstrip().endswith("/")
+
+
+def test_df2res_grid_property_int(spark):
+    from res2df_spark.sinks.df2res import df2res_grid_property
+
+    g = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 1), (3, 4)], "GLOBAL_INDEX long, FIPNUM int"
+    )
+    text = df2res_grid_property(g, "FIPNUM", int_dtype=True)
+    assert "3*1" in text and "4" in text and "." not in text.split("\n", 1)[1]
