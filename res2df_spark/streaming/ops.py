@@ -129,3 +129,58 @@ def dedup_stream(
         return wm.dropDuplicatesWithinWatermark(list(key_cols))
     except AttributeError:  # pragma: no cover - older Spark
         return wm.dropDuplicates([*key_cols])
+
+
+def summary_ingest_stream(spark, watch_dir: str):
+    """Streaming ensemble ingest: watch ``watch_dir`` for new
+    ``*.SMSPEC`` files (realizations landing as a simulator fleet
+    finishes) and emit long summary rows tagged with REAL — the
+    streaming twin of ``sources.eclbin.summary_long_many``.
+
+    ``readStream.format("binaryFile")`` tracks seen files in the
+    checkpoint, so each realization is parsed exactly once, one file
+    per task; decode is the same numpy ``mapInPandas`` as the batch
+    path.  Downstream the stream composes with the other streaming
+    ops (e.g. windowed_rollup_stream) or a parquet ``writeStream``
+    sink partitioned by REAL."""
+    import os
+    import re
+
+    import pandas as pd
+
+    from res2df_spark.sources.eclbin import summary_long_pandas
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; this is
+        # binaryFile's fixed one
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.SMSPEC")
+        .load(watch_dir)
+        .select("path", "content")
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            for path, smspec in zip(pdf["path"], pdf["content"]):
+                local = re.sub("^file:", "", path)
+                unsmry = os.path.splitext(local)[0] + ".UNSMRY"
+                if not os.path.exists(unsmry):
+                    continue
+                with open(unsmry, "rb") as f:
+                    ubuf = f.read()
+                out = summary_long_pandas(bytes(smspec), ubuf)
+                m = re.search(r"real(?:ization)?-?(\d+)", local)
+                out["REAL"] = (
+                    m.group(1) if m else os.path.splitext(os.path.basename(local))[0]
+                )
+                yield out
+            if len(pdf) == 0:
+                yield pd.DataFrame({"DATE": [], "VECTOR": [], "VALUE": [], "REAL": []})
+
+    return files.mapInPandas(
+        parse, schema="DATE timestamp, VECTOR string, VALUE double, REAL string"
+    )

@@ -1311,3 +1311,45 @@ def wcon_pipeline(spark, sf_dir):
         F.col("ORAT").alias("orat"), F.col("RATE").alias("rate"),
         F.col("BHP").alias("bhp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary Eclipse summary round-trip (sources/eclbin.py: S2 + K7).
+# No oracle_sql — the format is binary, not SQL-expressible; the driver
+# records the rows-only check on this deterministic fixture.
+# ---------------------------------------------------------------------------
+
+
+@_q("eclbin_summary_roundtrip")
+def eclbin_summary_roundtrip(spark, sf_dir):
+    """K7 write → S2 read fixed point on the pure-numpy binary layer:
+    a deterministic wide frame (FOPT cumulative, WOPR:OP1 rate) is
+    written as SMSPEC+UNSMRY (Fortran-blocked records, colon vector
+    naming) and read back to the long model.  8 rows, bit-exact float32
+    values."""
+    import datetime
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from res2df_spark.sources.eclbin import summary_long, write_summary
+
+    d = tempfile.mkdtemp(prefix="eclbin_rt_")
+    dates = pd.to_datetime(
+        ["2020-01-01", "2020-02-01", "2020-03-01", "2020-04-01"]
+    )
+    wide = pd.DataFrame(
+        {
+            "FOPT": [0.0, 100.5, 250.25, 400.0],
+            "WOPR:OP1": [10.0, 12.5, 9.75, 8.0],
+        },
+        index=dates,
+    )
+    path = os.path.join(d, "CASE.SMSPEC")
+    write_summary(path, datetime.datetime(2020, 1, 1), wide)
+    out = summary_long(spark, path)
+    return out.select(
+        F.col("DATE").alias("d"), F.col("VECTOR").alias("vector"),
+        F.col("VALUE").alias("value"),
+    ).orderBy("d", "vector")

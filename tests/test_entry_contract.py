@@ -18,7 +18,11 @@ def test_queries_oracle_keys_align():
     missing = set(qs) - set(os_)
     # non-SQL-expressible ops may omit oracles; list them explicitly so
     # additions are deliberate
-    assert missing <= set(), f"queries without oracle: {missing}"
+    # eclbin_summary_roundtrip: binary write→read fixed point, the
+    # format (not the values) is what's under test — not SQL-expressible
+    assert missing <= {"eclbin_summary_roundtrip"}, (
+        f"queries without oracle: {missing}"
+    )
 
 
 def test_entry_smoke(spark):

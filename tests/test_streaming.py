@@ -97,3 +97,44 @@ def test_dedup_stream(spark):
     q.stop()
     got = sorted(r.k for r in spark.sql("SELECT k FROM dedup_sink").collect())
     assert got == ["a", "b"]  # one row per key
+
+
+def test_summary_ingest_stream(spark, tmp_path):
+    """Two realizations land in the watch dir; availableNow processes
+    both exactly once, rows tagged by REAL."""
+    import datetime
+
+    import pandas as pd
+
+    from res2df_spark.sources.eclbin import write_summary
+    from res2df_spark.streaming.ops import summary_ingest_stream
+
+    watch = tmp_path / "ens"
+    for real, fopt in ((0, [1.0, 2.0]), (1, [3.0, 4.0])):
+        d = watch / f"realization-{real}"
+        d.mkdir(parents=True)
+        wide = pd.DataFrame(
+            {"FOPT": fopt},
+            index=pd.to_datetime(["2020-01-01", "2020-02-01"]),
+        )
+        write_summary(str(d / "RUN.SMSPEC"), datetime.datetime(2020, 1, 1), wide)
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = summary_ingest_stream(spark, str(watch / "*"))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    rows = {
+        (r["REAL"], str(r["DATE"].date()), r["VECTOR"]): r["VALUE"]
+        for r in got.collect()
+        if r["VECTOR"] == "FOPT"
+    }
+    assert rows[("0", "2020-01-01", "FOPT")] == 1.0
+    assert rows[("1", "2020-02-01", "FOPT")] == 4.0
+    assert len(rows) == 4
