@@ -31,6 +31,11 @@ _BINARY_MODULES = {
     "summary": "Long summary table from CASE.SMSPEC/.UNSMRY",
     "grid": "Per-cell grid table from CASE.EGRID [+ .INIT, .UNRST]",
     "rft": "Per-connection RFT table from CASE.RFT",
+    "nnc": "Non-neighbour connections from CASE.EGRID [+ TRANNNC from .INIT]",
+    "trans": "Neighbour transmissibilities from CASE.EGRID + .INIT",
+    "pillars": "Per-pillar statistics from CASE.EGRID [+ .INIT, .UNRST]",
+    "fipreports": "FIP balance blocks from CASE.PRT",
+    "wellconnstatus": "Connection status changes from CPI summary vectors",
 }
 
 
@@ -52,6 +57,32 @@ def _run_binary_module(name: str, spark, root: str, rstdates):
         )
     if name == "rft":
         return eclbin.rft_table(spark, root + ".RFT")
+    init = root + ".INIT" if os.path.exists(root + ".INIT") else None
+    if name == "nnc":
+        return eclbin.nnc_table(spark, root + ".EGRID", init)
+    if name == "trans":
+        from res2df_spark.modules.grid import trans_df
+
+        return trans_df(eclbin.grid_table(spark, root + ".EGRID", init))
+    if name == "pillars":
+        from res2df_spark.modules.grid import pillar_stats
+
+        unrst = root + ".UNRST" if os.path.exists(root + ".UNRST") else None
+        return pillar_stats(
+            eclbin.grid_table(
+                spark, root + ".EGRID", init, unrst,
+                rstdates=rstdates if unrst else None,
+            )
+        )
+    if name == "fipreports":
+        from res2df_spark.modules import fipreports
+
+        prt = root if root.upper().endswith(".PRT") else root + ".PRT"
+        return fipreports.df(spark, prt)
+    if name == "wellconnstatus":
+        from res2df_spark.modules.wellconnstatus import from_summary
+
+        return from_summary(eclbin.summary_long(spark, root + ".SMSPEC"))
     raise SystemExit(f"unknown module {name}")
 
 

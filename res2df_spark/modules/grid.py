@@ -168,3 +168,22 @@ def contact_estimate(
             F.count(F.lit(1)).alias("N_CELLS"),
         )
     )
+
+
+def trans_df(grid: DataFrame, directions: str = "IJK") -> DataFrame:
+    """Neighbour transmissibilities (reference trans.py:44-130): one row
+    per cell face-pair, TRAN taken from the FIRST cell's directional
+    vector (TRANX for an I-shift, TRANY for J, TRANZ for K) — the
+    simulator's owning-cell convention.  Built on the J5 neighbour
+    self-join; both sides shuffle on the same key, no cartesian."""
+    cols = ["I", "J", "K"] + [
+        c for c in ("TRANX", "TRANY", "TRANZ") if c in grid.columns
+    ]
+    pairs = neighbor_pairs(grid.select(*cols), directions=directions)
+    tran = F.lit(None).cast("double")
+    for d, vec in (("I", "TRANX1"), ("J", "TRANY1"), ("K", "TRANZ1")):
+        if vec in pairs.columns:
+            tran = F.when(F.col("DIR") == d, F.col(vec)).otherwise(tran)
+    return pairs.select(
+        "I1", "J1", "K1", "I2", "J2", "K2", "DIR", tran.alias("TRAN")
+    )

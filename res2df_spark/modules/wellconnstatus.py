@@ -29,3 +29,21 @@ def df(cpi_long: DataFrame,
     staged = cpi_long.withColumn("__st", state)
     out = status_changes(staged, "__st", order_by=[date_col], partition_by=keys)
     return out.select(*keys, date_col, F.col("__st").alias("OP/SH"))
+
+
+def from_summary(summary_long: DataFrame) -> DataFrame:
+    """Derive connection status changes from a long summary table's
+    ``CPI:WELL:I,J,K`` vectors (the reference's wellconnstatus.df over
+    the CPI summary data, wellconnstatus.py:22-68): split the vector
+    name, then run the W3 status-change scan per connection."""
+    cpi = summary_long.filter(F.col("VECTOR").startswith("CPI:"))
+    parts = F.split(F.col("VECTOR"), ":")
+    ijk = F.split(parts.getItem(2), ",")
+    staged = cpi.select(
+        parts.getItem(1).alias("WELL"),
+        ijk.getItem(0).cast("int").alias("I"),
+        ijk.getItem(1).cast("int").alias("J"),
+        ijk.getItem(2).cast("int").alias("K"),
+        "DATE", "VALUE",
+    )
+    return df(staged)

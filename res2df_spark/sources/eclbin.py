@@ -588,3 +588,56 @@ def rft_pandas(rft_buf: bytes):
 def rft_table(spark, rft_path: str):
     with open(rft_path, "rb") as f:
         return spark.createDataFrame(rft_pandas(f.read()))
+
+
+# ---------------------------------------------------------------------------
+# NNC → connection pairs
+# ---------------------------------------------------------------------------
+
+
+def nnc_table(spark, egrid_path: str, init_path: str | None = None):
+    """Non-neighbour connections (reference nnc.py:37-110): EGRID
+    NNC1/NNC2 1-based global indices → (I1, J1, K1, I2, J2, K2), plus
+    TRAN from the INIT file's TRANNNC vector when available (aligned
+    elementwise with the NNC pair list)."""
+    import pandas as pd
+
+    with open(egrid_path, "rb") as f:
+        ebuf = f.read()
+    nx = ny = nz = 0
+    nnc1 = nnc2 = None
+    for k, _t, v in iter_keywords(ebuf):
+        if k == "GRIDHEAD" and nx == 0:
+            nx, ny, nz = int(v[1]), int(v[2]), int(v[3])
+        elif k == "NNC1":
+            nnc1 = np.asarray(v, dtype=np.int64)
+        elif k == "NNC2":
+            nnc2 = np.asarray(v, dtype=np.int64)
+    if nnc1 is None or nnc2 is None or nx == 0:
+        return spark.createDataFrame(
+            [], "I1 int, J1 int, K1 int, I2 int, J2 int, K2 int, TRAN double"
+        )
+
+    def ijk(g):
+        g0 = g - 1
+        return (
+            (g0 % nx + 1).astype(np.int32),
+            (g0 // nx % ny + 1).astype(np.int32),
+            (g0 // (nx * ny) + 1).astype(np.int32),
+        )
+
+    i1, j1, k1 = ijk(nnc1)
+    i2, j2, k2 = ijk(nnc2)
+    pdf = pd.DataFrame(
+        {"I1": i1, "J1": j1, "K1": k1, "I2": i2, "J2": j2, "K2": k2}
+    )
+    pdf["TRAN"] = np.nan
+    if init_path:
+        with open(init_path, "rb") as f:
+            for k, _t, v in iter_keywords(f.read()):
+                if k == "TRANNNC" and len(v) == len(pdf):
+                    pdf["TRAN"] = np.asarray(v, dtype=np.float64)
+                    break
+    return spark.createDataFrame(
+        pdf, schema="I1 int, J1 int, K1 int, I2 int, J2 int, K2 int, TRAN double"
+    )

@@ -70,3 +70,56 @@ def test_cli_grid_binary(capsys):
     header = out[0].split(",")
     assert {"I", "J", "K", "ACTIVE_INDEX"} <= set(header)
     assert len(out) == 9  # 8 cells + header
+
+
+_REEK = "/root/reference/tests/data/reek/eclipse/model"
+
+
+@pytest.mark.skipif(not os.path.isdir(_REEK), reason="fixtures not present")
+def test_cli_nnc_binary(capsys):
+    from res2df_spark.cli import main
+
+    assert main(["nnc", f"{_REEK}/2_R001_REEK-0", "-o", "-"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0].split(",")[:6] == ["I1", "J1", "K1", "I2", "J2", "K2"]
+    assert len(out) == 3287  # 3286 NNCs + header
+
+
+@pytest.mark.skipif(not os.path.isdir(_EIGHT), reason="fixtures not present")
+def test_cli_trans_binary(capsys):
+    from res2df_spark.cli import main
+
+    assert main(["trans", f"{_EIGHT}/EIGHTCELLS", "-o", "-"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    # 2x2x2 grid: 4 face-pairs per direction
+    assert len(out) == 13
+    assert "DIR" in out[0].split(",") and "TRAN" in out[0].split(",")
+
+
+@pytest.mark.skipif(not os.path.isdir(_EIGHT), reason="fixtures not present")
+def test_cli_pillars_binary(capsys):
+    from res2df_spark.cli import main
+
+    assert main(["pillars", f"{_EIGHT}/EIGHTCELLS", "-o", "-"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert len(out) == 5  # 2x2 pillars + header
+    assert "PILLAR" in out[0].split(",")
+
+
+@pytest.mark.skipif(not os.path.isdir(_EIGHT), reason="fixtures not present")
+def test_cli_wellconnstatus_binary(capsys):
+    from res2df_spark.cli import main
+
+    assert main(["wellconnstatus", f"{_EIGHT}/EIGHTCELLS", "-o", "-"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0].split(",")[:4] == ["WELL", "I", "J", "K"]
+    assert any("OP1" in line for line in out[1:])
+
+
+@pytest.mark.skipif(not os.path.isdir(_REEK), reason="fixtures not present")
+def test_cli_fipreports_binary(capsys):
+    from res2df_spark.cli import main
+
+    assert main(["fipreports", f"{_REEK}/2_R001_REEK-0.PRT", "-o", "-"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert len(out) > 1
