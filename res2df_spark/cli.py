@@ -39,7 +39,9 @@ _BINARY_MODULES = {
 }
 
 
-def _run_binary_module(name: str, spark, root: str, rstdates):
+def _run_binary_module(
+    name: str, spark, root: str, rstdates, time_index=None, column_keys=None
+):
     import os
 
     from res2df_spark.sources import eclbin
@@ -47,7 +49,16 @@ def _run_binary_module(name: str, spark, root: str, rstdates):
     if root.upper().endswith(".DATA"):
         root = root[: -len(".DATA")]
     if name == "summary":
-        return eclbin.summary_long(spark, root + ".SMSPEC")
+        from res2df_spark.modules import summary as summary_mod
+
+        long = eclbin.summary_long(spark, root + ".SMSPEC")
+        keys = [k for k in (column_keys or "").split(",") if k]
+        if not keys and (time_index or "raw") == "raw":
+            return long
+        return summary_mod.df(
+            long, summary_mod.meta_from_vectors(long),
+            time_index=time_index or "raw", column_keys=keys,
+        )
     if name == "grid":
         init = root + ".INIT" if os.path.exists(root + ".INIT") else None
         unrst = root + ".UNRST" if os.path.exists(root + ".UNRST") else None
@@ -130,6 +141,16 @@ def get_parser() -> argparse.ArgumentParser:
             "--rstdates", default="first",
             help="grid: restart dates to stack (first/last/all/ISO date)",
         )
+        if name == "summary":
+            s.add_argument(
+                "--time_index", default="raw",
+                help="raw/first/last or daily/weekly/monthly/yearly "
+                     "(rate/total-aware resample, wide output)",
+            )
+            s.add_argument(
+                "--column_keys", default="",
+                help="comma-separated vector globs, e.g. 'FOPT,WOPR:*'",
+            )
     return p
 
 
@@ -138,7 +159,11 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"res2csv-{args.module}")
     spark.sparkContext.setLogLevel("ERROR")
     if args.module in _BINARY_MODULES:
-        df = _run_binary_module(args.module, spark, args.case, args.rstdates)
+        df = _run_binary_module(
+            args.module, spark, args.case, args.rstdates,
+            time_index=getattr(args, "time_index", None),
+            column_keys=getattr(args, "column_keys", None),
+        )
     else:
         with open(args.deckfile) as f:
             deck_text = f.read()

@@ -145,3 +145,24 @@ def df(
     else:
         res = resample(sel, meta, freq=time_index)
     return pivot_wide(res) if wide else res
+
+
+def meta_from_vectors(long: DataFrame, vector_col: str = "VECTOR") -> DataFrame:
+    """Heuristic metadata dim from vector names alone, for inputs that
+    carry no SMSPEC unit block (the reference reads UNITS from the
+    SMSPEC, summary.py:567-599; the naming convention encodes the same
+    split): keyword = category letter (F/W/G/C) + phase letter +
+    ``...T[H]`` for cumulative totals / ``...R[H]`` for rates.  State
+    samples like BPR/FPR (pressures) end in R but have no phase letter,
+    so they fall through to the ffill default.  One row per distinct
+    vector — always broadcastable."""
+    kw = F.split(F.col(vector_col), ":").getItem(0)
+    return (
+        long.select(vector_col).distinct()
+        .withColumn("__kw", kw)
+        .select(
+            vector_col,
+            F.col("__kw").rlike("^[FWGC][OWGLVEJ][A-Z]*TH?$").alias("IS_TOTAL"),
+            F.col("__kw").rlike("^[FWGC][OWGLVEJ][A-Z]*RH?$").alias("IS_RATE"),
+        )
+    )

@@ -123,3 +123,17 @@ def test_cli_fipreports_binary(capsys):
     assert main(["fipreports", f"{_REEK}/2_R001_REEK-0.PRT", "-o", "-"]) == 0
     out = capsys.readouterr().out.splitlines()
     assert len(out) > 1
+
+
+@pytest.mark.skipif(not os.path.isdir(_EIGHT), reason="fixtures not present")
+def test_cli_summary_resampled_wide(capsys):
+    from res2df_spark.cli import main
+
+    assert main([
+        "summary", f"{_EIGHT}/EIGHTCELLS",
+        "--time_index", "monthly", "--column_keys", "FOPT,FOPR", "-o", "-",
+    ]) == 0
+    out = capsys.readouterr().out.splitlines()
+    header = out[0].split(",")
+    assert header[0] == "DATE" and set(header[1:]) == {"FOPT", "FOPR"}
+    assert len(out) > 2  # one row per monthly spine point
