@@ -55,10 +55,11 @@ def infer_sf(sf_dir: str) -> float:
     return -1.0
 
 
-def run_one(spark, name: str, repeats: int = 3) -> float:
+def run_one(spark, name: str, repeats: int = 5) -> float:
     """Best-of-N execution time: the environment shows intermittent
-    host-level CPU noise (identical hot plans oscillating 1s ↔ 10s), so
-    a single sample is dominated by scheduler luck; min-of-N measures
+    host-level CPU noise (identical hot plans oscillating 1s ↔ 10s —
+    BENCH_r01 recorded 21 s for a query that measures 0.9 s quiet), so
+    a single sample is dominated by scheduler luck; min-of-5 measures
     the plan."""
     df = suite.QUERIES[name](spark, SF_DIR)
     best = float("inf")

@@ -25,6 +25,11 @@ _DECK_MODULES = {
     "wcon": "Dated well-control table (WCONHIST/INJE/INJH/PROD)",
 }
 
+#: deck subcommands taking extra auxiliary inputs
+_DECK_MODULES_EXTRA = {
+    "wellcompletiondata": "Zone-aggregated completion data (compdat ⋈ lyr zonemap)",
+}
+
 #: subcommands reading binary simulator output; argument is the case
 #: root (path without extension, reference res2csv's DATAFILE idiom)
 _BINARY_MODULES = {
@@ -40,7 +45,8 @@ _BINARY_MODULES = {
 
 
 def _run_binary_module(
-    name: str, spark, root: str, rstdates, time_index=None, column_keys=None
+    name: str, spark, root: str, rstdates, time_index=None, column_keys=None,
+    start_date=None, end_date=None,
 ):
     import os
 
@@ -51,12 +57,21 @@ def _run_binary_module(
     if name == "summary":
         from res2df_spark.modules import summary as summary_mod
 
+        from pyspark.sql import functions as F
+
         long = eclbin.summary_long(spark, root + ".SMSPEC")
+        # date crop (reference res2csv summary --start_date/--end_date)
+        if start_date:
+            long = long.filter(F.col("DATE") >= F.lit(start_date).cast("timestamp"))
+        if end_date:
+            long = long.filter(
+                F.col("DATE") < F.date_add(F.lit(end_date).cast("date"), 1)
+            )
         keys = [k for k in (column_keys or "").split(",") if k]
         if not keys and (time_index or "raw") == "raw":
             return long
         return summary_mod.df(
-            long, summary_mod.meta_from_vectors(long),
+            long, eclbin.summary_meta(spark, root + ".SMSPEC"),
             time_index=time_index or "raw", column_keys=keys,
         )
     if name == "grid":
@@ -67,7 +82,9 @@ def _run_binary_module(
             rstdates=rstdates if unrst else None,
         )
     if name == "rft":
-        return eclbin.rft_table(spark, root + ".RFT")
+        from res2df_spark.modules.rft import add_extras
+
+        return add_extras(eclbin.rft_table(spark, root + ".RFT"))
     init = root + ".INIT" if os.path.exists(root + ".INIT") else None
     if name == "nnc":
         return eclbin.nnc_table(spark, root + ".EGRID", init)
@@ -123,6 +140,22 @@ def _run_deck_module(name: str, spark, deck_text: str):
     raise SystemExit(f"unknown module {name}")
 
 
+def _run_wellcompletiondata(spark, deck_text: str, zonemap_path: str,
+                            excl_well_prefix: str | None):
+    """Forward wellcompletiondata flow (reference
+    wellcompletiondata.py:129-215): compdat pipeline ⋈ lyr zonemap →
+    per-zone OPEN/KH aggregation."""
+    from res2df_spark.modules import compdat, wellcompletiondata
+    from res2df_spark.sources.aux import zonemap_df
+
+    with open(zonemap_path) as f:
+        zmap = zonemap_df(spark, f.read())  # already unrolled to (K, ZONE)
+    conns = compdat.df(spark, deck_text)
+    return wellcompletiondata.df(
+        conns, zmap.select("K", "ZONE"), excl_well_prefix=excl_well_prefix
+    )
+
+
 def get_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="res2csv-spark",
@@ -151,6 +184,29 @@ def get_parser() -> argparse.ArgumentParser:
                 "--column_keys", default="",
                 help="comma-separated vector globs, e.g. 'FOPT,WOPR:*'",
             )
+            s.add_argument(
+                "--start_date", default="",
+                help="ISO date: drop observations before this date "
+                     "(reference res2csv summary --start_date)",
+            )
+            s.add_argument(
+                "--end_date", default="",
+                help="ISO date: drop observations after this date",
+            )
+            s.add_argument(
+                "--arrow", action="store_true",
+                help="write Arrow IPC (feather) instead of CSV "
+                     "(reference res2csv --arrow)",
+            )
+    for name, help_ in _DECK_MODULES_EXTRA.items():
+        s = sub.add_parser(name, help=help_)
+        s.add_argument("deckfile", help="input .DATA / include file")
+        s.add_argument("--zonemap", required=True, help="lyr zonemap file")
+        s.add_argument(
+            "--excl_well_startswith", default=None,
+            help="exclude wells with this name prefix (P8)",
+        )
+        s.add_argument("-o", "--output", default="-", help="CSV path, '-' = stdout")
     return p
 
 
@@ -163,6 +219,14 @@ def main(argv: list[str] | None = None) -> int:
             args.module, spark, args.case, args.rstdates,
             time_index=getattr(args, "time_index", None),
             column_keys=getattr(args, "column_keys", None),
+            start_date=getattr(args, "start_date", None),
+            end_date=getattr(args, "end_date", None),
+        )
+    elif args.module in _DECK_MODULES_EXTRA:
+        with open(args.deckfile) as f:
+            deck_text = f.read()
+        df = _run_wellcompletiondata(
+            spark, deck_text, args.zonemap, args.excl_well_startswith
         )
     else:
         with open(args.deckfile) as f:
@@ -171,7 +235,98 @@ def main(argv: list[str] | None = None) -> int:
     if df is None:
         print("no matching keywords found in deck", file=sys.stderr)
         return 1
+    if getattr(args, "arrow", False):
+        import pyarrow.feather as feather
+
+        feather.write_feather(df.toPandas(), args.output)
+        return 0
     write_dataframe(df, args.output)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# csv2res — the reverse CLI (reference csv2res.py:43-88): datatype CSV
+# back to simulator input (include-file text, or SMSPEC/UNSMRY binaries
+# for summary).
+# ---------------------------------------------------------------------------
+
+_CSV2RES_MODULES = {
+    "summary": "Wide summary CSV (DATE + vector columns) → SMSPEC/UNSMRY pair",
+    "equil": "Equil family CSV → SOLUTION include text (EQUIL, RSVD, RVVD, …)",
+    "pvt": "PVT family CSV → PROPS include text (PVTO/PVTG/PVTW/PVDG/…)",
+    "satfunc": "Saturation-function CSV → PROPS include text (SWOF/SGOF/…)",
+    "vfp": "Melted VFP CSV → VFPPROD/VFPINJ include text",
+    "compdat": "Connection CSV → COMPDAT include text",
+    "welspecs": "Well-header CSV → WELSPECS include text",
+}
+
+
+def get_csv2res_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="csv2res-spark",
+        description="Write simulator include files back from datatype CSVs",
+    )
+    sub = p.add_subparsers(dest="module", required=True)
+    for name, help_ in _CSV2RES_MODULES.items():
+        s = sub.add_parser(name, help=help_)
+        s.add_argument("csvfile", help="input CSV (res2csv-spark output shape)")
+        s.add_argument(
+            "-o", "--output", default="-",
+            help="include file path, '-' = stdout; for summary: the "
+                 ".SMSPEC path (the .UNSMRY lands next to it)",
+        )
+    return p
+
+
+def csv2res_main(argv: list[str] | None = None) -> int:
+    from res2df_spark.sinks import df2res
+
+    args = get_csv2res_parser().parse_args(argv)
+    spark = get_spark(f"csv2res-{args.module}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.csv(args.csvfile, header=True, inferSchema=True)
+
+    if args.module == "summary":
+        import datetime
+
+        import pandas as pd
+
+        from res2df_spark.sources.eclbin import write_summary
+
+        pdf = df.toPandas()
+        pdf["DATE"] = pd.to_datetime(pdf["DATE"])
+        wide = pdf.set_index("DATE").sort_index()
+        start = wide.index[0].to_pydatetime()
+        if args.output == "-":
+            raise SystemExit("summary writes binaries; -o SMSPEC path required")
+        write_summary(args.output, start, wide)
+        return 0
+
+    if args.module == "equil":
+        text = df2res.df2res_equil(df)
+    elif args.module == "pvt":
+        text = df2res.df2res_pvt(df)
+    elif args.module == "satfunc":
+        text = df2res.df2res_satfunc(df)
+    elif args.module == "vfp":
+        # dispatch on the melted shape: WFR/GFR/ALQ ⇒ VFPPROD
+        text = (
+            df2res.df2res_vfpprod(df)
+            if "WFR" in df.columns
+            else df2res.df2res_vfpinj(df)
+        )
+    elif args.module == "compdat":
+        text = df2res.df2res_compdat(df)
+    elif args.module == "welspecs":
+        text = df2res.df2res_welspecs(df)
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown module {args.module}")
+
+    if args.output == "-":
+        sys.stdout.write(text)
+    else:
+        with open(args.output, "w") as f:
+            f.write(text)
     return 0
 
 

@@ -70,23 +70,37 @@ def lsh_bucketed_topk(
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
+    n_probes: int = 0,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH buckets.
 
-    Corpus and queries get an ``n_planes``-bit sign bucket; candidates
-    are same-bucket pairs (an equality join — shuffle on bucket key, no
-    cross join).  Recall improves with multi-probe (not implemented) or
-    fewer planes.
-    """
-    dim = len(corpus.select(vec_col).first()[0])
-    planes = [_hyperplane(dim, s) for s in range(n_planes)]
+    Corpus and queries get an ``n_planes``-bit sign bucket per hash
+    table; candidates are same-bucket pairs (an equality join — shuffle
+    on bucket key, no cross join).  Two recall levers, composable:
 
-    def bucket(vc):
+    * ``n_probes`` > 0 — multi-probe: each query also probes the
+      buckets at Hamming distance 1 obtained by flipping its first
+      ``n_probes`` sign bits (the standard fix for vectors falling near
+      a hyperplane).  Only the tiny query side fans out.
+    * ``n_tables`` > 1 — multi-table: L independent plane sets; a pair
+      is a candidate if it collides in ANY table
+      (P = 1 − (1 − p^b)^L).  The corpus fans out L× — the classic
+      LSH memory-for-recall trade; at 100 TB this is the lever you
+      budget explicitly.
+
+    Candidate pairs can collide in several tables, so pairs are
+    deduplicated before scoring (shuffle on (query, id) — bounded by
+    candidate count, not corpus size)."""
+    dim = len(corpus.select(vec_col).first()[0])
+
+    def bucket_bits(vc, table):
         bits = []
-        for p in planes:
+        for s in range(n_planes):
+            p = _hyperplane(dim, table * n_planes + s)
             arr = F.array(*[F.lit(x) for x in p])
             proj = F.aggregate(
                 F.zip_with(vc, arr, lambda a, b: a.cast("double") * b),
@@ -94,14 +108,33 @@ def lsh_bucketed_topk(
                 lambda acc, v: acc + v,
             )
             bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
+        return bits
 
-    c = corpus.withColumn("__bucket", bucket(F.col(vec_col)))
+    def flip(bit):
+        return F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
+
+    c_buckets, q_buckets = [], []
+    for t in range(n_tables):
+        prefix = F.lit(f"{t}:")
+        c_buckets.append(F.concat(prefix, *bucket_bits(F.col(vec_col), t)))
+        qbits = bucket_bits(F.col("__qv"), t)
+        q_buckets.append(F.concat(prefix, *qbits))
+        for j in range(min(n_probes, n_planes)):
+            q_buckets.append(
+                F.concat(prefix, *qbits[:j], flip(qbits[j]), *qbits[j + 1:])
+            )
+
+    c = corpus.withColumn("__bucket", F.explode(F.array(*c_buckets)))
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qv"),
-    ).withColumn("__bucket", bucket(F.col("__qv")))
-    scored = c.join(q, "__bucket").filter(F.col(query_id_col) != F.col(id_col)).select(
+    ).withColumn("__bucket", F.explode(F.array(*q_buckets)))
+    cand = c.join(q, "__bucket").filter(F.col(query_id_col) != F.col(id_col))
+    if n_tables > 1:
+        # only multi-table can produce the same pair twice (per-table
+        # probe buckets are pairwise distinct)
+        cand = cand.dropDuplicates([query_id_col, id_col])
+    scored = cand.select(
         query_id_col,
         id_col,
         cosine_similarity(F.col("__qv"), F.col(vec_col)).alias("cosine"),

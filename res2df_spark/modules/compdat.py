@@ -181,3 +181,135 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
         all_rows, keys=["WELL", "I", "J", "K", "DATE"], order_by=["KEYWORD_IDX"], keep="last"
     )
     return final.select("WELL", "I", "J", "K", "OP_SH", "DATE", "SATN", "KH", "SKIN")
+
+
+# ---------------------------------------------------------------------------
+# Segment keywords (reference compdat.py:145-212,246-263): WELSEGS /
+# COMPSEGS carry a well-header record inherited by every data row;
+# WSEGSICD / WSEGAICD / WSEGVALV are per-segment device records.  All are
+# date-stamped by the same W1 cursor as COMPDAT; WELSEGS and the ICD
+# keywords unroll their SEGMENT1–SEGMENT2 ranges like COMPDAT K1–K2.
+# ---------------------------------------------------------------------------
+
+
+def _dated(spark: SparkSession, deck_text: str, keyword: str) -> DataFrame:
+    recs = deck_records(spark, deck_text, keyword)
+    return _with_dates(recs, schedule_events(spark, deck_text))
+
+
+def _unroll_segments(df: DataFrame) -> DataFrame:
+    """SEGMENT1–SEGMENT2 range → one row per segment with
+    SEGMENT1 == SEGMENT2, the reference's unrolldf shape
+    (compdat.py:415-470)."""
+    out = unroll_range(df, "SEGMENT1", "SEGMENT2", "__SEG")
+    return (
+        out.withColumn("SEGMENT1", F.col("__SEG"))
+        .withColumn("SEGMENT2", F.col("__SEG"))
+        .drop("__SEG")
+    )
+
+
+def welsegs_df(spark: SparkSession, deck_text: str, unroll: bool = True) -> DataFrame:
+    """WELSEGS → one row per segment, well-header items inherited;
+    INFO_TYPE == 'ABS' adds SEGMENT_MD = SEGMENT_LENGTH (reference
+    compdat.py:190-212)."""
+    ws = _dated(spark, deck_text, "WELSEGS")
+    ws = ws.withColumn(
+        "SEGMENT_MD",
+        F.when(F.col("INFO_TYPE") == "ABS", F.col("SEGMENT_LENGTH")),
+    )
+    return (_unroll_segments(ws) if unroll else ws).drop(
+        "KEYWORD", "KEYWORD_IDX", "RECORD_IDX"
+    )
+
+
+def compsegs_df(spark: SparkSession, deck_text: str) -> DataFrame:
+    """COMPSEGS → one row per (I, J, K) connection with its branch and
+    measured-depth interval; WELL from the header record (reference
+    compdat.py:164-176)."""
+    return _dated(spark, deck_text, "COMPSEGS").drop(
+        "KEYWORD", "KEYWORD_IDX", "RECORD_IDX"
+    )
+
+
+def wsegsicd_df(spark: SparkSession, deck_text: str, unroll: bool = True) -> DataFrame:
+    """WSEGSICD spiral-ICD device rows (reference compdat.py:145-151)."""
+    d = _dated(spark, deck_text, "WSEGSICD")
+    return (_unroll_segments(d) if unroll else d).drop(
+        "KEYWORD", "KEYWORD_IDX", "RECORD_IDX"
+    )
+
+
+def wsegaicd_df(spark: SparkSession, deck_text: str, unroll: bool = True) -> DataFrame:
+    """WSEGAICD autonomous-ICD device rows (reference compdat.py:152-157)."""
+    d = _dated(spark, deck_text, "WSEGAICD")
+    return (_unroll_segments(d) if unroll else d).drop(
+        "KEYWORD", "KEYWORD_IDX", "RECORD_IDX"
+    )
+
+
+def wsegvalv_df(spark: SparkSession, deck_text: str) -> DataFrame:
+    """WSEGVALV valve device rows (reference compdat.py:158-163)."""
+    return _dated(spark, deck_text, "WSEGVALV").drop(
+        "KEYWORD", "KEYWORD_IDX", "RECORD_IDX"
+    )
+
+
+def dfs(spark: SparkSession, deck_text: str, unroll: bool = True) -> dict[str, DataFrame]:
+    """The reference's ``deck2dfs`` surface (compdat.py:66-283): every
+    connection/segment frame the schedule section defines."""
+    return {
+        "COMPDAT": df(spark, deck_text),
+        "WELSEGS": welsegs_df(spark, deck_text, unroll=unroll),
+        "COMPSEGS": compsegs_df(spark, deck_text),
+        "WSEGSICD": wsegsicd_df(spark, deck_text, unroll=unroll),
+        "WSEGAICD": wsegaicd_df(spark, deck_text, unroll=unroll),
+        "WSEGVALV": wsegvalv_df(spark, deck_text),
+    }
+
+
+def icd_chain(spark: SparkSession, deck_text: str) -> DataFrame:
+    """J8 from a real deck: connection → segment → ICD/valve device.
+
+    COMPSEGS maps each (I, J, K) connection to a SEGMENT_NUMBER;
+    WELSEGS supplies the segment geometry; the device keywords attach
+    per-segment equipment.  Devices and segments are deck-bounded →
+    broadcast; the connection side stays unshuffled."""
+    con = compsegs_df(spark, deck_text).select(
+        "WELL", "I", "J", "K", "BRANCH", "DISTANCE_START", "DISTANCE_END",
+        "SEGMENT_NUMBER", "DATE",
+    )
+    seg = welsegs_df(spark, deck_text).select(
+        F.col("WELL").alias("S_WELL"), F.col("SEGMENT1").alias("SEGMENT"),
+        "SEGMENT_LENGTH", "DEPTH_CHANGE", "DIAMETER", "SEGMENT_MD",
+    )
+    valv = wsegvalv_df(spark, deck_text).select(
+        F.col("WELL").alias("V_WELL"), F.col("SEGMENT_NUMBER").alias("V_SEG"),
+        F.col("CV").alias("VALVE_CV"), F.col("AREA").alias("VALVE_AREA"),
+    )
+    sicd = wsegsicd_df(spark, deck_text).select(
+        F.col("WELL").alias("D_WELL"), F.col("SEGMENT1").alias("D_SEG"),
+        F.col("STRENGTH").alias("ICD_STRENGTH"),
+    )
+    out = (
+        con.join(
+            broadcast(seg),
+            (F.col("WELL") == F.col("S_WELL"))
+            & (F.col("SEGMENT_NUMBER") == F.col("SEGMENT")),
+            "left",
+        )
+        .join(
+            broadcast(valv),
+            (F.col("WELL") == F.col("V_WELL"))
+            & (F.col("SEGMENT_NUMBER") == F.col("V_SEG")),
+            "left",
+        )
+        .join(
+            broadcast(sicd),
+            (F.col("WELL") == F.col("D_WELL"))
+            & (F.col("SEGMENT_NUMBER") == F.col("D_SEG")),
+            "left",
+        )
+        .drop("S_WELL", "SEGMENT", "V_WELL", "V_SEG", "D_WELL", "D_SEG")
+    )
+    return out

@@ -44,3 +44,45 @@ def seg_topology(seg: DataFrame, keys=("WELL", "DATE")) -> DataFrame:
         .withColumn("LONELY", (F.col("__n_in") == 0) & F.col("SEGNXT").isNull())
         .drop("__n_in")
     )
+
+
+def add_extras(df: DataFrame) -> DataFrame:
+    """Derived nice-to-have columns (reference rft.py:463-508
+    ``add_extras``), each guarded on its source columns being present:
+
+    * COMPLETION_DP — CONPRES − SEGPRES where both are > 0, else 0;
+    * DRAWDOWN — PRESSURE − CONPRES where CONPRES > 0, else 0;
+    * CONBPRES — alias of PRESSURE;
+    * CONMD / CONLENTH — midpoint and length of the connection's
+      measured-depth interval CONLENST–CONLENEN;
+    * CON{O,W,G}RATS — per-length scaled rates (rate / CONLENTH).
+
+    Pure column arithmetic: partition-local, codegen'd, no shuffle."""
+    cols = set(df.columns)
+    if {"CONPRES", "SEGPRES"} <= cols:
+        df = df.withColumn(
+            "COMPLETION_DP",
+            F.when(
+                (F.col("CONPRES") > 0) & (F.col("SEGPRES") > 0),
+                F.col("CONPRES") - F.col("SEGPRES"),
+            ).otherwise(F.lit(0.0)),
+        )
+    if {"CONPRES", "PRESSURE"} <= cols:
+        df = df.withColumn(
+            "DRAWDOWN",
+            F.when(
+                F.col("CONPRES") > 0, F.col("PRESSURE") - F.col("CONPRES")
+            ).otherwise(F.lit(0.0)),
+        )
+    else:
+        df = df.withColumn("DRAWDOWN", F.lit(0.0))
+    if "PRESSURE" in cols:
+        df = df.withColumn("CONBPRES", F.col("PRESSURE"))
+    if {"CONLENEN", "CONLENST"} <= cols:
+        df = df.withColumn(
+            "CONMD", 0.5 * (F.col("CONLENST") + F.col("CONLENEN"))
+        ).withColumn("CONLENTH", F.col("CONLENEN") - F.col("CONLENST"))
+        for rate in ("CONORAT", "CONWRAT", "CONGRAT"):
+            if rate in cols:
+                df = df.withColumn(rate + "S", F.col(rate) / F.col("CONLENTH"))
+    return df

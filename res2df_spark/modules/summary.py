@@ -7,10 +7,17 @@ IS_TOTAL, UNIT, …).  The reference's native reader interpolates on
 read (summary.py:398); here the semantics are explicit window
 arithmetic (docs/usage/summary.rst:31-45):
 
-* **cumulative/total vectors** interpolate linearly in time;
 * **rate vectors** are valid backwards — a resampled point takes the
   value of the *next* observation (bfill);
-* other vectors forward-fill.
+* **all non-rate vectors** (cumulative totals, pressures, ratios-
+  turned-state, untagged) interpolate linearly in time, matching the
+  reference's ``summary.pandas_frame`` which linearly interpolates
+  every non-rate vector.
+
+Rate-ness comes from the SMSPEC UNITS array when available (a unit
+containing ``/DAY`` ⇒ rate, resdata's rule) plus the explicit ratio
+keywords WCT/GOR/OGR/WGR/GLR which resdata also classifies as rates;
+the pure name heuristic is the fallback for unit-less inputs.
 
 Pipeline: wildcard select (P1) → per-vector resample onto the requested
 spine (W8, one shuffle keyed by VECTOR) → optional pivot to the wide
@@ -57,11 +64,17 @@ def resample(
     tagged = long.join(
         broadcast(meta.select(vector_col, "IS_RATE", "IS_TOTAL")), vector_col, "left"
     )
+    # Null-safe complement split: rates bfill, EVERYTHING else linear
+    # (the reference linearly interpolates all non-rate vectors).  The
+    # two conditions partition every null combination — a vector can
+    # never be silently dropped.
+    is_rate = F.coalesce(F.col("IS_RATE"), F.lit(False)) & ~F.coalesce(
+        F.col("IS_TOTAL"), F.lit(False)
+    )
     parts = []
     for how, cond in (
-        ("linear", F.col("IS_TOTAL") == True),  # noqa: E712
-        ("bfill", (F.col("IS_RATE") == True) & (F.col("IS_TOTAL") != True)),  # noqa: E712
-        ("ffill", F.col("IS_TOTAL").isNull() | ((F.col("IS_TOTAL") == False) & (F.col("IS_RATE") == False))),  # noqa: E712
+        ("linear", ~is_rate),
+        ("bfill", is_rate),
     ):
         sub = tagged.filter(cond).select(vector_col, date_col, value_col)
         parts.append(
@@ -147,22 +160,57 @@ def df(
     return pivot_wide(res) if wide else res
 
 
+# Ratio vectors (watercut, gas-oil ratio, …) are classified as RATES by
+# resdata even though their names end in T/R-ambiguous ways — WWCT would
+# otherwise match the cumulative-total regex.
+_RATIO_RE = "^[FWGC](WCT|GOR|OGR|WGR|GLR)H?$"
+_TOTAL_RE = "^[FWGC][OWGLVEJ][A-Z]*TH?$"
+_RATE_RE = "^[FWGC][OWGLVEJ][A-Z]*RH?$"
+
+
 def meta_from_vectors(long: DataFrame, vector_col: str = "VECTOR") -> DataFrame:
     """Heuristic metadata dim from vector names alone, for inputs that
     carry no SMSPEC unit block (the reference reads UNITS from the
     SMSPEC, summary.py:567-599; the naming convention encodes the same
     split): keyword = category letter (F/W/G/C) + phase letter +
-    ``...T[H]`` for cumulative totals / ``...R[H]`` for rates.  State
-    samples like BPR/FPR (pressures) end in R but have no phase letter,
-    so they fall through to the ffill default.  One row per distinct
-    vector — always broadcastable."""
+    ``...T[H]`` for cumulative totals / ``...R[H]`` for rates, with the
+    ratio keywords (WCT/GOR/OGR/WGR/GLR) forced into the rate class the
+    way resdata classifies them.  State samples like BPR/FPR (pressures)
+    are neither — they get the linear default in :func:`resample`.  One
+    row per distinct vector — always broadcastable."""
     kw = F.split(F.col(vector_col), ":").getItem(0)
+    is_ratio = kw.rlike(_RATIO_RE)
     return (
         long.select(vector_col).distinct()
-        .withColumn("__kw", kw)
         .select(
-            vector_col,
-            F.col("__kw").rlike("^[FWGC][OWGLVEJ][A-Z]*TH?$").alias("IS_TOTAL"),
-            F.col("__kw").rlike("^[FWGC][OWGLVEJ][A-Z]*RH?$").alias("IS_RATE"),
+            F.col(vector_col),
+            (kw.rlike(_TOTAL_RE) & ~is_ratio).alias("IS_TOTAL"),
+            (kw.rlike(_RATE_RE) | is_ratio).alias("IS_RATE"),
         )
+    )
+
+
+def meta_from_units(spark, vectors, units, vector_col: str = "VECTOR") -> DataFrame:
+    """Metadata dim from the SMSPEC UNITS array (the authoritative
+    source — reference summary.py:567-599 reads units for metadata and
+    resdata decides rate-ness from them): a unit containing ``/DAY`` is
+    a rate; the ratio keywords are rates regardless of unit; cumulative
+    totals keep the name rule.  ``vectors``/``units`` are the parallel
+    lists from ``eclbin.parse_smspec`` — bounded by SMSPEC width, so a
+    driver-side build is correct and the dim is always broadcastable."""
+    import re as _re
+
+    rows = []
+    seen = set()
+    for v, u in zip(vectors, units):
+        if v is None or v == "TIME" or v in seen:
+            continue
+        seen.add(v)
+        kw = str(v).split(":")[0]
+        is_ratio = bool(_re.match(_RATIO_RE, kw))
+        is_rate = "/DAY" in str(u).upper() or is_ratio
+        is_total = bool(_re.match(_TOTAL_RE, kw)) and not is_ratio
+        rows.append((v, str(u).strip(), is_total and not is_rate, is_rate))
+    return spark.createDataFrame(
+        rows, f"{vector_col} string, UNIT string, IS_TOTAL boolean, IS_RATE boolean"
     )

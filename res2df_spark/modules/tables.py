@@ -17,8 +17,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from res2df_spark.operators.interpolate import interpolate_linear
 from res2df_spark.sources.deck import TABLE_KEYWORDS, deck_records
 
-SATFUNC_KEYWORDS = ("SWOF", "SGOF", "SLGOF", "SWFN", "SGFN", "SOF2", "SOF3")
-PVT_KEYWORDS = ("PVDG", "PVDO", "PVTO", "PVTG", "DENSITY", "ROCK")
+SATFUNC_KEYWORDS = ("SWOF", "SGOF", "SLGOF", "SWFN", "SGFN", "SGWFN", "SOF2", "SOF3")
+PVT_KEYWORDS = ("PVDG", "PVDO", "PVTO", "PVTG", "PVTW", "DENSITY", "ROCK")
+#: equil solution family: depth tables for dissolved/vaporized ratios
+#: and bubble/dew points (reference equil.py:30-35,86-206)
+EQUIL_SOLUTION_KEYWORDS = ("RSVD", "RVVD", "PBVD", "PDVD")
 
 
 def _family_df(
@@ -66,12 +69,47 @@ def pvt_df(spark: SparkSession, deck_text: str) -> DataFrame | None:
     return _family_df(spark, deck_text, PVT_KEYWORDS)
 
 
-def equil_df(spark: SparkSession, deck_text: str) -> DataFrame | None:
-    """EQUIL initial-condition records, one row per EQLNUM region."""
+def equil_df(
+    spark: SparkSession, deck_text: str, solution_tables: bool = True
+) -> DataFrame | None:
+    """EQUIL initial-condition records (one row per EQLNUM region),
+    plus the RSVD/RVVD/PBVD/PDVD solution depth tables as a tagged
+    union (KEYWORD column) the way the reference's ``equil.df`` folds
+    all five keywords into one frame (equil.py:86-136)."""
     f = deck_records(spark, deck_text, "EQUIL")
-    if not f.take(1):
-        return None
-    return f.drop("KEYWORD_IDX", "RECORD_IDX", "DATE", "ROW_IDX")
+    eq = f.drop("KEYWORD_IDX", "RECORD_IDX", "DATE", "ROW_IDX") if f.take(1) else None
+    if not solution_tables:
+        return eq
+    sol = _family_df(spark, deck_text, EQUIL_SOLUTION_KEYWORDS)
+    if sol is None:
+        return eq
+    sol = sol.drop("ROW_IDX")
+    if eq is None:
+        return sol
+    return eq.unionByName(sol, allowMissingColumns=True)
 
 
-__all__ = ["satfunc_df", "pvt_df", "equil_df", "TABLE_KEYWORDS"]
+def rsvd_df(spark: SparkSession, deck_text: str) -> DataFrame | None:
+    """RSVD depth table (reference equil.py:142-155)."""
+    return _family_df(spark, deck_text, ("RSVD",))
+
+
+def rvvd_df(spark: SparkSession, deck_text: str) -> DataFrame | None:
+    """RVVD depth table (reference equil.py:159-172)."""
+    return _family_df(spark, deck_text, ("RVVD",))
+
+
+def pbvd_df(spark: SparkSession, deck_text: str) -> DataFrame | None:
+    """PBVD depth table (reference equil.py:176-189)."""
+    return _family_df(spark, deck_text, ("PBVD",))
+
+
+def pdvd_df(spark: SparkSession, deck_text: str) -> DataFrame | None:
+    """PDVD depth table (reference equil.py:193-206)."""
+    return _family_df(spark, deck_text, ("PDVD",))
+
+
+__all__ = [
+    "satfunc_df", "pvt_df", "equil_df", "rsvd_df", "rvvd_df", "pbvd_df",
+    "pdvd_df", "TABLE_KEYWORDS",
+]

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import broadcast
 
-from res2df_spark.sources.deck import _coerce, _expand, _tokenize
+from res2df_spark.sources.deck import _coerce, _expand, _tokenize, known_keywords
 
 
 def _parse_blocks(text: str, keyword: str) -> list[dict]:
@@ -23,15 +23,19 @@ def _parse_blocks(text: str, keyword: str) -> list[dict]:
     toks = _tokenize(text)
     blocks = []
     i = 0
+    # stop collection at ANY known keyword, not just the next VFP one —
+    # otherwise a WELSPECS following a VFP table is swallowed into the
+    # value records and its string items crash the float coercion.
+    stop = known_keywords()
     while i < len(toks):
         if toks[i] != keyword:
             i += 1
             continue
         i += 1
         recs: list[list] = []
-        # records until the next VFP keyword or EOF; VFP tables have no
+        # records until the next keyword or EOF; VFP tables have no
         # lone-slash terminator
-        while i < len(toks) and toks[i] not in ("VFPPROD", "VFPINJ"):
+        while i < len(toks) and toks[i] not in stop:
             rec = []
             while i < len(toks) and toks[i] != "/":
                 rec.append(toks[i])

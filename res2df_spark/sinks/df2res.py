@@ -19,7 +19,9 @@ def _fmt(v) -> str:
     if v is None:
         return "1*"
     if isinstance(v, float):
-        return f"{v:g}"
+        # repr() is the shortest string that round-trips the double —
+        # '%g' (6 sig figs) silently truncated KH/TRAN/volume factors.
+        return repr(v)
     if isinstance(v, str):
         return f"'{v}'"
     return str(v)
@@ -58,22 +60,55 @@ def df2res_satfunc(df: DataFrame) -> str:
             tbl = sub[sub[region_col] == region].sort_values("ROW_IDX")
             for _, r in tbl.iterrows():
                 vals = [r[c] for c in cols if c in tbl.columns]
-                out.append("  " + " ".join(_fmt(None if v != v else float(v)) for v in vals))
+                out.append("  " + " ".join(_fmt(None if v is None or v != v else float(v)) for v in vals))
             out.append("/")
         out.append("")
     return "\n".join(out)
 
 
+_SOLUTION_KEYWORDS = ("RSVD", "RVVD", "PBVD", "PDVD")
+
+
 def df2res_equil(df: DataFrame) -> str:
-    """EQUIL rows → keyword text, one record per EQLNUM."""
+    """EQUIL rows → keyword text, one record per EQLNUM; a tagged frame
+    (KEYWORD column, the ``equil_df`` union) also renders its
+    RSVD/RVVD/PBVD/PDVD depth tables as per-region blocks (reference
+    equil.py:402-523 df2res dispatch)."""
     cols, _ = TABLE_KEYWORDS["EQUIL"]
-    rows = df.orderBy("EQLNUM").collect()
-    lines = ["EQUIL"]
-    for r in rows:
-        items = [_fmt(r[c] if c in df.columns else None) for c in cols]
-        while items and items[-1] == "1*":
-            items.pop()
-        lines.append("  " + " ".join(items) + " /")
+    has_kw = "KEYWORD" in df.columns
+    pdf = df.toPandas()
+    eq = pdf[pdf["KEYWORD"] == "EQUIL"] if has_kw else pdf
+    lines = []
+    if len(eq):
+        lines.append("EQUIL")
+        for _, r in eq.sort_values("EQLNUM").iterrows():
+            items = [
+                _fmt(
+                    None
+                    if c not in eq.columns or r[c] is None or r[c] != r[c]
+                    else float(r[c])
+                )
+                for c in cols
+            ]
+            while items and items[-1] == "1*":
+                items.pop()
+            lines.append("  " + " ".join(items) + " /")
+    if has_kw:
+        for kw in _SOLUTION_KEYWORDS:
+            sub = pdf[pdf["KEYWORD"] == kw]
+            if not len(sub):
+                continue
+            tcols, region_col = TABLE_KEYWORDS[kw]
+            lines.append(kw)
+            for region in sorted(sub[region_col].dropna().unique()):
+                tbl = sub[sub[region_col] == region].sort_values("Z")
+                for _, r in tbl.iterrows():
+                    lines.append(
+                        "  " + " ".join(
+                            _fmt(None if r[c] is None or r[c] != r[c] else float(r[c])) for c in tcols
+                        )
+                    )
+                lines.append("/")
     return "\n".join(lines) + "\n"
 
 
@@ -138,7 +173,7 @@ def df2res_pvt(df: DataFrame) -> str:
                     vals = [_fmt(float(outer))]
                     for _, r in recs.iterrows():
                         vals.extend(
-                            _fmt(None if r[c] != r[c] else float(r[c]))
+                            _fmt(None if r[c] is None or r[c] != r[c] else float(r[c]))
                             for c in inner_cols
                         )
                     out.append("  " + " ".join(vals) + " /")
@@ -151,7 +186,7 @@ def df2res_pvt(df: DataFrame) -> str:
                     vals = [r[c] for c in cols if c in tbl.columns]
                     out.append(
                         "  " + " ".join(
-                            _fmt(None if v != v else float(v)) for v in vals
+                            _fmt(None if v is None or v != v else float(v)) for v in vals
                         )
                     )
                 out.append("/")

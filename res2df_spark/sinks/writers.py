@@ -24,9 +24,15 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def write_dataframe(df: DataFrame, path: str, fmt: str = "csv", mode: str = "overwrite") -> None:
     """K1/K2 terminal write.  ``path='-'`` streams CSV to stdout (the
-    reference's convention); otherwise a distributed ``df.write``."""
+    reference's convention); a ``*.csv`` path gets ONE file like the
+    reference's pandas to_csv (common.py:116-152) — CLI outputs are
+    result tables, small by contract; any other path is a distributed
+    ``df.write`` directory for cluster-scale sinks."""
     if path == "-":
         df.toPandas().to_csv(sys.stdout, index=False)
+        return
+    if fmt == "csv" and path.endswith(".csv"):
+        df.toPandas().to_csv(path, index=False)
         return
     writer = df.write.mode(mode)
     if fmt == "csv":
@@ -48,15 +54,17 @@ def write_parquet_with_metadata(
     df.write.mode(mode).parquet(path)
 
 
-def _fmt_value(v, float_fmt: str = "%g") -> str:
+def _fmt_value(v, float_fmt: str | None = None) -> str:
     """One deck item: NULL → the Eclipse 'defaulted' token ``1*``;
-    strings quoted; floats compact (common.py:694-750)."""
+    strings quoted; floats as repr() — the shortest round-tripping
+    form; '%g' would truncate to 6 significant digits
+    (common.py:694-750)."""
     if v is None:
         return "1*"
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, float):
-        return float_fmt % v
+        return float_fmt % v if float_fmt else repr(v)
     if isinstance(v, str):
         return f"'{v}'"
     return str(v)

@@ -46,10 +46,23 @@ def zonemap_df(spark: SparkSession, text: str) -> DataFrame:
     )
 
 
+def _load_yaml(content: str) -> dict:
+    """parameters.yml loader (reference parameters.py:118-135), gated
+    behind an import-try so a yaml-less environment degrades to
+    txt/json only."""
+    try:
+        import yaml
+    except ImportError:  # pragma: no cover
+        return {}
+    data = yaml.safe_load(content)
+    return data if isinstance(data, dict) else {}
+
+
 def load_parameters(path: str, search_parents: int = 2) -> dict:
-    """Find and merge ``parameters.txt`` / ``parameters.json`` in the
-    case directory and up to ``search_parents`` levels above (the
-    reference looks in ., .., ../.. — parameters.py:18-60)."""
+    """Find and merge ``parameters.txt`` / ``parameters.yml`` /
+    ``parameters.json`` in the case directory and up to
+    ``search_parents`` levels above (the reference looks in ., ..,
+    ../.. — parameters.py:18-60,118-135)."""
     merged: dict = {}
     d = os.path.abspath(path if os.path.isdir(path) else os.path.dirname(path))
     dirs = [d]
@@ -59,6 +72,7 @@ def load_parameters(path: str, search_parents: int = 2) -> dict:
     for d in reversed(dirs):  # nearest file wins on key conflicts
         for fname, loader in (
             ("parameters.json", lambda s: json.loads(s)),
+            ("parameters.yml", _load_yaml),
             ("parameters.txt", None),
         ):
             p = os.path.join(d, fname)

@@ -69,6 +69,111 @@ KEYWORD_ITEMS: dict[str, list[tuple[str, str]]] = {
         ("I1", "int"), ("J1", "int"), ("K1", "int"),
         ("I2", "int"), ("J2", "int"), ("K2", "int"), ("TRANM", "float"),
     ],
+    # segment ICD/valve family (reference compdat.py:146-163; schemas
+    # opmkeywords/WSEGSICD, WSEGAICD, WSEGVALV)
+    "WSEGSICD": [
+        ("WELL", "str"), ("SEGMENT1", "int"), ("SEGMENT2", "int"),
+        ("STRENGTH", "float"), ("LENGTH", "float"), ("DENSITY_CALI", "float"),
+        ("VISCOSITY_CALI", "float"), ("CRITICAL_VALUE", "float"),
+        ("WIDTH_TRANS", "float"), ("MAX_VISC_RATIO", "float"),
+        ("METHOD_SCALING_FACTOR", "int"), ("MAX_ABS_RATE", "float"),
+        ("STATUS", "str"),
+    ],
+    "WSEGAICD": [
+        ("WELL", "str"), ("SEGMENT1", "int"), ("SEGMENT2", "int"),
+        ("STRENGTH", "float"), ("LENGTH", "float"), ("DENSITY_CALI", "float"),
+        ("VISCOSITY_CALI", "float"), ("CRITICAL_VALUE", "float"),
+        ("WIDTH_TRANS", "float"), ("MAX_VISC_RATIO", "float"),
+        ("METHOD_SCALING_FACTOR", "int"), ("MAX_ABS_RATE", "float"),
+        ("FLOW_RATE_EXPONENT", "float"), ("VISC_EXPONENT", "float"),
+        ("STATUS", "str"), ("OIL_FLOW_FRACTION", "float"),
+        ("WATER_FLOW_FRACTION", "float"), ("GAS_FLOW_FRACTION", "float"),
+        ("OIL_VISC_FRACTION", "float"), ("WATER_VISC_FRACTION", "float"),
+        ("GAS_VISC_FRACTION", "float"),
+    ],
+    "WSEGVALV": [
+        ("WELL", "str"), ("SEGMENT_NUMBER", "int"), ("CV", "float"),
+        ("AREA", "float"), ("EXTRA_LENGTH", "float"), ("PIPE_D", "float"),
+        ("ROUGHNESS", "float"), ("PIPE_A", "float"), ("STATUS", "str"),
+        ("MAX_A", "float"),
+    ],
+    # network-tree edge/node keywords (reference gruptree.py:45-182;
+    # schemas opmkeywords/BRANPROP, NODEPROP, GRUPNET)
+    "BRANPROP": [
+        ("DOWNTREE_NODE", "str"), ("UPTREE_NODE", "str"), ("VFP_TABLE", "int"),
+        ("ALQ", "float"), ("ALQ_SURFACE_DENSITY", "str"),
+    ],
+    "NODEPROP": [
+        ("NAME", "str"), ("PRESSURE", "float"), ("AS_CHOKE", "str"),
+        ("ADD_GAS_LIFT_GAS", "str"), ("CHOKE_GROUP", "str"),
+        ("SOURCE_SINK_GROUP", "str"), ("NETWORK_VALUE_TYPE", "str"),
+    ],
+    "GRUPNET": [
+        ("NAME", "str"), ("TERMINAL_PRESSURE", "float"), ("VFP_TABLE", "int"),
+        ("ALQ", "float"), ("SUB_SEA_MANIFOLD", "str"),
+        ("LIFT_GAS_FLOW_THROUGH", "str"), ("ALQ_SURFACE_EQV", "str"),
+    ],
+}
+
+#: Keywords whose FIRST record is a header (well meta) and whose
+#: subsequent records are data rows that inherit the header items —
+#: the WELSEGS/COMPSEGS shape (reference compdat.py:164-212; schemas
+#: opmkeywords/WELSEGS, COMPSEGS ``records`` arrays).
+HEADER_RECORD_KEYWORDS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
+    "WELSEGS": (
+        [
+            ("WELL", "str"), ("DEPTH", "float"), ("LENGTH", "float"),
+            ("WELLBORE_VOLUME", "float"), ("INFO_TYPE", "str"),
+            ("PRESSURE_COMPONENTS", "str"), ("FLOW_MODEL", "str"),
+            ("TOP_X", "float"), ("TOP_Y", "float"),
+        ],
+        [
+            ("SEGMENT1", "int"), ("SEGMENT2", "int"), ("BRANCH", "int"),
+            ("JOIN_SEGMENT", "int"), ("SEGMENT_LENGTH", "float"),
+            ("DEPTH_CHANGE", "float"), ("DIAMETER", "float"),
+            ("ROUGHNESS", "float"), ("AREA", "float"), ("VOLUME", "float"),
+            ("LENGTH_X", "float"), ("LENGTH_Y", "float"),
+        ],
+    ),
+    "COMPSEGS": (
+        [("WELL", "str")],
+        [
+            ("I", "int"), ("J", "int"), ("K", "int"), ("BRANCH", "int"),
+            ("DISTANCE_START", "float"), ("DISTANCE_END", "float"),
+            ("DIRECTION", "str"), ("END_IJK", "int"), ("CENTER_DEPTH", "float"),
+            ("THERMAL_LENGTH", "float"), ("SEGMENT_NUMBER", "int"),
+        ],
+    ),
+}
+
+#: Schema defaults applied when an item is absent or ``n*``-defaulted
+#: (opm returns defaults for unspecified items — the reference relies
+#: on that in parse_opmio_deckrecord; values from the opmkeywords JSON).
+KEYWORD_DEFAULTS: dict[str, dict[str, object]] = {
+    "WSEGSICD": {
+        "LENGTH": 12.0, "DENSITY_CALI": 1000.25, "VISCOSITY_CALI": 1.45,
+        "CRITICAL_VALUE": 0.5, "WIDTH_TRANS": 0.05, "MAX_VISC_RATIO": 5.0,
+        "METHOD_SCALING_FACTOR": -1, "STATUS": "OPEN",
+    },
+    "WSEGAICD": {
+        "LENGTH": 12.0, "DENSITY_CALI": 1000.25, "VISCOSITY_CALI": 1.45,
+        "CRITICAL_VALUE": 0.5, "WIDTH_TRANS": 0.05, "MAX_VISC_RATIO": 5.0,
+        "METHOD_SCALING_FACTOR": -1, "STATUS": "OPEN",
+        "OIL_FLOW_FRACTION": 1.0, "WATER_FLOW_FRACTION": 1.0,
+        "GAS_FLOW_FRACTION": 1.0, "OIL_VISC_FRACTION": 1.0,
+        "WATER_VISC_FRACTION": 1.0, "GAS_VISC_FRACTION": 1.0,
+    },
+    "WSEGVALV": {"STATUS": "OPEN"},
+    "BRANPROP": {"ALQ": 0.0, "ALQ_SURFACE_DENSITY": "NONE"},
+    "NODEPROP": {"AS_CHOKE": "NO", "ADD_GAS_LIFT_GAS": "NO",
+                 "NETWORK_VALUE_TYPE": "PROD"},
+    "GRUPNET": {"VFP_TABLE": 0, "ALQ": 0.0, "SUB_SEA_MANIFOLD": "NO",
+                "LIFT_GAS_FLOW_THROUGH": "NO", "ALQ_SURFACE_EQV": "NONE"},
+    "WELSEGS": {"LENGTH": 0.0, "WELLBORE_VOLUME": 1e-05,
+                "PRESSURE_COMPONENTS": "HFA", "FLOW_MODEL": "HO",
+                "TOP_X": 0.0, "TOP_Y": 0.0,
+                "LENGTH_X": 0.0, "LENGTH_Y": 0.0},
+    "COMPSEGS": {"CENTER_DEPTH": 0.0},
 }
 
 #: Table keywords (R10, common.py:187-266): each record is a flat float
@@ -82,10 +187,21 @@ TABLE_KEYWORDS: dict[str, tuple[list[str], str]] = {
     "SGFN": (["SG", "KRG", "PC"], "SATNUM"),
     "SOF2": (["SO", "KRO"], "SATNUM"),
     "SOF3": (["SO", "KROW", "KROG"], "SATNUM"),
+    "SGWFN": (["SG", "KRG", "KRW", "PCGW"], "SATNUM"),
     "PVDG": (["PRESSURE", "VOLUMEFACTOR", "VISCOSITY"], "PVTNUM"),
     "PVDO": (["PRESSURE", "VOLUMEFACTOR", "VISCOSITY"], "PVTNUM"),
     "DENSITY": (["OILDENSITY", "WATERDENSITY", "GASDENSITY"], "PVTNUM"),
     "ROCK": (["PRESSURE", "COMPRESSIBILITY"], "PVTNUM"),
+    # one record per PVT region (reference pvt.py:61-89, RENAMERS["PVTW"])
+    "PVTW": (
+        ["PRESSURE", "VOLUMEFACTOR", "COMPRESSIBILITY", "VISCOSITY", "VISCOSIBILITY"],
+        "PVTNUM",
+    ),
+    # equil solution-family depth tables (reference equil.py:30-35)
+    "RSVD": (["Z", "RS"], "EQLNUM"),
+    "RVVD": (["Z", "RV"], "EQLNUM"),
+    "PBVD": (["Z", "PB"], "EQLNUM"),
+    "PDVD": (["Z", "PD"], "EQLNUM"),
     "EQUIL": (
         ["Z", "PRESSURE", "OWC", "PCOWC", "GOC", "PCGOC", "INITRS", "INITRV", "ACCURACY"],
         "EQLNUM",
@@ -120,7 +236,13 @@ def _tokenize(text: str) -> list[str]:
     toks: list[str] = []
     for line in text.splitlines():
         line = line.split("--", 1)[0]
-        toks.extend(_TOKEN_RE.findall(line))
+        for t in _TOKEN_RE.findall(line):
+            toks.append(t)
+            if t == "/":
+                # anything after the record terminator on the same line
+                # is a comment even without '--' (Eclipse convention;
+                # reference test_compdat.py 'comment without -- identifier')
+                break
     return toks
 
 
@@ -148,6 +270,17 @@ def _coerce(raw: str | None, kind: str):
     return s
 
 
+def known_keywords() -> set[str]:
+    """Every keyword this parser has a schema for — shared with the VFP
+    block parser so a VFP table stops at the first following keyword
+    instead of swallowing WELSPECS records into its value list."""
+    return (
+        set(KEYWORD_ITEMS) | DATE_KEYWORDS | set(TABLE_KEYWORDS)
+        | set(NESTED_TABLE_KEYWORDS) | set(HEADER_RECORD_KEYWORDS)
+        | {"WLIST", "VFPPROD", "VFPINJ"}
+    )
+
+
 def _parse_date(items: list[str]) -> date:
     """``1 'JAN' 2000`` (optionally with a time-of-day item)."""
     d, mon, y = items[0], items[1].strip("'").upper(), items[2]
@@ -167,21 +300,35 @@ def parse_deck(text: str) -> list[dict]:
     cursor: date | None = None
     kw_idx = -1
     i = 0
-    known = (set(KEYWORD_ITEMS) | DATE_KEYWORDS | set(TABLE_KEYWORDS)
-             | set(NESTED_TABLE_KEYWORDS) | {"WLIST"})
+    known = known_keywords()
+
+    def _skip_block(j: int) -> int:
+        """Skip an unhandled keyword's payload: resume at a known keyword
+        that is either the IMMEDIATE next token (zero-payload section
+        headers like SCHEDULE) or follows a '/' record terminator — a
+        data token that merely equals a keyword name mid-record cannot
+        mis-resume the parse."""
+        at_boundary = True
+        while j < len(toks):
+            if toks[j] in known and at_boundary:
+                return j
+            at_boundary = toks[j] == "/"
+            j += 1
+        return j
+
     while i < len(toks):
         kw = toks[i]
         i += 1
-        if kw not in known:
-            # skip unknown keyword: consume through its terminating '/'
-            # (best effort: until a record boundary followed by another
-            # known keyword or EOF)
-            while i < len(toks) and toks[i] not in known:
-                i += 1
+        if kw not in known or kw in ("VFPPROD", "VFPINJ"):
+            # unknown keywords and VFP blocks (parsed by modules/vfp.py)
+            # are skipped; their numeric payload never contains a known
+            # keyword in record-boundary position.
+            i = _skip_block(i)
             continue
         kw_idx += 1
         rec_idx = 0
         region = 1
+        header: dict | None = None
         while i < len(toks):
             # A record starting with a known keyword means the current
             # keyword ended WITHOUT a lone '/' — the table-keyword style
@@ -206,7 +353,13 @@ def parse_deck(text: str) -> list[dict]:
                      "DATE": cursor}
                 )
             elif kw == "TSTEP":
+                # defaulted 'n*' items expand to None — no time advance;
+                # a TSTEP before any START/DATES leaves the cursor unset
+                # (the reference aborts there, compdat.py:222-226 — a
+                # None cursor degrades to a NULL DATE instead).
                 for step in _expand(rec):
+                    if step is None or cursor is None:
+                        continue
                     cursor = cursor + timedelta(days=float(step))
                 records.append(
                     {"KEYWORD_IDX": kw_idx, "KEYWORD": kw, "RECORD_IDX": rec_idx,
@@ -256,14 +409,37 @@ def parse_deck(text: str) -> list[dict]:
                      "DATE": None, "NAME": expanded[0], "ACTION": expanded[1],
                      "WELLS": [w for w in expanded[2:] if w is not None]}
                 )
+            elif kw in HEADER_RECORD_KEYWORDS:
+                head_items, rec_items = HEADER_RECORD_KEYWORDS[kw]
+                defaults = KEYWORD_DEFAULTS.get(kw, {})
+                expanded = _expand(rec)
+                if header is None:
+                    # first record = well header, inherited by data rows
+                    header = {}
+                    for (name, kind), raw in zip(head_items, expanded):
+                        v = _coerce(raw, kind)
+                        header[name] = defaults.get(name) if v is None else v
+                    for name, _ in head_items[len(expanded):]:
+                        header[name] = defaults.get(name)
+                    continue  # header is not itself an output row
+                row = {"KEYWORD_IDX": kw_idx, "KEYWORD": kw,
+                       "RECORD_IDX": rec_idx, "DATE": None, **header}
+                for (name, kind), raw in zip(rec_items, expanded):
+                    v = _coerce(raw, kind)
+                    row[name] = defaults.get(name) if v is None else v
+                for name, _ in rec_items[len(expanded):]:
+                    row[name] = defaults.get(name)
+                records.append(row)
             else:
                 row: dict = {"KEYWORD_IDX": kw_idx, "KEYWORD": kw,
                              "RECORD_IDX": rec_idx, "DATE": None}
+                defaults = KEYWORD_DEFAULTS.get(kw, {})
                 expanded = _expand(rec)
                 for (name, kind), raw in zip(KEYWORD_ITEMS[kw], expanded):
-                    row[name] = _coerce(raw, kind)
+                    v = _coerce(raw, kind)
+                    row[name] = defaults.get(name) if v is None else v
                 for name, _ in KEYWORD_ITEMS[kw][len(expanded):]:
-                    row[name] = None
+                    row[name] = defaults.get(name)
                 records.append(row)
             rec_idx += 1
             if kw in SINGLE_RECORD:
@@ -293,6 +469,11 @@ def deck_records(spark: SparkSession, text: str, keyword: str) -> DataFrame:
             f", `{n}` double" for n in tcols
         )
         cols = ["KEYWORD_IDX", "KEYWORD", "RECORD_IDX", "DATE", region, "ROW_IDX"] + tcols
+    elif keyword in HEADER_RECORD_KEYWORDS:
+        head_items, rec_items = HEADER_RECORD_KEYWORDS[keyword]
+        items = head_items + rec_items
+        schema = base + "".join(f", `{n}` {_SPARK_KIND[k]}" for n, k in items)
+        cols = ["KEYWORD_IDX", "KEYWORD", "RECORD_IDX", "DATE"] + [n for n, _ in items]
     else:
         items = KEYWORD_ITEMS.get(keyword, [])
         schema = base + "".join(f", `{n}` {_SPARK_KIND[k]}" for n, k in items)

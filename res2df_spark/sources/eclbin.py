@@ -269,6 +269,18 @@ def summary_long(spark, smspec_path: str, unsmry_path: str | None = None):
     return spark.createDataFrame(pdf, schema="DATE timestamp, VECTOR string, VALUE double")
 
 
+def summary_meta(spark, smspec_path: str):
+    """Vector metadata dim straight from the SMSPEC UNITS array
+    (reference summary.py:567-599) — '/DAY' units ⇒ rate, the
+    authoritative classification the CLI resample path should prefer
+    over the pure name heuristic."""
+    from res2df_spark.modules.summary import meta_from_units
+
+    with open(smspec_path, "rb") as f:
+        meta = parse_smspec(f.read())
+    return meta_from_units(spark, meta["vectors"], meta["units"])
+
+
 def summary_long_many(spark, root_glob: str):
     """Distributed ensemble ingest: every ``*.SMSPEC`` under the glob
     becomes one task that parses its run and emits long rows tagged

@@ -1353,3 +1353,264 @@ def eclbin_summary_roundtrip(spark, sf_dir):
         F.col("DATE").alias("d"), F.col("VECTOR").alias("vector"),
         F.col("VALUE").alias("value"),
     ).orderBy("d", "vector")
+
+
+# ---------------------------------------------------------------------------
+# RFT derived columns (reference rft.py:463-508 add_extras) — guarded
+# column arithmetic over a distributed frame, no shuffle.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "rft_extras",
+    """
+    WITH src AS (
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice / 1000.0 AS conpres,
+               l_discount * 100.0 AS segpres,
+               l_tax * 1000.0 AS pressure,
+               l_quantity AS conlenst,
+               l_quantity + l_linenumber AS conlenen,
+               l_extendedprice AS conorat
+        FROM lineitem)
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(CASE WHEN conpres > 0 AND segpres > 0
+                     THEN conpres - segpres ELSE 0 END AS DOUBLE)
+               AS completion_dp,
+           CAST(CASE WHEN conpres > 0 THEN pressure - conpres
+                     ELSE 0 END AS DOUBLE) AS drawdown,
+           CAST(0.5 * (conlenst + conlenen) AS DOUBLE) AS conmd,
+           CAST(conlenen - conlenst AS DOUBLE) AS conlenth,
+           CAST(conorat / (conlenen - conlenst) AS DOUBLE) AS conorats
+    FROM src
+    """,
+)
+def rft_extras(spark, sf_dir):
+    """RFT derived columns (reference rft.py:463-508): COMPLETION_DP /
+    DRAWDOWN / CONMD / CONLENTH / per-length scaled rates as guarded
+    column arithmetic — partition-local, fully codegen'd, zero
+    shuffles; the synthetic frame maps lineitem columns onto the RFT
+    vector names so the oracle can replicate the arithmetic exactly."""
+    from res2df_spark.modules.rft import add_extras
+
+    li = Catalog(spark, sf_dir).lineitem
+    src = li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") / 1000.0).alias("CONPRES"),
+        (F.col("l_discount") * 100.0).alias("SEGPRES"),
+        (F.col("l_tax") * 1000.0).alias("PRESSURE"),
+        F.col("l_quantity").alias("CONLENST"),
+        (F.col("l_quantity") + F.col("l_linenumber")).alias("CONLENEN"),
+        F.col("l_extendedprice").alias("CONORAT"),
+    )
+    out = add_extras(src)
+    return out.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("COMPLETION_DP").alias("completion_dp"),
+        F.col("DRAWDOWN").alias("drawdown"),
+        F.col("CONMD").alias("conmd"),
+        F.col("CONLENTH").alias("conlenth"),
+        F.col("CONORATS").alias("conorats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment keywords from a real deck (S1 extension — WELSEGS/COMPSEGS/
+# WSEG* wired through compdat, reference compdat.py:145-212)
+# ---------------------------------------------------------------------------
+
+_SEG_DECK = """
+DATES
+  1 JAN 2020 /
+/
+WELSEGS
+  'OP1' 1689.0 1923.0 1.0E-5 'ABS' 'HFA' 'HO' /
+   2 3 1 1 1923.9 1689.0 0.1172 0.000015 /
+   17 17 1 2 2600.0 1700.0 0.1172 0.000015 /
+/
+COMPSEGS
+  'OP1' /
+  41 125 29 1 2577.0 2616.298 4* 17 /
+  42 125 29 1 2616.298 2630.0 4* 2 /
+/
+WSEGVALV
+  'OP1' 17 0.85 7.43e-06 /
+/
+WSEGSICD
+  'OP1' 2 2 0.001 /
+/
+"""
+
+
+@_q(
+    "compdat_segments",
+    """
+    WITH expected(well, i, j, k, segment_number, segment_md, valve_cv,
+                  icd_strength, d) AS (VALUES
+        ('OP1', 41, 125, 29, 17, 2600.0, 0.85, CAST(NULL AS DOUBLE),
+         DATE '2020-01-01'),
+        ('OP1', 42, 125, 29, 2, 1923.9, CAST(NULL AS DOUBLE), 0.001,
+         DATE '2020-01-01'))
+    SELECT well, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(k AS BIGINT) AS k,
+           CAST(segment_number AS BIGINT) AS segment_number,
+           segment_md, valve_cv, icd_strength, CAST(d AS TIMESTAMP) AS d
+    FROM expected
+    """,
+)
+def compdat_segments(spark, sf_dir):
+    """Segment keywords end-to-end from an embedded deck (S1/J8):
+    WELSEGS header merge + ABS measured depth + SEGMENT1–SEGMENT2
+    unroll, COMPSEGS header-well inheritance, WSEGVALV/WSEGSICD device
+    joins — the reference's deck2dfs frames chained into connection →
+    segment → device rows (compdat.py:66-283, rft.py:376-460)."""
+    from res2df_spark.modules import compdat
+
+    out = compdat.icd_chain(spark, _SEG_DECK)
+    return out.select(
+        F.col("WELL").alias("well"),
+        F.col("I").cast("long").alias("i"),
+        F.col("J").cast("long").alias("j"),
+        F.col("K").cast("long").alias("k"),
+        F.col("SEGMENT_NUMBER").cast("long").alias("segment_number"),
+        F.col("SEGMENT_MD").alias("segment_md"),
+        F.col("VALVE_CV").alias("valve_cv"),
+        F.col("ICD_STRENGTH").alias("icd_strength"),
+        F.col("DATE").cast("timestamp").alias("d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Network trees (W7 extension — BRANPROP/NODEPROP families,
+# reference gruptree.py:73-287)
+# ---------------------------------------------------------------------------
+
+_NET_DECK = """
+DATES
+  1 JAN 2000 /
+/
+GRUPTREE
+ 'TMPL_A' 'FIELD'/
+/
+BRANPROP
+  'NODE_A'  'FIELD'  1 /
+  'TMPL_A'  'NODE_A' 2 /
+/
+NODEPROP
+  'FIELD'  20 /
+  'TMPL_A'  2*  YES /
+/
+DATES
+  1 FEB 2000 /
+/
+BRANPROP
+  'NODE_B'  'FIELD'  3 /
+  'TMPL_A'  'NODE_B' 4 /
+/
+"""
+
+
+@_q(
+    "gruptree_network",
+    """
+    WITH expected(d, child, keyword, parent, vfp_table, terminal_pressure)
+    AS (VALUES
+        (DATE '2000-01-01', 'FIELD', 'GRUPTREE', CAST(NULL AS VARCHAR),
+         CAST(NULL AS INT), CAST(NULL AS DOUBLE)),
+        (DATE '2000-01-01', 'TMPL_A', 'GRUPTREE', 'FIELD', NULL, NULL),
+        (DATE '2000-01-01', 'FIELD', 'BRANPROP', NULL, NULL, 20.0),
+        (DATE '2000-01-01', 'NODE_A', 'BRANPROP', 'FIELD', 1, NULL),
+        (DATE '2000-01-01', 'TMPL_A', 'BRANPROP', 'NODE_A', 2, NULL),
+        (DATE '2000-02-01', 'FIELD', 'BRANPROP', NULL, NULL, 20.0),
+        (DATE '2000-02-01', 'NODE_A', 'BRANPROP', 'FIELD', 1, NULL),
+        (DATE '2000-02-01', 'NODE_B', 'BRANPROP', 'FIELD', 3, NULL),
+        (DATE '2000-02-01', 'TMPL_A', 'BRANPROP', 'NODE_B', 4, NULL))
+    SELECT CAST(d AS TIMESTAMP) AS d, child, keyword, parent,
+           CAST(vfp_table AS BIGINT) AS vfp_table, terminal_pressure
+    FROM expected
+    """,
+)
+def gruptree_network(spark, sf_dir):
+    """Network-tree snapshots from an embedded deck (W7 full surface):
+    both tree families with per-family snapshot dates, BRANPROP edge
+    data (VFP_TABLE), NODEPROP node data (TERMINAL_PRESSURE) merged
+    onto children, per-family roots — reference gruptree.py:73-287
+    semantics, oracle = the hand-derived expected frame (identical to
+    the reference's own test expectation)."""
+    from res2df_spark.modules import gruptree
+
+    out = gruptree.df(spark, _NET_DECK)
+    return out.select(
+        F.col("DATE").cast("timestamp").alias("d"),
+        F.col("CHILD").alias("child"),
+        F.col("KEYWORD").alias("keyword"),
+        F.col("PARENT").alias("parent"),
+        F.col("VFP_TABLE").cast("long").alias("vfp_table"),
+        F.col("TERMINAL_PRESSURE").alias("terminal_pressure"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN multi-probe LSH (recall fix for single-probe's near-hyperplane
+# misses): each query also probes the Hamming-distance-1 buckets.
+# ---------------------------------------------------------------------------
+
+_ANN_MULTIPROBE_SQL = f"""
+    WITH planes(pi, pv) AS (VALUES
+        {_planes_sql()}),
+    b AS (
+        SELECT e.vec_id,
+               string_agg(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv) >= 0
+                               THEN '1' ELSE '0' END, '' ORDER BY p.pi) AS bucket
+        FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+    q0 AS (SELECT e.vec_id AS q_id, e.embedding AS qv, b.bucket
+           FROM embeddings e JOIN b ON b.vec_id = e.vec_id WHERE e.vec_id < 8),
+    q AS (
+        SELECT q_id, qv,
+               CASE WHEN j = 0 THEN bucket
+                    ELSE substr(bucket, 1, j - 1)
+                         || (CASE WHEN substr(bucket, j, 1) = '1' THEN '0' ELSE '1' END)
+                         || substr(bucket, j + 1) END AS bucket
+        FROM q0 CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS j)),
+    cand AS (
+        SELECT q.q_id, cb.vec_id, q.qv, e.embedding AS ev
+        FROM q JOIN b cb ON cb.bucket = q.bucket
+        JOIN embeddings e ON e.vec_id = cb.vec_id
+        WHERE cb.vec_id <> q.q_id),
+    expl AS (SELECT q_id, vec_id, qv, ev, unnest(generate_series(1, 64)) AS i FROM cand),
+    dots AS (SELECT q_id, vec_id,
+                    sum(CAST(qv[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS dot,
+                    sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS nq,
+                    sum(CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS ne
+             FROM expl GROUP BY 1, 2),
+    ranked AS (SELECT q_id, vec_id, dot / (sqrt(nq) * sqrt(ne)) AS cosine,
+                      row_number() OVER (PARTITION BY q_id
+                          ORDER BY dot / (sqrt(nq) * sqrt(ne)) DESC, vec_id) AS rnk
+               FROM dots)
+    SELECT q_id, vec_id, CAST(round(cosine, 6) AS DOUBLE) AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+"""
+
+
+@_q("ann_lsh_multiprobe", _ANN_MULTIPROBE_SQL)
+def ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-k (llm/similarity.py lsh_bucketed_topk with
+    n_probes=8): queries probe their own bucket plus all 8 Hamming-1
+    neighbours, fixing the single-probe recall cliff for vectors near a
+    hyperplane; the corpus keeps one bucket per vector so the candidate
+    join stays an equality join — only the 8-row query side fans out
+    9×."""
+    from res2df_spark.llm.similarity import lsh_bucketed_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    out = lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=10, n_planes=8, n_probes=8
+    )
+    return out.select(
+        "q_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rnk"),
+    )

@@ -137,3 +137,143 @@ def test_cli_summary_resampled_wide(capsys):
     header = out[0].split(",")
     assert header[0] == "DATE" and set(header[1:]) == {"FOPT", "FOPR"}
     assert len(out) > 2  # one row per monthly spine point
+
+
+# ---------------------------------------------------------------------------
+# csv2res reverse CLI (reference csv2res.py:43-88): CSV → include text →
+# CSV must be a fixed point.
+# ---------------------------------------------------------------------------
+
+
+def test_csv2res_satfunc_roundtrip(spark, tmp_path, capsys):
+    deck = tmp_path / "satfunc.inc"
+    deck.write_text(
+        "SWOF\n  0.1 0.0 1.0 0.0\n  0.9 1.0 0.0 0.0\n/\n"
+        "  0.2 0.0 1.0 0.0\n  0.8 1.0 0.0 0.0\n/\n"
+    )
+    csv1 = tmp_path / "satfunc.csv"
+    assert cli.main(["satfunc", str(deck), "-o", str(csv1)]) == 0
+    inc = tmp_path / "again.inc"
+    assert cli.csv2res_main(["satfunc", str(csv1), "-o", str(inc)]) == 0
+    csv2 = tmp_path / "satfunc2.csv"
+    assert cli.main(["satfunc", str(inc), "-o", str(csv2)]) == 0
+    import pandas as pd
+
+    a = pd.read_csv(csv1).sort_values(["KEYWORD", "SATNUM", "ROW_IDX"]).reset_index(drop=True)
+    b = pd.read_csv(csv2).sort_values(["KEYWORD", "SATNUM", "ROW_IDX"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_csv2res_equil_roundtrip(spark, tmp_path, capsys):
+    deck = tmp_path / "solution.inc"
+    deck.write_text(
+        "EQUIL\n  2000 200 2200 /\n\nRSVD\n  1500 184.0\n  4000 184.0\n/\n"
+    )
+    csv1 = tmp_path / "equil.csv"
+    assert cli.main(["equil", str(deck), "-o", str(csv1)]) == 0
+    inc = tmp_path / "solution2.inc"
+    assert cli.csv2res_main(["equil", str(csv1), "-o", str(inc)]) == 0
+    csv2 = tmp_path / "equil2.csv"
+    assert cli.main(["equil", str(inc), "-o", str(csv2)]) == 0
+    import pandas as pd
+
+    a = pd.read_csv(csv1)
+    b = pd.read_csv(csv2)
+    assert sorted(a.columns) == sorted(b.columns)
+    key = ["KEYWORD", "EQLNUM"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key + ["Z"]).reset_index(drop=True)[sorted(a.columns)],
+        b.sort_values(key + ["Z"]).reset_index(drop=True)[sorted(a.columns)],
+        check_dtype=False,
+    )
+
+
+def test_csv2res_vfpinj_roundtrip(spark, tmp_path, capsys):
+    deck = tmp_path / "vfp.inc"
+    deck.write_text(
+        "VFPINJ\n  1 3000.0 'WAT' 'THP' 'BHP' /\n  100 200 /\n  10 20 /\n"
+        "  1 2000 2100 /\n  2 2200 2300 /\n"
+    )
+    csv1 = tmp_path / "vfp.csv"
+    assert cli.main(["vfpinj", str(deck), "-o", str(csv1)]) == 0
+    inc = tmp_path / "vfp2.inc"
+    assert cli.csv2res_main(["vfp", str(csv1), "-o", str(inc)]) == 0
+    csv2 = tmp_path / "vfp3.csv"
+    assert cli.main(["vfpinj", str(inc), "-o", str(csv2)]) == 0
+    import pandas as pd
+
+    key = ["TABLE", "THP", "RATE"]
+    a = pd.read_csv(csv1).sort_values(key).reset_index(drop=True)
+    b = pd.read_csv(csv2).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_csv2res_summary_writes_binaries(spark, tmp_path):
+    import pandas as pd
+
+    csv = tmp_path / "summary.csv"
+    pd.DataFrame(
+        {
+            "DATE": ["2020-01-01", "2020-02-01", "2020-03-01"],
+            "FOPT": [0.0, 100.0, 250.0],
+            "WOPR:OP1": [10.0, 12.0, 9.0],
+        }
+    ).to_csv(csv, index=False)
+    smspec = tmp_path / "CASE.SMSPEC"
+    assert cli.csv2res_main(["summary", str(csv), "-o", str(smspec)]) == 0
+    assert smspec.exists() and (tmp_path / "CASE.UNSMRY").exists()
+    from res2df_spark.sources.eclbin import summary_long
+
+    back = summary_long(spark, str(smspec))
+    got = {
+        (r["VECTOR"], str(r["DATE"])[:10]): r["VALUE"] for r in back.collect()
+    }
+    assert got[("FOPT", "2020-02-01")] == 100.0
+    assert got[("WOPR:OP1", "2020-03-01")] == 9.0
+
+
+def test_cli_wellcompletiondata(spark, tmp_path, capsys):
+    deck = tmp_path / "wcd.DATA"
+    deck.write_text(
+        """
+START
+  1 JAN 2020 /
+WELSPECS
+  'OP1' 'G1' 1 1 1000.0 'OIL' /
+/
+COMPDAT
+  'OP1' 1 1 1 2 'OPEN' 1* 1* 1* 100.0 /
+  'OP1' 1 1 3 3 'SHUT' 1* 1* 1* 50.0 /
+/
+"""
+    )
+    lyr = tmp_path / "zones.lyr"
+    lyr.write_text("'UPPER' 1-2\n'LOWER' 3\n")
+    assert (
+        cli.main(
+            ["wellcompletiondata", str(deck), "--zonemap", str(lyr), "-o", "-"]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "UPPER" in out and "LOWER" in out
+
+
+def test_cli_summary_date_crop_and_arrow(tmp_path):
+    import pandas as pd
+
+    assert cli.main([
+        "summary", f"{_EIGHT}/EIGHTCELLS", "-o", str(tmp_path / "s.csv"),
+        "--start_date", "2000-02-01",
+    ]) == 0
+    df = pd.read_csv(tmp_path / "s.csv")
+    assert (pd.to_datetime(df["DATE"]) >= "2000-02-01").all()
+
+    arrow_path = tmp_path / "s.feather"
+    assert cli.main([
+        "summary", f"{_EIGHT}/EIGHTCELLS", "-o", str(arrow_path), "--arrow",
+    ]) == 0
+    import pyarrow.feather as feather
+
+    t = feather.read_table(str(arrow_path))
+    assert t.num_rows > 0

@@ -267,3 +267,148 @@ COMPDAT
     out = compdat.df(spark, deck)
     got = rows(out, "WELL", "K", "OP_SH")
     assert got == [("OP1", 1, "OPEN"), ("OP2", 5, "SHUT"), ("OP2", 6, "SHUT")]
+
+
+# ---------------------------------------------------------------------------
+# Segment keywords (WELSEGS/COMPSEGS/WSEG*) — cases modeled on the
+# reference's tests/test_compdat.py::test_str2df / test_unrollwelsegs.
+# ---------------------------------------------------------------------------
+
+SEGMENT_DECK = """
+WELSPECS
+ 'OP1' 'OPWEST' 41 125 1759.74 'OIL' /
+/
+
+COMPDAT
+ 'OP1' 33 110 31 31 'OPEN' 0 6467.31299 0.216 506642.25  0.0 0.0 'Y' /
+/
+
+WELSEGS
+  'OP1' 1689 1923 1.0E-5 'ABS' 'HFA' 'HO' / comment without -- identifier
+-- foo bar
+   2 2 1 1 1923.9 1689.000 0.1172 0.000015  /
+/
+
+COMPSEGS
+  'OP1' / -- Yet a comment
+  -- comment
+  41 125 29  5 2577.0 2616.298 / icd on branch 1 in segment 17
+/
+
+WSEGVALV
+  'OP1'   166   1   7.4294683E-06  0 / icd on segment 17, cell 41 125 29
+/
+"""
+
+
+def test_welsegs_header_and_abs_md(spark):
+    ws = compdat.welsegs_df(spark, SEGMENT_DECK)
+    r = ws.collect()
+    assert len(r) == 1  # header record merged, not emitted
+    row = r[0]
+    assert row["WELL"] == "OP1"
+    assert row["DEPTH"] == 1689.0
+    assert row["INFO_TYPE"] == "ABS"
+    # ABS info type adds SEGMENT_MD = SEGMENT_LENGTH
+    assert row["SEGMENT_MD"] == 1923.9
+    assert row["SEGMENT1"] == 2 and row["SEGMENT2"] == 2
+
+
+def test_welsegs_unroll(spark):
+    deck = """
+WELSEGS
+  'OP1' 1689 1923 1.0E-5 'ABS' 'HFA' 'HO' /
+   2 3 1 1 1923.9 1689.000 0.1172 0.000015  /
+/
+"""
+    df = compdat.welsegs_df(spark, deck)
+    got = sorted(r["SEGMENT1"] for r in df.collect())
+    assert got == [2, 3]
+    assert all(r["SEGMENT1"] == r["SEGMENT2"] for r in df.collect())
+    assert compdat.welsegs_df(spark, deck, unroll=False).count() == 1
+
+
+def test_compsegs_header_well(spark):
+    cs = compdat.compsegs_df(spark, SEGMENT_DECK)
+    r = cs.collect()
+    assert len(r) == 1
+    assert r[0]["WELL"] == "OP1"
+    assert r[0]["I"] == 41 and r[0]["J"] == 125 and r[0]["K"] == 29
+    assert r[0]["BRANCH"] == 5
+    assert r[0]["DISTANCE_START"] == 2577.0
+
+
+def test_wsegvalv_and_defaults(spark):
+    v = compdat.wsegvalv_df(spark, SEGMENT_DECK)
+    r = v.collect()
+    assert len(r) == 1
+    assert r[0]["WELL"] == "OP1"
+    assert r[0]["SEGMENT_NUMBER"] == 166
+    assert r[0]["CV"] == 1.0
+    assert r[0]["AREA"] == 7.4294683e-06
+    assert r[0]["STATUS"] == "OPEN"  # schema default applied
+
+
+def test_wsegsicd_defaults_and_unroll(spark):
+    deck = """
+DATES
+  1 MAY 2001 /
+/
+WSEGSICD
+  'OP1' 5 7 0.001 /
+/
+"""
+    d = compdat.wsegsicd_df(spark, deck)
+    r = sorted(d.collect(), key=lambda x: x["SEGMENT1"])
+    assert [x["SEGMENT1"] for x in r] == [5, 6, 7]
+    assert all(x["LENGTH"] == 12.0 for x in r)       # opm default
+    assert all(x["DENSITY_CALI"] == 1000.25 for x in r)
+    assert all(x["STATUS"] == "OPEN" for x in r)
+    assert all(str(x["DATE"]) == "2001-05-01" for x in r)
+
+
+def test_icd_chain_from_deck(spark):
+    deck = """
+WELSEGS
+  'OP1' 1689 1923 1.0E-5 'ABS' 'HFA' 'HO' /
+   17 17 1 1 2600.0 1689.0 0.1172 0.000015  /
+/
+COMPSEGS
+  'OP1' /
+  41 125 29  1 2577.0 2616.298 4* 17 /
+/
+WSEGVALV
+  'OP1' 17 0.85 7.43e-06 /
+/
+"""
+    chain = compdat.icd_chain(spark, deck)
+    r = chain.collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["WELL"] == "OP1" and row["SEGMENT_NUMBER"] == 17
+    assert row["SEGMENT_MD"] == 2600.0       # joined from WELSEGS
+    assert row["VALVE_CV"] == 0.85           # joined from WSEGVALV
+    assert row["ICD_STRENGTH"] is None       # no WSEGSICD in deck
+
+
+def test_vfp_block_stops_at_next_keyword(spark):
+    """A non-VFP keyword following a VFP table must not be swallowed
+    into the value records (ADVICE r1)."""
+    from res2df_spark.modules import vfp
+
+    deck = """
+VFPINJ
+  1 3000.0 'WAT' 'THP' 'BHP' /
+  100 200 /
+  10 20 /
+  1 2000 2100 /
+  2 2200 2300 /
+
+WELSPECS
+  'OP1' 'G1' 3 4 1000.0 'OIL' /
+/
+"""
+    df = vfp.df_inj(spark, deck)
+    assert df.count() == 4  # 2 THP × 2 rates — WELSPECS not consumed
+    recs = deck_records(spark, deck, "WELSPECS")
+    assert recs.count() == 1

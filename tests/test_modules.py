@@ -193,3 +193,177 @@ def test_rft_seg_topology(spark):
     assert got[2].UP_DEPTH == 1000.0  # upstream payload attached
     lonely = out.filter("WELL = 'OP2'").first()
     assert lonely.LONELY
+
+
+# ---------------------------------------------------------------------------
+# BRANPROP / NODEPROP / GRUPNET / WELSPECS tree families — cases modeled
+# on the reference's tests/test_gruptree.py::test_branprop_nodeprop and
+# test_grupnetdf.
+# ---------------------------------------------------------------------------
+
+
+def test_gruptree_keyword_column_and_welspecs(spark):
+    deck = """
+START
+  1 JAN 2000 /
+GRUPTREE
+ 'OPS' 'FIELD' /
+/
+WELSPECS
+ 'OP1' 'OPS' 1 1 1000.0 'OIL' /
+/
+"""
+    out = gruptree.df(spark, deck)
+    got = set(rows(out, "CHILD", "KEYWORD", "PARENT"))
+    assert ("FIELD", "GRUPTREE", None) in got
+    assert ("OP1", "WELSPECS", "OPS") in got
+    assert ("OPS", "GRUPTREE", "FIELD") in got
+    assert len(got) == 3
+
+
+def test_grupnet_terminal_pressure(spark):
+    deck = """
+START
+  1 JAN 2000 /
+GRUPTREE
+ 'OPWEST' 'OP' /
+ 'OP' 'FIELD' /
+ 'FIELD' 'AREA' /
+/
+GRUPNET
+  'FIELD' 90 /
+  'OPWEST' 100 /
+/
+"""
+    out = gruptree.df(spark, deck)
+    tp = {r[0]: r[1] for r in rows(out, "CHILD", "TERMINAL_PRESSURE")}
+    assert tp["FIELD"] == 90.0
+    assert tp["OPWEST"] == 100.0
+    assert tp["OP"] is None
+
+
+def test_branprop_changing_edges(spark):
+    deck = """
+DATES
+  1 JAN 2000 /
+/
+GRUPTREE
+ 'TMPL_A' 'FIELD'/
+/
+BRANPROP
+  'NODE_A'  'FIELD'  1 /
+  'TMPL_A'  'NODE_A' 2 /
+/
+NODEPROP
+  'FIELD'  20 /
+  'TMPL_A'  2*  YES /
+/
+DATES
+  1 FEB 2000 /
+/
+BRANPROP
+  'NODE_B'  'FIELD'  3 /
+  'TMPL_A'  'NODE_B' 4 /
+/
+"""
+    out = gruptree.df(spark, deck)
+    got = set(rows(out, "DATE", "CHILD", "KEYWORD", "PARENT", "VFP_TABLE",
+                   "TERMINAL_PRESSURE"))
+    jan, feb = date(2000, 1, 1), date(2000, 2, 1)
+    expected = {
+        (jan, "FIELD", "GRUPTREE", None, None, None),
+        (jan, "TMPL_A", "GRUPTREE", "FIELD", None, None),
+        (jan, "FIELD", "BRANPROP", None, None, 20.0),
+        (jan, "NODE_A", "BRANPROP", "FIELD", 1, None),
+        (jan, "TMPL_A", "BRANPROP", "NODE_A", 2, None),
+        (feb, "FIELD", "BRANPROP", None, None, 20.0),
+        (feb, "NODE_A", "BRANPROP", "FIELD", 1, None),
+        (feb, "NODE_B", "BRANPROP", "FIELD", 3, None),
+        (feb, "TMPL_A", "BRANPROP", "NODE_B", 4, None),
+    }
+    assert got == expected
+
+
+def test_nodeprop_update_and_defaults(spark):
+    deck = """
+DATES
+  1 JAN 2000 /
+/
+GRUPTREE
+ 'TMPL_A' 'FIELD'/
+/
+BRANPROP
+  'NODE_A'  'FIELD'  /
+  'TMPL_A'  'NODE_A'  /
+/
+NODEPROP
+  'FIELD'  20 /
+  'TMPL_A'  2*  YES /
+/
+DATES
+  1 FEB 2000 /
+/
+NODEPROP
+  'FIELD'  22  1* YES /
+/
+"""
+    out = gruptree.df(spark, deck)
+    jan, feb = date(2000, 1, 1), date(2000, 2, 1)
+    got = {
+        (r[0], r[1], r[2]): (r[3], r[4])
+        for r in rows(out, "DATE", "CHILD", "KEYWORD", "TERMINAL_PRESSURE",
+                      "ADD_GAS_LIFT_GAS")
+    }
+    assert got[(jan, "FIELD", "BRANPROP")] == (20.0, "NO")   # schema default
+    assert got[(jan, "TMPL_A", "BRANPROP")] == (None, "YES")
+    assert got[(feb, "FIELD", "BRANPROP")] == (22.0, "YES")  # latest record wins
+    assert got[(feb, "TMPL_A", "BRANPROP")] == (None, "YES")
+    # only the BRANPROP family re-dumps in February
+    assert (feb, "TMPL_A", "GRUPTREE") not in got
+
+
+def test_welspecs_both_trees_and_field_graft(spark):
+    deck = """
+DATES
+  1 JAN 2000 /
+/
+GRUPTREE
+ 'TMPL_A' 'FIELD'/
+/
+BRANPROP
+  'NODE_A'  'FIELD'  /
+  'TMPL_A'  'NODE_A'  /
+/
+NODEPROP
+  'FIELD'  20 /
+  'TMPL_A'  2*  YES /
+/
+WELSPECS
+  'WELL_1'  'TMPL_A' 1 1 1 'OIL' /
+  'WELL_2'  'TMPL_B' 1 1 1 'OIL' /
+/
+DATES
+  1 FEB 2000 /
+/
+NODEPROP
+  'FIELD' 22 /
+/
+"""
+    out = gruptree.df(spark, deck)
+    jan, feb = date(2000, 1, 1), date(2000, 2, 1)
+    got = set(rows(out, "DATE", "CHILD", "KEYWORD", "PARENT"))
+    expected = {
+        (jan, "FIELD", "GRUPTREE", None),
+        (jan, "TMPL_A", "GRUPTREE", "FIELD"),
+        (jan, "WELL_2", "WELSPECS", "TMPL_B"),
+        (jan, "TMPL_B", "GRUPTREE", "FIELD"),   # graft: parent not in tree
+        (jan, "FIELD", "BRANPROP", None),
+        (jan, "NODE_A", "BRANPROP", "FIELD"),
+        (jan, "TMPL_A", "BRANPROP", "NODE_A"),
+        (jan, "WELL_1", "WELSPECS", "TMPL_A"),  # deduped across families
+        (feb, "FIELD", "BRANPROP", None),
+        (feb, "NODE_A", "BRANPROP", "FIELD"),
+        (feb, "TMPL_A", "BRANPROP", "NODE_A"),
+        (feb, "WELL_1", "WELSPECS", "TMPL_A"),
+    }
+    assert got == expected

@@ -53,8 +53,53 @@ def test_resample_semantics(spark):
     assert got[("FOPT", feb)] == pytest.approx(60.0 * 31 / 60)
     # rate: next observation's value
     assert got[("FOPR", feb)] == 50.0
-    # plain: previous observation's value
-    assert got[("WBHP:OP_1", feb)] == 250.0
+    # plain (pressure): reference linearly interpolates all non-rates
+    assert got[("WBHP:OP_1", feb)] == pytest.approx(250.0 - 10.0 * 31 / 60)
+
+
+def test_resample_null_flags_not_dropped(spark):
+    """A vector whose meta row has IS_TOTAL=false, IS_RATE=null must
+    still appear in the output (three-valued-logic regression)."""
+    long, _ = _fixture(spark)
+    meta = spark.createDataFrame(
+        [("FOPT", True, False), ("FOPR", False, True), ("WBHP:OP_1", False, None)],
+        "VECTOR string, IS_TOTAL boolean, IS_RATE boolean",
+    )
+    res = summary.resample(long, meta, freq="monthly")
+    vecs = {r[0] for r in rows(res, "VECTOR")}
+    assert "WBHP:OP_1" in vecs
+    # a vector missing from the meta dim entirely also survives (left join)
+    res2 = summary.resample(long, meta.filter("VECTOR <> 'WBHP:OP_1'"), freq="monthly")
+    assert "WBHP:OP_1" in {r[0] for r in rows(res2, "VECTOR")}
+
+
+def test_meta_ratio_keywords_are_rates(spark):
+    long = spark.createDataFrame(
+        [("WWCT:OP_1",), ("FGOR",), ("FOPT",), ("WOPR:OP_1",), ("BPR:1,1,1",)],
+        "VECTOR string",
+    )
+    m = {r[0]: (r[1], r[2]) for r in rows(summary.meta_from_vectors(long), "VECTOR", "IS_TOTAL", "IS_RATE")}
+    assert m["WWCT:OP_1"] == (False, True)   # ratio → rate, NOT total
+    assert m["FGOR"] == (False, True)
+    assert m["FOPT"] == (True, False)
+    assert m["WOPR:OP_1"] == (False, True)
+    assert m["BPR:1,1,1"] == (False, False)  # pressure → linear default
+
+
+def test_meta_from_units(spark):
+    vectors = ["TIME", "FOPR", "FOPT", "WBHP:OP_1", "WWCT:OP_1"]
+    units = ["DAYS", "SM3/DAY", "SM3", "BARSA", ""]
+    m = {
+        r[0]: (r[1], r[2])
+        for r in rows(
+            summary.meta_from_units(spark, vectors, units), "VECTOR", "IS_TOTAL", "IS_RATE"
+        )
+    }
+    assert "TIME" not in m
+    assert m["FOPR"] == (False, True)       # /DAY unit ⇒ rate
+    assert m["FOPT"] == (True, False)
+    assert m["WBHP:OP_1"] == (False, False)
+    assert m["WWCT:OP_1"] == (False, True)  # ratio keyword ⇒ rate despite unit
 
 
 def test_df_wide_shape(spark):

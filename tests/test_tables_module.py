@@ -92,3 +92,103 @@ PVTO
     # region 2 after the lone '/'
     assert (2, 30.0, 0, 60.0, 1.25) in got
     assert pvto.count() == 5
+
+
+def test_sgwfn(spark):
+    deck = """
+SGWFN
+  0.0 0.0 1.0 0.0
+  0.5 0.4 0.3 0.1
+  1.0 1.0 0.0 0.2
+/
+  0.0 0.0 1.0 0.0
+  1.0 1.0 0.0 0.0
+/
+"""
+    out = satfunc_df(spark, deck, interpolate_defaults=False)
+    assert out.filter("KEYWORD = 'SGWFN'").count() == 5
+    r = out.filter("KEYWORD = 'SGWFN' AND SATNUM = 1 AND ROW_IDX = 1").first()
+    assert r["SG"] == 0.5 and r["KRG"] == 0.4 and r["KRW"] == 0.3 and r["PCGW"] == 0.1
+
+
+def test_pvtw(spark):
+    deck = """
+PVTW
+  327.3 1.03 4.51E-005 0.25 0.0 /
+  350.0 1.04 4.60E-005 0.30 /
+"""
+    out = pvt_df(spark, deck)
+    w = out.filter("KEYWORD = 'PVTW'").orderBy("PVTNUM").collect()
+    assert len(w) == 2
+    assert w[0]["PVTNUM"] == 1 and w[0]["PRESSURE"] == 327.3
+    assert w[0]["COMPRESSIBILITY"] == 4.51e-05
+    assert w[1]["PVTNUM"] == 2 and w[1]["VISCOSITY"] == 0.30
+    assert w[1]["VISCOSIBILITY"] is None  # trailing default
+
+
+EQUIL_SOLUTION_DECK = """
+EQUIL
+  2000 200 2200 /
+
+RSVD
+  1500 184.0
+  4000 184.0
+/
+  1500 180.0
+  4000 180.0
+/
+
+RVVD
+  1500 0.001
+  4000 0.0014
+/
+"""
+
+
+def test_equil_solution_tables(spark):
+    out = equil_df(spark, EQUIL_SOLUTION_DECK)
+    kws = {r[0] for r in rows(out, "KEYWORD")}
+    assert kws == {"EQUIL", "RSVD", "RVVD"}
+    rs = out.filter("KEYWORD = 'RSVD'")
+    assert rs.count() == 4
+    r = rs.filter("EQLNUM = 2 AND Z = 1500").first()
+    assert r["RS"] == 180.0
+    rv = out.filter("KEYWORD = 'RVVD' AND EQLNUM = 1 AND Z = 4000").first()
+    assert rv["RV"] == 0.0014
+    # EQUIL row intact
+    eq = out.filter("KEYWORD = 'EQUIL'").first()
+    assert eq["Z"] == 2000.0 and eq["PRESSURE"] == 200.0 and eq["OWC"] == 2200.0
+
+
+def test_equil_solution_roundtrip(spark):
+    from res2df_spark.sinks.df2res import df2res_equil
+
+    out = equil_df(spark, EQUIL_SOLUTION_DECK)
+    text = df2res_equil(out)
+    again = equil_df(spark, text)
+    a = sorted(rows(out, "KEYWORD", "EQLNUM", "Z", "RS", "RV"))
+    b = sorted(rows(again, "KEYWORD", "EQLNUM", "Z", "RS", "RV"))
+    assert a == b
+
+
+def test_pvtw_sgwfn_roundtrip(spark):
+    from res2df_spark.sinks.df2res import df2res_pvt, df2res_satfunc
+
+    deck = """
+PVTW
+  327.3 1.03 4.51E-005 0.25 0.0 /
+SGWFN
+  0.0 0.0 1.0 0.0
+  1.0 1.0 0.0 0.25
+/
+"""
+    p = pvt_df(spark, deck)
+    p2 = pvt_df(spark, df2res_pvt(p))
+    assert sorted(rows(p, "KEYWORD", "PVTNUM", "PRESSURE")) == sorted(
+        rows(p2, "KEYWORD", "PVTNUM", "PRESSURE")
+    )
+    s = satfunc_df(spark, deck, interpolate_defaults=False)
+    s2 = satfunc_df(spark, df2res_satfunc(s), interpolate_defaults=False)
+    assert sorted(rows(s, "KEYWORD", "SATNUM", "ROW_IDX", "SG", "PCGW")) == sorted(
+        rows(s2, "KEYWORD", "SATNUM", "ROW_IDX", "SG", "PCGW")
+    )
