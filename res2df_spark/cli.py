@@ -46,7 +46,7 @@ _BINARY_MODULES = {
 
 def _run_binary_module(
     name: str, spark, root: str, rstdates, time_index=None, column_keys=None,
-    start_date=None, end_date=None,
+    start_date=None, end_date=None, with_params=False,
 ):
     import os
 
@@ -68,12 +68,16 @@ def _run_binary_module(
                 F.col("DATE") < F.date_add(F.lit(end_date).cast("date"), 1)
             )
         keys = [k for k in (column_keys or "").split(",") if k]
-        if not keys and (time_index or "raw") == "raw":
-            return long
-        return summary_mod.df(
-            long, eclbin.summary_meta(spark, root + ".SMSPEC"),
-            time_index=time_index or "raw", column_keys=keys,
-        )
+        if keys or (time_index or "raw") != "raw":
+            long = summary_mod.df(
+                long, eclbin.summary_meta(spark, root + ".SMSPEC"),
+                time_index=time_index or "raw", column_keys=keys,
+            )
+        if with_params:
+            from res2df_spark.sources.aux import attach_parameters, load_parameters
+
+            long = attach_parameters(long, load_parameters(root))
+        return long
     if name == "grid":
         init = root + ".INIT" if os.path.exists(root + ".INIT") else None
         unrst = root + ".UNRST" if os.path.exists(root + ".UNRST") else None
@@ -198,6 +202,11 @@ def get_parser() -> argparse.ArgumentParser:
                 help="write Arrow IPC (feather) instead of CSV "
                      "(reference res2csv --arrow)",
             )
+            s.add_argument(
+                "--params", action="store_true",
+                help="merge parameters.txt/yml/json from the case dir "
+                     "onto every row (reference summary --params)",
+            )
     for name, help_ in _DECK_MODULES_EXTRA.items():
         s = sub.add_parser(name, help=help_)
         s.add_argument("deckfile", help="input .DATA / include file")
@@ -221,6 +230,7 @@ def main(argv: list[str] | None = None) -> int:
             column_keys=getattr(args, "column_keys", None),
             start_date=getattr(args, "start_date", None),
             end_date=getattr(args, "end_date", None),
+            with_params=getattr(args, "params", False),
         )
     elif args.module in _DECK_MODULES_EXTRA:
         with open(args.deckfile) as f:

@@ -8,7 +8,12 @@
 * ``lsh_bucketed_topk`` — approximate: random-hyperplane signs bucket
   the corpus; queries probe only their own bucket.  The bucketing is a
   deterministic projection (md5-derived pseudo-random hyperplanes), so
-  results are reproducible without a fitted model.
+  results are reproducible without a fitted model.  Multi-probe and
+  multi-table are the recall levers.
+* ``ivf_topk`` — approximate: inverted-file index over trained k-means
+  centroids (``train_ivf_centroids``); each query probes its n_probe
+  nearest lists.  Data-adaptive where LSH is oblivious — the standard
+  production trade.
 """
 
 from __future__ import annotations
@@ -135,6 +140,84 @@ def lsh_bucketed_topk(
         # probe buckets are pairwise distinct)
         cand = cand.dropDuplicates([query_id_col, id_col])
     scored = cand.select(
+        query_id_col,
+        id_col,
+        cosine_similarity(F.col("__qv"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def train_ivf_centroids(sample, n_centroids: int = 16, iters: int = 10):
+    """Deterministic Lloyd k-means on a driver-side sample (numpy):
+    init = first ``n_centroids`` sample vectors, fixed iteration count,
+    no RNG — the same sample always yields the same centroids, which is
+    what lets an external oracle replicate the assignment.  At corpus
+    scale the sample is a bounded head (k-means needs thousands of
+    points, not the corpus) and training cost is centroids × sample ×
+    iters — driver-trivial."""
+    import numpy as np
+
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
+    cent = x[:n_centroids].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return [c.tolist() for c in cent]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is coarsely
+    quantized to its nearest trained centroid (ONE list per vector, an
+    equality-join key); each query probes its ``n_probe`` nearest
+    lists.  The classic accuracy/cost dial: recall grows with n_probe,
+    scanned fraction ≈ n_probe / n_centroids.
+
+    All distances are JVM higher-order-function folds — no UDF; the
+    corpus shuffles once on the list id, queries fan out n_probe×."""
+    n_centroids = len(centroids)
+
+    def dist2(vc, cent):
+        arr = F.array(*[F.lit(x) for x in cent])
+        return F.aggregate(
+            F.zip_with(vc, arr, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def nearest_lists(vc, n):
+        pairs = F.array(*[
+            F.struct(dist2(vc, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ])
+        return F.slice(F.array_sort(pairs), 1, n)
+
+    c = corpus.withColumn(
+        "__list", nearest_lists(F.col(vec_col), 1).getItem(0).getField("i")
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+    ).withColumn(
+        "__probe", F.explode(nearest_lists(F.col("__qv"), min(n_probe, n_centroids)))
+    ).select(query_id_col, "__qv", F.col("__probe.i").alias("__list"))
+    scored = c.join(q, "__list").filter(F.col(query_id_col) != F.col(id_col)).select(
         query_id_col,
         id_col,
         cosine_similarity(F.col("__qv"), F.col(vec_col)).alias("cosine"),

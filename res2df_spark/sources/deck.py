@@ -24,14 +24,21 @@ from pyspark.sql import DataFrame, SparkSession
 #: {str,int,float}; mirrors the role of the reference's opmkeywords JSON
 #: registry (schema source of truth → DataFrame schema).
 KEYWORD_ITEMS: dict[str, list[tuple[str, str]]] = {
+    # full opm item list (opmkeywords/WELSPECS; HEAD_I/HEAD_J are kept
+    # as I/J, the engine's names for the head location)
     "WELSPECS": [
         ("WELL", "str"), ("GROUP", "str"), ("I", "int"), ("J", "int"),
-        ("REF_DEPTH", "float"), ("PHASE", "str"),
+        ("REF_DEPTH", "float"), ("PHASE", "str"), ("DRAIN_RADIUS", "float"),
+        ("INFLOW_EQ", "str"), ("AUTO_SHUTIN", "str"), ("CROSSFLOW", "str"),
+        ("P_TABLE", "int"), ("DENSITY_CALC", "str"), ("FIP_REGION", "int"),
+        ("FRONTSIM1", "str"), ("FRONTSIM2", "str"), ("WELL_MODEL", "str"),
+        ("POLYMER_TABLE", "int"),
     ],
     "COMPDAT": [
         ("WELL", "str"), ("I", "int"), ("J", "int"), ("K1", "int"), ("K2", "int"),
         ("OP/SH", "str"), ("SATN", "int"), ("TRAN", "float"), ("WBDIA", "float"),
         ("KH", "float"), ("SKIN", "float"), ("DFACT", "float"), ("DIR", "str"),
+        ("PEQVR", "float"),
     ],
     "WELOPEN": [
         ("WELL", "str"), ("STATUS", "str"), ("I", "int"), ("J", "int"), ("K", "int"),
@@ -41,24 +48,35 @@ KEYWORD_ITEMS: dict[str, list[tuple[str, str]]] = {
         ("WELL", "str"), ("I", "int"), ("J", "int"), ("K1", "int"), ("K2", "int"),
         ("N", "int"),
     ],
+    # item ORDER matches opmkeywords/WCONPROD exactly — the positional
+    # mapping is the contract (GRAT is followed by LRAT and RESV, not
+    # VFP_TABLE)
     "WCONPROD": [
         ("WELL", "str"), ("STATUS", "str"), ("CMODE", "str"), ("ORAT", "float"),
-        ("WRAT", "float"), ("GRAT", "float"), ("VFP_TABLE", "int"),
-        ("ALQ", "float"), ("THP", "float"), ("BHP", "float"),
+        ("WRAT", "float"), ("GRAT", "float"), ("LRAT", "float"),
+        ("RESV", "float"), ("BHP", "float"), ("THP", "float"),
+        ("VFP_TABLE", "int"), ("ALQ", "float"),
     ],
     "WCONINJE": [
         ("WELL", "str"), ("TYPE", "str"), ("STATUS", "str"), ("CMODE", "str"),
         ("RATE", "float"), ("RESV", "float"), ("BHP", "float"), ("THP", "float"),
-        ("VFP_TABLE", "int"),
+        ("VFP_TABLE", "int"), ("VAPOIL_C", "float"),
+        ("GAS_STEAM_RATIO", "float"), ("SURFACE_OIL_FRACTION", "float"),
+        ("SURFACE_WATER_FRACTION", "float"), ("SURFACE_GAS_FRACTION", "float"),
+        ("OIL_STEAM_RATIO", "float"),
     ],
     "WCONHIST": [
         ("WELL", "str"), ("STATUS", "str"), ("CMODE", "str"), ("ORAT", "float"),
         ("WRAT", "float"), ("GRAT", "float"), ("VFP_TABLE", "int"),
         ("ALQ", "float"), ("THP", "float"), ("BHP", "float"),
+        ("NGLRAT", "float"),
     ],
     "WCONINJH": [
         ("WELL", "str"), ("TYPE", "str"), ("STATUS", "str"), ("RATE", "float"),
         ("BHP", "float"), ("THP", "float"), ("VFP_TABLE", "int"),
+        ("VAPOIL_C", "float"), ("SURFACE_OIL_FRACTION", "float"),
+        ("SURFACE_WATER_FRACTION", "float"), ("SURFACE_GAS_FRACTION", "float"),
+        ("CMODE", "str"),
     ],
     "FAULTS": [
         ("NAME", "str"), ("IX1", "int"), ("IX2", "int"), ("IY1", "int"),
@@ -112,6 +130,18 @@ KEYWORD_ITEMS: dict[str, list[tuple[str, str]]] = {
         ("NAME", "str"), ("TERMINAL_PRESSURE", "float"), ("VFP_TABLE", "int"),
         ("ALQ", "float"), ("SUB_SEA_MANIFOLD", "str"),
         ("LIFT_GAS_FLOW_THROUGH", "str"), ("ALQ_SURFACE_EQV", "str"),
+    ],
+    # RUNSPEC dimension keywords (opmkeywords/EQLDIMS, TABDIMS) — the
+    # reference's inferdims.py injects these to size tables; parsed here
+    # so region counts are available without trial reparse
+    "EQLDIMS": [
+        ("NTEQUL", "int"), ("DEPTH_NODES_P", "int"), ("DEPTH_NODES_TAB", "int"),
+        ("NTTRVD", "int"), ("NSTRVD", "int"),
+    ],
+    "TABDIMS": [
+        ("NTSFUN", "int"), ("NTPVT", "int"), ("NSSFUN", "int"), ("NPPVT", "int"),
+        ("NTFIP", "int"), ("NRPVT", "int"), ("MAX_RV_NODES", "int"),
+        ("NTENDP", "int"),
     ],
 }
 

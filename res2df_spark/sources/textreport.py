@@ -5,13 +5,14 @@ state machine over a report file — a block-start line opens a context
 
 Relational reconstruction over ``spark.read.text``:
 
-1. global line numbers via ``zipWithIndex`` (order-preserving, one pass);
+1. global line numbers from the scan's ``_metadata`` columns — rows
+   sort by (file, split offset, within-partition id), all JVM-side;
 2. block-start lines matched with ``regexp_extract``;
 3. block context forward-filled onto data lines (W1 ffill over line_no);
 4. data rows parsed field-by-field with regex groups.
 
-PRT files can be GBs on long runs — every step after the line numbering
-is distributed and codegen'd.
+PRT files can be GBs on long runs — every step is distributed and
+codegen'd; nothing drops to the RDD layer.
 """
 
 from __future__ import annotations
@@ -22,9 +23,26 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def numbered_lines(spark: SparkSession, path: str) -> DataFrame:
-    """(line_no, line) with a global, order-preserving line number."""
-    rdd = spark.read.text(path).rdd.zipWithIndex()
-    return rdd.map(lambda t: (t[1], t[0][0])).toDF(["line_no", "line"])
+    """(line_no, line) with a global, order-preserving line number.
+
+    File order is reconstructed without leaving Tungsten: the scan's
+    hidden ``_metadata.file_block_start`` gives each split's byte
+    offset, and ``monotonically_increasing_id`` preserves read order
+    within a partition (splits are bin-packed, so partition id alone is
+    NOT offset-ordered).  The global sort matches the downstream ffill
+    window's ordering, so Catalyst reuses one exchange instead of
+    paying an extra Python zipWithIndex job + serialization pass."""
+    df = spark.read.text(path).select(
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.file_block_start").alias("__blk"),
+        F.monotonically_increasing_id().alias("__mid"),
+        "value",
+    )
+    w = Window.orderBy("__fp", "__blk", "__mid")
+    return df.select(
+        (F.row_number().over(w) - 1).cast("long").alias("line_no"),
+        F.col("value").alias("line"),
+    )
 
 
 def parse_report_blocks(

@@ -1614,3 +1614,96 @@ def ann_lsh_multiprobe(spark, sf_dir):
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest neighbour — the data-adaptive scale path next
+# to LSH: corpus quantized to trained k-means lists, queries probe their
+# n_probe nearest lists.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_centroids():
+    """Centroids trained once at import on the sf0.01 sample (the scale
+    the driver's correctness gate runs at) — deterministic Lloyd
+    iterations, so the SQL oracle can embed them as literals."""
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import pandas as pd
+
+    from res2df_spark.llm.similarity import train_ivf_centroids
+
+    df = pd.read_parquet(path).sort_values("vec_id")
+    return train_ivf_centroids(df["embedding"].head(256).tolist(), n_centroids=16)
+
+
+_IVF_CENTROIDS = _ivf_centroids()
+
+if _IVF_CENTROIDS is not None:
+    _CENT_SQL = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])"
+        for i, c in enumerate(_IVF_CENTROIDS)
+    )
+
+    _IVF_SQL = f"""
+    WITH cents(ci, cv) AS (VALUES
+        {_CENT_SQL}),
+    dim(i) AS (SELECT unnest(generate_series(1, 64))),
+    cd AS (
+        SELECT e.vec_id, c.ci,
+               sum((CAST(e.embedding[d.i] AS DOUBLE) - c.cv[d.i]) ^ 2) AS dist
+        FROM embeddings e CROSS JOIN cents c CROSS JOIN dim d
+        GROUP BY 1, 2),
+    ranked_lists AS (
+        SELECT vec_id, ci,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn
+        FROM cd),
+    assign AS (SELECT vec_id, ci FROM ranked_lists WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, ci FROM ranked_lists
+               WHERE rn <= 4 AND vec_id < 8),
+    cand AS (
+        SELECT p.q_id, a.vec_id, qe.embedding AS qv, e.embedding AS ev
+        FROM probes p
+        JOIN assign a ON a.ci = p.ci
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings qe ON qe.vec_id = p.q_id
+        WHERE a.vec_id <> p.q_id),
+    expl AS (SELECT q_id, vec_id, qv, ev, unnest(generate_series(1, 64)) AS i FROM cand),
+    dots AS (SELECT q_id, vec_id,
+                    sum(CAST(qv[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS dot,
+                    sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS nq,
+                    sum(CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS ne
+             FROM expl GROUP BY 1, 2),
+    ranked AS (SELECT q_id, vec_id, dot / (sqrt(nq) * sqrt(ne)) AS cosine,
+                      row_number() OVER (PARTITION BY q_id
+                          ORDER BY dot / (sqrt(nq) * sqrt(ne)) DESC, vec_id) AS rnk
+               FROM dots)
+    SELECT q_id, vec_id, CAST(round(cosine, 6) AS DOUBLE) AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+"""
+
+    @_q("ann_ivf_topk", _IVF_SQL)
+    def ann_ivf_topk(spark, sf_dir):
+        """IVF approximate top-k (llm/similarity.py ivf_topk): corpus
+        quantized to 16 trained k-means lists (deterministic Lloyd on
+        the sf0.01 head — train_ivf_centroids), queries probe their 4
+        nearest lists; scanned fraction ≈ 4/16 of the corpus vs LSH's
+        oblivious buckets.  Distances and cosines are JVM
+        higher-order-function folds; the oracle replicates list
+        assignment from the same centroid literals."""
+        from res2df_spark.llm.similarity import ivf_topk
+
+        emb = Catalog(spark, sf_dir).embeddings
+        out = ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 8), _IVF_CENTROIDS, k=10, n_probe=4
+        )
+        return out.select(
+            "q_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rnk"),
+        )

@@ -66,3 +66,23 @@ def test_fipreports(spark, tmp_path):
     assert ("1-JAN-2020", 1, "OUTFLOW TO OTHER REGIONS", "LIQUID", 2.5) in got
     assert ("1-FEB-2020", 2, "CURRENTLY IN PLACE", "GAS", 9750.0) in got
     assert out.count() == 3
+
+
+def test_parameters_yml(tmp_path):
+    from res2df_spark.sources.aux import load_parameters
+
+    (tmp_path / "parameters.yml").write_text("RMS_SEED: 422\nFWL: 1700.5\nLABEL: base\n")
+    params = load_parameters(str(tmp_path / "CASE.DATA"))
+    assert params["RMS_SEED"] == 422
+    assert params["FWL"] == 1700.5
+    assert params["LABEL"] == "base"
+
+
+def test_parameters_txt_overrides_yml(tmp_path):
+    from res2df_spark.sources.aux import load_parameters
+
+    (tmp_path / "parameters.yml").write_text("A: 1\nB: 2\n")
+    (tmp_path / "parameters.txt").write_text("B 3\n")
+    params = load_parameters(str(tmp_path / "CASE.DATA"))
+    assert params["A"] == 1
+    assert params["B"] == "3"  # txt read after yml in the same dir

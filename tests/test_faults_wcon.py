@@ -76,3 +76,36 @@ def test_wcon_cli(spark, tmp_path, capsys):
     assert main(["wcon", str(deckfile), "-o", "-"]) == 0
     head = capsys.readouterr().out.splitlines()[0]
     assert "KEYWORD" in head and "WELL" in head
+
+
+def test_wconprod_full_record_positional_order(spark):
+    """Item order must match the opm schema: GRAT is followed by LRAT
+    and RESV — a full record must land BHP/THP/VFP_TABLE/ALQ in the
+    right columns (regression for the mis-ordered round-1 schema)."""
+    deck = """
+WCONPROD
+  'OP1' 'OPEN' 'ORAT' 100.0 10.0 5000.0 120.0 0.0 75.0 30.0 8 0.5 /
+/
+"""
+    r = wcon.df(spark, deck).collect()[0]
+    assert r["ORAT"] == 100.0 and r["WRAT"] == 10.0 and r["GRAT"] == 5000.0
+    assert r["LRAT"] == 120.0 and r["RESV"] == 0.0
+    assert r["BHP"] == 75.0 and r["THP"] == 30.0
+    assert r["VFP_TABLE"] == 8 and r["ALQ"] == 0.5
+
+
+def test_welspecs_full_item_list(spark):
+    from res2df_spark.sources.deck import deck_records
+
+    deck = """
+WELSPECS
+ 'OP1' 'OPWEST' 41 125 1759.74 'OIL' 0.0 'STD' 'SHUT' 'YES' 0 'SEG' /
+/
+"""
+    r = deck_records(spark, deck, "WELSPECS").collect()[0]
+    assert r["DRAIN_RADIUS"] == 0.0
+    assert r["INFLOW_EQ"] == "STD"
+    assert r["AUTO_SHUTIN"] == "SHUT"
+    assert r["CROSSFLOW"] == "YES"
+    assert r["P_TABLE"] == 0
+    assert r["DENSITY_CALC"] == "SEG"

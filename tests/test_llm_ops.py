@@ -175,3 +175,35 @@ def test_multiprobe_multitable_recall(spark):
     r_single = recall()
     assert r_full >= 0.9, f"multi-probe+multi-table recall@1 = {r_full}"
     assert r_full >= r_single
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Probing ALL lists makes IVF exact — the candidate set is the
+    whole corpus, so results must match brute force bit-for-bit."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    import pandas as pd
+
+    from res2df_spark.catalog import Catalog
+    from res2df_spark.llm.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = Catalog(spark, sf).embeddings
+    sample = pd.read_parquet(os.path.join(sf, "embeddings.parquet")).sort_values(
+        "vec_id"
+    )["embedding"].head(128).tolist()
+    cents = train_ivf_centroids(sample, n_centroids=8)
+    queries = emb.filter("vec_id < 5")
+    exact = brute_force_topk(emb, queries, k=5)
+    full = ivf_topk(emb, queries, cents, k=5, n_probe=8)
+    a = sorted((r["q_id"], r["rank"], r["vec_id"]) for r in exact.collect())
+    b = sorted((r["q_id"], r["rank"], r["vec_id"]) for r in full.collect())
+    assert a == b
