@@ -27,8 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import broadcast
 
-from res2df_spark.operators.windows import dedup_keep, ffill
-from res2df_spark.sources.deck import deck_records, schedule_events
+from res2df_spark.operators.windows import dedup_keep, snapshot_latest
+from res2df_spark.sources.deck import deck_records, fill_dates, parse_deck
 
 #: node-data columns carried through from GRUPNET / NODEPROP (NODEPROP
 #: PRESSURE arrives renamed to TERMINAL_PRESSURE, gruptree.py:147-149).
@@ -49,21 +49,6 @@ _NODE_TYPES = {"string": ["SUB_SEA_MANIFOLD", "LIFT_GAS_FLOW_THROUGH",
                "int": ["VFP_TABLE"]}
 
 
-def _dated(records: DataFrame, events: DataFrame, keep: str) -> DataFrame:
-    """W1 date cursor onto one keyword's records; ORD = deck position."""
-    cols = records.columns
-    dated = events.filter(F.col("DATE").isNotNull()).select(
-        "KEYWORD_IDX", "KEYWORD", "RECORD_IDX", "DATE",
-        *[F.lit(None).cast(records.schema[c].dataType).alias(c)
-          for c in cols if c not in ("KEYWORD_IDX", "KEYWORD", "RECORD_IDX", "DATE")],
-    )
-    filled = ffill(
-        records.unionByName(dated),
-        cols=["DATE"], order_by=["KEYWORD_IDX", "RECORD_IDX"], out_names=["D"],
-    )
-    return filled.filter(F.col("KEYWORD") == keep).drop("DATE").withColumnRenamed("D", "DATE")
-
-
 def _null_node_cols():
     out = []
     for c in _NODE_COLS:
@@ -76,16 +61,22 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
     """Deck text → one row per (DATE, CHILD, KEYWORD) edge snapshot:
     KEYWORD ∈ {GRUPTREE, BRANPROP, WELSPECS}; roots carry NULL PARENT;
     GRUPNET/NODEPROP node data merged onto the CHILD node."""
-    events = schedule_events(spark, deck_text)
+    # ONE driver-side parse with the date cursor stamped at the parse
+    # layer (deck text is bounded by nature): every keyword frame below
+    # is a shallow createDataFrame local — no union+window subtree for
+    # Catalyst to re-analyze at each of its many downstream references,
+    # and keyword presence is known for free (no eager probe jobs).
+    dated = fill_dates(parse_deck(deck_text))
+    present = {r["KEYWORD"] for r in dated}
 
     def recs(kw):
-        return deck_records(spark, deck_text, kw)
+        return deck_records(spark, deck_text, kw, records=dated)
 
-    gruptree = _dated(recs("GRUPTREE"), events, "GRUPTREE")
-    branprop = _dated(recs("BRANPROP"), events, "BRANPROP")
-    welspecs = _dated(recs("WELSPECS"), events, "WELSPECS")
-    grupnet = _dated(recs("GRUPNET"), events, "GRUPNET")
-    nodeprop = _dated(recs("NODEPROP"), events, "NODEPROP")
+    gruptree = recs("GRUPTREE")
+    branprop = recs("BRANPROP")
+    welspecs = recs("WELSPECS")
+    grupnet = recs("GRUPNET")
+    nodeprop = recs("NODEPROP")
 
     # Normalized edge logs: (DATE, CHILD, PARENT, ORD, edge fields)
     g_edges = gruptree.select(
@@ -130,158 +121,163 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
     ).select("NAME", "DATE", "KEYWORD_IDX", "RECORD_IDX", *_NODE_COLS)
     nodes = gn.unionByName(np_)
 
-    parts = []
-    for treetype, edges, node_log in (
-        ("GRUPTREE", g_edges, gn),
-        ("BRANPROP", b_edges, np_),
-    ):
-        # snapshot dates: any date where this family's keywords occurred
-        snaps = (
-            edges.select("DATE")
-            .unionByName(node_log.select("DATE"))
-            .unionByName(w_edges.select("DATE"))
-            .distinct()
-        )
-        if treetype == "BRANPROP":
-            # the BRANPROP tree only exists once its own keywords have
-            # appeared; WELSPECS-only snapshots before that emit nothing
-            # anyway (no tree children → all well edges filtered out)
-            if not (edges.take(1) or node_log.take(1)):
-                continue
-        elif not (edges.take(1) or node_log.take(1) or w_edges.take(1)):
-            continue
-        snaps = snaps.select(F.col("DATE").alias("SD"))
-
-        # latest tree edge per CHILD as of each snapshot (W7 keep-last)
-        grid = snaps.crossJoin(broadcast(edges.select("CHILD").distinct()))
-        j = grid.join(
-            broadcast(
-                edges.select(
-                    F.col("DATE").alias("ED"), F.col("CHILD").alias("EC"),
-                    "PARENT", "KEYWORD_IDX", "RECORD_IDX", *_EDGE_COLS,
-                )
-            ),
-            (F.col("EC") == F.col("CHILD"))
-            & (F.coalesce(F.col("ED"), F.to_date(F.lit("1900-01-01")))
-               <= F.coalesce(F.col("SD"), F.to_date(F.lit("2999-12-31")))),
-        )
-        tree = dedup_keep(
-            j, keys=["SD", "CHILD"], order_by=["KEYWORD_IDX", "RECORD_IDX"], keep="last"
-        ).select("SD", "CHILD", "PARENT", F.lit(treetype).alias("KEYWORD"), *_EDGE_COLS)
-
-        # latest WELSPECS group per well as of each snapshot
-        wgrid = snaps.crossJoin(broadcast(w_edges.select(F.col("CHILD")).distinct()))
-        wj = wgrid.join(
-            broadcast(
-                w_edges.select(
-                    F.col("DATE").alias("ED"), F.col("CHILD").alias("EC"),
-                    "PARENT", "KEYWORD_IDX", "RECORD_IDX",
-                )
-            ),
-            (F.col("EC") == F.col("CHILD"))
-            & (F.coalesce(F.col("ED"), F.to_date(F.lit("1900-01-01")))
-               <= F.coalesce(F.col("SD"), F.to_date(F.lit("2999-12-31")))),
-        )
-        wells = dedup_keep(
-            wj, keys=["SD", "CHILD"], order_by=["KEYWORD_IDX", "RECORD_IDX"], keep="last"
-        ).select(
-            "SD", "CHILD", "PARENT", F.lit("WELSPECS").alias("KEYWORD"),
-            *[F.lit(None).cast(tree.schema[c].dataType).alias(c) for c in _EDGE_COLS],
-        )
-        if treetype == "BRANPROP":
-            # only wells whose group is a child in the BRANPROP tree
-            wells = wells.join(
-                broadcast(
-                    tree.select(F.col("SD").alias("TS"), F.col("CHILD").alias("TC"))
-                ),
-                (F.col("TS").eqNullSafe(F.col("SD"))) & (F.col("TC") == F.col("PARENT")),
-                "left_semi",
-            )
-        else:
-            # graft WELSPECS parents missing from the tree onto FIELD
-            missing = (
-                wells.select("SD", F.col("PARENT").alias("CHILD")).distinct()
-                .join(
-                    broadcast(
-                        tree.select(F.col("SD").alias("TS"), F.col("CHILD").alias("TC"))
-                    ),
-                    (F.col("TS").eqNullSafe(F.col("SD"))) & (F.col("TC") == F.col("CHILD")),
-                    "left_anti",
-                )
-                .select(
-                    "SD", "CHILD", F.lit("FIELD").alias("PARENT"),
-                    F.lit(treetype).alias("KEYWORD"),
-                    *[F.lit(None).cast(tree.schema[c].dataType).alias(c)
-                      for c in _EDGE_COLS],
-                )
-            )
-            tree = tree.unionByName(missing)
-
-        fam = tree.unionByName(wells)
-
-        # roots: parents of this family's tree edges that are nobody's
-        # child → NULL-parent rows (gruptree.py:262-287)
-        tree_children = tree.select("SD", "CHILD")
-        roots = (
-            tree.select("SD", F.col("PARENT").alias("CHILD")).distinct()
-            .join(
-                tree_children.select(F.col("SD").alias("CS"), F.col("CHILD").alias("CC")),
-                (F.col("CS").eqNullSafe(F.col("SD"))) & (F.col("CC") == F.col("CHILD")),
-                "left_anti",
-            )
-            .select(
-                "SD", "CHILD", F.lit(None).cast("string").alias("PARENT"),
-                F.lit(treetype).alias("KEYWORD"),
-                *[F.lit(None).cast(tree.schema[c].dataType).alias(c) for c in _EDGE_COLS],
-            )
-        )
-        fam = fam.unionByName(roots)
-
-        # node data: latest GRUPNET/NODEPROP record per NAME as of SD,
-        # merged onto CHILD (node fields override edge fields on clash,
-        # matching rec_dict.update(node data) in gruptree.py:225-231)
-        ngrid = fam.select("SD", "CHILD").distinct()
-        nj = ngrid.join(
-            broadcast(
-                node_log.select(
-                    F.col("DATE").alias("ND"), F.col("NAME").alias("NC"),
-                    F.col("KEYWORD_IDX").alias("NKI"), F.col("RECORD_IDX").alias("NRI"),
-                    *[F.col(c).alias(f"N_{c}") for c in _NODE_COLS],
-                )
-            ),
-            (F.col("NC") == F.col("CHILD"))
-            & (F.coalesce(F.col("ND"), F.to_date(F.lit("1900-01-01")))
-               <= F.coalesce(F.col("SD"), F.to_date(F.lit("2999-12-31")))),
-            "left",
-        )
-        # a group either has only the one NULL row from the left join or
-        # only matched rows — NULL ordering never mixes within a group
-        ndata = dedup_keep(
-            nj, keys=["SD", "CHILD"], order_by=["NKI", "NRI"], keep="last"
-        ).select("SD", "CHILD", *[f"N_{c}" for c in _NODE_COLS])
-        fam = fam.join(ndata, ["SD", "CHILD"], "left")
-        merged_cols = []
-        for c in _NODE_COLS:
-            if c in _EDGE_COLS:
-                merged_cols.append(F.coalesce(F.col(f"N_{c}"), F.col(c)).alias(c))
-            else:
-                merged_cols.append(F.col(f"N_{c}").alias(c))
-        extra_edge = [F.col(c).alias(c) for c in _EDGE_COLS if c not in _NODE_COLS]
-        parts.append(
-            fam.select(
-                F.col("SD").alias("DATE"), "CHILD", "PARENT", "KEYWORD",
-                *merged_cols, *extra_edge,
-                F.lit(len(parts)).alias("__FAM"),
-            )
-        )
-
-    if not parts:
+    # Families present in the deck: GRUPTREE family (tag 0) if any of
+    # its keywords occur, BRANPROP family (tag 1) only once its own
+    # keywords appear (WELSPECS alone never instantiates the network
+    # tree).  Both families then flow through ONE tagged snapshot pass
+    # keyed by (FAM, KIND, CHILD) — a Python loop here would duplicate
+    # every window and join into twice the stages for no benefit.
+    fams: list[tuple[int, str]] = []
+    if {"GRUPTREE", "GRUPNET", "WELSPECS"} & present:
+        fams.append((0, "GRUPTREE"))
+    if {"BRANPROP", "NODEPROP"} & present:
+        fams.append((1, "BRANPROP"))
+    if not fams:
         return spark.createDataFrame(
             [], "DATE date, CHILD string, PARENT string, KEYWORD string",
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p, allowMissingColumns=True)
+    treetype_col = F.when(F.col("FAM") == 0, "GRUPTREE").otherwise("BRANPROP")
+
+    edge_logs, well_logs, node_logs, snap_srcs = [], [], [], []
+    for fam_tag, treetype in fams:
+        e = g_edges if treetype == "GRUPTREE" else b_edges
+        n = gn if treetype == "GRUPTREE" else np_
+        tag = F.lit(fam_tag).alias("FAM")
+        edge_logs.append(e.select(
+            tag, F.lit("E").alias("KIND"), F.lit(treetype).alias("KEYWORD"), "*",
+        ))
+        well_logs.append(w_edges.select(
+            tag, F.lit("W").alias("KIND"), F.lit("WELSPECS").alias("KEYWORD"), "*",
+        ))
+        node_logs.append(n.select(tag, "*"))
+        for src in (e, n, w_edges):
+            snap_srcs.append(src.select(tag, "DATE"))
+
+    log = edge_logs[0]
+    for part in edge_logs[1:] + well_logs:
+        log = log.unionByName(part, allowMissingColumns=True)
+    # fill well-log edge fields missing from the union with typed NULLs
+    # (allowMissingColumns already did), order columns
+    snaps = snap_srcs[0]
+    for s in snap_srcs[1:]:
+        snaps = snaps.unionByName(s)
+    snaps = snaps.distinct().select("FAM", F.col("DATE").alias("SD"))
+
+    # snapshot grid: every family snapshot date × every (KIND, CHILD)
+    # that family's logs ever mention — equality join on FAM, both
+    # sides deck-bounded
+    children = log.select("FAM", "KIND", "CHILD").distinct()
+    grid = snaps.join(broadcast(children), "FAM")
+
+    # ONE union-window as-of pass: latest whole record per
+    # (FAM, KIND, CHILD) as of each snapshot — one shuffle, no
+    # inequality join, no per-family loop (the previous construction —
+    # snapshot-grid × log range join + keep-last window, twice per
+    # family — was quadratic in snapshots and dominated wall time)
+    snap = snapshot_latest(
+        log, grid, keys=["FAM", "KIND", "CHILD"], snap_col="SD",
+        time_col="DATE", order_by=["KEYWORD_IDX", "RECORD_IDX"],
+        payload_cols=["KEYWORD_IDX", "KEYWORD", "PARENT", *_EDGE_COLS],
+    ).filter(F.col("KEYWORD_IDX").isNotNull())
+    # `snap` fans out to tree/wells/tkeys/roots — Spark re-executes a
+    # referenced subtree per reference (no cross-reference reuse), so
+    # materialize the one window ONCE; the frame is deck-bounded.
+    snap = snap.localCheckpoint(eager=True)
+
+    tree = snap.filter(F.col("KIND") == "E").select(
+        "FAM", "SD", "CHILD", "PARENT", "KEYWORD", *_EDGE_COLS,
+    )
+    wells = snap.filter(F.col("KIND") == "W").select(
+        "FAM", "SD", "CHILD", "PARENT", "KEYWORD",
+        *[F.lit(None).cast(snap.schema[c].dataType).alias(c) for c in _EDGE_COLS],
+    )
+    tkeys = broadcast(
+        tree.select(
+            F.col("FAM").alias("TF"), F.col("SD").alias("TS"),
+            F.col("CHILD").alias("TC"),
+        )
+    )
+
+    # BRANPROP wells: only those whose group is a child in the network
+    # tree; GRUPTREE wells always kept (missing parents grafted below)
+    wells = wells.filter(F.col("FAM") == 0).unionByName(
+        wells.filter(F.col("FAM") == 1).join(
+            tkeys,
+            (F.col("TF") == F.col("FAM")) & F.col("TS").eqNullSafe(F.col("SD"))
+            & (F.col("TC") == F.col("PARENT")),
+            "left_semi",
+        )
+    )
+
+    # graft GRUPTREE WELSPECS parents missing from the tree onto FIELD
+    missing = (
+        wells.filter(F.col("FAM") == 0)
+        .select("FAM", "SD", F.col("PARENT").alias("CHILD")).distinct()
+        .join(
+            tkeys,
+            (F.col("TF") == F.col("FAM")) & F.col("TS").eqNullSafe(F.col("SD"))
+            & (F.col("TC") == F.col("CHILD")),
+            "left_anti",
+        )
+        .select(
+            "FAM", "SD", "CHILD", F.lit("FIELD").alias("PARENT"),
+            treetype_col.alias("KEYWORD"),
+            *[F.lit(None).cast(snap.schema[c].dataType).alias(c)
+              for c in _EDGE_COLS],
+        )
+    )
+    tree = tree.unionByName(missing)
+
+    # roots: parents that are nobody's child in their family's tree →
+    # NULL-parent rows (gruptree.py:262-287)
+    roots = (
+        tree.select("FAM", "SD", F.col("PARENT").alias("CHILD")).distinct()
+        .join(
+            tree.select(
+                F.col("FAM").alias("CF"), F.col("SD").alias("CS"),
+                F.col("CHILD").alias("CC"),
+            ),
+            (F.col("CF") == F.col("FAM")) & F.col("CS").eqNullSafe(F.col("SD"))
+            & (F.col("CC") == F.col("CHILD")),
+            "left_anti",
+        )
+        .select(
+            "FAM", "SD", "CHILD", F.lit(None).cast("string").alias("PARENT"),
+            treetype_col.alias("KEYWORD"),
+            *[F.lit(None).cast(snap.schema[c].dataType).alias(c)
+              for c in _EDGE_COLS],
+        )
+    )
+    fam = tree.unionByName(wells).unionByName(roots)
+
+    # node data: latest GRUPNET/NODEPROP record per NAME as of SD,
+    # merged onto CHILD (node fields override edge fields on clash,
+    # matching rec_dict.update(node data) in gruptree.py:225-231).
+    # Same single union-window as-of; nodes without a record keep NULLs.
+    node_log = node_logs[0]
+    for n in node_logs[1:]:
+        node_log = node_log.unionByName(n)
+    # fam rows act as their own markers (carry_cols) — the node merge is
+    # part of the same window pass, no grid-distinct + join-back.
+    fam = snapshot_latest(
+        node_log.withColumnRenamed("NAME", "CHILD"),
+        fam, keys=["FAM", "CHILD"], snap_col="SD", time_col="DATE",
+        order_by=["KEYWORD_IDX", "RECORD_IDX"],
+        payload_cols=_NODE_COLS,
+        carry_cols=["PARENT", "KEYWORD", *_EDGE_COLS],
+        payload_prefix="N_",
+    )
+    merged_cols = []
+    for c in _NODE_COLS:
+        if c in _EDGE_COLS:
+            merged_cols.append(F.coalesce(F.col(f"N_{c}"), F.col(c)).alias(c))
+        else:
+            merged_cols.append(F.col(f"N_{c}").alias(c))
+    extra_edge = [F.col(c).alias(c) for c in _EDGE_COLS if c not in _NODE_COLS]
+    out = fam.select(
+        F.col("SD").alias("DATE"), "CHILD", "PARENT", "KEYWORD",
+        *merged_cols, *extra_edge, F.col("FAM").alias("__FAM"),
+    )
     # duplicate (DATE, CHILD, KEYWORD) rows keep the last family's row
     # (WELSPECS rows present under both trees — reference keep='last',
     # gruptree.py:178-182)

@@ -72,6 +72,72 @@ def dedup_keep(
     )
 
 
+def snapshot_latest(
+    log: DataFrame,
+    grid: DataFrame,
+    keys: Sequence[str],
+    snap_col: str,
+    time_col: str,
+    order_by: Sequence[str],
+    payload_cols: Sequence[str],
+    carry_cols: Sequence[str] = (),
+    payload_prefix: str = "",
+) -> DataFrame:
+    """W7 snapshotting: for every ``grid`` row (snapshot date × key),
+    the latest WHOLE ``log`` record with ``time_col <= snap_col`` and
+    equal keys — the "emit the entire current tree at every change
+    date" semantics of the reference's gruptree accumulator
+    (/root/reference/src/res2df/gruptree.py:94-287).
+
+    Construction is the union-window as-of join (operators/asof.py), but
+    the payload travels as ONE struct so a record whose fields are
+    legitimately NULL is carried whole — per-column ffill would stitch
+    fields from different records.  Cost: one shuffle on ``keys``; no
+    inequality join, no grid×log blowup — scale-safe where a
+    snapshot-grid range join is quadratic.
+
+    Grid rows with no record as of their date keep NULL payload fields
+    (filter on any mandatory payload field for inner semantics).
+
+    ``carry_cols`` — extra ``grid`` columns carried through to the
+    output unchanged, letting an already-shaped frame act as its own
+    marker set (the "attach latest node data onto every tree row"
+    merge) without a grid-distinct + join-back round trip.
+    """
+    keys = list(keys)
+    carry_cols = list(carry_cols)
+    fields = list(dict.fromkeys([*order_by, *payload_cols]))
+    payload = F.struct(*[F.col(c) for c in fields])
+    l_ = log.select(
+        *keys, F.col(time_col).alias("__t"), F.lit(0).alias("__m"),
+        payload.alias("__p"),
+        *[F.lit(None).cast(grid.schema[c].dataType).alias(c) for c in carry_cols],
+    )
+    ptype = l_.schema["__p"].dataType
+    m_ = grid.select(
+        *keys, F.col(snap_col).alias("__t"), F.lit(1).alias("__m"),
+        F.lit(None).cast(ptype).alias("__p"),
+        *carry_cols,
+    )
+    # log rows sort before the marker at equal time (inclusive as-of);
+    # equal-time log records resolve by deck order inside the struct?
+    # no — by explicit order_by columns in the sort, so last() sees the
+    # latest record directly under the frame.
+    u = l_.unionByName(m_)
+    w = (
+        _window(keys, ["__t", "__m", *[F.col("__p").getField(c) for c in order_by]])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn("__latest", F.last("__p", ignorenulls=True).over(w))
+    return filled.filter(F.col("__m") == 1).select(
+        *keys,
+        F.col("__t").alias(snap_col),
+        *carry_cols,
+        *[F.col("__latest").getField(c).alias(payload_prefix + c)
+          for c in payload_cols],
+    )
+
+
 def repair_duplicate_timestamps(
     df: DataFrame,
     ts_col: str,

@@ -480,11 +480,37 @@ def parse_deck(text: str) -> list[dict]:
 _SPARK_KIND = {"str": "string", "int": "int", "float": "double"}
 
 
-def deck_records(spark: SparkSession, text: str, keyword: str) -> DataFrame:
+def fill_dates(recs: list[dict]) -> list[dict]:
+    """W1 date-cursor fill applied at the parse layer: records arrive in
+    deck order, date-keyword rows already carry their resolved DATE, so
+    one sequential pass stamps every data record with the cursor.  This
+    is the exact semantics of the engine's distributed ffill (W1) —
+    used here because deck text is driver-bounded by nature; the Spark
+    ffill window remains the path for distributed logs (PRT, summary)."""
+    cursor = None
+    out = []
+    for r in recs:
+        if r["KEYWORD"] in DATE_KEYWORDS and r["DATE"] is not None:
+            cursor = r["DATE"]
+        elif r["DATE"] is None and cursor is not None:
+            r = dict(r, DATE=cursor)
+        out.append(r)
+    return out
+
+
+def deck_records(
+    spark: SparkSession, text: str, keyword: str,
+    records: list[dict] | None = None,
+) -> DataFrame:
     """Records of one keyword as a typed DataFrame, with the shared
     ordering/state columns (KEYWORD_IDX, RECORD_IDX, DATE — DATE filled
-    for date keywords, None otherwise)."""
-    recs = [r for r in parse_deck(text) if r["KEYWORD"] == keyword or keyword == "*"]
+    for date keywords, None otherwise).  Pass pre-parsed ``records``
+    (e.g. ``fill_dates(parse_deck(text))``) to reuse one parse across
+    many keyword frames."""
+    recs = [
+        r for r in (records if records is not None else parse_deck(text))
+        if r["KEYWORD"] == keyword or keyword == "*"
+    ]
     base = "KEYWORD_IDX long, KEYWORD string, RECORD_IDX long, DATE date"
     if keyword in NESTED_TABLE_KEYWORDS:
         outer_name, inner_cols, region = NESTED_TABLE_KEYWORDS[keyword]
