@@ -118,13 +118,13 @@ def _run_binary_module(
     raise SystemExit(f"unknown module {name}")
 
 
-def _run_deck_module(name: str, spark, deck_text: str):
+def _run_deck_module(name: str, spark, deck_text: str, **kwargs):
     from res2df_spark.modules import compdat, faults, gruptree, tables, vfp, wcon, wlist
 
     if name == "compdat":
         return compdat.df(spark, deck_text)
     if name == "gruptree":
-        return gruptree.df(spark, deck_text)
+        return gruptree.df(spark, deck_text, startdate=kwargs.get("startdate"))
     if name == "satfunc":
         return tables.satfunc_df(spark, deck_text)
     if name == "pvt":
@@ -170,6 +170,17 @@ def get_parser() -> argparse.ArgumentParser:
         s = sub.add_parser(name, help=help_)
         s.add_argument("deckfile", help="input .DATA / include file")
         s.add_argument("-o", "--output", default="-", help="CSV path, '-' = stdout")
+        if name == "gruptree":
+            s.add_argument(
+                "--prettyprint", action="store_true",
+                help="print ASCII trees per date instead of CSV "
+                     "(reference gruptree --prettyprint)",
+            )
+            s.add_argument(
+                "--startdate", default=None,
+                help="ISO date stamped on tree records occurring before "
+                     "any START/DATES",
+            )
     for name, help_ in _BINARY_MODULES.items():
         s = sub.add_parser(name, help=help_)
         s.add_argument("case", help="case root (path with or without .DATA)")
@@ -241,10 +252,24 @@ def main(argv: list[str] | None = None) -> int:
     else:
         with open(args.deckfile) as f:
             deck_text = f.read()
-        df = _run_deck_module(args.module, spark, deck_text)
+        startdate = getattr(args, "startdate", None)
+        if startdate:
+            from datetime import date as _date
+
+            startdate = _date.fromisoformat(startdate)
+        df = _run_deck_module(args.module, spark, deck_text, startdate=startdate)
     if df is None:
         print("no matching keywords found in deck", file=sys.stderr)
         return 1
+    if getattr(args, "prettyprint", False):
+        from res2df_spark.modules.gruptree import prettyprint
+
+        pdf = df.toPandas()
+        if pdf.empty:
+            print("No tree data to prettyprint", file=sys.stderr)
+            return 0
+        print(prettyprint(pdf))
+        return 0
     if getattr(args, "arrow", False):
         import pyarrow.feather as feather
 

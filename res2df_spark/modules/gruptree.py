@@ -41,32 +41,31 @@ _NODE_COLS = [
 #: edge-data columns carried on BRANPROP edges (opmkeywords/BRANPROP).
 _EDGE_COLS = ["VFP_TABLE", "ALQ", "ALQ_SURFACE_DENSITY"]
 
-_NODE_TYPES = {"string": ["SUB_SEA_MANIFOLD", "LIFT_GAS_FLOW_THROUGH",
-                          "ALQ_SURFACE_EQV", "AS_CHOKE", "ADD_GAS_LIFT_GAS",
-                          "CHOKE_GROUP", "SOURCE_SINK_GROUP",
-                          "NETWORK_VALUE_TYPE"],
-               "double": ["TERMINAL_PRESSURE", "ALQ"],
-               "int": ["VFP_TABLE"]}
-
-
-def _null_node_cols():
-    out = []
-    for c in _NODE_COLS:
-        kind = next(k for k, cs in _NODE_TYPES.items() if c in cs)
-        out.append(F.lit(None).cast(kind).alias(c))
-    return out
-
-
-def df(spark: SparkSession, deck_text: str) -> DataFrame:
+def df(
+    spark: SparkSession,
+    deck_text: str,
+    startdate=None,
+    welspecs: bool = True,
+) -> DataFrame:
     """Deck text → one row per (DATE, CHILD, KEYWORD) edge snapshot:
     KEYWORD ∈ {GRUPTREE, BRANPROP, WELSPECS}; roots carry NULL PARENT;
-    GRUPNET/NODEPROP node data merged onto the CHILD node."""
+    GRUPNET/NODEPROP node data merged onto the CHILD node.
+
+    ``startdate`` stamps tree records occurring before any START/DATES
+    (reference gruptree.py:29-62 — only relevant when the deck carries
+    no date; the reference's no-date fallback is 1900-01-01).
+    ``welspecs=False`` drops the well→group edges (same flag upstream).
+    """
     # ONE driver-side parse with the date cursor stamped at the parse
     # layer (deck text is bounded by nature): every keyword frame below
     # is a shallow createDataFrame local — no union+window subtree for
     # Catalyst to re-analyze at each of its many downstream references,
     # and keyword presence is known for free (no eager probe jobs).
     dated = fill_dates(parse_deck(deck_text))
+    if startdate is not None:
+        dated = [
+            dict(r, DATE=startdate) if r["DATE"] is None else r for r in dated
+        ]
     present = {r["KEYWORD"] for r in dated}
 
     def recs(kw):
@@ -74,7 +73,7 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
 
     gruptree = recs("GRUPTREE")
     branprop = recs("BRANPROP")
-    welspecs = recs("WELSPECS")
+    welspecs_recs = recs("WELSPECS")
     grupnet = recs("GRUPNET")
     nodeprop = recs("NODEPROP")
 
@@ -91,7 +90,7 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
         F.col("UPTREE_NODE").alias("PARENT"), "KEYWORD_IDX", "RECORD_IDX",
         *_EDGE_COLS,
     )
-    w_edges = welspecs.select(
+    w_edges = welspecs_recs.select(
         "DATE", F.col("WELL").alias("CHILD"), F.col("GROUP").alias("PARENT"),
         "KEYWORD_IDX", "RECORD_IDX",
     )
@@ -119,7 +118,6 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
         "AS_CHOKE", "ADD_GAS_LIFT_GAS", "CHOKE_GROUP", "SOURCE_SINK_GROUP",
         "NETWORK_VALUE_TYPE",
     ).select("NAME", "DATE", "KEYWORD_IDX", "RECORD_IDX", *_NODE_COLS)
-    nodes = gn.unionByName(np_)
 
     # Families present in the deck: GRUPTREE family (tag 0) if any of
     # its keywords occur, BRANPROP family (tag 1) only once its own
@@ -128,7 +126,8 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
     # keyed by (FAM, KIND, CHILD) — a Python loop here would duplicate
     # every window and join into twice the stages for no benefit.
     fams: list[tuple[int, str]] = []
-    if {"GRUPTREE", "GRUPNET", "WELSPECS"} & present:
+    gt_kws = {"GRUPTREE", "GRUPNET"} | ({"WELSPECS"} if welspecs else set())
+    if gt_kws & present:
         fams.append((0, "GRUPTREE"))
     if {"BRANPROP", "NODEPROP"} & present:
         fams.append((1, "BRANPROP"))
@@ -146,11 +145,13 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
         edge_logs.append(e.select(
             tag, F.lit("E").alias("KIND"), F.lit(treetype).alias("KEYWORD"), "*",
         ))
-        well_logs.append(w_edges.select(
-            tag, F.lit("W").alias("KIND"), F.lit("WELSPECS").alias("KEYWORD"), "*",
-        ))
+        if welspecs:
+            well_logs.append(w_edges.select(
+                tag, F.lit("W").alias("KIND"), F.lit("WELSPECS").alias("KEYWORD"),
+                "*",
+            ))
         node_logs.append(n.select(tag, "*"))
-        for src in (e, n, w_edges):
+        for src in (e, n) + ((w_edges,) if welspecs else ()):
             snap_srcs.append(src.select(tag, "DATE"))
 
     log = edge_logs[0]
@@ -284,3 +285,84 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
     return dedup_keep(
         out, keys=["DATE", "CHILD", "KEYWORD"], order_by=["__FAM"], keep="last"
     ).drop("__FAM")
+
+
+# ---------------------------------------------------------------------------
+# Presentation helpers (reference gruptree.py:290-456): nested-dict tree
+# building and ASCII pretty-printing.  Driver-side by design — they
+# format one date's tree for a terminal, the frame is already collected.
+# ---------------------------------------------------------------------------
+
+
+def edge_dataframe2dict(dframe) -> list[dict]:
+    """List of edges (pandas frame with CHILD/PARENT) → nested dicts,
+    one per root, sorted by root name; leaves are empty dicts
+    (reference gruptree.py:290-330)."""
+    import collections
+
+    import pandas as pd
+
+    if dframe.empty:
+        return [{}]
+    if "DATE" in dframe and len(dframe["DATE"].unique()) > 1:
+        raise ValueError("Can only handle one date at a time")
+    subtrees: dict = collections.defaultdict(dict)
+    edges = []
+    for _, row in dframe.iterrows():
+        if not pd.isna(row["PARENT"]):
+            edges.append((row["CHILD"], row["PARENT"]))
+    for child, parent in edges:
+        subtrees[parent][child] = subtrees[child]
+    if not edges:
+        return [{}]
+    children, parents = zip(*edges)
+    roots = set(parents).difference(children)
+    return [{root: subtrees[root]} for root in sorted(roots)]
+
+
+def _render_children(subtree: dict, prefix: str) -> list[str]:
+    items = sorted(subtree.items())
+    lines = []
+    for i, (name, sub) in enumerate(items):
+        last = i == len(items) - 1
+        lines.append(prefix + ("└── " if last else "├── ") + name)
+        lines.extend(_render_children(sub, prefix + ("    " if last else "│   ")))
+    return lines
+
+
+def tree_from_dict(nested_dict: dict) -> str:
+    """One nested dict → ASCII tree string (same rendering the reference
+    gets from treelib, gruptree.py:341-380): root line, box-drawing
+    branches, children sorted, trailing newline.  Empty dict → ``""``."""
+    if not nested_dict:
+        return ""
+    if len(nested_dict) > 1:
+        raise ValueError(
+            "The tree_from_dict function should be called with a single tree"
+        )
+    root = next(iter(nested_dict))
+    return "\n".join([root, *_render_children(nested_dict[root], "")]) + "\n"
+
+
+def prettyprint(dframe) -> str:
+    """Multi-date, multi-family frame → ASCII trees per date
+    (reference gruptree.py:430-456)."""
+    import pandas as pd
+
+    output = ""
+    for date_ in dframe["DATE"].dropna().unique():
+        df_date = dframe[dframe["DATE"] == date_]
+        output += "Date: " + pd.to_datetime(date_).strftime("%Y-%m-%d") + "\n"
+        for treetype in ["GRUPTREE", "BRANPROP"]:
+            if treetype in df_date["KEYWORD"].unique():
+                df_tt = df_date[df_date["KEYWORD"].isin([treetype, "WELSPECS"])]
+                if treetype == "BRANPROP":
+                    # edges whose parent is not a child in the network
+                    # tree print under the GRUPTREE tree instead
+                    df_tt = df_tt[df_tt.PARENT.isin(df_tt.CHILD.unique())]
+                output += f"{treetype} trees:\n"
+                for tree in edge_dataframe2dict(df_tt):
+                    output += tree_from_dict(tree)
+                    output += "\n"
+        output += "\n"
+    return output

@@ -384,12 +384,15 @@ def parse_deck(text: str) -> list[dict]:
                 )
             elif kw == "TSTEP":
                 # defaulted 'n*' items expand to None — no time advance;
-                # a TSTEP before any START/DATES leaves the cursor unset
-                # (the reference aborts there, compdat.py:222-226 — a
-                # None cursor degrades to a NULL DATE instead).
+                # a TSTEP before any START/DATES starts the clock at the
+                # reference's documented fallback 1900-01-01
+                # (gruptree.py:101-105 "No date parsed ... Using
+                # 1900-01-01") instead of crashing.
                 for step in _expand(rec):
-                    if step is None or cursor is None:
+                    if step is None:
                         continue
+                    if cursor is None:
+                        cursor = date(1900, 1, 1)
                     cursor = cursor + timedelta(days=float(step))
                 records.append(
                     {"KEYWORD_IDX": kw_idx, "KEYWORD": kw, "RECORD_IDX": rec_idx,

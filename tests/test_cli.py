@@ -277,3 +277,28 @@ def test_cli_summary_date_crop_and_arrow(tmp_path):
 
     t = feather.read_table(str(arrow_path))
     assert t.num_rows > 0
+
+
+def test_gruptree_prettyprint_cli(spark, tmp_path, capsys):
+    from res2df_spark.cli import main
+
+    deck = tmp_path / "TREE.DATA"
+    deck.write_text(
+        "START\n 1 JAN 2020 /\nGRUPTREE\n 'OP' 'FIELD'/\n/\n"
+    )
+    assert main(["gruptree", str(deck), "--prettyprint"]) == 0
+    out = capsys.readouterr().out
+    assert "Date: 2020-01-01" in out
+    assert "FIELD\n└── OP" in out
+
+
+def test_gruptree_startdate_cli(spark, tmp_path, capsys):
+    from res2df_spark.cli import main
+
+    deck = tmp_path / "NODATE.DATA"
+    deck.write_text("GRUPTREE\n 'OP' 'FIELD'/\n/\n")
+    assert main(
+        ["gruptree", str(deck), "--startdate", "2001-02-03", "-o", "-"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "2001-02-03" in out

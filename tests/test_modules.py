@@ -367,3 +367,154 @@ NODEPROP
         (feb, "WELL_1", "WELSPECS", "TMPL_A"),
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Ported reference cases: tests/test_gruptree.py::test_grupnetroot,
+# test_multiple_roots, test_tstep, test_edge_dataframe2dict,
+# test_prettyprint (ASCII rendering without treelib).
+# ---------------------------------------------------------------------------
+
+
+def test_grupnet_root_pressure(spark):
+    """Root node carries its GRUPNET terminal pressure with NULL parent
+    (reference test_grupnetroot case 1)."""
+    deck = """
+GRUPTREE
+ 'OP' 'FIELD'/
+/
+
+GRUPNET
+  'FIELD' 90 /
+  'OP' 100 /
+/
+"""
+    out = gruptree.df(spark, deck, startdate=date(2000, 1, 1))
+    got = {
+        (r["CHILD"], r["PARENT"]): r["TERMINAL_PRESSURE"]
+        for r in out.collect()
+    }
+    assert got[("FIELD", None)] == 90.0
+    assert got[("OP", "FIELD")] == 100.0
+
+
+def test_grupnet_pressure_outside_tree_ignored(spark):
+    """GRUPNET entries for nodes not in the GRUPTREE are dropped
+    (reference test_grupnetroot case 2: 'FIELDB' 80 ignored)."""
+    deck = """
+GRUPTREE
+ 'OP' 'FIELDA'/
+/
+
+GRUPNET
+  'FIELDA' 90 /
+  'OP' 100 /
+  'FIELDB' 80 /
+/
+"""
+    out = gruptree.df(spark, deck, startdate=date(2000, 1, 1))
+    got = {r["CHILD"]: (r["PARENT"], r["TERMINAL_PRESSURE"]) for r in out.collect()}
+    assert "FIELDB" not in got
+    assert got["FIELDA"] == (None, 90.0)
+    assert got["OP"] == ("FIELDA", 100.0)
+
+
+def test_grupnet_multiple_roots(spark):
+    """Two disjoint trees; each root carries its own pressure
+    (reference test_grupnetroot case 3)."""
+    deck = """
+GRUPTREE
+ 'OP' 'FIELDA'/
+ 'OPX' 'FIELDB' /
+/
+
+GRUPNET
+  'FIELDA' 90 /
+  'OP' 100 /
+  'FIELDB' 80 /
+/
+"""
+    out = gruptree.df(spark, deck, startdate=date(2000, 1, 1))
+    got = {r["CHILD"]: (r["PARENT"], r["TERMINAL_PRESSURE"]) for r in out.collect()}
+    assert got["FIELDA"] == (None, 90.0)
+    assert got["FIELDB"] == (None, 80.0)
+    assert got["OP"] == ("FIELDA", 100.0)
+    assert got["OPX"] == ("FIELDB", None)
+
+
+def test_gruptree_tstep_before_dates(spark):
+    """TSTEP with no prior START starts the clock at the reference's
+    1900-01-01 fallback — two distinct dates in the output (reference
+    test_tstep)."""
+    deck = """
+GRUPTREE
+ 'OPWEST' 'OP' /
+ 'OP' 'FIELD' /
+ 'FIELD' 'AREA' /
+ 'AREA' 'NORTHSEA' /
+/
+
+TSTEP
+  1 /
+
+WELSPECS
+ 'OP1' 'OPWEST' 41 125 1759.74 'OIL' 0.0 'STD' 'SHUT' 'YES'  0  'SEG' /
+/
+"""
+    out = gruptree.df(spark, deck, startdate=date(1900, 1, 1))
+    dates = {r["DATE"] for r in out.select("DATE").distinct().collect()}
+    assert dates == {date(1900, 1, 1), date(1900, 1, 2)}
+
+
+def test_edge_dataframe2dict():
+    import pandas as pd
+
+    edges = pd.DataFrame(
+        [
+            {"CHILD": "FIELDA", "PARENT": None},
+            {"CHILD": "FIELDB", "PARENT": None},
+            {"CHILD": "PLATA", "PARENT": "FIELDA"},
+            {"CHILD": "PLATB", "PARENT": "FIELDB"},
+        ]
+    )
+    answer = [{"FIELDA": {"PLATA": {}}}, {"FIELDB": {"PLATB": {}}}]
+    assert gruptree.edge_dataframe2dict(edges) == answer
+    # roots may be omitted; order must not matter
+    assert gruptree.edge_dataframe2dict(edges.iloc[[3, 2]]) == answer
+    assert gruptree.edge_dataframe2dict(pd.DataFrame()) == [{}]
+    # chains nest
+    chain = pd.DataFrame(
+        [{"PARENT": "A", "CHILD": "B"}, {"PARENT": "B", "CHILD": "C"}]
+    )
+    assert gruptree.edge_dataframe2dict(chain) == [{"A": {"B": {"C": {}}}}]
+    # multiple dates rejected
+    import pytest
+
+    two_dates = pd.DataFrame(
+        [
+            {"PARENT": "A", "CHILD": "B", "DATE": "2000-01-01"},
+            {"PARENT": "A", "CHILD": "B", "DATE": "2040-01-01"},
+        ]
+    )
+    with pytest.raises(ValueError):
+        gruptree.edge_dataframe2dict(two_dates)
+
+
+def test_tree_from_dict_render():
+    import pytest
+
+    assert gruptree.tree_from_dict({}) == ""
+    assert gruptree.tree_from_dict({"FIELD": {"OP": {}}}) == "FIELD\n└── OP\n"
+    got = gruptree.tree_from_dict({"FIELD": {"OP": {"OP_1": {}}, "WI": {}}})
+    assert got == "FIELD\n├── OP\n│   └── OP_1\n└── WI\n"
+    with pytest.raises(ValueError, match="single tree"):
+        gruptree.tree_from_dict({"foo": {}, "bar": {}})
+
+
+def test_prettyprint(spark):
+    out = gruptree.df(spark, GRUPTREE_DECK).toPandas()
+    text = gruptree.prettyprint(out)
+    assert "Date: 2020-01-01" in text
+    assert "Date: 2020-03-01" in text
+    assert "GRUPTREE trees:" in text
+    assert "FIELD" in text and "└── " in text
