@@ -53,3 +53,119 @@ def test_explode_stays_shuffle_free(spark):
     plan = _plan(spark, "r1_unroll_range")
     # project+generate over the scan; the only exchange allowed is none
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-placement operators (operators/colocate.py): bucketed joins
+# must be exchange-free; salted joins must keep results identical.
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from res2df_spark.operators.colocate import (
+        bucketed, colocated_join, write_bucketed,
+    )
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    left = df.withColumn("a", df.k * 2)
+    right = df.withColumn("b", df.k % 7)
+    write_bucketed(left, "t_bkt_left", ["k"], n_buckets=8,
+                   path=str(tmp_path / "l"))
+    write_bucketed(right, "t_bkt_right", ["k"], n_buckets=8,
+                   path=str(tmp_path / "r"))
+    # at test scale the planner would broadcast instead (also shuffle-
+    # free, but not the path under test) — disable to expose the
+    # bucketed sort-merge join
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(
+            bucketed(spark, "t_bkt_left"), bucketed(spark, "t_bkt_right"), ["k"]
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_left")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_right")
+
+
+def test_bucketed_agg_has_no_exchange(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from res2df_spark.operators.colocate import bucketed, write_bucketed
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+    )
+    write_bucketed(df, "t_bkt_agg", ["k"], n_buckets=8,
+                   path=str(tmp_path / "a"))
+    try:
+        agg = bucketed(spark, "t_bkt_agg").groupBy("k").agg(F.sum("v").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert agg.count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_agg")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from res2df_spark.operators.colocate import salted_join
+
+    # one hot key (90% of rows) + a tail
+    fact = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1800, 0).otherwise(F.col("id") % 37).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 37).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    plain = fact.join(dim, "k").groupBy().agg(
+        F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+    ).collect()[0]
+    salted = salted_join(fact, dim, ["k"], n_salt=8).groupBy().agg(
+        F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+    ).collect()[0]
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+
+def test_salted_join_splits_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from res2df_spark.operators.colocate import salted_join
+
+    fact = spark.range(0, 1000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    dim = spark.range(0, 1).select(F.col("id").alias("k"), F.lit("x").alias("w"))
+    out = salted_join(fact, dim, ["k"], n_salt=8)
+    # the physical join key must include the salt column
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "__salt" in plan
+    assert out.count() == 1000
+
+
+def test_snapshot_latest_single_exchange(spark):
+    """snapshot_latest is ONE shuffle on the keys: no range join, no
+    extra exchange beyond the window's hash partitioning."""
+    from datetime import date
+
+    from res2df_spark.operators.windows import snapshot_latest
+
+    log = spark.createDataFrame(
+        [("A", date(2020, 1, 1), 1, 10.0), ("A", date(2020, 3, 1), 2, 20.0)],
+        "K string, DATE date, ORD int, V double",
+    )
+    grid = spark.createDataFrame(
+        [("A", date(2020, 2, 1)), ("A", date(2020, 4, 1))], "K string, SD date"
+    )
+    out = snapshot_latest(
+        log, grid, keys=["K"], snap_col="SD", time_col="DATE",
+        order_by=["ORD"], payload_cols=["V"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    got = {(r["K"], str(r["SD"])): r["V"] for r in out.collect()}
+    assert got == {("A", "2020-02-01"): 10.0, ("A", "2020-04-01"): 20.0}
