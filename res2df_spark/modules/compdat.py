@@ -30,9 +30,6 @@ from res2df_spark.sources.deck import deck_records, schedule_events
 
 #: WELOPEN statuses mapped onto connection OP/SH values
 #: (STOP acts as SHUT at the connection level — compdat.py:902-910).
-_STATUS_MAP = {"OPEN": "OPEN", "SHUT": "SHUT", "STOP": "SHUT", "AUTO": "AUTO"}
-
-
 def _with_dates(df: DataFrame, events: DataFrame) -> DataFrame:
     """Stamp every record with the date cursor: union the date events,
     forward-fill DATE over KEYWORD_IDX, keep the data records (W1)."""
@@ -98,15 +95,19 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
         .drop("__head_i", "__head_j", "head_i", "head_j")
     )
 
-    # R1: K-range unroll.
+    # R1: K-range unroll.  RECORD_IDX rides along so two records inside
+    # ONE keyword instance (same KEYWORD_IDX) still have a total order —
+    # the reference's last-record-wins (test id self-overwriting-records).
     conns = unroll_range(compdat, "K1", "K2", "K").select(
         "WELL", "I", "J", "K",
-        F.col("OP/SH").alias("OP_SH"), "DATE", "KEYWORD_IDX", "SATN", "KH", "SKIN",
+        F.col("OP/SH").alias("OP_SH"), "DATE", "KEYWORD_IDX", "RECORD_IDX",
+        "SATN", "KH", "SKIN",
     )
 
     if welopen_dated is None:
         return dedup_keep(
-            conns, keys=["WELL", "I", "J", "K", "DATE"], order_by=["KEYWORD_IDX"], keep="last"
+            conns, keys=["WELL", "I", "J", "K", "DATE"],
+            order_by=["KEYWORD_IDX", "RECORD_IDX"], keep="last",
         ).select("WELL", "I", "J", "K", "OP_SH", "DATE", "SATN", "KH", "SKIN")
 
     # COMPLUMP (R5, compdat.py:656-754): lump-number assignments per
@@ -135,6 +136,7 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
     actions = welopen_dated.select(
         F.col("WELL").alias("TEMPLATE"), "STATUS", "I", "J", "K", "C1", "C2",
         F.col("DATE").alias("A_DATE"), F.col("KEYWORD_IDX").alias("A_IDX"),
+        F.col("RECORD_IDX").alias("A_RIDX"),
     )
     tmpl_rows = [r["TEMPLATE"] for r in actions.select("TEMPLATE").distinct().collect()]
     rx = spark.createDataFrame(
@@ -143,13 +145,14 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
     actions = actions.join(broadcast(rx), "TEMPLATE")
 
     # J9/J10/R4: match each action to the latest prior state of each
-    # connection of its well(s); defaulted coords (NULL/0) match all.
+    # connection of its well(s); defaulted coords (NULL, zero or
+    # negative — reference compdat.py:855-860) match all.
     a = broadcast(actions)
     by_lump = F.col("a.C1").isNotNull() & F.col("a.C2").isNotNull()
     coord_match = (
-        (F.col("a.I").isNull() | (F.col("a.I") == 0) | (F.col("a.I") == F.col("c.I")))
-        & (F.col("a.J").isNull() | (F.col("a.J") == 0) | (F.col("a.J") == F.col("c.J")))
-        & (F.col("a.K").isNull() | (F.col("a.K") == 0) | (F.col("a.K") == F.col("c.K")))
+        (F.col("a.I").isNull() | (F.col("a.I") <= 0) | (F.col("a.I") == F.col("c.I")))
+        & (F.col("a.J").isNull() | (F.col("a.J") <= 0) | (F.col("a.J") == F.col("c.J")))
+        & (F.col("a.K").isNull() | (F.col("a.K") <= 0) | (F.col("a.K") == F.col("c.K")))
     )
     lump_match = F.col("c.LUMP").between(F.col("a.C1"), F.col("a.C2"))
     matched = conns.alias("c").join(
@@ -160,25 +163,40 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
     )
     latest = dedup_keep(
         matched,
-        keys=["c.WELL", "c.I", "c.J", "c.K", "A_IDX"],
-        order_by=[F.col("c.KEYWORD_IDX")],
+        keys=["c.WELL", "c.I", "c.J", "c.K", "A_IDX", "A_RIDX"],
+        order_by=[F.col("c.KEYWORD_IDX"), F.col("c.RECORD_IDX")],
         keep="last",
     )
-    status_expr = F.coalesce(
-        *[F.when(F.col("STATUS") == k, F.lit(v)) for k, v in _STATUS_MAP.items()]
+    # STOP on the WHOLE well (all coords defaulted) closes the well but
+    # leaves — indeed rewrites — the connections OPEN; STOP on selected
+    # connections equals SHUT; POPN is OPEN (reference
+    # compdat.py:902-910 + tests welopen-stop-on-well*).
+    acts_on_well = (
+        (F.col("a.I").isNull() | (F.col("a.I") <= 0))
+        & (F.col("a.J").isNull() | (F.col("a.J") <= 0))
+        & (F.col("a.K").isNull() | (F.col("a.K") <= 0))
+        & ~by_lump
+    )
+    status_expr = (
+        F.when(F.col("STATUS") == "POPN", F.lit("OPEN"))
+        .when((F.col("STATUS") == "STOP") & acts_on_well, F.lit("OPEN"))
+        .when(F.col("STATUS") == "STOP", F.lit("SHUT"))
+        .otherwise(F.col("STATUS"))
     )
     rewritten = latest.select(
         F.col("c.WELL").alias("WELL"), F.col("c.I").alias("I"),
         F.col("c.J").alias("J"), F.col("c.K").alias("K"),
         status_expr.alias("OP_SH"), F.col("A_DATE").alias("DATE"),
         F.col("A_IDX").alias("KEYWORD_IDX"),
+        F.col("A_RIDX").alias("RECORD_IDX"),
         F.col("c.SATN").alias("SATN"), F.col("c.KH").alias("KH"),
         F.col("c.SKIN").alias("SKIN"),
     )
 
     all_rows = conns.drop("LUMP").unionByName(rewritten)
     final = dedup_keep(
-        all_rows, keys=["WELL", "I", "J", "K", "DATE"], order_by=["KEYWORD_IDX"], keep="last"
+        all_rows, keys=["WELL", "I", "J", "K", "DATE"],
+        order_by=["KEYWORD_IDX", "RECORD_IDX"], keep="last",
     )
     return final.select("WELL", "I", "J", "K", "OP_SH", "DATE", "SATN", "KH", "SKIN")
 

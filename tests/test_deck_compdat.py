@@ -171,8 +171,10 @@ WELOPEN
 """
     out = compdat.df(spark, deck)
     got = rows(out.filter("DATE = DATE'2020-06-01'"), "WELL", "OP_SH")
-    # STOP maps to SHUT at connection level; wildcard hits OP1/OP2 only
-    assert got == [("OP1", "SHUT"), ("OP2", "SHUT")]
+    # STOP on the WHOLE well (no coords) closes the well but keeps the
+    # connections OPEN (reference compdat.py:904-910, test case
+    # welopen-stop-on-well); wildcard hits OP1/OP2 only
+    assert got == [("OP1", "OPEN"), ("OP2", "OPEN")]
 
 
 def test_welopen_reopen_sequence(spark):
@@ -412,3 +414,172 @@ WELSPECS
     assert df.count() == 4  # 2 THP × 2 rates — WELSPECS not consumed
     recs = deck_records(spark, deck, "WELSPECS")
     assert recs.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Ported reference WELOPEN cases (tests/test_welopen.py ids in comments)
+# ---------------------------------------------------------------------------
+
+
+def _welopen_case(spark, schedule: str):
+    deck = "START\n  1 JAN 2000 /\n" + schedule
+    out = compdat.df(spark, deck)
+    return rows(out, "DATE", "WELL", "I", "J", "K", "OP_SH")
+
+
+def test_welopen_stop_on_connection_is_shut(spark):
+    """id=welopen-stop-on-connection-is-shut: STOP with coordinates
+    given acts on the connection and means SHUT."""
+    got = _welopen_case(spark, """
+COMPDAT
+ 'OP1' 1 1 1 1 'OPEN' /
+/
+WELOPEN
+ 'OP1' 'STOP' 1 1 1 /
+/
+""")
+    assert got == [(date(2000, 1, 1), "OP1", 1, 1, 1, "SHUT")]
+
+
+def test_welopen_popn_on_connection_is_open(spark):
+    """id=welopen-popn-on-connection-is-open."""
+    got = _welopen_case(spark, """
+COMPDAT
+ 'OP1' 1 1 1 1 'SHUT' /
+/
+WELOPEN
+ 'OP1' 'POPN' 1 1 1 /
+/
+""")
+    assert got == [(date(2000, 1, 1), "OP1", 1, 1, 1, "OPEN")]
+
+
+def test_welopen_negative_and_zero_defaults(spark):
+    """ids=zero-values/negative-values: 0 and -1 coordinates mean
+    'all connections', same as 1*."""
+    for coords in ("0 0 0", "-1 -1 -1"):
+        got = _welopen_case(spark, f"""
+COMPDAT
+ 'OP1' 1 1 1 1 'OPEN' /
+/
+WELOPEN
+ 'OP1' 'SHUT' {coords} /
+/
+""")
+        assert got == [(date(2000, 1, 1), "OP1", 1, 1, 1, "SHUT")], coords
+
+
+def test_welopen_stop_on_well_explicit_defaults(spark):
+    """id=welopen-stop-on-well-explicit-defaults: 1*/0/-1 coordinate
+    forms all act on the well — STOP leaves connections OPEN."""
+    got = _welopen_case(spark, """
+COMPDAT
+ 'OP1' 1 1 1 1 'OPEN' /
+ 'OP2' 1 1 1 1 'OPEN' /
+ 'OP3' 1 1 1 1 'OPEN' /
+/
+WELOPEN
+ 'OP1' 'STOP' 1* 1* 1* /
+ 'OP2' 'STOP' 0  0  0  /
+ 'OP3' 'STOP' -1 -1 -1 /
+/
+""")
+    assert got == [
+        (date(2000, 1, 1), "OP1", 1, 1, 1, "OPEN"),
+        (date(2000, 1, 1), "OP2", 1, 1, 1, "OPEN"),
+        (date(2000, 1, 1), "OP3", 1, 1, 1, "OPEN"),
+    ]
+
+
+def test_welopen_shut_then_stop_reopens_connections(spark):
+    """id=welopen-shut-then-stop-on-well: a later STOP on the well
+    rewrites previously SHUT connections back to OPEN."""
+    got = _welopen_case(spark, """
+DATES
+ 1 JAN 2000 /
+/
+COMPDAT
+ 'OP1' 1 1 1 1 'OPEN' /
+/
+WELOPEN
+ 'OP1' 'SHUT' /
+/
+DATES
+ 1 FEB 2000 /
+/
+WELOPEN
+ 'OP1' 'STOP' /
+/
+""")
+    assert (date(2000, 1, 1), "OP1", 1, 1, 1, "SHUT") in got
+    assert (date(2000, 2, 1), "OP1", 1, 1, 1, "OPEN") in got
+
+
+def test_welopen_self_overwriting_records(spark):
+    """id=self-overwriting-records: two actions in ONE keyword at the
+    same date — the last wins."""
+    got = _welopen_case(spark, """
+DATES
+ 1 MAY 2001 /
+/
+COMPDAT
+ 'OP1' 1 1 1 1 'OPEN'  /
+/
+WELOPEN
+ 'OP1' 'OPEN' 0 0 0 /
+ 'OP1' 'SHUT' 0 0 0 /
+/
+""")
+    assert got == [(date(2001, 5, 1), "OP1", 1, 1, 1, "SHUT")]
+
+
+def test_welopen_multiple_connections_same_cell(spark):
+    """id=multiple-connnections-same-cell: two wells completed in the
+    same cell are tracked independently."""
+    got = _welopen_case(spark, """
+DATES
+ 1 JAN 2000 /
+/
+COMPDAT
+ 'OP1' 1 1 1 1 'OPEN' /
+ 'OP2' 1 1 1 1 'OPEN' /
+/
+WELOPEN
+ 'OP1' 'SHUT' 0 0 0 /
+ 'OP2' 'OPEN' 0 0 0 /
+/
+""")
+    assert got == [
+        (date(2000, 1, 1), "OP1", 1, 1, 1, "SHUT"),
+        (date(2000, 1, 1), "OP2", 1, 1, 1, "OPEN"),
+    ]
+
+
+def test_welopen_wildcards_do_not_apply_to_future_wells(spark):
+    """id=wildcards-do-not-apply-to-future-wells: 'OP*' matches only
+    wells defined at or before the action's date."""
+    got = _welopen_case(spark, """
+DATES
+  1 JAN 2000 /
+/
+COMPDAT
+ 'OP1' 1 1 1 1 'OPEN' /
+ 'OP2' 2 2 2 2 'OPEN' /
+ 'WI1' 3 3 3 3 'OPEN' /
+/
+WELOPEN
+ 'OP*' 'SHUT' 0 0 0 /
+/
+DATES
+  1 FEB 2000 /
+/
+COMPDAT
+  'OP3' 4 4 4 4 'OPEN' /
+/
+""")
+    assert sorted(got) == [
+        (date(2000, 1, 1), "OP1", 1, 1, 1, "SHUT"),
+        (date(2000, 1, 1), "OP2", 2, 2, 2, "SHUT"),
+        (date(2000, 1, 1), "WI1", 3, 3, 3, "OPEN"),
+        (date(2000, 2, 1), "OP3", 4, 4, 4, "OPEN"),
+    ]
