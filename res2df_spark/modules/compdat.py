@@ -26,10 +26,14 @@ from pyspark.sql.functions import broadcast
 from res2df_spark.functions.strings import well_template_to_regex
 from res2df_spark.operators.reshape import unroll_range
 from res2df_spark.operators.windows import dedup_keep, ffill
-from res2df_spark.sources.deck import deck_records, schedule_events
+from res2df_spark.sources.deck import (
+    deck_records,
+    fill_dates,
+    parse_deck,
+    schedule_events,
+)
 
-#: WELOPEN statuses mapped onto connection OP/SH values
-#: (STOP acts as SHUT at the connection level — compdat.py:902-910).
+
 def _with_dates(df: DataFrame, events: DataFrame) -> DataFrame:
     """Stamp every record with the date cursor: union the date events,
     forward-fill DATE over KEYWORD_IDX, keep the data records (W1)."""
@@ -53,15 +57,16 @@ def _with_dates(df: DataFrame, events: DataFrame) -> DataFrame:
 def df(spark: SparkSession, deck_text: str) -> DataFrame:
     """Deck text → connection table
     (WELL, I, J, K, OP_SH, DATE, SATN, KH, SKIN)."""
-    events = schedule_events(spark, deck_text)
-    compdat = deck_records(spark, deck_text, "COMPDAT")
-    welspecs = deck_records(spark, deck_text, "WELSPECS")
-    welopen = deck_records(spark, deck_text, "WELOPEN")
+    from res2df_spark.modules.wlist import expand_welopen_wlists
 
-    compdat = _with_dates(compdat, events)
-    welopen_dated = (
-        _with_dates(welopen, events) if welopen.take(1) else None
-    )
+    # ONE driver-side parse: dates stamped at the parse layer (W1 over
+    # deck-bounded text) and ``*LIST`` well references in WELOPEN
+    # expanded against the running WLIST state at each record's deck
+    # position (reference compdat.py:769-801).
+    dated = expand_welopen_wlists(fill_dates(parse_deck(deck_text)))
+    compdat = deck_records(spark, deck_text, "COMPDAT", records=dated)
+    welspecs = deck_records(spark, deck_text, "WELSPECS", records=dated)
+    wo_recs = [r for r in dated if r["KEYWORD"] == "WELOPEN"]
 
     # W2: WELSPECS head-location fill.  Union the header rows, ffill the
     # head coords per well over deck order, apply to defaulted I/J.
@@ -104,7 +109,7 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
         "SATN", "KH", "SKIN",
     )
 
-    if welopen_dated is None:
+    if not wo_recs:
         return dedup_keep(
             conns, keys=["WELL", "I", "J", "K", "DATE"],
             order_by=["KEYWORD_IDX", "RECORD_IDX"], keep="last",
@@ -113,8 +118,8 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
     # COMPLUMP (R5, compdat.py:656-754): lump-number assignments per
     # connection; WELOPEN actions carrying C1–C2 match by lump range
     # instead of coordinates.
-    complump = deck_records(spark, deck_text, "COMPLUMP")
-    if complump.take(1):
+    complump = deck_records(spark, deck_text, "COMPLUMP", records=dated)
+    if any(r["KEYWORD"] == "COMPLUMP" for r in dated):
         lumps = unroll_range(complump, "K1", "K2", "K").select(
             F.col("WELL").alias("L_WELL"),
             F.col("I").alias("L_I"), F.col("J").alias("L_J"),
@@ -132,17 +137,20 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
         conns = conns.withColumn("LUMP", F.lit(None).cast("int"))
 
     # R3: wildcard wells expand against wells defined at <= action date.
-    # Templates are deck constants → regex translation driver-side.
-    actions = welopen_dated.select(
-        F.col("WELL").alias("TEMPLATE"), "STATUS", "I", "J", "K", "C1", "C2",
-        F.col("DATE").alias("A_DATE"), F.col("KEYWORD_IDX").alias("A_IDX"),
-        F.col("RECORD_IDX").alias("A_RIDX"),
+    # Records are already driver-side, so the glob→regex translation
+    # happens in place — no collect round trip.
+    actions = spark.createDataFrame(
+        [
+            (
+                r["WELL"], well_template_to_regex(r["WELL"]), r["STATUS"],
+                r["I"], r["J"], r["K"], r["C1"], r["C2"],
+                r["DATE"], r["KEYWORD_IDX"], r["RECORD_IDX"],
+            )
+            for r in wo_recs
+        ],
+        "TEMPLATE string, RX string, STATUS string, I int, J int, K int, "
+        "C1 int, C2 int, A_DATE date, A_IDX long, A_RIDX long",
     )
-    tmpl_rows = [r["TEMPLATE"] for r in actions.select("TEMPLATE").distinct().collect()]
-    rx = spark.createDataFrame(
-        [(t, well_template_to_regex(t)) for t in tmpl_rows], "TEMPLATE string, RX string"
-    )
-    actions = actions.join(broadcast(rx), "TEMPLATE")
 
     # J9/J10/R4: match each action to the latest prior state of each
     # connection of its well(s); defaulted coords (NULL, zero or
@@ -211,8 +219,9 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
 
 
 def _dated(spark: SparkSession, deck_text: str, keyword: str) -> DataFrame:
-    recs = deck_records(spark, deck_text, keyword)
-    return _with_dates(recs, schedule_events(spark, deck_text))
+    return deck_records(
+        spark, deck_text, keyword, records=fill_dates(parse_deck(deck_text))
+    )
 
 
 def _unroll_segments(df: DataFrame) -> DataFrame:

@@ -58,26 +58,55 @@ def fold_wlist(records: list[dict]) -> list[tuple[_date | None, str, str]]:
             continue
         if r["KEYWORD"] != "WLIST":
             continue
-        name, action = r["NAME"], r["ACTION"]
-        wells = _resolve(r["WELLS"], state)
-        if action == "NEW":
-            state[name] = wells
-        elif action == "ADD":
-            state[name] = _resolve(state.get(name, []) + wells, state)
-        elif action == "DEL":
-            # R11 set difference
-            state[name] = [w for w in state.get(name, []) if w not in set(wells)]
-        elif action == "MOV":
-            for other in state:
-                if other != name:
-                    state[other] = [w for w in state[other] if w not in set(wells)]
-            state[name] = _resolve(state.get(name, []) + wells, state)
-        else:
-            raise ValueError(f"unknown WLIST action {action!r}")
+        _apply_action(state, r)
         pending, pending_at = True, cursor
     if pending:
         emit(pending_at)
     return snapshots
+
+
+def _apply_action(state: dict[str, list[str]], r: dict) -> None:
+    """Mutate the list state with one WLIST record (NEW/ADD/DEL/MOV)."""
+    name, action = r["NAME"], r["ACTION"]
+    wells = _resolve(r["WELLS"], state)
+    if action == "NEW":
+        state[name] = wells
+    elif action == "ADD":
+        state[name] = _resolve(state.get(name, []) + wells, state)
+    elif action == "DEL":
+        # R11 set difference
+        state[name] = [w for w in state.get(name, []) if w not in set(wells)]
+    elif action == "MOV":
+        for other in state:
+            if other != name:
+                state[other] = [w for w in state[other] if w not in set(wells)]
+        state[name] = _resolve(state.get(name, []) + wells, state)
+    else:
+        raise ValueError(f"unknown WLIST action {action!r}")
+
+
+def expand_welopen_wlists(records: list[dict]) -> list[dict]:
+    """Replace ``*LIST`` well references in WELOPEN records with one
+    record per member well, using the list state at each record's deck
+    position (reference compdat.py:769-801
+    ``expand_wlist_in_welopen_df``; position-based state sidesteps the
+    documented same-date lossiness of the date-keyed frame).  An
+    undefined list raises ValueError like the reference."""
+    state: dict[str, list[str]] = {}
+    out: list[dict] = []
+    for r in records:
+        if r["KEYWORD"] == "WLIST":
+            _apply_action(state, r)
+            out.append(r)
+        elif r["KEYWORD"] == "WELOPEN" and (r.get("WELL") or "").startswith("*"):
+            if r["WELL"] not in state:
+                raise ValueError(
+                    f"Well list {r['WELL'][1:]} not defined at {r['DATE']}"
+                )
+            out.extend(dict(r, WELL=w) for w in state[r["WELL"]])
+        else:
+            out.append(r)
+    return out
 
 
 def df(spark: SparkSession, deck_text: str) -> DataFrame:

@@ -259,7 +259,9 @@ _MONTHS = {
     "JUL": 7, "JLY": 7, "AUG": 8, "SEP": 9, "OCT": 10, "NOV": 11, "DEC": 12,
 }
 
-_TOKEN_RE = re.compile(r"'[^']*'|\S+")
+#: '/' is a token of its own even glued to the previous item
+#: (``1 JAN 1999/`` is valid deck text — reference test decks use it)
+_TOKEN_RE = re.compile(r"'[^']*'|[^\s/]+|/")
 
 
 def _tokenize(text: str) -> list[str]:

@@ -583,3 +583,53 @@ COMPDAT
         (date(2000, 1, 1), "WI1", 3, 3, 3, "OPEN"),
         (date(2000, 2, 1), "OP3", 4, 4, 4, "OPEN"),
     ]
+
+
+def test_welopen_wlist_expansion(spark):
+    """id=redefined_wlist: '*OP' in WELOPEN expands to the list state
+    at the action's deck position — the redefined list wins."""
+    got = _welopen_case(spark, """
+DATES
+  1 JAN 1999/
+/
+WLIST
+  '*OP' NEW OP9 /
+/
+DATES
+  1 JAN 2000 /
+/
+COMPDAT
+  'OP1' 1 1 1 1 'OPEN' /
+/
+WLIST
+  '*OP' NEW OP1 /
+/
+WELOPEN
+  '*OP' 'SHUT' 0 0 0 /
+/
+""")
+    assert got == [(date(2000, 1, 1), "OP1", 1, 1, 1, "SHUT")]
+
+
+def test_welopen_future_wlist_raises(spark):
+    """id=futurewlist: referencing a list defined only later raises."""
+    import pytest
+
+    deck = """
+START
+  1 JAN 2000 /
+COMPDAT
+  'OP1' 1 1 1 1 'OPEN' /
+/
+WELOPEN
+  '*OP' 'SHUT' 0 0 0 /
+/
+DATES
+  2 JAN 2000/
+/
+WLIST
+  '*OP' NEW OP2 /
+/
+"""
+    with pytest.raises(ValueError, match="not defined"):
+        compdat.df(spark, deck)
