@@ -75,12 +75,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + parquet footers once so per-query numbers measure the
     # plans, not first-touch overhead
-    run_one(spark, "dedup_exact", repeats=1)
+    try:
+        run_one(spark, "dedup_exact", repeats=1)
+    except Exception as exc:  # noqa: BLE001 — warmup failure is non-fatal
+        print(f"warmup failed: {exc}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    # Per-query error isolation: one failing query must never zero out the
+    # whole artifact — record its error string and keep timing the rest.
+    timings: dict[str, object] = {}
     for name in HEADLINE:
-        timings[name] = round(run_one(spark, name), 3)
-    total = round(sum(timings.values()), 3)
+        try:
+            timings[name] = round(run_one(spark, name), 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+    total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
     print(
         json.dumps(
             {

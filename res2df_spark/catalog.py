@@ -10,7 +10,7 @@ can push filters/projections into it.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 #: Tables the verification driver generates (TESTDATA.md).
 TABLES = (
@@ -43,6 +43,14 @@ class Catalog:
                 # spark.sql.legacy.parquet.nanosAsLong: truncate ns → µs
                 # (same truncation DuckDB applies reading the file).
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif name == "events" and isinstance(
+                df.schema["ts"].dataType, TimestampNTZType
+            ):
+                # timestamp[us] parquet without the UTC flag reads as
+                # TIMESTAMP_NTZ; the session timezone is pinned to UTC
+                # (session.py), so casting to TIMESTAMP is deterministic
+                # and yields the same epoch micros DuckDB reads.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             self._cache[name] = df
         return self._cache[name]
 

@@ -296,28 +296,36 @@ def df(
 
 def edge_dataframe2dict(dframe) -> list[dict]:
     """List of edges (pandas frame with CHILD/PARENT) → nested dicts,
-    one per root, sorted by root name; leaves are empty dicts
-    (reference gruptree.py:290-330)."""
-    import collections
+    one per root, sorted by root name; leaves are empty dicts.
 
+    Same output contract as the reference (gruptree.py:290-330) but an
+    independent formulation: build a parent→children adjacency map, find
+    the roots (parents that never appear as a child), and materialize
+    each root's subtree with a recursive comprehension.
+    """
     import pandas as pd
 
     if dframe.empty:
         return [{}]
-    if "DATE" in dframe and len(dframe["DATE"].unique()) > 1:
+    if "DATE" in dframe and dframe["DATE"].nunique() > 1:
         raise ValueError("Can only handle one date at a time")
-    subtrees: dict = collections.defaultdict(dict)
-    edges = []
-    for _, row in dframe.iterrows():
-        if not pd.isna(row["PARENT"]):
-            edges.append((row["CHILD"], row["PARENT"]))
-    for child, parent in edges:
-        subtrees[parent][child] = subtrees[child]
-    if not edges:
+
+    adjacency: dict[str, dict[str, None]] = {}
+    has_parent: set[str] = set()
+    for row in dframe.itertuples(index=False):
+        if pd.isna(row.PARENT):
+            continue
+        # dict-as-ordered-set: duplicate edges collapse, insertion kept
+        adjacency.setdefault(row.PARENT, {})[row.CHILD] = None
+        has_parent.add(row.CHILD)
+    if not adjacency:
         return [{}]
-    children, parents = zip(*edges)
-    roots = set(parents).difference(children)
-    return [{root: subtrees[root]} for root in sorted(roots)]
+
+    def grow(node: str) -> dict:
+        return {kid: grow(kid) for kid in adjacency.get(node, ())}
+
+    roots = sorted(name for name in adjacency if name not in has_parent)
+    return [{name: grow(name)} for name in roots]
 
 
 def _render_children(subtree: dict, prefix: str) -> list[str]:
