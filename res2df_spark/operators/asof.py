@@ -44,6 +44,15 @@ def asof_join(
     that sorts last under the right DataFrame's remaining columns
     (deterministic given unique (keys, time) on the right; pass a
     pre-deduped right otherwise).
+
+    ``tolerance_expr`` — optional SQL expression bounding the match gap,
+    like ``pandas.merge_asof(tolerance=...)``: the matched observation is
+    kept only when ``left_time - matched_right_time <= tolerance``.  Use
+    ``"INTERVAL '30' DAY"`` for timestamp axes or a plain numeric literal
+    for numeric axes.  Left rows whose nearest observation is too old
+    keep their row but get NULL payload (pandas semantics).  The gap is
+    measured against the matched row's time; per-column NULLs in the
+    right payload skip further back without re-checking the bound.
     """
     on = list(on)
     if value_cols is None:
@@ -80,12 +89,27 @@ def asof_join(
         filled = filled.withColumn(
             f"__v_{c}", F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w)
         )
+    if tolerance_expr is not None:
+        # Time of the matched (latest visible) observation, forward-filled
+        # in the same window pass — one shuffle total, unchanged.
+        filled = filled.withColumn(
+            "__rt",
+            F.last(F.when(F.col("__is_left") == 0, lt), ignorenulls=True).over(w),
+        )
     if strict:
         # with right rows ordered after left rows at equal __t, the window
         # frame already excludes equal-time observations.
         pass
 
     out = filled.filter(F.col("__is_left") == 1)
+    if tolerance_expr is not None:
+        # merge_asof(tolerance=...): a match older than the bound is
+        # dropped (payload → NULL), the left row itself is kept.
+        within = F.col("__rt").isNotNull() & (
+            (F.col("__t") - F.col("__rt")) <= F.expr(tolerance_expr)
+        )
+        for c in value_cols:
+            out = out.withColumn(f"__v_{c}", F.when(within, F.col(f"__v_{c}")))
     renames = {f"__v_{c}": (c + suffix) for c in value_cols}
     out = out.select(
         *on,
@@ -93,6 +117,4 @@ def asof_join(
         *[F.col(c) for c in left_cols if c not in on and c != left_time],
         *[F.col(src).alias(dst) for src, dst in renames.items()],
     )
-    if tolerance_expr is not None:
-        raise NotImplementedError("tolerance not yet supported")
     return out

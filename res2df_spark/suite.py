@@ -463,6 +463,47 @@ def j9_asof_join(spark, sf_dir):
     ).select("user_id", "purchase_ts", "purchase_id", "view_value", "view_event_id")
 
 
+@_q(
+    "j9_asof_tolerance",
+    """
+    SELECT p.user_id, p.ts AS purchase_ts, p.event_id AS purchase_id,
+           CASE WHEN v.ts + INTERVAL 7 DAY >= p.ts THEN v.value END AS view_value,
+           CASE WHEN v.ts + INTERVAL 7 DAY >= p.ts THEN v.event_id END AS view_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+        SELECT ts, value, event_id FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+    ) v ON TRUE
+    """,
+)
+def j9_asof_tolerance(spark, sf_dir):
+    """Tolerance-bounded as-of join (merge_asof(tolerance=...) semantics):
+    a matched observation older than the bound is dropped to NULL while
+    the left row survives.  Same single-shuffle union-window plan as J9 —
+    the bound is one extra forward-filled column plus a predicate, no
+    extra exchange (operators/asof.py)."""
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("view_value"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_time="purchase_ts",
+        right_time="ts",
+        value_cols=["view_value", "view_event_id"],
+        tolerance_expr="INTERVAL '7' DAY",
+    ).select("user_id", "purchase_ts", "purchase_id", "view_value", "view_event_id")
+
+
 # ---------------------------------------------------------------------------
 # §2.6 Window / order-dependent operators
 # ---------------------------------------------------------------------------

@@ -65,6 +65,47 @@ def test_asof_matches_pandas_merge_asof(spark, left, right):
 
 
 @given(
+    left=st.lists(st.integers(0, 100), min_size=1, max_size=20),
+    right=st.lists(
+        st.tuples(st.integers(0, 100), st.floats(-10, 10, allow_nan=False)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    tol=st.integers(0, 20),
+)
+@_slow
+def test_asof_tolerance_matches_pandas(spark, left, right, tol):
+    """asof_join(tolerance) ≡ pandas merge_asof(tolerance=...) backward."""
+    from res2df_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [("k", t, i) for i, t in enumerate(left)], "k string, t long, qid long"
+    )
+    rdf = spark.createDataFrame(
+        [("k", t, v) for t, v in right], "k string, t long, v double"
+    )
+    got = {
+        r["qid"]: r["v"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_time="t", right_time="t",
+            value_cols=["v"], tolerance_expr=str(tol),
+        ).collect()
+    }
+    lp = pd.DataFrame({"t": left, "qid": range(len(left))}).sort_values(
+        "t", kind="mergesort"
+    )
+    rp = pd.DataFrame(right, columns=["t", "v"]).sort_values("t", kind="mergesort")
+    exp = pd.merge_asof(lp, rp, on="t", direction="backward", tolerance=tol)
+    for _, row in exp.iterrows():
+        g = got[row["qid"]]
+        if pd.isna(row["v"]):
+            assert g is None
+        else:
+            assert g == row["v"]
+
+
+@given(
     pts=st.lists(
         st.tuples(
             # round x to 1e-6 grid: at denormal-scale x-gaps pandas'
