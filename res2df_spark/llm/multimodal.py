@@ -107,14 +107,75 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
-def frame_sample_stub(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", every_n: int = 10
+#: Schema of a sampled frame record: one row per kept frame.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def chunk_bytes(payload: bytes, frame_size: int) -> list[bytes]:
+    """Default fake demuxer: fixed-size byte blocks (last block ragged).
+    A real container demuxer (mp4/mkv frame extraction) plugs in via the
+    ``splitter=`` hook with the identical signature."""
+    return [payload[i : i + frame_size] for i in range(0, len(payload), frame_size)]
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_size: int = 64,
+    every_n: int = 10,
+    splitter: Callable[[bytes], list[bytes]] | None = None,
 ) -> DataFrame:
-    """Video frame-sampling stub: the real implementation decodes and
-    keeps every ``every_n``-th frame.  Without codec libraries this
-    raises; it exists so the API surface (and its schema contract) is
-    pinned down and testable."""
-    raise NotImplementedError(
-        "frame sampling requires a video codec library not present in this "
-        "environment; use extract_features(decoder=...) with a real decoder"
-    )
+    """Split each binary payload into frames and keep every
+    ``every_n``-th one (frames 0, n, 2n, …) — the video frame-sampling
+    primitive of the north-star pipeline.
+
+    ``splitter`` maps payload bytes → ordered list of frame byte
+    strings; the default chunks into fixed ``frame_size`` blocks (a
+    deterministic fake codec — swap in a real demuxer without touching
+    the Spark side).  One input row fans out to
+    ``ceil(n_frames / every_n)`` output rows carrying the frame index,
+    total frame count, frame byte length and content hash.
+
+    100 TB design: ``mapInPandas`` streams Arrow record batches, so an
+    executor holds one batch of payloads at a time; the fan-out happens
+    inside the Python worker (no explode of a giant array column), and
+    the output is a fixed relational schema.  NULL/empty payloads yield
+    no rows.
+    """
+    if not isinstance(df.schema[payload_col].dataType, BinaryType):
+        df = df.withColumn(payload_col, F.col(payload_col).cast("binary"))
+    split = splitter or (lambda p: chunk_bytes(p, frame_size))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n_frames": [],
+                "frame_bytes": [],
+                "frame_md5": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                frames = split(bytes(payload))
+                for idx in range(0, len(frames), every_n):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(len(frames))
+                    out["frame_bytes"].append(len(frames[idx]))
+                    out["frame_md5"].append(hashlib.md5(frames[idx]).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)

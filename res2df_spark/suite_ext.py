@@ -1707,3 +1707,45 @@ if _IVF_CENTROIDS is not None:
             F.round("cosine", 6).alias("cosine"),
             F.col("rank").cast("long").alias("rnk"),
         )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling (llm/multimodal.py sample_frames)
+# ---------------------------------------------------------------------------
+
+_FRAME_SQL = """
+    WITH m AS (SELECT doc_id, text, length(text) AS n_chars FROM documents
+               WHERE text IS NOT NULL AND length(text) > 0),
+    f AS (SELECT doc_id, text,
+                 CAST(ceil(n_chars / 32.0) AS BIGINT) AS n_frames FROM m),
+    u AS (SELECT doc_id, text, n_frames,
+                 unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
+          FROM f)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, n_frames,
+           CAST(octet_length(encode(substr(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32))) AS BIGINT)
+               AS frame_bytes,
+           md5(substr(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS frame_md5
+    FROM u
+"""
+
+
+@_q("mm_frame_sample", _FRAME_SQL)
+def mm_frame_sample(spark, sf_dir):
+    """Video-style frame sampling (north star): each payload splits into
+    frames, every 4th is kept — one input row fans out to n rows inside
+    ``mapInPandas`` (Arrow-batched, no giant array column).  The fake
+    codec here frames on 32-char boundaries of the UTF-8 text so DuckDB
+    (which cannot slice blobs) can replicate it with substr+md5; the
+    byte-chunking default and a real demuxer share the same hook."""
+    from res2df_spark.llm.multimodal import sample_frames
+
+    def char_frames(payload: bytes) -> list[bytes]:
+        s = payload.decode("utf-8")
+        return [s[i : i + 32].encode("utf-8") for i in range(0, len(s), 32)]
+
+    docs = Catalog(spark, sf_dir).documents
+    src = docs.filter(F.col("text").isNotNull() & (F.length("text") > 0)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return sample_frames(src, every_n=4, splitter=char_frames)

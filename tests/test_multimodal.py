@@ -9,9 +9,11 @@ from pyspark.sql import functions as F
 
 from res2df_spark.llm.multimodal import (
     FEATURE_SCHEMA,
+    FRAME_SCHEMA,
     attach_binary_metadata,
+    chunk_bytes,
     extract_features,
-    frame_sample_stub,
+    sample_frames,
 )
 
 
@@ -47,6 +49,31 @@ def test_extract_features_custom_decoder(spark):
     assert got[1] == 21.0 and got[3] == 0.0
 
 
-def test_frame_sample_stub_raises(spark):
-    with pytest.raises(NotImplementedError):
-        frame_sample_stub(_payloads(spark))
+def test_chunk_bytes():
+    assert chunk_bytes(b"abcdefg", 3) == [b"abc", b"def", b"g"]
+    assert chunk_bytes(b"", 3) == []
+
+
+def test_sample_frames(spark):
+    # 21-byte payload, frame_size=4 → 6 frames; every_n=2 keeps 0,2,4
+    out = sample_frames(_payloads(spark), frame_size=4, every_n=2)
+    assert out.schema == FRAME_SCHEMA
+    rows = {(r.doc_id, r.frame_idx): r for r in out.collect()}
+    p1 = b"\x89PNG fake image bytes"
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 2), (1, 4)}
+    assert rows[(1, 0)].n_frames == 6
+    assert rows[(1, 4)].frame_bytes == 4
+    assert rows[(1, 2)].frame_md5 == hashlib.md5(p1[8:12]).hexdigest()
+    # ragged last frame of doc 2 (13 bytes → frames 0..3, keep 0 and 2)
+    assert rows[(2, 2)].frame_bytes == 4
+    # empty payload → no rows
+    assert not any(k[0] == 3 for k in rows)
+
+
+def test_sample_frames_custom_splitter(spark):
+    out = sample_frames(
+        _payloads(spark), every_n=1, splitter=lambda p: [p] if p else []
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].n_frames == 1 and got[1].frame_bytes == 21
+    assert 3 not in got
