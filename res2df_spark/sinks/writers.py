@@ -22,6 +22,59 @@ from collections.abc import Iterable, Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+#: pandas datetime64[ns] representable range (inclusive bounds).
+_PD_NS_MIN = "1677-09-21 00:12:44"
+_PD_NS_MAX = "2262-04-11 23:47:16"
+
+
+def to_pandas_datesafe(df: DataFrame) -> "pd.DataFrame":  # noqa: F821
+    """``toPandas()`` that survives datetimes beyond pandas' ns range.
+
+    pandas' datetime64[ns] caps at year 2262 (and floors at 1677); Arrow
+    refuses to down-cast Spark's µs timestamps past that, so a collect
+    of a long-horizon simulation dies at the driver boundary.  The
+    reference degrades such columns to object dtype of ``datetime``
+    (summary.py:130-192,626-639); this does the same: timestamp columns
+    whose observed bounds fall outside the ns range are collected as ISO
+    strings and rebuilt as object-dtype ``datetime.datetime`` columns.
+    In-range frames pass through Arrow untouched — the fallback costs
+    one bounds-probe aggregate only when timestamp columns exist.
+    """
+    import datetime as dt
+
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    ts_cols = [
+        f.name
+        for f in df.schema
+        if isinstance(f.dataType, (TimestampType, TimestampNTZType))
+    ]
+    if ts_cols:
+        bounds = df.agg(
+            *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(ts_cols)],
+            *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(ts_cols)],
+        ).collect()[0]
+        lo = dt.datetime.fromisoformat(_PD_NS_MIN)
+        hi = dt.datetime.fromisoformat(_PD_NS_MAX)
+        wild = [
+            c
+            for i, c in enumerate(ts_cols)
+            if bounds[f"__lo_{i}"] is not None
+            and not (lo <= bounds[f"__lo_{i}"] and bounds[f"__hi_{i}"] <= hi)
+        ]
+        for c in wild:
+            df = df.withColumn(
+                c, F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            )
+        pdf = df.toPandas()
+        for c in wild:
+            pdf[c] = pdf[c].map(
+                lambda s: dt.datetime.fromisoformat(s) if s is not None else None
+            )
+        return pdf
+    return df.toPandas()
+
+
 def write_dataframe(df: DataFrame, path: str, fmt: str = "csv", mode: str = "overwrite") -> None:
     """K1/K2 terminal write.  ``path='-'`` streams CSV to stdout (the
     reference's convention); a ``*.csv`` path gets ONE file like the
@@ -29,10 +82,10 @@ def write_dataframe(df: DataFrame, path: str, fmt: str = "csv", mode: str = "ove
     result tables, small by contract; any other path is a distributed
     ``df.write`` directory for cluster-scale sinks."""
     if path == "-":
-        df.toPandas().to_csv(sys.stdout, index=False)
+        to_pandas_datesafe(df).to_csv(sys.stdout, index=False)
         return
     if fmt == "csv" and path.endswith(".csv"):
-        df.toPandas().to_csv(path, index=False)
+        to_pandas_datesafe(df).to_csv(path, index=False)
         return
     writer = df.write.mode(mode)
     if fmt == "csv":
