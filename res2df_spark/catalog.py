@@ -33,26 +33,46 @@ class Catalog:
         self.sf_dir = sf_dir.rstrip("/")
         self._cache: dict[str, DataFrame] = {}
 
-    def table(self, name: str) -> DataFrame:
-        """Lazy parquet scan for ``name``; memoized so repeated use in one
-        query plan shares the relation."""
-        if name not in self._cache:
-            df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
-            if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+    @staticmethod
+    def _normalize(name: str, df: DataFrame) -> DataFrame:
+        """Per-table type normalization shared by batch and streaming
+        scans (testdata vintages differ in how ``events.ts`` is stored)."""
+        if name == "events":
+            dtype = df.schema["ts"].dataType
+            if isinstance(dtype, LongType):
                 # TIMESTAMP(NANOS) read as int64 under
                 # spark.sql.legacy.parquet.nanosAsLong: truncate ns → µs
                 # (same truncation DuckDB applies reading the file).
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            elif name == "events" and isinstance(
-                df.schema["ts"].dataType, TimestampNTZType
-            ):
+            elif isinstance(dtype, TimestampNTZType):
                 # timestamp[us] parquet without the UTC flag reads as
                 # TIMESTAMP_NTZ; the session timezone is pinned to UTC
                 # (session.py), so casting to TIMESTAMP is deterministic
                 # and yields the same epoch micros DuckDB reads.
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-            self._cache[name] = df
+        return df
+
+    def table(self, name: str) -> DataFrame:
+        """Lazy parquet scan for ``name``; memoized so repeated use in one
+        query plan shares the relation."""
+        if name not in self._cache:
+            df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            self._cache[name] = self._normalize(name, df)
         return self._cache[name]
+
+    def stream_table(self, name: str) -> DataFrame:
+        """Streaming scan of ``name`` — the file source with the batch
+        scan's schema and the same type normalization.  The file source
+        requires a directory, so the scan targets ``sf_dir`` with a glob
+        pinning the one table file."""
+        schema = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet").schema
+        df = (
+            self.spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", f"{name}.parquet")
+            .load(self.sf_dir)
+        )
+        return self._normalize(name, df)
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:

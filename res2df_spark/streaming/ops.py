@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -78,6 +79,45 @@ def status_change_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_MEM_SEQ = itertools.count()
+
+
+def run_available_now(
+    stream: DataFrame,
+    name: str = "avail_now",
+    output_mode: str = "complete",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Execute a streaming DataFrame over all currently-available input
+    (``Trigger.AvailableNow``) into an in-memory sink and return the
+    result as a batch DataFrame.
+
+    This is the batch-replay harness for the streaming operators: the
+    SAME streaming plan (watermarks, stateful aggregation, micro-batch
+    scheduling) runs to completion on a finite source, which makes
+    streaming semantics oracle-checkable against plain SQL over the same
+    files.  On a cluster the identical plan runs unbounded by swapping
+    the trigger and sink; nothing in the operator changes.
+    """
+    spark = stream.sparkSession
+    qname = f"{name}_{next(_MEM_SEQ)}"
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(timeout_sec)
+    exc = query.exception()
+    if exc is not None:
+        raise exc
+    if not finished:
+        query.stop()
+        raise TimeoutError(f"streaming query {qname} did not drain in {timeout_sec}s")
+    return spark.table(qname)
 
 
 def windowed_rollup_stream(

@@ -1749,3 +1749,59 @@ def mm_frame_sample(spark, sf_dir):
         F.col("text").cast("binary").alias("payload"),
     )
     return sample_frames(src, every_n=4, splitter=char_frames)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming operators, oracle-checked via AvailableNow replay
+# (streaming/ops.py run_available_now): the streaming plan runs to
+# completion on the finite table, so watermarked stateful semantics are
+# comparable against plain SQL over the same file.
+# ---------------------------------------------------------------------------
+
+_STREAM_ROLLUP_SQL = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+@_q("stream_windowed_rollup", _STREAM_ROLLUP_SQL)
+def stream_windowed_rollup(spark, sf_dir):
+    """Watermarked tumbling-window rollup (streaming A1 shape) replayed
+    with Trigger.AvailableNow: identical plan a cluster would run
+    unbounded — partial agg per micro-batch, per-(window,key) state,
+    1-day tumbling windows aligned to UTC midnight = date_trunc."""
+    from res2df_spark.streaming.ops import run_available_now, windowed_rollup_stream
+
+    src = Catalog(spark, sf_dir).stream_table("events")
+    agg = windowed_rollup_stream(
+        src, "ts", ["event_type"], "value", window="1 day", watermark="1 day"
+    )
+    out = run_available_now(agg, name="stream_windowed_rollup")
+    return out.select(
+        F.col("window_start").alias("day"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 2).alias("sum_value"),
+    )
+
+
+_STREAM_DEDUP_SQL = """
+    SELECT DISTINCT user_id FROM events
+"""
+
+
+@_q("stream_dedup", _STREAM_DEDUP_SQL)
+def stream_dedup(spark, sf_dir):
+    """Streaming exact dedup at ingest (dropDuplicatesWithinWatermark,
+    llm-pipeline shape): state bounded by the watermark; replayed over
+    the finite table the kept-key set equals DISTINCT.  Projecting to
+    the key column makes the check deterministic regardless of which
+    duplicate row the stream kept."""
+    from res2df_spark.streaming.ops import dedup_stream, run_available_now
+
+    src = Catalog(spark, sf_dir).stream_table("events").select("user_id", "ts")
+    ded = dedup_stream(src, ["user_id"], "ts", watermark="365 days")
+    out = run_available_now(ded, name="stream_dedup", output_mode="append")
+    return out.select(F.col("user_id").cast("long").alias("user_id")).distinct()

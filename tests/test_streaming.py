@@ -138,3 +138,36 @@ def test_summary_ingest_stream(spark, tmp_path):
     assert rows[("0", "2020-01-01", "FOPT")] == 1.0
     assert rows[("1", "2020-02-01", "FOPT")] == 4.0
     assert len(rows) == 4
+
+
+def test_run_available_now_complete(spark, tmp_path):
+    from res2df_spark.streaming.ops import run_available_now
+
+    rows = [
+        ("a", datetime(2020, 1, 1, 0, 10), 1.0),
+        ("a", datetime(2020, 1, 1, 0, 50), 2.0),
+        ("b", datetime(2020, 1, 1, 0, 20), 8.0),
+    ]
+    src = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    path = str(tmp_path / "avail_now_src")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    agg = windowed_rollup_stream(stream, ts_col="ts", key_cols=["k"], value_col="v")
+    out = run_available_now(agg, name="t_avail_now")
+    got = sorted(tuple(r) for r in out.select("k", "n", "total").collect())
+    assert got == [("a", 2, 3.0), ("b", 1, 8.0)]
+
+
+def test_catalog_stream_table(spark):
+    from res2df_spark.catalog import Catalog
+    from res2df_spark.streaming.ops import run_available_now
+
+    cat = Catalog(spark, "/root/testdata/sf0.001")
+    stream = cat.stream_table("events")
+    assert stream.isStreaming
+    # ts is normalized to TIMESTAMP exactly like the batch scan
+    assert dict(stream.dtypes)["ts"] == dict(cat.events.dtypes)["ts"] == "timestamp"
+    out = run_available_now(
+        stream.select("event_id"), name="t_cat_stream", output_mode="append"
+    )
+    assert out.count() == cat.events.count()
