@@ -1,0 +1,161 @@
+"""Training-data curation operators (north-star extension).
+
+The pieces a large-scale training-data pipeline needs between "raw
+corpus" and "training shards", kept strictly JVM-side (built-in
+expressions only — no Python in the hot path):
+
+* ``hash_split`` — deterministic train/val/test assignment by content
+  hash: reproducible across runs/engines, no RNG state, stable under
+  re-partitioning, and any engine (or DuckDB oracle) can re-derive it.
+* ``doc_chunks`` — overlapping character windows per document (the
+  chunking step before embedding): ``sequence`` + ``explode``, pure
+  codegen.
+* ``pii_scrub`` — regex redaction of email addresses and long digit
+  runs, with per-document match counts for audit.
+* ``pack_sequences`` — deterministic contiguous packing of documents
+  into ~``target_tokens`` bins, sharded so no global ordering exists:
+  each shard packs independently inside one window partition.
+
+100 TB notes: every operator here is embarrassingly parallel except
+packing, which is the one genuinely order-dependent step — hence the
+shard design: a hash shard is the unit of sequentiality, the window
+never sees more than one shard, and shard count scales with the
+cluster (vs a single global cumulative sum, which would serialize the
+job through one partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from res2df_spark.functions.textan import token_count
+
+#: Hex alphabet position trick shared with the DuckDB oracles.
+_HEX = "0123456789abcdef"
+
+
+def md5_bucket256(col: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 256): value of the first two hex
+    nibbles of ``md5(salt || value)``.  Uniform (md5), engine-portable
+    (DuckDB: two strpos lookups on the same digest), and independent of
+    partitioning — the property RNG-based splits lack."""
+    digest = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(digest, 1, 2), 16, 10).cast("long")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: int = 230,
+    val: int = 243,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row to train/val/test by hash bucket: bucket < train
+    → 'train', < val → 'val', else 'test' (defaults ≈ 90/5/5 of 256).
+    Deterministic per id: re-running, re-partitioning, or growing the
+    corpus never moves an existing document across splits."""
+    b = md5_bucket256(F.col(id_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(b < train, "train").when(b < val, "val").otherwise("test"),
+    )
+
+
+def doc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Overlapping character windows per document: chunk ``i`` covers
+    ``[i*(chunk_chars-overlap), …+chunk_chars)``.  Empty/NULL documents
+    yield no chunks.  ``sequence``+``explode`` keeps the fan-out inside
+    whole-stage codegen — no UDF, no driver loop."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    text = F.col(text_col)
+    out = (
+        df.filter(text.isNotNull() & (F.length(text) > 0))
+        .select(
+            F.col(id_col),
+            text.alias("__text"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text), F.lit(step))
+            ).alias("__start"),
+        )
+        .select(
+            id_col,
+            ((F.col("__start") - 1) / step).cast("long").alias("chunk_idx"),
+            F.substring(
+                F.col("__text"), F.col("__start").cast("int"), chunk_chars
+            ).alias("chunk_text"),
+        )
+    )
+    return out.withColumn("chunk_chars", F.length("chunk_text"))
+
+
+#: Simple, engine-portable redaction patterns (kept free of perl-style
+#: classes so Java regex and DuckDB RE2 agree).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+LONGNUM_RE = "[0-9][0-9]{6,}"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails and 7+ digit runs, recording per-document counts.
+
+    Counts first, then replacement, both as built-in regexp expressions
+    (JVM, codegen).  The two patterns are deliberately conservative —
+    curation pipelines tune the pattern set; the operator shape (count →
+    replace → audit columns) is the stable part."""
+    text = F.col(text_col)
+    scrub = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), LONGNUM_RE, "<NUM>"
+    )
+    return df.select(
+        id_col,
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(LONGNUM_RE)).cast("long").alias("n_longnums"),
+        scrub.alias("scrubbed"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_tokens: int = 512,
+    n_shards: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Deterministic contiguous packing: documents are hashed into
+    ``n_shards`` independent shards; inside a shard (ordered by id) a
+    document's bin is ``floor(tokens_before_it / target_tokens)``.
+
+    This is the scalable version of greedy sequence packing: the
+    sequential dependency (a running token total) is confined to one
+    shard = one window partition, so shard count — not corpus size —
+    bounds the serial work.  256 % n_shards must be 0 for uniform
+    shards (powers of two up to 256)."""
+    if 256 % n_shards != 0:
+        raise ValueError("n_shards must divide 256 for uniform sharding")
+    toks = token_count(F.col(text_col))
+    shard = (md5_bucket256(F.col(id_col), salt) % n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("n_tokens"), shard)
+        .withColumn("__before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            id_col,
+            "n_tokens",
+            "shard",
+            F.floor(F.col("__before") / target_tokens).cast("long").alias("bin_id"),
+        )
+    )

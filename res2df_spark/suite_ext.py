@@ -20,7 +20,7 @@ from res2df_spark.functions.strings import well_template_to_regex
 from res2df_spark.operators.resample import resample_asof, spine_from_observations
 from res2df_spark.operators.reshape import melt
 from res2df_spark.operators.windows import dedup_keep, ffill
-from res2df_spark.suite import _q
+from res2df_spark.suite import _TOKS_SQL, _q
 
 
 # ---------------------------------------------------------------------------
@@ -1805,3 +1805,120 @@ def stream_dedup(spark, sf_dir):
     ded = dedup_stream(src, ["user_id"], "ts", watermark="365 days")
     out = run_available_now(ded, name="stream_dedup", output_mode="append")
     return out.select(F.col("user_id").cast("long").alias("user_id")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation operators (llm/curation.py)
+# ---------------------------------------------------------------------------
+
+#: DuckDB scalar for llm.curation.md5_bucket256: value of the first two
+#: hex nibbles of md5(salt || id).
+def _bucket256_sql(salt: str, id_expr: str = "doc_id") -> str:
+    digest = f"md5('{salt}' || CAST({id_expr} AS VARCHAR))"
+    nib = "strpos('0123456789abcdef', substr({d}, {i}, 1)) - 1"
+    return (
+        f"(({nib.format(d=digest, i=1)}) * 16 + ({nib.format(d=digest, i=2)}))"
+    )
+
+
+_SPLIT_SQL = f"""
+    WITH b AS (SELECT doc_id, {_bucket256_sql('split')} AS bucket FROM documents)
+    SELECT CASE WHEN bucket < 230 THEN 'train'
+                WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM b GROUP BY 1
+"""
+
+
+@_q("curation_split", _SPLIT_SQL)
+def curation_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (llm/curation.py
+    hash_split): content-hash bucketing, so assignment is reproducible
+    across engines/runs/partitionings — verified by DuckDB re-deriving
+    every bucket from the same md5."""
+    from res2df_spark.llm.curation import hash_split
+
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        hash_split(docs)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+        )
+    )
+
+
+_CHUNK_SQL = """
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE text IS NOT NULL AND length(text) > 0),
+    u AS (SELECT doc_id, text,
+                 unnest(generate_series(1, length(text), 150)) AS s FROM d)
+    SELECT doc_id, CAST((s - 1) / 150 AS BIGINT) AS chunk_idx,
+           substr(text, CAST(s AS BIGINT), 200) AS chunk_text,
+           CAST(length(substr(text, CAST(s AS BIGINT), 200)) AS BIGINT) AS chunk_chars
+    FROM u
+"""
+
+
+@_q("doc_chunk_overlap", _CHUNK_SQL)
+def doc_chunk_overlap(spark, sf_dir):
+    """Overlapping document chunking for embedding pipelines
+    (llm/curation.py doc_chunks): 200-char windows, 50-char overlap,
+    sequence+explode entirely inside codegen."""
+    from res2df_spark.llm.curation import doc_chunks
+
+    docs = Catalog(spark, sf_dir).documents
+    return doc_chunks(docs, chunk_chars=200, overlap=50)
+
+
+_PII_SQL = """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9][0-9]{6,}')) AS BIGINT) AS n_longnums,
+           regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+               '[0-9][0-9]{6,}', '<NUM>', 'g') AS scrubbed
+    FROM documents
+"""
+
+
+@_q("pii_scrub", _PII_SQL)
+def pii_scrub_q(spark, sf_dir):
+    """PII redaction with audit counts (llm/curation.py pii_scrub):
+    regexp_count + nested regexp_replace, JVM codegen; patterns kept in
+    the RE2∩Java-regex dialect so both engines agree."""
+    from res2df_spark.llm.curation import pii_scrub
+
+    docs = Catalog(spark, sf_dir).documents
+    return pii_scrub(docs)
+
+
+_PACK_SQL = f"""
+    WITH t AS (SELECT doc_id,
+                      len({_TOKS_SQL}) AS n_tokens,
+                      {_bucket256_sql('pack')} % 8 AS shard
+               FROM documents),
+    w AS (SELECT doc_id, n_tokens, shard,
+                 coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM t)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(floor(before / 512.0) AS BIGINT) AS bin_id
+    FROM w
+"""
+
+
+@_q("pack_sequences", _PACK_SQL)
+def pack_sequences_q(spark, sf_dir):
+    """Sharded deterministic sequence packing (llm/curation.py
+    pack_sequences): the running token total — the one sequential
+    dependency in curation — is confined to hash shards, each one
+    window partition, so shard count bounds the serial work at 100 TB
+    instead of a single global cumulative sum."""
+    from res2df_spark.llm.curation import pack_sequences
+
+    docs = Catalog(spark, sf_dir).documents
+    return pack_sequences(docs, target_tokens=512, n_shards=8)

@@ -1,0 +1,95 @@
+"""Training-data curation operators (llm/curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from res2df_spark.llm.curation import (
+    doc_chunks,
+    hash_split,
+    pack_sequences,
+    pii_scrub,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "mail me at bob.smith+x@example.org or call 12345678 now"),
+        (3, ""),
+        (4, "x" * 450),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hash_split_deterministic(spark):
+    a = {r.doc_id: r.split for r in hash_split(_docs(spark)).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(_docs(spark).repartition(7)).collect()
+    }
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_hash_split_ratio(spark):
+    big = spark.range(20000).withColumnRenamed("id", "doc_id")
+    counts = {
+        r.split: r["count"]
+        for r in hash_split(big, id_col="doc_id").groupBy("split").count().collect()
+    }
+    assert abs(counts["train"] / 20000 - 230 / 256) < 0.02
+    assert abs(counts.get("val", 0) / 20000 - 13 / 256) < 0.02
+
+
+def test_doc_chunks_windows(spark):
+    out = doc_chunks(_docs(spark), chunk_chars=200, overlap=50).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # empty doc yields nothing
+    assert 3 not in by_doc
+    # 450 chars, step 150 → starts 1, 151, 301 → 3 chunks of 200/200/150
+    d4 = sorted(by_doc[4], key=lambda r: r.chunk_idx)
+    assert [r.chunk_chars for r in d4] == [200, 200, 150]
+    assert d4[1].chunk_text == "x" * 200
+    # overlap: chunk 0 tail == chunk 1 head (50 chars)
+    assert d4[0].chunk_text[-50:] == d4[1].chunk_text[:50]
+
+
+def test_doc_chunks_bad_overlap(spark):
+    with pytest.raises(ValueError):
+        doc_chunks(_docs(spark), chunk_chars=50, overlap=50)
+
+
+def test_pii_scrub(spark):
+    got = {r.doc_id: r for r in pii_scrub(_docs(spark)).collect()}
+    assert got[2].n_emails == 1 and got[2].n_longnums == 1
+    assert "<EMAIL>" in got[2].scrubbed and "<NUM>" in got[2].scrubbed
+    assert "example.org" not in got[2].scrubbed
+    assert got[1].n_emails == 0 and got[1].scrubbed == "alpha beta gamma delta"
+
+
+def test_pack_sequences_contiguous(spark):
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok "), F.repeat(F.lit("w "), 9)).alias("text"),  # 10 tokens
+    )
+    out = pack_sequences(docs, target_tokens=25, n_shards=4).collect()
+    # within a shard, bin_id is non-decreasing in doc_id and the token
+    # count BEFORE each doc determines its bin
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        before = 0
+        for r in rows:
+            assert r.bin_id == before // 25
+            before += r.n_tokens
+    assert set(r.shard for r in out) <= set(range(4))
+
+
+def test_pack_sequences_bad_shards(spark):
+    with pytest.raises(ValueError):
+        pack_sequences(_docs(spark), n_shards=7)
