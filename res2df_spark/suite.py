@@ -1152,6 +1152,9 @@ _SAMPLE_LAST = [
     "w8_resample_linear",    # w8_resample_monthly keeps W8 coverage
     "r1_unroll_range",       # R1: compdat_unroll/faults_unroll keep unroll coverage
     "w1_ffill_cursor",       # W1: sched_date_cursor keeps cursor coverage
+    "a2_contact_bounds",     # A2: contact_estimate is the richer variant
+    "a5_dedup_keep_last",    # A5: dedup_keep exercised inside compdat/gruptree pipelines
+    "j9_asof_join",          # J9: j9_asof_tolerance supersedes (same plan + bound)
 ]
 
 
