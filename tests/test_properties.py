@@ -154,3 +154,60 @@ def test_rle_distributed_matches_serial(spark, vals):
         f"{r.run_length}*{r.value}" if r.run_length > 1 else str(r.value) for r in runs
     )
     assert text == rle_encode(vals)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc xyz", min_size=0, max_size=120), min_size=1, max_size=8
+    ),
+    chunk=st.integers(2, 40),
+    overlap=st.integers(0, 20),
+)
+@_slow
+def test_doc_chunks_reconstruct(spark, texts, chunk, overlap):
+    """Dropping each chunk's overlap prefix and concatenating rebuilds
+    the document exactly; every chunk is within [1, chunk] chars."""
+    from res2df_spark.llm.curation import doc_chunks
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = doc_chunks(df, chunk_chars=chunk, overlap=overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text
+    for i, t in enumerate(texts):
+        if not t:
+            assert i not in by_doc
+            continue
+        chunks = [by_doc[i][k] for k in sorted(by_doc[i])]
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == t
+        assert all(1 <= len(c) <= chunk for c in chunks)
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=30, unique=True),
+    toks=st.integers(1, 50),
+    target=st.integers(1, 100),
+)
+@_slow
+def test_pack_sequences_matches_serial(spark, ids, toks, target):
+    """Sharded packing ≡ a serial per-shard simulation."""
+    from res2df_spark.llm.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w " * toks) for i in ids], "doc_id long, text string"
+    )
+    out = pack_sequences(df, target_tokens=target, n_shards=4).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        before = 0
+        for r in rows:
+            assert r.n_tokens == toks
+            assert r.bin_id == before // target
+            before += r.n_tokens
