@@ -42,6 +42,9 @@ HEADLINE = [
     "ann_cosine_topk",         # brute-force cosine top-k
     "text_stats",              # array-native text metrics
     "text_fingerprint",        # min-hash fingerprint
+    "mm_frame_sample",         # mapInPandas frame fan-out (round 3)
+    "doc_chunk_overlap",       # sequence+explode chunking (round 3)
+    "pack_sequences",          # sharded packing window (round 3)
 ]
 
 
