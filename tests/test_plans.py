@@ -169,3 +169,35 @@ def test_snapshot_latest_single_exchange(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     got = {(r["K"], str(r["SD"])): r["V"] for r in out.collect()}
     assert got == {("A", "2020-02-01"): 10.0, ("A", "2020-04-01"): 20.0}
+
+
+def _count_exchanges(plan: str) -> int:
+    return sum(1 for line in plan.splitlines() if "Exchange" in line and "reuse" not in line.lower())
+
+
+def test_curation_map_only_plans(spark):
+    """Hash split / PII scrub / chunking are map-only: zero exchanges."""
+    for name in ("pii_scrub", "doc_chunk_overlap"):
+        plan = _plan(spark, name)
+        assert _count_exchanges(plan) == 0, name
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Packing shuffles once (the shard window partitioning) — the
+    sequential cumsum never becomes a global single-partition sort."""
+    plan = _plan(spark, "pack_sequences")
+    assert _count_exchanges(plan) == 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_asof_tolerance_adds_no_exchange(spark):
+    base = _count_exchanges(_plan(spark, "j9_asof_join"))
+    tol = _count_exchanges(_plan(spark, "j9_asof_tolerance"))
+    assert tol == base == 1
+
+
+def test_frame_sample_is_arrow_batched(spark):
+    plan = _plan(spark, "mm_frame_sample")
+    assert "MapInPandas" in plan
+    # no per-row Python UDF nodes
+    assert "BatchEvalPython" not in plan
