@@ -56,11 +56,15 @@ def resample(
     date_col: str = "DATE",
     vector_col: str = "VECTOR",
     value_col: str = "VALUE",
+    spine: DataFrame | None = None,
 ) -> DataFrame:
     """Resample every vector onto the ``freq`` spine with per-vector
     interpolation semantics from the metadata dim (broadcast join —
-    the dim is one row per vector name)."""
-    spine = spine_from_observations(long, date_col, freq=freq)
+    the dim is one row per vector name).  An explicit ``spine``
+    (DataFrame of ``date_col``) overrides the generated one — used for
+    point-in-time lookups."""
+    if spine is None:
+        spine = spine_from_observations(long, date_col, freq=freq)
     tagged = long.join(
         broadcast(meta.select(vector_col, "IS_RATE", "IS_TOTAL")), vector_col, "left"
     )
@@ -150,10 +154,21 @@ def df(
     column_keys)`` equivalent over the long table + metadata dim.
 
     ``time_index``: a frequency (daily/weekly/monthly/yearly → resample
-    with rate/total-aware interpolation) or a mnemonic (raw/first/last →
-    crop, no interpolation)."""
+    with rate/total-aware interpolation), a mnemonic (raw/first/last →
+    crop, no interpolation), or an explicit ISO date / ``datetime.date``
+    → interpolated point-in-time lookup at exactly that date (the
+    reference's ``time_index=datetime`` form, summary.py:125-127)."""
+    import datetime as _dt
+    import re as _re
+
     sel = select_vectors(long, column_keys)
-    if time_index in ("raw", "first", "last"):
+    if isinstance(time_index, (_dt.date, _dt.datetime)) or (
+        isinstance(time_index, str) and _re.fullmatch(r"\d{4}-\d{2}-\d{2}", time_index)
+    ):
+        one = F.lit(str(time_index)[:10]).cast("date")
+        spine = long.sparkSession.range(1).select(one.alias("DATE"))
+        res = resample(sel, meta, spine=spine)
+    elif time_index in ("raw", "first", "last"):
         res = crop_mnemonic(sel, time_index)
     else:
         res = resample(sel, meta, freq=time_index)

@@ -133,3 +133,19 @@ def test_wide_to_long_roundtrip(spark):
     assert rows(back.filter("VALUE IS NOT NULL"), "VECTOR", "DATE", "VALUE") == rows(
         long, "VECTOR", "DATE", "VALUE"
     )
+
+
+def test_explicit_date_time_index(spark):
+    """time_index as an explicit date → interpolated point-in-time
+    lookup (reference summary.py:125-127 datetime form)."""
+    long, meta = _fixture(spark)
+    for ti in ("2020-01-31", date(2020, 1, 31)):
+        out = summary.df(long, meta, time_index=ti)
+        r = out.collect()
+        assert len(r) == 1 and r[0]["DATE"] == date(2020, 1, 31)
+        # FOPT linear: 30/60 of the way through Jan 1 → Mar 1 (60 days)
+        assert r[0]["FOPT"] == pytest.approx(30.0)
+        # FOPR rate → value of next observation
+        assert r[0]["FOPR"] == 50.0
+        # WBHP neither → linear too (reference interpolates non-rates)
+        assert r[0]["WBHP:OP_1"] == pytest.approx(245.0)
