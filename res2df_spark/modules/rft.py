@@ -86,3 +86,126 @@ def add_extras(df: DataFrame) -> DataFrame:
             if rate in cols:
                 df = df.withColumn(rate + "S", F.col(rate) / F.col("CONLENTH"))
     return df
+
+
+def seg_branch_flags(seg: DataFrame, keys=("WELL", "DATE")) -> DataFrame:
+    """Topology plus branch-level flags needed for ICD detection
+    (reference rft.py:196-276): LONELYSEG (only segment on its branch)
+    and DOWNSTREAM_JUNCTION (the segment this one points at is a
+    junction).  All grouped aggregates / equi-joins on the (keys,
+    segment) hash — no driver loop, no per-group pandas."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    topo = seg_topology(seg, keys=keys)
+    wb = Window.partitionBy(*keys, "SEGBRNO")
+    topo = topo.withColumn("LONELYSEG", F.count(F.lit(1)).over(wb) == 1)
+    junctions = topo.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.col("SEGIDX").alias("__t_idx"),
+        F.col("JUNCTION").alias("__t_junction"),
+    )
+    cond = [F.col(k) == F.col(f"__k_{k}") for k in keys] + [
+        F.col("SEGNXT") == F.col("__t_idx")
+    ]
+    return (
+        topo.join(junctions, cond, "left")
+        .withColumn(
+            "DOWNSTREAM_JUNCTION", F.coalesce(F.col("__t_junction"), F.lit(False))
+        )
+        .drop(*[f"__k_{k}" for k in keys], "__t_idx", "__t_junction")
+    )
+
+
+def split_seg_icd(
+    seg: DataFrame, keys=("WELL", "DATE")
+) -> tuple[DataFrame, DataFrame]:
+    """Split segments into (tubing, ICD) frames (reference
+    rft.py:326-374).  A group has ICDs when its max branch number
+    exceeds its true well-branch count (branches counted over non-leaf
+    or junction-feeding segments, rft.py:196-217); within such a group
+    the ICD segments are the leaves that sit alone on their branch.
+    ICD columns come back prefixed ``ICD_``.  The per-group decision is
+    a grouped aggregate broadcast back — never a collect."""
+    keys = list(keys)
+    flagged = seg_branch_flags(seg, keys=keys)
+    per_group = (
+        flagged.groupBy(*keys)
+        .agg(
+            F.max("SEGBRNO").alias("__max_brno"),
+            F.greatest(
+                F.lit(1),
+                F.count_distinct(
+                    F.when(
+                        ~F.col("LEAF") | F.col("DOWNSTREAM_JUNCTION"),
+                        F.col("SEGBRNO"),
+                    )
+                ),
+            ).alias("__n_branches"),
+        )
+        .withColumn("__icd_present", F.col("__max_brno") > F.col("__n_branches"))
+        .select(*keys, "__icd_present")
+    )
+    flagged = flagged.join(F.broadcast(per_group), keys, "left")
+    is_icd = F.col("__icd_present") & F.col("LEAF") & F.col("LONELYSEG")
+    tubing = flagged.filter(~is_icd).drop("__icd_present")
+    icd = flagged.filter(is_icd).drop("__icd_present")
+    icd = icd.select(
+        *keys, *[F.col(c).alias(f"ICD_{c}") for c in icd.columns if c not in keys]
+    )
+    return tubing, icd
+
+
+def merge_icd_seg_conseg(
+    con: DataFrame,
+    seg: DataFrame | None = None,
+    icd: DataFrame | None = None,
+    keys=("WELL", "DATE"),
+) -> DataFrame:
+    """Connection-centric CON ⋈ ICD ⋈ SEG merge (reference
+    rft.py:376-460): a connection attached to an ICD carries the ICD's
+    columns and the tubing segment the ICD feeds (``ICD_SEGNXT`` →
+    ``SEGIDX``); a connection attached directly to tubing joins its
+    segment straight off ``CONSEGNO``.  Non-multiseg wells (no segment
+    frame) pass through untouched.
+
+    Unlike the reference's pandas flow there is no post-filter on
+    upstream indices: each chain hop is an equi-join keyed by exactly
+    one segment, so junction fan-out never duplicates rows.  Three
+    equi-joins + an anti-join, all hashed on (keys, segment)."""
+    keys = list(keys)
+    if seg is None or not seg.columns:
+        return con
+    with_icd = None
+    if icd is not None and icd.columns:
+        with_icd = con.alias("c").join(
+            icd.alias("i"),
+            [F.col(f"c.{k}") == F.col(f"i.{k}") for k in keys]
+            + [F.col("c.CONSEGNO") == F.col("i.ICD_SEGIDX")],
+            "inner",
+        ).select(
+            "c.*", *[F.col(f"i.{c}") for c in icd.columns if c not in keys]
+        )
+        with_icd = with_icd.alias("ci").join(
+            seg.alias("s"),
+            [F.col(f"ci.{k}") == F.col(f"s.{k}") for k in keys]
+            + [F.col("ci.ICD_SEGNXT") == F.col("s.SEGIDX")],
+            "left",
+        ).select("ci.*", *[F.col(f"s.{c}") for c in seg.columns if c not in keys])
+        no_icd_con = con.alias("c").join(
+            icd.alias("i"),
+            [F.col(f"c.{k}") == F.col(f"i.{k}") for k in keys]
+            + [F.col("c.CONSEGNO") == F.col("i.ICD_SEGIDX")],
+            "left_anti",
+        )
+    else:
+        no_icd_con = con
+    direct = no_icd_con.alias("c").join(
+        seg.alias("s"),
+        [F.col(f"c.{k}") == F.col(f"s.{k}") for k in keys]
+        + [F.col("c.CONSEGNO") == F.col("s.SEGIDX")],
+        "inner",
+    ).select("c.*", *[F.col(f"s.{c}") for c in seg.columns if c not in keys])
+    if with_icd is None:
+        return direct
+    return with_icd.unionByName(direct, allowMissingColumns=True)

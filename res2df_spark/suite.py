@@ -1155,6 +1155,7 @@ _SAMPLE_LAST = [
     "a2_contact_bounds",     # A2: contact_estimate is the richer variant
     "a5_dedup_keep_last",    # A5: dedup_keep exercised inside compdat/gruptree pipelines
     "j9_asof_join",          # J9: j9_asof_tolerance supersedes (same plan + bound)
+    "compdat_unroll",        # S1/R1: compdat_pipeline is the richer superset
 ]
 
 

@@ -1922,3 +1922,92 @@ def pack_sequences_q(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return pack_sequences(docs, target_tokens=512, n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# RFT binary-layer ICD detection + CON⋈ICD⋈SEG merge (modules/rft.py,
+# reference rft.py:196-460) — the oracle re-derives the topology, the
+# ICD split and the chain merge in SQL from the same fixture.
+# ---------------------------------------------------------------------------
+
+_ICD_FIXTURE_SEG = [
+    # tubing branch 1: 3 ← 2 ← 1 (wellhead); branches 2/3 are single
+    # leaf ICD segments feeding tubing segments 3 and 2
+    (1, None, 1, 1500.0),
+    (2, 1, 1, 1550.0),
+    (3, 2, 1, 1600.0),
+    (10, 3, 2, 1601.0),
+    (11, 2, 3, 1551.0),
+]
+_ICD_FIXTURE_CON = [(10, 250.0), (11, 240.0), (1, 230.0)]
+
+_ICD_SQL = f"""
+    WITH seg(segidx, segnxt, segbrno, segdepth) AS (VALUES
+        {", ".join(f"({i}, {'NULL' if n is None else n}, {b}, {d})" for i, n, b, d in _ICD_FIXTURE_SEG)}),
+    con(consegno, conpres) AS (VALUES
+        {", ".join(f"({c}, {p})" for c, p in _ICD_FIXTURE_CON)}),
+    incoming AS (SELECT s.segidx, count(t.segidx) AS n_in
+                 FROM seg s LEFT JOIN seg t ON t.segnxt = s.segidx GROUP BY 1),
+    topo AS (SELECT s.*, i.n_in = 0 AS leaf, i.n_in > 1 AS junction
+             FROM seg s JOIN incoming i USING (segidx)),
+    lonely AS (SELECT segbrno, count(*) = 1 AS lonelyseg FROM seg GROUP BY 1),
+    dj AS (SELECT s.segidx, coalesce(t.junction, false) AS downstream_junction
+           FROM topo s LEFT JOIN topo t ON s.segnxt = t.segidx),
+    flags AS (SELECT topo.*, l.lonelyseg, dj.downstream_junction
+              FROM topo JOIN lonely l USING (segbrno) JOIN dj USING (segidx)),
+    grp AS (SELECT max(segbrno) > greatest(1, count(DISTINCT
+                CASE WHEN NOT leaf OR downstream_junction THEN segbrno END))
+            AS icd_present FROM flags),
+    icd AS (SELECT f.* FROM flags f, grp
+            WHERE grp.icd_present AND f.leaf AND f.lonelyseg),
+    tub AS (SELECT f.* FROM flags f, grp
+            WHERE NOT (grp.icd_present AND f.leaf AND f.lonelyseg)),
+    with_icd AS (
+        SELECT c.consegno, c.conpres, i.segidx AS icd_segidx,
+               i.segdepth AS icd_segdepth, t.segidx AS segidx, t.segdepth
+        FROM con c JOIN icd i ON c.consegno = i.segidx
+        LEFT JOIN tub t ON i.segnxt = t.segidx),
+    direct AS (
+        SELECT c.consegno, c.conpres, NULL AS icd_segidx,
+               NULL AS icd_segdepth, t.segidx, t.segdepth
+        FROM con c JOIN tub t ON c.consegno = t.segidx
+        WHERE c.consegno NOT IN (SELECT segidx FROM icd))
+    SELECT CAST(consegno AS BIGINT) AS consegno,
+           CAST(conpres AS DOUBLE) AS conpres,
+           CAST(icd_segidx AS BIGINT) AS icd_segidx,
+           CAST(icd_segdepth AS DOUBLE) AS icd_segdepth,
+           CAST(segidx AS BIGINT) AS segidx,
+           CAST(segdepth AS DOUBLE) AS segdepth
+    FROM (SELECT * FROM with_icd UNION ALL SELECT * FROM direct)
+"""
+
+
+@_q("rft_icd_chain", _ICD_SQL)
+def rft_icd_chain(spark, sf_dir):
+    """ICD detection + connection-centric merge over RFT-shaped segment
+    frames (modules/rft.py split_seg_icd/merge_icd_seg_conseg): branch
+    counting decides ICD presence, lonely-leaf segments become ICDs,
+    connections chain CON→ICD→tubing; the DuckDB oracle re-derives the
+    whole flow relationally from the identical fixture."""
+    from datetime import date as _d
+
+    from res2df_spark.modules import rft
+
+    seg = spark.createDataFrame(
+        [("OP1", _d(2020, 1, 1), i, n, b, d) for i, n, b, d in _ICD_FIXTURE_SEG],
+        "WELL string, DATE date, SEGIDX int, SEGNXT int, SEGBRNO int, SEGDEPTH double",
+    )
+    con = spark.createDataFrame(
+        [("OP1", _d(2020, 1, 1), c, p) for c, p in _ICD_FIXTURE_CON],
+        "WELL string, DATE date, CONSEGNO int, CONPRES double",
+    )
+    tubing, icd = rft.split_seg_icd(seg)
+    out = rft.merge_icd_seg_conseg(con, tubing, icd)
+    return out.select(
+        F.col("CONSEGNO").cast("long").alias("consegno"),
+        F.col("CONPRES").alias("conpres"),
+        F.col("ICD_SEGIDX").cast("long").alias("icd_segidx"),
+        F.col("ICD_SEGDEPTH").alias("icd_segdepth"),
+        F.col("SEGIDX").cast("long").alias("segidx"),
+        F.col("SEGDEPTH").alias("segdepth"),
+    )

@@ -518,3 +518,86 @@ def test_prettyprint(spark):
     assert "Date: 2020-03-01" in text
     assert "GRUPTREE trees:" in text
     assert "FIELD" in text and "└── " in text
+
+
+# ---------------------------------------------------------------------------
+# RFT binary-layer ICD split / CON⋈ICD⋈SEG merge (reference rft.py:196-460)
+# ---------------------------------------------------------------------------
+
+
+def _multiseg_fixture(spark):
+    from datetime import date as _d
+
+    # tubing branch 1: 3 ← 2 ← 1 (wellhead); ICD branches 2 and 3 are
+    # single leaf segments feeding tubing segs 3 and 2 respectively
+    seg = spark.createDataFrame(
+        [
+            ("OP1", _d(2020, 1, 1), 1, None, 1, 1500.0),
+            ("OP1", _d(2020, 1, 1), 2, 1, 1, 1550.0),
+            ("OP1", _d(2020, 1, 1), 3, 2, 1, 1600.0),
+            ("OP1", _d(2020, 1, 1), 10, 3, 2, 1601.0),
+            ("OP1", _d(2020, 1, 1), 11, 2, 3, 1551.0),
+        ],
+        "WELL string, DATE date, SEGIDX int, SEGNXT int, SEGBRNO int, SEGDEPTH double",
+    )
+    con = spark.createDataFrame(
+        [
+            ("OP1", _d(2020, 1, 1), 10, 250.0),
+            ("OP1", _d(2020, 1, 1), 11, 240.0),
+        ],
+        "WELL string, DATE date, CONSEGNO int, CONPRES double",
+    )
+    return seg, con
+
+
+def test_split_seg_icd(spark):
+    from res2df_spark.modules import rft
+
+    seg, _ = _multiseg_fixture(spark)
+    tubing, icd = rft.split_seg_icd(seg)
+    assert sorted(r.SEGIDX for r in tubing.collect()) == [1, 2, 3]
+    got_icd = {r.ICD_SEGIDX: r for r in icd.collect()}
+    assert set(got_icd) == {10, 11}
+    assert got_icd[10].ICD_SEGNXT == 3 and got_icd[11].ICD_SEGNXT == 2
+    assert all(c.startswith("ICD_") or c in ("WELL", "DATE") for c in icd.columns)
+
+
+def test_split_seg_icd_no_icd(spark):
+    from res2df_spark.modules import rft
+
+    seg, _ = _multiseg_fixture(spark)
+    plain = seg.filter("SEGIDX < 10")
+    tubing, icd = rft.split_seg_icd(plain)
+    assert tubing.count() == 3 and icd.count() == 0
+
+
+def test_merge_icd_seg_conseg(spark):
+    from res2df_spark.modules import rft
+
+    seg, con = _multiseg_fixture(spark)
+    tubing, icd = rft.split_seg_icd(seg)
+    out = rft.merge_icd_seg_conseg(con, tubing, icd)
+    got = {r.CONSEGNO: r for r in out.collect()}
+    # each connection carries its ICD segment and the tubing segment fed
+    assert got[10].ICD_SEGIDX == 10 and got[10].SEGIDX == 3
+    assert got[11].ICD_SEGIDX == 11 and got[11].SEGIDX == 2
+    assert got[10].SEGDEPTH == 1600.0 and got[10].ICD_SEGDEPTH == 1601.0
+
+
+def test_merge_conseg_without_icd(spark):
+    from res2df_spark.modules import rft
+
+    seg, _ = _multiseg_fixture(spark)
+    from datetime import date as _d
+
+    plain_seg = seg.filter("SEGIDX < 10")
+    tubing, icd = rft.split_seg_icd(plain_seg)
+    con = spark.createDataFrame(
+        [("OP1", _d(2020, 1, 1), 3, 250.0)],
+        "WELL string, DATE date, CONSEGNO int, CONPRES double",
+    )
+    out = rft.merge_icd_seg_conseg(con, tubing, icd)
+    rows_ = out.collect()
+    assert len(rows_) == 1 and rows_[0].SEGIDX == 3
+    # non-multiseg well: pass-through
+    assert rft.merge_icd_seg_conseg(con, None, None) is con
