@@ -209,3 +209,45 @@ def merge_icd_seg_conseg(
     if with_icd is None:
         return direct
     return with_icd.unionByName(direct, allowMissingColumns=True)
+
+
+def seg2dicttree(seg) -> dict:
+    """Collected segment frame (SEGIDX/SEGNXT pandas frame or list of
+    Rows) → nested dict keyed by segment index, wellhead at the root
+    (reference rft.py:279-310).  Driver-side presentation: the frame is
+    one well's topology, already collected.  Independently formulated
+    via the same adjacency-map + recursive build as the gruptree
+    renderer."""
+    rows = (
+        seg.to_dict("records") if hasattr(seg, "to_dict") else [r.asDict() for r in seg]
+    )
+    if not rows:
+        return {}
+    kids: dict[int, dict[int, None]] = {}
+    has_parent: set[int] = set()
+    for r in rows:
+        nxt = r.get("SEGNXT")
+        if nxt is None or (isinstance(nxt, float) and nxt != nxt) or nxt <= 0:
+            continue
+        kids.setdefault(int(nxt), {})[int(r["SEGIDX"])] = None
+        has_parent.add(int(r["SEGIDX"]))
+    if not kids:
+        return {int(rows[0]["SEGIDX"]): {}}
+
+    def grow(node: int) -> dict:
+        return {k: grow(k) for k in kids.get(node, ())}
+
+    return {root: grow(root) for root in sorted(kids) if root not in has_parent}
+
+
+def pretty_print_well(seg) -> str:
+    """ASCII tree of one well's segment structure (reference
+    rft.py:312-324), using the shared renderer."""
+    from res2df_spark.modules.gruptree import tree_from_dict
+
+    tree = _stringify(seg2dicttree(seg))
+    return "".join(tree_from_dict({k: tree[k]}) for k in sorted(tree))
+
+
+def _stringify(tree: dict) -> dict:
+    return {str(k): _stringify(v) for k, v in tree.items()}

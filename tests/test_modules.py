@@ -601,3 +601,18 @@ def test_merge_conseg_without_icd(spark):
     assert len(rows_) == 1 and rows_[0].SEGIDX == 3
     # non-multiseg well: pass-through
     assert rft.merge_icd_seg_conseg(con, None, None) is con
+
+
+def test_seg2dicttree_and_pretty_print(spark):
+    from res2df_spark.modules import rft
+
+    seg, _ = _multiseg_fixture(spark)
+    tree = rft.seg2dicttree(seg.collect())
+    assert tree == {1: {2: {3: {10: {}}, 11: {}}}}
+    txt = rft.pretty_print_well(seg.collect())
+    assert txt.splitlines()[0] == "1"
+    assert "└── 11" in txt or "├── 11" in txt
+    # single segment, no edges
+    one = [r for r in seg.collect() if r.SEGIDX == 1]
+    assert rft.seg2dicttree(one) == {1: {}}
+    assert rft.seg2dicttree([]) == {}
