@@ -12,24 +12,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def seg_topology(seg: DataFrame, keys=("WELL", "DATE")) -> DataFrame:
-    """Attach upstream-segment columns plus LEAF / JUNCTION / LONELY
+def seg_topology(
+    seg: DataFrame, keys=("WELL", "DATE"), attach: str = "next"
+) -> DataFrame:
+    """Attach neighbour-segment columns plus LEAF / JUNCTION / LONELY
     flags (rft.py:219-276).
 
     ``seg``: one row per segment with SEGIDX, SEGNXT (+ key columns).
+
+    ``attach='next'`` (default) joins each segment's *next* segment —
+    the one SEGNXT points to, downstream toward the wellhead — as
+    ``NXT_*`` columns: at most one partner, no row fan-out.
+    ``attach='upstream'`` reproduces the reference's orientation
+    (process_seg_topology merges on ``SEGIDX == SEGNXT``): partners are
+    the segments pointing *at* me, as ``UPSTREAM_*`` columns, one output
+    row per upstream segment — junctions fan out exactly like the
+    reference's frame.
+
     The self-join and the incoming-edge count both shuffle on the same
     (keys, segment) hash — Catalyst co-locates them."""
+    if attach not in ("next", "upstream"):
+        raise ValueError("attach must be 'next' or 'upstream'")
     keys = list(keys)
     payload = [c for c in seg.columns if c not in keys and c not in ("SEGIDX", "SEGNXT")]
+    prefix = "NXT_" if attach == "next" else "UPSTREAM_"
+    partner_payload = payload if attach == "next" else ["SEGIDX", *payload]
     up = seg.select(
         *[F.col(c).alias(f"__k_{c}") for c in keys],
-        F.col("SEGIDX").alias("__up_idx"),
-        *[F.col(c).alias(f"UP_{c}") for c in payload],
+        F.col("SEGIDX" if attach == "next" else "SEGNXT").alias("__p_idx"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in partner_payload],
     )
     cond = [F.col(k) == F.col(f"__k_{k}") for k in keys] + [
-        F.col("SEGNXT") == F.col("__up_idx")
+        F.col("SEGNXT" if attach == "next" else "SEGIDX") == F.col("__p_idx")
     ]
-    out = seg.join(up, cond, "left").drop(*[f"__k_{k}" for k in keys], "__up_idx")
+    out = seg.join(up, cond, "left").drop(*[f"__k_{k}" for k in keys], "__p_idx")
 
     # incoming-edge count per segment: how many segments point at me
     incoming = seg.groupBy(*keys, F.col("SEGNXT").alias("SEGIDX")).agg(

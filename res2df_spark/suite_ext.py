@@ -909,7 +909,7 @@ def rft_seg_topology(spark, sf_dir):
     return out.select(
         F.col("SEGIDX").cast("long").alias("segidx"),
         F.col("DEPTH").alias("depth"),
-        F.col("UP_DEPTH").alias("up_depth"),
+        F.col("NXT_DEPTH").alias("up_depth"),
         F.col("LEAF").cast("long").alias("leaf"),
         F.col("JUNCTION").cast("long").alias("junction"),
     )

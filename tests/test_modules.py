@@ -190,7 +190,7 @@ def test_rft_seg_topology(spark):
     got = {r.SEGIDX: r for r in out.filter("WELL = 'OP1'").collect()}
     assert got[2].LEAF and got[3].LEAF and not got[1].LEAF
     assert got[1].JUNCTION and not got[2].JUNCTION
-    assert got[2].UP_DEPTH == 1000.0  # upstream payload attached
+    assert got[2].NXT_DEPTH == 1000.0  # next-segment payload attached
     lonely = out.filter("WELL = 'OP2'").first()
     assert lonely.LONELY
 
@@ -616,3 +616,25 @@ def test_seg2dicttree_and_pretty_print(spark):
     one = [r for r in seg.collect() if r.SEGIDX == 1]
     assert rft.seg2dicttree(one) == {1: {}}
     assert rft.seg2dicttree([]) == {}
+
+
+def test_seg_topology_upstream_orientation(spark):
+    """attach='upstream' reproduces the reference's merge orientation:
+    one row per upstream partner, junctions fan out."""
+    from datetime import date as _d
+
+    from res2df_spark.modules import rft
+
+    d = _d(2020, 1, 1)
+    seg = spark.createDataFrame(
+        [("W", d, 1, None, 1000.0), ("W", d, 2, 1, 1010.0),
+         ("W", d, 3, 1, 1020.0), ("W", d, 4, 2, 1030.0)],
+        "WELL string, DATE date, SEGIDX int, SEGNXT int, DEPTH double",
+    )
+    out = rft.seg_topology(seg, attach="upstream").collect()
+    # segment 1 is a junction (2 and 3 point at it) → two rows
+    ones = sorted(r.UPSTREAM_SEGIDX for r in out if r.SEGIDX == 1)
+    assert ones == [2, 3]
+    assert len(out) == 5  # 4 segments + 1 junction fan-out row
+    got4 = [r for r in out if r.SEGIDX == 4][0]
+    assert got4.UPSTREAM_SEGIDX is None and got4.LEAF
