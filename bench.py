@@ -91,18 +91,20 @@ def main() -> None:
             timings[name] = round(run_one(spark, name), 3)
         except Exception as exc:  # noqa: BLE001
             timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+    errors = [n for n, t in timings.items() if not isinstance(t, float)]
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": infer_sf(SF_DIR),
-            }
-        )
-    )
+    record = {
+        "metric": "headline_suite_total",
+        # a partial total would read as a speedup; flag it instead
+        "value": total if not errors else None,
+        "unit": "sec",
+        "queries": timings,
+        "sf": infer_sf(SF_DIR),
+    }
+    if errors:
+        record["errors"] = errors
+        record["partial_total"] = total
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

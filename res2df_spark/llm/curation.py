@@ -76,13 +76,22 @@ def doc_chunks(
         raise ValueError("overlap must be smaller than chunk_chars")
     step = chunk_chars - overlap
     text = F.col(text_col)
+    # Start bound length-overlap (not length): a start inside the final
+    # overlap region would yield a chunk fully contained in its
+    # predecessor — pure duplicate text.  Coverage is preserved: the
+    # last kept start is > length-chunk_chars, so its chunk reaches the
+    # end of the document.
     out = (
         df.filter(text.isNotNull() & (F.length(text) > 0))
         .select(
             F.col(id_col),
             text.alias("__text"),
             F.explode(
-                F.sequence(F.lit(1), F.length(text), F.lit(step))
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(text) - overlap, F.lit(1)),
+                    F.lit(step),
+                )
             ).alias("__start"),
         )
         .select(
@@ -142,7 +151,11 @@ def pack_sequences(
     shards (powers of two up to 256)."""
     if 256 % n_shards != 0:
         raise ValueError("n_shards must divide 256 for uniform sharding")
-    toks = token_count(F.col(text_col))
+    # NULL text = 0 tokens (size(NULL) is -1 under legacy sizeOfNull —
+    # it must not decrement the running total)
+    toks = F.when(
+        F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(token_count(F.col(text_col)))
     shard = (md5_bucket256(F.col(id_col), salt) % n_shards).alias("shard")
     w = (
         Window.partitionBy("shard")

@@ -307,7 +307,7 @@ def edge_dataframe2dict(dframe) -> list[dict]:
 
     if dframe.empty:
         return [{}]
-    if "DATE" in dframe and dframe["DATE"].nunique() > 1:
+    if "DATE" in dframe and dframe["DATE"].nunique(dropna=False) > 1:
         raise ValueError("Can only handle one date at a time")
 
     adjacency: dict[str, dict[str, None]] = {}

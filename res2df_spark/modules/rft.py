@@ -248,7 +248,8 @@ def seg2dicttree(seg) -> dict:
         kids.setdefault(int(nxt), {})[int(r["SEGIDX"])] = None
         has_parent.add(int(r["SEGIDX"]))
     if not kids:
-        return {int(rows[0]["SEGIDX"]): {}}
+        # no edges: every segment is its own root
+        return {int(r["SEGIDX"]): {} for r in rows}
 
     def grow(node: int) -> dict:
         return {k: grow(k) for k in kids.get(node, ())}

@@ -50,9 +50,11 @@ def asof_join(
     kept only when ``left_time - matched_right_time <= tolerance``.  Use
     ``"INTERVAL '30' DAY"`` for timestamp axes or a plain numeric literal
     for numeric axes.  Left rows whose nearest observation is too old
-    keep their row but get NULL payload (pandas semantics).  The gap is
-    measured against the matched row's time; per-column NULLs in the
-    right payload skip further back without re-checking the bound.
+    keep their row but get NULL payload (pandas semantics).
+
+    Matching is row-wise, exactly as ``merge_asof``: the latest visible
+    right row is taken whole — a NULL field in it stays NULL rather than
+    falling back to an older observation.
     """
     on = list(on)
     if value_cols is None:
@@ -84,32 +86,33 @@ def asof_join(
     # visible to the left row).
     order = [lt.asc(), F.col("__is_left").asc() if not strict else F.col("__is_left").desc()]
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    filled = unioned
-    for c in value_cols:
-        filled = filled.withColumn(
-            f"__v_{c}", F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w)
-        )
-    if tolerance_expr is not None:
-        # Time of the matched (latest visible) observation, forward-filled
-        # in the same window pass — one shuffle total, unchanged.
-        filled = filled.withColumn(
-            "__rt",
-            F.last(F.when(F.col("__is_left") == 0, lt), ignorenulls=True).over(w),
-        )
+    # Row-wise fill (merge_asof semantics): the matched observation is
+    # the latest visible right ROW — its values are taken as-is, NULL
+    # fields included, never skipped past to an older row the way
+    # per-column ffill would.  One struct column, one window pass.
+    payload = F.when(
+        F.col("__is_left") == 0,
+        F.struct(
+            lt.alias("__rt"),
+            *[F.col(f"__v_{c}").alias(f"v_{c}") for c in value_cols],
+        ),
+    )
+    filled = unioned.withColumn("__m", F.last(payload, ignorenulls=True).over(w))
     if strict:
         # with right rows ordered after left rows at equal __t, the window
         # frame already excludes equal-time observations.
         pass
 
     out = filled.filter(F.col("__is_left") == 1)
+    matched = F.col("__m").isNotNull()
     if tolerance_expr is not None:
         # merge_asof(tolerance=...): a match older than the bound is
         # dropped (payload → NULL), the left row itself is kept.
-        within = F.col("__rt").isNotNull() & (
-            (F.col("__t") - F.col("__rt")) <= F.expr(tolerance_expr)
+        matched = matched & (
+            (F.col("__t") - F.col("__m.__rt")) <= F.expr(tolerance_expr)
         )
-        for c in value_cols:
-            out = out.withColumn(f"__v_{c}", F.when(within, F.col(f"__v_{c}")))
+    for c in value_cols:
+        out = out.withColumn(f"__v_{c}", F.when(matched, F.col(f"__m.v_{c}")))
     renames = {f"__v_{c}": (c + suffix) for c in value_cols}
     out = out.select(
         *on,

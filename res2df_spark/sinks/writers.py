@@ -22,11 +22,6 @@ from collections.abc import Iterable, Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-#: pandas datetime64[ns] representable range (inclusive bounds).
-_PD_NS_MIN = "1677-09-21 00:12:44"
-_PD_NS_MAX = "2262-04-11 23:47:16"
-
-
 def to_pandas_datesafe(df: DataFrame) -> "pd.DataFrame":  # noqa: F821
     """``toPandas()`` that survives datetimes beyond pandas' ns range.
 
@@ -34,11 +29,13 @@ def to_pandas_datesafe(df: DataFrame) -> "pd.DataFrame":  # noqa: F821
     refuses to down-cast Spark's µs timestamps past that, so a collect
     of a long-horizon simulation dies at the driver boundary.  The
     reference degrades such columns to object dtype of ``datetime``
-    (summary.py:130-192,626-639); this does the same: timestamp columns
-    whose observed bounds fall outside the ns range are collected as ISO
-    strings and rebuilt as object-dtype ``datetime.datetime`` columns.
-    In-range frames pass through Arrow untouched — the fallback costs
-    one bounds-probe aggregate only when timestamp columns exist.
+    (summary.py:130-192,626-639); this does the same.
+
+    The in-range happy path is a plain Arrow ``toPandas()`` — zero extra
+    compute.  Only when that raises the out-of-bounds cast error does
+    the fallback run: a timezone-free epoch-µs bounds probe picks the
+    offending columns, which are collected as ISO strings and rebuilt as
+    object-dtype ``datetime.datetime`` columns.
     """
     import datetime as dt
 
@@ -49,30 +46,44 @@ def to_pandas_datesafe(df: DataFrame) -> "pd.DataFrame":  # noqa: F821
         for f in df.schema
         if isinstance(f.dataType, (TimestampType, TimestampNTZType))
     ]
-    if ts_cols:
-        bounds = df.agg(
-            *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(ts_cols)],
-            *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(ts_cols)],
-        ).collect()[0]
-        lo = dt.datetime.fromisoformat(_PD_NS_MIN)
-        hi = dt.datetime.fromisoformat(_PD_NS_MAX)
-        wild = [
-            c
-            for i, c in enumerate(ts_cols)
-            if bounds[f"__lo_{i}"] is not None
-            and not (lo <= bounds[f"__lo_{i}"] and bounds[f"__hi_{i}"] <= hi)
-        ]
-        for c in wild:
-            df = df.withColumn(
-                c, F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
-            )
-        pdf = df.toPandas()
-        for c in wild:
-            pdf[c] = pdf[c].map(
-                lambda s: dt.datetime.fromisoformat(s) if s is not None else None
-            )
-        return pdf
-    return df.toPandas()
+    if not ts_cols:
+        return df.toPandas()
+    try:
+        return df.toPandas()
+    except Exception as exc:  # noqa: BLE001 — only the ns-cast error falls through
+        if "out of bounds" not in str(exc).lower():
+            raise
+    # epoch-µs bounds (timezone-free, unlike comparing datetime objects
+    # collected in the driver's local timezone)
+    import pandas as pd
+
+    lo_us = pd.Timestamp.min.value // 1000 + 1
+    hi_us = pd.Timestamp.max.value // 1000
+
+    def us(c: str) -> F.Column:
+        col = F.col(c)
+        if isinstance(df.schema[c].dataType, TimestampNTZType):
+            col = col.cast("timestamp")
+        return F.unix_micros(col)
+
+    bounds = df.agg(
+        *[F.min(us(c)).alias(f"__lo_{i}") for i, c in enumerate(ts_cols)],
+        *[F.max(us(c)).alias(f"__hi_{i}") for i, c in enumerate(ts_cols)],
+    ).collect()[0]
+    wild = [
+        c
+        for i, c in enumerate(ts_cols)
+        if bounds[f"__lo_{i}"] is not None
+        and not (lo_us <= bounds[f"__lo_{i}"] and bounds[f"__hi_{i}"] <= hi_us)
+    ]
+    for c in wild:
+        df = df.withColumn(c, F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    pdf = df.toPandas()
+    for c in wild:
+        pdf[c] = pdf[c].map(
+            lambda s: dt.datetime.fromisoformat(s) if s is not None else None
+        )
+    return pdf
 
 
 def write_dataframe(df: DataFrame, path: str, fmt: str = "csv", mode: str = "overwrite") -> None:

@@ -1804,7 +1804,9 @@ def stream_dedup(spark, sf_dir):
     src = Catalog(spark, sf_dir).stream_table("events").select("user_id", "ts")
     ded = dedup_stream(src, ["user_id"], "ts", watermark="365 days")
     out = run_available_now(ded, name="stream_dedup", output_mode="append")
-    return out.select(F.col("user_id").cast("long").alias("user_id")).distinct()
+    # no trailing distinct: if the streaming dedup ever emitted a
+    # duplicate key, the extra row must FAIL the comparison
+    return out.select(F.col("user_id").cast("long").alias("user_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -1854,7 +1856,8 @@ _CHUNK_SQL = """
     WITH d AS (SELECT doc_id, text FROM documents
                WHERE text IS NOT NULL AND length(text) > 0),
     u AS (SELECT doc_id, text,
-                 unnest(generate_series(1, length(text), 150)) AS s FROM d)
+                 unnest(generate_series(1, greatest(length(text) - 50, 1), 150)) AS s
+          FROM d)
     SELECT doc_id, CAST((s - 1) / 150 AS BIGINT) AS chunk_idx,
            substr(text, CAST(s AS BIGINT), 200) AS chunk_text,
            CAST(length(substr(text, CAST(s AS BIGINT), 200)) AS BIGINT) AS chunk_chars
@@ -1897,7 +1900,7 @@ def pii_scrub_q(spark, sf_dir):
 
 _PACK_SQL = f"""
     WITH t AS (SELECT doc_id,
-                      len({_TOKS_SQL}) AS n_tokens,
+                      coalesce(len({_TOKS_SQL}), 0) AS n_tokens,
                       {_bucket256_sql('pack')} % 8 AS shard
                FROM documents),
     w AS (SELECT doc_id, n_tokens, shard,

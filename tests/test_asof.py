@@ -57,3 +57,24 @@ def test_asof_single_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_asof_row_wise_null_payload(spark):
+    """merge_asof takes the matched row WHOLE: a NULL field in the
+    nearest observation stays NULL instead of falling back to an older
+    row (and with a tolerance, an older row must never leak in)."""
+    from res2df_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10, 1)], "k string, t long, qid long")
+    right = spark.createDataFrame(
+        [("k", 1, 5.0), ("k", 10, None)], "k string, t long, v double"
+    )
+    plain = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t", value_cols=["v"]
+    ).collect()
+    assert plain[0]["v"] is None
+    tol = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t",
+        value_cols=["v"], tolerance_expr="3",
+    ).collect()
+    assert tol[0]["v"] is None

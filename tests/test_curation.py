@@ -93,3 +93,24 @@ def test_pack_sequences_contiguous(spark):
 def test_pack_sequences_bad_shards(spark):
     with pytest.raises(ValueError):
         pack_sequences(_docs(spark), n_shards=7)
+
+
+def test_pack_sequences_null_text(spark):
+    from res2df_spark.llm.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in pack_sequences(docs, target_tokens=4).collect()}
+    assert out[2].n_tokens == 0  # NULL text must not decrement totals
+    assert all(r.n_tokens >= 0 and r.bin_id >= 0 for r in out.values())
+
+
+def test_doc_chunks_no_redundant_tail(spark):
+    from res2df_spark.llm.curation import doc_chunks
+
+    # 160 chars, chunk 200, overlap 50: a start at 151 would emit a
+    # chunk fully contained in chunk 0 — must not be emitted
+    docs = spark.createDataFrame([(1, "y" * 160)], "doc_id long, text string")
+    out = doc_chunks(docs, chunk_chars=200, overlap=50).collect()
+    assert len(out) == 1 and out[0].chunk_chars == 160

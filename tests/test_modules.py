@@ -638,3 +638,12 @@ def test_seg_topology_upstream_orientation(spark):
     assert len(out) == 5  # 4 segments + 1 junction fan-out row
     got4 = [r for r in out if r.SEGIDX == 4][0]
     assert got4.UPSTREAM_SEGIDX is None and got4.LEAF
+
+
+def test_seg2dicttree_multiple_edgeless_roots(spark):
+    from res2df_spark.modules import rft
+
+    rows_ = [{"SEGIDX": 1, "SEGNXT": None}, {"SEGIDX": 2, "SEGNXT": None}]
+    import pandas as pd
+
+    assert rft.seg2dicttree(pd.DataFrame(rows_)) == {1: {}, 2: {}}
