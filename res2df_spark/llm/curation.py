@@ -172,3 +172,23 @@ def pack_sequences(
             F.floor(F.col("__before") / target_tokens).cast("long").alias("bin_id"),
         )
     )
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str = "doc_id", fraction: float = 0.1, salt: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by content hash:
+    row kept iff its md5 bucket < round(256·fraction).
+
+    Unlike ``df.sample`` (seeded RNG over partition contents), the
+    decision depends only on the id — the same rows are sampled on
+    every run, on any partitioning, on any engine, and membership is
+    join-stable across derived tables keyed by the same id.  Within any
+    stratum the hash is uniform, so per-group fractions track the
+    global fraction (deterministic stratified sampling for free).
+    Granularity is 1/256; fraction resolves to the nearest bucket edge.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be within [0, 1]")
+    threshold = int(round(256 * fraction))
+    return df.filter(md5_bucket256(F.col(id_col), salt) < threshold)

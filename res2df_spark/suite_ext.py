@@ -2014,3 +2014,21 @@ def rft_icd_chain(spark, sf_dir):
         F.col("SEGIDX").cast("long").alias("segidx"),
         F.col("SEGDEPTH").alias("segdepth"),
     )
+
+
+_SAMPLE_SQL = f"""
+    SELECT doc_id FROM documents
+    WHERE {_bucket256_sql('sample')} < 26
+"""
+
+
+@_q("curation_sample", _SAMPLE_SQL)
+def curation_sample(spark, sf_dir):
+    """Deterministic ~10% sample by content hash (llm/curation.py
+    deterministic_sample): membership depends only on the id — stable
+    across runs/partitionings/engines, verified by DuckDB re-deriving
+    the exact member set."""
+    from res2df_spark.llm.curation import deterministic_sample
+
+    docs = Catalog(spark, sf_dir).documents
+    return deterministic_sample(docs, fraction=0.1).select("doc_id")

@@ -114,3 +114,20 @@ def test_doc_chunks_no_redundant_tail(spark):
     docs = spark.createDataFrame([(1, "y" * 160)], "doc_id long, text string")
     out = doc_chunks(docs, chunk_chars=200, overlap=50).collect()
     assert len(out) == 1 and out[0].chunk_chars == 160
+
+
+def test_deterministic_sample(spark):
+    from res2df_spark.llm.curation import deterministic_sample
+
+    big = spark.range(10000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in deterministic_sample(big, fraction=0.1).collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(big.repartition(13), fraction=0.1).collect()
+    }
+    assert a == b  # partition-independent
+    assert abs(len(a) / 10000 - 26 / 256) < 0.02
+    assert deterministic_sample(big, fraction=0.0).count() == 0
+    assert deterministic_sample(big, fraction=1.0).count() == 10000
+    with pytest.raises(ValueError):
+        deterministic_sample(big, fraction=1.5)
