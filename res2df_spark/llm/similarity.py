@@ -228,3 +228,34 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 10,
+    q_col: str = "q_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the
+    exact one: |approx∩exact| / |exact| over each query's top-k sets.
+
+    The quality dial every ANN deployment needs: measure recall on a
+    sampled query set, then trade probes/tables/lists against it.  Two
+    semi-joined aggregates — runs at any scale the top-k frames exist.
+    """
+    a = approx.filter(F.col(rank_col) <= k).select(q_col, id_col)
+    e = exact.filter(F.col(rank_col) <= k).select(q_col, id_col)
+    totals = e.groupBy(q_col).agg(F.count(F.lit(1)).alias("__n_exact"))
+    hits = (
+        e.join(a, [q_col, id_col], "left_semi")
+        .groupBy(q_col)
+        .agg(F.count(F.lit(1)).alias("__n_hit"))
+    )
+    return totals.join(hits, q_col, "left").select(
+        q_col,
+        (
+            F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("__n_exact")
+        ).alias("recall"),
+    )

@@ -207,3 +207,49 @@ def test_ivf_full_probe_equals_brute_force(spark):
     a = sorted((r["q_id"], r["rank"], r["vec_id"]) for r in exact.collect())
     b = sorted((r["q_id"], r["rank"], r["vec_id"]) for r in full.collect())
     assert a == b
+
+
+def test_recall_at_k(spark):
+    from res2df_spark.llm.similarity import brute_force_topk, lsh_bucketed_topk, recall_at_k
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 4")
+    exact = brute_force_topk(emb, queries, k=5)
+    # exact vs itself → recall 1.0 for every query
+    perfect = recall_at_k(exact, exact, k=5).collect()
+    assert all(r.recall == 1.0 for r in perfect)
+    approx = lsh_bucketed_topk(emb, queries, k=5)
+    rec = recall_at_k(approx, exact, k=5).collect()
+    assert len(rec) == 4
+    assert all(0.0 <= r.recall <= 1.0 for r in rec)
+
+
+def test_simhash_matches_python_reference(spark):
+    """Signature bits agree with a direct per-token Python computation."""
+    import hashlib
+
+    from res2df_spark.llm.dedup import simhash_signatures
+
+    docs = [(1, "alpha beta gamma"), (2, "one two three four five")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+
+    def py_simhash(text):
+        toks = {t for t in text.lower().split() if t}
+        votes = [0] * 64
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                # bit b lives at nibble p=b//4 (hex char), position b%4
+                nib = (h >> (60 - 4 * (b // 4))) & 0xF
+                bit = (nib >> (3 - b % 4)) & 1
+                votes[b] += 1 if bit else -1
+        sig = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sig += 1 << b
+        # interpret as signed 64-bit like Spark's bigint
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    for doc_id, text in docs:
+        assert got[doc_id] == py_simhash(text), doc_id
