@@ -315,8 +315,15 @@ def known_keywords() -> set[str]:
 
 def _parse_date(items: list[str]) -> date:
     """``1 'JAN' 2000`` (optionally with a time-of-day item)."""
+    if len(items) < 3:
+        raise ValueError(f"malformed DATES record: {items!r}")
     d, mon, y = items[0], items[1].strip("'").upper(), items[2]
-    return date(int(y), _MONTHS[mon[:3]], int(d))
+    if mon[:3] not in _MONTHS:
+        raise ValueError(f"unknown month {items[1]!r} in DATES record")
+    try:
+        return date(int(y), _MONTHS[mon[:3]], int(d))
+    except (ValueError, OverflowError) as exc:
+        raise ValueError(f"malformed DATES record: {items!r}") from exc
 
 
 def parse_deck(text: str) -> list[dict]:
@@ -439,6 +446,8 @@ def parse_deck(text: str) -> list[dict]:
             elif kw == "WLIST":
                 # variable-arity record: NAME ACTION well [well ...]
                 expanded = [t.strip("'") if t else t for t in _expand(rec)]
+                if len(expanded) < 2:
+                    raise ValueError(f"malformed WLIST record: {rec!r}")
                 records.append(
                     {"KEYWORD_IDX": kw_idx, "KEYWORD": kw, "RECORD_IDX": rec_idx,
                      "DATE": None, "NAME": expanded[0], "ACTION": expanded[1],

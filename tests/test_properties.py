@@ -211,3 +211,44 @@ def test_pack_sequences_matches_serial(spark, ids, toks, target):
             assert r.n_tokens == toks
             assert r.bin_id == before // target
             before += r.n_tokens
+
+
+@given(
+    soup=st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Zs", "Po", "Ps", "Pe"),
+            whitelist_characters="/*'\n\t-",
+        ),
+        max_size=400,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_parse_deck_never_crashes(soup):
+    """Robustness fuzz: arbitrary token soup must parse to a list or
+    raise ValueError — never an uncaught TypeError/IndexError/KeyError.
+    (The reference leans on opm's C parser for this hardening; the
+    pure-Python schedule parser needs its own.)"""
+    from res2df_spark.sources.deck import parse_deck
+
+    try:
+        recs = parse_deck(soup)
+    except ValueError:
+        return
+    assert isinstance(recs, list)
+
+
+@given(
+    soup=st.text(alphabet="AB 12/*'\n", max_size=200),
+    kw=st.sampled_from(["COMPDAT", "WELSPECS", "DATES", "WELOPEN"]),
+)
+@settings(max_examples=100, deadline=None)
+def test_parse_deck_with_keyword_prefix_never_crashes(soup, kw):
+    """Same fuzz but anchored with a real keyword header, driving the
+    record-splitting and typed-item paths."""
+    from res2df_spark.sources.deck import parse_deck
+
+    try:
+        recs = parse_deck(kw + "\n" + soup)
+    except ValueError:
+        return
+    assert isinstance(recs, list)
