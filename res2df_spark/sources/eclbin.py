@@ -58,8 +58,8 @@ def iter_keywords(buf: bytes) -> Iterator[tuple[str, str, np.ndarray]]:
     """
     pos, n = 0, len(buf)
     while pos < n:
-        if n - pos < 4:
-            raise EclFormatError(f"truncated record marker at byte {pos}")
+        if n - pos < 24:
+            raise EclFormatError(f"truncated keyword header at byte {pos}")
         (rlen,) = struct.unpack_from(">i", buf, pos)
         if rlen != 16:
             raise EclFormatError(f"expected 16-byte keyword header, got {rlen} at {pos}")
@@ -90,6 +90,8 @@ def iter_keywords(buf: bytes) -> Iterator[tuple[str, str, np.ndarray]]:
         remaining = count
         while remaining > 0:
             take = min(remaining, block)
+            if n - pos < 8 + take * esize:
+                raise EclFormatError(f"{keyword}: truncated data record at {pos}")
             (rlen,) = struct.unpack_from(">i", buf, pos)
             if rlen != take * esize:
                 raise EclFormatError(
@@ -108,7 +110,9 @@ def iter_keywords(buf: bytes) -> Iterator[tuple[str, str, np.ndarray]]:
                 arr = arr != 0
         else:
             arr = np.frombuffer(raw, dtype=f"S{esize}")
-            arr = np.char.decode(np.char.rstrip(arr), "ascii")
+            # "replace", not strict: a corrupt byte in one name must not
+            # crash the whole scan (EclFormatError covers structure)
+            arr = np.char.decode(np.char.rstrip(arr), "ascii", "replace")
         yield keyword, tname, arr
 
 
@@ -198,9 +202,16 @@ def smspec_vector_names(
 
 def parse_smspec(buf: bytes) -> dict:
     kws = {k: v for k, v, *_ in ((k, v) for k, _t, v in iter_keywords(buf))}
+    missing = {"DIMENS", "STARTDAT", "KEYWORDS", "NUMS", "UNITS"} - set(kws)
+    if missing:
+        raise EclFormatError(f"SMSPEC missing sections: {sorted(missing)}")
     dims = kws["DIMENS"]
+    if len(dims) < 3:
+        raise EclFormatError("SMSPEC DIMENS too short")
     nx, ny = int(dims[1]), int(dims[2])
     start = kws["STARTDAT"]
+    if len(start) < 3:
+        raise EclFormatError("SMSPEC STARTDAT too short")
     micro = int(start[5]) if len(start) >= 6 else 0
     startdate = datetime.datetime(
         int(start[2]), int(start[1]), int(start[0]),
@@ -209,6 +220,10 @@ def parse_smspec(buf: bytes) -> dict:
         micro // 1_000_000, micro % 1_000_000,
     )
     names = kws.get("WGNAMES", kws.get("NAMES"))
+    if names is None:
+        # legal for field/misc-only cases; per-entity vectors then have
+        # no name to attach and resolve to None
+        names = np.array([""] * len(kws["KEYWORDS"]))
     vectors = smspec_vector_names(
         kws["KEYWORDS"], names, kws["NUMS"].astype(np.int64), nx, ny
     )

@@ -233,3 +233,38 @@ def test_spark_summary_long_many_distributed(spark, tmp_path):
     df = eclbin.summary_long_many(spark, str(tmp_path / "*" / "*"))
     per_real = {r["REAL"]: r["n"] for r in df.groupBy("REAL").count().withColumnRenamed("count", "n").collect()}
     assert set(per_real) == {"0", "1"} and per_real["0"] == per_real["1"] > 0
+
+
+def test_corrupt_buffers_raise_valueerror():
+    """Structure errors in binary input surface as EclFormatError
+    (a ValueError) — never struct.error/UnicodeDecodeError/KeyError."""
+    import io
+    import random
+
+    from res2df_spark.sources.eclbin import (
+        iter_keywords,
+        parse_smspec,
+        write_keyword,
+    )
+
+    buf = io.BytesIO()
+    write_keyword(buf, "DIMENS", "INTE", [2, 5, 5, 1, 0, 0])
+    write_keyword(buf, "STARTDAT", "INTE", [1, 1, 2020])
+    write_keyword(buf, "KEYWORDS", "CHAR", ["FOPT", "WOPR"])
+    write_keyword(buf, "WGNAMES", "CHAR", ["", "OP1"])
+    write_keyword(buf, "NUMS", "INTE", [0, 0])
+    write_keyword(buf, "UNITS", "CHAR", ["SM3", "SM3/DAY"])
+    valid = buf.getvalue()
+    # the intact buffer parses
+    assert parse_smspec(valid)["vectors"] == ["FOPT", "WOPR:OP1"]
+
+    rng = random.Random(11)
+    for case in (
+        [valid[:cut] for cut in range(0, len(valid), 5)]
+        + [bytes(rng.randbytes(n)) for n in (1, 9, 100)]
+    ):
+        for fn in (lambda b: list(iter_keywords(b)), parse_smspec):
+            try:
+                fn(case)
+            except ValueError:
+                pass  # EclFormatError or a plain ValueError is the contract
