@@ -54,7 +54,10 @@ def _load_yaml(content: str) -> dict:
         import yaml
     except ImportError:  # pragma: no cover
         return {}
-    data = yaml.safe_load(content)
+    try:
+        data = yaml.safe_load(content)
+    except yaml.YAMLError as exc:
+        raise ValueError(f"malformed parameters yaml: {exc}") from exc
     return data if isinstance(data, dict) else {}
 
 
