@@ -15,6 +15,8 @@ expressions only — no Python in the hot path):
 * ``pack_sequences`` — deterministic contiguous packing of documents
   into ~``target_tokens`` bins, sharded so no global ordering exists:
   each shard packs independently inside one window partition.
+* ``deterministic_sample`` — hash-membership sampling: the same rows on
+  every run, partitioning and engine, join-stable across tables.
 
 100 TB notes: every operator here is embarrassingly parallel except
 packing, which is the one genuinely order-dependent step — hence the
