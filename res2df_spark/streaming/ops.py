@@ -224,3 +224,54 @@ def summary_ingest_stream(spark, watch_dir: str):
     return files.mapInPandas(
         parse, schema="DATE timestamp, VECTOR string, VALUE double, REAL string"
     )
+
+
+def near_dedup_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    num_hashes: int = 32,
+    band_size: int = 4,
+) -> DataFrame:
+    """Streaming near-duplicate detection: MinHash+LSH at ingest time.
+
+    Entirely stateless per row up to the state store: the signature is
+    the array-expression MinHash (functions/textan.minhash_signature —
+    no shuffle, no Python), banded into ``num_hashes/band_size`` keys;
+    ``dropDuplicatesWithinWatermark`` on the band key then lets only the
+    FIRST document claim each band.  Output rows are the surviving
+    (band_idx, band_key, doc) claims — a document that appears in NO
+    output row had every band already claimed by earlier traffic, i.e.
+    it is a near-duplicate candidate of something already ingested
+    (same banding contract as the batch minhash_lsh_candidates).
+
+    State is one entry per distinct band key within the watermark —
+    bounded, partitioned by key, scales out with executors.  Documents
+    with no tokens produce no claims (mirrors the batch exclusion of
+    empty element sets).
+    """
+    from res2df_spark.functions.textan import minhash_signature, tokens
+
+    n_bands = num_hashes // band_size
+    sig = F.array_compact(minhash_signature(tokens(F.col(text_col)), num_hashes))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "|", *[F.element_at("__sig", b * band_size + j + 1) for j in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    claimed = (
+        docs.withColumn("__sig", sig)
+        .filter(F.size("__sig") == num_hashes)  # empty docs: no claims
+        .select(id_col, ts_col, F.explode(bands).alias("band"))
+        .select(id_col, ts_col, "band.band_idx", "band.band_key")
+        .withWatermark(ts_col, watermark)
+    )
+    return claimed.dropDuplicatesWithinWatermark(["band_idx", "band_key"])

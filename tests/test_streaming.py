@@ -171,3 +171,49 @@ def test_catalog_stream_table(spark):
         stream.select("event_id"), name="t_cat_stream", output_mode="append"
     )
     assert out.count() == cat.events.count()
+
+
+def test_near_dedup_stream(spark, tmp_path):
+    from res2df_spark.functions.textan import minhash_signature, tokens as _toks
+    from res2df_spark.streaming.ops import near_dedup_stream, run_available_now
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", datetime(2020, 1, 1, 0, 0)),
+        (2, "pack my box with five dozen liquor jugs", datetime(2020, 1, 1, 0, 1)),
+        # exact duplicate of doc 1, arriving later
+        (3, "the quick brown fox jumps over the lazy dog", datetime(2020, 1, 1, 0, 2)),
+        (4, "", datetime(2020, 1, 1, 0, 3)),  # empty: no claims either way
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    path = str(tmp_path / "near_dedup_src")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    claims = near_dedup_stream(stream, watermark="1 hour")
+    out = run_available_now(claims, name="t_near_dedup", output_mode="append")
+    got = out.collect()
+    claimed_by = {}
+    for r in got:
+        claimed_by.setdefault(r.doc_id, set()).add((r.band_idx, r.band_key))
+    # unique docs hold claims; the exact duplicate holds none
+    assert 1 in claimed_by and 2 in claimed_by
+    assert 3 not in claimed_by  # every band already claimed by doc 1
+    assert 4 not in claimed_by  # empty doc produces no claims
+    # each band key claimed at most once
+    all_claims = [(r.band_idx, r.band_key) for r in got]
+    assert len(all_claims) == len(set(all_claims))
+    # doc 3's bands (batch-computed) are all covered by surviving claims
+    bands3 = (
+        src.filter("doc_id = 3")
+        .select(F.posexplode(minhash_signature(_toks(F.col("text")))).alias("i", "h"))
+        .collect()
+    )
+    assert bands3  # sanity: signature exists
+    claimed_keys = {(r.band_idx, r.band_key) for r in got}
+    n_bands = 32 // 4
+    # reconstruct doc3's band keys the operator's way
+    sig3 = [r.h for r in sorted(bands3, key=lambda r: r.i)]
+    keys3 = {
+        (b, "|".join(sig3[b * 4 : (b + 1) * 4])) for b in range(n_bands)
+    }
+    assert keys3 <= claimed_keys
