@@ -1156,6 +1156,7 @@ _SAMPLE_LAST = [
     "a5_dedup_keep_last",    # A5: dedup_keep exercised inside compdat/gruptree pipelines
     "j9_asof_join",          # J9: j9_asof_tolerance supersedes (same plan + bound)
     "compdat_unroll",        # S1/R1: compdat_pipeline is the richer superset
+    "j3_multikey_join",      # J3: trans_interface/wcd_zone_agg keep multi-key joins
 ]
 
 

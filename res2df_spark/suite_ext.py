@@ -2032,3 +2032,38 @@ def curation_sample(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return deterministic_sample(docs, fraction=0.1).select("doc_id")
+
+
+_NEAR_DEDUP_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t WHERE len(toks) > 0),
+    sig AS (SELECT doc_id, g.s AS s,
+                   min(substr(md5(CAST(g.s // 4 AS VARCHAR) || ':' || token),
+                              CAST(1 + 8 * (g.s % 4) AS INT), 8)) AS mh
+            FROM tok, generate_series(0, 31) g(s) GROUP BY 1, 2),
+    bands AS (SELECT doc_id, s // 4 AS band_idx, string_agg(mh, '|' ORDER BY s) AS band_key
+              FROM sig GROUP BY 1, 2)
+    SELECT DISTINCT CAST(band_idx AS BIGINT) AS band_idx, band_key FROM bands
+"""
+
+
+@_q("stream_near_dedup", _NEAR_DEDUP_SQL)
+def stream_near_dedup(spark, sf_dir):
+    """Streaming MinHash near-dup detection replayed with AvailableNow
+    (streaming/ops.near_dedup_stream): the surviving band-claim KEY SET
+    is order-independent (whichever doc claims a band first, the set of
+    claimed keys is the distinct band keys of the corpus), so DuckDB
+    re-derives it exactly from the same signature arithmetic."""
+    from res2df_spark.streaming.ops import near_dedup_stream, run_available_now
+
+    docs = Catalog(spark, sf_dir).stream_table("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        # synthetic deterministic event time for the watermark
+        F.timestamp_seconds(F.lit(1577836800) + F.col("doc_id")).alias("ts"),
+    )
+    claims = near_dedup_stream(docs, watermark="10 years")
+    out = run_available_now(claims, name="stream_near_dedup", output_mode="append")
+    # no defensive distinct: the operator must emit each band key exactly
+    # once — a duplicate claim should FAIL the comparison
+    return out.select(F.col("band_idx").cast("long").alias("band_idx"), "band_key")
