@@ -1157,6 +1157,7 @@ _SAMPLE_LAST = [
     "j9_asof_join",          # J9: j9_asof_tolerance supersedes (same plan + bound)
     "compdat_unroll",        # S1/R1: compdat_pipeline is the richer superset
     "j3_multikey_join",      # J3: trans_interface/wcd_zone_agg keep multi-key joins
+    "dedup_exact",           # exact dedup also inside curation_pipeline
 ]
 
 
