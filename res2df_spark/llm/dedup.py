@@ -107,25 +107,16 @@ def ngram_jaccard_pairs(
     return out.select("d1", "d2", "n_shared", "size1", "size2", "jaccard")
 
 
-def minhash_lsh_candidates(
+def _minhash_bands(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 32,
-    band_size: int = 4,
-    shingle_k: int | None = None,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    band_size: int,
+    shingle_k: int | None,
 ) -> DataFrame:
-    """MinHash + LSH banding: candidate near-duplicate pairs.
-
-    signature[i] = min over tokens of md5(i || ':' || token) (see
-    functions.textan.minhash_signature); bands of ``band_size`` hashes
-    are concatenated into a band key; docs sharing any (band_idx,
-    band_key) become a candidate pair.  Returns distinct (d1 < d2) pairs
-    with the number of matching bands.
-
-    Docs with an empty element set are excluded (their signature would be
-    all-NULL and would spuriously collide).
-    """
+    """(id, band_idx, band_key) long form — the shared LSH front half of
+    ``minhash_lsh_candidates`` and ``minhash_lsh_bucket_stats``."""
     assert num_hashes % band_size == 0
     # signature hashing is CPU-bound per row — make sure the scan isn't a
     # single small-file partition pinning the stage to one core
@@ -151,7 +142,7 @@ def minhash_lsh_candidates(
         ).alias("sig")
     )
     n_bands = num_hashes // band_size
-    bands = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -167,14 +158,100 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
+
+
+def minhash_lsh_bucket_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    band_size: int = 4,
+    shingle_k: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Per-bucket accounting for the LSH cap: (band_idx, band_key,
+    bucket_size, dropped) for every multi-member bucket.  ``dropped``
+    marks buckets ``minhash_lsh_candidates`` would exclude under the
+    same ``max_bucket_size`` — run this alongside a capped dedup job to
+    log how much pairing signal the cap discards (the observability
+    half of the hot-bucket cap; one count aggregation, no arrays)."""
+    bands = _minhash_bands(docs, id_col, text_col, num_hashes, band_size, shingle_k)
+    sizes = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > 1)
+    )
+    dropped = (
+        F.lit(False)
+        if max_bucket_size is None
+        else (F.col("bucket_size") > max_bucket_size)
+    )
+    return sizes.select("band_idx", "band_key", "bucket_size", dropped.alias("dropped"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    band_size: int = 4,
+    shingle_k: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MinHash + LSH banding: candidate near-duplicate pairs.
+
+    signature[i] = min over tokens of md5(i || ':' || token) (see
+    functions.textan.minhash_signature); bands of ``band_size`` hashes
+    are concatenated into a band key; docs sharing any (band_idx,
+    band_key) become a candidate pair.  Returns distinct (d1 < d2) pairs
+    with the number of matching bands.
+
+    ``max_bucket_size`` caps the per-bucket pair blowup: buckets whose
+    membership exceeds the cap are DROPPED from pair enumeration (the
+    band-key analogue of ``max_token_df`` stop-shingle dropping).  At
+    100 TB corpus scale, boilerplate-heavy text makes some band keys
+    collide millions of documents; without the cap the per-bucket
+    quadratic expansion is unbounded.  Dropping is semantically
+    justified exactly like stop-shingles: a band key shared by a huge
+    crowd carries no pairing information — such groups are better
+    resolved by exact dedup upstream.  Use ``minhash_lsh_bucket_stats``
+    (same parameters) to observe bucket-size distribution and how many
+    buckets a given cap would drop.
+
+    Docs with an empty element set are excluded (their signature would be
+    all-NULL and would spuriously collide).
+    """
+    bands = _minhash_bands(docs, id_col, text_col, num_hashes, band_size, shingle_k)
     # Candidate pairs per bucket WITHOUT a self-join: a self-join would
     # evaluate the whole signature pipeline twice (no cross-branch plan
     # reuse) and add a shuffle.  Instead, group docs per (band_idx,
     # band_key) and enumerate the (i < j) pairs with array combinatorics
     # — one aggregation, signature computed once.  Bucket sizes are
-    # small by LSH construction (that is the point of banding), so the
-    # per-bucket quadratic is bounded; a pathological all-identical
-    # corpus degrades exactly like the equivalent self-join would.
+    # small by LSH construction (that is the point of banding); a
+    # pathological corpus (boilerplate band keys shared by huge crowds)
+    # is bounded by ``max_bucket_size``.
+    #
+    # The cap is enforced BEFORE materializing the membership array, via
+    # a window count over the band key: the window's shuffle partitions
+    # bands on (band_idx, band_key), the filter drops singleton and
+    # over-cap rows, and the following groupBy on the SAME keys needs no
+    # further exchange — one scan, one signature evaluation, one
+    # shuffle, and a hot bucket never builds its (possibly
+    # multi-million-element) id array at all.  (A count-aggregate +
+    # semi-join formulation is NOT exchange-reusable — partial
+    # aggregation changes the canonical child plan — and would evaluate
+    # the md5 signature pipeline twice; verified via executedPlan.)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wincount = F.count(F.lit(1)).over(
+            Window.partitionBy("band_idx", "band_key")
+        )
+        bands = (
+            bands.withColumn("__bsz", wincount)
+            .filter((F.col("__bsz") > 1) & (F.col("__bsz") <= max_bucket_size))
+            .drop("__bsz")
+        )
     buckets = bands.groupBy("band_idx", "band_key").agg(
         F.sort_array(F.collect_set(id_col)).alias("ids")
     )

@@ -80,6 +80,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH buckets.
 
@@ -99,7 +100,15 @@ def lsh_bucketed_topk(
 
     Candidate pairs can collide in several tables, so pairs are
     deduplicated before scoring (shuffle on (query, id) — bounded by
-    candidate count, not corpus size)."""
+    candidate count, not corpus size).
+
+    ``max_bucket_size`` drops corpus rows in buckets larger than the cap
+    before the candidate join (window count on the bucket key — the
+    join reuses that partitioning, so the cap adds no exchange).  At
+    corpus scale a degenerate bucket (e.g. a hyperplane slicing a dense
+    cluster) would otherwise fan every query probing it into millions
+    of candidates; dropping it trades bounded recall loss for a bounded
+    join, the same contract as ``dedup.minhash_lsh_candidates``."""
     dim = len(corpus.select(vec_col).first()[0])
 
     def bucket_bits(vc, table):
@@ -130,6 +139,11 @@ def lsh_bucketed_topk(
             )
 
     c = corpus.withColumn("__bucket", F.explode(F.array(*c_buckets)))
+    if max_bucket_size is not None:
+        csize = F.count(F.lit(1)).over(Window.partitionBy("__bucket"))
+        c = c.withColumn("__bsz", csize).filter(
+            F.col("__bsz") <= max_bucket_size
+        ).drop("__bsz")
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qv"),

@@ -29,6 +29,7 @@ from res2df_spark.functions.strings import matches_template, pair_key
 from res2df_spark.functions.textan import shingles, tokens
 from res2df_spark.llm.dedup import (
     exact_duplicates,
+    minhash_lsh_bucket_stats,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_signatures,
@@ -929,6 +930,66 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_candidates(docs, num_hashes=16, band_size=4, shingle_k=3)
 
 
+_MINHASH_BANDS_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
+    sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM idx),
+    sig AS (SELECT doc_id, g.s AS s,
+                   min(substr(md5(CAST(g.s // 4 AS VARCHAR) || ':' || shingle),
+                              CAST(1 + 8 * (g.s % 4) AS INT), 8)) AS mh
+            FROM sh, generate_series(0, 15) g(s) GROUP BY 1, 2),
+    bands AS (SELECT doc_id, s // 4 AS band_idx, string_agg(mh, '|' ORDER BY s) AS band_key
+              FROM sig GROUP BY 1, 2)
+"""
+
+
+@_q(
+    "dedup_minhash_capped",
+    _MINHASH_BANDS_SQL
+    + """
+    , keep AS (SELECT band_idx, band_key FROM bands
+               GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 2)
+    SELECT b1.doc_id AS d1, b2.doc_id AS d2, count(*) AS n_bands
+    FROM bands b1 JOIN bands b2 USING (band_idx, band_key)
+                  JOIN keep USING (band_idx, band_key)
+    WHERE b1.doc_id < b2.doc_id GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_capped(spark, sf_dir):
+    """Hot-bucket-capped MinHash LSH: same banding as dedup_minhash_lsh
+    but buckets over ``max_bucket_size=2`` members are dropped before
+    pair enumeration — the 100 TB guard against boilerplate band keys
+    colliding unbounded crowds (quadratic pair blowup).  The cap of 2
+    deliberately trips on this corpus (its four 3-member buckets are
+    excluded), so the oracle verifies the capped semantics, not just
+    the uncapped fast path."""
+    docs = Catalog(spark, sf_dir).documents
+    return minhash_lsh_candidates(
+        docs, num_hashes=16, band_size=4, shingle_k=3, max_bucket_size=2
+    )
+
+
+@_q(
+    "dedup_lsh_bucket_stats",
+    _MINHASH_BANDS_SQL
+    + """
+    SELECT band_idx, band_key, count(*) AS bucket_size,
+           count(*) > 2 AS dropped
+    FROM bands GROUP BY 1, 2 HAVING count(*) > 1
+    """,
+)
+def dedup_lsh_bucket_stats(spark, sf_dir):
+    """Dropped-bucket accounting for the LSH cap: every multi-member
+    (band_idx, band_key) bucket with its size and whether a
+    ``max_bucket_size=2`` cap would drop it — the observability half of
+    the hot-bucket guard (count aggregation only, no membership
+    arrays)."""
+    docs = Catalog(spark, sf_dir).documents
+    return minhash_lsh_bucket_stats(
+        docs, num_hashes=16, band_size=4, shingle_k=3, max_bucket_size=2
+    )
+
+
 @_q(
     "dedup_simhash",
     f"""
@@ -1122,52 +1183,10 @@ from res2df_spark import suite_ext  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
-# Registration order = driver sampling order.  The verification driver
-# checks the FIRST 50 registered queries; everything after rides on the
-# local oracle replica (tools/check_oracle.py) only.  Keep the newest /
-# riskiest queries inside the sampled window and rotate long-stable,
-# family-redundant entries to the tail (each demoted query's operator
-# family keeps at least one representative in the window).
+# Registration order is the natural source order (suite.py top-to-bottom,
+# then suite_ext.py).  The verification driver samples the first 50
+# registered queries; the remainder is covered by the local replica
+# (tools/check_oracle.py), which runs ALL queries with the same
+# comparator.  No reordering is applied — curating which queries the
+# external sampler sees would defeat the point of independent sampling.
 # ---------------------------------------------------------------------------
-_SAMPLE_LAST = [
-    "a4_conditional_agg",    # A4 family: a1 covers gated agg
-    "a7_distinct_probe",     # trivial count-distinct, green r1+r2
-    "p3_sentinel_nulls",     # green r1+r2
-    "p4_constant_probe",     # green r1+r2
-    "j5_neighbor_shift",     # J5: j6 keeps coordinate-join coverage
-    "j7_onehop_topology",    # J7: rft_seg_topology is the richer variant
-    "w5_dup_ts_repair",      # green r1+r2
-    "w2_default_fill",       # W2 also exercised inside compdat_pipeline
-    "r2_box_explode",        # R2: faults_unroll is the richer variant
-    "r3_wildcard_expand",    # R3 also inside compdat_pipeline
-    "r5_range_join",         # R5 also inside compdat_pipeline
-    "r7_vfp_melt",           # R7: r6_melt keeps melt coverage
-    "r9_union_tag",          # green r1+r2
-    "q3_top_orders",         # plain TPC-H shape, green r1+r2
-    "scalar_json_extract",   # green r1+r2
-    "dedup_ngram_jaccard",   # minhash_lsh keeps near-dup coverage
-    "text_langid",           # text_stats keeps text-analysis coverage
-    "text_fingerprint",      # text_bpe_tokens keeps hashing coverage
-    "mm_binary_meta",        # mm_extract_features is the superset
-    "w8_resample_linear",    # w8_resample_monthly keeps W8 coverage
-    "r1_unroll_range",       # R1: compdat_unroll/faults_unroll keep unroll coverage
-    "w1_ffill_cursor",       # W1: sched_date_cursor keeps cursor coverage
-    "a2_contact_bounds",     # A2: contact_estimate is the richer variant
-    "a5_dedup_keep_last",    # A5: dedup_keep exercised inside compdat/gruptree pipelines
-    "j9_asof_join",          # J9: j9_asof_tolerance supersedes (same plan + bound)
-    "compdat_unroll",        # S1/R1: compdat_pipeline is the richer superset
-    "j3_multikey_join",      # J3: trans_interface/wcd_zone_agg keep multi-key joins
-    "dedup_exact",           # exact dedup also inside curation_pipeline
-]
-
-
-def _reorder_for_sampling() -> None:
-    front = [n for n in QUERIES if n not in _SAMPLE_LAST]
-    tail = [n for n in _SAMPLE_LAST if n in QUERIES]
-    for mapping in (QUERIES, ORACLES):
-        ordered = {n: mapping[n] for n in front + tail if n in mapping}
-        mapping.clear()
-        mapping.update(ordered)
-
-
-_reorder_for_sampling()

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from res2df_spark.llm.dedup import (
     exact_duplicates,
+    minhash_lsh_bucket_stats,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_signatures,
@@ -62,6 +63,53 @@ def test_minhash_empty_doc_excluded(spark):
     assert all(r.d1 != 5 and r.d2 != 5 for r in out.collect())
 
 
+def test_minhash_hot_bucket_cap(spark):
+    # Pathological corpus: 40 identical docs collide in every band.
+    # Uncapped that is 40·39/2 = 780 pairs per band; the cap drops the
+    # hot buckets entirely and the job completes with bounded output.
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text repeated everywhere always") for i in range(40)]
+        + [(100, "one unique document about something else entirely"),
+           (101, "one unique document about something else entirely")],
+        "doc_id int, text string",
+    )
+    uncapped = minhash_lsh_candidates(docs, num_hashes=16, band_size=4)
+    capped = minhash_lsh_candidates(docs, num_hashes=16, band_size=4, max_bucket_size=10)
+    assert uncapped.count() == 780 + 1
+    got = {(r.d1, r.d2) for r in capped.collect()}
+    # the 40-doc crowd is dropped; the 2-doc bucket survives the cap
+    assert got == {(100, 101)}
+
+
+def test_minhash_bucket_stats_accounting(spark):
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text repeated everywhere always") for i in range(40)]
+        + [(100, "one unique document about something else entirely"),
+           (101, "one unique document about something else entirely")],
+        "doc_id int, text string",
+    )
+    st = minhash_lsh_bucket_stats(
+        docs, num_hashes=16, band_size=4, max_bucket_size=10
+    ).collect()
+    by_size = {r.bucket_size: r.dropped for r in st}
+    assert by_size[40] is True and by_size[2] is False
+    # 4 bands × 2 distinct multi-member signatures = 8 buckets
+    assert len(st) == 8
+
+
+def test_minhash_cap_adds_no_exchange(spark):
+    docs = _docs(spark)
+    import re
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"\bExchange ", plan))
+
+    plain = minhash_lsh_candidates(docs, num_hashes=16, band_size=4)
+    capped = minhash_lsh_candidates(docs, num_hashes=16, band_size=4, max_bucket_size=5)
+    assert n_exchanges(capped) == n_exchanges(plain)
+
+
 def test_simhash_properties(spark):
     out = simhash_signatures(_docs(spark))
     sigs = {r.doc_id: r.simhash for r in out.collect()}
@@ -104,6 +152,22 @@ def test_lsh_bucketed_topk_recalls_near_neighbor(spark):
     # vec 1 is nearly identical to the query → must share every
     # random-hyperplane bucket and be recalled
     assert (0, 1) in got
+
+
+def test_lsh_bucketed_topk_hot_bucket_cap(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    # n_planes=1 → 2 buckets; the positive-side bucket holds ≥3 corpus
+    # vectors, so a cap of 2 drops it and the query finds no candidates
+    # there, while an ample cap reproduces the uncapped result.
+    uncapped = rows(lsh_bucketed_topk(emb, q, k=5, n_planes=1), "q_id", "vec_id")
+    ample = rows(
+        lsh_bucketed_topk(emb, q, k=5, n_planes=1, max_bucket_size=100),
+        "q_id", "vec_id",
+    )
+    assert ample == uncapped and len(uncapped) > 0
+    capped = lsh_bucketed_topk(emb, q, k=5, n_planes=1, max_bucket_size=2)
+    assert capped.count() < len(uncapped)
 
 
 def test_connected_components(spark):
