@@ -1315,18 +1315,38 @@ def wcon_pipeline(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Binary Eclipse summary round-trip (sources/eclbin.py: S2 + K7).
-# No oracle_sql — the format is binary, not SQL-expressible; the driver
-# records the rows-only check on this deterministic fixture.
+# The wide frame is DERIVED FROM THE orders PARQUET (a deterministic
+# monthly aggregate), so although DuckDB cannot read SMSPEC/UNSMRY, it
+# CAN recompute what the round-trip must return: write→re-read is the
+# identity up to float32 (PARAMS are REAL records), which plain SQL
+# expresses as CAST(... AS REAL) over the same aggregate.
 # ---------------------------------------------------------------------------
 
 
-@_q("eclbin_summary_roundtrip")
+@_q(
+    "eclbin_summary_roundtrip",
+    """
+    WITH agg AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(count(*) AS DOUBLE) AS fopt,
+               max(o_totalprice) AS wopr
+        FROM orders GROUP BY 1 ORDER BY m LIMIT 4)
+    SELECT CAST(m AS TIMESTAMP) AS d, 'FOPT' AS vector,
+           CAST(CAST(fopt AS REAL) AS DOUBLE) AS value FROM agg
+    UNION ALL
+    SELECT CAST(m AS TIMESTAMP) AS d, 'WOPR:OP1' AS vector,
+           CAST(CAST(wopr AS REAL) AS DOUBLE) AS value FROM agg
+    """,
+)
 def eclbin_summary_roundtrip(spark, sf_dir):
     """K7 write → S2 read fixed point on the pure-numpy binary layer:
-    a deterministic wide frame (FOPT cumulative, WOPR:OP1 rate) is
-    written as SMSPEC+UNSMRY (Fortran-blocked records, colon vector
-    naming) and read back to the long model.  8 rows, bit-exact float32
-    values."""
+    a deterministic monthly aggregate of ``orders`` (order count as a
+    cumulative-style vector, max o_totalprice as a rate-style vector)
+    is written as SMSPEC+UNSMRY (Fortran-blocked REAL records, colon
+    vector naming) and read back to the long model.  The oracle
+    recomputes the same aggregate in SQL with a float32 cast — green
+    means the binary write→read is the identity on (DATE, VECTOR,
+    VALUE), not merely that rows came back."""
     import datetime
     import os
     import tempfile
@@ -1335,19 +1355,28 @@ def eclbin_summary_roundtrip(spark, sf_dir):
 
     from res2df_spark.sources.eclbin import summary_long, write_summary
 
-    d = tempfile.mkdtemp(prefix="eclbin_rt_")
-    dates = pd.to_datetime(
-        ["2020-01-01", "2020-02-01", "2020-03-01", "2020-04-01"]
+    months = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.trunc("o_orderdate", "month").alias("m"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("fopt"),
+            F.max("o_totalprice").alias("wopr"),
+        )
+        .orderBy("m")
+        .limit(4)
+        .collect()  # 4 rows — driver-side writer boundary, like all K* sinks
     )
     wide = pd.DataFrame(
         {
-            "FOPT": [0.0, 100.5, 250.25, 400.0],
-            "WOPR:OP1": [10.0, 12.5, 9.75, 8.0],
+            "FOPT": [r["fopt"] for r in months],
+            "WOPR:OP1": [r["wopr"] for r in months],
         },
-        index=dates,
+        index=pd.to_datetime([r["m"] for r in months]),
     )
+    d = tempfile.mkdtemp(prefix="eclbin_rt_")
     path = os.path.join(d, "CASE.SMSPEC")
-    write_summary(path, datetime.datetime(2020, 1, 1), wide)
+    start = wide.index[0].to_pydatetime()
+    write_summary(path, datetime.datetime(start.year, start.month, start.day), wide)
     out = summary_long(spark, path)
     return out.select(
         F.col("DATE").alias("d"), F.col("VECTOR").alias("vector"),
