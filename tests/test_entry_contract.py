@@ -16,13 +16,9 @@ def test_queries_oracle_keys_align():
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs), "every oracle key must have a query"
     missing = set(qs) - set(os_)
-    # non-SQL-expressible ops may omit oracles; list them explicitly so
-    # additions are deliberate
-    # eclbin_summary_roundtrip: binary write→read fixed point, the
-    # format (not the values) is what's under test — not SQL-expressible
-    assert missing <= {"eclbin_summary_roundtrip"}, (
-        f"queries without oracle: {missing}"
-    )
+    # every query, including the binary round-trip (oracled via the
+    # source-parquet aggregate it derives from), must have an oracle
+    assert not missing, f"queries without oracle: {missing}"
 
 
 def test_entry_smoke(spark):
