@@ -146,11 +146,18 @@ def pack_sequences(
     ``n_shards`` independent shards; inside a shard (ordered by id) a
     document's bin is ``floor(tokens_before_it / target_tokens)``.
 
-    This is the scalable version of greedy sequence packing: the
-    sequential dependency (a running token total) is confined to one
-    shard = one window partition, so shard count — not corpus size —
-    bounds the serial work.  256 % n_shards must be 0 for uniform
-    shards (powers of two up to 256)."""
+    Packing contract: this is floor-of-running-total assignment, NOT
+    first-fit — a document whose tokens straddle a multiple of
+    ``target_tokens`` is assigned to the bin its FIRST token falls in,
+    so bins can exceed ``target_tokens`` by up to one document (the
+    consumer truncates or spills at sequence-build time, as packed
+    pretraining loaders do).  Greedy first-fit would make every bin
+    assignment depend on every earlier fit decision; the floor contract
+    keeps assignment a pure function of the prefix-sum, which is what
+    lets the sequential dependency be confined to one shard = one
+    window partition — shard count, not corpus size, bounds the serial
+    work.  256 % n_shards must be 0 for uniform shards (powers of two
+    up to 256)."""
     if 256 % n_shards != 0:
         raise ValueError("n_shards must divide 256 for uniform sharding")
     # NULL text = 0 tokens (size(NULL) is -1 under legacy sizeOfNull —

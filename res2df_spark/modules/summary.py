@@ -162,10 +162,30 @@ def df(
     import re as _re
 
     sel = select_vectors(long, column_keys)
-    if isinstance(time_index, (_dt.date, _dt.datetime)) or (
-        isinstance(time_index, str) and _re.fullmatch(r"\d{4}-\d{2}-\d{2}", time_index)
+    explicit = None
+    if isinstance(time_index, _dt.datetime):
+        explicit = time_index
+    elif isinstance(time_index, _dt.date):
+        explicit = _dt.datetime.combine(time_index, _dt.time())
+    elif isinstance(time_index, str) and _re.fullmatch(
+        r"\d{4}-\d{2}-\d{2}([T ].*)?", time_index
     ):
-        one = F.lit(str(time_index)[:10]).cast("date")
+        # validate BEFORE building the spine: '2020-02-31' would cast to
+        # NULL (non-ANSI) and silently produce a NULL-date spine
+        try:
+            explicit = _dt.datetime.fromisoformat(time_index)
+        except ValueError as err:
+            raise ValueError(
+                f"time_index {time_index!r} is not a valid ISO date/datetime"
+            ) from err
+    if explicit is not None:
+        # date-only lookups keep a DATE-typed spine (and DATE-typed
+        # output); a time-of-day component interpolates at the full
+        # datetime, as the reference does (summary.py:125-127)
+        if explicit.time() == _dt.time() and not isinstance(time_index, _dt.datetime):
+            one = F.lit(explicit.date()).cast("date")
+        else:
+            one = F.lit(explicit).cast("timestamp")
         spine = long.sparkSession.range(1).select(one.alias("DATE"))
         res = resample(sel, meta, spine=spine)
     elif time_index in ("raw", "first", "last"):

@@ -141,12 +141,16 @@ def resample_asof(
         raise ValueError(how)
     # Evaluate the windows BEFORE dropping observation rows — filtering
     # first would leave the windows nothing but NULL-payload spine rows.
+    # Output dates keep the spine's own type: a DATE spine yields DATE,
+    # a TIMESTAMP spine (explicit point-in-time lookup with a
+    # time-of-day component) keeps the full datetime.
+    out_type = spine.schema[date_col].dataType.simpleString()
     return (
         u.withColumn("__val", val)
         .filter(F.col("__is_spine") == 1)
         .select(
             *keys,
-            F.col("__t").cast("date").alias(date_col),
+            F.col("__t").cast(out_type).alias(date_col),
             F.col("__val").alias(value_col),
         )
     )

@@ -48,10 +48,26 @@ def to_pandas_datesafe(df: DataFrame) -> "pd.DataFrame":  # noqa: F821
     ]
     if not ts_cols:
         return df.toPandas()
+    # the ns-cast failure is matched by exception TYPE first (stable
+    # across Arrow/pandas versions) with the message substring as a
+    # secondary net for wrapped/re-raised forms; anything else re-raises
+    oob_types: tuple = ()
+    try:
+        from pyarrow.lib import ArrowInvalid
+
+        oob_types += (ArrowInvalid,)
+    except ImportError:  # pragma: no cover
+        pass
+    try:
+        from pandas.errors import OutOfBoundsDatetime
+
+        oob_types += (OutOfBoundsDatetime,)
+    except ImportError:  # pragma: no cover
+        pass
     try:
         return df.toPandas()
     except Exception as exc:  # noqa: BLE001 — only the ns-cast error falls through
-        if "out of bounds" not in str(exc).lower():
+        if not isinstance(exc, oob_types) and "out of bounds" not in str(exc).lower():
             raise
     # epoch-µs bounds (timezone-free, unlike comparing datetime objects
     # collected in the driver's local timezone)
@@ -59,6 +75,9 @@ def to_pandas_datesafe(df: DataFrame) -> "pd.DataFrame":  # noqa: F821
 
     lo_us = pd.Timestamp.min.value // 1000 + 1
     hi_us = pd.Timestamp.max.value // 1000
+    # the fallback recomputes the plan twice (bounds probe + collect);
+    # persist so both read the materialized result, then release
+    df = df.persist()
 
     def us(c: str) -> F.Column:
         col = F.col(c)
@@ -76,9 +95,13 @@ def to_pandas_datesafe(df: DataFrame) -> "pd.DataFrame":  # noqa: F821
         if bounds[f"__lo_{i}"] is not None
         and not (lo_us <= bounds[f"__lo_{i}"] and bounds[f"__hi_{i}"] <= hi_us)
     ]
+    stringified = df
     for c in wild:
-        df = df.withColumn(c, F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
-    pdf = df.toPandas()
+        stringified = stringified.withColumn(
+            c, F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        )
+    pdf = stringified.toPandas()
+    df.unpersist()
     for c in wild:
         pdf[c] = pdf[c].map(
             lambda s: dt.datetime.fromisoformat(s) if s is not None else None

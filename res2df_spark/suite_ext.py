@@ -1827,11 +1827,19 @@ def stream_dedup(spark, sf_dir):
     llm-pipeline shape): state bounded by the watermark; replayed over
     the finite table the kept-key set equals DISTINCT.  Projecting to
     the key column makes the check deterministic regardless of which
-    duplicate row the stream kept."""
+    duplicate row the stream kept.
+
+    Equivalence to DISTINCT holds only while every duplicate arrives
+    within the watermark of the first occurrence — with a multi-file
+    source replayed as several micro-batches, a key recurring beyond
+    the watermark is LEGITIMATELY re-emitted (state for it has been
+    evicted).  The watermark is therefore set above the events table's
+    full time span (~7 years of order dates), making the oracle exact
+    for any replay batching."""
     from res2df_spark.streaming.ops import dedup_stream, run_available_now
 
     src = Catalog(spark, sf_dir).stream_table("events").select("user_id", "ts")
-    ded = dedup_stream(src, ["user_id"], "ts", watermark="365 days")
+    ded = dedup_stream(src, ["user_id"], "ts", watermark="10 years")
     out = run_available_now(ded, name="stream_dedup", output_mode="append")
     # no trailing distinct: if the streaming dedup ever emitted a
     # duplicate key, the extra row must FAIL the comparison

@@ -149,3 +149,22 @@ def test_explicit_date_time_index(spark):
         assert r[0]["FOPR"] == 50.0
         # WBHP neither → linear too (reference interpolates non-rates)
         assert r[0]["WBHP:OP_1"] == pytest.approx(245.0)
+
+
+def test_explicit_date_rejects_impossible_date(spark):
+    long, meta = _fixture(spark)
+    with pytest.raises(ValueError, match="2020-02-31"):
+        summary.df(long, meta, time_index="2020-02-31")
+
+
+def test_explicit_datetime_interpolates_at_time_of_day(spark):
+    """A time-of-day component interpolates at the full datetime
+    (reference summary.py:125-127), not the truncated date."""
+    from datetime import datetime
+
+    long, meta = _fixture(spark)
+    for ti in (datetime(2020, 1, 31, 12, 0), "2020-01-31 12:00:00"):
+        r = summary.df(long, meta, time_index=ti).collect()
+        assert len(r) == 1 and r[0]["DATE"] == datetime(2020, 1, 31, 12, 0)
+        # FOPT linear, 1 unit/day Jan 1 → Mar 1: half a day past 30.0
+        assert r[0]["FOPT"] == pytest.approx(30.5)
