@@ -251,6 +251,15 @@ def near_dedup_stream(
     bounded, partitioned by key, scales out with executors.  Documents
     with no tokens produce no claims (mirrors the batch exclusion of
     empty element sets).
+
+    Hot band keys (boilerplate text at corpus scale) are NOT a blowup
+    risk here, unlike the batch pair enumeration: only the FIRST
+    arrival claims a key, every later colliding row is dropped, and
+    state stays one entry per key regardless of how many documents
+    collide — the streaming formulation is intrinsically capped.
+
+    Consume with :func:`near_dup_verdicts` to turn the surviving
+    claims into per-document verdicts.
     """
     from res2df_spark.functions.textan import minhash_signature, tokens
 
@@ -275,3 +284,38 @@ def near_dedup_stream(
         .withWatermark(ts_col, watermark)
     )
     return claimed.dropDuplicatesWithinWatermark(["band_idx", "band_key"])
+
+
+def near_dup_verdicts(
+    docs: DataFrame,
+    claims: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document verdict from :func:`near_dedup_stream` claims.
+
+    ``claims`` is the (collected) sink output of the stream; ``docs``
+    is the corresponding batch document set.  A document that won ZERO
+    bands had every band already claimed by earlier traffic — it is a
+    near-duplicate candidate of something previously ingested.  Empty
+    documents never claim (they are excluded from banding), so their
+    verdict is NULL, not candidate.
+
+    One count aggregation on (uniform) doc id + one broadcast-size
+    left join — batch-side, runs after or alongside the stream.
+    """
+    from res2df_spark.functions.textan import tokens
+
+    won = claims.groupBy(id_col).agg(F.count(F.lit(1)).alias("bands_won"))
+    has_toks = F.size(tokens(F.col(text_col))) > 0
+    return (
+        docs.select(id_col, has_toks.alias("__has"))
+        .join(won, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("bands_won", F.lit(0)).alias("bands_won"),
+            F.when(~F.col("__has"), F.lit(None).cast("boolean"))
+            .otherwise(F.coalesce("bands_won", F.lit(0)) == 0)
+            .alias("is_near_dup_candidate"),
+        )
+    )

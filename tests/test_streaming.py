@@ -217,3 +217,39 @@ def test_near_dedup_stream(spark, tmp_path):
         (b, "|".join(sig3[b * 4 : (b + 1) * 4])) for b in range(n_bands)
     }
     assert keys3 <= claimed_keys
+
+
+def test_near_dup_verdicts(spark, tmp_path):
+    """Doc-level consumer: claims → per-doc is_near_dup_candidate."""
+    from res2df_spark.streaming.ops import (
+        near_dedup_stream,
+        near_dup_verdicts,
+        run_available_now,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", datetime(2020, 1, 1, 0, 0)),
+        (2, "pack my box with five dozen liquor jugs", datetime(2020, 1, 1, 0, 1)),
+        (3, "the quick brown fox jumps over the lazy dog", datetime(2020, 1, 1, 0, 2)),
+        (4, "", datetime(2020, 1, 1, 0, 3)),
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    path = str(tmp_path / "verdict_src")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+
+    def replay():
+        stream = spark.readStream.schema(src.schema).parquet(path)
+        claims = near_dedup_stream(stream, watermark="1 hour")
+        out = run_available_now(claims, name="t_verdicts", output_mode="append")
+        return near_dup_verdicts(src, out)
+
+    got = {r.doc_id: (r.bands_won, r.is_near_dup_candidate) for r in replay().collect()}
+    assert got[1][1] is False and got[1][0] > 0  # first arrival wins bands
+    assert got[2][1] is False
+    assert got[3] == (0, True)       # exact dup of doc 1: zero bands won
+    assert got[4] == (0, None)       # empty doc: no verdict, not candidate
+
+    # AvailableNow replay is deterministic: a second replay over the
+    # same files yields identical verdicts
+    got2 = {r.doc_id: (r.bands_won, r.is_near_dup_candidate) for r in replay().collect()}
+    assert got2 == got
