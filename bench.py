@@ -38,6 +38,7 @@ HEADLINE = [
     "p11_interpolate",         # windowed linear interpolation
     "dedup_exact",             # hash groupBy
     "dedup_minhash_lsh",       # minhash + LSH banding
+    "dedup_minhash_capped",    # LSH with hot-bucket cap (round 4)
     "dedup_simhash",           # relational simhash
     "ann_cosine_topk",         # brute-force cosine top-k
     "text_stats",              # array-native text metrics

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Scale probe: measure how the headline queries scale from sf0.1 to a
+10× replicated dataset (~sf1) on the same local[32] session.
+
+Plan-pinning tests assert the SHAPE of each plan (no cartesian, map-only
+where expected); this probe supplies the evidence shape tests cannot: a
+measured scaling curve.  A query whose runtime grows ~quadratically in
+data size (e.g. an uncapped hot bucket, an accidental all-pairs) shows a
+ratio far above the 10× data growth; a healthy distributed plan lands at
+or below ~10× (fixed overheads amortize).
+
+The 10× dataset is derived from /root/testdata/sf0.1 the way TPC-H
+itself scales: fact tables replicate with key offsets (each replica is a
+disjoint key range, joins stay replica-local), dimension tables
+(region, nation) stay fixed, and document text gets a tiny per-replica
+suffix so near-dup structure is preserved per replica instead of
+creating 10-member cross-replica hot buckets (which would measure the
+WORKLOAD growing quadratically, not the engine).
+
+Usage: python tools/scale_probe.py [--repeats N] [--out FILE]
+Writes one JSON object with per-query {small, big, ratio} seconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import HEADLINE  # noqa: E402
+from res2df_spark import suite  # noqa: E402
+from res2df_spark.session import get_spark  # noqa: E402
+
+SMALL_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BIG_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sparkgraft_scale/sf1.0")
+REPLICAS = 10
+OFF = 10**9  # per-replica key offset; sf0.1 keys are < 10**7
+
+# fact-table key columns to offset per replica (replica-local joins);
+# region/nation are fixed-size dims at every TPC-H scale factor
+OFFSET_KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_ONLY = ["region", "nation"]
+
+
+def build_big(spark) -> None:
+    if os.path.isdir(BIG_DIR):
+        shutil.rmtree(BIG_DIR)
+    os.makedirs(BIG_DIR, exist_ok=True)
+    for t in COPY_ONLY:
+        shutil.copy(f"{SMALL_DIR}/{t}.parquet", f"{BIG_DIR}/{t}.parquet")
+    for t, keys in OFFSET_KEYS.items():
+        src = spark.read.parquet(f"{SMALL_DIR}/{t}.parquet")
+        parts = []
+        for i in range(REPLICAS):
+            rep = src
+            for k in keys:
+                rep = rep.withColumn(k, F.col(k) + F.lit(i * OFF))
+            if t == "documents" and i > 0:
+                # per-replica marker keeps near-dup groups replica-local
+                rep = rep.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" zrep{i}"))
+                )
+            parts.append(rep)
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        # one flat parquet per table, like the driver's testdata layout
+        big.coalesce(8).write.mode("overwrite").parquet(f"{BIG_DIR}/__{t}")
+        # the suite's Catalog reads <dir>/<table>.parquet — a directory
+        # with that name works for Spark and keeps the same contract
+        os.rename(f"{BIG_DIR}/__{t}", f"{BIG_DIR}/{t}.parquet")
+        n = spark.read.parquet(f"{BIG_DIR}/{t}.parquet").count()
+        print(f"  built {t}: {n} rows", file=sys.stderr)
+
+
+def run_one(spark, name: str, sf_dir: str, repeats: int) -> float:
+    df = suite.QUERIES[name](spark, sf_dir)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out", default="SCALEPROBE_r04.json")
+    ap.add_argument("--keep", action="store_true", help="keep the big dataset")
+    args = ap.parse_args()
+
+    spark = get_spark("res2df-spark-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("building 10x dataset ...", file=sys.stderr)
+    t0 = time.time()
+    build_big(spark)
+    build_secs = round(time.time() - t0, 1)
+    print(f"built in {build_secs}s", file=sys.stderr)
+
+    queries = list(dict.fromkeys(list(HEADLINE) + ["dedup_minhash_capped"]))
+    # warm up both directories (JVM, parquet footers)
+    run_one(spark, "dedup_exact", SMALL_DIR, 1)
+    run_one(spark, "dedup_exact", BIG_DIR, 1)
+
+    out: dict[str, object] = {}
+    for name in queries:
+        try:
+            small = run_one(spark, name, SMALL_DIR, args.repeats)
+            big = run_one(spark, name, BIG_DIR, args.repeats)
+            out[name] = {
+                "small": round(small, 3),
+                "big": round(big, 3),
+                "ratio": round(big / small, 2) if small > 0 else None,
+            }
+            print(f"  {name}: {small:.2f}s -> {big:.2f}s "
+                  f"(x{big / small:.1f})", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            out[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+
+    ratios = [q["ratio"] for q in out.values()
+              if isinstance(q, dict) and q.get("ratio") is not None]
+    record = {
+        "metric": "scale_probe_ratio",
+        "small_sf": 0.1,
+        "big_sf": 1.0,
+        "data_growth": REPLICAS,
+        "build_secs": build_secs,
+        "max_ratio": max(ratios) if ratios else None,
+        "median_ratio": sorted(ratios)[len(ratios) // 2] if ratios else None,
+        "queries": out,
+    }
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps({k: record[k] for k in
+                      ("metric", "max_ratio", "median_ratio", "data_growth")}))
+    if not args.keep:
+        shutil.rmtree(os.path.dirname(BIG_DIR), ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
