@@ -201,3 +201,97 @@ def deterministic_sample(
         raise ValueError("fraction must be within [0, 1]")
     threshold = int(round(256 * fraction))
     return df.filter(md5_bucket256(F.col(id_col), salt) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling toward a target mix: each
+    stratum value keeps its own ``fractions[stratum]`` share of rows
+    (hash membership, same guarantees as :func:`deterministic_sample`
+    — run/partitioning/engine-stable, join-stable by id).  Strata
+    missing from ``fractions`` are dropped, which is the decision a
+    domain-mixing recipe wants made explicitly.
+
+    This is the domain/language re-weighting step of a training-data
+    pipeline (e.g. downsample boilerplate-heavy web domains, upsample
+    under-represented languages to their target proportion ≤ 1.0).
+    Map-only: a literal-map lookup and one integer compare per row —
+    no shuffle, no RNG state, and an external engine can re-derive
+    membership from (id, stratum) alone.
+    """
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be within [0, 1]")
+    thresholds = F.create_map(
+        *[
+            lit
+            for s, f in sorted(fractions.items())
+            for lit in (F.lit(s), F.lit(int(round(256 * f))))
+        ]
+    )
+    thr = thresholds[F.col(strata_col)]
+    return df.filter(md5_bucket256(F.col(id_col), salt) < F.coalesce(thr, F.lit(0)))
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per-document n-gram overlap against an
+    evaluation set.  A training corpus must not contain eval data; the
+    standard check (GPT-3 appendix C lineage) flags any document whose
+    ``shingle_k``-gram set overlaps the benchmark's beyond a threshold.
+
+    Returns one row per document with ≥ 1 shingle: (id, n_shingles,
+    n_contaminated, contamination ∈ [0, 1], is_contaminated).  Documents
+    too short to form a shingle produce no row — they cannot carry a
+    benchmark answer of ``shingle_k`` tokens.
+
+    Scale: the benchmark shingle set is DISTINCT over eval suites —
+    thousands of documents, a few million shingles — and broadcasts
+    (``broadcast_benchmark``); the corpus side then never shuffles on
+    the shingle: one broadcast-hash left join + one aggregation on the
+    (uniform) doc id.  Set ``broadcast_benchmark=False`` to fall back
+    to a shuffle join for benchmark sets beyond broadcast size.
+    """
+    from res2df_spark.llm.dedup import _doc_token_sets
+
+    doc_sh = _doc_token_sets(docs, id_col, text_col, None, shingle_k)
+    bench_sh = (
+        _doc_token_sets(benchmark, id_col, text_col, None, shingle_k)
+        .select("token")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    contamination = F.round(
+        F.col("n_contaminated") / F.col("n_shingles"), 6
+    ).alias("contamination")
+    return (
+        doc_sh.join(bench_sh, "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            contamination,
+            (F.col("n_contaminated") / F.col("n_shingles") >= threshold).alias(
+                "is_contaminated"
+            ),
+        )
+    )

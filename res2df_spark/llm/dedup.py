@@ -395,3 +395,99 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def remove_repeated_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Intra-document repetition removal: drop exact repeats of a
+    segment (line/paragraph/sentence — ``sep``-delimited), keeping the
+    FIRST occurrence in order.  The standard pretraining-corpus cleanup
+    for boilerplate that repeats inside one document (navigation rows,
+    chorus lines, template footers) — cross-document dedup never sees
+    it.
+
+    Entirely map-only built-ins (split → array_distinct → array_join);
+    ``array_distinct`` keeps first-occurrence order, which the oracle
+    verifies against an explicit min-position formulation.  Documents
+    with no non-empty segment are dropped (nothing to keep).  Returns
+    (id, n_segments, n_unique, dedup_text).
+    """
+    import re as _re
+
+    segs = F.filter(
+        F.split(F.col(text_col), _re.escape(sep)), lambda x: x != F.lit("")
+    )
+    uniq = F.array_distinct(segs)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(segs).cast("long").alias("n_segments"),
+            F.size(uniq).cast("long").alias("n_unique"),
+            F.array_join(uniq, sep).alias("dedup_text"),
+        )
+        .filter(F.col("n_segments") > 0)
+    )
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    band_size: int = 4,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """Distinct (band_idx, band_key) set of a corpus — the persisted
+    index an INCREMENTAL dedup checks new batches against (write it
+    once per corpus snapshot, bucketed by band_key at 100 TB so the
+    novelty join is co-located)."""
+    return (
+        _minhash_bands(docs, id_col, text_col, num_hashes, band_size, shingle_k)
+        .select("band_idx", "band_key")
+        .distinct()
+    )
+
+
+def minhash_novelty(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    band_size: int = 4,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup: score a NEW batch of documents against an
+    existing corpus' :func:`minhash_band_index` without touching the
+    corpus itself — the batch analogue of the streaming claim model
+    (``streaming.ops.near_dedup_stream``): a new document whose every
+    band already exists in the index is a near-dup candidate of
+    something already ingested.
+
+    Returns (id, bands_total, bands_hit, is_novel): ``is_novel`` means
+    at least one band key was never seen.  Cost is one join of the new
+    batch's bands against the index (equality on band key — bucketed
+    index makes it co-located at scale) + one aggregation on the
+    (uniform) new-doc id.  The corpus is never rescanned — THE property
+    that makes daily-ingest dedup feasible at 100 TB.
+    """
+    bands = _minhash_bands(new_docs, id_col, text_col, num_hashes, band_size, shingle_k)
+    hits = band_index.select("band_idx", "band_key").withColumn("__hit", F.lit(1))
+    return (
+        bands.join(hits, ["band_idx", "band_key"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("bands_total"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("bands_hit"),
+        )
+        .select(
+            id_col,
+            "bands_total",
+            "bands_hit",
+            (F.col("bands_hit") < F.col("bands_total")).alias("is_novel"),
+        )
+    )

@@ -273,3 +273,40 @@ def recall_at_k(
             F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("__n_exact")
         ).alias("recall"),
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector min-max scalar quantization to uint8 codes — the
+    memory lever for ANN at corpus scale (float32 → 1 byte/dim = 4×
+    smaller index; recall cost is measurable with ``recall_at_k``).
+
+    code_i = floor((x_i − lo) · 255 / (hi − lo) + 0.5), lo/hi the
+    vector's own min/max (stored alongside for dequantization:
+    x ≈ lo + code · (hi − lo)/255).  Constant vectors (hi = lo) map to
+    all-zero codes.  Everything is double arithmetic on deliberately
+    cast inputs so any engine reproduces the exact codes; floor(·+0.5)
+    rounding avoids engine-specific round-half semantics.
+
+    Map-only built-ins (array_min/array_max/transform) — no shuffle,
+    no Python; at 100 TB this runs as a pure scan-rewrite alongside
+    ingest.  Codes return as array<int> plus (lo, hi) doubles.
+    """
+    x = F.col(vec_col)
+    lo = F.array_min(x).cast("double")
+    hi = F.array_max(x).cast("double")
+    span = hi - lo
+    code = lambda v: F.when(  # noqa: E731
+        span == 0, F.lit(0)
+    ).otherwise(
+        F.floor((v.cast("double") - lo) * F.lit(255.0) / span + F.lit(0.5))
+    ).cast("int")
+    return emb.select(
+        F.col(id_col),
+        F.transform(x, code).alias("codes"),
+        lo.alias("lo"),
+        hi.alias("hi"),
+    )

@@ -2104,3 +2104,189 @@ def stream_near_dedup(spark, sf_dir):
     # no defensive distinct: the operator must emit each band key exactly
     # once — a duplicate claim should FAIL the comparison
     return out.select(F.col("band_idx").cast("long").alias("band_idx"), "band_key")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 curation additions: benchmark decontamination, stratified
+# sampling, intra-doc repetition removal, embedding quantization,
+# incremental near-dup (llm/curation.py, llm/dedup.py, llm/similarity.py).
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
+    sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM idx)
+"""
+
+
+@_q(
+    "decontaminate",
+    _SHINGLE_SQL
+    + """
+    , bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    docsh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS contamination,
+           sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE) >= 0.05 AS is_contaminated
+    FROM docsh d LEFT JOIN bench b ON d.shingle = b.shingle
+    GROUP BY d.doc_id
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination (llm/curation.contamination_check):
+    3-gram overlap of every corpus document against a held-out
+    benchmark subset (doc_id % 97 == 0), benchmark shingle set
+    broadcast, flagged at 5% overlap.  The training-corpus hygiene
+    check every eval-trustworthy pipeline runs before training."""
+    from res2df_spark.llm.curation import contamination_check
+
+    docs = Catalog(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_check(rest, bench, shingle_k=3, threshold=0.05)
+
+
+@_q(
+    "curation_stratified",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE (strpos('0123456789abcdef', substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5('strat' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+          < CASE lang WHEN 'en' THEN 64 WHEN 'de' THEN 256
+                      WHEN 'fr' THEN 128 WHEN 'zh' THEN 179 ELSE 0 END
+    """,
+)
+def curation_stratified(spark, sf_dir):
+    """Stratified deterministic sampling toward a target language mix
+    (llm/curation.stratified_sample): en downsampled to 25%, fr to
+    50%, zh to ~70%, de kept whole, es (absent from the recipe)
+    dropped.  Membership is a pure function of (doc_id, lang) — the
+    oracle re-derives the identical sample from the same md5 bucket
+    arithmetic."""
+    from res2df_spark.llm.curation import stratified_sample
+
+    docs = Catalog(spark, sf_dir).documents
+    out = stratified_sample(
+        docs, "lang", {"en": 0.25, "de": 1.0, "fr": 0.5, "zh": 0.7}
+    )
+    return out.select("doc_id", "lang")
+
+
+@_q(
+    "dedup_segments",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS segs FROM documents),
+    idx AS (SELECT doc_id, segs, unnest(generate_series(1, len(segs))) AS i FROM t),
+    e AS (SELECT doc_id, segs[i] AS seg, i FROM idx),
+    firsts AS (SELECT doc_id, seg, min(i) AS fi, count(*) AS n
+               FROM e GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_segments,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           string_agg(seg, ' ' ORDER BY fi) AS dedup_text
+    FROM firsts GROUP BY doc_id
+    """,
+)
+def dedup_segments(spark, sf_dir):
+    """Intra-document repetition removal
+    (llm/dedup.remove_repeated_segments): exact repeated segments
+    (whitespace-delimited here; lines/paragraphs in a real corpus)
+    dropped keeping the FIRST occurrence in order — map-only
+    split → array_distinct → array_join.  The oracle rebuilds the
+    first-occurrence ordering explicitly (min position per segment),
+    pinning array_distinct's order-preservation."""
+    from res2df_spark.llm.dedup import remove_repeated_segments
+
+    docs = Catalog(spark, sf_dir).documents
+    # the documents corpus is whitespace-delimited word soup: segment
+    # on single spaces to exercise real repeats at sf0.01
+    return remove_repeated_segments(docs, sep=" ")
+
+
+@_q(
+    "emb_quantize",
+    """
+    WITH b AS (SELECT vec_id, embedding,
+                      CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS lo,
+                      CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS hi
+               FROM embeddings)
+    SELECT vec_id,
+           array_to_string(
+               list_transform(embedding,
+                   x -> CASE WHEN hi = lo THEN 0
+                             ELSE CAST(floor((CAST(x AS DOUBLE) - lo) * 255.0
+                                             / (hi - lo) + 0.5) AS INT) END),
+               ',') AS codes_csv,
+           lo, hi
+    FROM b
+    """,
+)
+def emb_quantize(spark, sf_dir):
+    """Per-vector min-max uint8 quantization
+    (llm/similarity.quantize_embeddings): the 4x index-memory lever for
+    ANN at corpus scale, map-only, engine-portable double arithmetic —
+    the oracle reproduces the exact codes.  Codes compared as a CSV
+    string (unambiguous across engines' array renderings)."""
+    from res2df_spark.llm.similarity import quantize_embeddings
+
+    emb = Catalog(spark, sf_dir).embeddings
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.array_join(F.col("codes"), ",").alias("codes_csv"),
+        "lo",
+        "hi",
+    )
+
+
+_BANDS16_ALL_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
+    sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM idx),
+    sig AS (SELECT doc_id, g.s AS s,
+                   min(substr(md5(CAST(g.s // 4 AS VARCHAR) || ':' || shingle),
+                              CAST(1 + 8 * (g.s % 4) AS INT), 8)) AS mh
+            FROM sh, generate_series(0, 15) g(s) GROUP BY 1, 2),
+    bands AS (SELECT doc_id, s // 4 AS band_idx, string_agg(mh, '|' ORDER BY s) AS band_key
+              FROM sig GROUP BY 1, 2)
+"""
+
+
+@_q(
+    "dedup_incremental",
+    _BANDS16_ALL_SQL
+    + """
+    , index_keys AS (SELECT DISTINCT band_idx, band_key FROM bands
+                     WHERE doc_id % 2 = 0),
+    newb AS (SELECT doc_id, band_idx, band_key FROM bands WHERE doc_id % 2 = 1)
+    SELECT n.doc_id,
+           CAST(count(*) AS BIGINT) AS bands_total,
+           CAST(sum(CASE WHEN k.band_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS bands_hit,
+           sum(CASE WHEN k.band_key IS NOT NULL THEN 1 ELSE 0 END) < count(*)
+               AS is_novel
+    FROM newb n LEFT JOIN index_keys k
+         ON n.band_idx = k.band_idx AND n.band_key = k.band_key
+    GROUP BY n.doc_id
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental near-dup (llm/dedup.minhash_novelty): odd doc_ids
+    arrive as a new batch and are scored against the persisted band
+    index of the even-id corpus — the corpus is never rescanned, the
+    property that makes daily-ingest dedup feasible at 100 TB.  Batch
+    analogue of the streaming claim model."""
+    from res2df_spark.llm.dedup import minhash_band_index, minhash_novelty
+
+    docs = Catalog(spark, sf_dir).documents
+    index = minhash_band_index(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        num_hashes=16, band_size=4, shingle_k=3,
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return minhash_novelty(new, index, num_hashes=16, band_size=4, shingle_k=3)

@@ -131,3 +131,67 @@ def test_deterministic_sample(spark):
     assert deterministic_sample(big, fraction=1.0).count() == 10000
     with pytest.raises(ValueError):
         deterministic_sample(big, fraction=1.5)
+
+
+def test_stratified_sample(spark):
+    from res2df_spark.llm.curation import md5_bucket256, stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", {"en": 0.25, "de": 1.0})
+    got = {r.doc_id: r.lang for r in out.collect()}
+    # de kept whole, en thinned to ~1/4
+    assert sum(1 for v in got.values() if v == "de") == 100
+    n_en = sum(1 for v in got.values() if v == "en")
+    assert 10 < n_en < 45
+    # membership is a pure function of (id, stratum): recompute one row
+    b = df.select(md5_bucket256(F.col("doc_id"), "strat").alias("b"),
+                  "doc_id", "lang").collect()
+    for r in b:
+        expected = r.b < (64 if r.lang == "en" else 256)
+        assert (r.doc_id in got) == expected
+
+
+def test_stratified_sample_drops_unknown_strata(spark):
+    from res2df_spark.llm.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "xx")], "doc_id long, lang string"
+    )
+    out = stratified_sample(df, "lang", {"en": 1.0})
+    assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_stratified_sample_bad_fraction(spark):
+    import pytest
+
+    from res2df_spark.llm.curation import stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        stratified_sample(df, "lang", {"en": 1.5})
+
+
+def test_contamination_check(spark):
+    from res2df_spark.llm.curation import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris obviously")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark answer verbatim -> high overlap
+            (1, "quiz answer the capital of france is paris obviously yes"),
+            # no 3-gram in common
+            (2, "completely unrelated text about spark engines and joins"),
+            (3, "ab"),  # too short for a 3-shingle: no row
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_check(docs, bench, shingle_k=3, threshold=0.5)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert got[1].is_contaminated and got[1].n_contaminated == 5
+    assert not got[2].is_contaminated and got[2].n_contaminated == 0
+    assert 0.0 <= got[2].contamination < got[1].contamination <= 1.0

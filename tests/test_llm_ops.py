@@ -317,3 +317,71 @@ def test_simhash_matches_python_reference(spark):
 
     for doc_id, text in docs:
         assert got[doc_id] == py_simhash(text), doc_id
+
+
+def test_remove_repeated_segments(spark):
+    from res2df_spark.llm.dedup import remove_repeated_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav\nbody one\nnav\nbody two\nnav"),
+            (2, "only\nunique\nlines"),
+            (3, ""),  # no segments: dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = remove_repeated_segments(docs, sep="\n")
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_segments == 5 and got[1].n_unique == 3
+    # first occurrence kept, order preserved
+    assert got[1].dedup_text == "nav\nbody one\nbody two"
+    assert got[2].dedup_text == "only\nunique\nlines"
+
+
+def test_quantize_embeddings(spark):
+    from res2df_spark.llm.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.5, 1.0]),
+            (2, [2.0, 2.0, 2.0]),  # constant vector
+            (3, [-1.0, 0.0, 3.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    assert list(got[1].codes) == [0, 128, 255]   # floor(127.5+0.5)=128
+    assert got[1].lo == 0.0 and got[1].hi == 1.0
+    assert list(got[2].codes) == [0, 0, 0]
+    # dequantization error bounded by half a code step
+    step = (got[3].hi - got[3].lo) / 255.0
+    orig = [-1.0, 0.0, 3.0]
+    for c, x in zip(got[3].codes, orig):
+        assert abs((got[3].lo + c * step) - x) <= step / 2 + 1e-12
+
+
+def test_minhash_novelty(spark):
+    from res2df_spark.llm.dedup import minhash_band_index, minhash_novelty
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact dup of corpus doc 1: every band already indexed
+            (10, "the quick brown fox jumps over the lazy dog"),
+            # genuinely new content
+            (11, "sphinx of black quartz judge my vow tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    index = minhash_band_index(corpus, num_hashes=16, band_size=4)
+    got = {r.doc_id: r for r in
+           minhash_novelty(new, index, num_hashes=16, band_size=4).collect()}
+    assert not got[10].is_novel and got[10].bands_hit == got[10].bands_total == 4
+    assert got[11].is_novel and got[11].bands_hit < got[11].bands_total
