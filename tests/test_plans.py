@@ -201,3 +201,25 @@ def test_frame_sample_is_arrow_batched(spark):
     assert "MapInPandas" in plan
     # no per-row Python UDF nodes
     assert "BatchEvalPython" not in plan
+
+
+def test_round4_map_only_plans(spark):
+    """Segment dedup / quantization / stratified sampling are pure
+    scan-rewrites: zero exchanges."""
+    for name in ("dedup_segments", "emb_quantize", "curation_stratified"):
+        plan = _plan(spark, name)
+        assert _count_exchanges(plan) == 0, name
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set broadcasts; the corpus side must not
+    shuffle on the shingle (only the final doc-id aggregation may)."""
+    plan = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_capped_same_exchanges_as_uncapped(spark):
+    base = _count_exchanges(_plan(spark, "dedup_minhash_lsh"))
+    capped = _count_exchanges(_plan(spark, "dedup_minhash_capped"))
+    assert capped == base
