@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from res2df_spark.functions.textan import token_count
+from res2df_spark.functions.textan import token_count, tokens
 
 #: Hex alphabet position trick shared with the DuckDB oracles.
 _HEX = "0123456789abcdef"
@@ -294,4 +294,62 @@ def contamination_check(
                 "is_contaminated"
             ),
         )
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 10.0,
+    max_dup_token_frac: float = 0.5,
+    min_alpha_ratio: float = 0.6,
+) -> DataFrame:
+    """Heuristic document quality gate (Gopher/C4-rule lineage): length,
+    mean token length, token repetition, and alphabetic-ratio checks
+    composed into one verdict with a per-rule reason bitmask —
+    bit 0: token count outside [min_tokens, max_tokens];
+    bit 1: mean token length outside [min, max];
+    bit 2: duplicate-token fraction above the cap;
+    bit 3: alphabetic character ratio below the floor.
+    ``keep`` is true iff the bitmask is 0.  The bitmask (rather than a
+    bare boolean) is what a corpus-audit dashboard aggregates: which
+    rule rejects how much of which source.
+
+    All metrics derive from integer counts (token/char lengths), so the
+    double arithmetic is bit-identical on any engine — thresholds never
+    flip across engines.  Map-only built-ins: zero shuffles at any
+    corpus size; empty documents fail rules 0 and 3 with NULL metrics
+    where undefined.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / n,
+    )
+    dup_frac = F.when(n > 0, (n - F.size(F.array_distinct(toks))).cast("double") / n)
+    n_alpha = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
+    alpha = F.when(
+        F.length(text_col) > 0, n_alpha.cast("double") / F.length(text_col)
+    )
+    r0 = (n < min_tokens) | (n > max_tokens)
+    r1 = mean_len.isNull() | (mean_len < min_mean_token_len) | (mean_len > max_mean_token_len)
+    r2 = F.coalesce(dup_frac > max_dup_token_frac, F.lit(False))
+    r3 = alpha.isNull() | (alpha < min_alpha_ratio)
+    mask = sum(
+        F.when(r, F.lit(1 << b)).otherwise(F.lit(0))
+        for b, r in enumerate((r0, r1, r2, r3))
+    )
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(dup_frac, 6).alias("dup_token_frac"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        mask.cast("int").alias("reject_mask"),
+        (mask == 0).alias("keep"),
     )

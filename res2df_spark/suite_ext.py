@@ -2290,3 +2290,50 @@ def dedup_incremental(spark, sf_dir):
     )
     new = docs.filter(F.col("doc_id") % 2 == 1)
     return minhash_novelty(new, index, num_hashes=16, band_size=4, shingle_k=3)
+
+
+@_q(
+    "quality_gate",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) AS n,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                           / len(toks) END AS mean_len,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                           / len(toks) END AS dup_frac,
+                 CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                                AS DOUBLE) / length(text) END AS alpha
+          FROM t),
+    r AS (SELECT doc_id, n, mean_len, dup_frac, alpha,
+                 CASE WHEN n < 30 OR n > 100000 THEN 1 ELSE 0 END
+               + CASE WHEN mean_len IS NULL OR mean_len < 2.0 OR mean_len > 10.0
+                      THEN 2 ELSE 0 END
+               + CASE WHEN coalesce(dup_frac > 0.6, FALSE) THEN 4 ELSE 0 END
+               + CASE WHEN alpha IS NULL OR alpha < 0.6 THEN 8 ELSE 0 END AS mask
+          FROM m)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(round(mean_len, 6) AS DOUBLE) AS mean_token_len,
+           CAST(round(dup_frac, 6) AS DOUBLE) AS dup_token_frac,
+           CAST(round(alpha, 6) AS DOUBLE) AS alpha_ratio,
+           CAST(mask AS INT) AS reject_mask, mask = 0 AS keep
+    FROM r
+    """,
+)
+def quality_gate(spark, sf_dir):
+    """Document quality gate (llm/curation.quality_filter,
+    Gopher/C4-rule lineage): token count, mean token length, token
+    repetition and alphabetic ratio composed into a per-rule reject
+    bitmask — the corpus-audit primitive (which rule rejects how much
+    of which source).  Thresholds tuned so this corpus trips the
+    repetition rule on real rows.  Map-only; metrics derive from
+    integer counts so the oracle reproduces them bit-exactly."""
+    from res2df_spark.llm.curation import quality_filter
+
+    docs = Catalog(spark, sf_dir).documents
+    return quality_filter(
+        docs, min_tokens=30, max_dup_token_frac=0.6, min_alpha_ratio=0.6
+    )

@@ -195,3 +195,28 @@ def test_contamination_check(spark):
     assert got[1].is_contaminated and got[1].n_contaminated == 5
     assert not got[2].is_contaminated and got[2].n_contaminated == 0
     assert 0.0 <= got[2].contamination < got[1].contamination <= 1.0
+
+
+def test_quality_filter(spark):
+    from res2df_spark.llm.curation import quality_filter
+
+    long_good = " ".join(
+        f"word{chr(97 + i % 26)}{chr(97 + i // 26)}" for i in range(60)
+    )
+    repetitive = " ".join(["spam"] * 60)
+    short = "tiny doc"
+    digits = " ".join(["123456"] * 60)
+    docs = spark.createDataFrame(
+        [(1, long_good), (2, repetitive), (3, short), (4, ""), (5, digits)],
+        "doc_id long, text string",
+    )
+    out = quality_filter(docs, min_tokens=50, max_dup_token_frac=0.5,
+                         min_alpha_ratio=0.6)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].keep and got[1].reject_mask == 0
+    assert not got[2].keep and got[2].reject_mask & 4      # repetition
+    assert not got[3].keep and got[3].reject_mask & 1      # too short
+    # empty doc: short + no alpha, NULL metrics where undefined
+    assert got[4].reject_mask & 1 and got[4].reject_mask & 8
+    assert got[4].mean_token_len is None and got[4].alpha_ratio is None
+    assert not got[5].keep and got[5].reject_mask & 8      # digits only
