@@ -46,6 +46,10 @@ HEADLINE = [
     "mm_frame_sample",         # mapInPandas frame fan-out (round 3)
     "doc_chunk_overlap",       # sequence+explode chunking (round 3)
     "pack_sequences",          # sharded packing window (round 3)
+    "decontaminate",           # broadcast benchmark-shingle join (round 4)
+    "quality_gate",            # map-only rule bitmask (round 4)
+    "emb_quantize",            # map-only uint8 codes (round 4)
+    "dedup_incremental",       # novelty vs persisted band index (round 4)
 ]
 
 

@@ -252,3 +252,55 @@ def test_parse_deck_with_keyword_prefix_never_crashes(soup, kw):
     except ValueError:
         return
     assert isinstance(recs, list)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc ax by cz dq".split()), min_size=1, max_size=30),
+        min_size=1, max_size=8,
+    )
+)
+def test_segment_dedup_matches_python_reference(spark, docs):
+    """remove_repeated_segments relies on array_distinct preserving
+    first-occurrence order — pin that against a direct reference."""
+    from res2df_spark.llm.dedup import remove_repeated_segments
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in remove_repeated_segments(df, sep=" ").collect()}
+    for i, toks in enumerate(docs):
+        expected = list(dict.fromkeys(toks))  # first-occurrence order
+        assert got[i].n_segments == len(toks)
+        assert got[i].n_unique == len(expected)
+        assert got[i].dedup_text == " ".join(expected)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-1e6, 1e6, allow_nan=False, width=32),
+                 min_size=1, max_size=8),
+        min_size=1, max_size=6,
+    )
+)
+def test_quantize_matches_numpy_reference(spark, vecs):
+    from res2df_spark.llm.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for i, v in enumerate(vecs):
+        lo, hi = min(v), max(v)
+        if hi == lo:
+            expected = [0] * len(v)
+        else:
+            expected = [int(np.floor((x - lo) * 255.0 / (hi - lo) + 0.5)) for x in v]
+        assert list(got[i].codes) == expected
+        assert got[i].lo == lo and got[i].hi == hi
