@@ -223,3 +223,49 @@ def test_minhash_capped_same_exchanges_as_uncapped(spark):
     base = _count_exchanges(_plan(spark, "dedup_minhash_lsh"))
     capped = _count_exchanges(_plan(spark, "dedup_minhash_capped"))
     assert capped == base
+
+
+def test_bucketed_band_index_novelty_join(spark, tmp_path):
+    """SCALE.md claim: persist the minhash band index bucketed by its
+    key and the incremental novelty join needs NO exchange on the
+    index side — the daily-ingest join is co-located."""
+    from res2df_spark.llm.dedup import minhash_band_index, minhash_novelty
+    from res2df_spark.operators.colocate import bucketed, write_bucketed
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} shared words appear here too {i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = minhash_band_index(docs, num_hashes=8, band_size=4)
+    write_bucketed(idx, "t_band_idx", ["band_idx", "band_key"], n_buckets=8,
+                   path=str(tmp_path / "bands"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        new = spark.createDataFrame(
+            [(100, "tok1 shared words appear here too 1"),
+             (101, "entirely novel content never indexed")],
+            "doc_id long, text string",
+        )
+        out = minhash_novelty(new, bucketed(spark, "t_band_idx"),
+                              num_hashes=8, band_size=4)
+        # relative assertion: the same join against a plain (unbucketed)
+        # parquet index needs exactly one more Exchange — the one the
+        # bucketed scan's HashPartitioning metadata eliminates
+        idx.write.mode("overwrite").parquet(str(tmp_path / "plain"))
+        plain = minhash_novelty(
+            new, spark.read.parquet(str(tmp_path / "plain")),
+            num_hashes=8, band_size=4,
+        )
+        n_bucketed = _count_exchanges(
+            out._jdf.queryExecution().executedPlan().toString()
+        )
+        n_plain = _count_exchanges(
+            plain._jdf.queryExecution().executedPlan().toString()
+        )
+        assert n_bucketed == n_plain - 1, (n_bucketed, n_plain)
+        got = {r.doc_id: r.is_novel for r in out.collect()}
+        assert got[100] is False and got[101] is True
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS t_band_idx")
