@@ -28,6 +28,8 @@ job through one partition).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from res2df_spark.functions.textan import token_count, tokens
@@ -307,6 +309,7 @@ def quality_filter(
     max_mean_token_len: float = 10.0,
     max_dup_token_frac: float = 0.5,
     min_alpha_ratio: float = 0.6,
+    passthrough: "Sequence[str]" = (),
 ) -> DataFrame:
     """Heuristic document quality gate (Gopher/C4-rule lineage): length,
     mean token length, token repetition, and alphabetic-ratio checks
@@ -346,10 +349,41 @@ def quality_filter(
     )
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n.cast("long").alias("n_tokens"),
         F.round(mean_len, 6).alias("mean_token_len"),
         F.round(dup_frac, 6).alias("dup_token_frac"),
         F.round(alpha, 6).alias("alpha_ratio"),
         mask.cast("int").alias("reject_mask"),
         (mask == 0).alias("keep"),
+    )
+
+
+def quality_report(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds,
+) -> DataFrame:
+    """Corpus audit rollup over :func:`quality_filter`: per
+    ``group_col`` (source/domain/language), how many documents each
+    rule rejects and the overall keep rate — the dashboard aggregation
+    a curation run is tuned against.  One partial-aggregated groupBy on
+    the (low-cardinality) group key after the map-only gate; at 100 TB
+    this is a scan plus a kilobyte-sized aggregate."""
+    gated = quality_filter(
+        docs, id_col=id_col, text_col=text_col,
+        passthrough=(group_col,), **thresholds
+    )
+    bit = lambda b: F.sum(  # noqa: E731
+        F.when(F.col("reject_mask").bitwiseAND(1 << b) != 0, 1).otherwise(0)
+    )
+    return gated.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+        bit(0).alias("n_reject_len"),
+        bit(1).alias("n_reject_meanlen"),
+        bit(2).alias("n_reject_rep"),
+        bit(3).alias("n_reject_alpha"),
     )

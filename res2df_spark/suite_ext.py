@@ -2337,3 +2337,47 @@ def quality_gate(spark, sf_dir):
     return quality_filter(
         docs, min_tokens=30, max_dup_token_frac=0.6, min_alpha_ratio=0.6
     )
+
+
+@_q(
+    "quality_report",
+    f"""
+    WITH t AS (SELECT doc_id, source, text, {_TOKS_SQL} AS toks FROM documents),
+    m AS (SELECT doc_id, source,
+                 len(toks) AS n,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                           / len(toks) END AS mean_len,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                           / len(toks) END AS dup_frac,
+                 CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                                AS DOUBLE) / length(text) END AS alpha
+          FROM t),
+    r AS (SELECT source,
+                 CASE WHEN n < 30 OR n > 100000 THEN 1 ELSE 0 END AS b0,
+                 CASE WHEN mean_len IS NULL OR mean_len < 2.0 OR mean_len > 10.0
+                      THEN 1 ELSE 0 END AS b1,
+                 CASE WHEN coalesce(dup_frac > 0.6, FALSE) THEN 1 ELSE 0 END AS b2,
+                 CASE WHEN alpha IS NULL OR alpha < 0.6 THEN 1 ELSE 0 END AS b3
+          FROM m)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN b0 + b1 + b2 + b3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(b0) AS BIGINT) AS n_reject_len,
+           CAST(sum(b1) AS BIGINT) AS n_reject_meanlen,
+           CAST(sum(b2) AS BIGINT) AS n_reject_rep,
+           CAST(sum(b3) AS BIGINT) AS n_reject_alpha
+    FROM r GROUP BY source
+    """,
+)
+def quality_report(spark, sf_dir):
+    """Corpus audit rollup (llm/curation.quality_report): per source,
+    how many documents each quality rule rejects and the keep count —
+    the dashboard a curation run is tuned against.  Map-only gate +
+    one partial-aggregated groupBy on the low-cardinality source key."""
+    from res2df_spark.llm.curation import quality_report as qr
+
+    docs = Catalog(spark, sf_dir).documents
+    return qr(docs, group_col="source",
+              min_tokens=30, max_dup_token_frac=0.6, min_alpha_ratio=0.6)

@@ -220,3 +220,23 @@ def test_quality_filter(spark):
     assert got[4].reject_mask & 1 and got[4].reject_mask & 8
     assert got[4].mean_token_len is None and got[4].alpha_ratio is None
     assert not got[5].keep and got[5].reject_mask & 8      # digits only
+
+
+def test_quality_report(spark):
+    from res2df_spark.llm.curation import quality_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "srcA", " ".join(f"w{chr(97 + i % 26)}{chr(97 + i // 26)}"
+                                 for i in range(60))),
+            (2, "srcA", "short"),
+            (3, "srcB", " ".join(["dup"] * 60)),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in quality_report(
+        docs, min_tokens=50, max_dup_token_frac=0.5, min_alpha_ratio=0.6
+    ).collect()}
+    assert got["srcA"].n_docs == 2 and got["srcA"].n_keep == 1
+    assert got["srcA"].n_reject_len == 1
+    assert got["srcB"].n_reject_rep == 1 and got["srcB"].n_keep == 0
