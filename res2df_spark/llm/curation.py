@@ -387,3 +387,47 @@ def quality_report(
         bit(2).alias("n_reject_rep"),
         bit(3).alias("n_reject_alpha"),
     )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    min_shared: int = 2,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """The audit trail behind :func:`contamination_check`: which
+    benchmark document a flagged corpus document actually overlaps —
+    (doc, bench_doc, n_shared, doc_shingles, overlap_frac) for every
+    pair sharing ≥ ``min_shared`` shingles.  Decontamination reviews
+    need the matched eval item, not just a per-doc flag.
+
+    Same scale shape as the check: benchmark shingles broadcast
+    (``broadcast_benchmark``), corpus side never shuffles on the
+    shingle; the pair aggregation shuffles only rows that matched at
+    all — bounded by true contamination, not corpus size.
+    """
+    from res2df_spark.llm.dedup import _doc_token_sets
+
+    doc_sh = _doc_token_sets(docs, id_col, text_col, None, shingle_k)
+    sizes = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("doc_shingles"))
+    bench_sh = _doc_token_sets(benchmark, id_col, text_col, None, shingle_k).select(
+        F.col(id_col).alias("bench_id"), "token"
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    pairs = (
+        doc_sh.join(bench_sh, "token")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs.join(sizes, id_col).select(
+        id_col,
+        "bench_id",
+        "n_shared",
+        "doc_shingles",
+        F.round(F.col("n_shared") / F.col("doc_shingles"), 6).alias("overlap_frac"),
+    )

@@ -2381,3 +2381,33 @@ def quality_report(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents
     return qr(docs, group_col="source",
               min_tokens=30, max_dup_token_frac=0.6, min_alpha_ratio=0.6)
+
+
+@_q(
+    "decontaminate_pairs",
+    _SHINGLE_SQL
+    + """
+    , bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0),
+    docsh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    sizes AS (SELECT doc_id, count(*) AS doc_shingles FROM docsh GROUP BY 1),
+    pairs AS (SELECT d.doc_id, b.bench_id, count(*) AS n_shared
+              FROM docsh d JOIN bench b USING (shingle)
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT p.doc_id, p.bench_id, CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST(s.doc_shingles AS BIGINT) AS doc_shingles,
+           CAST(round(p.n_shared / CAST(s.doc_shingles AS DOUBLE), 6) AS DOUBLE)
+               AS overlap_frac
+    FROM pairs p JOIN sizes s USING (doc_id)
+    """,
+)
+def decontaminate_pairs(spark, sf_dir):
+    """Decontamination audit trail (llm/curation.contamination_pairs):
+    per flagged corpus document, WHICH benchmark document it overlaps
+    and by how much — benchmark shingles broadcast, pair aggregation
+    bounded by true contamination, not corpus size."""
+    from res2df_spark.llm.curation import contamination_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_pairs(rest, bench, shingle_k=3, min_shared=2)

@@ -240,3 +240,23 @@ def test_quality_report(spark):
     assert got["srcA"].n_docs == 2 and got["srcA"].n_keep == 1
     assert got["srcA"].n_reject_len == 1
     assert got["srcB"].n_reject_rep == 1 and got["srcB"].n_keep == 0
+
+
+def test_contamination_pairs(spark):
+    from res2df_spark.llm.curation import contamination_pairs
+
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris obviously"),
+         (200, "completely separate benchmark question here today")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "quiz answer the capital of france is paris obviously yes"),
+         (2, "nothing in common with either benchmark item at all")],
+        "doc_id long, text string",
+    )
+    out = contamination_pairs(docs, bench, shingle_k=3, min_shared=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_id, r.bench_id, r.n_shared) == (1, 100, 5)
+    assert r.overlap_frac == pytest.approx(5 / r.doc_shingles)
