@@ -93,3 +93,18 @@ def doc_tokens_long(df: DataFrame, id_col: str, text_col: str, distinct: bool = 
     set-similarity joins.  Distinct per doc by default (set semantics)."""
     out = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     return out.distinct() if distinct else out
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Corpus text normalization (the pre-tokenization cleanup step):
+    lowercase, control characters and zero-width/BOM marks stripped,
+    all whitespace runs collapsed to single spaces, ends trimmed.
+    Pure built-in regexp chain — map-only, engine-portable patterns
+    (the character classes below mean the same thing to Java regex and
+    RE2, so an external engine reproduces the output exactly)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(c)
+    # control chars (C0 + DEL) and zero-width marks/BOM
+    c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f\\u200b\\u200c\\u200d\\ufeff]", " ")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)

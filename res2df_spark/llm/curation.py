@@ -143,6 +143,7 @@ def pack_sequences(
     target_tokens: int = 512,
     n_shards: int = 8,
     salt: str = "pack",
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
     """Deterministic contiguous packing: documents are hashed into
     ``n_shards`` independent shards; inside a shard (ordered by id) a
@@ -174,14 +175,57 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        df.select(F.col(id_col), toks.alias("n_tokens"), shard)
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in passthrough],
+            toks.alias("n_tokens"),
+            shard,
+        )
         .withColumn("__before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
         .select(
             id_col,
+            *passthrough,
             "n_tokens",
             "shard",
             F.floor(F.col("__before") / target_tokens).cast("long").alias("bin_id"),
         )
+    )
+
+
+def pack_texts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_tokens: int = 512,
+    n_shards: int = 8,
+    salt: str = "pack",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize the packed training sequences: after
+    :func:`pack_sequences` assigns (shard, bin), concatenate each bin's
+    documents in id order with ``sep`` between them — one row per bin
+    with the packed text, document count and token total.  The
+    order-deterministic concat is array_sort over (id, text) structs,
+    so the output is a pure function of the corpus (same rows on any
+    partitioning or engine; the oracle re-derives it with
+    string_agg ORDER BY id).  One window (shard-confined prefix sum) +
+    one aggregation; bin payloads are ~``target_tokens`` tokens, so no
+    aggregate buffer ever holds more than a couple of documents."""
+    bins = pack_sequences(
+        df, id_col, text_col, target_tokens, n_shards, salt,
+        passthrough=(text_col,),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t")))
+        ),
+        lambda s: s["t"],
+    )
+    return bins.groupBy("shard", "bin_id").agg(
+        F.array_join(ordered, sep).alias("packed_text"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min(id_col).alias("first_id"),
     )
 
 

@@ -2411,3 +2411,34 @@ def decontaminate_pairs(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     rest = docs.filter(F.col("doc_id") % 97 != 0)
     return contamination_pairs(rest, bench, shingle_k=3, min_shared=2)
+
+
+@_q(
+    "pack_texts",
+    f"""
+    WITH t AS (SELECT doc_id, text,
+                      coalesce(len({_TOKS_SQL}), 0) AS n_tokens,
+                      {_bucket256_sql('pack')} % 8 AS shard
+               FROM documents),
+    w AS (SELECT doc_id, text, n_tokens, shard,
+                 coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM t)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(floor(before / 512.0) AS BIGINT) AS bin_id,
+           string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed_text,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_id
+    FROM w GROUP BY 1, 2
+    """,
+)
+def pack_texts_q(spark, sf_dir):
+    """Packed-sequence materialization (llm/curation.pack_texts): each
+    (shard, bin) concatenates its documents in id order — the actual
+    training sequences behind pack_sequences' bin assignment,
+    order-deterministic on any partitioning or engine."""
+    from res2df_spark.llm.curation import pack_texts
+
+    docs = Catalog(spark, sf_dir).documents
+    return pack_texts(docs, target_tokens=512, n_shards=8, sep="\n\n")

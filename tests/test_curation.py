@@ -260,3 +260,38 @@ def test_contamination_pairs(spark):
     r = out[0]
     assert (r.doc_id, r.bench_id, r.n_shared) == (1, 100, 5)
     assert r.overlap_frac == pytest.approx(5 / r.doc_shingles)
+
+
+def test_pack_texts(spark):
+    from res2df_spark.llm.curation import pack_sequences, pack_texts
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    bins = pack_sequences(docs, target_tokens=25, n_shards=4)
+    packed = pack_texts(docs, target_tokens=25, n_shards=4, sep=" | ")
+    assignment = {(r.shard, r.bin_id) for r in bins.collect()}
+    got = {(r.shard, r.bin_id): r for r in packed.collect()}
+    assert set(got) == assignment  # one output row per assigned bin
+    for r in got.values():
+        # concat in id order: first_id's text leads the packed string
+        assert r.packed_text.startswith("w")
+        assert r.n_docs == r.packed_text.count(" | ") + 1
+        assert r.total_tokens == 10 * r.n_docs
+    # deterministic under repartitioning
+    again = {(r.shard, r.bin_id): r.packed_text
+             for r in pack_texts(docs.repartition(13), target_tokens=25,
+                                 n_shards=4, sep=" | ").collect()}
+    assert again == {k: v.packed_text for k, v in got.items()}
+
+
+def test_normalize_text(spark):
+    from res2df_spark.functions.textan import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello\tWORLD​  spark\x01engine  ")],
+        "doc_id long, text string",
+    )
+    got = df.select(normalize_text("text").alias("t")).collect()[0].t
+    assert got == "hello world spark engine"
