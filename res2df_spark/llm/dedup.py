@@ -491,3 +491,94 @@ def minhash_novelty(
             (F.col("bands_hit") < F.col("bands_total")).alias("is_novel"),
         )
     )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: documents whose 64-bit signatures
+    differ in ≤ ``max_hamming`` bits — the candidate-generation half
+    that makes :func:`simhash_signatures` usable at corpus scale.
+
+    Pigeonhole bucketing: the signature splits into ``max_hamming + 1``
+    equal chunks; any pair within the Hamming budget must agree on at
+    least one whole chunk, so candidates come from equality joins on
+    (chunk_idx, chunk_value) — never an all-pairs comparison.  Exact
+    Hamming distance (``bit_count(xor)``) then verifies each candidate.
+    ``max_hamming + 1`` must divide 64 (budgets 1, 3, 7, 15).
+
+    Same bucket mechanics as the MinHash path: pair enumeration is
+    per-bucket array combinatorics (no self-join — the signature
+    aggregation is evaluated once), and ``max_bucket_size`` drops
+    degenerate buckets (e.g. the all-zero chunk of near-empty docs)
+    with the same window-count formulation that adds no exchange.
+    Returns (d1, d2, hamming) with d1 < d2.
+    """
+    bits = 64
+    n_chunks = max_hamming + 1
+    if bits % n_chunks:
+        raise ValueError("max_hamming + 1 must divide 64 (1, 3, 7 or 15)")
+    cb = bits // n_chunks
+    mask = (1 << cb) - 1
+    sig = simhash_signatures(docs, id_col, text_col)
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * cb)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("long")
+                        .alias("chunk_val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wincount = F.count(F.lit(1)).over(
+            Window.partitionBy("chunk_idx", "chunk_val")
+        )
+        chunks = (
+            chunks.withColumn("__bsz", wincount)
+            .filter((F.col("__bsz") > 1) & (F.col("__bsz") <= max_bucket_size))
+            .drop("__bsz")
+        )
+    buckets = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.sort_array(
+            F.collect_set(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))
+        ).alias("ms")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size("ms")),
+                    lambda y: F.struct(
+                        x["i"].alias("d1"), y["i"].alias("d2"),
+                        x["s"].alias("s1"), y["s"].alias("s2"),
+                    ),
+                ),
+            )
+        )
+    )
+    hamming = F.bit_count(F.col("p.s1").bitwiseXOR(F.col("p.s2")))
+    return (
+        buckets.filter(F.size("ms") > 1)
+        .select(pair.alias("p"))
+        .select("p.d1", "p.d2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("d1", "d2")
+        .agg(F.min("hamming").cast("long").alias("hamming"))
+    )

@@ -2442,3 +2442,57 @@ def pack_texts_q(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return pack_texts(docs, target_tokens=512, n_shards=8, sep="\n\n")
+
+
+_SIMHASH_SIG_SQL = f"""
+    WITH toks AS (SELECT DISTINCT doc_id,
+                         unnest({_TOKS_SQL}) AS token FROM documents),
+    votes AS (
+        SELECT doc_id, g.b AS bit,
+               CASE WHEN ((strpos('0123456789abcdef',
+                                  substr(md5(token), CAST(g.b // 4 AS INT) + 1, 1)) - 1)
+                          >> (3 - (g.b % 4))) & 1 = 1
+                    THEN 1 ELSE -1 END AS vote
+        FROM toks, generate_series(0, 63) g(b)),
+    bitsum AS (SELECT doc_id, bit, sum(vote) AS votes FROM votes GROUP BY 1, 2),
+    sigs AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN votes > 0
+                             THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                             ELSE 0 END) AS BIGINT) AS simhash
+             FROM bitsum GROUP BY doc_id)
+"""
+
+
+@_q(
+    "dedup_simhash_pairs",
+    _SIMHASH_SIG_SQL
+    + """
+    , u AS (SELECT doc_id, simhash,
+                   CAST(simhash AS HUGEINT)
+                   + CASE WHEN simhash < 0
+                          THEN CAST('18446744073709551616' AS HUGEINT)
+                          ELSE 0 END AS us
+            FROM sigs),
+    chunks AS (SELECT doc_id, simhash, d.i AS chunk_idx,
+                      CAST((us // d.dv) % 65536 AS BIGINT) AS chunk_val
+               FROM u, (VALUES (0, CAST(1 AS HUGEINT)),
+                               (1, CAST(65536 AS HUGEINT)),
+                               (2, CAST(4294967296 AS HUGEINT)),
+                               (3, CAST(281474976710656 AS HUGEINT))) d(i, dv)),
+    cand AS (SELECT c1.doc_id AS d1, c2.doc_id AS d2,
+                    c1.simhash AS s1, c2.simhash AS s2
+             FROM chunks c1 JOIN chunks c2 USING (chunk_idx, chunk_val)
+             WHERE c1.doc_id < c2.doc_id GROUP BY 1, 2, 3, 4)
+    SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairing (llm/dedup.simhash_near_pairs): 4-chunk
+    pigeonhole buckets on the 64-bit signature — a pair within Hamming
+    ≤ 3 must share a whole 16-bit chunk, so candidates are equality
+    joins verified by bit_count(xor), never all-pairs."""
+    from res2df_spark.llm.dedup import simhash_near_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    return simhash_near_pairs(docs, max_hamming=3)

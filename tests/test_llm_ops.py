@@ -416,3 +416,36 @@ def test_quantized_topk_recall(spark):
     assert len(rec) == 8
     mean_recall = sum(r.recall for r in rec) / len(rec)
     assert mean_recall >= 0.8, f"quantized recall@5 = {mean_recall}"
+
+
+def test_simhash_near_pairs_matches_brute_force(spark):
+    """Pigeonhole bucketing must find EXACTLY the pairs a brute-force
+    all-pairs Hamming scan finds — completeness and precision."""
+    from itertools import combinations
+
+    from res2df_spark.llm.dedup import simhash_near_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"shared words everywhere always {i % 3} extra token") for i in range(12)]
+        + [(100, "an entirely different vocabulary cluster right here")],
+        "doc_id int, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    expect = {}
+    for a, b in combinations(sorted(sigs), 2):
+        h = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+        if h <= 3:
+            expect[(a, b)] = h
+    got = {(r.d1, r.d2): r.hamming
+           for r in simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert got == expect and got  # non-trivial: identical-pattern docs pair
+
+
+def test_simhash_near_pairs_validation(spark):
+    import pytest
+
+    from res2df_spark.llm.dedup import simhash_near_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, max_hamming=4)  # 5 does not divide 64
