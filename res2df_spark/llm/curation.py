@@ -144,10 +144,18 @@ def pack_sequences(
     n_shards: int = 8,
     salt: str = "pack",
     passthrough: Sequence[str] = (),
+    shuffle_salt: str | None = None,
 ) -> DataFrame:
     """Deterministic contiguous packing: documents are hashed into
     ``n_shards`` independent shards; inside a shard (ordered by id) a
     document's bin is ``floor(tokens_before_it / target_tokens)``.
+
+    ``shuffle_salt`` replaces the within-shard id ordering with a
+    deterministic pseudo-random one (order by ``md5(shuffle_salt ||
+    id)``): the scalable global shuffle training pipelines run before
+    packing, so neighbouring source documents stop landing in the same
+    bin.  Still a pure function of (id, salts) — same permutation on
+    any partitioning or engine; re-salt to re-shuffle between epochs.
 
     Packing contract: this is floor-of-running-total assignment, NOT
     first-fit — a document whose tokens straddle a multiple of
@@ -169,9 +177,14 @@ def pack_sequences(
         F.col(text_col).isNull(), F.lit(0)
     ).otherwise(token_count(F.col(text_col)))
     shard = (md5_bucket256(F.col(id_col), salt) % n_shards).alias("shard")
+    order = (
+        F.col(id_col)
+        if shuffle_salt is None
+        else F.md5(F.concat(F.lit(shuffle_salt), F.col(id_col).cast("string")))
+    )
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(order, id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
@@ -200,6 +213,7 @@ def pack_texts(
     n_shards: int = 8,
     salt: str = "pack",
     sep: str = "\n\n",
+    shuffle_salt: str | None = None,
 ) -> DataFrame:
     """Materialize the packed training sequences: after
     :func:`pack_sequences` assigns (shard, bin), concatenate each bin's
@@ -213,11 +227,22 @@ def pack_texts(
     aggregate buffer ever holds more than a couple of documents."""
     bins = pack_sequences(
         df, id_col, text_col, target_tokens, n_shards, salt,
-        passthrough=(text_col,),
+        passthrough=(text_col,), shuffle_salt=shuffle_salt,
+    )
+    key = (
+        F.col(id_col)
+        if shuffle_salt is None
+        else F.md5(F.concat(F.lit(shuffle_salt), F.col(id_col).cast("string")))
     )
     ordered = F.transform(
         F.array_sort(
-            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t")))
+            F.collect_list(
+                F.struct(
+                    key.alias("k"),
+                    F.col(id_col).alias("i"),
+                    F.col(text_col).alias("t"),
+                )
+            )
         ),
         lambda s: s["t"],
     )

@@ -2496,3 +2496,34 @@ def dedup_simhash_pairs(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return simhash_near_pairs(docs, max_hamming=3)
+
+
+@_q(
+    "pack_shuffled",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      coalesce(len({_TOKS_SQL}), 0) AS n_tokens,
+                      {_bucket256_sql('pack')} % 8 AS shard,
+                      md5('epoch0' || CAST(doc_id AS VARCHAR)) AS ok
+               FROM documents),
+    w AS (SELECT doc_id, n_tokens, shard,
+                 coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ok, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM t)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(floor(before / 512.0) AS BIGINT) AS bin_id
+    FROM w
+    """,
+)
+def pack_shuffled(spark, sf_dir):
+    """Shuffled deterministic packing (llm/curation.pack_sequences with
+    shuffle_salt): within-shard order is md5('epoch0' || id) — the
+    scalable global shuffle before packing, so neighbouring source
+    documents stop sharing bins; still a pure function of (id, salts)
+    re-derivable by any engine, re-salted per epoch."""
+    from res2df_spark.llm.curation import pack_sequences
+
+    docs = Catalog(spark, sf_dir).documents
+    return pack_sequences(docs, target_tokens=512, n_shards=8,
+                          shuffle_salt="epoch0")

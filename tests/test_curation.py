@@ -295,3 +295,37 @@ def test_normalize_text(spark):
     )
     got = df.select(normalize_text("text").alias("t")).collect()[0].t
     assert got == "hello world spark engine"
+
+
+def test_pack_sequences_shuffled(spark):
+    from res2df_spark.llm.curation import pack_sequences, pack_texts
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    plain = {r.doc_id: (r.shard, r.bin_id)
+             for r in pack_sequences(docs, target_tokens=25, n_shards=4).collect()}
+    shuf = {r.doc_id: (r.shard, r.bin_id)
+            for r in pack_sequences(docs, target_tokens=25, n_shards=4,
+                                    shuffle_salt="e0").collect()}
+    # shards are salt('pack')-determined, identical; bin order differs
+    assert all(plain[d][0] == shuf[d][0] for d in plain)
+    assert any(plain[d][1] != shuf[d][1] for d in plain)
+    # deterministic: same salt → same assignment on any partitioning
+    again = {r.doc_id: (r.shard, r.bin_id)
+             for r in pack_sequences(docs.repartition(11), target_tokens=25,
+                                     n_shards=4, shuffle_salt="e0").collect()}
+    assert again == shuf
+    # a different epoch salt reshuffles
+    e1 = {r.doc_id: (r.shard, r.bin_id)
+          for r in pack_sequences(docs, target_tokens=25, n_shards=4,
+                                  shuffle_salt="e1").collect()}
+    assert e1 != shuf
+    # pack_texts concat order follows the same shuffled order
+    packed = pack_texts(docs, target_tokens=25, n_shards=4, sep="|",
+                        shuffle_salt="e0")
+    by_bin = {(r.shard, r.bin_id): r.n_docs for r in packed.collect()}
+    from collections import Counter
+    want = Counter(shuf.values())
+    assert by_bin == dict(want)
