@@ -310,3 +310,38 @@ def quantize_embeddings(
         lo.alias("lo"),
         hi.alias("hi"),
     )
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean of embeddings per group — chunk→document
+    pooling (the standard way chunk embeddings become a document
+    embedding) or label→centroid aggregation.
+
+    One shuffle on the group key: ``collect_list`` gathers the group's
+    vectors (groups are chunks-of-one-document — small by
+    construction), then a single JVM ``aggregate``/``zip_with`` chain
+    reduces them element-wise; no per-dimension explode, no second
+    shuffle, no Python.  NULL vectors are excluded; groups with none
+    left produce no row.  Returns (group, pooled array<double>, n_vecs).
+    """
+    lst = F.collect_list(F.col(vec_col))
+    zeros = F.transform(F.element_at(F.col("__vs"), 1), lambda _: F.lit(0.0))
+    summed = F.aggregate(
+        F.col("__vs"),
+        zeros,
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
+    )
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .groupBy(group_col)
+        .agg(lst.alias("__vs"))
+        .select(
+            group_col,
+            F.transform(summed, lambda x: x / F.size("__vs")).alias("pooled"),
+            F.size("__vs").cast("long").alias("n_vecs"),
+        )
+    )

@@ -2527,3 +2527,42 @@ def pack_shuffled(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents
     return pack_sequences(docs, target_tokens=512, n_shards=8,
                           shuffle_salt="epoch0")
+
+
+@_q(
+    "emb_mean_pool",
+    """
+    WITH e AS (SELECT label, embedding FROM embeddings),
+    idx AS (SELECT label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS pos FROM e),
+    dims AS (SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS v FROM idx),
+    pooled AS (SELECT label, pos, avg(v) AS m, count(*) AS n
+               FROM dims GROUP BY 1, 2)
+    SELECT CAST(label AS BIGINT) AS label,
+           string_agg(CAST(CAST(round(m, 6) AS DECIMAL(20, 6)) AS VARCHAR),
+                      ',' ORDER BY pos) AS pooled_csv,
+           CAST(min(n) AS BIGINT) AS n_vecs
+    FROM pooled GROUP BY label
+    """,
+)
+def emb_mean_pool(spark, sf_dir):
+    """Element-wise mean pooling (llm/similarity.mean_pool): per-label
+    centroid of the embeddings table — the chunk→document pooling /
+    centroid primitive, one shuffle, JVM zip_with reduction, no
+    per-dimension explode.  Values rounded to 6dp and CSV-joined for
+    engine-neutral comparison."""
+    from res2df_spark.llm.similarity import mean_pool
+
+    emb = Catalog(spark, sf_dir).embeddings
+    out = mean_pool(emb, group_col="label")
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        F.array_join(
+            F.transform(
+                "pooled",
+                lambda x: F.round(x, 6).cast("decimal(20,6)").cast("string"),
+            ),
+            ",",
+        ).alias("pooled_csv"),
+        "n_vecs",
+    )

@@ -449,3 +449,16 @@ def test_simhash_near_pairs_validation(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     with pytest.raises(ValueError):
         simhash_near_pairs(docs, max_hamming=4)  # 5 does not divide 64
+
+
+def test_mean_pool(spark):
+    from res2df_spark.llm.similarity import mean_pool
+
+    chunks = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0, 6.0]), (3, None)],
+        "doc_id long, embedding array<double>",
+    )
+    got = {r.doc_id: r for r in mean_pool(chunks).collect()}
+    assert list(got[1].pooled) == [2.0, 3.0] and got[1].n_vecs == 2
+    assert list(got[2].pooled) == [5.0, 6.0] and got[2].n_vecs == 1
+    assert 3 not in got  # NULL-only group: no row
