@@ -50,6 +50,8 @@ HEADLINE = [
     "quality_gate",            # map-only rule bitmask (round 4)
     "emb_quantize",            # map-only uint8 codes (round 4)
     "dedup_incremental",       # novelty vs persisted band index (round 4)
+    "tfidf_topk",              # tf ⋈ df + ranking window (round 4)
+    "kmeans_assign",           # broadcast centroids, map-side argmin (round 4)
 ]
 
 

@@ -309,6 +309,51 @@ def stratified_sample(
     return df.filter(md5_bucket256(F.col(id_col), salt) < F.coalesce(thr, F.lit(0)))
 
 
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based source re-mixing: downsample each source so
+    the output mix follows ``p_s^alpha`` (renormalized) instead of the
+    raw corpus shares ``p_s`` — the multinomial temperature sampling
+    multilingual/multi-domain training recipes use (alpha < 1 flattens
+    the mix toward uniform; alpha = 1 is a no-op).
+
+    Acceptance rate per source is ``count_s^(alpha-1)`` scaled so the
+    rarest source keeps everything (rate 1.0) — no source is ever
+    upsampled, only the over-represented ones are thinned toward the
+    target ratio.  Membership is deterministic hash acceptance
+    (:func:`deterministic_sample` semantics, 1/256 granularity): the
+    same rows survive on every run, partitioning and engine.
+
+    Plan shape: one tiny per-source count aggregate, rates derived on
+    that kilobyte-sized table and BROADCAST back, then a map-only
+    filter — the corpus itself never shuffles.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    ratio = F.pow(F.col("__n").cast("double"), F.lit(alpha - 1.0))
+    scale = counts.select(F.max(ratio).alias("__max_ratio"))
+    rates = (
+        counts.crossJoin(F.broadcast(scale))
+        .select(
+            source_col,
+            F.round(F.lit(256) * ratio / F.col("__max_ratio"))
+            .cast("long")
+            .alias("__threshold"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(md5_bucket256(F.col(id_col), salt) < F.col("__threshold"))
+        .drop("__threshold")
+    )
+
+
 def contamination_check(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -316,6 +316,7 @@ def mean_pool(
     df: DataFrame,
     group_col: str = "doc_id",
     vec_col: str = "embedding",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Element-wise mean of embeddings per group — chunk→document
     pooling (the standard way chunk embeddings become a document
@@ -327,8 +328,26 @@ def mean_pool(
     reduces them element-wise; no per-dimension explode, no second
     shuffle, no Python.  NULL vectors are excluded; groups with none
     left produce no row.  Returns (group, pooled array<double>, n_vecs).
+
+    ``collect_list`` order is partition-arrival order, so the
+    IEEE-double sum can wobble in the last ulp between runs — harmless
+    for pooling (consumers compare rounded values), but pass
+    ``order_col`` to sort each group's vectors by that key before the
+    fold and make the result bit-exactly run-deterministic (k-means
+    needs this: a last-ulp wobble in a centroid can flip a
+    near-boundary assignment next round).
     """
-    lst = F.collect_list(F.col(vec_col))
+    if order_col is not None:
+        lst = F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(order_col).alias("k"), F.col(vec_col).alias("v"))
+                )
+            ),
+            lambda s: s["v"],
+        )
+    else:
+        lst = F.collect_list(F.col(vec_col))
     zeros = F.transform(F.element_at(F.col("__vs"), 1), lambda _: F.lit(0.0))
     summed = F.aggregate(
         F.col("__vs"),
@@ -345,3 +364,119 @@ def mean_pool(
             F.size("__vs").cast("long").alias("n_vecs"),
         )
     )
+
+
+def _sq_dist(a, b):
+    """Squared Euclidean distance between two array columns — a JVM
+    zip_with/aggregate fold (left-to-right, so the summation order is
+    the array order on any engine)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_nearest(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared Euclidean).
+
+    The centroid table is model-sized (k rows) and BROADCASTS; the
+    corpus never shuffles — the k-way fan-out and the per-vector argmin
+    both happen map-side (``min(struct(dist, id))`` under partial
+    aggregation collapses the k candidate rows per vector before the
+    exchange on the uniform vector id).  Ties break toward the lower
+    centroid id, so assignment is a pure function of (vector,
+    centroids) on any engine.  Returns (id, centroid_id, sq_dist).
+    """
+    c = broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("__cid"),
+            F.col(centroid_vec_col).alias("__cv"),
+        )
+    )
+    d = _sq_dist(F.col(vec_col), F.col("__cv"))
+    best = F.min(F.struct(F.col("__d").alias("d"), F.col("__cid").alias("c")))
+    return (
+        df.crossJoin(c)
+        .withColumn("__d", d)
+        .groupBy(id_col)
+        .agg(best.alias("__best"))
+        .select(
+            id_col,
+            F.col("__best.c").alias(centroid_id_col),
+            F.col("__best.d").alias("sq_dist"),
+        )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column, fully
+    deterministic: initial centroids are the ``k`` vectors with the
+    lowest ids (no RNG), every iteration is one broadcast assignment
+    (:func:`assign_nearest`) plus one element-wise mean per cluster
+    (:func:`mean_pool`) — the model never touches the driver, unlike
+    :func:`train_ivf_centroids`'s sampled driver-side variant.
+
+    Scale: per iteration, one broadcast join (map-side) and one shuffle
+    on the cluster id (k keys, partial-aggregated — each task emits at
+    most k pre-summed rows).  ``localCheckpoint`` truncates the lineage
+    each round so the plan stays O(1) deep across iterations; k·dim
+    doubles (the model) is all that persists.  Empty clusters keep
+    their previous centroid.  Returns (centroid_id, centroid,
+    n_members) after ``iters`` rounds.
+    """
+    vecs = df.select(F.col(id_col), F.col(vec_col)).filter(
+        F.col(vec_col).isNotNull()
+    )
+    centroids = (
+        vecs.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias(
+                "centroid_id"
+            ),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("centroid"),
+        )
+        .withColumn("n_members", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = assign_nearest(
+            vecs, centroids, id_col=id_col, vec_col=vec_col
+        )
+        pooled = mean_pool(
+            vecs.join(assigned.select(id_col, "centroid_id"), id_col),
+            group_col="centroid_id",
+            vec_col=vec_col,
+            order_col=id_col,
+        ).select(
+            "centroid_id", F.col("pooled").alias("centroid"), "n_vecs"
+        )
+        # empty clusters keep their previous centroid
+        centroids = (
+            centroids.select("centroid_id", F.col("centroid").alias("__old"))
+            .join(pooled, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("centroid", "__old").alias("centroid"),
+                F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_members"),
+            )
+            .localCheckpoint()
+        )
+    return centroids

@@ -1,0 +1,236 @@
+"""Corpus-statistics operators for tokenizer building and relevance
+scoring — the counting side of a training-data pipeline (vocabulary
+construction, BPE merge statistics, TF-IDF keywords, boilerplate
+detection).
+
+Everything is built-in-expression composition (codegen'd, no Python in
+the hot path), and every aggregation is partial-aggregated (map-side
+combine) before its one shuffle:
+
+* ``tfidf_topk`` — per-document top-k terms by TF-IDF: the classic
+  keyword-extraction / relevance primitive.
+* ``build_vocab`` — frequency-ranked vocabulary with cumulative
+  coverage: the first step of training any tokenizer.  The global
+  ranking uses ``orderBy().limit()`` — Spark's distributed TakeOrdered,
+  never a single-partition sort of the full term table; only the
+  ``vocab_size`` survivors see the (tiny) ranking window.
+* ``bpe_pair_counts`` — adjacent-token-pair frequencies: one iteration
+  of the BPE merge-statistics loop, the inner counting kernel of
+  tokenizer training, fanned out inside codegen (``transform`` over an
+  index ``sequence``, no UDF).
+* ``boilerplate_score`` — per-document fraction of k-gram shingles that
+  are corpus-hot (document frequency above a threshold): the
+  boilerplate/template-contamination quality signal (RefinedWeb/CCNet
+  lineage).  The hot-shingle set is small by construction (only
+  shingles repeated across > ``hot_df`` documents) and broadcasts, so
+  the corpus side never shuffles on the shingle for the scoring join.
+
+100 TB notes: term/pair tables are vocabulary-sized (≪ corpus-sized)
+after their partial-aggregated groupBys; the only corpus-sized shuffle
+in the family is TF-IDF's (doc, term) aggregation, which is the
+irreducible shape of the statistic.  Skew: ``boilerplate_score``'s
+shingle-df aggregation sees hot keys, but hot keys are exactly what
+partial aggregation collapses map-side — each task emits one row per
+(shingle) before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+from res2df_spark.functions.textan import shingles, tokens
+
+
+def _doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) long form — term frequency per document."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF (``tf · ln(N/df)``).
+
+    Plan shape: one (doc, term) partial-aggregated groupBy for tf, one
+    term-level groupBy for df (vocabulary-sized output), the tf⋈df join
+    on the term key, and a per-document ranking window.  The document
+    count ``N`` rides along as a broadcast single-row cross join — no
+    driver-side ``.count()`` in the plan.  Ties rank deterministically
+    by term so the result is a pure function of the corpus on any
+    engine (ln is IEEE-double on both sides; the score is rounded to
+    6 dp for display/compare).
+
+    Reference analogue: the reference engine has no IR scoring; this is
+    north-star scope (training-data curation needs per-doc keywords for
+    topic mixing audits).
+    """
+    tf = _doc_terms(docs, id_col, text_col)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.count_distinct(F.col(id_col)).alias("__n")
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(broadcast(n_docs))
+        .withColumn(
+            "tfidf", F.col("tf") * F.log(F.col("__n") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def build_vocab(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-ranked vocabulary: the ``vocab_size`` most frequent
+    terms with rank and cumulative corpus coverage.
+
+    The term-count table is vocabulary-sized after one
+    partial-aggregated groupBy; the top-``vocab_size`` cut is
+    ``orderBy().limit()`` — Spark plans TakeOrderedAndProject, a
+    per-partition top-k merged on one reducer, NOT a global sort.  Only
+    the survivors (≤ ``vocab_size`` rows) pass through the cumulative
+    window, so the single-partition window cost is bounded by the
+    vocabulary budget, not the corpus.  Ties break by term for
+    engine-stable ranking; ``cum_coverage`` is the fraction of all
+    token occurrences the vocabulary prefix up to this rank explains —
+    the curve a tokenizer budget is tuned against.
+    """
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.select(F.sum("n").alias("__total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("term")).limit(vocab_size)
+    w = Window.orderBy(F.col("n").desc(), F.col("term")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        top.crossJoin(broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("term")))
+            .cast("int")
+            .alias("rank"),
+            "term",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.sum("n").over(w) / F.col("__total"), 6
+            ).alias("cum_coverage"),
+        )
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-token-pair frequencies — one iteration of the BPE
+    merge-statistics loop (the most frequent pair is the next merge).
+
+    The pair fan-out happens inside whole-stage codegen: a ``transform``
+    over an index ``sequence`` zips each token with its successor — no
+    UDF, no self-join on position.  One partial-aggregated groupBy on
+    the pair, then the distributed TakeOrdered cut; ties break by
+    (left, right) so the top-``top_k`` boundary is deterministic on any
+    engine.
+    """
+    toks = tokens(text_col)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("left"),
+            F.element_at(toks, i + 1).alias("right"),
+        ),
+    )
+    return (
+        docs.filter(F.size(tokens(text_col)) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .groupBy("left", "right")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("left"), F.col("right"))
+        .limit(top_k)
+    )
+
+
+def boilerplate_score(
+    docs: DataFrame,
+    shingle_k: int = 3,
+    hot_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a document's
+    distinct ``shingle_k``-gram shingles whose corpus document
+    frequency exceeds ``hot_df`` — template/navigation text repeated
+    across many documents (the RefinedWeb/CCNet boilerplate signal; a
+    quality gate thresholds on it, a remover targets the hot shingles).
+
+    Scale shape: shingle document frequency is one partial-aggregated
+    groupBy (hot keys collapse map-side); the hot set — shingles with
+    df > ``hot_df`` — is small by construction and BROADCASTS back onto
+    the per-document shingles, so the scoring join never shuffles the
+    corpus on the shingle key.  Documents shorter than ``shingle_k``
+    tokens yield no row (they have no shingles to score).
+    """
+    sh = (
+        docs.select(
+            F.col(id_col),
+            F.explode(shingles(tokens(text_col), shingle_k)).alias("shingle"),
+        )
+        .distinct()
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .filter(F.col("sdf") > hot_df)
+        .select("shingle")
+        .withColumn("__hot", F.lit(1))
+    )
+    return (
+        sh.join(broadcast(hot), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hot"), F.lit(0)).cast("long").alias("n_hot"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_hot",
+            F.round(F.col("n_hot") / F.col("n_shingles"), 6).alias(
+                "boilerplate_frac"
+            ),
+        )
+    )

@@ -2566,3 +2566,203 @@ def emb_mean_pool(spark, sf_dir):
         ).alias("pooled_csv"),
         "n_vecs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 (cont.) corpus-statistics and model-adjacent operators:
+# tokenizer-building counts, TF-IDF keywords, boilerplate scoring,
+# temperature source mixing, distributed k-means (llm/vocab.py,
+# llm/curation.py, llm/similarity.py).
+# ---------------------------------------------------------------------------
+
+_TF_SQL = f"""
+    WITH tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+                GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+"""
+
+
+@_q(
+    "tfidf_topk",
+    _TF_SQL
+    + """
+    , scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                        tf.tf * ln(n.n_docs / df.df) AS tfidf
+                 FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (SELECT doc_id, term, tf, df, tfidf,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term) AS rnk
+               FROM scored)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(round(tfidf, 6) AS DOUBLE) AS tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_topk(spark, sf_dir):
+    """Per-document TF-IDF top-k keywords (llm/vocab.tfidf_topk): tf
+    per (doc, term), df per term, score tf·ln(N/df), deterministic
+    tie-break by term.  The relevance/keyword primitive for topic-mix
+    audits; N rides as a broadcast single-row cross join, never a
+    driver-side count."""
+    from res2df_spark.llm.vocab import tfidf_topk as op
+
+    docs = Catalog(spark, sf_dir).documents
+    return op(docs, k=3)
+
+
+@_q(
+    "vocab_topk",
+    f"""
+    WITH c AS (SELECT term, count(*) AS n
+               FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+               GROUP BY 1),
+    total AS (SELECT sum(n) AS t FROM c),
+    top AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT 20)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rank,
+           term, CAST(n AS BIGINT) AS n,
+           CAST(round(sum(n) OVER (ORDER BY n DESC, term
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      / (SELECT t FROM total), 6) AS DOUBLE) AS cum_coverage
+    FROM top
+    """,
+)
+def vocab_topk(spark, sf_dir):
+    """Frequency-ranked vocabulary with cumulative coverage
+    (llm/vocab.build_vocab): the tokenizer-budget curve.  The global
+    cut is Spark's distributed TakeOrdered (never a full sort); only
+    the 20 survivors see the ranking window."""
+    from res2df_spark.llm.vocab import build_vocab
+
+    docs = Catalog(spark, sf_dir).documents
+    return build_vocab(docs, vocab_size=20)
+
+
+@_q(
+    "bpe_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+            FROM t WHERE len(toks) >= 2),
+    p AS (SELECT toks[i] AS lft, toks[i+1] AS rgt FROM idx)
+    SELECT lft AS left, rgt AS right, CAST(count(*) AS BIGINT) AS pair_count
+    FROM p GROUP BY 1, 2
+    ORDER BY pair_count DESC, lft, rgt LIMIT 100
+    """,
+)
+def bpe_pairs(spark, sf_dir):
+    """Adjacent-token-pair statistics (llm/vocab.bpe_pair_counts): one
+    iteration of the BPE merge loop — the inner counting kernel of
+    tokenizer training.  Pair fan-out inside codegen (transform over an
+    index sequence), partial-aggregated groupBy, TakeOrdered cut with
+    deterministic (count, left, right) tie-break."""
+    from res2df_spark.llm.vocab import bpe_pair_counts
+
+    docs = Catalog(spark, sf_dir).documents
+    return bpe_pair_counts(docs, top_k=100)
+
+
+@_q(
+    "boilerplate_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
+    sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM idx),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 3)
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+           CAST(round(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS boilerplate_frac
+    FROM sh s LEFT JOIN hot h ON s.shingle = h.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def boilerplate_score(spark, sf_dir):
+    """Per-document boilerplate fraction (llm/vocab.boilerplate_score):
+    share of a document's 3-gram shingles that are corpus-hot (df > 3
+    at this scale) — the RefinedWeb/CCNet template-text quality signal.
+    The hot set is small by construction and broadcasts; the corpus
+    never shuffles on the shingle for the scoring join."""
+    from res2df_spark.llm.vocab import boilerplate_score as op
+
+    docs = Catalog(spark, sf_dir).documents
+    return op(docs, shingle_k=3, hot_df=3)
+
+
+@_q(
+    "temperature_mix",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    r AS (SELECT lang, power(CAST(n AS DOUBLE), -0.5) AS ratio FROM c),
+    thr AS (SELECT lang, CAST(round(256 * ratio / (SELECT max(ratio) FROM r))
+                          AS BIGINT) AS threshold FROM r)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr USING (lang)
+    WHERE {_bucket256_sql('mix')} < thr.threshold
+    """,
+)
+def temperature_mix(spark, sf_dir):
+    """Temperature-based source re-mixing
+    (llm/curation.temperature_mix, alpha = 0.5): the multinomial
+    temperature sampling of multilingual training recipes — the 'en'
+    majority is thinned toward the flattened p^0.5 mix while the
+    rarest language keeps everything.  Per-source rates derive from a
+    kilobyte-sized count table broadcast back; membership is
+    deterministic hash acceptance, re-derived bit-for-bit by the
+    oracle."""
+    from res2df_spark.llm.curation import temperature_mix as op
+
+    docs = Catalog(spark, sf_dir).documents
+    return op(docs, source_col="lang", alpha=0.5).select("doc_id", "lang")
+
+
+@_q(
+    "kmeans_assign",
+    """
+    WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+                      embedding AS cv
+               FROM embeddings ORDER BY vec_id LIMIT 8),
+    d AS (SELECT e.vec_id, c.centroid_id,
+                 list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))
+                 AS sq_dist
+          FROM embeddings e CROSS JOIN c),
+    ranked AS (SELECT vec_id, centroid_id, sq_dist,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sq_dist, centroid_id) AS rn
+               FROM d)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(centroid_id AS BIGINT) AS centroid_id,
+           CAST(round(sq_dist, 6) AS DOUBLE) AS sq_dist
+    FROM ranked WHERE rn = 1
+    """,
+)
+def kmeans_assign(spark, sf_dir):
+    """Nearest-centroid assignment (llm/similarity.assign_nearest), the
+    inner step of distributed k-means (llm/similarity.kmeans_fit):
+    centroids are the 8 lowest-id vectors (deterministic init),
+    broadcast; squared-L2 argmin happens map-side with ties toward the
+    lower centroid id.  The corpus never shuffles; the iterative fit
+    (assignment + mean_pool per cluster, lineage-truncated per round)
+    is pytest-verified for determinism and non-increasing inertia."""
+    from res2df_spark.llm.similarity import assign_nearest
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "centroid_id"
+            ),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    out = assign_nearest(emb, centroids)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.round("sq_dist", 6).alias("sq_dist"),
+    )

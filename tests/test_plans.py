@@ -269,3 +269,39 @@ def test_bucketed_band_index_novelty_join(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS t_band_idx")
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    # the global vocabulary cut must be distributed TakeOrdered, never
+    # a full global sort of the term table
+    plan = _plan(spark, "vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    plan_b = _plan(spark, "bpe_pairs")
+    assert "TakeOrderedAndProject" in plan_b
+
+
+def test_boilerplate_hot_set_broadcasts(spark):
+    # the hot-shingle set joins back via broadcast: the corpus side
+    # must not shuffle on the shingle key for the scoring join
+    plan = _plan(spark, "boilerplate_score")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_mix_broadcasts_rates(spark):
+    # per-source thresholds are kilobyte-sized and broadcast; the
+    # corpus itself is filtered map-side
+    plan = _plan(spark, "temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    # the centroid fan-out is a broadcast nested-loop against k rows
+    # (intentional: model-sized side), and the argmin partial-aggregates
+    plan = _plan(spark, "kmeans_assign")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # struct-min argmin isn't hash-aggregable: SortAggregate, but still
+    # partial (map-side combine collapses the k candidates per vector
+    # before the exchange)
+    assert "partial_min" in plan

@@ -1,0 +1,197 @@
+"""Corpus-statistics operators (llm/vocab.py), temperature mixing
+(llm/curation.temperature_mix) and distributed k-means
+(llm/similarity.assign_nearest / kmeans_fit)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from res2df_spark.llm.curation import temperature_mix
+from res2df_spark.llm.similarity import assign_nearest, kmeans_fit
+from res2df_spark.llm.vocab import (
+    boilerplate_score,
+    bpe_pair_counts,
+    build_vocab,
+    tfidf_topk,
+)
+from tests.conftest import rows
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark spark spark catalyst engine"),
+            (2, "spark engine tungsten codegen"),
+            (3, "catalyst optimizer rewrites plans"),
+            (4, "engine engine room"),
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_tfidf_scores_and_ranking(spark):
+    out = tfidf_topk(_docs(spark), k=2)
+    got = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in rows(out, "doc_id", "term", "tf", "df", "tfidf", "rnk")
+    }
+    # doc 1: 'spark' tf=3 df=2 → 3·ln(4/2); 'catalyst' tf=1 df=2 → ln(2)
+    n = 4  # doc 5 is empty → no terms, N = count_distinct over docs = 5?
+    # N counts all docs including the empty one (it is a document).
+    n = 5
+    assert got[(1, "spark")][0] == 3 and got[(1, "spark")][1] == 2
+    assert got[(1, "spark")][2] == pytest.approx(
+        round(3 * math.log(n / 2), 6)
+    )
+    assert got[(1, "spark")][3] == 1
+    # k=2 → no doc has more than 2 rows; empty doc has none
+    per_doc = {}
+    for (d, _t), _v in got.items():
+        per_doc[d] = per_doc.get(d, 0) + 1
+    assert max(per_doc.values()) <= 2 and 5 not in per_doc
+
+
+def test_tfidf_tie_break_by_term(spark):
+    df = spark.createDataFrame(
+        [(1, "b a"), (2, "a b"), (3, "c")], "doc_id int, text string"
+    )
+    out = tfidf_topk(df, k=1)
+    # in docs 1 and 2, terms a and b tie exactly (tf=1, df=2):
+    # deterministic winner is the lexicographically smaller term
+    got = {r[0]: r[1] for r in rows(out, "doc_id", "term")}
+    assert got[1] == "a" and got[2] == "a"
+
+
+def test_build_vocab_ranks_and_coverage(spark):
+    out = build_vocab(_docs(spark), vocab_size=3)
+    got = rows(out, "rank", "term", "n", "cum_coverage")
+    # counts: spark 4, engine 4, catalyst 2, ... ties break by term
+    assert got[0][:3] == (1, "engine", 4)
+    assert got[1][:3] == (2, "spark", 4)
+    assert got[2][:3] == (3, "catalyst", 2)
+    total = 16  # total token occurrences
+    assert got[0][3] == pytest.approx(round(4 / total, 6))
+    assert got[2][3] == pytest.approx(round(10 / total, 6))
+
+
+def test_bpe_pair_counts(spark):
+    out = bpe_pair_counts(_docs(spark), top_k=2)
+    got = set(rows(out, "left", "right", "pair_count"))
+    # 'spark spark' appears twice (doc 1); every other pair once →
+    # second place is the lexicographically smallest of the count-1 ties
+    assert ("spark", "spark", 2) in got
+    assert ("catalyst", "engine", 1) in got
+    assert len(got) == 2
+
+
+def test_boilerplate_score(spark):
+    # the shingle "x y z" appears in 3 docs; hot_df=2 flags it
+    df = spark.createDataFrame(
+        [
+            (1, "x y z a"),
+            (2, "x y z b"),
+            (3, "x y z"),
+            (4, "p q r"),
+        ],
+        "doc_id int, text string",
+    )
+    out = boilerplate_score(df, shingle_k=3, hot_df=2)
+    got = {r[0]: r[1:] for r in rows(out, "doc_id", "n_shingles", "n_hot", "boilerplate_frac")}
+    assert got[1] == (2, 1, 0.5)  # 'x y z' hot, 'y z a' not
+    assert got[3] == (1, 1, 1.0)
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_temperature_mix_alpha1_noop_and_flattening(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 240, "en").otherwise("fr").alias("source"),
+    )
+    # alpha=1 → every threshold is 256 → no row dropped
+    assert temperature_mix(df, alpha=1.0).count() == 300
+    out = temperature_mix(df, alpha=0.5)
+    kept = {r[0]: r[1] for r in rows(out.groupBy("source").count(), "source", "count")}
+    # rarest source keeps everything; majority thinned toward sqrt mix:
+    # rate_en = (240^-.5)/(60^-.5) = 0.5 → threshold 128 ≈ half kept
+    assert kept["fr"] == 60
+    assert 90 <= kept["en"] <= 150
+    # determinism: same rows on re-run
+    again = {r[0] for r in rows(temperature_mix(df, alpha=0.5), "doc_id")}
+    assert {r[0] for r in rows(out, "doc_id")} == again
+
+
+def test_temperature_mix_rejects_bad_alpha(spark):
+    df = spark.range(2).select(F.col("id").alias("doc_id"), F.lit("s").alias("source"))
+    with pytest.raises(ValueError):
+        temperature_mix(df, alpha=0.0)
+
+
+def _vecs(spark):
+    # two tight clusters around (0,0) and (10,10), plus one outlier
+    pts = [
+        (0, [0.0, 0.1]), (1, [0.1, 0.0]), (2, [0.0, -0.1]),
+        (3, [10.0, 10.1]), (4, [10.1, 10.0]), (5, [9.9, 10.0]),
+        (6, [100.0, 100.0]),
+    ]
+    return spark.createDataFrame(pts, "vec_id int, embedding array<float>")
+
+
+def test_assign_nearest_argmin_and_ties(spark):
+    emb = _vecs(spark)
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    out = {r[0]: r[1] for r in rows(assign_nearest(emb, cents), "vec_id", "centroid_id")}
+    assert out[0] == 0 and out[1] == 0 and out[2] == 0
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+    assert out[6] == 1  # outlier goes to the nearer centroid
+    # exact tie → lower centroid id wins
+    tie = spark.createDataFrame([(9, [5.0, 5.0])], "vec_id int, embedding array<float>")
+    assert rows(assign_nearest(tie, cents), "centroid_id")[0][0] == 0
+
+
+def _inertia(emb, cents):
+    return (
+        assign_nearest(emb, cents)
+        .agg(F.sum("sq_dist").alias("s"))
+        .collect()[0]["s"]
+    )
+
+
+def test_kmeans_fit_converges_and_is_deterministic(spark):
+    emb = _vecs(spark)
+    c1 = kmeans_fit(emb, k=2, iters=1)
+    c3 = kmeans_fit(emb, k=2, iters=3)
+    # Lloyd's never increases inertia
+    assert _inertia(emb, c3) <= _inertia(emb, c1) + 1e-9
+    # deterministic: identical centroids on re-run
+    a = sorted(rows(kmeans_fit(emb, k=2, iters=3), "centroid_id", "centroid"))
+    b = sorted(rows(kmeans_fit(emb, k=2, iters=3), "centroid_id", "centroid"))
+    assert a == b
+    # with both lowest-id init centroids inside the near cluster,
+    # Lloyd's deterministically converges to the local optimum that
+    # isolates the far outlier: {0..5} together, {6} alone
+    assign = {
+        r[0]: r[1]
+        for r in rows(assign_nearest(emb, c3), "vec_id", "centroid_id")
+    }
+    assert len({assign[i] for i in range(6)}) == 1
+    assert assign[6] != assign[0]
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # k=3 over 3 identical points: clusters 1/2 go empty after the
+    # first assignment (all points tie to centroid 0) but must survive
+    emb = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = rows(kmeans_fit(emb, k=3, iters=2), "centroid_id", "n_members")
+    assert sorted(r[0] for r in out) == [0, 1, 2]
+    members = {r[0]: r[1] for r in out}
+    assert members[0] == 3 and members[1] == 0 and members[2] == 0
