@@ -480,3 +480,62 @@ def kmeans_fit(
             .localCheckpoint()
         )
     return centroids
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairing (Abbas et al.
+    2023 lineage): assign every embedding to its nearest centroid
+    (:func:`assign_nearest`), then enumerate cosine-similar pairs ONLY
+    within each cluster — two documents in different clusters are never
+    compared, which is what makes semantic dedup tractable at corpus
+    scale: pairwise cost is Σ|cluster|², not N².
+
+    The cluster count is the scale lever — at 100 TB you fit k ∝
+    N/target_cluster_size centroids (:func:`kmeans_fit`) so the
+    per-cluster quadratic stays bounded; ``max_cluster_size`` is the
+    same safety valve as the LSH hot-bucket cap (llm/dedup.py): clusters
+    over the cap are dropped from pairing rather than allowed to blow
+    up a task (drop accounting via :func:`assign_nearest` + a count —
+    the cluster ids survive in the assignment).
+
+    Returns (id_1, id_2, centroid_id, cos_sim) with id_1 < id_2 and
+    cos_sim ≥ ``threshold``.  The self-join is an equality join on the
+    cluster id — one shuffle each side, never all-pairs.
+    """
+    assigned = assign_nearest(df, centroids, id_col=id_col, vec_col=vec_col)
+    sides = df.select(F.col(id_col), F.col(vec_col)).join(
+        assigned.select(id_col, "centroid_id"), id_col
+    )
+    if max_cluster_size is not None:
+        ok = (
+            assigned.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("__csz"))
+            .filter(F.col("__csz") <= max_cluster_size)
+            .select("centroid_id")
+        )
+        sides = sides.join(broadcast(ok), "centroid_id")
+    a = sides.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_1"),
+        F.col(vec_col).alias("__v1"),
+    )
+    b = sides.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_2"),
+        F.col(vec_col).alias("__v2"),
+    )
+    sim = cosine_similarity(F.col("__v1"), F.col("__v2"))
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_1", "id_2", "centroid_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -2766,3 +2766,67 @@ def kmeans_assign(spark, sf_dir):
         F.col("centroid_id").cast("long").alias("centroid_id"),
         F.round("sq_dist", 6).alias("sq_dist"),
     )
+
+
+@_q(
+    "semantic_dedup",
+    """
+    WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+                      embedding AS cv
+               FROM embeddings ORDER BY vec_id LIMIT 8),
+    d AS (SELECT e.vec_id, c.centroid_id,
+                 list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))
+                 AS sq
+          FROM embeddings e CROSS JOIN c),
+    r AS (SELECT vec_id, centroid_id, sq,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sq, centroid_id) AS rn
+          FROM d),
+    a AS (SELECT vec_id, centroid_id FROM r WHERE rn = 1),
+    s AS (SELECT a.vec_id, a.centroid_id, e.embedding
+          FROM a JOIN embeddings e USING (vec_id)),
+    p AS (SELECT s1.centroid_id, s1.vec_id AS id_1, s2.vec_id AS id_2,
+                 list_sum(list_transform(generate_series(1, len(s1.embedding)),
+                     i -> CAST(s1.embedding[i] AS DOUBLE) * CAST(s2.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(generate_series(1, len(s1.embedding)),
+                        i -> CAST(s1.embedding[i] AS DOUBLE) * CAST(s1.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(s2.embedding)),
+                        i -> CAST(s2.embedding[i] AS DOUBLE) * CAST(s2.embedding[i] AS DOUBLE)))))
+                 AS cos
+          FROM s s1 JOIN s s2 ON s1.centroid_id = s2.centroid_id
+                             AND s1.vec_id < s2.vec_id)
+    SELECT CAST(id_1 AS BIGINT) AS id_1, CAST(id_2 AS BIGINT) AS id_2,
+           CAST(centroid_id AS BIGINT) AS centroid_id,
+           CAST(round(cos, 6) AS DOUBLE) AS cos_sim
+    FROM p WHERE cos >= 0.35
+    """,
+)
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic near-dup pairing
+    (llm/similarity.semantic_dedup_pairs): embeddings are assigned to
+    their nearest centroid (8 lowest-id init vectors — deterministic,
+    matching `kmeans_assign`), then cosine-similar pairs are
+    enumerated ONLY within a cluster — an equality self-join on the
+    cluster id, never all-pairs.  Pairwise cost is Σ|cluster|², the
+    property that makes semantic dedup tractable at corpus scale."""
+    from res2df_spark.llm.similarity import semantic_dedup_pairs
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "centroid_id"
+            ),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    out = semantic_dedup_pairs(emb, centroids, threshold=0.35)
+    return out.select(
+        F.col("id_1").cast("long").alias("id_1"),
+        F.col("id_2").cast("long").alias("id_2"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        "cos_sim",
+    )

@@ -305,3 +305,11 @@ def test_kmeans_assign_broadcasts_centroids(spark):
     # partial (map-side combine collapses the k candidates per vector
     # before the exchange)
     assert "partial_min" in plan
+
+
+def test_semantic_dedup_equality_join_no_cartesian(spark):
+    # within-cluster pairing must be an equality join on the cluster
+    # id — never a cartesian/all-pairs product of the corpus
+    plan = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count("BroadcastHashJoin") >= 1

@@ -195,3 +195,59 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     assert sorted(r[0] for r in out) == [0, 1, 2]
     members = {r[0]: r[1] for r in out}
     assert members[0] == 3 and members[1] == 0 and members[2] == 0
+
+
+def test_semantic_dedup_pairs_within_cluster_only(spark):
+    from res2df_spark.llm.similarity import semantic_dedup_pairs
+
+    emb = spark.createDataFrame(
+        [
+            # cluster 0: two near-identical + one orthogonal-ish
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.01, 0.0]),
+            (2, [0.0, 0.2, 0.0]),
+            # cluster 1: a near-dup pair far from cluster 0
+            (3, [0.0, 0.0, 10.0]),
+            (4, [0.0, 0.01, 10.0]),
+            # cross-cluster near-dup that must NOT be compared: close to
+            # id 0 in direction but assigned to centroid 1 by L2
+            (5, [6.0, 0.0, 9.0]),
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 10.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    out = rows(
+        semantic_dedup_pairs(emb, cents, threshold=0.95),
+        "id_1", "id_2", "centroid_id",
+    )
+    assert (0, 1, 0) in out
+    assert (3, 4, 1) in out
+    # ids 0 and 5 have cosine ~0.55 anyway, but even a high-cosine
+    # cross-cluster pair would be invisible: no pair spans clusters
+    assigned = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    for i1, i2, _c in out:
+        assert assigned[i1] == assigned[i2]
+
+
+def test_semantic_dedup_cluster_cap_drops_hot_cluster(spark):
+    from res2df_spark.llm.similarity import semantic_dedup_pairs
+
+    # 5 identical vectors = one hot cluster of 5; cap at 4 → no pairs
+    emb = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(5)],
+        "vec_id int, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "centroid_id int, centroid array<double>"
+    )
+    assert (
+        semantic_dedup_pairs(emb, cents, threshold=0.5, max_cluster_size=4).count()
+        == 0
+    )
+    assert (
+        semantic_dedup_pairs(emb, cents, threshold=0.5, max_cluster_size=5).count()
+        == 10
+    )
