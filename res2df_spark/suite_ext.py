@@ -2771,9 +2771,12 @@ def kmeans_assign(spark, sf_dir):
 @_q(
     "semantic_dedup",
     """
-    WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
-                      embedding AS cv
-               FROM embeddings ORDER BY vec_id LIMIT 8),
+    WITH stats AS (SELECT greatest(count(*) // 64, 8) AS k FROM embeddings),
+    ranked_c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+                        embedding AS cv
+                 FROM embeddings),
+    c AS (SELECT centroid_id, cv FROM ranked_c
+          WHERE centroid_id < (SELECT k FROM stats)),
     d AS (SELECT e.vec_id, c.centroid_id,
                  list_sum(list_transform(generate_series(1, len(e.embedding)),
                      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
@@ -2805,17 +2808,21 @@ def kmeans_assign(spark, sf_dir):
 def semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic near-dup pairing
     (llm/similarity.semantic_dedup_pairs): embeddings are assigned to
-    their nearest centroid (8 lowest-id init vectors — deterministic,
+    their nearest centroid (lowest-id init vectors — deterministic,
     matching `kmeans_assign`), then cosine-similar pairs are
     enumerated ONLY within a cluster — an equality self-join on the
-    cluster id, never all-pairs.  Pairwise cost is Σ|cluster|², the
-    property that makes semantic dedup tractable at corpus scale."""
+    cluster id, never all-pairs.  The cluster count scales with the
+    corpus (k = max(N/64, 8), target cluster ~64) so pairwise cost is
+    Σ|cluster|² ≈ N·64 — LINEAR in N, the property that makes semantic
+    dedup tractable at corpus scale and the reason the scale probe
+    covers this query."""
     from res2df_spark.llm.similarity import semantic_dedup_pairs
 
     emb = Catalog(spark, sf_dir).embeddings
+    k = max(emb.count() // 64, 8)
     centroids = (
         emb.orderBy("vec_id")
-        .limit(8)
+        .limit(int(k))
         .select(
             (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
                 "centroid_id"

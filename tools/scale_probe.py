@@ -114,7 +114,12 @@ def main() -> None:
     build_secs = round(time.time() - t0, 1)
     print(f"built in {build_secs}s", file=sys.stderr)
 
-    queries = list(dict.fromkeys(list(HEADLINE) + ["dedup_minhash_capped"]))
+    # beyond the bench headline: the capped-LSH variant and the
+    # quadratic-risk within-cluster pairing, the two operators whose
+    # failure mode is exactly what this probe exists to catch
+    queries = list(
+        dict.fromkeys(list(HEADLINE) + ["dedup_minhash_capped", "semantic_dedup"])
+    )
     # warm up both directories (JVM, parquet footers)
     run_one(spark, "dedup_exact", SMALL_DIR, 1)
     run_one(spark, "dedup_exact", BIG_DIR, 1)
