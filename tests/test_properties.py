@@ -304,3 +304,83 @@ def test_quantize_matches_numpy_reference(spark, vecs):
             expected = [int(np.floor((x - lo) * 255.0 / (hi - lo) + 0.5)) for x in v]
         assert list(got[i].codes) == expected
         assert got[i].lo == lo and got[i].hi == hi
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(1, 4),
+)
+@_slow
+def test_tfidf_matches_pandas_reference(spark, docs, k):
+    """tfidf_topk ≡ a direct pandas tf·ln(N/df) computation with the
+    same (score desc, term asc) tie-break."""
+    import math
+
+    from res2df_spark.llm.vocab import tfidf_topk
+
+    rows_in = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(rows_in, "doc_id int, text string")
+    got = rows(tfidf_topk(sdf, k=k), "doc_id", "term", "tf", "df", "tfidf", "rnk")
+
+    n_docs = len(docs)
+    tf: dict[tuple[int, str], int] = {}
+    for i, toks in enumerate(docs):
+        for t in toks:
+            tf[(i, t)] = tf.get((i, t), 0) + 1
+    df: dict[str, int] = {}
+    for (_i, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    expected = []
+    for i in range(n_docs):
+        terms = [(t, c) for (d, t), c in tf.items() if d == i]
+        scored = sorted(
+            (
+                (-c * math.log(n_docs / df[t]), t, c)
+                for t, c in terms
+            )
+        )
+        for rnk, (neg, t, c) in enumerate(scored[:k], start=1):
+            expected.append((i, t, c, df[t], round(-neg, 6), rnk))
+    assert sorted(got) == sorted(expected)
+
+
+@given(
+    counts=st.lists(st.integers(1, 200), min_size=1, max_size=5),
+    alpha=st.floats(0.2, 1.0),
+)
+@_slow
+def test_temperature_mix_rates_property(spark, counts, alpha):
+    """Per-source keep counts stay within hash-binomial bounds of the
+    p^alpha target rate, the rarest source always keeps everything,
+    and membership is deterministic."""
+    from pyspark.sql import functions as F
+
+    from res2df_spark.llm.curation import temperature_mix
+
+    rows_in = []
+    i = 0
+    for s, n in enumerate(counts):
+        for _ in range(n):
+            rows_in.append((i, f"s{s}"))
+            i += 1
+    df = spark.createDataFrame(rows_in, "doc_id long, source string")
+    out = temperature_mix(df, alpha=alpha)
+    kept = {
+        r[0]: r[1]
+        for r in rows(out.groupBy("source").count(), "source", "count")
+    }
+    min_n = min(counts)
+    max_ratio = min_n ** (alpha - 1.0)
+    for s, n in enumerate(counts):
+        rate = min(round(256 * (n ** (alpha - 1.0)) / max_ratio) / 256, 1.0)
+        got = kept.get(f"s{s}", 0)
+        if n == min_n:
+            assert got == n  # rarest source keeps everything
+        # binomial bound: expectation n·rate ± 4·sqrt(n·rate·(1-rate)) + 1
+        mu = n * rate
+        tol = 4 * (n * rate * (1 - rate)) ** 0.5 + 1
+        assert mu - tol <= got <= mu + tol, (s, n, rate, got)
