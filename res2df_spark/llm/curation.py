@@ -354,6 +354,56 @@ def temperature_mix(
     )
 
 
+def mixture_plan(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    budget_tokens: int = 1_000_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """The planning side of :func:`temperature_mix`: per source, the
+    corpus token share, the temperature-flattened target share
+    (``share^alpha`` renormalized) and the planned token allocation out
+    of ``budget_tokens`` — the table a training-mixture recipe is
+    reviewed against before any data moves.
+
+    One partial-aggregated groupBy on the (low-cardinality) source key
+    plus a broadcast single-row total — at 100 TB this is a scan and a
+    kilobyte of aggregate state.  Returns (source, n_docs, n_tokens,
+    share, target_share, planned_tokens) with shares rounded to 6 dp.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+    toks = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        token_count(F.col(text_col))
+    )
+    per_src = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    share = F.col("n_tokens") / F.col("__total")
+    weight = F.pow(share, F.lit(alpha))
+    totals = per_src.agg(F.sum("n_tokens").alias("__total"))
+    weighted = per_src.crossJoin(F.broadcast(totals)).withColumn(
+        "__w", weight
+    )
+    wsum = weighted.agg(F.sum("__w").alias("__wsum"))
+    target = F.col("__w") / F.col("__wsum")
+    return (
+        weighted.crossJoin(F.broadcast(wsum))
+        .select(
+            source_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(share, 6).alias("share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(target * budget_tokens)
+            .cast("long")
+            .alias("planned_tokens"),
+        )
+    )
+
+
 def contamination_check(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -2837,3 +2837,38 @@ def semantic_dedup(spark, sf_dir):
         F.col("centroid_id").cast("long").alias("centroid_id"),
         "cos_sim",
     )
+
+
+@_q(
+    "mix_plan",
+    f"""
+    WITH per AS (SELECT lang, count(*) AS n_docs,
+                        sum(coalesce(len({_TOKS_SQL}), 0)) AS n_tokens
+                 FROM documents GROUP BY 1),
+    tot AS (SELECT sum(n_tokens) AS t FROM per),
+    w AS (SELECT lang, n_docs, n_tokens,
+                 n_tokens / (SELECT t FROM tot) AS share,
+                 power(n_tokens / (SELECT t FROM tot), 0.5) AS wgt
+          FROM per),
+    ws AS (SELECT sum(wgt) AS s FROM w)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(round(share, 6) AS DOUBLE) AS share,
+           CAST(round(wgt / (SELECT s FROM ws), 6) AS DOUBLE) AS target_share,
+           CAST(round(wgt / (SELECT s FROM ws) * 100000) AS BIGINT)
+               AS planned_tokens
+    FROM w
+    """,
+)
+def mix_plan(spark, sf_dir):
+    """Training-mixture planning table (llm/curation.mixture_plan,
+    alpha = 0.5): per language, corpus token share, the
+    temperature-flattened target share and the planned token
+    allocation out of a 100k budget — the review artifact before
+    temperature_mix moves any data.  One tiny groupBy + broadcast
+    totals; kilobyte-sized at any corpus scale."""
+    from res2df_spark.llm.curation import mixture_plan
+
+    docs = Catalog(spark, sf_dir).documents
+    return mixture_plan(docs, source_col="lang", alpha=0.5,
+                        budget_tokens=100_000)

@@ -251,3 +251,29 @@ def test_semantic_dedup_cluster_cap_drops_hot_cluster(spark):
         semantic_dedup_pairs(emb, cents, threshold=0.5, max_cluster_size=5).count()
         == 10
     )
+
+
+def test_mixture_plan_shares_and_budget(spark):
+    from res2df_spark.llm.curation import mixture_plan
+
+    df = spark.createDataFrame(
+        [(0, "a b c d", "en"), (1, "a b c d", "en"), (2, "x y", "fr")],
+        "doc_id int, text string, source string",
+    )
+    out = {r[0]: r[1:] for r in rows(
+        mixture_plan(df, alpha=0.5, budget_tokens=1000),
+        "source", "n_docs", "n_tokens", "share", "target_share", "planned_tokens",
+    )}
+    # en: 8 of 10 tokens; fr: 2 of 10
+    assert out["en"][:3] == (2, 8, 0.8)
+    assert out["fr"][:3] == (1, 2, 0.2)
+    # alpha=0.5: weights sqrt(.8), sqrt(.2) → targets ≈ .6667/.3333
+    assert out["en"][3] == pytest.approx(0.666667, abs=1e-6)
+    assert out["fr"][3] == pytest.approx(0.333333, abs=1e-6)
+    assert out["en"][4] + out["fr"][4] in (999, 1000, 1001)  # rounding
+    # alpha=1 reproduces the raw shares
+    raw = {r[0]: r[4] for r in rows(
+        mixture_plan(df, alpha=1.0, budget_tokens=1000),
+        "source", "n_docs", "n_tokens", "share", "target_share",
+    )}
+    assert raw["en"] == pytest.approx(0.8) and raw["fr"] == pytest.approx(0.2)
