@@ -508,14 +508,38 @@ def semantic_dedup_pairs(
     Returns (id_1, id_2, centroid_id, cos_sim) with id_1 < id_2 and
     cos_sim ≥ ``threshold``.  The self-join is an equality join on the
     cluster id — one shuffle each side, never all-pairs.
+
+    Inner-loop economics: the vector rides THROUGH the argmin
+    aggregation (``first`` on the grouped constant) instead of being
+    re-joined afterwards — one corpus shuffle saved — and each vector's
+    L2 norm is computed once per SIDE, not once per pair, so the
+    per-pair work is a single dot product (3× fewer array folds than a
+    naive cosine per pair).
     """
-    assigned = assign_nearest(df, centroids, id_col=id_col, vec_col=vec_col)
-    sides = df.select(F.col(id_col), F.col(vec_col)).join(
-        assigned.select(id_col, "centroid_id"), id_col
+    from res2df_spark.functions.vectors import dot, l2_norm
+
+    c = broadcast(
+        centroids.select(
+            F.col("centroid_id").alias("__cid"), F.col("centroid").alias("__cv")
+        )
+    )
+    best = F.min(F.struct(F.col("__d").alias("d"), F.col("__cid").alias("c")))
+    sides = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(c)
+        .withColumn("__d", _sq_dist(F.col(vec_col), F.col("__cv")))
+        .groupBy(id_col)
+        .agg(best.alias("__best"), F.first(vec_col).alias("__v"))
+        .select(
+            F.col(id_col),
+            F.col("__best.c").alias("centroid_id"),
+            F.col("__v"),
+            l2_norm(F.col("__v")).alias("__n"),
+        )
     )
     if max_cluster_size is not None:
         ok = (
-            assigned.groupBy("centroid_id")
+            sides.groupBy("centroid_id")
             .agg(F.count(F.lit(1)).alias("__csz"))
             .filter(F.col("__csz") <= max_cluster_size)
             .select("centroid_id")
@@ -524,14 +548,16 @@ def semantic_dedup_pairs(
     a = sides.select(
         F.col("centroid_id"),
         F.col(id_col).alias("id_1"),
-        F.col(vec_col).alias("__v1"),
+        F.col("__v").alias("__v1"),
+        F.col("__n").alias("__n1"),
     )
     b = sides.select(
         F.col("centroid_id"),
         F.col(id_col).alias("id_2"),
-        F.col(vec_col).alias("__v2"),
+        F.col("__v").alias("__v2"),
+        F.col("__n").alias("__n2"),
     )
-    sim = cosine_similarity(F.col("__v1"), F.col("__v2"))
+    sim = dot(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2"))
     return (
         a.join(b, "centroid_id")
         .filter(F.col("id_1") < F.col("id_2"))
