@@ -354,6 +354,35 @@ def temperature_mix(
     )
 
 
+def split_leakage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+) -> DataFrame:
+    """Cross-split leakage audit: identical texts that landed in more
+    than one split.  :func:`hash_split` is deterministic per id, so two
+    EXACT-DUPLICATE documents with different ids can legitimately land
+    in different splits — which silently leaks training text into eval.
+    The fix is dedup-before-split; this audit is how you notice.
+
+    One hash-aggregation on md5(text) (the exact-dedup shuffle shape):
+    returns one row per leaking text — (text_md5, n_docs, n_splits,
+    splits as a sorted csv) for every text seen in ≥ 2 splits.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col(split_col)).alias("n_splits"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.col(split_col))), ","
+            ).alias("splits"),
+        )
+        .filter(F.col("n_splits") >= 2)
+    )
+
+
 def mixture_plan(
     df: DataFrame,
     source_col: str = "source",

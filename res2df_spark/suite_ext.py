@@ -2872,3 +2872,43 @@ def mix_plan(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents
     return mixture_plan(docs, source_col="lang", alpha=0.5,
                         budget_tokens=100_000)
+
+
+@_q(
+    "split_leakage",
+    f"""
+    WITH u AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000 AS doc_id, text FROM documents
+               WHERE doc_id % 10 = 0),
+    b AS (SELECT doc_id, text, {_bucket256_sql('split')} AS bucket FROM u),
+    s AS (SELECT doc_id, text,
+                 CASE WHEN bucket < 230 THEN 'train'
+                      WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split
+          FROM b)
+    SELECT md5(text) AS text_md5,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+    FROM s GROUP BY md5(text) HAVING count(DISTINCT split) >= 2
+    """,
+)
+def split_leakage(spark, sf_dir):
+    """Cross-split leakage audit (llm/curation.split_leakage over
+    hash_split): exact-duplicate texts whose different doc_ids hashed
+    into different splits — training text silently leaking into eval.
+    The corpus has no exact duplicates at this scale, so the query
+    plants them (a re-keyed copy of every 10th document — the
+    constructed-fixture pattern `decontaminate` also uses) and the
+    audit must flag exactly the planted texts that crossed splits.
+    One exact-dedup-shaped hash aggregation."""
+    from res2df_spark.llm.curation import hash_split, split_leakage as op
+
+    docs = Catalog(spark, sf_dir).documents
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = docs.select("doc_id", "text").unionByName(
+        dupes.select("doc_id", "text")
+    )
+    return op(hash_split(corpus))

@@ -277,3 +277,21 @@ def test_mixture_plan_shares_and_budget(spark):
         "source", "n_docs", "n_tokens", "share", "target_share",
     )}
     assert raw["en"] == pytest.approx(0.8) and raw["fr"] == pytest.approx(0.2)
+
+
+def test_split_leakage_flags_cross_split_duplicates(spark):
+    from res2df_spark.llm.curation import split_leakage
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", "train"),
+            (2, "same text", "test"),     # leaks
+            (3, "same text", "train"),
+            (4, "other text", "train"),
+            (5, "other text", "train"),   # duplicate but same split: fine
+            (6, "unique", "val"),
+        ],
+        "doc_id int, text string, split string",
+    )
+    out = rows(split_leakage(df), "n_docs", "n_splits", "splits")
+    assert out == [(3, 2, "test,train")]
