@@ -319,3 +319,16 @@ def near_dup_verdicts(
             .alias("is_near_dup_candidate"),
         )
     )
+
+
+def curate_stream(docs, **thresholds):
+    """Streaming ingest curation: the batch quality gate
+    (llm/curation.quality_filter) applied to an unbounded document
+    stream — map-only expressions are trigger-agnostic, so the SAME
+    operator (same rule bitmask, same metrics) curates at ingest with
+    zero state: no watermark, no aggregation buffers, append-mode
+    output.  This is the shape a 100 TB pipeline wants — reject junk
+    the moment it lands instead of re-scanning the lake nightly."""
+    from res2df_spark.llm.curation import quality_filter
+
+    return quality_filter(docs, **thresholds)

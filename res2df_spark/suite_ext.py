@@ -2912,3 +2912,25 @@ def split_leakage(spark, sf_dir):
         dupes.select("doc_id", "text")
     )
     return op(hash_split(corpus))
+
+
+from res2df_spark.suite import ORACLES as _ORACLES  # noqa: E402  (reuse the batch gate's oracle verbatim)
+
+
+@_q("stream_quality_gate", _ORACLES["quality_gate"])
+def stream_quality_gate(spark, sf_dir):
+    """The quality gate running AS A STREAM (streaming/ops.curate_stream
+    over quality_gate's exact operator): map-only rule expressions are
+    trigger-agnostic, so the identical bitmask logic curates documents
+    at ingest — zero state, append mode, replayed with AvailableNow and
+    checked against the SAME oracle SQL as the batch `quality_gate`
+    query.  The streaming half of the ingest-then-curate pipeline."""
+    from res2df_spark.streaming.ops import curate_stream, run_available_now
+
+    src = Catalog(spark, sf_dir).stream_table("documents")
+    gated = curate_stream(
+        src, min_tokens=30, max_dup_token_frac=0.6, min_alpha_ratio=0.6
+    )
+    return run_available_now(
+        gated, name="stream_quality_gate", output_mode="append"
+    )
