@@ -108,3 +108,48 @@ def normalize_text(text: Column | str) -> Column:
     c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f\\u200b\\u200c\\u200d\\ufeff]", " ")
     c = F.regexp_replace(c, "\\s+", " ")
     return F.trim(c)
+
+
+def dup_shingle_fraction(toks: Column, k: int = 3) -> Column:
+    """Gopher-style duplicate n-gram fraction: the share of a document's
+    k-word shingles that are repeats of an earlier shingle in the SAME
+    document — ``(n - n_distinct) / n``, 0.0 for docs shorter than k.
+
+    Pure array expressions (``array_distinct`` inside codegen): map-only,
+    zero shuffles at any corpus size — the within-document counterpart
+    of the cross-corpus dedup family in llm/dedup.py.
+    """
+    sh = shingles(toks, k)
+    n = F.size(sh)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(sh))).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def top_shingle_fraction(toks: Column, k: int = 2) -> Column:
+    """Gopher-style top n-gram fraction: the multiplicity of the MOST
+    frequent k-word shingle divided by the shingle count (how much of
+    the document one repeated phrase covers), 0.0 for docs shorter
+    than k.
+
+    Computed map-side without any per-doc groupBy: sort the shingle
+    array, then a single ``aggregate`` pass tracks the longest run of
+    equal neighbours (struct state: previous value, current run, best
+    run).  O(n log n) per document inside the executor, zero shuffles.
+    """
+    sh = F.array_sort(shingles(toks, k))
+    n = F.size(sh)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(sh, init, step, lambda acc: acc["best"])
+    return F.when(n > 0, best.cast("double") / n).otherwise(F.lit(0.0))

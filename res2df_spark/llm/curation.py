@@ -624,3 +624,69 @@ def contamination_pairs(
         "doc_shingles",
         F.round(F.col("n_shared") / F.col("doc_shingles"), 6).alias("overlap_frac"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 exponential-jitter form): each row draws a
+    hash-derived uniform u ∈ (0,1) and the k rows with the smallest
+    ``-ln(u) / weight`` win — inclusion probability is proportional to
+    weight, and because u comes from md5(salt‖id) rather than an RNG the
+    selection is run-, partitioning- and engine-stable (same guarantees
+    as :func:`deterministic_sample`, which this generalizes to
+    non-uniform weights — e.g. sample documents proportional to token
+    count so the SAMPLE's token mass mirrors the corpus).
+
+    Non-positive/NULL weights never win (key = +inf).  Scale shape: the
+    key is map-side arithmetic; selection is a global top-k, which Spark
+    executes as per-partition top-k + a k-row driver merge
+    (TakeOrderedAndProject) — no full sort, no shuffle of the corpus.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
+    return (
+        df.withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__es_key")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Frequency capping: keep at most ``cap`` rows per group, chosen by
+    deterministic hash priority (md5(salt‖id) lexicographic order, id
+    tie-break) — i.e. a uniform random-but-reproducible subset of each
+    group, independent of row order and partitioning.
+
+    The per-domain cap of web-corpus curation (no single site may
+    dominate the training mix).  One shuffle on ``group_col``;
+    ``row_number`` needs each group's rows in one task, so a
+    pathologically hot group is a skew task — acceptable because the
+    window does no buffering beyond the sort, and at 100 TB the
+    group key (domain/source) has enough cardinality for AQE to
+    balance the rest.
+    """
+    pri = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(pri.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

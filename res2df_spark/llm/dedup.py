@@ -582,3 +582,65 @@ def simhash_near_pairs(
         .groupBy("d1", "d2")
         .agg(F.min("hamming").cast("long").alias("hamming"))
     )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Cross-corpus duplicate-span accounting, the aggregate form of
+    exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every k-token gram is
+    hashed, grams occurring ``min_count``-or-more times ANYWHERE in the
+    corpus are duplicate spans, and each document reports how much of it
+    is covered by such spans.
+
+    Returns (id, n_grams, n_dup_grams, dup_span_frac): ``n_dup_grams``
+    counts the document's gram POSITIONS that participate in a
+    corpus-wide duplicate (position-weighted, so a phrase repeated inside
+    one document counts every occurrence), ``dup_span_frac`` is that over
+    ``n_grams`` (0.0 for docs shorter than k).
+
+    Scale shape: explode to (gram_hash, id) — one shuffle to count grams
+    (partial-agg combines map-side; the key is a uniform md5 so the agg
+    is balanced), one shuffle-join back on gram_hash (AQE skew-join
+    splits hot grams — boilerplate at 100 TB), one final agg on the id.
+    ``max_gram_df`` drops grams hotter than the cap from the JOIN (they
+    still count toward ``n_grams``), the same stop-shingle bound as
+    ``max_token_df`` above — with it, the join fan-in per gram is
+    bounded and the whole pipeline is linear in corpus size.
+    """
+    base = spread(docs).select(
+        F.col(id_col), shingles(tokens(F.col(text_col)), k).alias("__sh")
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.size("__sh").alias("__n"),
+        F.explode_outer(F.transform("__sh", F.md5)).alias("__g"),
+    )
+    counts = grams.filter(F.col("__g").isNotNull()).groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    dup = counts.filter(F.col("__c") >= min_count)
+    if max_gram_df is not None:
+        dup = dup.filter(F.col("__c") <= max_gram_df)
+    hits = (
+        grams.join(dup, "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("__n").cast("long").alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("__c").isNotNull(), 1)), F.lit(0)
+            ).cast("long").alias("n_dup_grams"),
+        )
+    )
+    frac = F.when(
+        F.col("n_grams") > 0, F.col("n_dup_grams").cast("double") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return hits.select(
+        id_col, "n_grams", "n_dup_grams", F.round(frac, 6).alias("dup_span_frac")
+    )

@@ -1,0 +1,109 @@
+"""Reference-corpus language-model quality scoring (CCNet lineage:
+Wenzek et al. 2020 score documents by perplexity under a LM trained on
+a trusted corpus; Brown-corpus-style char n-gram smoothing).
+
+This is the simplified distributable form: a character-n-gram unigram
+model with add-one smoothing, trained on a trusted slice of the corpus,
+scores every document by mean log-probability of its character n-grams.
+Low scores = text unlike the reference distribution (mojibake, binary
+spew, wrong language); the score feeds the same gate machinery as
+``llm.curation.quality_filter``.
+
+Scale shape: the TRAINED MODEL is bounded by the alphabet, not the
+corpus — at most |Σ|^n distinct n-grams (a few thousand for char
+bigrams) — so training is one partial-agg groupBy that collapses 100 TB
+of text into a kilobyte-scale table, and scoring ships that table to
+executors as a map literal evaluated entirely inside codegen: zero
+shuffles, zero joins, zero Python on the scoring path.  (For word-level
+models whose vocabulary is NOT bounded, swap the map literal for a
+broadcast join on the exploded grams — same two-stage shape, one extra
+exchange on the doc id.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Hard bound on model size for the map-literal scoring path; char
+#: bigrams over any realistic alphabet sit far below this.
+MAX_MODEL_SIZE = 100_000
+
+
+def char_ngrams(text: Column | str, n: int = 2) -> Column:
+    """Overlapping character n-grams of lowercased text →
+    array<string> (empty for texts shorter than n).  Pure sequence +
+    substring transform — codegen'd, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.lower(c)
+    ln = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(0)))
+    return F.when(
+        ln >= n, F.transform(idx, lambda i: F.substring(t, i, n))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_char_lm(train: DataFrame, text_col: str = "text", n: int = 2) -> dict:
+    """Count character n-grams over the trusted corpus and return the
+    smoothed model as ``{"counts": {gram: cnt}, "total": N, "vocab": V}``.
+
+    One explode + one partial-agg groupBy; the result is alphabet-bounded
+    (≤ |Σ|^n rows), so collecting it to the driver is a metadata-sized
+    transfer — the same bounded-collect contract as the IVF centroids in
+    llm/similarity.py.  Raises if the vocabulary exceeds
+    ``MAX_MODEL_SIZE`` (use the broadcast-join variant then).
+    """
+    counts = (
+        train.select(F.explode(char_ngrams(F.col(text_col), n)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = counts.collect()
+    if len(rows) > MAX_MODEL_SIZE:
+        raise ValueError(
+            f"char-{n}-gram vocabulary {len(rows)} exceeds {MAX_MODEL_SIZE}; "
+            "use a broadcast-join scorer for unbounded vocabularies"
+        )
+    model = {r["g"]: r["c"] for r in rows}
+    return {"counts": model, "total": sum(model.values()), "vocab": len(model)}
+
+
+def lm_quality_score(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Score every document by mean natural-log probability of its char
+    n-grams under the add-one-smoothed model:
+    ``logp(g) = ln((count(g) + 1) / (total + vocab + 1))`` — unseen
+    grams get the +1 floor.  Returns (id, n_grams, lm_score), score NULL
+    for documents shorter than n characters.
+
+    Scoring is a single map-side expression: the model becomes a map
+    literal, the per-doc mean is a left-fold ``aggregate`` over the
+    n-gram array — deterministic summation order, no shuffle, no UDF.
+    """
+    flat = []
+    for g, c in sorted(model["counts"].items()):
+        flat.append(F.lit(g))
+        flat.append(F.lit(int(c)))
+    lut = F.create_map(*flat) if flat else F.create_map().cast("map<string,int>")
+    denom = float(model["total"] + model["vocab"] + 1)
+    grams = char_ngrams(F.col(text_col), n)
+    k = F.size(grams)
+    logp = F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.log(
+            (F.coalesce(F.element_at(lut, g), F.lit(0)) + F.lit(1.0)) / F.lit(denom)
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough],
+        k.cast("long").alias("n_grams"),
+        F.when(k > 0, F.round(logp / k, 4)).alias("lm_score"),
+    )

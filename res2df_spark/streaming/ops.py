@@ -150,6 +150,42 @@ def windowed_rollup_stream(
     )
 
 
+def session_rollup_stream(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-key session windows via Spark's native ``session_window``:
+    consecutive events closer than ``gap`` merge into one session whose
+    window is ``[first_ts, last_ts + gap)``.  State per open session,
+    closed (and emitted) once the watermark passes ``last_ts + gap``.
+
+    The streaming shape of ``operators/sessionize.session_stats`` (the
+    batch form yields ordinal session ids; this form yields the window
+    bounds) — the two agree on membership: a gap of ``gap`` or more
+    splits (only OVERLAPPING ``[t, t+gap)`` windows merge).
+    Oracle-checked under AvailableNow replay against a batch
+    gap-sessionization in SQL."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+        .select(
+            *key_cols,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     key_cols: Sequence[str],

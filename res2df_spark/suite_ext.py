@@ -2934,3 +2934,278 @@ def stream_quality_gate(spark, sf_dir):
     return run_available_now(
         gated, name="stream_quality_gate", output_mode="append"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap-based batch (operators/sessionize.py) and native
+# session_window streaming (streaming/ops.session_rollup_stream)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 6 * 3600
+
+_SESSIONIZE_SQL = f"""
+    WITH e AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            >= {_SESSION_GAP_S * 1_000_000}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM e
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, session_id
+"""
+
+
+@_q("sessionize_events", _SESSIONIZE_SQL)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (inactivity timeout 6 h) + per-session
+    rollup: lag flag → running sum → groupBy, all under ONE exchange on
+    user_id (the groupBy reuses the window's hash partitioning).  The
+    boundary compares integer microseconds, so the split decision is
+    exact on any engine."""
+    from res2df_spark.operators.sessionize import session_stats
+
+    ev = Catalog(spark, sf_dir).events
+    return session_stats(
+        ev, "ts", ["user_id"], _SESSION_GAP_S,
+        value_col="value", tiebreak=["event_id"],
+    )
+
+
+_STREAM_SESSIONS_SQL = f"""
+    WITH e AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            >= {_SESSION_GAP_S * 1_000_000}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 6 HOUR AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+"""
+
+
+@_q("stream_sessions", _STREAM_SESSIONS_SQL)
+def stream_sessions(spark, sf_dir):
+    """Native session windows (``F.session_window``) under AvailableNow
+    replay: per-user sessions with a 6 h inactivity gap; the emitted
+    window is [first_ts, last_ts + gap).  The oracle re-derives the same
+    sessions with batch gap-sessionization SQL — membership agrees
+    because only overlapping [t, t+gap) windows merge (a gap of exactly
+    6 h splits on both sides).  Single-parquet source replays as one
+    micro-batch; complete output mode emits every closed session."""
+    from res2df_spark.streaming.ops import run_available_now, session_rollup_stream
+
+    src = Catalog(spark, sf_dir).stream_table("events")
+    agg = session_rollup_stream(
+        src, "ts", ["user_id"], "value", gap="6 hours", watermark="90 days"
+    )
+    return run_available_now(agg, name="stream_sessions")
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher filters) + cross-corpus duplicate
+# n-gram spans (Lee et al. 2021 exact-substring accounting)
+# ---------------------------------------------------------------------------
+
+_REP_NGRAM_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g3 AS (SELECT doc_id, toks,
+                  unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+           FROM t),
+    s3 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+           FROM g3),
+    d3 AS (SELECT doc_id, count(*) AS n, count(DISTINCT s) AS nd
+           FROM s3 GROUP BY doc_id),
+    g2 AS (SELECT doc_id, toks,
+                  unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+           FROM t),
+    s2 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS s FROM g2),
+    t2 AS (SELECT doc_id, max(c) AS mx, sum(c) AS n
+           FROM (SELECT doc_id, s, count(*) AS c FROM s2 GROUP BY doc_id, s)
+           GROUP BY doc_id)
+    SELECT d.doc_id,
+           round(coalesce((d3.n - d3.nd) * 1.0 / d3.n, 0.0), 6) AS dup3_frac,
+           round(coalesce(t2.mx * 1.0 / t2.n, 0.0), 6) AS top2_frac
+    FROM documents d
+    LEFT JOIN d3 USING (doc_id) LEFT JOIN t2 USING (doc_id)
+"""
+
+
+@_q("rep_ngram_stats", _REP_NGRAM_SQL)
+def rep_ngram_stats(spark, sf_dir):
+    """Gopher-style within-document repetition filters: duplicate
+    3-gram fraction and top-2-gram coverage, both computed MAP-SIDE from
+    the token array (array_distinct / sorted-run aggregate) — zero
+    shuffles at any corpus size, where the naive formulation is an
+    explode + per-doc groupBy.  The oracle IS that naive formulation."""
+    from res2df_spark.functions.textan import (
+        dup_shingle_fraction,
+        top_shingle_fraction,
+        tokens,
+    )
+    from res2df_spark.session import spread
+
+    docs = spread(Catalog(spark, sf_dir).documents)
+    t = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.round(dup_shingle_fraction(t, 3), 6).alias("dup3_frac"),
+        F.round(top_shingle_fraction(t, 2), 6).alias("top2_frac"),
+    )
+
+
+_DUP_SPANS_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    ng AS (SELECT doc_id, greatest(len(toks) - 2, 0) AS n_grams FROM t),
+    g AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+          FROM t),
+    sh AS (SELECT doc_id,
+                  md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+           FROM g),
+    c AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+    dup AS (SELECT h FROM c WHERE c >= 2 AND c <= 40),
+    hit AS (SELECT sh.doc_id, count(*) AS ndup
+            FROM sh JOIN dup USING (h) GROUP BY sh.doc_id)
+    SELECT ng.doc_id,
+           CAST(ng.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(hit.ndup, 0) AS BIGINT) AS n_dup_grams,
+           round(CASE WHEN ng.n_grams > 0
+                      THEN coalesce(hit.ndup, 0) * 1.0 / ng.n_grams
+                      ELSE 0.0 END, 6) AS dup_span_frac
+    FROM ng LEFT JOIN hit USING (doc_id)
+"""
+
+
+@_q("dup_spans", _DUP_SPANS_SQL)
+def dup_spans(spark, sf_dir):
+    """Cross-corpus duplicate 3-gram span accounting (exact-substring
+    dedup aggregate, llm/dedup.duplicate_ngram_spans) with the hot-gram
+    cap engaged (max_gram_df=40): grams repeated corpus-wide mark every
+    position they cover; each doc reports its covered fraction."""
+    from res2df_spark.llm.dedup import duplicate_ngram_spans
+
+    docs = Catalog(spark, sf_dir).documents
+    return duplicate_ngram_spans(docs, k=3, min_count=2, max_gram_df=40)
+
+
+# ---------------------------------------------------------------------------
+# Weighted deterministic sampling + per-group frequency capping
+# (llm/curation.py round-4 additions)
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_SAMPLE_SQL = """
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               (('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                + 0.5) / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT doc_id, n_chars FROM t
+    ORDER BY (CASE WHEN n_chars > 0 THEN -ln(u) / n_chars ELSE 9e99 END) ASC,
+             doc_id ASC
+    LIMIT 50
+"""
+
+
+@_q("weighted_sample_topk", _WEIGHTED_SAMPLE_SQL)
+def weighted_sample_topk(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis exponential keys over md5-derived uniforms): 50 docs with
+    inclusion probability ∝ n_chars.  Map-side keys + TakeOrdered top-k,
+    no corpus shuffle; DuckDB re-derives the EXACT member set because
+    the uniforms are hash-built, not RNG-drawn."""
+    from res2df_spark.llm.curation import weighted_sample
+
+    docs = Catalog(spark, sf_dir).documents
+    return weighted_sample(docs, "n_chars", 50).select("doc_id", "n_chars")
+
+
+_SOURCE_CAP_SQL = """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 15
+"""
+
+
+@_q("source_cap", _SOURCE_CAP_SQL)
+def source_cap(spark, sf_dir):
+    """Per-source frequency capping (web-curation domain cap): keep at
+    most 15 docs per source by deterministic hash priority — one shuffle
+    on source, engine-stable member set."""
+    from res2df_spark.llm.curation import cap_per_group
+
+    docs = Catalog(spark, sf_dir).documents
+    return cap_per_group(docs, "source", 15).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Reference-corpus LM quality score (CCNet lineage, llm/lm.py)
+# ---------------------------------------------------------------------------
+
+_LM_QUALITY_SQL = """
+    WITH tr AS (SELECT lower(text) AS t FROM documents WHERE source = 'src0'),
+    tgi AS (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+            FROM tr),
+    m AS (SELECT substr(t, CAST(i AS INT), 2) AS g, count(*) AS c
+          FROM tgi GROUP BY 1),
+    tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM m),
+    dt AS (SELECT doc_id, lower(text) AS t FROM documents),
+    dgi AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+            FROM dt),
+    dg AS (SELECT doc_id, substr(t, CAST(i AS INT), 2) AS g FROM dgi),
+    sc AS (SELECT doc_id, count(*) AS n_grams,
+                  avg(ln((coalesce(m.c, 0) + 1.0) / (tot.total + tot.vocab + 1)))
+                  AS s
+           FROM dg LEFT JOIN m USING (g) CROSS JOIN tot
+           GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+           round(sc.s, 4) AS lm_score
+    FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
+@_q("lm_quality", _LM_QUALITY_SQL)
+def lm_quality(spark, sf_dir):
+    """Char-bigram LM quality scoring (llm/lm.py): train add-one-
+    smoothed counts on the trusted slice (source='src0'), score every
+    doc by mean log-prob — training collapses the corpus into an
+    alphabet-bounded table, scoring is ONE map-side expression (map
+    literal + left-fold aggregate), zero shuffles and zero joins on the
+    scoring path.  The oracle re-trains and re-scores in pure SQL."""
+    from res2df_spark.llm.lm import lm_quality_score, train_char_lm
+
+    docs = Catalog(spark, sf_dir).documents
+    model = train_char_lm(docs.filter(F.col("source") == "src0"))
+    return lm_quality_score(docs, model)

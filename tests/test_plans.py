@@ -313,3 +313,34 @@ def test_semantic_dedup_equality_join_no_cartesian(spark):
     plan = _plan(spark, "semantic_dedup")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count("BroadcastHashJoin") >= 1
+
+
+def test_rep_ngram_stats_is_map_only(spark):
+    # within-doc repetition metrics: pure array expressions — no data
+    # shuffle (the only exchange is spread()'s round-robin widening of
+    # the tiny test file, which disappears on real multi-split inputs)
+    plan = _plan(spark, "rep_ngram_stats")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_lm_quality_scoring_path_is_map_only(spark):
+    # training does its (bounded) groupBy at train time; the SCORING
+    # DataFrame the query returns must itself be shuffle-free
+    plan = _plan(spark, "lm_quality")
+    assert "Exchange" not in plan, plan
+
+
+def test_weighted_sample_uses_topk_not_global_sort(spark):
+    # Efraimidis-Spirakis selection must compile to TakeOrderedAndProject
+    # (per-partition top-k + driver merge), never a full-sort exchange
+    plan = _plan(spark, "weighted_sample_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_sessionize_events_single_exchange(spark):
+    # lag-flag window + running sum + per-session groupBy all reuse one
+    # hash partitioning on user_id
+    plan = _plan(spark, "sessionize_events")
+    assert plan.count("Exchange hashpartitioning") == 1, plan

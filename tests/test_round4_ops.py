@@ -1,0 +1,169 @@
+"""Round-4 continuation operators: repetition stats, duplicate n-gram
+spans (with the hot-gram cap), weighted sampling, per-group capping,
+and the char-bigram LM scorer."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from res2df_spark.functions.textan import (
+    dup_shingle_fraction,
+    tokens,
+    top_shingle_fraction,
+)
+from res2df_spark.llm.curation import cap_per_group, weighted_sample
+from res2df_spark.llm.dedup import duplicate_ngram_spans
+from res2df_spark.llm.lm import char_ngrams, lm_quality_score, train_char_lm
+
+
+def _ref_shingle_stats(text, k):
+    toks = text.lower().split()
+    sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if not sh:
+        return 0.0, 0.0
+    c = Counter(sh)
+    dup = (len(sh) - len(c)) / len(sh)
+    top = max(c.values()) / len(sh)
+    return dup, top
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "a b a b a b c",
+        "one two three four",
+        "x x x x x x x x",
+        "solo",
+        "",
+        "p q p q r p q",
+    ],
+)
+def test_repetition_stats_match_reference(spark, text):
+    df = spark.createDataFrame([(1, text)], "id int, text string")
+    t = tokens("text")
+    row = df.select(
+        dup_shingle_fraction(t, 3).alias("d"), top_shingle_fraction(t, 2).alias("t2")
+    ).collect()[0]
+    ref_d, _ = _ref_shingle_stats(text, 3)
+    _, ref_t = _ref_shingle_stats(text, 2)
+    assert row.d == pytest.approx(ref_d)
+    assert row.t2 == pytest.approx(ref_t)
+
+
+def test_duplicate_ngram_spans_reference(spark):
+    docs = [
+        (1, "a b c d e"),  # abc bcd cde
+        (2, "a b c x y"),  # abc shared with 1 and 4
+        (3, "q r"),  # too short: 0 grams
+        (4, "a b c d q"),  # abc, bcd shared
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_span_frac)
+        for r in duplicate_ngram_spans(df, k=3).collect()
+    }
+    assert got[1] == (3, 2, round(2 / 3, 6))
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    assert got[3] == (0, 0, 0.0)
+    assert got[4] == (3, 2, round(2 / 3, 6))
+
+
+def test_duplicate_ngram_spans_within_doc_repeats_count(spark):
+    # a phrase repeated inside ONE document is a duplicate span too
+    df = spark.createDataFrame(
+        [(1, "a b c z a b c"), (2, "u v w")], "doc_id int, text string"
+    )
+    got = {r.doc_id: r.n_dup_grams for r in duplicate_ngram_spans(df, k=3).collect()}
+    assert got[1] == 2  # both "a b c" occurrences
+    assert got[2] == 0
+
+
+def test_duplicate_ngram_spans_hot_gram_cap(spark):
+    # pathological corpus: one gram occurs in every doc; the cap drops
+    # it from the join so the per-gram fan-in stays bounded
+    df = spark.createDataFrame(
+        [(i, "same old phrase") for i in range(20)], "doc_id int, text string"
+    )
+    uncapped = duplicate_ngram_spans(df, k=3)
+    assert all(r.n_dup_grams == 1 for r in uncapped.collect())
+    capped = duplicate_ngram_spans(df, k=3, max_gram_df=10)
+    rows = capped.collect()
+    assert len(rows) == 20
+    assert all(r.n_dup_grams == 0 for r in rows)  # hot gram excluded
+    assert all(r.n_grams == 1 for r in rows)  # ...but still counted
+
+
+def test_weighted_sample_is_deterministic_and_weight_sensitive(spark):
+    df = spark.createDataFrame(
+        [(i, 1000 if i < 10 else 1) for i in range(200)], "doc_id int, w int"
+    )
+    a = sorted(r.doc_id for r in weighted_sample(df, "w", 20).collect())
+    b = sorted(
+        r.doc_id for r in weighted_sample(df.repartition(7), "w", 20).collect()
+    )
+    assert a == b  # partitioning-independent
+    # the 10 heavy rows (1000x weight) should essentially all be chosen
+    assert sum(1 for i in a if i < 10) >= 9
+
+
+def test_weighted_sample_nonpositive_weights_lose(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, None), (4, 10), (5, 10)],
+        "doc_id int, w int",
+    )
+    got = sorted(r.doc_id for r in weighted_sample(df, "w", 2).collect())
+    assert got == [4, 5]
+
+
+def test_cap_per_group(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(40)], "doc_id int, source string"
+    )
+    out = cap_per_group(df, "source", 3)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {f"s{i}": 3 for i in range(4)}
+    again = sorted(r.doc_id for r in cap_per_group(df.repartition(5), "source", 3).collect())
+    assert again == sorted(r.doc_id for r in out.collect())
+
+
+def test_char_ngrams_and_lm_score(spark):
+    df = spark.createDataFrame(
+        [(1, "the table row"), (2, "zzq qzx vvv"), (3, "a")],
+        "doc_id int, text string",
+    )
+    grams = df.filter("doc_id = 1").select(char_ngrams("text").alias("g")).collect()[0].g
+    assert grams[:3] == ["th", "he", "e "]
+    assert len(grams) == len("the table row") - 1
+
+    model = train_char_lm(df.filter("doc_id = 1"))
+    assert model["total"] == len("the table row") - 1
+    scored = {r.doc_id: r.lm_score for r in lm_quality_score(df, model).collect()}
+    assert scored[3] is None  # shorter than the n-gram order
+    assert scored[1] > scored[2]  # in-distribution text scores higher
+
+
+def test_lm_score_matches_python_reference(spark):
+    train_txt = ["abcabc", "bcabca"]
+    score_txt = "cabz"
+    df_train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_txt)], "doc_id int, text string"
+    )
+    model = train_char_lm(df_train)
+    counts = Counter()
+    for t in train_txt:
+        for i in range(len(t) - 1):
+            counts[t[i : i + 2]] += 1
+    assert model["counts"] == dict(counts)
+    import math
+
+    denom = sum(counts.values()) + len(counts) + 1
+    ref = sum(
+        math.log((counts.get(score_txt[i : i + 2], 0) + 1) / denom)
+        for i in range(len(score_txt) - 1)
+    ) / (len(score_txt) - 1)
+    df = spark.createDataFrame([(9, score_txt)], "doc_id int, text string")
+    got = lm_quality_score(df, model).collect()[0].lm_score
+    assert got == pytest.approx(round(ref, 4), abs=1e-9)
