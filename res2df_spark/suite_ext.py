@@ -3205,7 +3205,8 @@ def lm_quality(spark, sf_dir):
     literal + left-fold aggregate), zero shuffles and zero joins on the
     scoring path.  The oracle re-trains and re-scores in pure SQL."""
     from res2df_spark.llm.lm import lm_quality_score, train_char_lm
+    from res2df_spark.session import spread
 
     docs = Catalog(spark, sf_dir).documents
     model = train_char_lm(docs.filter(F.col("source") == "src0"))
-    return lm_quality_score(docs, model)
+    return lm_quality_score(spread(docs), model)

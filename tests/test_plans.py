@@ -324,11 +324,14 @@ def test_rep_ngram_stats_is_map_only(spark):
     assert "Exchange rangepartitioning" not in plan, plan
 
 
-def test_lm_quality_scoring_path_is_map_only(spark):
+def test_lm_quality_scoring_path_has_no_data_shuffle(spark):
     # training does its (bounded) groupBy at train time; the SCORING
-    # DataFrame the query returns must itself be shuffle-free
+    # plan ships the dense log-prob table as a one-row BROADCAST
+    # dimension (allowed) but must never shuffle the corpus itself
     plan = _plan(spark, "lm_quality")
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
 
 
 def test_weighted_sample_uses_topk_not_global_sort(spark):
