@@ -52,6 +52,10 @@ HEADLINE = [
     "dedup_incremental",       # novelty vs persisted band index (round 4)
     "tfidf_topk",              # tf ⋈ df + ranking window (round 4)
     "kmeans_assign",           # broadcast centroids, map-side argmin (round 4)
+    "sessionize_events",       # gap sessionization, single exchange (round 4)
+    "rep_ngram_stats",         # map-only repetition filters (round 4)
+    "dup_spans",               # cross-corpus duplicate n-gram spans (round 4)
+    "lm_quality",              # char-bigram LM scoring, map-only (round 4)
 ]
 
 
