@@ -1,0 +1,148 @@
+"""Event-stream analytics: trailing time windows, funnel conversion,
+retention cohorts.
+
+These are the standard product-analytics operators over an event table
+(ts, user, type, value) — the same shapes a training-data pipeline uses
+for telemetry over ingest/curation events.  All are expressed so the
+per-user work rides ONE hash partitioning on the user key:
+
+* ``rolling_agg``: a RANGE window frame over integer microseconds —
+  one exchange, the frame is evaluated streamingly within the sort.
+* ``funnel_steps``: per-step conditional min-timestamp chain; each
+  round is a groupBy/join on the SAME user key, so Catalyst reuses the
+  partitioning instead of re-shuffling (plan-checked in tests).
+* ``retention_cohorts``: first-touch cohort + per-day activity, two
+  partial-agg groupBys ending in the small (cohort, offset) grid.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def rolling_agg(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    window_seconds: int,
+    count_name: str = "n_window",
+    sum_name: str = "sum_window",
+) -> DataFrame:
+    """Trailing time-window aggregates per key: for every event, the
+    count and value-sum of the key's events in ``[ts - window, ts]``
+    (inclusive on both ends; equal timestamps are frame peers).
+
+    The frame is a RANGE window over ``unix_micros`` — integer
+    microsecond bounds, so window membership is exact on any engine.
+    One shuffle on the keys; the running frame needs no buffering
+    beyond the window span.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(us)
+        .rangeBetween(-int(window_seconds) * 1_000_000, 0)
+    )
+    return df.withColumn(count_name, F.count(F.lit(1)).over(w).cast("long")).withColumn(
+        sum_name, F.round(F.sum(value_col).over(w), 2)
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel: per user, the earliest time each step can be
+    completed given the previous step's completion time (strictly
+    later).  Returns one row per user who completed step 1, with a
+    ``t_<i>`` timestamp per completed step (NULL once the chain
+    breaks) and ``n_steps`` = how deep the user got.
+
+    The classic sequential-pattern query: step i is
+    ``min(ts WHERE type = steps[i] AND ts > t_{i-1})``.  Every round
+    joins and re-aggregates on the SAME user key, so the accumulating
+    side keeps its hash partitioning; each step additionally ships only
+    its own filtered event slice, never the whole table again.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_0"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("__ts")
+        )
+        prev = f"t_{i - 1}"
+        cur = (
+            cur.join(nxt, user_col, "left")
+            .groupBy(user_col, *[f"t_{j}" for j in range(i)])
+            .agg(
+                F.min(
+                    F.when(F.col("__ts") > F.col(prev), F.col("__ts"))
+                ).alias(f"t_{i}")
+            )
+        )
+    depth = sum(
+        F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0) for i in range(len(steps))
+    )
+    return cur.withColumn("n_steps", depth.cast("long"))
+
+
+def funnel_counts(
+    events: DataFrame,
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Funnel rollup: (step, step_name, n_users) — how many users
+    reached each step in order.  The small final aggregate over
+    :func:`funnel_steps`."""
+    per_user = funnel_steps(events, ts_col, user_col, type_col, steps)
+    rows = None
+    for i, name in enumerate(steps):
+        one = per_user.filter(F.col(f"t_{i}").isNotNull()).agg(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows
+
+
+def retention_cohorts(
+    events: DataFrame,
+    ts_col: str,
+    user_col: str,
+    max_offset_days: int | None = None,
+) -> DataFrame:
+    """Cohort retention grid: users are cohorted by the DAY of their
+    first event; for each (cohort_day, day_offset) the count of
+    cohort users active that day.
+
+    Two partial-agg groupBys (first-touch per user; distinct activity
+    days per user) joined on the user key, collapsing into the tiny
+    (days × offsets) grid — the corpus-sized data is only ever hashed
+    on user_id.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    first = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    active = events.select(F.col(user_col), day.alias("active_day")).distinct()
+    grid = (
+        active.join(first, user_col)
+        .withColumn("day_offset", F.datediff("active_day", "cohort_day").cast("long"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    if max_offset_days is not None:
+        grid = grid.filter(F.col("day_offset") <= max_offset_days)
+    return grid

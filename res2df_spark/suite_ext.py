@@ -3210,3 +3210,87 @@ def lm_quality(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents
     model = train_char_lm(docs.filter(F.col("source") == "src0"))
     return lm_quality_score(spread(docs), model)
+
+
+# ---------------------------------------------------------------------------
+# Event analytics — trailing windows, funnels, retention cohorts
+# (operators/eventanalytics.py)
+# ---------------------------------------------------------------------------
+
+_ROLLING_SQL = """
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_window,
+           round(sum(value) OVER w, 2) AS sum_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@_q("rolling_window", _ROLLING_SQL)
+def rolling_window(spark, sf_dir):
+    """Trailing 1-hour per-user count/sum for every event: RANGE frame
+    over integer microseconds — exact boundaries, one exchange on
+    user_id, frame evaluated streamingly inside the sort."""
+    from res2df_spark.operators.eventanalytics import rolling_agg
+
+    ev = Catalog(spark, sf_dir).events
+    return rolling_agg(ev, "ts", ["user_id"], "value", 3600).select(
+        "event_id", "user_id", "ts", "n_window", "sum_window"
+    )
+
+
+_FUNNEL_SQL = """
+    WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+           JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+           CAST(count(*) AS BIGINT) AS n_users FROM s0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s1
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s2
+"""
+
+
+@_q("funnel_conversion", _FUNNEL_SQL)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel view → click → purchase: per-user conditional
+    min-timestamp chain (step i strictly after step i-1), rolled up to
+    users-reached per step.  The accumulating side rides one hash
+    partitioning on user_id; each step ships only its filtered slice."""
+    from res2df_spark.operators.eventanalytics import funnel_counts
+
+    ev = Catalog(spark, sf_dir).events
+    return funnel_counts(ev, "ts", "user_id", "event_type", ["view", "click", "purchase"])
+
+
+_RETENTION_SQL = """
+    WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
+          FROM events)
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT)
+               AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+@_q("retention_grid", _RETENTION_SQL)
+def retention_grid(spark, sf_dir):
+    """Cohort retention: first-touch day per user × distinct activity
+    days → (cohort_day, day_offset, n_active) grid.  Corpus-sized data
+    is hashed only on user_id; the output is the tiny days×offsets
+    grid."""
+    from res2df_spark.operators.eventanalytics import retention_cohorts
+
+    ev = Catalog(spark, sf_dir).events
+    return retention_cohorts(ev, "ts", "user_id")
