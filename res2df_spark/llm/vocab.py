@@ -234,3 +234,137 @@ def boilerplate_score(
             ),
         )
     )
+
+
+def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """Distinct words with corpus frequencies — BPE training state.
+
+    This is THE scale trick of distributed BPE: all merge work happens
+    on the vocabulary-sized word table (unique words × frequency), so a
+    100 TB corpus collapses to ~millions of rows after one
+    partial-aggregated groupBy, and every training iteration touches
+    only that table."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _chars_with_eow(word, end_of_word: str):
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: F.substring(word, i, 1)
+    )
+    return F.concat(chars, F.array(F.lit(end_of_word)))
+
+
+def _adjacent_pairs(syms):
+    # guard single-symbol words: sequence(1, 0) DESCENDS in Spark, so an
+    # unguarded transform would index past the array end
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("left"),
+            F.element_at(syms, i + 1).alias("right"),
+        ),
+    )
+    return F.when(F.size(syms) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<left:string,right:string>>")
+    )
+
+
+def _merge_pair(syms, left: str, right: str):
+    """Leftmost-greedy merge of every adjacent (left, right) in a symbol
+    array — a single fold: when the accumulator's last symbol is
+    ``left`` and the next is ``right``, replace the last with the
+    concatenation, else append."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    end_of_word: str = "</w>",
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016),
+    distributed: returns the ordered merge list and the final
+    (word, freq, syms) table.
+
+    Each iteration: frequency-weighted adjacent-pair counts over the
+    word table (one partial-aggregated shuffle on the pair), the
+    arg-max pair pulled to the driver (a 1-row TakeOrdered — ties break
+    by (left, right) so training is deterministic on any engine /
+    partitioning), then a leftmost-greedy in-array merge applied
+    map-side.  ``localCheckpoint`` truncates the lineage per iteration,
+    the same guard as ``kmeans_fit``.  Training stops early when the
+    best pair drops below ``min_pair_count``.
+
+    Scale: iterations cost O(|vocab|) each, independent of corpus size
+    (see ``_word_table``); the driver only ever holds the merge list.
+    """
+    words = _word_table(docs, text_col).withColumn(
+        "syms", _chars_with_eow(F.col("word"), end_of_word)
+    )
+    words = words.localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            words.select(F.col("freq"), F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        left, right = top[0]["left"], top[0]["right"]
+        merges.append((left, right))
+        words = words.withColumn(
+            "syms", _merge_pair(F.col("syms"), left, right)
+        ).localCheckpoint()
+    return merges, words
+
+
+def bpe_segment(
+    docs: DataFrame,
+    words: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Segment documents with a trained BPE table: explode to (doc,
+    position, word), look the word up in the trained (word, syms) table
+    and fall back to character-split (the untrained-word contract) for
+    out-of-vocabulary words.  Returns (id, n_words, n_pieces).
+
+    The trained table is vocabulary-sized → broadcast; the corpus side
+    never shuffles for the lookup, only for the final per-doc count.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("word")
+    )
+    lut = broadcast(words.select("word", F.col("syms").alias("__syms")))
+    pieces = F.coalesce(
+        F.size("__syms"), F.size(_chars_with_eow(F.col("word"), end_of_word))
+    )
+    return (
+        toks.join(lut, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(pieces).cast("long").alias("n_pieces"),
+        )
+    )
