@@ -3294,3 +3294,77 @@ def retention_grid(spark, sf_dir):
 
     ev = Catalog(spark, sf_dir).events
     return retention_cohorts(ev, "ts", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus audit: exact length percentiles per source; time-decayed value
+# ---------------------------------------------------------------------------
+
+_LENGTH_PROFILE_SQL = f"""
+    WITH t AS (SELECT source, CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tok
+               FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(n_tok, 0.9), 4) AS p90_tokens,
+           round(quantile_cont(n_tok, 0.99), 4) AS p99_tokens,
+           round(avg(n_tok), 4) AS mean_tokens
+    FROM t GROUP BY source
+"""
+
+
+@_q("length_profile", _LENGTH_PROFILE_SQL)
+def length_profile(spark, sf_dir):
+    """Per-source document-length distribution (the corpus-audit table
+    behind packing/chunking decisions): EXACT interpolated percentiles
+    (``F.percentile``), which DuckDB's ``quantile_cont`` reproduces
+    bit-for-bit — one partial-aggregated groupBy on the source key.
+    At 100 TB swap to ``approx_percentile`` for a one-pass sketch; the
+    exact form is the verifiable contract."""
+    from res2df_spark.functions.textan import token_count
+
+    docs = Catalog(spark, sf_dir).documents
+    n_tok = token_count(F.col("text")).cast("double")
+    return (
+        docs.select("source", n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.percentile("n_tok", 0.5), 4).alias("p50_tokens"),
+            F.round(F.percentile("n_tok", 0.9), 4).alias("p90_tokens"),
+            F.round(F.percentile("n_tok", 0.99), 4).alias("p99_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("mean_tokens"),
+        )
+    )
+
+
+_DECAYED_SQL = """
+    WITH m AS (SELECT max(ts) AS now FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * exp(-(epoch_us(m.now) - epoch_us(ts))
+                                 / 86400000000.0)), 4) AS decayed_value
+    FROM events CROSS JOIN m
+    GROUP BY user_id
+"""
+
+
+@_q("decayed_user_value", _DECAYED_SQL)
+def decayed_user_value(spark, sf_dir):
+    """Exponentially time-decayed per-user value (recency-weighted
+    engagement, 1-day e-folding): the decay weight is map-side
+    arithmetic off an integer-microsecond age, so the whole query is
+    one partial-aggregated groupBy on user_id; 'now' is the corpus
+    max timestamp via a broadcast 1-row aggregate."""
+    ev = Catalog(spark, sf_dir).events
+    now = ev.agg(F.max("ts").alias("__now"))
+    age_us = F.unix_micros(F.col("__now")) - F.unix_micros(F.col("ts"))
+    w = F.exp(-age_us / F.lit(86_400_000_000.0))
+    return (
+        ev.crossJoin(F.broadcast(now))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value") * w), 4).alias("decayed_value"),
+        )
+    )

@@ -1,0 +1,51 @@
+"""Sketch-based distinct counting — the 100 TB cardinality tool.
+
+``hll_sketch_agg`` builds a mergeable HyperLogLog sketch per group /
+partition; ``hll_union_agg`` merges sketches, which is what makes the
+estimate distributable (partial sketches combine associatively across
+partitions and across precomputed slices — no exact-distinct shuffle of
+the raw keys).  Approximate ops have no bit-exact SQL oracle, so the
+contract here is an error bound against the exact answer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    # 50k rows, 10k distinct, skewed across 4 groups
+    return spark.range(50_000).select(
+        (F.col("id") % 10_000).alias("k"),
+        (F.col("id") % 4).cast("string").alias("g"),
+    )
+
+
+def test_hll_estimate_within_bound(spark, ids):
+    est = ids.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("est")
+    ).collect()[0].est
+    assert abs(est - 10_000) / 10_000 < 0.03
+
+
+def test_hll_sketches_merge_like_partial_aggregates(spark, ids):
+    # build per-group sketches, then union them — the distributed shape:
+    # map-side sketches, one tiny merge — and compare to the global one
+    per_group = ids.groupBy("g").agg(F.hll_sketch_agg("k").alias("sk"))
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0].est
+    assert abs(merged - 10_000) / 10_000 < 0.03
+
+
+def test_hll_union_handles_disjoint_slices(spark):
+    a = spark.range(0, 8_000).agg(F.hll_sketch_agg("id").alias("sk"))
+    b = spark.range(8_000, 10_000).agg(F.hll_sketch_agg("id").alias("sk"))
+    merged = (
+        a.unionByName(b)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert abs(merged - 10_000) / 10_000 < 0.03
