@@ -20,7 +20,7 @@ feature schema is fixed so downstream is pure relational.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Callable, Iterator
+from collections.abc import Callable, Iterator, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
@@ -179,3 +179,110 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+def export_tar_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    meta_cols: Sequence[str] = (),
+    salt: str = "tar",
+) -> DataFrame:
+    """WebDataset-style sharded tar export: every sample becomes two tar
+    members — ``<id>.bin`` (the binary payload) and ``<id>.json`` (the
+    metadata sidecar) — written into ``shard-NNNNN.tar`` files under
+    ``out_dir``.
+
+    Sharding is deterministic content hashing (md5(salt‖id) mod
+    n_shards — the same engine-portable bucketing as
+    ``llm.curation.hash_split``), so a sample lands in the same shard
+    on every run and any partitioning.  Each shard is assembled by
+    exactly ONE task (``repartition(n_shards, shard)`` then
+    ``mapInPandas`` with the stdlib ``tarfile``): payload bytes stream
+    executor-side into the tar — nothing is collected to the driver.
+    Members are appended in Arrow-batch order within the shard;
+    ``sort_within_partitions(id)`` upstream makes the member order
+    reproducible too.
+
+    Returns the (shard, n_samples, n_bytes) manifest.  At 100 TB pick
+    ``n_shards`` so shards land near the usual 0.1-1 GiB WebDataset
+    target; the export is embarrassingly parallel across shards.
+    """
+    import json as _json
+
+    from res2df_spark.llm.curation import md5_bucket256
+
+    keyed = (
+        df.select(
+            F.col(id_col).cast("string").alias("__id"),
+            F.col(payload_col).alias("__payload"),
+            *[F.col(c) for c in meta_cols],
+        )
+        .withColumn(
+            "__shard", (md5_bucket256(F.col("__id"), salt) % n_shards).cast("int")
+        )
+        .repartition(n_shards, "__shard")
+        .sortWithinPartitions("__shard", "__id")
+    )
+    meta_names = list(meta_cols)
+
+    def write_shards(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import os
+        import tarfile
+
+        import pandas as pd
+
+        tars: dict[int, tarfile.TarFile] = {}
+        counts: dict[int, list[int]] = {}
+        os.makedirs(out_dir, exist_ok=True)
+        import io as _io
+
+        try:
+            for pdf in batches:
+                cols = [pdf["__shard"], pdf["__id"], pdf["__payload"]]
+                cols += [pdf[name] for name in meta_names]
+                for sh, rid, payload, *meta_vals in zip(*cols):
+                    sh = int(sh)
+                    if sh not in tars:
+                        tars[sh] = tarfile.open(
+                            os.path.join(out_dir, f"shard-{sh:05d}.tar"), "w"
+                        )
+                        counts[sh] = [0, 0]
+                    payload = bytes(payload or b"")
+                    meta = {"id": rid}
+                    meta.update(zip(meta_names, meta_vals))
+                    mbytes = _json.dumps(meta, default=str).encode()
+                    for suffix, data in ((".bin", payload), (".json", mbytes)):
+                        info = tarfile.TarInfo(name=f"{rid}{suffix}")
+                        info.size = len(data)
+                        tars[sh].addfile(info, _io.BytesIO(data))
+                    counts[sh][0] += 1
+                    counts[sh][1] += len(payload)
+        finally:
+            for t in tars.values():
+                t.close()
+        yield pd.DataFrame(
+            {
+                "shard": list(counts),
+                "n_samples": [c[0] for c in counts.values()],
+                "n_bytes": [c[1] for c in counts.values()],
+            }
+        )
+
+    manifest = (
+        keyed.mapInPandas(write_shards, schema="shard int, n_samples long, n_bytes long")
+        .groupBy("shard")
+        .agg(
+            F.sum("n_samples").cast("long").alias("n_samples"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+        )
+    )
+    # a writer must be EAGER: the tar files exist when this returns, and
+    # the lazy plan is never re-run (a second run would re-write shards).
+    # The manifest is shard-count-sized, so materializing it is tiny.
+    rows = manifest.collect()
+    return df.sparkSession.createDataFrame(
+        rows, "shard int, n_samples long, n_bytes long"
+    )
