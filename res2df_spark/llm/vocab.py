@@ -368,3 +368,55 @@ def bpe_segment(
             F.sum(pieces).cast("long").alias("n_pieces"),
         )
     )
+
+
+def heavy_hitters_mg(
+    docs: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    top: int | None = None,
+) -> DataFrame:
+    """Approximate frequent tokens via mergeable Misra–Gries summaries
+    (Agarwal et al. 2013 "Mergeable Summaries"): each partition keeps at
+    most ``k`` counters, so only ``k`` rows per partition ever reach the
+    shuffle — the point of the sketch at 100 TB, where the exact
+    ``groupBy(token)`` shuffles the full token dictionary.
+
+    Guarantee: any token with true frequency > N/(k+1) survives, and
+    each reported ``mg_count`` is an UNDER-estimate within N·(#summaries)
+    /(k+1) of the truth (the classic MG bounds, summed over merges) —
+    re-count the survivors exactly in a second pass when exact numbers
+    matter (that pass is a ``k``-row broadcast semi-join, not a full
+    aggregation).
+
+    Implementation is Arrow-batched and vectorized: per pandas batch a
+    C-speed ``value_counts``, then the counter-level MG merge (add,
+    subtract the (k+1)-th largest, drop non-positive) — no per-row
+    Python.
+    """
+
+    def summarize(batches):
+        import pandas as pd
+
+        acc = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = (
+                pdf[text_col].astype(str).str.lower().str.split().explode().value_counts()
+            )
+            acc = acc.add(vc, fill_value=0).astype("int64")
+            if len(acc) > k:
+                # mergeable-summary reduction: subtract the (k+1)-th
+                # largest count from everyone, keep the positives
+                pivot = acc.nlargest(k + 1).iloc[-1]
+                acc = acc - pivot
+                acc = acc[acc > 0]
+        yield pd.DataFrame({"token": acc.index.astype(str), "mg_count": acc.values})
+
+    summaries = docs.select(text_col).mapInPandas(
+        summarize, schema="token string, mg_count long"
+    )
+    merged = summaries.groupBy("token").agg(
+        F.sum("mg_count").cast("long").alias("mg_count")
+    )
+    out = merged.orderBy(F.col("mg_count").desc(), F.col("token"))
+    return out.limit(top) if top is not None else out

@@ -49,3 +49,39 @@ def test_hll_union_handles_disjoint_slices(spark):
         .est
     )
     assert abs(merged - 10_000) / 10_000 < 0.03
+
+
+class TestHeavyHittersMG:
+    """Misra-Gries guarantee: every token with true frequency above
+    N/(k+1) must survive, and counts never overestimate."""
+
+    def _corpus(self, spark):
+        rows = []
+        for i in range(200):
+            # 'alpha' in every doc (200), 'beta' in half (100),
+            # long tail of uniques
+            text = "alpha " + ("beta " if i % 2 == 0 else "") + f"tail{i} u{i % 37}"
+            rows.append((i, text))
+        return spark.createDataFrame(rows, "doc_id int, text string").repartition(6)
+
+    def test_guarantee_and_underestimate(self, spark):
+        from res2df_spark.llm.vocab import heavy_hitters_mg
+
+        df = self._corpus(spark)
+        got = {r.token: r.mg_count for r in heavy_hitters_mg(df, k=20).collect()}
+        # true frequencies
+        truth = {"alpha": 200, "beta": 100}
+        for tok, freq in truth.items():
+            assert tok in got, tok
+            assert got[tok] <= freq  # MG never overestimates
+            # error bound: N * n_summaries / (k+1); generous check
+            assert got[tok] >= freq - (600 * 6) / 21
+
+    def test_only_k_rows_leave_each_partition(self, spark):
+        from res2df_spark.llm.vocab import heavy_hitters_mg
+
+        df = self._corpus(spark)
+        # the sketch's shuffle input is bounded: <= k tokens per summary
+        # regardless of vocabulary size (here vocab >> k)
+        out = heavy_hitters_mg(df, k=5).collect()
+        assert len(out) <= 5 * 6  # k per partition is the hard cap
