@@ -15,3 +15,10 @@ from res2df_spark.operators.reshape import (  # noqa: F401
 )
 from res2df_spark.operators.interpolate import interpolate_linear  # noqa: F401
 from res2df_spark.operators.resample import date_spine, resample_asof  # noqa: F401
+from res2df_spark.operators.sessionize import sessionize, session_stats  # noqa: F401
+from res2df_spark.operators.eventanalytics import (  # noqa: F401
+    rolling_agg,
+    funnel_steps,
+    funnel_counts,
+    retention_cohorts,
+)
