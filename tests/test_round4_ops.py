@@ -167,3 +167,58 @@ def test_lm_score_matches_python_reference(spark):
     df = spark.createDataFrame([(9, score_txt)], "doc_id int, text string")
     got = lm_quality_score(df, model).collect()[0].lm_score
     assert got == pytest.approx(round(ref, 4), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Property tests: random corpora vs brute-force references
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.sampled_from(["a", "b", "c", "d", "e"])
+_text = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@given(st.lists(_text, min_size=1, max_size=12))
+@settings(max_examples=10, deadline=None)
+def test_duplicate_ngram_spans_property(spark, texts):
+    k = 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams)
+        for r in duplicate_ngram_spans(df, k=k).collect()
+    }
+    all_grams = Counter()
+    per_doc = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        grams = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        per_doc[i] = grams
+        all_grams.update(grams)
+    for i, grams in per_doc.items():
+        n_dup = sum(1 for g in grams if all_grams[g] >= 2)
+        assert got[i] == (len(grams), n_dup), (i, texts)
+
+
+@given(st.lists(_text, min_size=1, max_size=10))
+@settings(max_examples=10, deadline=None)
+def test_repetition_stats_property(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    t = tokens("text")
+    got = {
+        r.doc_id: (r.d, r.t2)
+        for r in df.select(
+            "doc_id",
+            dup_shingle_fraction(t, 3).alias("d"),
+            top_shingle_fraction(t, 2).alias("t2"),
+        ).collect()
+    }
+    for i, text in enumerate(texts):
+        ref_d, _ = _ref_shingle_stats(text, 3)
+        _, ref_t = _ref_shingle_stats(text, 2)
+        assert got[i][0] == pytest.approx(ref_d), (i, text)
+        assert got[i][1] == pytest.approx(ref_t), (i, text)
