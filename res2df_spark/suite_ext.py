@@ -3368,3 +3368,77 @@ def decayed_user_value(spark, sf_dir):
             F.round(F.sum(F.col("value") * w), 4).alias("decayed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed round-4 curation chain: quality gate → per-source cap →
+# weighted sample (every stage individually oracle-checked above; this
+# query checks their COMPOSITION end-to-end)
+# ---------------------------------------------------------------------------
+
+_PIPELINE2_SQL = f"""
+    WITH t AS (SELECT doc_id, source, n_chars, text, {_TOKS_SQL} AS toks
+               FROM documents),
+    m AS (SELECT doc_id, source, n_chars,
+                 len(toks) AS n,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                           / len(toks) END AS mean_len,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                           / len(toks) END AS dup_frac,
+                 CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                                AS DOUBLE) / length(text) END AS alpha
+          FROM t),
+    kept AS (SELECT doc_id, source, n_chars FROM m
+             WHERE NOT (n < 30 OR n > 100000)
+               AND NOT (mean_len IS NULL OR mean_len < 2.0 OR mean_len > 10.0)
+               AND NOT coalesce(dup_frac > 0.6, FALSE)
+               AND NOT (alpha IS NULL OR alpha < 0.6)),
+    capped AS (SELECT doc_id, source, n_chars FROM (
+                   SELECT kept.*, row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn FROM kept) WHERE rn <= 15),
+    u AS (SELECT doc_id, source, n_chars,
+                 (('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  + 0.5) / 4294967296.0 AS u
+          FROM capped)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM u
+    ORDER BY CASE WHEN n_chars > 0 THEN -ln(u) / n_chars ELSE 9e99 END ASC,
+             doc_id ASC
+    LIMIT 40
+"""
+
+
+@_q("curation_pipeline2", _PIPELINE2_SQL)
+def curation_pipeline2(spark, sf_dir):
+    """The round-4 curation chain composed end-to-end: Gopher-rule
+    quality gate (integer-exact metrics) → per-source frequency cap
+    (hash-priority row_number) → Efraimidis–Spirakis weighted sample of
+    40 docs by n_chars.  Membership at every stage is hash-derived, so
+    DuckDB re-derives the exact final sample; plan-wise the chain is
+    map-only → one source-key exchange → TakeOrdered."""
+    from res2df_spark.llm.curation import (
+        cap_per_group,
+        quality_filter,
+        weighted_sample,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    kept = (
+        quality_filter(
+            docs,
+            min_tokens=30,
+            max_dup_token_frac=0.6,
+            min_alpha_ratio=0.6,
+            passthrough=("source", "n_chars"),
+        )
+        .filter(F.col("keep"))
+        .select("doc_id", "source", "n_chars")
+    )
+    capped = cap_per_group(kept, "source", 15)
+    return weighted_sample(capped, "n_chars", 40).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
