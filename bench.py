@@ -56,6 +56,10 @@ HEADLINE = [
     "rep_ngram_stats",         # map-only repetition filters (round 4)
     "dup_spans",               # cross-corpus duplicate n-gram spans (round 4)
     "lm_quality",              # char-bigram LM scoring, map-only (round 4)
+    "rolling_window",          # RANGE frame trailing aggregates (round 4)
+    "funnel_conversion",       # sequential-pattern min-ts chain (round 4)
+    "retention_grid",          # cohort grid, user-key-only shuffles (round 4)
+    "curation_pipeline2",      # gate → cap → weighted sample composition (round 4)
 ]
 
 
