@@ -18,6 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -368,3 +369,83 @@ def curate_stream(docs, **thresholds):
     from res2df_spark.llm.curation import quality_filter
 
     return quality_filter(docs, **thresholds)
+
+
+def funnel_stream(
+    events: DataFrame,
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming funnel tracking with custom group state
+    (``applyInPandasWithState``): per user, the completion time of each
+    funnel step is carried as state; whenever a user ADVANCES a step
+    (an event of the next needed type, strictly after the previous
+    step's completion), one append-only row
+    ``(user, step, ts)`` is emitted — a funnel-advancement event log.
+
+    Equivalence to the batch form
+    (operators/eventanalytics.funnel_steps): the greedy in-order scan
+    picks the earliest valid completion of each next step, which IS the
+    conditional-min chain — so under AvailableNow replay the emitted
+    advancement set equals the batch per-user step times, and the
+    oracle is plain SQL.  State per user is ``len(steps)`` timestamps,
+    bounded regardless of event volume.
+
+    Cross-batch caveat (the standard stateful-streaming contract): an
+    event arriving in a LATER micro-batch than a same-step event with a
+    larger timestamp can produce a later advancement time than the
+    batch min — once a step is recorded it is never retracted.
+    Within-``watermark`` ordering makes the two agree; the suite oracle
+    replays a single-file source (one micro-batch), where the
+    equivalence is unconditional.
+    """
+    steps = list(steps)
+    out_schema = StructType(
+        [
+            events.schema[user_col],
+            StructField("step", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField(f"t_{i}", TimestampType()) for i in range(len(steps))]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        times = list(state.get) if state.exists else [None] * len(steps)
+        depth = sum(1 for t in times if t is not None)
+        advanced = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for ts, typ in zip(pdf[ts_col], pdf[type_col]):
+                if depth >= len(steps):
+                    break
+                if typ != steps[depth]:
+                    continue
+                if depth > 0 and not ts > times[depth - 1]:
+                    continue
+                times[depth] = ts
+                advanced.append((depth + 1, ts))
+                depth += 1
+        state.update(tuple(times))
+        if advanced:
+            out = pd.DataFrame(advanced, columns=["step", "ts"])
+            out.insert(0, user_col, key[0])
+            yield out
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

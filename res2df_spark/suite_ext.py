@@ -3442,3 +3442,37 @@ def curation_pipeline2(spark, sf_dir):
     return weighted_sample(capped, "n_chars", 40).select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+_STREAM_FUNNEL_SQL = """
+    WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+           JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id)
+    SELECT user_id, CAST(1 AS BIGINT) AS step, t0 AS ts FROM s0
+    UNION ALL SELECT user_id, CAST(2 AS BIGINT), t1 FROM s1
+    UNION ALL SELECT user_id, CAST(3 AS BIGINT), t2 FROM s2
+"""
+
+
+@_q("stream_funnel", _STREAM_FUNNEL_SQL)
+def stream_funnel(spark, sf_dir):
+    """Custom stateful streaming funnel (applyInPandasWithState): per
+    user the state is one timestamp per step; each advancement emits an
+    append-only (user, step, ts) event.  The greedy in-order scan
+    equals the batch conditional-min chain, so the replayed advancement
+    set matches plain SQL — a full oracle for a custom stateful
+    operator.  State is len(steps) timestamps per user, bounded
+    regardless of volume."""
+    from res2df_spark.streaming.ops import funnel_stream, run_available_now
+
+    src = Catalog(spark, sf_dir).stream_table("events")
+    out = funnel_stream(
+        src, "ts", "user_id", "event_type", ["view", "click", "purchase"],
+        watermark="90 days",
+    )
+    return run_available_now(out, name="stream_funnel", output_mode="append")
