@@ -565,3 +565,238 @@ def semantic_dedup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_1", "id_2", "centroid_id", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the memory side of
+# large-scale ANN: vectors compress to m small codes, distances are
+# looked up from per-query tables (ADC) instead of computed on floats.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Train per-subspace codebooks: split each vector into ``m``
+    contiguous subvectors and run the deterministic :func:`kmeans_fit`
+    on each slice.  Returns ``codebooks[m][k][d/m]`` as plain lists —
+    the model is m·k·(d/m) = k·d doubles, bounded like the IVF
+    centroids, so holding it driver-side is metadata-scale.
+
+    Scale: training cost is m independent k-means runs over the SAME
+    data (each one broadcast-assignment + k-key partial-agg shuffle per
+    iteration); at 100 TB train on a deterministic sample
+    (``llm.curation.deterministic_sample``) — codebooks converge on
+    samples long before full passes pay off.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                j * dsub + 1,
+                dsub,
+            ).alias("__sub"),
+        )
+        cents = kmeans_fit(sliced, k=k, iters=iters, id_col=id_col, vec_col="__sub")
+        rows = {r["centroid_id"]: list(r["centroid"]) for r in cents.collect()}
+        books.append([rows[c] for c in sorted(rows)])
+    return books
+
+
+def _with_codebook(df: DataFrame, codebooks) -> tuple[DataFrame, "F.Column"]:
+    """Attach the nested codebook as a ONE-ROW broadcast dimension (the
+    literal-free pattern: no m·k·d-child expression for the driver to
+    re-analyze per action)."""
+    spark = df.sparkSession
+    cb_df = spark.createDataFrame(
+        [(codebooks,)], "__cb: array<array<array<double>>>"
+    )
+    return df.crossJoin(F.broadcast(cb_df)), F.col("__cb")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to ``m`` centroid indices (argmin L2 per
+    subspace).  Entirely map-side: the codebook rides along as a
+    broadcast row; subvectors are materialized into a column first so
+    the argmin fold reads bound references, never re-evaluates the
+    slicing expression per element.
+    """
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    subs = F.array(*[F.slice(vecd, j * dsub + 1, dsub) for j in range(m)])
+    base = df.select(F.col(id_col), subs.alias("__subs"))
+    base, cb = _with_codebook(base, codebooks)
+
+    def argmin_code(j: int):
+        sub = F.col("__subs")[j]
+        cb_j = cb[j]
+
+        def step(acc, c):
+            cent = F.element_at(cb_j, c + 1)
+            d2 = F.aggregate(
+                F.sequence(F.lit(1), F.lit(dsub)),
+                F.lit(0.0),
+                lambda a, i: a
+                + F.pow(F.element_at(sub, i) - F.element_at(cent, i), 2),
+            )
+            better = (acc["best"] < 0) | (d2 < acc["best"])
+            return F.struct(
+                F.when(better, d2).otherwise(acc["best"]).alias("best"),
+                F.when(better, c).otherwise(acc["idx"]).alias("idx"),
+            )
+
+        init = F.struct(F.lit(-1.0).alias("best"), F.lit(-1).alias("idx"))
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)), init, step, lambda acc: acc["idx"]
+        )
+
+    codes = F.array(*[argmin_code(j) for j in range(m)])
+    return base.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query, precompute the m×|codebook|
+    table of squared L2 distances from the query's subvectors to every
+    centroid (driver-side numpy over the BOUNDED query set — the same
+    broadcast-queries contract as :func:`brute_force_topk`), then score
+    every encoded corpus vector by m table lookups and keep the k
+    smallest per query.
+
+    Scale: the corpus never shuffles — scoring is map-side lookups on
+    the broadcast tables; the only shuffle is the final per-query
+    ranking window over corpus·|queries| candidate rows, identical in
+    shape to brute-force but with O(m) integer lookups per pair instead
+    of O(d) float multiplies, over codes that are m bytes instead of
+    d floats (the memory win that lets 100 TB of vectors fit a
+    cluster's RAM).
+    """
+    q_rows = queries.select(query_id, query_vec).collect()
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q_ids = [r[0] for r in q_rows]
+    tables = []
+    for r in q_rows:
+        qv = [float(x) for x in r[1]]
+        t_j = []
+        for j in range(m):
+            sub = qv[j * dsub : (j + 1) * dsub]
+            t_j.append(
+                [
+                    sum((a - b) ** 2 for a, b in zip(sub, cent))
+                    for cent in codebooks[j]
+                ]
+            )
+        tables.append(t_j)
+    spark = codes.sparkSession
+    lut = spark.createDataFrame(
+        [(q_ids, tables)],
+        "__qids: array<long>, __tabs: array<array<array<double>>>",
+    )
+    crossed = codes.crossJoin(F.broadcast(lut)).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(len(q_ids) - 1))).alias("__qi"),
+        F.col("codes"),
+        F.col("__qids"),
+        F.col("__tabs"),
+    )
+    tab_q = F.col("__tabs")[F.col("__qi")]
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at(tab_q[j], F.element_at("codes", j + 1) + 1),
+    )
+    scored = crossed.select(
+        F.col("__qids")[F.col("__qi")].alias(query_id),
+        F.col(id_col),
+        dist.alias("pq_dist"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("pq_dist").asc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, id_col, F.round("pq_dist", 6).alias("pq_dist"), "rnk")
+    )
+
+
+def pq_topk_rerank(
+    queries: DataFrame,
+    codes: DataFrame,
+    vectors: DataFrame,
+    codebooks,
+    k: int = 10,
+    shortlist: int = 100,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN, the production PQ pattern: ADC over compressed
+    codes builds a per-query ``shortlist``, then ONLY the shortlisted
+    vectors are re-scored with exact L2 and the true top-``k`` of the
+    shortlist is returned.  Final recall equals the shortlist's
+    coverage of the exact neighbours — tune ``shortlist`` (not the
+    codebooks) to buy recall.
+
+    Scale: the shortlist is |queries|·``shortlist`` rows → BROADCAST
+    back against the float vectors, so the corpus is never shuffled for
+    the refine step; exact distances are computed for the shortlist
+    only, which is the entire point of compressing the corpus.
+    """
+    cand = pq_topk(
+        queries, codes, codebooks, k=shortlist,
+        query_id=query_id, query_vec=query_vec, id_col=id_col,
+    ).select(query_id, id_col)
+    qv = queries.select(
+        F.col(query_id), F.col(query_vec).alias("__qv")
+    )
+    joined = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qv), query_id)
+    )
+    dim = len(codebooks) * len(codebooks[0][0])
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.pow(
+            F.element_at(F.col(vec_col), i).cast("double")
+            - F.element_at("__qv", i),
+            2,
+        ),
+    )
+    scored = joined.select(
+        F.col(query_id), F.col(id_col), dist.alias("l2_dist")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("l2_dist").asc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, id_col, F.round("l2_dist", 6).alias("l2_dist"), "rnk")
+    )
