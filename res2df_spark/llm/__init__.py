@@ -8,4 +8,12 @@ from res2df_spark.llm.dedup import (  # noqa: F401
     minhash_lsh_candidates,
     simhash_signatures,
 )
-from res2df_spark.llm.similarity import brute_force_topk, lsh_bucketed_topk  # noqa: F401
+from res2df_spark.llm.similarity import (  # noqa: F401
+    brute_force_topk,
+    lsh_bucketed_topk,
+    pq_encode,
+    pq_topk,
+    pq_topk_rerank,
+    pq_train,
+)
+from res2df_spark.llm.lm import lm_quality_score, train_char_lm  # noqa: F401
