@@ -800,3 +800,123 @@ def pq_topk_rerank(
         .filter(F.col("rnk") <= k)
         .select(query_id, id_col, F.round("l2_dist", 6).alias("l2_dist"), "rnk")
     )
+
+
+def ivfpq_build(
+    df: DataFrame,
+    n_lists: int = 16,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build an IVF-PQ index (the FAISS-style production composition):
+    a coarse k-means partitions vectors into ``n_lists`` inverted lists,
+    and product quantization encodes each vector's RESIDUAL against its
+    coarse centroid (residuals are what PQ compresses well — they're
+    centered and small).
+
+    Returns ``(coarse, codebooks, index_df)`` where ``coarse`` is the
+    n_lists×d centroid table (driver-side, bounded), ``codebooks`` the
+    PQ model, and ``index_df`` the (id, list_id, codes) index — the
+    only corpus-sized artifact, at m small ints per vector.
+    """
+    cents = kmeans_fit(df, k=n_lists, iters=iters, id_col=id_col, vec_col=vec_col)
+    coarse_rows = {r["centroid_id"]: list(r["centroid"]) for r in cents.collect()}
+    coarse = [coarse_rows[c] for c in sorted(coarse_rows)]
+    assigned = assign_nearest(df, cents, id_col=id_col, vec_col=vec_col).select(
+        id_col, F.col("centroid_id").alias("list_id")
+    )
+    spark = df.sparkSession
+    coarse_df = spark.createDataFrame(
+        [(coarse,)], "__coarse: array<array<double>>"
+    )
+    dim = len(coarse[0])
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    with_res = (
+        df.select(F.col(id_col), vecd.alias("__v"))
+        .join(assigned, id_col)
+        .crossJoin(F.broadcast(coarse_df))
+        .select(
+            F.col(id_col),
+            "list_id",
+            F.zip_with(
+                F.col("__v"),
+                F.col("__coarse")[F.col("list_id")],
+                lambda a, b: a - b,
+            ).alias("__residual"),
+        )
+    )
+    books = pq_train(
+        with_res.select(id_col, "__residual"), m=m, k=k, iters=iters,
+        id_col=id_col, vec_col="__residual",
+    )
+    codes = pq_encode(with_res, books, id_col=id_col, vec_col="__residual")
+    index_df = codes.join(with_res.select(id_col, "list_id"), id_col)
+    return coarse, books, index_df
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    coarse,
+    codebooks,
+    index_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search: per query, probe the ``nprobe`` nearest coarse
+    lists and ADC-score ONLY vectors in those lists against per-(query,
+    list) residual tables.
+
+    The candidate reduction is the IVF win (nprobe/n_lists of the
+    corpus is scored per query instead of all of it); the tables are
+    computed driver-side over the BOUNDED query set and shipped as a
+    broadcast (query, list, table) relation, so the corpus side is one
+    broadcast equality join on list_id plus map-side lookups — never
+    shuffled.
+    """
+    q_rows = queries.select(query_id, query_vec).collect()
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    pair_rows = []
+    for r in q_rows:
+        qv = [float(x) for x in r[1]]
+        d_coarse = [
+            sum((a - b) ** 2 for a, b in zip(qv, cent)) for cent in coarse
+        ]
+        probed = sorted(range(len(coarse)), key=lambda i: (d_coarse[i], i))[:nprobe]
+        for li in probed:
+            resid = [a - b for a, b in zip(qv, coarse[li])]
+            tab = [
+                [
+                    sum(
+                        (a - b) ** 2
+                        for a, b in zip(resid[j * dsub : (j + 1) * dsub], cent)
+                    )
+                    for cent in codebooks[j]
+                ]
+                for j in range(m)
+            ]
+            pair_rows.append((r[0], li, tab))
+    spark = index_df.sparkSession
+    pairs = spark.createDataFrame(
+        pair_rows, f"{query_id} long, list_id int, __tab array<array<double>>"
+    )
+    joined = index_df.join(F.broadcast(pairs), "list_id")
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.col("__tab")[j], F.element_at("codes", j + 1) + 1),
+    )
+    scored = joined.select(F.col(query_id), F.col(id_col), dist.alias("pq_dist"))
+    w = Window.partitionBy(query_id).orderBy(F.col("pq_dist").asc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, id_col, F.round("pq_dist", 6).alias("pq_dist"), "rnk")
+    )

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from res2df_spark.catalog import Catalog
-from res2df_spark.llm.similarity import pq_encode, pq_topk, pq_train
+from res2df_spark.llm.similarity import ivfpq_build, pq_encode, pq_topk, pq_train
 
 SF = "/root/testdata/sf0.001"
 
@@ -96,3 +96,65 @@ def test_adc_distance_matches_table_reconstruction(spark, pq):
         sub = [float(x) for x in r0.embedding[j * dsub : (j + 1) * dsub]]
         want += sum((a - b) ** 2 for a, b in zip(sub, books[j][c]))
     assert row.pq_dist == pytest.approx(round(want, 6), abs=1e-6)
+
+
+@pytest.fixture(scope="module")
+def ivfpq(spark):
+    embs = Catalog(spark, SF).embeddings
+    coarse, books, idx = ivfpq_build(embs, n_lists=8, m=4, k=8, iters=2)
+    return embs, coarse, books, idx.localCheckpoint()
+
+
+def test_ivfpq_index_shape(ivfpq):
+    embs, coarse, books, idx = ivfpq
+    assert len(coarse) == 8 and len(coarse[0]) == 64
+    rows = idx.collect()
+    assert len(rows) == embs.count()
+    assert all(0 <= r.list_id < 8 and len(r.codes) == 4 for r in rows)
+
+
+def test_ivfpq_probes_reduce_candidates(spark, ivfpq):
+    embs, coarse, books, idx = ivfpq
+    from res2df_spark.llm.similarity import ivfpq_topk
+
+    r0 = embs.orderBy("vec_id").first()
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in r0.embedding])],
+        "query_id long, query_vec array<double>",
+    )
+    full = ivfpq_topk(queries, coarse, books, idx, k=10_000, nprobe=8)
+    probed = ivfpq_topk(queries, coarse, books, idx, k=10_000, nprobe=2)
+    n_full, n_probed = full.count(), probed.count()
+    assert n_full == embs.count()  # all lists probed = whole corpus scored
+    assert n_probed < n_full  # fewer probes = strictly fewer candidates
+    # the query's own vector lives in its nearest list: rank 1 either way
+    assert probed.filter("vec_id = 0 AND rnk = 1").count() == 1
+
+
+def test_ivfpq_recall_beats_chance_and_tracks_probes(spark, ivfpq):
+    embs, coarse, books, idx = ivfpq
+    from res2df_spark.llm.similarity import ivfpq_topk
+
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in embs.collect()}
+    ids = np.array(sorted(data))
+    mat = np.stack([data[i] for i in ids])
+    q_ids = sorted(data)[:10]
+    queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in data[i]]) for i in q_ids],
+        "query_id long, query_vec array<double>",
+    )
+
+    def recall(nprobe):
+        approx = {}
+        for r in ivfpq_topk(queries, coarse, books, idx, k=10, nprobe=nprobe).collect():
+            approx.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = 0
+        for qid in q_ids:
+            d = ((mat - data[qid]) ** 2).sum(axis=1)
+            exact = set(ids[np.argsort(d, kind="stable")[:10]].tolist())
+            hits += len(exact & approx.get(qid, set()))
+        return hits / (10 * len(q_ids))
+
+    r4, r8 = recall(4), recall(8)
+    assert r4 >= 0.2, r4  # chance is 2%
+    assert r8 >= r4  # probing every list can only help
