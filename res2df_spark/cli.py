@@ -365,5 +365,157 @@ def csv2res_main(argv: list[str] | None = None) -> int:
     return 0
 
 
+# ---------------------------------------------------------------------------
+# Training-data curation CLI — the LLM-pipeline counterpart of res2csv:
+# parquet corpus in → curated parquet (or CSV) out, one subcommand per
+# pipeline stage, all composable by chaining invocations.
+# ---------------------------------------------------------------------------
+
+_CURATE_MODULES = {
+    "quality": "Gopher/C4 quality gate: metrics + reject bitmask per doc",
+    "dedup-exact": "drop exact duplicate texts (md5 keep-lowest-id)",
+    "near-dup": "MinHash-LSH near-duplicate candidate pairs",
+    "sample": "deterministic hash sample (--fraction) or weighted top-k (--weight-col/--k)",
+    "split": "train/val/test hash split (adds a split column)",
+    "cap": "per-group frequency cap (--group-col/--cap)",
+    "scrub": "PII scrub (emails/phones/etc.) with audit counts",
+    "chunk": "overlapping token-window chunking",
+    "lm-score": "char-bigram LM quality score vs a trusted slice (--train-source)",
+    "stats": "per-source length percentiles (p50/p90/p99 tokens)",
+}
+
+
+def get_curate_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="res2df-curate-spark",
+        description="Training-data curation over a parquet documents corpus",
+    )
+    sub = p.add_subparsers(dest="op", required=True)
+    for name, help_ in _CURATE_MODULES.items():
+        s = sub.add_parser(name, help=help_)
+        s.add_argument("input", help="input parquet path")
+        s.add_argument("-o", "--output", required=True, help="output parquet path")
+        s.add_argument("--id-col", default="doc_id")
+        s.add_argument("--text-col", default="text")
+        if name == "quality":
+            s.add_argument("--min-tokens", type=int, default=50)
+            s.add_argument("--keep-only", action="store_true",
+                           help="write only passing docs instead of the audit table")
+        elif name == "near-dup":
+            s.add_argument("--num-hashes", type=int, default=16)
+            s.add_argument("--band-size", type=int, default=4)
+            s.add_argument("--shingle-k", type=int, default=3)
+            s.add_argument("--max-bucket-size", type=int, default=None)
+        elif name == "sample":
+            s.add_argument("--fraction", type=float, default=None)
+            s.add_argument("--weight-col", default=None)
+            s.add_argument("--k", type=int, default=None)
+        elif name == "split":
+            s.add_argument("--weights", default="0.98,0.01,0.01",
+                           help="comma-separated train,val,test weights "
+                                "(resolved to md5 bucket boundaries, 1/256 "
+                                "granularity)")
+        elif name == "cap":
+            s.add_argument("--group-col", default="source")
+            s.add_argument("--cap", type=int, required=True)
+        elif name == "chunk":
+            s.add_argument("--chunk-chars", type=int, default=2000)
+            s.add_argument("--overlap", type=int, default=200)
+        elif name == "lm-score":
+            s.add_argument("--train-source", required=True,
+                           help="value of the source column to train on")
+    return p
+
+
+def curate_main(argv: list[str] | None = None) -> int:
+    from res2df_spark.llm import curation
+
+    args = get_curate_parser().parse_args(argv)
+    spark = get_spark(f"curate-{args.op}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.input)
+    idc, txt = args.id_col, args.text_col
+
+    if args.op == "quality":
+        out = curation.quality_filter(
+            df, id_col=idc, text_col=txt, min_tokens=args.min_tokens,
+            passthrough=[c for c in df.columns if c != idc],
+        )
+        if args.keep_only:
+            out = out.filter("keep").drop(
+                "n_tokens", "mean_token_len", "dup_token_frac",
+                "alpha_ratio", "reject_mask", "keep",
+            )
+    elif args.op == "dedup-exact":
+        from pyspark.sql import Window, functions as F
+
+        w = Window.partitionBy(F.md5(F.col(txt))).orderBy(idc)
+        out = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1").drop("__rn")
+        )
+    elif args.op == "near-dup":
+        from res2df_spark.llm.dedup import minhash_lsh_candidates
+
+        out = minhash_lsh_candidates(
+            df, num_hashes=args.num_hashes, band_size=args.band_size,
+            shingle_k=args.shingle_k, id_col=idc, text_col=txt,
+            max_bucket_size=args.max_bucket_size,
+        )
+    elif args.op == "sample":
+        if args.weight_col is not None:
+            if args.k is None:
+                raise SystemExit("--weight-col requires --k")
+            out = curation.weighted_sample(df, args.weight_col, args.k, id_col=idc)
+        elif args.fraction is not None:
+            out = curation.deterministic_sample(df, id_col=idc, fraction=args.fraction)
+        else:
+            raise SystemExit("sample needs --fraction or --weight-col/--k")
+    elif args.op == "split":
+        w_train, w_val, _ = (float(x) for x in args.weights.split(","))
+        train = int(round(256 * w_train))
+        val = train + int(round(256 * w_val))
+        out = curation.hash_split(df, id_col=idc, train=train, val=val)
+    elif args.op == "cap":
+        out = curation.cap_per_group(df, args.group_col, args.cap, id_col=idc)
+    elif args.op == "scrub":
+        out = curation.pii_scrub(df, id_col=idc, text_col=txt)
+    elif args.op == "chunk":
+        out = curation.doc_chunks(
+            df, chunk_chars=args.chunk_chars, overlap=args.overlap,
+            id_col=idc, text_col=txt,
+        )
+    elif args.op == "lm-score":
+        from pyspark.sql import functions as F
+
+        from res2df_spark.llm.lm import lm_quality_score, train_char_lm
+
+        model = train_char_lm(
+            df.filter(F.col("source") == args.train_source), text_col=txt
+        )
+        out = lm_quality_score(df, model, id_col=idc, text_col=txt)
+    elif args.op == "stats":
+        from pyspark.sql import functions as F
+
+        from res2df_spark.functions.textan import token_count
+
+        n_tok = token_count(F.col(txt)).cast("double")
+        out = (
+            df.select("source", n_tok.alias("n_tok"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.round(F.percentile("n_tok", 0.5), 4).alias("p50_tokens"),
+                F.round(F.percentile("n_tok", 0.9), 4).alias("p90_tokens"),
+                F.round(F.percentile("n_tok", 0.99), 4).alias("p99_tokens"),
+            )
+        )
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown op {args.op}")
+
+    out.write.mode("overwrite").parquet(args.output)
+    return 0
+
+
 if __name__ == "__main__":
     raise SystemExit(main())

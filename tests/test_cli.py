@@ -302,3 +302,31 @@ def test_gruptree_startdate_cli(spark, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "2001-02-03" in out
+
+
+def test_curate_cli_quality_sample_stats(spark, tmp_path):
+    """The curation CLI: parquet in → parquet out, stages composable by
+    chaining invocations (quality --keep-only feeds sample)."""
+    import duckdb
+
+    from res2df_spark.cli import curate_main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    kept = str(tmp_path / "kept")
+    assert curate_main(
+        ["quality", src, "-o", kept, "--min-tokens", "25", "--keep-only"]
+    ) == 0
+    n_kept = duckdb.sql(f"SELECT count(*) FROM '{kept}/*.parquet'").fetchone()[0]
+    assert 0 < n_kept <= 500
+    # chained stage reads the previous stage's output
+    sampled = str(tmp_path / "sampled")
+    assert curate_main(
+        ["sample", kept, "-o", sampled, "--weight-col", "n_chars", "--k", "10"]
+    ) == 0
+    assert duckdb.sql(
+        f"SELECT count(*) FROM '{sampled}/*.parquet'"
+    ).fetchone()[0] == 10
+    stats = str(tmp_path / "stats")
+    assert curate_main(["stats", src, "-o", stats]) == 0
+    cols = duckdb.sql(f"SELECT * FROM '{stats}/*.parquet' LIMIT 1").df().columns
+    assert {"source", "n_docs", "p50_tokens"} <= set(cols)
