@@ -3476,3 +3476,53 @@ def stream_funnel(spark, sf_dir):
         watermark="90 days",
     )
     return run_available_now(out, name="stream_funnel", output_mode="append")
+
+
+_STREAM_SLIDING_SQL = """
+    WITH g AS (
+        SELECT e.event_type, e.value,
+               TIMESTAMP '1970-01-01 00:00:00'
+                   + ((CAST(floor(epoch(e.ts) / 900) AS BIGINT) - s.k) * 900)
+                     * INTERVAL 1 SECOND AS window_start
+        FROM events e, generate_series(0, 3) s(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM g
+    GROUP BY window_start, event_type
+"""
+
+
+@_q("stream_sliding_rollup", _STREAM_SLIDING_SQL)
+def stream_sliding_rollup(spark, sf_dir):
+    """Sliding-window streaming rollup: 1-hour windows sliding every
+    15 minutes (each event lands in 4 overlapping windows), per
+    event_type, replayed AvailableNow.  The oracle re-derives the
+    window assignment arithmetically: an event at t belongs to windows
+    starting at floor(t/slide)·slide − k·slide for k in 0..3 — exactly
+    Spark's epoch-aligned sliding-window definition."""
+    from res2df_spark.streaming.ops import run_available_now
+
+    src = Catalog(spark, sf_dir).stream_table("events")
+    agg = (
+        src.withWatermark("ts", "90 days")
+        .groupBy(
+            F.window(F.col("ts"), "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "sum_value",
+        )
+    )
+    return run_available_now(agg, name="stream_sliding_rollup")
