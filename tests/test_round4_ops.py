@@ -222,3 +222,22 @@ def test_repetition_stats_property(spark, texts):
         _, ref_t = _ref_shingle_stats(text, 2)
         assert got[i][0] == pytest.approx(ref_d), (i, text)
         assert got[i][1] == pytest.approx(ref_t), (i, text)
+
+
+@given(st.lists(_text, min_size=1, max_size=10))
+@settings(max_examples=10, deadline=None)
+def test_with_repetition_stats_matches_expression_form(spark, texts):
+    from res2df_spark.functions.textan import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: (r.dup_frac, r.top_frac)
+        for r in with_repetition_stats(df).collect()
+    }
+    for i, text in enumerate(texts):
+        ref_d, _ = _ref_shingle_stats(text, 3)
+        _, ref_t = _ref_shingle_stats(text, 2)
+        assert got[i][0] == pytest.approx(ref_d), (i, text)
+        assert got[i][1] == pytest.approx(ref_t), (i, text)
