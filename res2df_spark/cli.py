@@ -382,6 +382,7 @@ _CURATE_MODULES = {
     "chunk": "overlapping token-window chunking",
     "lm-score": "char-bigram LM quality score vs a trusted slice (--train-source)",
     "stats": "per-source length percentiles (p50/p90/p99 tokens)",
+    "export-tar": "WebDataset-style sharded tar export (text or binary payloads)",
 }
 
 
@@ -424,6 +425,13 @@ def get_curate_parser() -> argparse.ArgumentParser:
         elif name == "lm-score":
             s.add_argument("--train-source", required=True,
                            help="value of the source column to train on")
+        elif name == "export-tar":
+            s.add_argument("--n-shards", type=int, default=8)
+            s.add_argument("--payload-col", default=None,
+                           help="binary payload column; defaults to utf-8 "
+                                "encoding of --text-col")
+            s.add_argument("--meta-cols", default="",
+                           help="comma-separated metadata sidecar columns")
     return p
 
 
@@ -494,6 +502,23 @@ def curate_main(argv: list[str] | None = None) -> int:
             df.filter(F.col("source") == args.train_source), text_col=txt
         )
         out = lm_quality_score(df, model, id_col=idc, text_col=txt)
+    elif args.op == "export-tar":
+        from pyspark.sql import functions as F
+
+        from res2df_spark.llm.multimodal import export_tar_shards
+
+        if args.payload_col is None:
+            df = df.withColumn("__payload", F.encode(F.col(txt), "utf-8"))
+            payload = "__payload"
+        else:
+            payload = args.payload_col
+        meta = [c for c in args.meta_cols.split(",") if c]
+        out = export_tar_shards(
+            df, args.output, n_shards=args.n_shards,
+            id_col=idc, payload_col=payload, meta_cols=meta,
+        )
+        out.orderBy("shard").show(truncate=False)
+        return 0
     elif args.op == "stats":
         from pyspark.sql import functions as F
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from res2df_spark.streaming.ops import status_change_stream, windowed_rollup_stream
 
@@ -253,3 +254,37 @@ def test_near_dup_verdicts(spark, tmp_path):
     # same files yields identical verdicts
     got2 = {r.doc_id: (r.bands_won, r.is_near_dup_candidate) for r in replay().collect()}
     assert got2 == got
+
+
+def test_dedup_watermark_contract_across_batches(spark, tmp_path):
+    """Pin the dropDuplicatesWithinWatermark contract the docstrings
+    document: a duplicate arriving WITHIN the watermark in a later
+    micro-batch is suppressed; one arriving beyond it may legitimately
+    re-emit (the documented streaming-dedup approximation)."""
+    import datetime as dt
+
+    from res2df_spark.streaming.ops import dedup_stream, run_available_now
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows1 = [(1, "k1", t0), (2, "k2", t0 + dt.timedelta(minutes=1))]
+    # batch 2: k1 again within the watermark; k2 again far in the future
+    # (watermark has advanced past the original k2 by then)
+    rows2 = [
+        (3, "k1", t0 + dt.timedelta(minutes=2)),
+        (4, "k2", t0 + dt.timedelta(days=30)),
+    ]
+    schema = "event_id long, k string, ts timestamp"
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(path)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(path)
+    src = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    out = run_available_now(
+        dedup_stream(src, ["k"], "ts", watermark="10 minutes"),
+        name="t_dedup_wm",
+        output_mode="append",
+    )
+    counts = {r.k: r.n for r in out.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert counts["k1"] == 1  # within-watermark duplicate suppressed
+    assert 1 <= counts["k2"] <= 2  # beyond-watermark repeat MAY re-emit
