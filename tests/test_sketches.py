@@ -85,3 +85,41 @@ class TestHeavyHittersMG:
         # regardless of vocabulary size (here vocab >> k)
         out = heavy_hitters_mg(df, k=5).collect()
         assert len(out) <= 5 * 6  # k per partition is the hard cap
+
+
+def test_approx_percentile_merges_and_bounds(spark):
+    """approx_percentile is the mergeable quantile sketch: partial
+    sketches combine across partitions, and the estimate respects the
+    requested accuracy bound."""
+    df = spark.range(100_000).select((F.col("id") % 10_000).alias("v"))
+    est = df.repartition(16).agg(
+        F.approx_percentile("v", F.lit(0.5), F.lit(1000)).alias("p50"),
+        F.approx_percentile("v", F.lit(0.99), F.lit(1000)).alias("p99"),
+    ).collect()[0]
+    # accuracy=1000 -> rank error <= n/1000 = 100 ranks = 10 values here
+    assert abs(est.p50 - 5000) <= 100
+    assert abs(est.p99 - 9900) <= 100
+
+
+def test_pq_incremental_indexing(spark):
+    """New vectors encode against a FIXED codebook map-side and union
+    into the existing index — the incremental-ingest contract (codebooks
+    are retrained on drift, not per batch)."""
+    from res2df_spark.catalog import Catalog
+    from res2df_spark.llm.similarity import pq_encode, pq_train
+
+    embs = Catalog(spark, "/root/testdata/sf0.001").embeddings
+    old = embs.filter("vec_id < 250")
+    new = embs.filter("vec_id >= 250")
+    books = pq_train(old, m=4, k=8, iters=2)
+    index = pq_encode(old, books)
+    increment = pq_encode(new, books)
+    full = index.unionByName(increment)
+    assert full.count() == embs.count()
+    # codes for the OLD vectors are unchanged by the increment
+    before = {r.vec_id: list(r.codes) for r in index.collect()}
+    after = {
+        r.vec_id: list(r.codes)
+        for r in full.filter("vec_id < 250").collect()
+    }
+    assert before == after
