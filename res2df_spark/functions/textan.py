@@ -177,12 +177,7 @@ def with_repetition_stats(
     shuffles.
     """
     toks = tokens(F.col(text_col))
-    sh3 = shingles(toks, dup_k)
-    n3 = F.size(sh3)
-    dup = F.when(
-        n3 > 0, (n3 - F.size(F.array_distinct(sh3))).cast("double") / n3
-    ).otherwise(F.lit(0.0))
-    step1 = df.withColumn(dup_name, dup).withColumn(
+    step1 = df.withColumn(dup_name, dup_shingle_fraction(toks, dup_k)).withColumn(
         "__sh_sorted", F.array_sort(shingles(toks, top_k))
     )
     sh = F.col("__sh_sorted")

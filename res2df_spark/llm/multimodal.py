@@ -212,17 +212,23 @@ def export_tar_shards(
     """
     import json as _json
 
-    from res2df_spark.llm.curation import md5_bucket256
-
+    # full-width (32-bit) hash before the modulo: the 256-bucket helper
+    # would cap the export at 256 distinct shards and skew sizes whenever
+    # 256 % n_shards != 0 — real exports want thousands of shards
+    shard32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("__id"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
     keyed = (
         df.select(
             F.col(id_col).cast("string").alias("__id"),
             F.col(payload_col).alias("__payload"),
             *[F.col(c) for c in meta_cols],
         )
-        .withColumn(
-            "__shard", (md5_bucket256(F.col("__id"), salt) % n_shards).cast("int")
-        )
+        .withColumn("__shard", (shard32 % n_shards).cast("int"))
         .repartition(n_shards, "__shard")
         .sortWithinPartitions("__shard", "__id")
     )

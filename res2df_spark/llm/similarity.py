@@ -699,6 +699,13 @@ def pq_topk(
     q_rows = queries.select(query_id, query_vec).collect()
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    spark = codes.sparkSession
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    if not q_rows:
+        # sequence(0, -1) DESCENDS in Spark; guard the empty query set
+        return spark.createDataFrame(
+            [], f"{query_id} {qid_type}, {id_col} long, pq_dist double, rnk int"
+        )
     q_ids = [r[0] for r in q_rows]
     tables = []
     for r in q_rows:
@@ -713,10 +720,9 @@ def pq_topk(
                 ]
             )
         tables.append(t_j)
-    spark = codes.sparkSession
     lut = spark.createDataFrame(
         [(q_ids, tables)],
-        "__qids: array<long>, __tabs: array<array<array<double>>>",
+        f"__qids: array<{qid_type}>, __tabs: array<array<array<double>>>",
     )
     crossed = codes.crossJoin(F.broadcast(lut)).select(
         F.col(id_col),
@@ -847,6 +853,11 @@ def ivfpq_build(
                 lambda a, b: a - b,
             ).alias("__residual"),
         )
+        # materialize once: pq_train re-reads this m·(iters+1) times (one
+        # per k-means assignment round per subspace) plus pq_encode and
+        # the index join — without the checkpoint the corpus-wide
+        # assignment join re-executes on every read
+        .localCheckpoint()
     )
     books = pq_train(
         with_res.select(id_col, "__residual"), m=m, k=k, iters=iters,
@@ -903,8 +914,10 @@ def ivfpq_topk(
             ]
             pair_rows.append((r[0], li, tab))
     spark = index_df.sparkSession
+    qid_type = queries.schema[query_id].dataType.simpleString()
     pairs = spark.createDataFrame(
-        pair_rows, f"{query_id} long, list_id int, __tab array<array<double>>"
+        pair_rows,
+        f"{query_id} {qid_type}, list_id int, __tab array<array<double>>",
     )
     joined = index_df.join(F.broadcast(pairs), "list_id")
     dist = F.aggregate(

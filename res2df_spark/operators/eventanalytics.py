@@ -105,18 +105,25 @@ def funnel_counts(
     steps: Sequence[str],
 ) -> DataFrame:
     """Funnel rollup: (step, step_name, n_users) — how many users
-    reached each step in order.  The small final aggregate over
-    :func:`funnel_steps`."""
+    reached each step in order.  ONE aggregation over
+    :func:`funnel_steps` (``count(t_i)`` counts non-null step times),
+    then the single counts row explodes to per-step rows — the whole
+    funnel chain executes once, not once per step."""
     per_user = funnel_steps(events, ts_col, user_col, type_col, steps)
-    rows = None
-    for i, name in enumerate(steps):
-        one = per_user.filter(F.col(f"t_{i}").isNotNull()).agg(
-            F.lit(i + 1).cast("long").alias("step"),
-            F.lit(name).alias("step_name"),
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-        )
-        rows = one if rows is None else rows.unionByName(one)
-    return rows
+    counts = per_user.agg(
+        *[F.count(F.col(f"t_{i}")).alias(f"c_{i}") for i in range(len(steps))]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col(f"c_{i}").cast("long").alias("n_users"),
+            )
+            for i, name in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")
 
 
 def retention_cohorts(

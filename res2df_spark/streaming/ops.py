@@ -56,8 +56,13 @@ def status_change_stream(
 
         last = state.get[0] if state.exists else None
         changes = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col, kind="mergesort")
+        # concat before the sort: a group's micro-batch may span several
+        # Arrow chunks, and chunk-local sorting would scan out of order
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ts_col, kind="mergesort"
+            )
             for ts, st in zip(pdf[ts_col], pdf[state_col]):
                 if st != last:
                     changes.append((ts, st))
@@ -420,8 +425,14 @@ def funnel_stream(
         times = list(state.get) if state.exists else [None] * len(steps)
         depth = sum(1 for t in times if t is not None)
         advanced = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col, kind="mergesort")
+        # a group's rows can arrive as SEVERAL Arrow chunks; sorting each
+        # chunk independently would scan events out of time order, so
+        # concatenate the whole micro-batch before the single sort
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ts_col, kind="mergesort"
+            )
             for ts, typ in zip(pdf[ts_col], pdf[type_col]):
                 if depth >= len(steps):
                     break

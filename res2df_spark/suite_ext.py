@@ -2985,7 +2985,7 @@ def sessionize_events(spark, sf_dir):
 
 _STREAM_SESSIONS_SQL = f"""
     WITH e AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
                             >= {_SESSION_GAP_S * 1_000_000}
@@ -2995,7 +2995,7 @@ _STREAM_SESSIONS_SQL = f"""
     ),
     s AS (
         SELECT user_id, ts, value,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM e
     )
