@@ -3524,3 +3524,36 @@ def stream_sliding_rollup(spark, sf_dir):
         )
     )
     return run_available_now(agg, name="stream_sliding_rollup")
+
+
+_PROFILE_SQL = """
+    SELECT 'doc_id' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           min(CAST(doc_id AS VARCHAR)) AS min_str,
+           max(CAST(doc_id AS VARCHAR)) AS max_str
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           min(source), max(source)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           min(lang), max(lang)
+    FROM documents
+"""
+
+
+@_q("table_profile", _PROFILE_SQL)
+def table_profile(spark, sf_dir):
+    """ANALYZE-style column profile (operators/profile.profile_table):
+    null/distinct/min/max per column in ONE aggregation pass over the
+    table; the oracle recomputes each column independently in SQL."""
+    from res2df_spark.operators.profile import profile_table
+
+    docs = Catalog(spark, sf_dir).documents
+    return profile_table(docs, ["doc_id", "source", "lang"])

@@ -241,3 +241,20 @@ def test_with_repetition_stats_matches_expression_form(spark, texts):
         _, ref_t = _ref_shingle_stats(text, 2)
         assert got[i][0] == pytest.approx(ref_d), (i, text)
         assert got[i][1] == pytest.approx(ref_t), (i, text)
+
+
+def test_profile_table_generic(spark):
+    from res2df_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "a", 6.0), (None, None, None)],
+        "id int, s string, v double",
+    )
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert got["id"].n_rows == 4 and got["id"].n_nulls == 1
+    assert got["id"].n_distinct == 3
+    assert got["s"].n_distinct == 2 and got["s"].min_str == "a"
+    assert got["v"].n_nulls == 2
+    # approximate path returns the same shape
+    approx = {r.column: r.n_distinct for r in profile_table(df, exact_distinct=False).collect()}
+    assert set(approx) == {"id", "s", "v"}
