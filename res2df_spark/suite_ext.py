@@ -3557,3 +3557,37 @@ def table_profile(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return profile_table(docs, ["doc_id", "source", "lang"])
+
+
+_LINKAGE_SQL = """
+    WITH s AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+               FROM customer)
+    SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+           a.c_name AS name1, b.c_name AS name2,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM s a JOIN s b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+@_q("record_linkage", _LINKAGE_SQL)
+def record_linkage(spark, sf_dir):
+    """Blocked fuzzy record linkage (operators/linkage.py): customers
+    sharing (nation, market segment) compared by name edit distance —
+    blocking confines the quadratic pair work to within-block pairs,
+    the structured-records sibling of LSH banding.  Levenshtein is the
+    same DP on both engines, so distances match exactly."""
+    from res2df_spark.operators.linkage import blocked_fuzzy_pairs
+
+    cust = Catalog(spark, sf_dir).customer
+    return blocked_fuzzy_pairs(
+        cust, "c_custkey", "c_name",
+        ["c_nationkey", "c_mktsegment"], max_edit_distance=2,
+    ).select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"),
+        "name1", "name2", "edit_dist",
+    )

@@ -258,3 +258,23 @@ def test_profile_table_generic(spark):
     # approximate path returns the same shape
     approx = {r.column: r.n_distinct for r in profile_table(df, exact_distinct=False).collect()}
     assert set(approx) == {"id", "s", "v"}
+
+
+def test_blocked_fuzzy_pairs_semantics(spark):
+    from res2df_spark.operators.linkage import blocked_fuzzy_pairs
+
+    rows = [
+        (1, "smith john", "x"), (2, "smith jonh", "x"),  # dist 2, same block
+        (3, "smith john", "y"),                          # same name, other block
+        (4, "totally different", "x"),
+        (5, "smith john", "x"),                          # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "id int, name string, blk string")
+    got = {
+        (r.id1, r.id2): r.edit_dist
+        for r in blocked_fuzzy_pairs(df, "id", "name", ["blk"], 2).collect()
+    }
+    assert got == {(1, 2): 2, (1, 5): 0, (2, 5): 2}
+    # block-size cap drops the degenerate block entirely
+    capped = blocked_fuzzy_pairs(df, "id", "name", ["blk"], 2, max_block_size=3)
+    assert capped.count() == 0  # block 'x' has 4 members > cap
