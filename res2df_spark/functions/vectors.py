@@ -28,4 +28,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity with a zero-norm guard: a direction-less
+    (all-zero) vector has similarity 0.0 to everything — without the
+    guard, ANSI mode (this session's default) ABORTS the whole job on
+    the division by zero, so one empty-document embedding would kill a
+    corpus-scale ANN/dedup run."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))

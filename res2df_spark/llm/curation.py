@@ -125,13 +125,15 @@ def pii_scrub(
     curation pipelines tune the pattern set; the operator shape (count →
     replace → audit columns) is the stable part."""
     text = F.col(text_col)
-    scrub = F.regexp_replace(
-        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), LONGNUM_RE, "<NUM>"
-    )
+    no_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    scrub = F.regexp_replace(no_email, LONGNUM_RE, "<NUM>")
     return df.select(
         id_col,
         F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(text, F.lit(LONGNUM_RE)).cast("long").alias("n_longnums"),
+        # counted on the email-scrubbed text: digit runs inside an email
+        # were consumed by <EMAIL> and are NOT <NUM> redactions — the
+        # audit count must equal the substitutions actually performed
+        F.regexp_count(no_email, F.lit(LONGNUM_RE)).cast("long").alias("n_longnums"),
         scrub.alias("scrubbed"),
     )
 
@@ -410,14 +412,18 @@ def mixture_plan(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).alias("n_tokens"),
     )
-    share = F.col("n_tokens") / F.col("__total")
+    share = F.when(
+        F.col("__total") > 0, F.col("n_tokens") / F.col("__total")
+    ).otherwise(F.lit(0.0))
     weight = F.pow(share, F.lit(alpha))
     totals = per_src.agg(F.sum("n_tokens").alias("__total"))
     weighted = per_src.crossJoin(F.broadcast(totals)).withColumn(
         "__w", weight
     )
     wsum = weighted.agg(F.sum("__w").alias("__wsum"))
-    target = F.col("__w") / F.col("__wsum")
+    target = F.when(
+        F.col("__wsum") > 0, F.col("__w") / F.col("__wsum")
+    ).otherwise(F.lit(0.0))
     return (
         weighted.crossJoin(F.broadcast(wsum))
         .select(
@@ -522,7 +528,9 @@ def quality_filter(
     where undefined.
     """
     toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    # NULL text => size() is NULL under ANSI; a NULL document has ZERO
+    # tokens, so it must trip the length rule (bit 0) like any short doc
+    n = F.coalesce(F.size(toks), F.lit(0))
     mean_len = F.when(
         n > 0,
         F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / n,

@@ -90,17 +90,21 @@ def extract_features(
         import pandas as pd
 
         for pdf in batches:
-            payloads = pdf[payload_col]
-            feats = [dec(bytes(p)) for p in payloads]
+            # NULL payloads stay in the output (row count preserved)
+            # with NULL features — a missing binary must not abort the
+            # corpus-wide featurization job
+            payloads = [None if p is None else bytes(p) for p in pdf[payload_col]]
+            feats = [None if p is None else dec(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "content_md5": payloads.map(
-                        lambda p: hashlib.md5(bytes(p)).hexdigest()
-                    ),
-                    "feat_0": [f[0] for f in feats],
-                    "feat_1": [f[1] for f in feats],
+                    "n_bytes": [None if p is None else len(p) for p in payloads],
+                    "content_md5": [
+                        None if p is None else hashlib.md5(p).hexdigest()
+                        for p in payloads
+                    ],
+                    "feat_0": [None if f is None else f[0] for f in feats],
+                    "feat_1": [None if f is None else f[1] for f in feats],
                 }
             )
 

@@ -109,13 +109,33 @@ def lsh_bucketed_topk(
     cluster) would otherwise fan every query probing it into millions
     of candidates; dropping it trades bounded recall loss for a bounded
     join, the same contract as ``dedup.minhash_lsh_candidates``."""
-    dim = len(corpus.select(vec_col).first()[0])
+    first = corpus.select(vec_col).first()
+    spark = corpus.sparkSession
+    if first is None or first[0] is None:
+        # empty corpus (or leading NULL vector) yields an empty result,
+        # not a driver crash probing the dimensionality
+        qt = queries.schema[id_col].dataType.simpleString()
+        it = corpus.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"{query_id_col} {qt}, {id_col} {it}, cosine double, rank int"
+        )
+    dim = len(first[0])
+    # hyperplanes ride as a ONE-ROW broadcast dimension, not inline
+    # literals: dim × n_planes × n_tables literal children would be
+    # re-analyzed by the driver on every action (the giant-literal cost
+    # measured in llm/lm.py), twice — corpus and query side
+    planes = [
+        [_hyperplane(dim, t * n_planes + s) for s in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    planes_df = spark.createDataFrame(
+        [(planes,)], "__planes: array<array<array<double>>>"
+    )
 
     def bucket_bits(vc, table):
         bits = []
         for s in range(n_planes):
-            p = _hyperplane(dim, table * n_planes + s)
-            arr = F.array(*[F.lit(x) for x in p])
+            arr = F.col("__planes")[table][s]
             proj = F.aggregate(
                 F.zip_with(vc, arr, lambda a, b: a.cast("double") * b),
                 F.lit(0.0),
@@ -138,16 +158,23 @@ def lsh_bucketed_topk(
                 F.concat(prefix, *qbits[:j], flip(qbits[j]), *qbits[j + 1:])
             )
 
-    c = corpus.withColumn("__bucket", F.explode(F.array(*c_buckets)))
+    c = corpus.crossJoin(F.broadcast(planes_df)).withColumn(
+        "__bucket", F.explode(F.array(*c_buckets))
+    ).drop("__planes")
     if max_bucket_size is not None:
         csize = F.count(F.lit(1)).over(Window.partitionBy("__bucket"))
         c = c.withColumn("__bsz", csize).filter(
             F.col("__bsz") <= max_bucket_size
         ).drop("__bsz")
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qv"),
-    ).withColumn("__bucket", F.explode(F.array(*q_buckets)))
+    q = (
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("__qv"),
+        )
+        .crossJoin(F.broadcast(planes_df))
+        .withColumn("__bucket", F.explode(F.array(*q_buckets)))
+        .drop("__planes")
+    )
     cand = c.join(q, "__bucket").filter(F.col(query_id_col) != F.col(id_col))
     if n_tables > 1:
         # only multi-table can produce the same pair twice (per-table
@@ -205,11 +232,20 @@ def ivf_topk(
     scanned fraction ≈ n_probe / n_centroids.
 
     All distances are JVM higher-order-function folds — no UDF; the
-    corpus shuffles once on the list id, queries fan out n_probe×."""
+    corpus shuffles once on the list id, queries fan out n_probe×.
+    Centroids ride as a ONE-ROW broadcast dimension (not inline
+    literals, whose n_centroids × dim expression children the driver
+    would re-analyze per action — the giant-literal cost measured in
+    llm/lm.py)."""
     n_centroids = len(centroids)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [([list(map(float, c)) for c in centroids],)],
+        "__cents: array<array<double>>",
+    )
 
-    def dist2(vc, cent):
-        arr = F.array(*[F.lit(x) for x in cent])
+    def dist2(vc, i):
+        arr = F.col("__cents")[i]
         return F.aggregate(
             F.zip_with(vc, arr, lambda a, b: (a.cast("double") - b) ** 2),
             F.lit(0.0),
@@ -218,19 +254,25 @@ def ivf_topk(
 
     def nearest_lists(vc, n):
         pairs = F.array(*[
-            F.struct(dist2(vc, c).alias("d"), F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
+            F.struct(dist2(vc, i).alias("d"), F.lit(i).alias("i"))
+            for i in range(n_centroids)
         ])
         return F.slice(F.array_sort(pairs), 1, n)
 
-    c = corpus.withColumn(
+    c = corpus.crossJoin(F.broadcast(cent_df)).withColumn(
         "__list", nearest_lists(F.col(vec_col), 1).getItem(0).getField("i")
+    ).drop("__cents")
+    q = (
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "__probe",
+            F.explode(nearest_lists(F.col("__qv"), min(n_probe, n_centroids))),
+        )
+        .select(query_id_col, "__qv", F.col("__probe.i").alias("__list"))
     )
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
-    ).withColumn(
-        "__probe", F.explode(nearest_lists(F.col("__qv"), min(n_probe, n_centroids)))
-    ).select(query_id_col, "__qv", F.col("__probe.i").alias("__list"))
     scored = c.join(q, "__list").filter(F.col(query_id_col) != F.col(id_col)).select(
         query_id_col,
         id_col,
@@ -557,7 +599,13 @@ def semantic_dedup_pairs(
         F.col("__v").alias("__v2"),
         F.col("__n").alias("__n2"),
     )
-    sim = dot(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2"))
+    # zero-norm guard (ANSI division by zero aborts the job; see
+    # functions/vectors.cosine_similarity): direction-less vectors are
+    # similar to nothing, so they never pair
+    denom = F.col("__n1") * F.col("__n2")
+    sim = F.when(denom > 0, dot(F.col("__v1"), F.col("__v2")) / denom).otherwise(
+        F.lit(0.0)
+    )
     return (
         a.join(b, "centroid_id")
         .filter(F.col("id_1") < F.col("id_2"))
@@ -703,8 +751,10 @@ def pq_topk(
     qid_type = queries.schema[query_id].dataType.simpleString()
     if not q_rows:
         # sequence(0, -1) DESCENDS in Spark; guard the empty query set
+        # (id type derived from the codes frame, not hardcoded)
+        id_type = codes.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], f"{query_id} {qid_type}, {id_col} long, pq_dist double, rnk int"
+            [], f"{query_id} {qid_type}, {id_col} {id_type}, pq_dist double, rnk int"
         )
     q_ids = [r[0] for r in q_rows]
     tables = []

@@ -1916,7 +1916,11 @@ def doc_chunk_overlap(spark, sf_dir):
 _PII_SQL = """
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '[0-9][0-9]{6,}')) AS BIGINT) AS n_longnums,
+           CAST(len(regexp_extract_all(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+                   '<EMAIL>', 'g'),
+               '[0-9][0-9]{6,}')) AS BIGINT) AS n_longnums,
            regexp_replace(regexp_replace(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
                '[0-9][0-9]{6,}', '<NUM>', 'g') AS scrubbed

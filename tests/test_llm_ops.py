@@ -462,3 +462,34 @@ def test_mean_pool(spark):
     assert list(got[1].pooled) == [2.0, 3.0] and got[1].n_vecs == 2
     assert list(got[2].pooled) == [5.0, 6.0] and got[2].n_vecs == 1
     assert 3 not in got  # NULL-only group: no row
+
+
+def test_zero_norm_embedding_does_not_abort(spark):
+    """ANSI division by zero must not kill similarity jobs: an all-zero
+    embedding (empty doc) has cosine 0.0 to everything."""
+    from res2df_spark.llm.similarity import brute_force_topk, semantic_dedup_pairs
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(corpus, corpus.filter("vec_id = 1"), k=3)
+    got = {r.vec_id: r.cosine for r in out.collect()}
+    assert got[3] == 0.0  # zero vector similar to nothing
+    from res2df_spark.llm.similarity import kmeans_fit
+
+    cents = kmeans_fit(corpus, k=1, iters=1)
+    pairs = semantic_dedup_pairs(corpus, cents, threshold=0.5).collect()
+    assert all({p.id_1, p.id_2} != {1, 3} for p in pairs)
+
+
+def test_extract_features_null_payload_survives(spark):
+    from res2df_spark.llm.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, None)], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in extract_features(df).collect()}
+    assert len(rows) == 2  # row count preserved
+    assert rows[1].n_bytes == 3
+    assert rows[2].n_bytes is None and rows[2].content_md5 is None
