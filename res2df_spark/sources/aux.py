@@ -34,6 +34,10 @@ def parse_zonemap(text: str) -> list[tuple[str, int]]:
         zone = m.group(1) or m.group(2)
         k1 = int(m.group(3))
         k2 = int(m.group(4)) if m.group(4) else k1
+        if k2 < k1:
+            # a reversed range would silently produce ZERO layers for
+            # the zone — fail like any other malformed lyr line
+            raise ValueError(f"reversed k-range in lyr line: {line!r}")
         out.extend((zone, k) for k in range(k1, k2 + 1))
     return out
 

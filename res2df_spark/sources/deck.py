@@ -264,10 +264,28 @@ _MONTHS = {
 _TOKEN_RE = re.compile(r"'[^']*'|[^\s/]+|/")
 
 
+def _strip_comment(line: str) -> str:
+    """Cut a '--' comment, but only OUTSIDE quotes — a plain
+    ``split('--')`` would truncate a quoted item like ``'A--12'`` and
+    desynchronize the whole record stream."""
+    if "--" not in line:
+        return line
+    if "'" not in line:
+        return line.split("--", 1)[0]
+    in_quote = False
+    for i in range(len(line) - 1):
+        c = line[i]
+        if c == "'":
+            in_quote = not in_quote
+        elif not in_quote and c == "-" and line[i + 1] == "-":
+            return line[:i]
+    return line
+
+
 def _tokenize(text: str) -> list[str]:
     toks: list[str] = []
     for line in text.splitlines():
-        line = line.split("--", 1)[0]
+        line = _strip_comment(line)
         for t in _TOKEN_RE.findall(line):
             toks.append(t)
             if t == "/":
@@ -374,6 +392,20 @@ def parse_deck(text: str) -> list[dict]:
             # whose record count the reference infers via trial reparse
             # (inferdims.py:18-84); token lookahead resolves it here.
             if toks[i] in known:
+                break
+            # Numeric-table keywords additionally end at any UNKNOWN
+            # keyword-shaped token: their records are pure numbers /
+            # defaults, so a bare uppercase word can only be the next
+            # (unregistered) keyword — without this, 'SWOF ... PMAX ...'
+            # would crash on float('PMAX') or, worse, silently absorb a
+            # numeric payload as phantom table rows.  Record-style
+            # keywords (WELSPECS etc.) are exempt: their records START
+            # with well names that look exactly like keywords.
+            if (
+                (kw in TABLE_KEYWORDS or kw in NESTED_TABLE_KEYWORDS)
+                and re.fullmatch(r"[A-Z][A-Z0-9_]{0,7}", toks[i])
+                and not re.fullmatch(r"\d+\*?.*", toks[i])
+            ):
                 break
             rec: list[str] = []
             while i < len(toks) and toks[i] != "/":

@@ -191,17 +191,19 @@ def smspec_vector_names(
             out.append(None if num <= 0 else f"{kw}:{_block_ijk(num, nx, ny)}")
         elif first == "S" and kw not in ("STEPTYPE",):
             out.append(None if bad_wg or num <= 0 else f"{kw}:{wg}:{num}")
-        elif first == "R" and num > 0:
-            out.append(f"{kw}:{num}")
-        elif first == "A" and num > 0:
-            out.append(f"{kw}:{num}")
+        elif first == "R":
+            out.append(f"{kw}:{num}" if num > 0 else None)
+        elif first == "A":
+            out.append(f"{kw}:{num}" if num > 0 else None)
         else:
             out.append(kw)
     return out
 
 
 def parse_smspec(buf: bytes) -> dict:
-    kws = {k: v for k, v, *_ in ((k, v) for k, _t, v in iter_keywords(buf))}
+    kws: dict = {}
+    for k, _t, v in iter_keywords(buf):
+        kws.setdefault(k, v)  # keep-first on duplicated sections, like the EGRID reader
     missing = {"DIMENS", "STARTDAT", "KEYWORDS", "NUMS", "UNITS"} - set(kws)
     if missing:
         raise EclFormatError(f"SMSPEC missing sections: {sorted(missing)}")
@@ -313,7 +315,17 @@ def summary_long_many(spark, root_glob: str):
     def parse(batches):
         for pdf in batches:
             for path, smspec in zip(pdf["path"], pdf["content"]):
-                local = re.sub("^file:", "", path)
+                from urllib.parse import unquote, urlparse
+
+                parsed = urlparse(path)
+                if parsed.scheme not in ("", "file"):
+                    raise NotImplementedError(
+                        f"summary_long_many resolves sibling UNSMRY files "
+                        f"via the local filesystem; got scheme "
+                        f"{parsed.scheme!r} ({path}) — copy the ensemble "
+                        f"locally or extend this reader"
+                    )
+                local = unquote(parsed.path) if parsed.scheme else path
                 unsmry = os.path.splitext(local)[0] + ".UNSMRY"
                 if not os.path.exists(unsmry):
                     continue
@@ -441,10 +453,23 @@ def grid_geometry_pandas(egrid_buf: bytes):
 
     glob = (i_i + nx * j_i + nx * ny * k_i).ravel()
     active = actnum.ravel()[glob] != 0
-    order = np.argsort(glob[active], kind="stable")
+    # glob is the identity arange by construction (i varies fastest in
+    # the C-order ravel), so glob[active] is already ascending and the
+    # former stable argsort was a pure O(n log n) no-op per grid load;
+    # the O(n) monotonicity check keeps a fallback if the meshgrid
+    # convention ever changes
+    ga = glob[active]
+    if len(ga) > 1 and not np.all(np.diff(ga) > 0):  # pragma: no cover
+        order = np.argsort(ga, kind="stable")
+        ga = ga[order]
 
-    def pick(a):
-        return a.ravel()[active][order]
+        def pick(a):
+            return a.ravel()[active][order]
+
+    else:
+
+        def pick(a):
+            return a.ravel()[active]
 
     df = pd.DataFrame(
         {
@@ -457,7 +482,7 @@ def grid_geometry_pandas(egrid_buf: bytes):
             "Z_MIN": pick(zc.min(axis=-1)),
             "Z_MAX": pick(zc.max(axis=-1)),
             "VOLUME": pick(vol),
-            "GLOBAL_INDEX": glob[active][order],
+            "GLOBAL_INDEX": ga,
         }
     )
     df["ACTIVE_INDEX"] = np.arange(len(df), dtype=np.int64)
@@ -519,6 +544,9 @@ def unrst_vectors_pandas(unrst_buf: bytes, nactive: int, dates="all", vectors=No
             elif typ in ("REAL", "DOUB") and len(v) == nactive:
                 if vectors is None or k in vectors:
                     cur["_arrays"].setdefault(k, np.asarray(v, dtype=np.float64))
+    # a step truncated before its INTEHEAD (writer killed mid-report) has
+    # no date and no usable arrays — skip it rather than KeyError below
+    steps = [s for s in steps if "date" in s]
     if not steps:
         return pd.DataFrame()
     if dates == "first":
@@ -547,10 +575,13 @@ def grid_table(spark, egrid_path: str, init_path: str | None = None,
     geo_pdf = grid_geometry_pandas(ebuf)
     nactive, nglobal = len(geo_pdf), 0
     actnum = None
+    # FIRST occurrence only: LGR-bearing EGRIDs repeat GRIDHEAD/ACTNUM
+    # per local grid, and the global grid always comes first (same
+    # policy as grid_geometry_pandas and nnc_table)
     for k, _t, v in iter_keywords(ebuf):
-        if k == "GRIDHEAD":
+        if k == "GRIDHEAD" and nglobal == 0:
             nglobal = int(v[1]) * int(v[2]) * int(v[3])
-        elif k == "ACTNUM" and len(v):
+        elif k == "ACTNUM" and len(v) and actnum is None:
             actnum = np.asarray(v)
     if actnum is None:
         actnum = np.ones(nglobal, dtype=np.int64)

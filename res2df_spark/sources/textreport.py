@@ -5,14 +5,18 @@ state machine over a report file — a block-start line opens a context
 
 Relational reconstruction over ``spark.read.text``:
 
-1. global line numbers from the scan's ``_metadata`` columns — rows
-   sort by (file, split offset, within-partition id), all JVM-side;
+1. global line numbers via the DISTRIBUTED two-pass form: a local rank
+   inside each (file, split) partition plus broadcast per-split offsets
+   — never a single-partition global sort;
 2. block-start lines matched with ``regexp_extract``;
-3. block context forward-filled onto data lines (W1 ffill over line_no);
+3. block context forward-filled with the same two-pass scan shape:
+   within-split ffill + the carry from preceding splits broadcast back;
 4. data rows parsed field-by-field with regex groups.
 
 PRT files can be GBs on long runs — every step is distributed and
-codegen'd; nothing drops to the RDD layer.
+codegen'd; nothing drops to the RDD layer, and no window ever moves the
+whole file into one task (the only single-partition work is over the
+split-level summary table, whose size is the number of file splits).
 """
 
 from __future__ import annotations
@@ -20,29 +24,53 @@ from __future__ import annotations
 from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.functions import broadcast
 
 
-def numbered_lines(spark: SparkSession, path: str) -> DataFrame:
-    """(line_no, line) with a global, order-preserving line number.
+def _numbered_with_splits(spark: SparkSession, path: str) -> DataFrame:
+    """(__fp, __blk, line_no, line): global line number from a per-split
+    local rank plus the cumulative count of preceding splits.
 
-    File order is reconstructed without leaving Tungsten: the scan's
-    hidden ``_metadata.file_block_start`` gives each split's byte
-    offset, and ``monotonically_increasing_id`` preserves read order
-    within a partition (splits are bin-packed, so partition id alone is
-    NOT offset-ordered).  The global sort matches the downstream ffill
-    window's ordering, so Catalyst reuses one exchange instead of
-    paying an extra Python zipWithIndex job + serialization pass."""
+    The local rank is a window PARTITIONED by (file, split) — fully
+    distributed; split row-counts collapse to a tiny table (one row per
+    split) whose running offsets broadcast back.  ``spark.read.text``
+    assigns a line spanning a split boundary to the earlier split, so
+    per-split counts partition the file exactly."""
     df = spark.read.text(path).select(
         F.col("_metadata.file_path").alias("__fp"),
         F.col("_metadata.file_block_start").alias("__blk"),
         F.monotonically_increasing_id().alias("__mid"),
         "value",
     )
-    w = Window.orderBy("__fp", "__blk", "__mid")
-    return df.select(
-        (F.row_number().over(w) - 1).cast("long").alias("line_no"),
-        F.col("value").alias("line"),
+    counts = df.groupBy("__fp", "__blk").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy("__fp")
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    offsets = counts.select(
+        "__fp",
+        "__blk",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_loc = Window.partitionBy("__fp", "__blk").orderBy("__mid")
+    return (
+        df.join(broadcast(offsets), ["__fp", "__blk"])
+        .select(
+            "__fp",
+            "__blk",
+            (F.row_number().over(w_loc) - 1 + F.col("__off"))
+            .cast("long")
+            .alias("line_no"),
+            F.col("value").alias("line"),
+        )
+    )
+
+
+def numbered_lines(spark: SparkSession, path: str) -> DataFrame:
+    """(line_no, line) with a global, order-preserving line number —
+    see :func:`_numbered_with_splits` for the distributed construction."""
+    return _numbered_with_splits(spark, path).select("line_no", "line")
 
 
 def parse_report_blocks(
@@ -58,21 +86,71 @@ def parse_report_blocks(
     maps context column → regex group index (extracted from the start
     line, forward-filled onto following rows).  ``row_pattern`` /
     ``row_fields`` parse the data lines.  Returns one row per data line
-    with block context attached."""
+    with block context attached.
+
+    The forward fill is the two-pass distributed scan when the input
+    still carries its (file, split) columns (output of
+    :func:`_numbered_with_splits`): within-split ffill + per-split
+    carry, broadcast back — no single-partition window over the data.
+    A bare (line_no, line) input falls back to the global-window form
+    (correct, serial)."""
+    has_splits = "__fp" in lines.columns and "__blk" in lines.columns
+    part = ["__fp", "__blk"] if has_splits else []
     is_start = F.col("line").rlike(start_pattern)
+    keep = ["line_no", "line", *(part if has_splits else [])]
     ctx = lines.select(
-        "line_no",
-        "line",
+        *keep,
         *[
             F.when(is_start, F.regexp_extract("line", start_pattern, g)).alias(f"__ctx_{name}")
             for name, g in context_fields.items()
         ],
     )
-    w = Window.orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
-    for name in context_fields:
-        ctx = ctx.withColumn(
-            name, F.last(F.col(f"__ctx_{name}"), ignorenulls=True).over(w)
+    if has_splits:
+        w_in = (
+            Window.partitionBy(*part)
+            .orderBy("line_no")
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
+        # pass 1: ffill within each split
+        for name in context_fields:
+            ctx = ctx.withColumn(
+                f"__in_{name}",
+                F.last(F.col(f"__ctx_{name}"), ignorenulls=True).over(w_in),
+            )
+        # pass 2: each split's LAST context value, forward-filled across
+        # splits (tiny table: one row per split) and broadcast back as
+        # the carry for rows before the split's first context line
+        lasts = ctx.groupBy(*part).agg(
+            *[
+                F.max_by(F.col(f"__in_{name}"), F.when(F.col(f"__in_{name}").isNotNull(), F.col("line_no"))).alias(f"__last_{name}")
+                for name in context_fields
+            ]
+        )
+        w_carry = (
+            Window.partitionBy("__fp")
+            .orderBy("__blk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carries = lasts.select(
+            *part,
+            *[
+                F.last(F.col(f"__last_{name}"), ignorenulls=True)
+                .over(w_carry)
+                .alias(f"__carry_{name}")
+                for name in context_fields
+            ],
+        )
+        ctx = ctx.join(broadcast(carries), part)
+        for name in context_fields:
+            ctx = ctx.withColumn(
+                name, F.coalesce(F.col(f"__in_{name}"), F.col(f"__carry_{name}"))
+            )
+    else:
+        w = Window.orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
+        for name in context_fields:
+            ctx = ctx.withColumn(
+                name, F.last(F.col(f"__ctx_{name}"), ignorenulls=True).over(w)
+            )
     rows = ctx.filter(F.col("line").rlike(row_pattern)).select(
         "line_no",
         *context_fields.keys(),

@@ -86,3 +86,12 @@ def test_parameters_txt_overrides_yml(tmp_path):
     params = load_parameters(str(tmp_path / "CASE.DATA"))
     assert params["A"] == 1
     assert params["B"] == "3"  # txt read after yml in the same dir
+
+
+def test_reversed_lyr_range_raises():
+    import pytest
+
+    from res2df_spark.sources.aux import parse_zonemap
+
+    with pytest.raises(ValueError, match="reversed"):
+        parse_zonemap("'UpperReek' 5-3\n")

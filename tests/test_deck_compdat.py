@@ -633,3 +633,30 @@ WLIST
 """
     with pytest.raises(ValueError, match="not defined"):
         compdat.df(spark, deck)
+
+
+def test_unknown_keyword_terminates_table_block():
+    """An unregistered keyword after a table keyword must END the table,
+    not crash on float coercion or absorb numeric payload as phantom
+    rows."""
+    from res2df_spark.sources.deck import parse_deck
+
+    recs = parse_deck(
+        "SWOF\n 0.1 0 1 0 /\n 1.0 1 0 0 /\nPMAX\n 414.7 1* /\n"
+    )
+    swof = [r for r in recs if r["KEYWORD"] == "SWOF"]
+    assert len(swof) == 2
+    assert not any(r["KEYWORD"] == "PMAX" for r in recs)
+    # numeric payload of the unknown keyword must NOT appear as SWOF rows
+    assert all(abs(r["SW"] - 414.7) > 1 for r in swof)
+
+
+def test_comment_marker_inside_quotes_preserved():
+    from res2df_spark.sources.deck import _tokenize
+
+    assert _tokenize("'A--12' 'FIELD' 5 / -- real comment") == [
+        "'A--12'", "'FIELD'", "5", "/",
+    ]
+    assert _tokenize("COMPDAT -- header comment\n 'W1' 1 2 3 4 /") == [
+        "COMPDAT", "'W1'", "1", "2", "3", "4", "/",
+    ]
