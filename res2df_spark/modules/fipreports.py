@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from res2df_spark.sources.textreport import _numbered_with_splits, parse_report_blocks
+from res2df_spark.sources.textreport import numbered_lines, parse_report_blocks
 
 #: block-start line, e.g.
 #:   BALANCE  AT   1-JAN-2020    FIPNUM  REGION  2
@@ -24,7 +24,7 @@ _ROW = r"([A-Z ]+?)\s*:\s*(\w+)\s+([-\d.Ee+]+)"
 def df(spark: SparkSession, prt_path: str) -> DataFrame:
     # keep the (file, split) columns: parse_report_blocks then uses
     # the distributed two-pass ffill instead of a global window
-    lines = _numbered_with_splits(spark, prt_path)
+    lines = numbered_lines(spark, prt_path, keep_splits=True)
     rows = parse_report_blocks(
         lines,
         start_pattern=_START,

@@ -402,10 +402,8 @@ def parse_deck(text: str) -> list[dict]:
             # keywords (WELSPECS etc.) are exempt: their records START
             # with well names that look exactly like keywords.
             if (
-                (kw in TABLE_KEYWORDS or kw in NESTED_TABLE_KEYWORDS)
-                and re.fullmatch(r"[A-Z][A-Z0-9_]{0,7}", toks[i])
-                and not re.fullmatch(r"\d+\*?.*", toks[i])
-            ):
+                kw in TABLE_KEYWORDS or kw in NESTED_TABLE_KEYWORDS
+            ) and re.fullmatch(r"[A-Z][A-Z0-9_]{0,7}", toks[i]):
                 break
             rec: list[str] = []
             while i < len(toks) and toks[i] != "/":

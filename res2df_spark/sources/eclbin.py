@@ -318,6 +318,9 @@ def summary_long_many(spark, root_glob: str):
                 from urllib.parse import unquote, urlparse
 
                 parsed = urlparse(path)
+                # a single-letter scheme is a Windows drive, not a URI
+                if len(parsed.scheme) == 1:
+                    parsed = parsed._replace(scheme="", path=path)
                 if parsed.scheme not in ("", "file"):
                     raise NotImplementedError(
                         f"summary_long_many resolves sibling UNSMRY files "
@@ -575,11 +578,16 @@ def grid_table(spark, egrid_path: str, init_path: str | None = None,
     geo_pdf = grid_geometry_pandas(ebuf)
     nactive, nglobal = len(geo_pdf), 0
     actnum = None
-    # FIRST occurrence only: LGR-bearing EGRIDs repeat GRIDHEAD/ACTNUM
-    # per local grid, and the global grid always comes first (same
-    # policy as grid_geometry_pandas and nnc_table)
+    # GLOBAL section only: LGR-bearing EGRIDs repeat GRIDHEAD/ACTNUM per
+    # local grid, and the global grid always comes first — stop scanning
+    # at the second GRIDHEAD so a fully-active global grid (no ACTNUM)
+    # cannot pick up an LGR's wrong-length mask
+    seen_gridhead = False
     for k, _t, v in iter_keywords(ebuf):
-        if k == "GRIDHEAD" and nglobal == 0:
+        if k == "GRIDHEAD":
+            if seen_gridhead:
+                break
+            seen_gridhead = True
             nglobal = int(v[1]) * int(v[2]) * int(v[3])
         elif k == "ACTNUM" and len(v) and actnum is None:
             actnum = np.asarray(v)

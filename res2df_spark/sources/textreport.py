@@ -24,18 +24,23 @@ from __future__ import annotations
 from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
-from pyspark.sql.functions import broadcast
 
 
-def _numbered_with_splits(spark: SparkSession, path: str) -> DataFrame:
-    """(__fp, __blk, line_no, line): global line number from a per-split
-    local rank plus the cumulative count of preceding splits.
-
-    The local rank is a window PARTITIONED by (file, split) — fully
-    distributed; split row-counts collapse to a tiny table (one row per
-    split) whose running offsets broadcast back.  ``spark.read.text``
+def numbered_lines(
+    spark: SparkSession, path: str, keep_splits: bool = False
+) -> DataFrame:
+    """(line_no, line) with a GLOBAL, order-preserving line number —
+    unique across every matched file (files ordered by path, splits by
+    byte offset), built distributively: a local rank inside each
+    (file, split) window plus broadcast running offsets from the split
+    summary table (one row per split — the ONLY single-partition window
+    runs over that tiny table, never the data).  ``spark.read.text``
     assigns a line spanning a split boundary to the earlier split, so
-    per-split counts partition the file exactly."""
+    per-split counts partition each file exactly.
+
+    ``keep_splits=True`` additionally returns the ``__fp``/``__blk``
+    columns — :func:`parse_report_blocks` dispatches on them to run its
+    forward fill as the same two-pass distributed scan."""
     df = spark.read.text(path).select(
         F.col("_metadata.file_path").alias("__fp"),
         F.col("_metadata.file_block_start").alias("__blk"),
@@ -43,10 +48,10 @@ def _numbered_with_splits(spark: SparkSession, path: str) -> DataFrame:
         "value",
     )
     counts = df.groupBy("__fp", "__blk").agg(F.count(F.lit(1)).alias("__cnt"))
-    w_off = (
-        Window.partitionBy("__fp")
-        .orderBy("__blk")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # cumulative offsets across ALL files (path order) — a global window,
+    # but over the split-count table, whose size is the split count
+    w_off = Window.orderBy("__fp", "__blk").rowsBetween(
+        Window.unboundedPreceding, -1
     )
     offsets = counts.select(
         "__fp",
@@ -54,23 +59,15 @@ def _numbered_with_splits(spark: SparkSession, path: str) -> DataFrame:
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
     )
     w_loc = Window.partitionBy("__fp", "__blk").orderBy("__mid")
-    return (
-        df.join(broadcast(offsets), ["__fp", "__blk"])
-        .select(
-            "__fp",
-            "__blk",
-            (F.row_number().over(w_loc) - 1 + F.col("__off"))
-            .cast("long")
-            .alias("line_no"),
-            F.col("value").alias("line"),
-        )
+    out = df.join(F.broadcast(offsets), ["__fp", "__blk"]).select(
+        "__fp",
+        "__blk",
+        (F.row_number().over(w_loc) - 1 + F.col("__off"))
+        .cast("long")
+        .alias("line_no"),
+        F.col("value").alias("line"),
     )
-
-
-def numbered_lines(spark: SparkSession, path: str) -> DataFrame:
-    """(line_no, line) with a global, order-preserving line number —
-    see :func:`_numbered_with_splits` for the distributed construction."""
-    return _numbered_with_splits(spark, path).select("line_no", "line")
+    return out if keep_splits else out.select("line_no", "line")
 
 
 def parse_report_blocks(
@@ -90,14 +87,15 @@ def parse_report_blocks(
 
     The forward fill is the two-pass distributed scan when the input
     still carries its (file, split) columns (output of
-    :func:`_numbered_with_splits`): within-split ffill + per-split
-    carry, broadcast back — no single-partition window over the data.
-    A bare (line_no, line) input falls back to the global-window form
-    (correct, serial)."""
+    ``numbered_lines(..., keep_splits=True)``): within-split ffill +
+    per-split carry, broadcast back — no single-partition window over
+    the data.  Context never crosses a file boundary (the carry window
+    partitions by file).  A bare (line_no, line) input falls back to
+    the global-window form (correct, serial)."""
     has_splits = "__fp" in lines.columns and "__blk" in lines.columns
     part = ["__fp", "__blk"] if has_splits else []
     is_start = F.col("line").rlike(start_pattern)
-    keep = ["line_no", "line", *(part if has_splits else [])]
+    keep = ["line_no", "line", *part]
     ctx = lines.select(
         *keep,
         *[
@@ -122,7 +120,7 @@ def parse_report_blocks(
         # the carry for rows before the split's first context line
         lasts = ctx.groupBy(*part).agg(
             *[
-                F.max_by(F.col(f"__in_{name}"), F.when(F.col(f"__in_{name}").isNotNull(), F.col("line_no"))).alias(f"__last_{name}")
+                F.max_by(F.col(f"__in_{name}"), F.col("line_no")).alias(f"__last_{name}")
                 for name in context_fields
             ]
         )
@@ -140,7 +138,7 @@ def parse_report_blocks(
                 for name in context_fields
             ],
         )
-        ctx = ctx.join(broadcast(carries), part)
+        ctx = ctx.join(F.broadcast(carries), part)
         for name in context_fields:
             ctx = ctx.withColumn(
                 name, F.coalesce(F.col(f"__in_{name}"), F.col(f"__carry_{name}"))
