@@ -60,6 +60,14 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in on and c != right_time]
     value_cols = list(value_cols)
+    clash = [c for c in value_cols if (c + suffix) in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join output columns {clash} collide with left columns; "
+            "pass a non-empty suffix (pandas.merge_asof suffixes overlaps "
+            "automatically — here the collision would silently produce a "
+            "duplicate column name)"
+        )
 
     lt = F.col("__t")
     # Align schemas: left rows carry NULL payload; right rows carry NULL

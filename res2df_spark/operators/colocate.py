@@ -78,8 +78,20 @@ def salted_join(
     that size Spark may well broadcast it anyway, which is why this
     operator earns its keep on MEDIUM dims too big to broadcast but
     small enough to replicate).  Row-count of the output is identical
-    to the plain join.
+    to the plain join for the SUPPORTED join types: inner/left/semi/
+    anti (fact-preserving).  right/full outer are rejected — an
+    unmatched dim key would survive once per salt replica, inflating
+    the outer side ``n_salt``×.  The per-row salt is arbitrary (any
+    distribution is correct since every salt matches a dim replica);
+    it is NOT stable across task retries and must not be relied on.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "leftsemi",
+               "left_semi", "semi", "leftanti", "left_anti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only, got {how!r} "
+            "(an outer dim side would duplicate unmatched keys per salt)"
+        )
     keys = list(keys)
     salt = F.pmod(F.xxhash64(*keys, F.monotonically_increasing_id()), F.lit(n_salt))
     fact_s = fact.withColumn("__salt", salt.cast("int"))

@@ -30,6 +30,7 @@ def rolling_agg(
     window_seconds: int,
     count_name: str = "n_window",
     sum_name: str = "sum_window",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Trailing time-window aggregates per key: for every event, the
     count and value-sum of the key's events in ``[ts - window, ts]``
@@ -38,7 +39,10 @@ def rolling_agg(
     The frame is a RANGE window over ``unix_micros`` — integer
     microsecond bounds, so window membership is exact on any engine.
     One shuffle on the keys; the running frame needs no buffering
-    beyond the window span.
+    beyond the window span.  ``round_digits`` optionally rounds the sum
+    (for cross-engine comparison); by default the aggregate is emitted
+    at full precision — a generic operator must not silently truncate
+    small-magnitude values.
     """
     us = F.unix_micros(F.col(ts_col))
     w = (
@@ -46,9 +50,12 @@ def rolling_agg(
         .orderBy(us)
         .rangeBetween(-int(window_seconds) * 1_000_000, 0)
     )
-    return df.withColumn(count_name, F.count(F.lit(1)).over(w).cast("long")).withColumn(
-        sum_name, F.round(F.sum(value_col).over(w), 2)
-    )
+    total = F.sum(value_col).over(w)
+    if round_digits is not None:
+        total = F.round(total, round_digits)
+    return df.withColumn(
+        count_name, F.count(F.lit(1)).over(w).cast("long")
+    ).withColumn(sum_name, total)
 
 
 def funnel_steps(

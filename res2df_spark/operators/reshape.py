@@ -45,9 +45,23 @@ def box_explode(
 
     ``ranges`` maps output column name → (lo_col, hi_col).  Implemented
     as nested ``explode(sequence(...))`` — partition-local, no shuffle.
+    Inverted or NULL bounds raise: ``sequence`` would silently DESCEND
+    on hi < lo (emitting phantom rows for a corrupt box) and explode
+    would silently drop NULL-bound rows — the same validity contract as
+    :func:`unroll_range`, except boxes have no single-point fallback.
     """
     for out, (lo, hi) in ranges.items():
-        df = df.withColumn(out, F.explode(F.sequence(F.col(lo).cast("int"), F.col(hi).cast("int"))))
+        bad = F.col(lo).isNull() | F.col(hi).isNull() | (F.col(hi) < F.col(lo))
+        seq = F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"box_explode: invalid [{lo}, {hi}] bounds: "),
+                    F.col(lo).cast("string"), F.lit(".."), F.col(hi).cast("string"),
+                )
+            ).cast("array<int>"),
+        ).otherwise(F.sequence(F.col(lo).cast("int"), F.col(hi).cast("int")))
+        df = df.withColumn(out, F.explode(seq))
     return df
 
 
@@ -82,8 +96,12 @@ def stack_dated_columns(
     """Melt ``NAME@YYYY-MM-DD`` wide columns into (VARIABLE, DATE, VALUE)
     rows (R6 variant used by pillars stackdates,
     /root/reference/src/res2df/common.py:787-844)."""
+    import re as _re
+
     out = melt(df, id_cols, dated_cols, var_name="__nv", value_name=value_name)
-    split = F.split(F.col("__nv"), sep, 2)
+    # F.split treats the separator as a REGEX — escape it so '.', '|'
+    # and friends split on the literal character, not on everything
+    split = F.split(F.col("__nv"), _re.escape(sep), 2)
     return (
         out.withColumn(var_name, split.getItem(0))
         .withColumn(date_name, F.to_date(split.getItem(1)))

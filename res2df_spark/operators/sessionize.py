@@ -61,9 +61,12 @@ def session_stats(
     gap_seconds: int,
     value_col: str | None = None,
     tiebreak: Sequence[str | Column] = (),
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Per-session rollup: event count, first/last timestamp, optional
-    value sum.  Single-shuffle plan (see module docstring)."""
+    value sum (full precision unless ``round_digits`` is given — a
+    generic operator must not silently truncate small aggregates).
+    Single-shuffle plan (see module docstring)."""
     s = sessionize(df, ts_col, keys, gap_seconds, tiebreak=tiebreak)
     aggs = [
         F.count(F.lit(1)).alias("n_events"),
@@ -71,5 +74,8 @@ def session_stats(
         F.max(ts_col).alias("session_end"),
     ]
     if value_col is not None:
-        aggs.append(F.round(F.sum(value_col), 2).alias("total_value"))
+        total = F.sum(value_col)
+        if round_digits is not None:
+            total = F.round(total, round_digits)
+        aggs.append(total.alias("total_value"))
     return s.groupBy(*keys, "session_id").agg(*aggs)

@@ -170,7 +170,13 @@ def status_changes(
     """
     w = _window(partition_by, order_by)
     state = F.col(state_col) if isinstance(state_col, str) else state_col
-    prev = F.lag(state).over(w)
-    return df.withColumn("__prev", prev).filter(
-        F.col("__prev").isNull() | (state != F.col("__prev"))
-    ).drop("__prev")
+    # NULL-safe: `state != prev` is NULL (filtered out) when either side
+    # is NULL, losing transitions TO a NULL state; and prev.isNull()
+    # conflates "first row" with "previous state was NULL" — the
+    # explicit row_number marker plus eqNullSafe handles both
+    return (
+        df.withColumn("__prev", F.lag(state).over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) | ~state.eqNullSafe(F.col("__prev")))
+        .drop("__prev", "__rn")
+    )

@@ -18,6 +18,9 @@ from res2df_spark.sources.deck import KEYWORD_ITEMS, TABLE_KEYWORDS
 def _fmt(v) -> str:
     if v is None:
         return "1*"
+    if isinstance(v, bool):
+        # before the int fallthrough: str(True) is not valid deck text
+        return "1" if v else "0"
     if isinstance(v, float):
         # repr() is the shortest string that round-trips the double —
         # '%g' (6 sig figs) silently truncated KH/TRAN/volume factors.
@@ -37,9 +40,12 @@ def df2res_compdat(df: DataFrame) -> str:
             _fmt(r["WELL"]), _fmt(r["I"]), _fmt(r["J"]),
             _fmt(r["K"]), _fmt(r["K"]), _fmt(r["OP_SH"]),
         ]
+        # absent optional columns MUST still occupy their positional
+        # slot as '1*' — skipping them would shift later values (a
+        # KH-only frame would land KH in the TRAN slot on re-parse);
+        # the trailing-default trim below then drops unneeded tails
         for opt in ("SATN", "TRAN", "WBDIA", "KH", "SKIN"):
-            if opt in df.columns:
-                items.append(_fmt(r[opt]))
+            items.append(_fmt(r[opt]) if opt in df.columns else "1*")
         while items and items[-1] == "1*":
             items.pop()
         lines.append("  " + " ".join(items) + " /")
@@ -277,7 +283,9 @@ def df2res_grid_property(
     runs = rle_encode_distributed(dense, "GLOBAL_INDEX", "__v").collect()
     parts = []
     for r in runs:
-        v = int(r["value"]) if int_dtype else f"{r['value']:g}"
+        # repr: shortest round-tripping form — '%g' (6 sig figs) would
+        # silently truncate PERMX/TRAN values (same rule as _fmt above)
+        v = int(r["value"]) if int_dtype else repr(float(r["value"]))
         parts.append(f"{r['run_length']}*{v}" if r["run_length"] > 1 else str(v))
     lines = [keyword]
     for i in range(0, len(parts), 8):

@@ -219,11 +219,16 @@ def rle_encode_distributed(df: DataFrame, order_col: str, value_col: str) -> Dat
     price of the format's strict cell ordering; AQE handles the
     single-partition sort spill."""
     w = Window.orderBy(order_col)
+    # NULL-safe change detection: `lag != value` is NULL when either
+    # side is NULL, which would silently merge a NULL cell into the
+    # preceding run; and `lag().isNull()` conflates "first row" with
+    # "previous value is NULL" — row_number marks the first row
+    # explicitly and eqNullSafe compares values
     marked = df.select(
         F.col(order_col), F.col(value_col),
         F.when(
-            F.lag(value_col).over(w).isNull()
-            | (F.lag(value_col).over(w) != F.col(value_col)),
+            (F.row_number().over(w) == 1)
+            | ~F.lag(value_col).over(w).eqNullSafe(F.col(value_col)),
             1,
         )
         .otherwise(0)

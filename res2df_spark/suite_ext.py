@@ -2983,7 +2983,7 @@ def sessionize_events(spark, sf_dir):
     ev = Catalog(spark, sf_dir).events
     return session_stats(
         ev, "ts", ["user_id"], _SESSION_GAP_S,
-        value_col="value", tiebreak=["event_id"],
+        value_col="value", tiebreak=["event_id"], round_digits=2,
     )
 
 
@@ -3237,7 +3237,9 @@ def rolling_window(spark, sf_dir):
     from res2df_spark.operators.eventanalytics import rolling_agg
 
     ev = Catalog(spark, sf_dir).events
-    return rolling_agg(ev, "ts", ["user_id"], "value", 3600).select(
+    return rolling_agg(
+        ev, "ts", ["user_id"], "value", 3600, round_digits=2
+    ).select(
         "event_id", "user_id", "ts", "n_window", "sum_window"
     )
 
