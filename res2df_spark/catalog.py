@@ -81,8 +81,11 @@ class Catalog:
 
     def register_views(self, prefix: str = "") -> None:
         """Register every known table as a temp view (for spark.sql use)."""
+        import os
+
         for name in TABLES:
-            try:
-                self.table(name).createOrReplaceTempView(prefix + name)
-            except Exception:
-                pass  # table file absent in this sf_dir
+            # skip genuinely absent tables; anything else (corrupt
+            # parquet, schema errors) must surface, not be swallowed
+            if not os.path.exists(os.path.join(self.sf_dir, f"{name}.parquet")):
+                continue
+            self.table(name).createOrReplaceTempView(prefix + name)

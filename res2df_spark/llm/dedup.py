@@ -28,10 +28,14 @@ from res2df_spark.functions.textan import (
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Group identical texts by md5; returns one row per duplicate group
-    with the keeper (min id) and the group size."""
+    """Group identical texts by md5; returns one row per text group
+    (singletons included) with the keeper (min id) and the group size.
+    NULL texts are EXCLUDED — md5(NULL) is NULL and groupBy would pool
+    every null-text document into one phantom "duplicate" group whose
+    keeper-join consumers would then delete all but one of them."""
     return (
-        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
         .groupBy("text_md5")
         .agg(
             F.min(id_col).alias("keeper_id"),
@@ -130,7 +134,12 @@ def _minhash_bands(
     # this explode+agg form is ~num_hashes× cheaper, at the cost of one
     # narrow shuffle on the (uniform) doc id.
     n_md5 = -(-num_hashes // 4)
-    exploded = docs.select(F.col(id_col), F.explode(elems).alias("__tok")).select(
+    # distinct elements only: min() is idempotent under repetition, so
+    # hashing 'the' 500 times per document is pure wasted md5 CPU —
+    # array_distinct is map-side and free relative to the digests
+    exploded = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(elems)).alias("__tok")
+    ).select(
         id_col,
         F.concat(
             *[F.md5(F.concat(F.lit(f"{s}:"), F.col("__tok"))) for s in range(n_md5)]
@@ -477,18 +486,28 @@ def minhash_novelty(
     """
     bands = _minhash_bands(new_docs, id_col, text_col, num_hashes, band_size, shingle_k)
     hits = band_index.select("band_idx", "band_key").withColumn("__hit", F.lit(1))
-    return (
+    scored = (
         bands.join(hits, ["band_idx", "band_key"], "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("bands_total"),
             F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("bands_hit"),
         )
+    )
+    # docs with no tokens produce no bands and would otherwise vanish
+    # from the output entirely; emit them with a NULL verdict (the same
+    # honest contract as the streaming twin near_dup_verdicts)
+    return (
+        new_docs.select(id_col)
+        .join(scored, id_col, "left")
         .select(
             id_col,
-            "bands_total",
-            "bands_hit",
-            (F.col("bands_hit") < F.col("bands_total")).alias("is_novel"),
+            F.coalesce(F.col("bands_total"), F.lit(0)).cast("long").alias("bands_total"),
+            F.coalesce(F.col("bands_hit"), F.lit(0)).cast("long").alias("bands_hit"),
+            F.when(
+                F.col("bands_total").isNotNull(),
+                F.col("bands_hit") < F.col("bands_total"),
+            ).alias("is_novel"),
         )
     )
 

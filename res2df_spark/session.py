@@ -37,12 +37,25 @@ RUNTIME_CONF = {
 
 
 def get_spark(app_name: str = "res2df-spark", master: str | None = None) -> SparkSession:
-    """Build (or reuse) a SparkSession with the engine's configuration."""
+    """Build (or reuse) a SparkSession with the engine's configuration.
+
+    The master resolves in order: explicit argument → ``SPARK_MASTER``
+    env → an EXTERNALLY configured ``spark.master`` (spark-submit
+    --master, cluster launchers) → ``local[$SPARK_GRAFT_CPUS]``.
+    Unconditionally calling ``.master()`` here would silently override
+    a submit-time cluster master with local mode."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    master = master or os.environ.get("SPARK_MASTER")
+    if master is None:
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
@@ -71,9 +84,34 @@ def spread(df, min_partitions: int | None = None):
     # non-file source (createDataFrame fixtures) reports [] → widen too
     # (they are tiny, the shuffle is free).
     try:
-        n_splits = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        n_splits = 0
+        files = []
+    n_splits = len(files)
+    if 0 < n_splits < n:
+        # a few LARGE files still scan as many natural splits — estimate
+        # them from file sizes before paying a full-data repartition
+        # (a single 10 GB parquet would otherwise be shuffled for
+        # nothing, and its ~80 natural splits COLLAPSED to n)
+        try:
+            from urllib.parse import unquote, urlparse
+
+            max_bytes = int(
+                df.sparkSession.conf.get(
+                    "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+                )
+            )
+            total = 0
+            for f in files:
+                p = urlparse(f)
+                if p.scheme not in ("", "file"):
+                    total = None  # remote FS: trust the file count
+                    break
+                total += os.path.getsize(unquote(p.path) if p.scheme else f)
+            if total is not None:
+                n_splits = max(n_splits, -(-total // max_bytes))
+        except OSError:
+            pass
     if n_splits < n:
         return df.repartition(n)
     return df

@@ -117,13 +117,15 @@ def run_available_now(
         .start()
     )
     finished = query.awaitTermination(timeout_sec)
-    exc = query.exception()
-    if exc is not None:
-        raise exc
     if not finished:
         query.stop()
         raise TimeoutError(f"streaming query {qname} did not drain in {timeout_sec}s")
-    return spark.table(qname)
+    # materialize, then drop the in-memory sink table: without the drop
+    # every replay leaks its full result into driver memory for the
+    # lifetime of the session (the suite runs dozens per sweep)
+    out = spark.table(qname).localCheckpoint()
+    spark.catalog.dropTempView(qname)
+    return out
 
 
 def windowed_rollup_stream(
@@ -215,9 +217,19 @@ def dedup_stream(
 
 def summary_ingest_stream(spark, watch_dir: str):
     """Streaming ensemble ingest: watch ``watch_dir`` for new
-    ``*.SMSPEC`` files (realizations landing as a simulator fleet
-    finishes) and emit long summary rows tagged with REAL — the
-    streaming twin of ``sources.eclbin.summary_long_many``.
+    realizations (a simulator fleet landing runs as it finishes) and
+    emit long summary rows tagged with REAL — the streaming twin of
+    ``sources.eclbin.summary_long_many``.
+
+    The watch TRIGGER is the ``*.UNSMRY`` file — the LAST file the
+    simulator writes — and the sibling SMSPEC is read locally.  The
+    reverse (watching SMSPEC and probing for UNSMRY) would permanently
+    drop any realization whose UNSMRY had not landed yet: the streaming
+    checkpoint marks a file processed exactly once, so a skipped
+    sibling is never retried.  A missing SMSPEC next to a finished
+    UNSMRY is genuinely anomalous and raises.  As with any file
+    streaming source, producers must write-then-rename (or write
+    elsewhere and move) so a half-written file is never listed.
 
     ``readStream.format("binaryFile")`` tracks seen files in the
     checkpoint, so each realization is parsed exactly once, one file
@@ -240,21 +252,23 @@ def summary_ingest_stream(spark, watch_dir: str):
             "path string, modificationTime timestamp, "
             "length long, content binary"
         )
-        .option("pathGlobFilter", "*.SMSPEC")
+        .option("pathGlobFilter", "*.UNSMRY")
         .load(watch_dir)
         .select("path", "content")
     )
 
     def parse(batches):
         for pdf in batches:
-            for path, smspec in zip(pdf["path"], pdf["content"]):
+            for path, unsmry_buf in zip(pdf["path"], pdf["content"]):
                 local = re.sub("^file:", "", path)
-                unsmry = os.path.splitext(local)[0] + ".UNSMRY"
-                if not os.path.exists(unsmry):
-                    continue
-                with open(unsmry, "rb") as f:
-                    ubuf = f.read()
-                out = summary_long_pandas(bytes(smspec), ubuf)
+                smspec = os.path.splitext(local)[0] + ".SMSPEC"
+                if not os.path.exists(smspec):
+                    raise FileNotFoundError(
+                        f"UNSMRY landed without its SMSPEC sibling: {local}"
+                    )
+                with open(smspec, "rb") as f:
+                    sbuf = f.read()
+                out = summary_long_pandas(sbuf, bytes(unsmry_buf))
                 m = re.search(r"real(?:ization)?-?(\d+)", local)
                 out["REAL"] = (
                     m.group(1) if m else os.path.splitext(os.path.basename(local))[0]
@@ -305,6 +319,14 @@ def near_dedup_stream(
     """
     from res2df_spark.functions.textan import minhash_signature, tokens
 
+    if num_hashes % band_size != 0:
+        # same contract as the batch _minhash_bands: silent floor
+        # division would discard hashes AND desynchronize band keys
+        # from any batch-built index
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_size "
+            f"({band_size})"
+        )
     n_bands = num_hashes // band_size
     sig = F.array_compact(minhash_signature(tokens(F.col(text_col)), num_hashes))
     bands = F.array(

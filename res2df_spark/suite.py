@@ -863,7 +863,7 @@ _TOKS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <
     "dedup_exact",
     """
     SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_docs
-    FROM documents GROUP BY md5(text)
+    FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
     """,
 )
 def dedup_exact(spark, sf_dir):

@@ -2267,16 +2267,22 @@ _BANDS16_ALL_SQL = f"""
     + """
     , index_keys AS (SELECT DISTINCT band_idx, band_key FROM bands
                      WHERE doc_id % 2 = 0),
-    newb AS (SELECT doc_id, band_idx, band_key FROM bands WHERE doc_id % 2 = 1)
-    SELECT n.doc_id,
-           CAST(count(*) AS BIGINT) AS bands_total,
-           CAST(sum(CASE WHEN k.band_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS bands_hit,
-           sum(CASE WHEN k.band_key IS NOT NULL THEN 1 ELSE 0 END) < count(*)
-               AS is_novel
-    FROM newb n LEFT JOIN index_keys k
-         ON n.band_idx = k.band_idx AND n.band_key = k.band_key
-    GROUP BY n.doc_id
+    newb AS (SELECT doc_id, band_idx, band_key FROM bands WHERE doc_id % 2 = 1),
+    scored AS (
+        SELECT n.doc_id,
+               CAST(count(*) AS BIGINT) AS bands_total,
+               CAST(sum(CASE WHEN k.band_key IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bands_hit
+        FROM newb n LEFT JOIN index_keys k
+             ON n.band_idx = k.band_idx AND n.band_key = k.band_key
+        GROUP BY n.doc_id)
+    SELECT d.doc_id,
+           coalesce(s.bands_total, 0) AS bands_total,
+           coalesce(s.bands_hit, 0) AS bands_hit,
+           CASE WHEN s.bands_total IS NOT NULL
+                THEN s.bands_hit < s.bands_total END AS is_novel
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN scored s USING (doc_id)
     """,
 )
 def dedup_incremental(spark, sf_dir):
