@@ -67,6 +67,13 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
     compdat = deck_records(spark, deck_text, "COMPDAT", records=dated)
     welspecs = deck_records(spark, deck_text, "WELSPECS", records=dated)
     wo_recs = [r for r in dated if r["KEYWORD"] == "WELOPEN"]
+    for r in wo_recs:
+        if (r["C1"] is None) != (r["C2"] is None):
+            # reference compdat.py expand_complump_in_welopen_df
+            raise ValueError(
+                "Both or none of the completion numbers G1/C2 in WELOPEN "
+                f"must be defined (well {r['WELL']!r})"
+            )
 
     # W2: WELSPECS head-location fill.  Union the header rows, ffill the
     # head coords per well over deck order, apply to defaulted I/J.
@@ -124,17 +131,23 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
             F.col("WELL").alias("L_WELL"),
             F.col("I").alias("L_I"), F.col("J").alias("L_J"),
             F.col("K").alias("L_K"), F.col("N").alias("LUMP"),
+            F.col("DATE").alias("L_DATE"),
         )
         conns = conns.join(
             broadcast(lumps),
             (F.col("WELL") == F.col("L_WELL"))
             & (F.col("L_I").isNull() | (F.col("L_I") == 0) | (F.col("L_I") == F.col("I")))
             & (F.col("L_J").isNull() | (F.col("L_J") == 0) | (F.col("L_J") == F.col("J")))
-            & (F.col("L_K") == F.col("K")),
+            # defaulted K is a wildcard exactly like I/J — strict equality
+            # would make a fully-defaulted COMPLUMP assign no lumps and
+            # lump-addressed WELOPENs silently no-op
+            & (F.col("L_K").isNull() | (F.col("L_K") == 0) | (F.col("L_K") == F.col("K"))),
             "left",
         ).drop("L_WELL", "L_I", "L_J", "L_K")
     else:
-        conns = conns.withColumn("LUMP", F.lit(None).cast("int"))
+        conns = conns.withColumn("LUMP", F.lit(None).cast("int")).withColumn(
+            "L_DATE", F.lit(None).cast("date")
+        )
 
     # R3: wildcard wells expand against wells defined at <= action date.
     # Records are already driver-side, so the glob→regex translation
@@ -162,13 +175,46 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
         & (F.col("a.J").isNull() | (F.col("a.J") <= 0) | (F.col("a.J") == F.col("c.J")))
         & (F.col("a.K").isNull() | (F.col("a.K") <= 0) | (F.col("a.K") == F.col("c.K")))
     )
-    lump_match = F.col("c.LUMP").between(F.col("a.C1"), F.col("a.C2"))
+    lump_match = (
+        F.col("c.LUMP").between(F.col("a.C1"), F.col("a.C2"))
+        # retroactivity guard: a COMPLUMP defined after the action must
+        # not be visible to it (reference: complump DATE <= action DATE)
+        & (
+            F.coalesce(F.col("c.L_DATE"), F.lit("1900-01-01").cast("date"))
+            <= F.coalesce(F.col("a.A_DATE"), F.lit("2999-12-31").cast("date"))
+        )
+        # explicit coordinates on a lump-addressed action further
+        # RESTRICT the selection (reference ANDs both filters)
+        & (
+            (F.col("a.I").isNull() | (F.col("a.I") <= 0) | (F.col("a.I") == F.col("c.I")))
+            & (F.col("a.J").isNull() | (F.col("a.J") <= 0) | (F.col("a.J") == F.col("c.J")))
+            & (F.col("a.K").isNull() | (F.col("a.K") <= 0) | (F.col("a.K") == F.col("c.K")))
+        )
+    )
     matched = conns.alias("c").join(
         a.alias("a"),
         F.expr("c.WELL rlike a.RX")
         & (F.col("c.KEYWORD_IDX") < F.col("a.A_IDX"))
         & F.when(by_lump, lump_match).otherwise(coord_match),
     )
+    # reference applywelopen raises when an action matches NO existing
+    # connection (typo'd well, wrong coords) — a silent no-op would leave
+    # the well OPEN with no signal.  One tiny distinct-pairs job; decks
+    # are driver-side text, so the extra pass is bounded by deck size.
+    hit_pairs = {
+        (r["A_IDX"], r["A_RIDX"])
+        for r in matched.select("A_IDX", "A_RIDX").distinct().collect()
+    }
+    unmatched = [
+        r for r in wo_recs
+        if (r["KEYWORD_IDX"], r["RECORD_IDX"]) not in hit_pairs
+    ]
+    if unmatched:
+        u = unmatched[0]
+        raise ValueError(
+            f"WELOPEN record (well {u['WELL']!r}, status {u['STATUS']!r}) "
+            "is not acting on any existing connection"
+        )
     latest = dedup_keep(
         matched,
         keys=["c.WELL", "c.I", "c.J", "c.K", "A_IDX", "A_RIDX"],
@@ -201,7 +247,7 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
         F.col("c.SKIN").alias("SKIN"),
     )
 
-    all_rows = conns.drop("LUMP").unionByName(rewritten)
+    all_rows = conns.drop("LUMP", "L_DATE").unionByName(rewritten)
     final = dedup_keep(
         all_rows, keys=["WELL", "I", "J", "K", "DATE"],
         order_by=["KEYWORD_IDX", "RECORD_IDX"], keep="last",
@@ -218,10 +264,15 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _dated(spark: SparkSession, deck_text: str, keyword: str) -> DataFrame:
-    return deck_records(
-        spark, deck_text, keyword, records=fill_dates(parse_deck(deck_text))
-    )
+def _dated(
+    spark: SparkSession, deck_text: str, keyword: str, records=None
+) -> DataFrame:
+    """``records`` lets dfs()/icd_chain() parse the deck ONCE and share
+    the dated record list across every keyword frame — without it each
+    frame re-tokenizes the full deck text."""
+    if records is None:
+        records = fill_dates(parse_deck(deck_text))
+    return deck_records(spark, deck_text, keyword, records=records)
 
 
 def _unroll_segments(df: DataFrame) -> DataFrame:
@@ -236,11 +287,13 @@ def _unroll_segments(df: DataFrame) -> DataFrame:
     )
 
 
-def welsegs_df(spark: SparkSession, deck_text: str, unroll: bool = True) -> DataFrame:
+def welsegs_df(
+    spark: SparkSession, deck_text: str, unroll: bool = True, records=None
+) -> DataFrame:
     """WELSEGS → one row per segment, well-header items inherited;
     INFO_TYPE == 'ABS' adds SEGMENT_MD = SEGMENT_LENGTH (reference
     compdat.py:190-212)."""
-    ws = _dated(spark, deck_text, "WELSEGS")
+    ws = _dated(spark, deck_text, "WELSEGS", records)
     ws = ws.withColumn(
         "SEGMENT_MD",
         F.when(F.col("INFO_TYPE") == "ABS", F.col("SEGMENT_LENGTH")),
@@ -250,34 +303,38 @@ def welsegs_df(spark: SparkSession, deck_text: str, unroll: bool = True) -> Data
     )
 
 
-def compsegs_df(spark: SparkSession, deck_text: str) -> DataFrame:
+def compsegs_df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
     """COMPSEGS → one row per (I, J, K) connection with its branch and
     measured-depth interval; WELL from the header record (reference
     compdat.py:164-176)."""
-    return _dated(spark, deck_text, "COMPSEGS").drop(
+    return _dated(spark, deck_text, "COMPSEGS", records).drop(
         "KEYWORD", "KEYWORD_IDX", "RECORD_IDX"
     )
 
 
-def wsegsicd_df(spark: SparkSession, deck_text: str, unroll: bool = True) -> DataFrame:
+def wsegsicd_df(
+    spark: SparkSession, deck_text: str, unroll: bool = True, records=None
+) -> DataFrame:
     """WSEGSICD spiral-ICD device rows (reference compdat.py:145-151)."""
-    d = _dated(spark, deck_text, "WSEGSICD")
+    d = _dated(spark, deck_text, "WSEGSICD", records)
     return (_unroll_segments(d) if unroll else d).drop(
         "KEYWORD", "KEYWORD_IDX", "RECORD_IDX"
     )
 
 
-def wsegaicd_df(spark: SparkSession, deck_text: str, unroll: bool = True) -> DataFrame:
+def wsegaicd_df(
+    spark: SparkSession, deck_text: str, unroll: bool = True, records=None
+) -> DataFrame:
     """WSEGAICD autonomous-ICD device rows (reference compdat.py:152-157)."""
-    d = _dated(spark, deck_text, "WSEGAICD")
+    d = _dated(spark, deck_text, "WSEGAICD", records)
     return (_unroll_segments(d) if unroll else d).drop(
         "KEYWORD", "KEYWORD_IDX", "RECORD_IDX"
     )
 
 
-def wsegvalv_df(spark: SparkSession, deck_text: str) -> DataFrame:
+def wsegvalv_df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
     """WSEGVALV valve device rows (reference compdat.py:158-163)."""
-    return _dated(spark, deck_text, "WSEGVALV").drop(
+    return _dated(spark, deck_text, "WSEGVALV", records).drop(
         "KEYWORD", "KEYWORD_IDX", "RECORD_IDX"
     )
 
@@ -285,13 +342,14 @@ def wsegvalv_df(spark: SparkSession, deck_text: str) -> DataFrame:
 def dfs(spark: SparkSession, deck_text: str, unroll: bool = True) -> dict[str, DataFrame]:
     """The reference's ``deck2dfs`` surface (compdat.py:66-283): every
     connection/segment frame the schedule section defines."""
+    recs = fill_dates(parse_deck(deck_text))
     return {
         "COMPDAT": df(spark, deck_text),
-        "WELSEGS": welsegs_df(spark, deck_text, unroll=unroll),
-        "COMPSEGS": compsegs_df(spark, deck_text),
-        "WSEGSICD": wsegsicd_df(spark, deck_text, unroll=unroll),
-        "WSEGAICD": wsegaicd_df(spark, deck_text, unroll=unroll),
-        "WSEGVALV": wsegvalv_df(spark, deck_text),
+        "WELSEGS": welsegs_df(spark, deck_text, unroll=unroll, records=recs),
+        "COMPSEGS": compsegs_df(spark, deck_text, records=recs),
+        "WSEGSICD": wsegsicd_df(spark, deck_text, unroll=unroll, records=recs),
+        "WSEGAICD": wsegaicd_df(spark, deck_text, unroll=unroll, records=recs),
+        "WSEGVALV": wsegvalv_df(spark, deck_text, records=recs),
     }
 
 
@@ -302,19 +360,20 @@ def icd_chain(spark: SparkSession, deck_text: str) -> DataFrame:
     WELSEGS supplies the segment geometry; the device keywords attach
     per-segment equipment.  Devices and segments are deck-bounded →
     broadcast; the connection side stays unshuffled."""
-    con = compsegs_df(spark, deck_text).select(
+    recs = fill_dates(parse_deck(deck_text))
+    con = compsegs_df(spark, deck_text, records=recs).select(
         "WELL", "I", "J", "K", "BRANCH", "DISTANCE_START", "DISTANCE_END",
         "SEGMENT_NUMBER", "DATE",
     )
-    seg = welsegs_df(spark, deck_text).select(
+    seg = welsegs_df(spark, deck_text, records=recs).select(
         F.col("WELL").alias("S_WELL"), F.col("SEGMENT1").alias("SEGMENT"),
         "SEGMENT_LENGTH", "DEPTH_CHANGE", "DIAMETER", "SEGMENT_MD",
     )
-    valv = wsegvalv_df(spark, deck_text).select(
+    valv = wsegvalv_df(spark, deck_text, records=recs).select(
         F.col("WELL").alias("V_WELL"), F.col("SEGMENT_NUMBER").alias("V_SEG"),
         F.col("CV").alias("VALVE_CV"), F.col("AREA").alias("VALVE_AREA"),
     )
-    sicd = wsegsicd_df(spark, deck_text).select(
+    sicd = wsegsicd_df(spark, deck_text, records=recs).select(
         F.col("WELL").alias("D_WELL"), F.col("SEGMENT1").alias("D_SEG"),
         F.col("STRENGTH").alias("ICD_STRENGTH"),
     )

@@ -24,6 +24,8 @@ no large shuffle anywhere.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import broadcast
 
@@ -62,10 +64,14 @@ def df(
     # Catalyst to re-analyze at each of its many downstream references,
     # and keyword presence is known for free (no eager probe jobs).
     dated = fill_dates(parse_deck(deck_text))
-    if startdate is not None:
-        dated = [
-            dict(r, DATE=startdate) if r["DATE"] is None else r for r in dated
-        ]
+    if startdate is None:
+        # reference gruptree.py:101-105: tree records before any
+        # START/DATES get 1900-01-01 (a NULL snapshot key would make
+        # prettyprint render nothing and break date-keyed consumers)
+        startdate = _dt.date(1900, 1, 1)
+    dated = [
+        dict(r, DATE=startdate) if r["DATE"] is None else r for r in dated
+    ]
     present = {r["KEYWORD"] for r in dated}
 
     def recs(kw):
@@ -210,10 +216,13 @@ def df(
         )
     )
 
-    # graft GRUPTREE WELSPECS parents missing from the tree onto FIELD
+    # graft GRUPTREE WELSPECS parents missing from the tree onto FIELD;
+    # FIELD itself is excluded — grafting it would create a FIELD->FIELD
+    # self-edge that suppresses the NULL-parent root row
     missing = (
         wells.filter(F.col("FAM") == 0)
         .select("FAM", "SD", F.col("PARENT").alias("CHILD")).distinct()
+        .filter(F.col("CHILD") != "FIELD")
         .join(
             tkeys,
             (F.col("TF") == F.col("FAM")) & F.col("TS").eqNullSafe(F.col("SD"))

@@ -39,7 +39,11 @@ from res2df_spark.operators.resample import resample_asof, spine_from_observatio
 
 def select_vectors(long: DataFrame, column_keys: Sequence[str], vector_col: str = "VECTOR") -> DataFrame:
     """P1 wildcard vector selection: keep rows whose VECTOR matches any
-    glob in ``column_keys`` (reference summary.py:347-398)."""
+    glob in ``column_keys`` (reference summary.py:347-398).  A bare
+    string is one pattern (str is a Sequence[str] — iterating it would
+    turn 'W*' into the match-everything ['W', '*'])."""
+    if isinstance(column_keys, str):
+        column_keys = [column_keys]
     if not column_keys:
         return long
     pred = None
@@ -161,6 +165,11 @@ def df(
     import datetime as _dt
     import re as _re
 
+    # a bare string is a single pattern, not an iterable of 1-char
+    # globs (column_keys='W*' would otherwise expand to ['W', '*'],
+    # where '*' matches EVERYTHING)
+    if isinstance(column_keys, str):
+        column_keys = [column_keys]
     sel = select_vectors(long, column_keys)
     explicit = None
     if isinstance(time_index, _dt.datetime):
@@ -188,8 +197,17 @@ def df(
             one = F.lit(explicit).cast("timestamp")
         spine = long.sparkSession.range(1).select(one.alias("DATE"))
         res = resample(sel, meta, spine=spine)
-    elif time_index in ("raw", "first", "last"):
+    elif time_index == "raw":
         res = crop_mnemonic(sel, time_index)
+    elif time_index in ("first", "last"):
+        # a one-date spine + resample, NOT a date filter: a vector with
+        # no observation exactly at the global min/max date must still
+        # appear, interpolated/filled at that date (the reference
+        # resolves first/last to a one-date index and reads every
+        # vector there, summary.py:88-127)
+        agg = F.min("DATE") if time_index == "first" else F.max("DATE")
+        spine = sel.agg(agg.alias("DATE"))
+        res = resample(sel, meta, spine=spine)
     else:
         res = resample(sel, meta, freq=time_index)
     return pivot_wide(res) if wide else res

@@ -234,7 +234,7 @@ WELOPEN
     assert shut == [(1, 1, 1), (2, 2, 1)]
 
 
-def test_welopen_before_any_compdat_is_noop(spark):
+def test_welopen_before_any_compdat_raises(spark):
     deck = """
 START
   1 JAN 2020 /
@@ -248,9 +248,13 @@ COMPDAT
   'OP1' 1 1 1 1 'OPEN' /
 /
 """
-    out = compdat.df(spark, deck)
-    # the action precedes every connection (KEYWORD_IDX) → matches none
-    assert rows(out, "OP_SH") == [("OPEN",)]
+    # the action precedes every connection (KEYWORD_IDX) → matches none;
+    # the reference raises for this (compdat.py:891 "not acting on any
+    # existing connection") rather than silently no-opping
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not acting on any existing"):
+        compdat.df(spark, deck)
 
 
 def test_multiple_wells_same_deck(spark):
@@ -660,3 +664,67 @@ def test_comment_marker_inside_quotes_preserved():
     assert _tokenize("COMPDAT -- header comment\n 'W1' 1 2 3 4 /") == [
         "COMPDAT", "'W1'", "1", "2", "3", "4", "/",
     ]
+
+
+WELOPEN_LUMP_DECK = """
+START
+  1 JAN 2020 /
+WELSPECS
+  'OP1' 'G1' 1 1 1000.0 'OIL' /
+/
+COMPDAT
+  'OP1' 74 135 7 7 'OPEN' /
+  'OP1' 74 136 8 8 'OPEN' /
+/
+COMPLUMP
+  'OP1' 2* 7 7 1 /
+  'OP1' 2* 8 8 1 /
+/
+DATES
+  1 FEB 2020 /
+/
+WELOPEN
+  'OP1' 'SHUT' 74 135 7 1 1 /
+/
+"""
+
+
+def test_welopen_lump_with_coords_restricts(spark):
+    # reference ANDs the coordinate filter with the lump range: only the
+    # (74,135,7) cell of lump 1 is shut, not every lump-1 member
+    out = compdat.df(spark, WELOPEN_LUMP_DECK)
+    shut = rows(out.filter("OP_SH = 'SHUT'"), "I", "J", "K")
+    assert shut == [(74, 135, 7)]
+
+
+def test_welopen_half_defaulted_lump_raises(spark):
+    import pytest as _pytest
+
+    deck = WELOPEN_LUMP_DECK.replace("74 135 7 1 1 /", "3* 1 1* /")
+    with _pytest.raises(ValueError, match="Both or none"):
+        compdat.df(spark, deck)
+
+
+def test_complump_fully_defaulted_is_wildcard(spark):
+    deck = """
+START
+  1 JAN 2020 /
+WELSPECS
+  'OP1' 'G1' 1 1 1000.0 'OIL' /
+/
+COMPDAT
+  'OP1' 1 1 1 2 'OPEN' /
+/
+COMPLUMP
+  'OP1' 2* 2* 1 /
+/
+DATES
+  1 FEB 2020 /
+/
+WELOPEN
+  'OP1' 'SHUT' 3* 1 1 /
+/
+"""
+    out = compdat.df(spark, deck)
+    shut = rows(out.filter("OP_SH = 'SHUT'"), "K")
+    assert shut == [(1,), (2,)]  # defaulted K range lumps BOTH cells
