@@ -68,11 +68,13 @@ def _run_binary_module(
                 F.col("DATE") < F.date_add(F.lit(end_date).cast("date"), 1)
             )
         keys = [k for k in (column_keys or "").split(",") if k]
-        if keys or (time_index or "raw") != "raw":
-            long = summary_mod.df(
-                long, eclbin.summary_meta(spark, root + ".SMSPEC"),
-                time_index=time_index or "raw", column_keys=keys,
-            )
+        # ALWAYS pivot to the reference's wide shape — the output schema
+        # must not silently flip between long and wide depending on
+        # which flags happen to be present
+        long = summary_mod.df(
+            long, eclbin.summary_meta(spark, root + ".SMSPEC"),
+            time_index=time_index or "raw", column_keys=keys,
+        )
         if with_params:
             from res2df_spark.sources.aux import attach_parameters, load_parameters
 
@@ -273,6 +275,9 @@ def main(argv: list[str] | None = None) -> int:
     if getattr(args, "arrow", False):
         import pyarrow.feather as feather
 
+        if args.output == "-":
+            # reference common.py:141
+            raise SystemExit("Not possible to write arrow format to stdout")
         feather.write_feather(df.toPandas(), args.output)
         return 0
     write_dataframe(df, args.output)
@@ -480,7 +485,17 @@ def curate_main(argv: list[str] | None = None) -> int:
         else:
             raise SystemExit("sample needs --fraction or --weight-col/--k")
     elif args.op == "split":
-        w_train, w_val, _ = (float(x) for x in args.weights.split(","))
+        parts = [float(x) for x in args.weights.split(",")]
+        if len(parts) != 3:
+            raise SystemExit(
+                f"--weights needs exactly 3 comma-separated fractions, got {args.weights!r}"
+            )
+        if abs(sum(parts) - 1.0) > 1e-6:
+            raise SystemExit(
+                f"--weights must sum to 1.0 (got {sum(parts):g}); "
+                "pass fractions, not percentages"
+            )
+        w_train, w_val, _ = parts
         train = int(round(256 * w_train))
         val = train + int(round(256 * w_val))
         out = curation.hash_split(df, id_col=idc, train=train, val=val)

@@ -27,11 +27,19 @@ EQUIL_SOLUTION_KEYWORDS = ("RSVD", "RVVD", "PBVD", "PDVD")
 def _family_df(
     spark: SparkSession, deck_text: str, keywords: Sequence[str]
 ) -> DataFrame | None:
+    # ONE driver-side parse shared across the whole family (the old
+    # form re-tokenized the deck AND ran an eager take(1) job per
+    # keyword); presence comes for free from the record list
+    from res2df_spark.sources.deck import fill_dates, parse_deck
+
+    recs = fill_dates(parse_deck(deck_text))
+    present = {r["KEYWORD"] for r in recs}
     frames = []
     for kw in keywords:
-        f = deck_records(spark, deck_text, kw)
-        if f.take(1):
-            frames.append(f.drop("KEYWORD_IDX", "RECORD_IDX", "DATE"))
+        if kw not in present:
+            continue
+        f = deck_records(spark, deck_text, kw, records=recs)
+        frames.append(f.drop("KEYWORD_IDX", "RECORD_IDX", "DATE"))
     if not frames:
         return None
     out = frames[0]

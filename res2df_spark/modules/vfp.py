@@ -34,8 +34,21 @@ def _parse_blocks(text: str, keyword: str) -> list[dict]:
         i += 1
         recs: list[list] = []
         # records until the next keyword or EOF; VFP tables have no
-        # lone-slash terminator
-        while i < len(toks) and toks[i] not in stop:
+        # lone-slash terminator.  After the meta record (which may carry
+        # bare uppercase unit/flag tokens like LIQ/THP/METRIC), any
+        # UNKNOWN keyword-shaped token also terminates the block — the
+        # axis/value records are purely numeric, so a bare word there
+        # can only be the next (unregistered) keyword; without this a
+        # following WELLDIMS/UDQ crashes the float coercion (same guard
+        # as sources/deck.py's table-keyword boundary).
+        import re as _re
+
+        def _looks_like_keyword(t: str) -> bool:
+            return bool(_re.fullmatch(r"[A-Z][A-Z0-9_]{0,7}", t))
+
+        while i < len(toks) and toks[i] not in stop and not (
+            recs and _looks_like_keyword(toks[i])
+        ):
             rec = []
             while i < len(toks) and toks[i] != "/":
                 rec.append(toks[i])
@@ -78,29 +91,34 @@ def df_prod(spark: SparkSession, deck_text: str) -> DataFrame | None:
         return None
     rows = []
     axis_rows = []
-    for b in blocks:
+    # BI = block (keyword-instance) index: a deck may legally REDEFINE a
+    # table number later in SCHEDULE; joining on TABLE alone would
+    # cross-match axes from both definitions
+    for bi, b in enumerate(blocks):
         flow, thp, wfr, gfr, alq = b["axes"]
         for (ithp, iwfr, igfr, ialq), vals in b["values"]:
-            rows.append((b["table"], b["datum"], ithp, iwfr, igfr, ialq, flow, vals))
+            rows.append((bi, b["table"], b["datum"], ithp, iwfr, igfr, ialq, flow, vals))
         for name, ax in (("THP", thp), ("WFR", wfr), ("GFR", gfr), ("ALQ", alq)):
-            axis_rows.extend((b["table"], name, i + 1, v) for i, v in enumerate(ax))
+            axis_rows.extend((bi, b["table"], name, i + 1, v) for i, v in enumerate(ax))
     recs = spark.createDataFrame(
         rows,
-        "TABLE int, DATUM double, ITHP int, IWFR int, IGFR int, IALQ int, "
+        "BI int, TABLE int, DATUM double, ITHP int, IWFR int, IGFR int, IALQ int, "
         "FLOW array<double>, BHP array<double>",
     )
-    axes = spark.createDataFrame(axis_rows, "TABLE int, AXIS string, IDX int, VAL double")
+    axes = spark.createDataFrame(
+        axis_rows, "BI int, TABLE int, AXIS string, IDX int, VAL double"
+    )
 
     def ax(name, idx_col):
         a = axes.filter(F.col("AXIS") == name).select(
-            F.col("TABLE").alias("T2"), F.col("IDX").alias("I2"), F.col("VAL").alias(name)
+            F.col("BI").alias("B2"), F.col("IDX").alias("I2"), F.col("VAL").alias(name)
         )
-        return broadcast(a), (F.col("TABLE") == F.col("T2")) & (F.col(idx_col) == F.col("I2"))
+        return broadcast(a), (F.col("BI") == F.col("B2")) & (F.col(idx_col) == F.col("I2"))
 
     out = recs
     for name, idx_col in (("THP", "ITHP"), ("WFR", "IWFR"), ("GFR", "IGFR"), ("ALQ", "IALQ")):
         a, cond = ax(name, idx_col)
-        out = out.join(a, cond).drop("T2", "I2")
+        out = out.join(a, cond).drop("B2", "I2")
     melted = out.select(
         "TABLE", "DATUM", "THP", "WFR", "GFR", "ALQ",
         F.explode(F.arrays_zip(F.col("FLOW").alias("RATE"), F.col("BHP").alias("BHP"))).alias("z"),

@@ -20,14 +20,19 @@ def df(
 ) -> DataFrame:
     """``connections``: (WELL, I, J, K, OP_SH, DATE, KH, …) from
     modules/compdat; ``zonemap``: (K, ZONE) dim table.
-    Returns (WELL, ZONE, DATE, ZONE_OPEN, KH)."""
+    Returns (WELL, ZONE, DATE, OP/SH, KH) — ``OP/SH`` carries
+    OPEN/SHUT like the reference's _aggregate_layer_to_zone
+    (wellcompletiondata.py:155-164; a zone is OPEN if ANY of its
+    connections is)."""
     if excl_well_prefix:
         # P8 (wellcompletiondata.py:129-138)
         connections = connections.filter(~F.col("WELL").startswith(excl_well_prefix))
     j = connections.join(broadcast(zonemap), "K")  # J4 zone lookup
     is_open = F.col("OP_SH") == "OPEN"
     return j.groupBy("WELL", "ZONE", "DATE").agg(
-        F.max(F.when(is_open, 1).otherwise(0)).cast("boolean").alias("ZONE_OPEN"),
+        F.when(F.max(F.when(is_open, 1).otherwise(0)) == 1, F.lit("OPEN"))
+        .otherwise(F.lit("SHUT"))
+        .alias("OP/SH"),
         F.coalesce(
             F.sum(F.when(is_open, F.col("KH"))), F.lit(0.0)
         ).alias("KH"),

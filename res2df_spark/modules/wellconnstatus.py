@@ -10,7 +10,7 @@ key.  The streaming variant is streaming.ops.status_change_stream."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from res2df_spark.operators.windows import status_changes
 
@@ -28,6 +28,17 @@ def df(cpi_long: DataFrame,
     )
     staged = cpi_long.withColumn("__st", state)
     out = status_changes(staged, "__st", order_by=[date_col], partition_by=keys)
+    # reference baseline is prev_value = 0 (SHUT): the first emitted
+    # event per connection is always its first OPEN — a connection that
+    # starts (or stays) at CPI=0 emits no leading SHUT row, and an
+    # always-shut connection is excluded entirely
+    # (/root/reference/src/res2df/wellconnstatus.py:60-66)
+    w_first = F.row_number().over(Window.partitionBy(*keys).orderBy(date_col))
+    out = (
+        out.withColumn("__rn", w_first)
+        .filter(~((F.col("__rn") == 1) & (F.col("__st") == "SHUT")))
+        .drop("__rn")
+    )
     return out.select(*keys, date_col, F.col("__st").alias("OP/SH"))
 
 

@@ -21,11 +21,19 @@ from res2df_spark.sources.deck import parse_deck
 
 
 def _resolve(wells: list[str], state: dict[str, list[str]]) -> list[str]:
-    """Expand recursive ``*NAME`` references against current state."""
+    """Expand recursive ``*NAME`` references against current state.
+    An undefined reference raises (reference compdat.py:600-604) —
+    resolving it to the empty list would make a later WELOPEN on the
+    list silently act on nothing."""
     out: list[str] = []
     for w in wells:
         if w.startswith("*"):
-            out.extend(state.get(w, []))
+            if w not in state:
+                raise ValueError(
+                    f"Recursive well list {w!r} does not exist at this "
+                    "point in the deck"
+                )
+            out.extend(state[w])
         else:
             out.append(w)
     # dedup, keep first occurrence (reference keeps insertion order)
@@ -72,10 +80,15 @@ def _apply_action(state: dict[str, list[str]], r: dict) -> None:
     if action == "NEW":
         state[name] = wells
     elif action == "ADD":
-        state[name] = _resolve(state.get(name, []) + wells, state)
+        if name not in state:
+            # reference compdat.py:608-613: ADD/DEL require the list
+            raise ValueError(f"Well list {name!r} does not exist; cannot ADD")
+        state[name] = _resolve(state[name] + wells, state)
     elif action == "DEL":
+        if name not in state:
+            raise ValueError(f"Well list {name!r} does not exist; cannot DEL")
         # R11 set difference
-        state[name] = [w for w in state.get(name, []) if w not in set(wells)]
+        state[name] = [w for w in state[name] if w not in set(wells)]
     elif action == "MOV":
         for other in state:
             if other != name:

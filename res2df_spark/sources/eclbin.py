@@ -672,12 +672,20 @@ def nnc_table(spark, egrid_path: str, init_path: str | None = None):
         ebuf = f.read()
     nx = ny = nz = 0
     nnc1 = nnc2 = None
+    # GLOBAL section only: stop at the second GRIDHEAD (LGR sections can
+    # carry their own NNC1/NNC2, whose local indices must not overwrite
+    # the global list and be decoded against global dims) — same policy
+    # as grid_table / grid_geometry_pandas
+    seen_gridhead = False
     for k, _t, v in iter_keywords(ebuf):
-        if k == "GRIDHEAD" and nx == 0:
+        if k == "GRIDHEAD":
+            if seen_gridhead:
+                break
+            seen_gridhead = True
             nx, ny, nz = int(v[1]), int(v[2]), int(v[3])
-        elif k == "NNC1":
+        elif k == "NNC1" and nnc1 is None:
             nnc1 = np.asarray(v, dtype=np.int64)
-        elif k == "NNC2":
+        elif k == "NNC2" and nnc2 is None:
             nnc2 = np.asarray(v, dtype=np.int64)
     if nnc1 is None or nnc2 is None or nx == 0:
         return spark.createDataFrame(

@@ -950,7 +950,7 @@ def wcd_zone_agg(spark, sf_dir):
     return out.select(
         F.col("WELL").alias("well"),
         F.col("ZONE").alias("zone"),
-        F.col("ZONE_OPEN").cast("long").alias("zone_open"),
+        (F.col("`OP/SH`") == "OPEN").cast("long").alias("zone_open"),
         F.round("KH", 2).alias("kh"),
     )
 

@@ -57,8 +57,12 @@ def test_cli_summary_binary(capsys):
 
     assert main(["summary", f"{_EIGHT}/EIGHTCELLS", "-o", "-"]) == 0
     out = capsys.readouterr().out.splitlines()
-    assert out[0].split(",")[:3] == ["DATE", "VECTOR", "VALUE"]
-    assert any("FOPT" in line for line in out[1:])
+    # the reference res2csv always emits the WIDE shape (DATE + one
+    # column per vector), flags or not
+    header = out[0].split(",")
+    assert header[0] == "DATE"
+    assert any("FOPT" in h for h in header)
+    assert len(out) > 1
 
 
 @pytest.mark.skipif(not os.path.isdir(_EIGHT), reason="fixtures not present")

@@ -67,8 +67,9 @@ def test_wellconnstatus(spark):
     )
     out = wellconnstatus.df(obs)
     got = rows(out, "WELL", "DATE", "OP/SH")
+    # reference baseline is SHUT (prev_value=0): a connection starting
+    # at CPI=0 emits no leading SHUT row (wellconnstatus.py:60-66)
     assert got == [
-        ("OP1", d(2020, 1, 1), "SHUT"),
         ("OP1", d(2020, 2, 1), "OPEN"),
         ("OP1", d(2020, 4, 1), "SHUT"),
         ("OP2", d(2020, 1, 1), "OPEN"),
@@ -162,12 +163,12 @@ def test_wellcompletiondata(spark):
         [(1, "UPPER"), (2, "UPPER"), (3, "LOWER")], "K int, ZONE string"
     )
     out = wellcompletiondata.df(conns, zonemap, excl_well_prefix="A")
-    got = rows(out, "WELL", "ZONE", "ZONE_OPEN", "KH")
+    got = rows(out, "WELL", "ZONE", "OP/SH", "KH")
     # UPPER has one open conn → open, KH only from the open one;
     # LOWER all shut → closed, KH 0; well A1 excluded by prefix
     assert got == [
-        ("OP1", "LOWER", False, 0.0),
-        ("OP1", "UPPER", True, 10.0),
+        ("OP1", "LOWER", "SHUT", 0.0),
+        ("OP1", "UPPER", "OPEN", 10.0),
     ]
 
 
