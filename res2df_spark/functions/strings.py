@@ -2,8 +2,9 @@
 
 ``well_template_to_regex`` reimplements the reference's well-pattern
 matcher semantics (/root/reference/src/res2df/common.py:955-980): ``*``
-and ``?`` are glob wildcards; a leading ``\\`` escapes a literal well
-name that starts with a wildcard character.
+and ``?`` are glob wildcards; a leading ``\\`` PERMITS a template that
+starts with a wildcard (the reference strips the backslash and still
+expands wildcards — it does NOT turn the template into a literal).
 """
 
 from __future__ import annotations
@@ -16,8 +17,10 @@ from pyspark.sql import Column, functions as F
 def well_template_to_regex(template: str) -> str:
     """Glob well template → anchored regex string (driver-side, templates
     are query constants)."""
-    if template.startswith("\\"):
-        return "^" + re.escape(template[1:]) + "$"
+    # the reference strips a leading backslash and STILL expands
+    # wildcards ('\*P1' matches every well ending in P1); it exists
+    # only because a BARE leading wildcard means a well list elsewhere
+    template = template.removeprefix("\\")
     out = []
     for ch in template:
         if ch == "*":

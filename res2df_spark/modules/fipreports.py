@@ -1,42 +1,131 @@
 """FIP region reports from PRT text: engine-layer equivalent of the
 reference's ``fipreports.df()``
-(/root/reference/src/res2df/fipreports.py:100-191).
+(/root/reference/src/res2df/fipreports.py:34-190).
 
-The PRT file embeds balance blocks per (FIP region, date); each block
-holds in-place rows per phase/category.  Built on the generic
-distributed text scanner (sources/textreport.py): block headers carry
-(regtype, region, date) context, forward-filled onto the data rows."""
+The PRT file embeds per-(FIP region, date) balance blocks whose data
+lines are POSITIONAL colon-separated sections::
+
+    :CURRENTLY IN PLACE  :  liquid  vapour  total : water :  free  dissolved  total :
+
+Built on the generic distributed text scanner (sources/textreport.py):
+two forward-filled contexts — the running report DATE (from
+``REPORT  n  d MMM yyyy`` lines) and the region index (from
+``FIPNUM REPORT REGION n`` headers) — then the reference's
+section-splitting rules expressed as array functions (split + try_cast,
+1/2/3-token layouts per phase section).  Everything is codegen'd
+expression work; no Python in the scan.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from res2df_spark.sources.textreport import numbered_lines, parse_report_blocks
+from res2df_spark.sources.textreport import numbered_lines, with_block_context
 
-#: block-start line, e.g.
-#:   BALANCE  AT   1-JAN-2020    FIPNUM  REGION  2
-_START = r"BALANCE\s+AT\s+(\S+)\s+(\w+)\s+REGION\s+(\d+)"
-#: data line, e.g.
-#:   CURRENTLY IN PLACE : LIQUID   12345.6
-_ROW = r"([A-Z ]+?)\s*:\s*(\w+)\s+([-\d.Ee+]+)"
+#: running report date, e.g. ``  REPORT   0     1 JAN 2000``
+_DATE_START = r"\s\sREPORT\s+\d+\s+(\d+)\s+(\w+)\s+(\d+)"
+#: OPM flow writes dates as ``Starting time step .. date = 01-Jan-2000``
+_OPM_DATE_START = r"Starting time step.*? date = (\d+)-(\w+)-(\d+)"
+#: region block header, e.g. ``: FIPNUM  REPORT REGION    2    :``
+#: (case-insensitive in the reference; Eclipse100 and OPM both match)
+_REGION_START = r"(?i).+{fipname}\s+REPORT\s+REGION\s+(\d+)"
+#: the four data-line families the reference accepts
+_ROW_STARTS = ("CURRENTLY", "OUTFLOW", "MATERIAL", "ORIGINALLY")
 
 
-def df(spark: SparkSession, prt_path: str) -> DataFrame:
-    # keep the (file, split) columns: parse_report_blocks then uses
-    # the distributed two-pass ffill instead of a global window
+def df(spark: SparkSession, prt_path: str, fipname: str = "FIPNUM") -> DataFrame:
+    """(DATE, FIPNAME, REGION, DATATYPE, TO_REGION, STOIIP_OIL,
+    ASSOCIATEDOIL_GAS, STOIIP_TOTAL, WIIP_TOTAL, GIIP_GAS,
+    ASSOCIATEDGAS_OIL, GIIP_TOTAL) — the reference's output schema,
+    one row per parsed balance line."""
+    if not fipname.startswith("FIP"):
+        raise ValueError("fipname must start with FIP")
+    if len(fipname) > 8:
+        raise ValueError("fipname can be at most 8 characters")
+
     lines = numbered_lines(spark, prt_path, keep_splits=True)
-    rows = parse_report_blocks(
-        lines,
-        start_pattern=_START,
-        context_fields={"DATE_STR": 1, "REGTYPE": 2, "REGION": 3},
-        row_pattern=_ROW,
-        row_fields={"DATATYPE": 1, "PHASE": 2, "AMOUNT": 3},
+    lines = with_block_context(
+        lines, _DATE_START, {"__D": 1, "__MON": 2, "__Y": 3}
     )
+    lines = with_block_context(
+        lines, _OPM_DATE_START, {"__OD": 1, "__OMON": 2, "__OY": 3}
+    )
+    lines = with_block_context(
+        lines, _REGION_START.format(fipname=fipname), {"__REGION": 1}
+    )
+
+    first_word = F.upper(
+        F.element_at(F.split(F.trim(F.expr("element_at(__secs, 2)")), r"\s+"), 1)
+    )
+    rows = (
+        lines.withColumn("__secs", F.split(F.col("line"), ":"))
+        .filter(F.size("__secs") >= 5)
+        .filter(F.trim(F.expr("element_at(__secs, 1)")) == "")
+        .withColumn("__name_sec", F.trim(F.expr("element_at(__secs, 2)")))
+        .filter(first_word.rlike("^(" + "|".join(_ROW_STARTS) + ")"))
+        .filter(F.col("__REGION").isNotNull())
+    )
+
+    def sec(i):
+        return F.split(F.trim(F.expr(f"element_at(__secs, {i})")), r"\s+")
+
+    rows = (
+        rows.withColumn("__oil", sec(3))
+        .withColumn("__wat", sec(4))
+        .withColumn("__gas", sec(5))
+    )
+
+    def num(arr, idx):
+        # try_cast: the reference's float_or_nan — junk yields NULL,
+        # never an ANSI cast abort
+        return F.expr(f"try_cast(element_at({arr}, {idx}) AS DOUBLE)")
+
+    n_oil = F.size("__oil")
+    n_gas = F.size("__gas")
+    # oil section: 3 tokens = (liquid, vapour, total); 2 = (liquid,
+    # total); 1 = (total) — the reference's layout dispatch
+    liquid_oil = F.when(n_oil >= 2, num("__oil", 1))
+    vapour_oil = F.when(n_oil == 3, num("__oil", 2))
+    total_oil = F.when(n_oil == 3, num("__oil", 3)).otherwise(
+        F.when(n_oil == 2, num("__oil", 2)).otherwise(num("__oil", 1))
+    )
+    total_water = num("__wat", 1)
+    free_gas = F.when(n_gas >= 2, num("__gas", 1))
+    dissolved_gas = F.when(n_gas == 3, num("__gas", 2))
+    total_gas = F.when(n_gas == 3, num("__gas", 3)).otherwise(
+        F.when(n_gas == 2, num("__gas", 2)).otherwise(num("__gas", 1))
+    )
+    is_outflow_region = F.col("__name_sec").rlike("OUTFLOW TO REGION")
+    to_region = F.when(
+        is_outflow_region,
+        F.expr(
+            "try_cast(element_at(split(trim(element_at(__secs, 2)), '\\\\s+'), 4) AS INT)"
+        ),
+    )
+    datatype = F.when(is_outflow_region, F.lit("OUTFLOW TO REGION")).otherwise(
+        F.upper(F.regexp_replace(F.col("__name_sec"), r"\s+", " "))
+    )
+    # whichever date family appeared LAST before this line wins; lines
+    # before any date line keep a NULL DATE (the reference's None), and
+    # try_to_date never ANSI-aborts on the empty pre-context string
+    ecl_date = F.expr(
+        "try_to_date(concat_ws(' ', __D, initcap(lower(__MON)), __Y), 'd MMM yyyy')"
+    )
+    opm_date = F.expr(
+        "try_to_date(concat_ws(' ', __OD, initcap(lower(__OMON)), __OY), 'd MMM yyyy')"
+    )
+    date = F.coalesce(ecl_date, opm_date)
     return rows.select(
-        F.col("DATE_STR"),
-        "REGTYPE",
-        F.col("REGION").cast("int").alias("REGION"),
-        F.trim("DATATYPE").alias("DATATYPE"),
-        "PHASE",
-        F.col("AMOUNT").cast("double").alias("AMOUNT"),
+        date.alias("DATE"),
+        F.lit(fipname).alias("FIPNAME"),
+        F.col("__REGION").cast("int").alias("REGION"),
+        datatype.alias("DATATYPE"),
+        to_region.alias("TO_REGION"),
+        liquid_oil.alias("STOIIP_OIL"),
+        vapour_oil.alias("ASSOCIATEDOIL_GAS"),
+        total_oil.alias("STOIIP_TOTAL"),
+        total_water.alias("WIIP_TOTAL"),
+        free_gas.alias("GIIP_GAS"),
+        dissolved_gas.alias("ASSOCIATEDGAS_OIL"),
+        total_gas.alias("GIIP_TOTAL"),
     )

@@ -154,20 +154,34 @@ def contact_estimate(
     z_col: str = "Z",
     cutoff: float = 0.5,
     region_col: str | None = None,
+    water_col: str | None = None,
+    water_cutoff: float = 0.0,
 ) -> DataFrame:
-    """A2: contact depth per pillar — the shallowest cell (min Z) whose
-    saturation exceeds the cutoff, gated to pillars that have any such
-    cell (pillars.py:192-318)."""
+    """A2: contact depth per pillar — the DEEPEST cell (max Z) whose
+    saturation exceeds the cutoff, matching the reference's OWC/GOC
+    construction (pillars.py:260-281: ``agg({'Z': 'max'})`` over the
+    above-cutoff cells).  ``water_col`` adds the reference's
+    water-presence gate: pillars with no ``water_col > water_cutoff``
+    cell are excluded (an OWC only makes sense where there IS water)."""
     pillar = F.concat_ws("-", F.col("I"), F.col("J"))
     keys = [pillar.alias("PILLAR")] + ([F.col(region_col)] if region_col else [])
-    return (
+    key_names = ["PILLAR"] + ([region_col] if region_col else [])
+    out = (
         grid.filter(F.col(sat_col) > cutoff)
         .groupBy(*keys)
         .agg(
-            F.min(z_col).alias("CONTACT_Z"),
+            F.max(z_col).alias("CONTACT_Z"),
             F.count(F.lit(1)).alias("N_CELLS"),
         )
     )
+    if water_col is not None:
+        waterpillars = (
+            grid.filter(F.col(water_col) > water_cutoff)
+            .select(*keys)
+            .distinct()
+        )
+        out = out.join(waterpillars, key_names, "left_semi")
+    return out
 
 
 def trans_df(grid: DataFrame, directions: str = "IJK") -> DataFrame:
@@ -184,6 +198,9 @@ def trans_df(grid: DataFrame, directions: str = "IJK") -> DataFrame:
     for d, vec in (("I", "TRANX1"), ("J", "TRANY1"), ("K", "TRANZ1")):
         if vec in pairs.columns:
             tran = F.when(F.col("DIR") == d, F.col(vec)).otherwise(tran)
+    # reference trans.py:106-131 builds each direction from
+    # grid_df[TRAN* > 0]: sealing faults (TRAN == 0) and absent
+    # directional vectors (NULL) yield NO row, not a zero/NULL row
     return pairs.select(
         "I1", "J1", "K1", "I2", "J2", "K2", "DIR", tran.alias("TRAN")
-    )
+    ).filter(F.col("TRAN") > 0)

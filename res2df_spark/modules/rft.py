@@ -100,7 +100,15 @@ def add_extras(df: DataFrame) -> DataFrame:
         ).withColumn("CONLENTH", F.col("CONLENEN") - F.col("CONLENST"))
         for rate in ("CONORAT", "CONWRAT", "CONGRAT"):
             if rate in cols:
-                df = df.withColumn(rate + "S", F.col(rate) / F.col("CONLENTH"))
+                # zero-length connections (defaulted MD interval) must
+                # not ANSI-abort the job; NULL marks the undefined rate
+                df = df.withColumn(
+                    rate + "S",
+                    F.when(
+                        F.col("CONLENTH") != 0,
+                        F.col(rate) / F.col("CONLENTH"),
+                    ),
+                )
     return df
 
 
@@ -190,7 +198,7 @@ def merge_icd_seg_conseg(
     one segment, so junction fan-out never duplicates rows.  Three
     equi-joins + an anti-join, all hashed on (keys, segment)."""
     keys = list(keys)
-    if seg is None or not seg.columns:
+    if seg is None or not seg.columns or not seg.take(1):
         return con
     with_icd = None
     if icd is not None and icd.columns:

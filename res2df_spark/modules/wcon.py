@@ -27,8 +27,16 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
     Columns are the union of the four keyword schemas; a record carries
     NULL for items its keyword lacks (e.g. WCONPROD has no TYPE).
     """
-    events = schedule_events(spark, deck_text)
-    frames = [deck_records(spark, deck_text, kw) for kw in WCONKEYS]
+    # ONE driver-side parse shared by the event frame and all four
+    # keyword frames (each deck_records call would otherwise re-tokenize
+    # the full deck text)
+    from res2df_spark.sources.deck import parse_deck
+
+    recs = parse_deck(deck_text)
+    events = schedule_events(spark, deck_text, records=recs)
+    frames = [
+        deck_records(spark, deck_text, kw, records=recs) for kw in WCONKEYS
+    ]
     u = frames[0]
     for f in frames[1:]:
         u = u.unionByName(f, allowMissingColumns=True)

@@ -36,17 +36,24 @@ def date_spine(
 
     Mirrors ``resample_smry_dates`` normalization
     (/root/reference/src/res2df/summary.py:195-290): start is rolled back
-    to the period start, end rolled forward, so the spine covers the
-    observation range.
+    to the period start, end rolled FORWARD — but, like the reference's
+    ``offset.rollforward``, an end already ON a period boundary stays
+    put (advancing it would fabricate an extrapolated row past the end
+    of the run).
     """
     interval = _FREQ_INTERVAL[freq]
     trunc_unit = {"daily": "day", "weekly": "week", "monthly": "month", "yearly": "year"}[freq]
     one = spark.range(1)
+    roll_end = (
+        f"CASE WHEN date_trunc('{trunc_unit}', to_timestamp('{end}')) = to_timestamp('{end}') "
+        f"THEN to_timestamp('{end}') "
+        f"ELSE date_trunc('{trunc_unit}', to_timestamp('{end}')) + {interval} END"
+    )
     return one.select(
         F.explode(
             F.expr(
                 f"sequence(date_trunc('{trunc_unit}', to_timestamp('{start}')), "
-                f"date_trunc('{trunc_unit}', to_timestamp('{end}')) + {interval}, {interval})"
+                f"{roll_end}, {interval})"
             )
         ).alias(date_col)
     ).select(F.col(date_col).cast("date").alias(date_col))
@@ -65,11 +72,18 @@ def spine_from_observations(
     bounds = obs.agg(
         F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
     )
+    # rollforward semantics: an end already on a boundary stays put
+    # (same contract as date_spine above)
+    roll_end = (
+        f"CASE WHEN date_trunc('{trunc_unit}', __hi) = to_timestamp(__hi) "
+        f"THEN to_timestamp(__hi) "
+        f"ELSE date_trunc('{trunc_unit}', __hi) + {interval} END"
+    )
     return bounds.select(
         F.explode(
             F.expr(
                 f"sequence(date_trunc('{trunc_unit}', __lo), "
-                f"date_trunc('{trunc_unit}', __hi) + {interval}, {interval})"
+                f"{roll_end}, {interval})"
             )
         ).alias(date_col)
     ).select(F.col(date_col).cast("date").alias(date_col))

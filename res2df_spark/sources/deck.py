@@ -582,10 +582,11 @@ def deck_records(
     return spark.createDataFrame(rows, schema)
 
 
-def schedule_events(spark: SparkSession, text: str) -> DataFrame:
+def schedule_events(spark: SparkSession, text: str, records=None) -> DataFrame:
     """All records of all keywords, dates resolved at parse time for the
-    date keywords — the substrate for the W1 ffill date cursor."""
-    recs = parse_deck(text)
+    date keywords — the substrate for the W1 ffill date cursor.
+    ``records`` reuses an existing ``parse_deck`` result."""
+    recs = records if records is not None else parse_deck(text)
     rows = [
         (r["KEYWORD_IDX"], r["KEYWORD"], r["RECORD_IDX"], r["DATE"]) for r in recs
     ]

@@ -92,12 +92,34 @@ def parse_report_blocks(
     the data.  Context never crosses a file boundary (the carry window
     partitions by file).  A bare (line_no, line) input falls back to
     the global-window form (correct, serial)."""
+    ctx = with_block_context(lines, start_pattern, context_fields)
+    rows = ctx.filter(F.col("line").rlike(row_pattern)).select(
+        "line_no",
+        *context_fields.keys(),
+        *[
+            F.regexp_extract("line", row_pattern, g).alias(name)
+            for name, g in row_fields.items()
+        ],
+    )
+    return rows
+
+
+def with_block_context(
+    lines: DataFrame,
+    start_pattern: str,
+    context_fields: Mapping[str, int],
+) -> DataFrame:
+    """Forward-fill block context (regex groups from ``start_pattern``
+    lines) onto every following line — the reusable half of
+    :func:`parse_report_blocks`, for parsers whose data rows need more
+    than a single regex (e.g. positional column splitting)."""
     has_splits = "__fp" in lines.columns and "__blk" in lines.columns
     part = ["__fp", "__blk"] if has_splits else []
     is_start = F.col("line").rlike(start_pattern)
-    keep = ["line_no", "line", *part]
+    # preserve EVERY input column (stacked with_block_context calls add
+    # one context family at a time)
     ctx = lines.select(
-        *keep,
+        *lines.columns,
         *[
             F.when(is_start, F.regexp_extract("line", start_pattern, g)).alias(f"__ctx_{name}")
             for name, g in context_fields.items()
@@ -149,12 +171,5 @@ def parse_report_blocks(
             ctx = ctx.withColumn(
                 name, F.last(F.col(f"__ctx_{name}"), ignorenulls=True).over(w)
             )
-    rows = ctx.filter(F.col("line").rlike(row_pattern)).select(
-        "line_no",
-        *context_fields.keys(),
-        *[
-            F.regexp_extract("line", row_pattern, g).alias(name)
-            for name, g in row_fields.items()
-        ],
-    )
-    return rows
+    drop = [c for c in ctx.columns if c.startswith("__ctx_") or c.startswith("__in_") or c.startswith("__carry_")]
+    return ctx.drop(*drop)

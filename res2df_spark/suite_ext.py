@@ -450,8 +450,10 @@ def p4_constant_probe(spark, sf_dir):
         FROM events GROUP BY 1, 2),
     bounds AS (SELECT min(wk) AS lo, max(wk) AS hi FROM obs),
     days AS (
+        -- rollforward: daily bounds are always ON the day boundary, so
+        -- the spine ends AT hi (no fabricated post-end day)
         SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
-                    CAST(hi AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS DATE) AS d
+                    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
         FROM bounds),
     spine AS (
         SELECT k.event_type, days.d
@@ -1046,14 +1048,15 @@ def pillar_stats(spark, sf_dir):
     f"""
     WITH grid(i, j, k, fipnum, z, volume, porv, swat) AS {_GRID_SQL_VALUES}
     SELECT CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS pillar,
-           min(z) AS contact_z, count(*) AS n_cells
+           max(z) AS contact_z, count(*) AS n_cells
     FROM grid WHERE swat > 0.5 GROUP BY 1
     """,
 )
 def contact_estimate(spark, sf_dir):
-    """Contact-depth estimation: shallowest cell above the saturation
-    cutoff per pillar, gated to pillars with any such cell (A2 —
-    modules/grid.contact_estimate; pillars.py:192-318)."""
+    """Contact-depth estimation: DEEPEST cell above the saturation
+    cutoff per pillar (the reference's max-Z contact construction,
+    pillars.py:260-281), gated to pillars with any such cell (A2 —
+    modules/grid.contact_estimate)."""
     from res2df_spark.modules.grid import contact_estimate as _ce
 
     out = _ce(_grid_fixture(spark), sat_col="SWAT", cutoff=0.5)
@@ -1410,7 +1413,9 @@ def eclbin_summary_roundtrip(spark, sf_dir):
                      ELSE 0 END AS DOUBLE) AS drawdown,
            CAST(0.5 * (conlenst + conlenen) AS DOUBLE) AS conmd,
            CAST(conlenen - conlenst AS DOUBLE) AS conlenth,
-           CAST(conorat / (conlenen - conlenst) AS DOUBLE) AS conorats
+           CAST(CASE WHEN conlenen - conlenst <> 0
+                     THEN conorat / (conlenen - conlenst) END AS DOUBLE)
+               AS conorats
     FROM src
     """,
 )

@@ -47,24 +47,39 @@ def test_attach_parameters(spark):
     assert got == [(1, "base", 42), (2, "base", 42)]
 
 
+# real Eclipse PRT shape: REPORT date lines, FIPNUM REPORT REGION block
+# headers, positional colon-separated balance rows
 PRT = """\
  NOISE
- BALANCE  AT   1-JAN-2020    FIPNUM  REGION  1
-  CURRENTLY IN PLACE : LIQUID   1000.5
-  OUTFLOW TO OTHER REGIONS : LIQUID   2.5
- BALANCE  AT   1-FEB-2020    FIPNUM  REGION  2
-  CURRENTLY IN PLACE : GAS      9.75E+03
+  REPORT   0     1 JAN 2020   *  RUN
+                     : FIPNUM  REPORT REGION    1    :
+ :CURRENTLY IN PLACE       :        1000.5           20.    1020.5:      500. :       10.        90.       100.:
+ :OUTFLOW TO OTHER REGIONS :           2.5                     2.5:        0. :        0.         0.         0.:
+  REPORT   1     1 FEB 2020   *  RUN
+                     : FIPNUM  REPORT REGION    2    :
+ :CURRENTLY IN PLACE       :                                   0. :        0. :                         9750.0:
 """
 
 
 def test_fipreports(spark, tmp_path):
     p = tmp_path / "CASE.PRT"
     p.write_text(PRT)
+    from datetime import date as _date
+
     out = fipreports.df(spark, str(p))
-    got = rows(out, "DATE_STR", "REGION", "DATATYPE", "PHASE", "AMOUNT")
-    assert ("1-JAN-2020", 1, "CURRENTLY IN PLACE", "LIQUID", 1000.5) in got
-    assert ("1-JAN-2020", 1, "OUTFLOW TO OTHER REGIONS", "LIQUID", 2.5) in got
-    assert ("1-FEB-2020", 2, "CURRENTLY IN PLACE", "GAS", 9750.0) in got
+    got = rows(
+        out, "DATE", "REGION", "DATATYPE",
+        "STOIIP_OIL", "STOIIP_TOTAL", "WIIP_TOTAL", "GIIP_TOTAL",
+    )
+    assert (
+        _date(2020, 1, 1), 1, "CURRENTLY IN PLACE", 1000.5, 1020.5, 500.0, 100.0
+    ) in got
+    assert (
+        _date(2020, 1, 1), 1, "OUTFLOW TO OTHER REGIONS", 2.5, 2.5, 0.0, 0.0
+    ) in got
+    assert (
+        _date(2020, 2, 1), 2, "CURRENTLY IN PLACE", None, 0.0, 0.0, 9750.0
+    ) in got
     assert out.count() == 3
 
 

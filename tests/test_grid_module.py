@@ -100,5 +100,6 @@ def test_pillar_stats(spark):
 def test_contact_estimate(spark):
     out = contact_estimate(_grid(spark), sat_col="SWAT", cutoff=0.5)
     got = rows(out, "PILLAR", "CONTACT_Z", "N_CELLS")
-    # only pillar 2-1 has SWAT>0.5; shallowest such cell at Z=10.5
-    assert got == [("2-1", 10.5, 2)]
+    # only pillar 2-1 has SWAT>0.5; the reference contact is the
+    # DEEPEST such cell (max Z, pillars.py:260-281)
+    assert got == [("2-1", 20.5, 2)]

@@ -79,7 +79,9 @@ def test_resample_linear(spark):
     assert got[date(2020, 2, 1)] == pytest.approx(60.0 * 31 / 60)
     assert got[date(2020, 3, 1)] == 60.0
     assert got[date(2020, 4, 1)] == pytest.approx(60 + 40 * 31 / 61)
-    assert got[date(2020, 5, 1)] == 100.0
+    # the requested range ENDS 2020-04-01 (on the boundary): rollforward
+    # keeps it — no extrapolated May row beyond the asked-for spine
+    assert date(2020, 5, 1) not in got
 
 
 def test_resample_bfill_rate_semantics(spark):
@@ -98,4 +100,6 @@ def test_spine_from_observations(spark):
     spine = spine_from_observations(obs, "DATE", freq="monthly")
     got = [r[0] for r in rows(spine, "DATE")]
     assert got[0] == date(2020, 1, 1)
-    assert got[-1] == date(2020, 6, 1)
+    # max obs 2020-05-01 is ON the month boundary: rollforward keeps it
+    # (the reference's offset.rollforward), no fabricated June row
+    assert got[-1] == date(2020, 5, 1)
