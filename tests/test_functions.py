@@ -20,8 +20,9 @@ from tests.conftest import rows
 def test_well_template_to_regex():
     assert well_template_to_regex("OP*") == "^OP.*$"
     assert well_template_to_regex("OP?") == "^OP.$"
-    # leading backslash escapes a literal name starting with a wildcard
-    assert well_template_to_regex("\\*X") == "^\\*X$"
+    # a leading backslash PERMITS a leading wildcard; the reference
+    # strips it and still expands (common.py:973-980)
+    assert well_template_to_regex("\\*X") == "^.*X$"
     assert well_template_to_regex("A.B") == "^A\\.B$"
 
 
@@ -32,6 +33,7 @@ def test_matches_template(spark):
     got = rows(df.filter(matches_template("well", "OP*")), "well")
     assert got == [("OP_1",), ("OP_22",)]
     got = rows(df.filter(matches_template("well", "\\*X")), "well")
+    # '\*X' = wildcard template: matches every well ending in X
     assert got == [("*X",)]
 
 
