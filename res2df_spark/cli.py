@@ -430,6 +430,11 @@ def get_curate_parser() -> argparse.ArgumentParser:
         elif name == "lm-score":
             s.add_argument("--train-source", required=True,
                            help="value of the source column to train on")
+            s.add_argument("--source-col", default="source",
+                           help="column holding the source/provenance label")
+        elif name == "stats":
+            s.add_argument("--source-col", default="source",
+                           help="column to group the percentiles by")
         elif name == "export-tar":
             s.add_argument("--n-shards", type=int, default=8)
             s.add_argument("--payload-col", default=None,
@@ -462,10 +467,16 @@ def curate_main(argv: list[str] | None = None) -> int:
     elif args.op == "dedup-exact":
         from pyspark.sql import Window, functions as F
 
+        # NULL texts are exempt from the window: md5(NULL) is NULL, so
+        # partitionBy(md5(text)) would pool every null-text document into
+        # one phantom group and keep exactly one of them (the same bug
+        # llm.dedup.exact_duplicates filters against).
+        nonnull = df.filter(F.col(txt).isNotNull())
         w = Window.partitionBy(F.md5(F.col(txt))).orderBy(idc)
         out = (
-            df.withColumn("__rn", F.row_number().over(w))
+            nonnull.withColumn("__rn", F.row_number().over(w))
             .filter("__rn = 1").drop("__rn")
+            .unionByName(df.filter(F.col(txt).isNull()))
         )
     elif args.op == "near-dup":
         from res2df_spark.llm.dedup import minhash_lsh_candidates
@@ -513,9 +524,20 @@ def curate_main(argv: list[str] | None = None) -> int:
 
         from res2df_spark.llm.lm import lm_quality_score, train_char_lm
 
-        model = train_char_lm(
-            df.filter(F.col("source") == args.train_source), text_col=txt
-        )
+        src = args.source_col
+        if src not in df.columns:
+            raise SystemExit(
+                f"lm-score: column {src!r} not in input "
+                f"(columns: {', '.join(df.columns)}); pass --source-col"
+            )
+        train_df = df.filter(F.col(src) == args.train_source)
+        if train_df.limit(1).count() == 0:
+            raise SystemExit(
+                f"lm-score: --train-source {args.train_source!r} matches no "
+                f"rows of {src!r} — a model trained on nothing would score "
+                "every document at the smoothing floor"
+            )
+        model = train_char_lm(train_df, text_col=txt)
         out = lm_quality_score(df, model, id_col=idc, text_col=txt)
     elif args.op == "export-tar":
         from pyspark.sql import functions as F
@@ -539,10 +561,16 @@ def curate_main(argv: list[str] | None = None) -> int:
 
         from res2df_spark.functions.textan import token_count
 
+        src = args.source_col
+        if src not in df.columns:
+            raise SystemExit(
+                f"stats: column {src!r} not in input "
+                f"(columns: {', '.join(df.columns)}); pass --source-col"
+            )
         n_tok = token_count(F.col(txt)).cast("double")
         out = (
-            df.select("source", n_tok.alias("n_tok"))
-            .groupBy("source")
+            df.select(src, n_tok.alias("n_tok"))
+            .groupBy(src)
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_docs"),
                 F.round(F.percentile("n_tok", 0.5), 4).alias("p50_tokens"),

@@ -642,7 +642,15 @@ def pq_train(
     (``llm.curation.deterministic_sample``) — codebooks converge on
     samples long before full passes pay off.
     """
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        # same contract as lsh_bucketed_topk's guard: an empty corpus (or
+        # a leading NULL vector) must not crash the dimensionality probe
+        raise ValueError(
+            "pq_train: corpus is empty or its first vector is NULL — "
+            "cannot infer dimensionality"
+        )
+    dim = len(first[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m

@@ -45,10 +45,12 @@ def df(spark: SparkSession, prt_path: str, fipname: str = "FIPNUM") -> DataFrame
 
     lines = numbered_lines(spark, prt_path, keep_splits=True)
     lines = with_block_context(
-        lines, _DATE_START, {"__D": 1, "__MON": 2, "__Y": 3}
+        lines, _DATE_START, {"__D": 1, "__MON": 2, "__Y": 3},
+        line_no_as="__D_LN",
     )
     lines = with_block_context(
-        lines, _OPM_DATE_START, {"__OD": 1, "__OMON": 2, "__OY": 3}
+        lines, _OPM_DATE_START, {"__OD": 1, "__OMON": 2, "__OY": 3},
+        line_no_as="__OD_LN",
     )
     lines = with_block_context(
         lines, _REGION_START.format(fipname=fipname), {"__REGION": 1}
@@ -114,7 +116,14 @@ def df(spark: SparkSession, prt_path: str, fipname: str = "FIPNUM") -> DataFrame
     opm_date = F.expr(
         "try_to_date(concat_ws(' ', __OD, initcap(lower(__OMON)), __OY), 'd MMM yyyy')"
     )
-    date = F.coalesce(ecl_date, opm_date)
+    # the family whose date line appeared LAST before this row wins —
+    # resolved on the forward-filled line numbers of each family's most
+    # recent date line, so a mixed Eclipse/OPM PRT never stamps rows with
+    # the stale family (a bare coalesce would always prefer Eclipse)
+    opm_is_newer = F.col("__OD_LN").isNotNull() & (
+        F.col("__D_LN").isNull() | (F.col("__OD_LN") > F.col("__D_LN"))
+    )
+    date = F.when(opm_is_newer, opm_date).otherwise(ecl_date)
     return rows.select(
         date.alias("DATE"),
         F.lit(fipname).alias("FIPNAME"),

@@ -36,6 +36,22 @@ RUNTIME_CONF = {
 }
 
 
+def _parse_byte_conf(value) -> int:
+    """Parse a Spark byte-size conf value.  Spark accepts bare integers
+    (bytes) or unit-suffixed strings ('128m', '1g', '512kb' — JavaUtils
+    byteStringAs semantics), so an externally-configured session can
+    legally hand us either form."""
+    import re
+
+    s = str(value).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([kmgtp]?)b?", s)
+    if m is None:
+        raise ValueError(f"unparseable byte size: {value!r}")
+    mult = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3,
+            "t": 1024**4, "p": 1024**5}[m.group(2)]
+    return int(m.group(1)) * mult
+
+
 def get_spark(app_name: str = "res2df-spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's configuration.
 
@@ -96,7 +112,7 @@ def spread(df, min_partitions: int | None = None):
         try:
             from urllib.parse import unquote, urlparse
 
-            max_bytes = int(
+            max_bytes = _parse_byte_conf(
                 df.sparkSession.conf.get(
                     "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
                 )
@@ -110,7 +126,9 @@ def spread(df, min_partitions: int | None = None):
                 total += os.path.getsize(unquote(p.path) if p.scheme else f)
             if total is not None:
                 n_splits = max(n_splits, -(-total // max_bytes))
-        except OSError:
+        except (OSError, ValueError):
+            # unreadable file sizes or an unparseable conf value: fall
+            # back to the raw file count rather than crash the caller
             pass
     if n_splits < n:
         return df.repartition(n)

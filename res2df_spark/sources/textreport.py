@@ -108,22 +108,33 @@ def with_block_context(
     lines: DataFrame,
     start_pattern: str,
     context_fields: Mapping[str, int],
+    line_no_as: str | None = None,
 ) -> DataFrame:
     """Forward-fill block context (regex groups from ``start_pattern``
     lines) onto every following line — the reusable half of
     :func:`parse_report_blocks`, for parsers whose data rows need more
-    than a single regex (e.g. positional column splitting)."""
+    than a single regex (e.g. positional column splitting).
+
+    ``line_no_as`` additionally forward-fills the start line's global
+    ``line_no`` under that column name — consumers stacking several
+    context families (e.g. two date formats) can then resolve which
+    family appeared LAST before a given row."""
     has_splits = "__fp" in lines.columns and "__blk" in lines.columns
     part = ["__fp", "__blk"] if has_splits else []
     is_start = F.col("line").rlike(start_pattern)
+    context_fields = dict(context_fields)
+    start_values = {
+        name: F.when(is_start, F.regexp_extract("line", start_pattern, g))
+        for name, g in context_fields.items()
+    }
+    if line_no_as is not None:
+        start_values[line_no_as] = F.when(is_start, F.col("line_no"))
+        context_fields[line_no_as] = -1  # ffilled like the rest below
     # preserve EVERY input column (stacked with_block_context calls add
     # one context family at a time)
     ctx = lines.select(
         *lines.columns,
-        *[
-            F.when(is_start, F.regexp_extract("line", start_pattern, g)).alias(f"__ctx_{name}")
-            for name, g in context_fields.items()
-        ],
+        *[v.alias(f"__ctx_{name}") for name, v in start_values.items()],
     )
     if has_splits:
         w_in = (

@@ -1,0 +1,145 @@
+"""Round-5 regression tests for the ADVICE findings: NULL-text handling
+in the curate CLI's dedup-exact, byte-suffix conf parsing in spread(),
+mixed Eclipse/OPM date families in PRT parsing, pq_train's empty-corpus
+guard, and the curate CLI's --source-col validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import rows
+
+
+# --- fipreports: mixed Eclipse/OPM date families -------------------------
+
+MIXED_PRT = """\
+ NOISE
+  REPORT   0     1 JAN 2020   *  RUN
+                     : FIPNUM  REPORT REGION    1    :
+ :CURRENTLY IN PLACE       :        1000.5           20.    1020.5:      500. :       10.        90.       100.:
+Starting time step 5, stepsize 30 days, at day 31/366, date = 01-Feb-2020
+                     : FIPNUM  REPORT REGION    1    :
+ :CURRENTLY IN PLACE       :         900.0           20.     920.0:      400. :       10.        80.        90.:
+  REPORT   2     1 MAR 2020   *  RUN
+                     : FIPNUM  REPORT REGION    1    :
+ :CURRENTLY IN PLACE       :         800.0           20.     820.0:      300. :       10.        70.        80.:
+"""
+
+
+def test_fipreports_mixed_date_families(spark, tmp_path):
+    """Whichever date family appeared LAST before a balance line wins —
+    a bare coalesce would stamp the OPM-dated middle block with the
+    stale January Eclipse date."""
+    from datetime import date as _date
+
+    from res2df_spark.modules import fipreports
+
+    p = tmp_path / "MIXED.PRT"
+    p.write_text(MIXED_PRT)
+    got = rows(fipreports.df(spark, str(p)), "DATE", "STOIIP_OIL")
+    assert (_date(2020, 1, 1), 1000.5) in got
+    assert (_date(2020, 2, 1), 900.0) in got  # OPM line is the newest here
+    assert (_date(2020, 3, 1), 800.0) in got  # Eclipse wins again after
+
+
+# --- curate CLI: dedup-exact must not pool NULL texts ---------------------
+
+
+def test_curate_dedup_exact_null_texts(spark, tmp_path):
+    import duckdb
+
+    from res2df_spark.cli import curate_main
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, "other")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    assert curate_main(["dedup-exact", src, "-o", out]) == 0
+    kept = sorted(
+        r[0]
+        for r in duckdb.sql(f"SELECT doc_id FROM '{out}/*.parquet'").fetchall()
+    )
+    # both NULL-text docs survive; the 'same' pair dedups to its lowest id
+    assert kept == [1, 3, 4, 5]
+
+
+# --- curate CLI: --source-col validation ----------------------------------
+
+
+def test_curate_stats_source_col(spark, tmp_path):
+    import duckdb
+
+    from res2df_spark.cli import curate_main
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "a b c", "web"), (2, "d e", "book")],
+        "doc_id long, text string, origin string",
+    ).write.parquet(src)
+    out = str(tmp_path / "stats")
+    assert curate_main(
+        ["stats", src, "-o", out, "--source-col", "origin"]
+    ) == 0
+    got = duckdb.sql(f"SELECT origin, n_docs FROM '{out}/*.parquet'").fetchall()
+    assert sorted(got) == [("book", 1), ("web", 1)]
+    # a corpus without the column fails loudly, not with an opaque
+    # analysis error
+    with pytest.raises(SystemExit, match="source"):
+        curate_main(["stats", src, "-o", out])
+
+
+def test_curate_lm_score_empty_train_slice(spark, tmp_path):
+    from res2df_spark.cli import curate_main
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "hello world", "web")], "doc_id long, text string, source string"
+    ).write.parquet(src)
+    with pytest.raises(SystemExit, match="matches no"):
+        curate_main(
+            ["lm-score", src, "-o", str(tmp_path / "o"),
+             "--train-source", "nonexistent"]
+        )
+
+
+# --- session: byte-suffixed conf values ------------------------------------
+
+
+def test_parse_byte_conf_units():
+    from res2df_spark.session import _parse_byte_conf
+
+    assert _parse_byte_conf("134217728") == 128 * 1024**2
+    assert _parse_byte_conf("128m") == 128 * 1024**2
+    assert _parse_byte_conf("128MB") == 128 * 1024**2
+    assert _parse_byte_conf("1g") == 1024**3
+    assert _parse_byte_conf("512kb") == 512 * 1024
+    with pytest.raises(ValueError):
+        _parse_byte_conf("12.5g")
+
+
+def test_spread_with_suffixed_conf(spark, tmp_path):
+    """spread() must not crash when the session carries a unit-suffixed
+    maxPartitionBytes (legal external configuration)."""
+    from res2df_spark.session import spread
+
+    p = str(tmp_path / "t")
+    spark.range(100).write.parquet(p)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        assert spread(spark.read.parquet(p)).count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+# --- pq_train: empty-corpus guard ------------------------------------------
+
+
+def test_pq_train_empty_corpus(spark):
+    from res2df_spark.llm.similarity import pq_train
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(empty, m=2, k=2)
