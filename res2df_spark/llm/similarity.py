@@ -365,11 +365,16 @@ def mean_pool(
     embedding) or label→centroid aggregation.
 
     One shuffle on the group key: ``collect_list`` gathers the group's
-    vectors (groups are chunks-of-one-document — small by
-    construction), then a single JVM ``aggregate``/``zip_with`` chain
-    reduces them element-wise; no per-dimension explode, no second
-    shuffle, no Python.  NULL vectors are excluded; groups with none
-    left produce no row.  Returns (group, pooled array<double>, n_vecs).
+    vectors, then a single JVM ``aggregate``/``zip_with`` chain reduces
+    them element-wise; no per-dimension explode, no second shuffle, no
+    Python.  NULL vectors are excluded; groups with none left produce
+    no row.  Returns (group, pooled array<double>, n_vecs).
+
+    SCALE CONTRACT: groups must be small by construction
+    (chunks-of-one-document) — ``collect_list`` holds the whole group
+    in ONE aggregation buffer.  For corpus-sized groups (k-means
+    clusters, per-label centroids) use :func:`cluster_mean`, whose
+    partial-aggregatable formulation bounds per-task state at k·dim.
 
     ``collect_list`` order is partition-arrival order, so the
     IEEE-double sum can wobble in the last ulp between runs — harmless
@@ -405,6 +410,62 @@ def mean_pool(
             F.transform(summed, lambda x: x / F.size("__vs")).alias("pooled"),
             F.size("__vs").cast("long").alias("n_vecs"),
         )
+    )
+
+
+def cluster_mean(
+    df: DataFrame,
+    group_col: str = "centroid_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean of embeddings per group with BOUNDED
+    aggregation buffers — the large-group companion to
+    :func:`mean_pool`, for groups that are whole clusters (≈N/k
+    vectors) rather than chunks-of-one-document.
+
+    ``mean_pool``'s ``collect_list`` holds an ENTIRE group in one
+    aggregation buffer; for a cluster that is N/k vectors — billions of
+    doubles at corpus scale — that buffer OOMs the executor.  Here the
+    sum is fully partial-aggregatable instead: ``posexplode`` to
+    (group, dim, value), then ``sum``/``count`` per (group, dim) —
+    map-side combine collapses each task's output to at most
+    k·dim pre-summed rows before the exchange, so per-task state is the
+    model size, never the group size.  The final per-group re-assembly
+    collects exactly ``dim`` (pos, mean) structs per group — bounded by
+    the embedding dimensionality, not the cluster population.
+
+    Determinism caveat: the per-(group, dim) double sum runs in
+    partition order, so results can wobble in the last ulp between runs
+    on a cluster (consumers compare rounded values; k-means assignment
+    flips only for points exactly equidistant to two centroids).
+    NULL vectors are excluded; groups with none left produce no row.
+    Returns (group, pooled array<double>, n_vecs) like ``mean_pool``.
+    """
+    dims = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(group_col),
+            F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
+        )
+        .groupBy(group_col, "__pos")
+        .agg(
+            F.sum(F.col("__x").cast("double")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return dims.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__pos").alias("p"),
+                        (F.col("__s") / F.col("__n")).alias("m"),
+                    )
+                )
+            ),
+            lambda s: s["m"],
+        ).alias("pooled"),
+        F.max("__n").cast("long").alias("n_vecs"),
     )
 
 
@@ -468,20 +529,28 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Distributed Lloyd's k-means over an embedding column, fully
-    deterministic: initial centroids are the ``k`` vectors with the
-    lowest ids (no RNG), every iteration is one broadcast assignment
-    (:func:`assign_nearest`) plus one element-wise mean per cluster
-    (:func:`mean_pool`) — the model never touches the driver, unlike
-    :func:`train_ivf_centroids`'s sampled driver-side variant.
+    """Distributed Lloyd's k-means over an embedding column: initial
+    centroids are the ``k`` vectors with the lowest ids (no RNG), every
+    iteration is one broadcast assignment (:func:`assign_nearest`) plus
+    one element-wise mean per cluster (:func:`cluster_mean`) — the
+    model never rides through the driver except as the k-row centroid
+    frame, unlike :func:`train_ivf_centroids`'s sampled driver-side
+    variant.
 
-    Scale: per iteration, one broadcast join (map-side) and one shuffle
-    on the cluster id (k keys, partial-aggregated — each task emits at
-    most k pre-summed rows).  ``localCheckpoint`` truncates the lineage
-    each round so the plan stays O(1) deep across iterations; k·dim
-    doubles (the model) is all that persists.  Empty clusters keep
-    their previous centroid.  Returns (centroid_id, centroid,
-    n_members) after ``iters`` rounds.
+    Scale / bounded-buffer contract: per iteration, one broadcast join
+    (map-side) and the cluster-mean's partial-aggregated shuffles —
+    per-task aggregation state is at most k·dim pre-summed rows (the
+    model size), NEVER a whole cluster's membership: clusters are ≈N/k
+    vectors and :func:`cluster_mean` was chosen over :func:`mean_pool`
+    precisely so no buffer ever holds one.  ``localCheckpoint``
+    truncates the lineage each round so the plan stays O(1) deep across
+    iterations; k·dim doubles (the model) is all that persists.  Empty
+    clusters keep their previous centroid.  Determinism: runs on the
+    same partitioning reproduce exactly; across different partitionings
+    the per-dimension double sums can wobble in the last ulp (see
+    ``cluster_mean``), which flips an assignment only for points
+    exactly equidistant to two centroids.  Returns (centroid_id,
+    centroid, n_members) after ``iters`` rounds.
     """
     vecs = df.select(F.col(id_col), F.col(vec_col)).filter(
         F.col(vec_col).isNotNull()
@@ -502,11 +571,10 @@ def kmeans_fit(
         assigned = assign_nearest(
             vecs, centroids, id_col=id_col, vec_col=vec_col
         )
-        pooled = mean_pool(
+        pooled = cluster_mean(
             vecs.join(assigned.select(id_col, "centroid_id"), id_col),
             group_col="centroid_id",
             vec_col=vec_col,
-            order_col=id_col,
         ).select(
             "centroid_id", F.col("pooled").alias("centroid"), "n_vecs"
         )
@@ -531,50 +599,102 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
+    n_coarse: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairing (Abbas et al.
-    2023 lineage): assign every embedding to its nearest centroid
-    (:func:`assign_nearest`), then enumerate cosine-similar pairs ONLY
-    within each cluster — two documents in different clusters are never
-    compared, which is what makes semantic dedup tractable at corpus
-    scale: pairwise cost is Σ|cluster|², not N².
+    2023 lineage): assign every embedding to a centroid, then enumerate
+    cosine-similar pairs ONLY within each cluster — two documents in
+    different clusters are never compared, which is what makes semantic
+    dedup tractable at corpus scale: pairwise cost is Σ|cluster|², not
+    N².
 
     The cluster count is the scale lever — at 100 TB you fit k ∝
-    N/target_cluster_size centroids (:func:`kmeans_fit`) so the
-    per-cluster quadratic stays bounded; ``max_cluster_size`` is the
-    same safety valve as the LSH hot-bucket cap (llm/dedup.py): clusters
-    over the cap are dropped from pairing rather than allowed to blow
-    up a task (drop accounting via :func:`assign_nearest` + a count —
-    the cluster ids survive in the assignment).
+    N/target_cluster_size centroids so the per-cluster quadratic stays
+    bounded.  But a FLAT nearest-of-k assignment is then O(N·k) = O(N²/
+    target) with an O(N) broadcast centroid table — itself superlinear
+    (measured: the one >10× entry in SCALEPROBE_r04).  So the
+    assignment is TWO-LEVEL, the same coarse→fine composition as
+    :func:`ivfpq_build`: the ``n_coarse`` lowest-id centroids (default
+    ⌈√k⌉) act as coarse lists; each fine centroid maps to its nearest
+    coarse (k·√k work, model-sized); each vector finds its nearest
+    coarse (N·√k, coarse table broadcast — √k rows, bounded) and then
+    its nearest FINE centroid among those mapped to that coarse list
+    (equality join on the coarse id, ~N·√k average work, AQE splits a
+    skewed coarse list).  Total assignment cost O(N·√k) instead of
+    O(N·k), and nothing broadcast is larger than √k rows.  Like every
+    IVF-style probe, a vector near a coarse boundary can land in a
+    different fine cluster than the flat argmin would give — the
+    SemDeDup trade, bought deliberately; set ``n_coarse`` = k to
+    recover exact flat assignment.  All tie-breaks (vector→coarse,
+    fine→coarse, vector→fine) go to the LOWER id, so the assignment is
+    a pure function of (vectors, centroids) on any engine.
+
+    ``max_cluster_size`` is the same safety valve as the LSH hot-bucket
+    cap (llm/dedup.py): clusters over the cap are dropped from pairing
+    rather than allowed to blow up a task (drop accounting via the
+    assignment + a count — the cluster ids survive in the assignment).
 
     Returns (id_1, id_2, centroid_id, cos_sim) with id_1 < id_2 and
     cos_sim ≥ ``threshold``.  The self-join is an equality join on the
     cluster id — one shuffle each side, never all-pairs.
 
     Inner-loop economics: the vector rides THROUGH the argmin
-    aggregation (``first`` on the grouped constant) instead of being
-    re-joined afterwards — one corpus shuffle saved — and each vector's
-    L2 norm is computed once per SIDE, not once per pair, so the
-    per-pair work is a single dot product (3× fewer array folds than a
-    naive cosine per pair).
+    aggregations (``first`` on the grouped constant) instead of being
+    re-joined afterwards, and each vector's L2 norm is computed once
+    per SIDE, not once per pair, so the per-pair work is a single dot
+    product (3× fewer array folds than a naive cosine per pair).
     """
+    import math
+
     from res2df_spark.functions.vectors import dot, l2_norm
 
-    c = broadcast(
-        centroids.select(
-            F.col("centroid_id").alias("__cid"), F.col("centroid").alias("__cv")
+    fine = centroids.select(
+        F.col("centroid_id"),
+        F.transform("centroid", lambda x: x.cast("double")).alias("__fv"),
+    )
+    if n_coarse is None:
+        # the centroid frame is model-sized; counting it is a k-row job
+        n_coarse = max(int(math.ceil(math.sqrt(fine.count()))), 1)
+    coarse = broadcast(
+        fine.filter(F.col("centroid_id") < n_coarse).select(
+            F.col("centroid_id").alias("__coid"), F.col("__fv").alias("__cov")
         )
     )
-    best = F.min(F.struct(F.col("__d").alias("d"), F.col("__cid").alias("c")))
-    sides = (
+    best_coarse = F.min(
+        F.struct(F.col("__d").alias("d"), F.col("__coid").alias("c"))
+    )
+    # fine centroid → coarse list (k·n_coarse work, model-sized)
+    fc = (
+        fine.crossJoin(coarse)
+        .withColumn("__d", _sq_dist(F.col("__fv"), F.col("__cov")))
+        .groupBy("centroid_id")
+        .agg(best_coarse.alias("__b"), F.first("__fv").alias("__fv"))
+        .select("centroid_id", F.col("__b.c").alias("__coid"), "__fv")
+    )
+    # vector → coarse list (broadcast n_coarse rows; argmin
+    # partial-aggregates map-side before the exchange on the vector id)
+    vc = (
         df.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(c)
-        .withColumn("__d", _sq_dist(F.col(vec_col), F.col("__cv")))
+        .filter(F.col(vec_col).isNotNull())
+        .crossJoin(coarse)
+        .withColumn("__d", _sq_dist(F.col(vec_col), F.col("__cov")))
         .groupBy(id_col)
-        .agg(best.alias("__best"), F.first(vec_col).alias("__v"))
+        .agg(best_coarse.alias("__b"), F.first(vec_col).alias("__v"))
+        .select(F.col(id_col), F.col("__b.c").alias("__coid"), F.col("__v"))
+    )
+    # vector → nearest FINE centroid within its coarse list: equality
+    # join on the coarse id (never all-pairs; fine side is k rows)
+    best_fine = F.min(
+        F.struct(F.col("__d").alias("d"), F.col("centroid_id").alias("c"))
+    )
+    sides = (
+        vc.join(fc, "__coid")
+        .withColumn("__d", _sq_dist(F.col("__v"), F.col("__fv")))
+        .groupBy(id_col)
+        .agg(best_fine.alias("__b"), F.first("__v").alias("__v"))
         .select(
             F.col(id_col),
-            F.col("__best.c").alias("centroid_id"),
+            F.col("__b.c").alias("centroid_id"),
             F.col("__v"),
             l2_norm(F.col("__v")).alias("__n"),
         )

