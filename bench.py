@@ -60,6 +60,12 @@ HEADLINE = [
     "funnel_conversion",       # sequential-pattern min-ts chain (round 4)
     "retention_grid",          # cohort grid, user-key-only shuffles (round 4)
     "curation_pipeline2",      # gate → cap → weighted sample composition (round 4)
+    "semantic_dedup",          # two-level assignment + in-cluster pairs (round 5)
+    "dedup_simhash_pairs",     # pigeonhole chunk buckets, capped (round 5)
+    "record_linkage",          # blocked fuzzy pairs (round 5)
+    "table_profile",           # one-pass column profiler (round 5)
+    "stream_funnel",           # stateful streaming funnel replay (round 5)
+    "pq_recall",               # PQ encode+ADC+rerank vs exact recall (round 5)
 ]
 
 

@@ -3647,3 +3647,147 @@ def record_linkage(spark, sf_dir):
         F.col("id2").cast("long").alias("id2"),
         "name1", "name2", "edit_dist",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5: externally-verified ANN QUALITY — recall@k of the PQ
+# ADC+rerank pipeline against exact L2 top-k, with the full PQ encode /
+# ADC / shortlist / rerank chain replicated in the oracle.  Codebooks are
+# closed-form (subvectors of the 8 lowest-id vectors — kmeans_fit with
+# zero iterations), which is what makes the whole pipeline expressible
+# as plain SQL; training-quality recall bars live in tests/test_pq.py.
+# ---------------------------------------------------------------------------
+
+_PQ_RECALL_SQL = """
+    WITH init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+                         embedding AS v
+                  FROM embeddings ORDER BY vec_id LIMIT 8),
+    js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    cb AS (SELECT js.j, init.ci,
+                  list_transform(generate_series(js.j*16 + 1, js.j*16 + 16),
+                                 i -> CAST(init.v[i] AS DOUBLE)) AS cent
+           FROM init CROSS JOIN js),
+    enc_d AS (SELECT e.vec_id, cb.j, cb.ci,
+                     list_sum(list_transform(generate_series(1, 16),
+                         t -> (CAST(e.embedding[cb.j*16 + t] AS DOUBLE) - cb.cent[t])
+                            * (CAST(e.embedding[cb.j*16 + t] AS DOUBLE) - cb.cent[t])))
+                     AS sq
+              FROM embeddings e CROSS JOIN cb),
+    enc AS (SELECT vec_id, j, ci FROM (
+              SELECT vec_id, j, ci,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY sq, ci) AS rn
+              FROM enc_d) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings ORDER BY vec_id LIMIT 5),
+    adc_j AS (SELECT q.query_id, enc.vec_id, enc.j,
+                     list_sum(list_transform(generate_series(1, 16),
+                         t -> (CAST(q.qv[enc.j*16 + t] AS DOUBLE) - cb.cent[t])
+                            * (CAST(q.qv[enc.j*16 + t] AS DOUBLE) - cb.cent[t])))
+                     AS sq
+              FROM q CROSS JOIN enc
+              JOIN cb ON cb.j = enc.j AND cb.ci = enc.ci),
+    adc AS (SELECT query_id, vec_id,
+                   list_sum(list(sq ORDER BY j)) AS pq_dist
+            FROM adc_j GROUP BY 1, 2),
+    short AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY pq_dist, vec_id) AS rn
+                FROM adc) WHERE rn <= 50),
+    rer AS (SELECT s.query_id, s.vec_id,
+                   list_sum(list_transform(generate_series(1, 64),
+                       t -> (CAST(q.qv[t] AS DOUBLE) - CAST(e.embedding[t] AS DOUBLE))
+                          * (CAST(q.qv[t] AS DOUBLE) - CAST(e.embedding[t] AS DOUBLE))))
+                   AS l2
+            FROM short s JOIN q USING (query_id)
+            JOIN embeddings e USING (vec_id)),
+    approx AS (SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY l2, vec_id) AS rn
+                 FROM rer) WHERE rn <= 10),
+    ex_d AS (SELECT q.query_id, e.vec_id,
+                    list_sum(list_transform(generate_series(1, 64),
+                        t -> (CAST(q.qv[t] AS DOUBLE) - CAST(e.embedding[t] AS DOUBLE))
+                           * (CAST(q.qv[t] AS DOUBLE) - CAST(e.embedding[t] AS DOUBLE))))
+                    AS l2
+             FROM q CROSS JOIN embeddings e),
+    exact AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY l2, vec_id) AS rn
+                FROM ex_d) WHERE rn <= 10)
+    SELECT CAST(x.query_id AS BIGINT) AS query_id,
+           CAST(round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS recall
+    FROM exact x LEFT JOIN approx a
+      ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+    GROUP BY x.query_id
+"""
+
+
+@_q("pq_recall", _PQ_RECALL_SQL)
+def pq_recall(spark, sf_dir):
+    """Recall@10 of the PQ ADC+rerank pipeline
+    (llm/similarity.pq_encode / pq_topk_rerank / recall_at_k) against
+    exact L2 top-10 — the ANN QUALITY dial, externally verified: the
+    oracle replicates encode (argmin per subspace, tie to the lower
+    code), ADC (per-query distance tables, summed in subspace order),
+    the 50-deep shortlist and the exact-L2 rerank, then computes the
+    same per-query recall.  Codebooks are closed-form (m=4 subvectors
+    of the 8 lowest-id vectors — zero k-means iterations) so both
+    engines derive the identical model; trained-codebook recall bars
+    are pytest-verified in tests/test_pq.py.  Scale shape: codes are
+    m small ints per vector (the corpus-memory win), the corpus never
+    shuffles for ADC (broadcast tables + map-side lookups), and the
+    rerank touches only |queries|·shortlist rows."""
+    from res2df_spark.llm.similarity import (
+        _sq_dist,
+        pq_encode,
+        pq_topk_rerank,
+        recall_at_k,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    base = emb.select("vec_id", "embedding")
+    init = sorted(
+        base.orderBy("vec_id").limit(8).collect(), key=lambda r: r["vec_id"]
+    )
+    vecs = [[float(x) for x in r["embedding"]] for r in init]
+    m, dsub = 4, len(vecs[0]) // 4
+    books = [[v[j * dsub:(j + 1) * dsub] for v in vecs] for j in range(m)]
+    queries = (
+        base.orderBy("vec_id")
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    codes = pq_encode(base, books)
+    approx = pq_topk_rerank(
+        queries, codes, base, books, k=10, shortlist=50,
+    )
+    qv = queries.select(
+        "query_id",
+        F.transform("query_vec", lambda x: x.cast("double")).alias("__qv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("l2").asc(), F.col("vec_id"))
+    exact = (
+        base.crossJoin(F.broadcast(qv))
+        .select(
+            "query_id", "vec_id",
+            _sq_dist(F.col("embedding"), F.col("__qv")).alias("l2"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id", "rnk")
+    )
+    rec = recall_at_k(
+        approx, exact, k=10, q_col="query_id", id_col="vec_id", rank_col="rnk"
+    )
+    return rec.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.round("recall", 6).alias("recall"),
+    )

@@ -158,3 +158,16 @@ def test_ivfpq_recall_beats_chance_and_tracks_probes(spark, ivfpq):
     r4, r8 = recall(4), recall(8)
     assert r4 >= 0.2, r4  # chance is 2%
     assert r8 >= r4  # probing every list can only help
+
+
+def test_pq_recall_query_meets_bar(spark):
+    """The oracle-checked pq_recall suite query must clear a minimum
+    quality bar — recall@10 ≥ 0.5 on average with zero-iteration
+    codebooks and a 50-deep shortlist (measured ~0.68; trained
+    codebooks score higher in the tests above)."""
+    from res2df_spark.suite import QUERIES
+
+    got = QUERIES["pq_recall"](spark, "/root/testdata/sf0.001").collect()
+    assert len(got) == 5
+    avg = sum(r["recall"] for r in got) / len(got)
+    assert avg >= 0.5, avg

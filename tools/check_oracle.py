@@ -2,7 +2,13 @@
 on Spark AND its oracle SQL on DuckDB at sf0.01, compare row count,
 column names/types, and order-insensitive values.
 
-Usage: python tools/check_oracle.py [query ...]
+Usage: python tools/check_oracle.py [--json FILE] [query ...]
+
+``--json FILE`` additionally records one entry per query in the same
+per-query schema as the driver's CORRECTNESS_r*.json (rows_match /
+schema_match / hash_match / spark_rows / oracle_rows / err) — the round
+artifact covering the registry tail outside the driver's sampling
+window.
 """
 
 from __future__ import annotations
@@ -75,7 +81,16 @@ def main() -> int:
     from res2df_spark import suite
     from res2df_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    import json
+
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = set(argv)
+    records: dict[str, dict] = {}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in (
@@ -93,24 +108,55 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark: {e}"[:500],
+            }
             continue
         if name not in suite.ORACLES:
             print(f"SKIP {name}: no oracle ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            records[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None,
+                "err": "no_oracle",
+            }
             continue
         try:
             ddf = con.sql(suite.ORACLES[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(sdf),
+                "oracle_rows": None, "err": f"duckdb: {e}"[:500],
+            }
             continue
         problems = compare(name, sdf, ddf)
         status = "ok" if not problems else "FAIL"
         if problems:
             failures += 1
+        rows_match = not any(p.startswith("row count") for p in problems)
+        schema_match = not any(
+            p.startswith("columns") or p.startswith("DTYPE") for p in problems
+        )
+        records[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": not problems,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(ddf),
+            "err": "; ".join(problems)[:500] if problems else None,
+        }
         print(f"{status:4s} {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
         for p in problems:
             print(f"     - {p}")
     print(f"\n{failures} failing")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(records)} queries)")
     return 1 if failures else 0
 
 

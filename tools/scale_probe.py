@@ -99,10 +99,90 @@ def run_one(spark, name: str, sf_dir: str, repeats: int) -> float:
     return best
 
 
+def probe_adversarial(spark) -> dict:
+    """Feed each capped operator family its degenerate corpus shape —
+    all-identical texts / vectors / blocking keys, the exact shape the
+    caps exist for — with the cap ON, and record runtime, surviving
+    pair count (must be 0) and the drop accounting (must be nonzero /
+    observable).  An uncapped run at this size would build C(n,2)
+    ≈ 2·10⁸ pairs; bounded wall-clock here IS the evidence the caps
+    bound the blowup."""
+    from res2df_spark.llm.dedup import (
+        minhash_lsh_bucket_stats,
+        minhash_lsh_candidates,
+        simhash_near_pairs,
+    )
+    from res2df_spark.llm.similarity import semantic_dedup_pairs
+    from res2df_spark.operators.linkage import blocked_fuzzy_pairs
+
+    n = 20_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated everywhere forever").alias(
+            "text"
+        ),
+    ).localCheckpoint()
+    recs = spark.range(n).select(
+        F.col("id").alias("rec_id"),
+        F.lit("John Smith").alias("name"),
+        F.lit("X").alias("blk"),
+    ).localCheckpoint()
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(v)) for v in (1.0, 2.0, 3.0, 4.0)])
+        .cast("array<float>")
+        .alias("embedding"),
+    ).localCheckpoint()
+    cents = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [100.0, 0.0, 0.0, 0.0])],
+        "centroid_id int, centroid array<double>",
+    )
+
+    out = {}
+
+    def rec(name, df, dropped):
+        t0 = time.time()
+        pairs = df.count()
+        secs = round(time.time() - t0, 2)
+        out[name] = {"n": n, "secs": secs, "pairs": pairs, "dropped": dropped}
+        print(
+            f"  adversarial {name}: {secs}s, {pairs} pairs survive the cap, "
+            f"{dropped} rows/buckets dropped",
+            file=sys.stderr,
+        )
+
+    stats = minhash_lsh_bucket_stats(docs, max_bucket_size=64)
+    n_dropped_buckets = stats.filter(F.col("dropped")).count()
+    rec(
+        "dedup_minhash_capped",
+        minhash_lsh_candidates(docs, max_bucket_size=64),
+        n_dropped_buckets,
+    )
+    rec(
+        "dedup_simhash_pairs",
+        simhash_near_pairs(docs, max_bucket_size=64),
+        n,  # one hot chunk-bucket of n members dropped whole
+    )
+    rec(
+        "record_linkage",
+        blocked_fuzzy_pairs(
+            recs, "rec_id", "name", ["blk"],
+            max_edit_distance=2, max_block_size=64,
+        ),
+        n,  # the single over-cap block
+    )
+    rec(
+        "semantic_dedup",
+        semantic_dedup_pairs(emb, cents, threshold=0.5, max_cluster_size=64),
+        n,  # the single over-cap cluster
+    )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--out", default="SCALEPROBE_r04.json")
+    ap.add_argument("--out", default="SCALEPROBE_r05.json")
     ap.add_argument("--keep", action="store_true", help="keep the big dataset")
     args = ap.parse_args()
 
@@ -139,6 +219,9 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolate per query
             out[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
 
+    print("adversarial capped-operator probe ...", file=sys.stderr)
+    adversarial = probe_adversarial(spark)
+
     ratios = [q["ratio"] for q in out.values()
               if isinstance(q, dict) and q.get("ratio") is not None]
     record = {
@@ -150,6 +233,7 @@ def main() -> None:
         "max_ratio": max(ratios) if ratios else None,
         "median_ratio": sorted(ratios)[len(ratios) // 2] if ratios else None,
         "queries": out,
+        "adversarial": adversarial,
     }
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)
