@@ -66,6 +66,9 @@ HEADLINE = [
     "table_profile",           # one-pass column profiler (round 5)
     "stream_funnel",           # stateful streaming funnel replay (round 5)
     "pq_recall",               # PQ encode+ADC+rerank vs exact recall (round 5)
+    "bm25_topk",               # lexical retrieval, broadcast query postings (round 5)
+    "corpus_entropy",          # dataset-card unigram stats (round 5)
+    "emb_truncate",            # matryoshka prefix + renorm, map-only (round 5)
 ]
 
 

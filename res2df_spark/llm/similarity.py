@@ -1111,3 +1111,42 @@ def ivfpq_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id, id_col, F.round("pq_dist", 6).alias("pq_dist"), "rnk")
     )
+
+
+def truncate_embeddings(
+    emb: DataFrame,
+    dims: int = 16,
+    renormalize: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style embedding truncation: keep the first ``dims``
+    dimensions and (optionally) L2-renormalize — the serving-cost lever
+    for MRL-trained embedding models (Kusupati et al. 2022), where
+    prefixes of the vector are themselves valid embeddings at lower
+    fidelity.  Pairs with :func:`quantize_embeddings` as the two
+    standard index-shrinking moves (fewer dims × fewer bits).
+
+    Map-only built-ins (slice/aggregate/transform) — no shuffle, no
+    Python; at 100 TB this is a pure scan-rewrite alongside ingest.
+    Zero-norm prefixes are passed through unnormalized (direction-less;
+    renormalizing would divide by zero).  Returns (id, truncated
+    array<double>, prefix_norm).
+    """
+    pre = F.slice(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")), 1, dims
+    )
+    norm = F.sqrt(
+        F.aggregate(pre, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    out = (
+        F.when(
+            F.lit(renormalize) & (norm > 0),
+            F.transform(pre, lambda x: x / norm),
+        ).otherwise(pre)
+    )
+    return emb.select(
+        F.col(id_col),
+        out.alias("truncated"),
+        norm.alias("prefix_norm"),
+    )

@@ -420,3 +420,135 @@ def heavy_hitters_mg(
     )
     out = merged.orderBy(F.col("mg_count").desc(), F.col("token"))
     return out.limit(top) if top is not None else out
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """BM25 top-``k`` document retrieval for a (query_id, term) query
+    set — the lexical-retrieval primitive (Robertson/Lucene scoring):
+
+        score(q, d) = Σ_t∈q  idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+        idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    Plan shape: one (doc, term) partial-aggregated groupBy for tf, one
+    doc-level groupBy for lengths, one vocabulary-sized groupBy for df;
+    the QUERY side is small by contract and broadcasts onto the tf
+    table, so only postings for query terms survive into the scoring
+    join — the corpus never carries non-matching terms past the
+    broadcast.  N and avgdl ride as a one-row broadcast dimension (no
+    driver-side count).  The per-(query, doc) sum folds term scores in
+    sorted-term order (groups are ≤ |query| terms), so the IEEE sum is
+    a pure function of the corpus on any engine; ties rank by doc id.
+
+    Reference analogue: none (the reference has no IR scoring) —
+    north-star scope: retrieval-based decontamination and hard-negative
+    mining both need corpus-scale BM25.
+    """
+    tf = _doc_terms(docs, id_col, text_col)
+    dl = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("double").alias("__dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    q = broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(term_col).alias("term")
+        ).distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+    )
+    per_term = (
+        tf.join(q, "term")
+        .join(df_t, "term")
+        .join(dl, id_col)
+        .crossJoin(broadcast(stats))
+        .select(
+            query_id_col,
+            id_col,
+            "term",
+            (idf * tf_part).alias("__s"),
+        )
+    )
+    # deterministic fold: sort the (≤ |query|) term scores before
+    # summing so both engines add in the same IEEE order
+    summed = (
+        per_term.groupBy(query_id_col, id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("term"), F.col("__s")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["__s"],
+            ).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col)
+    )
+    return (
+        summed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("bm25", 6).alias("bm25"),
+            "n_matched",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def corpus_token_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row corpus statistics over the unigram distribution — the
+    dataset-card numbers every training corpus ships with: token and
+    type counts, Shannon entropy of the token distribution (nats), and
+    the most frequent token with its corpus share (the head of the Zipf
+    curve).
+
+    Plan shape: one vocabulary-sized partial-aggregated groupBy, then a
+    single global aggregate over the vocabulary table (thousands of
+    rows, not corpus rows).  The vocabulary-level double sums are
+    rounded to 6 dp — ordering ulp noise is ~1e-13 on a 1e5-type vocab,
+    far below the rounding.  Ties for the top token break lexically.
+    """
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    total = F.sum("__c")
+    p = F.col("__c") / total
+    return counts.agg(
+        total.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round((-F.sum(F.col("__c") * F.log(F.col("__c"))) / total
+                 + F.log(total)), 6).alias("entropy"),
+        F.min(
+            F.struct((-F.col("__c")).alias("nc"), F.col("term").alias("t"))
+        )["t"].alias("top_token"),
+        F.round(F.max("__c") / total, 6).alias("top_frac"),
+    )

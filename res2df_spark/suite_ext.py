@@ -3791,3 +3791,142 @@ def pq_recall(spark, sf_dir):
         F.col("query_id").cast("long").alias("query_id"),
         F.round("recall", 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 (cont.): lexical retrieval (BM25), dataset-card corpus
+# statistics, and matryoshka embedding truncation (llm/vocab.py,
+# llm/similarity.py).
+# ---------------------------------------------------------------------------
+
+_BM25_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+    dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    q AS (SELECT 'q0' AS query_id, term FROM (
+            SELECT term, count(*) AS c
+            FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+            WHERE length(term) >= 4
+            GROUP BY term ORDER BY c DESC, term LIMIT 3)),
+    per AS (SELECT q.query_id, tf.doc_id, tf.term,
+                   ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sc
+            FROM tf JOIN q USING (term) JOIN dft d USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s),
+    summed AS (SELECT query_id, doc_id,
+                      list_sum(list(sc ORDER BY term)) AS bm25,
+                      CAST(count(*) AS BIGINT) AS n_matched
+               FROM per GROUP BY 1, 2),
+    ranked AS (SELECT query_id, doc_id, bm25, n_matched,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY bm25 DESC, doc_id) AS rnk
+               FROM summed)
+    SELECT query_id, doc_id, CAST(round(bm25, 6) AS DOUBLE) AS bm25,
+           n_matched, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 10
+"""
+
+
+@_q("bm25_topk", _BM25_SQL)
+def bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval (llm/vocab.bm25_topk) for a deterministic
+    query (the corpus's 3 most frequent tokens of length ≥ 4, tie →
+    lexical).  The query side broadcasts onto the tf postings so only
+    query-term postings survive into scoring; N/avgdl ride as a one-row
+    broadcast; the per-(query, doc) sum folds term scores in sorted
+    order so both engines add in the same IEEE order.  Reference has no
+    IR scoring — north-star scope for retrieval-based decontamination /
+    hard-negative mining."""
+    from res2df_spark.functions.textan import tokens
+    from res2df_spark.llm.vocab import bm25_topk as op
+
+    docs = Catalog(spark, sf_dir).documents
+    terms = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .filter(F.length("term") >= 4)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(3)
+        .select(F.lit("q0").alias("query_id"), "term")
+    )
+    return op(docs, terms, k=10)
+
+
+@_q(
+    "corpus_entropy",
+    f"""
+    WITH c AS (SELECT term, CAST(count(*) AS DOUBLE) AS c
+               FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+               GROUP BY 1),
+    t AS (SELECT sum(c) AS tot FROM c)
+    SELECT CAST(t.tot AS BIGINT) AS n_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_types,
+           CAST(round(ln(t.tot) - (SELECT sum(c * ln(c)) FROM c) / t.tot, 6)
+                AS DOUBLE) AS entropy,
+           (SELECT term FROM c ORDER BY c DESC, term LIMIT 1) AS top_token,
+           CAST(round((SELECT max(c) FROM c) / t.tot, 6) AS DOUBLE) AS top_frac
+    FROM t
+    """,
+)
+def corpus_entropy(spark, sf_dir):
+    """One-row dataset-card statistics (llm/vocab.corpus_token_stats):
+    token/type counts, Shannon entropy of the unigram distribution
+    (nats) and the Zipf head (top token + corpus share).  One
+    vocabulary-sized partial-agg groupBy, then a single aggregate over
+    the vocabulary table — corpus rows are touched exactly once."""
+    from res2df_spark.llm.vocab import corpus_token_stats
+
+    docs = Catalog(spark, sf_dir).documents
+    return corpus_token_stats(docs)
+
+
+@_q(
+    "emb_truncate",
+    """
+    WITH pre AS (SELECT vec_id,
+                        list_transform(generate_series(1, 16),
+                                       i -> CAST(embedding[i] AS DOUBLE)) AS p
+                 FROM embeddings),
+    n AS (SELECT vec_id, p,
+                 sqrt(list_sum(list_transform(p, x -> x * x))) AS norm
+          FROM pre),
+    longf AS (SELECT vec_id, norm,
+                     unnest(generate_series(1, 16)) AS pos FROM n),
+    vals AS (SELECT l.vec_id, l.norm, l.pos,
+                    CASE WHEN l.norm > 0 THEN n.p[l.pos] / l.norm
+                         ELSE n.p[l.pos] END AS v
+             FROM longf l JOIN n USING (vec_id))
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           string_agg(CAST(CAST(round(v, 6) AS DECIMAL(20, 6)) AS VARCHAR),
+                      ',' ORDER BY pos) AS trunc_csv,
+           CAST(round(min(norm), 6) AS DOUBLE) AS prefix_norm
+    FROM vals GROUP BY vec_id
+    """,
+)
+def emb_truncate(spark, sf_dir):
+    """Matryoshka truncation (llm/similarity.truncate_embeddings):
+    first-16-dims prefix, L2-renormalized — the MRL serving-cost lever,
+    pairing with emb_quantize as the two standard index shrinkers.
+    Map-only scan rewrite (slice + fold + transform), no shuffle, no
+    Python; values rounded to 6dp and CSV-joined for engine-neutral
+    comparison."""
+    from res2df_spark.llm.similarity import truncate_embeddings
+
+    emb = Catalog(spark, sf_dir).embeddings
+    out = truncate_embeddings(emb, dims=16)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.array_join(
+            F.transform(
+                "truncated",
+                lambda x: F.round(x, 6).cast("decimal(20,6)").cast("string"),
+            ),
+            ",",
+        ).alias("trunc_csv"),
+        F.round("prefix_norm", 6).alias("prefix_norm"),
+    )
