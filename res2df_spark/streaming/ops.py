@@ -482,3 +482,62 @@ def funnel_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def decontaminate_stream(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming benchmark decontamination: the batch contamination
+    check (llm/curation.contamination_check) reshaped to run STATELESS
+    on an unbounded ingest stream — eval-set hygiene enforced the
+    moment a document lands instead of by a nightly lake re-scan.
+
+    The batch form's per-document aggregation (explode shingles → join
+    → groupBy doc) would be a stateful streaming aggregation; here the
+    whole document arrives in one row, so the overlap is computed
+    ROW-LOCALLY instead: the document's distinct shingle set is an
+    array expression, the benchmark's distinct shingle set rides as a
+    ONE-ROW static dimension (stream-static cross join with a broadcast
+    one-row side is stateless), and the overlap is ``array_intersect``.
+    No watermark, no state, append mode; per-document cost is
+    O(|benchmark| + |doc|) hash work, bounded by the eval-suite size —
+    benchmarks are thousands of documents by definition (the same
+    bounded-model contract as llm/lm.py's scoring table).  For
+    benchmark sets beyond single-array size, fall back to the batch
+    join form on a micro-batch `foreachBatch` instead.
+
+    Emits exactly the batch check's rows: (id, n_shingles,
+    n_contaminated, contamination, is_contaminated), documents too
+    short to form a shingle produce no row — so a finite replay
+    (``run_available_now``) is oracle-checkable against the SAME SQL as
+    the batch `decontaminate` query.
+    """
+    from res2df_spark.functions.textan import shingles, tokens
+
+    bench_arr = (
+        benchmark.select(
+            F.explode(shingles(tokens(text_col), shingle_k)).alias("__s")
+        )
+        .distinct()
+        .agg(F.sort_array(F.collect_list("__s")).alias("__bench"))
+    )
+    doc_sh = F.array_distinct(shingles(tokens(text_col), shingle_k))
+    n = F.size("__sh").cast("long")
+    inter = F.size(F.array_intersect("__sh", "__bench")).cast("long")
+    return (
+        docs.select(F.col(id_col), doc_sh.alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .crossJoin(F.broadcast(bench_arr))
+        .select(
+            F.col(id_col),
+            n.alias("n_shingles"),
+            inter.alias("n_contaminated"),
+            F.round(inter / n, 6).alias("contamination"),
+            (inter / n >= threshold).alias("is_contaminated"),
+        )
+    )

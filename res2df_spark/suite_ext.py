@@ -3930,3 +3930,27 @@ def emb_truncate(spark, sf_dir):
         ).alias("trunc_csv"),
         F.round("prefix_norm", 6).alias("prefix_norm"),
     )
+
+
+@_q("stream_decontaminate", _ORACLES["decontaminate"])
+def stream_decontaminate(spark, sf_dir):
+    """Benchmark decontamination AS A STREAM
+    (streaming/ops.decontaminate_stream): the batch check's per-doc
+    aggregation becomes row-local array arithmetic against a one-row
+    broadcast benchmark shingle set (stream-static cross join —
+    stateless, append mode, no watermark), so eval-set hygiene runs at
+    ingest.  Replayed with AvailableNow and checked against the SAME
+    oracle SQL as the batch `decontaminate` query."""
+    from res2df_spark.streaming.ops import (
+        decontaminate_stream,
+        run_available_now,
+    )
+
+    bench = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 97 == 0)
+    src = Catalog(spark, sf_dir).stream_table("documents").filter(
+        F.col("doc_id") % 97 != 0
+    )
+    out = decontaminate_stream(src, bench, shingle_k=3, threshold=0.05)
+    return run_available_now(
+        out, name="stream_decontaminate", output_mode="append"
+    )

@@ -288,3 +288,53 @@ def test_dedup_watermark_contract_across_batches(spark, tmp_path):
     counts = {r.k: r.n for r in out.groupBy("k").agg(F.count("*").alias("n")).collect()}
     assert counts["k1"] == 1  # within-watermark duplicate suppressed
     assert 1 <= counts["k2"] <= 2  # beyond-watermark repeat MAY re-emit
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """Stateless streaming decontamination must emit exactly the batch
+    check's rows (same overlap counts, same short-doc exclusion)."""
+    from res2df_spark.llm.curation import contamination_check
+    from res2df_spark.streaming.ops import (
+        decontaminate_stream,
+        run_available_now,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap at all"),
+            (3, "too short"),  # < shingle_k tokens → no row
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox ate lunch")], "doc_id long, text string"
+    )
+    p = str(tmp_path / "docs")
+    docs.write.parquet(p)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(p)
+    got = {
+        r["doc_id"]: r
+        for r in run_available_now(
+            decontaminate_stream(stream, bench), output_mode="append"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r for r in contamination_check(docs, bench).collect()
+    }
+    assert set(got) == set(want) == {1, 2}
+    for d in got:
+        assert got[d]["n_shingles"] == want[d]["n_shingles"]
+        assert got[d]["n_contaminated"] == want[d]["n_contaminated"]
+        assert got[d]["is_contaminated"] == want[d]["is_contaminated"]
+    assert got[1]["n_contaminated"] == 2  # 'the quick brown', 'quick brown fox'
+    # explicit low threshold flips doc 1
+    flagged = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in run_available_now(
+            decontaminate_stream(stream, bench, threshold=0.05),
+            output_mode="append",
+        ).collect()
+    }
+    assert flagged == {1: True, 2: False}
+    assert got[2]["n_contaminated"] == 0
