@@ -388,6 +388,10 @@ _CURATE_MODULES = {
     "lm-score": "char-bigram LM quality score vs a trusted slice (--train-source)",
     "stats": "per-source length percentiles (p50/p90/p99 tokens)",
     "export-tar": "WebDataset-style sharded tar export (text or binary payloads)",
+    "decontaminate": "n-gram overlap vs a benchmark parquet (--benchmark)",
+    "bm25": "BM25 top-k retrieval for --terms over the corpus",
+    "entropy": "one-row corpus token statistics (entropy, Zipf head)",
+    "truncate-emb": "matryoshka prefix truncation + L2 renorm (--dims)",
 }
 
 
@@ -435,6 +439,19 @@ def get_curate_parser() -> argparse.ArgumentParser:
         elif name == "stats":
             s.add_argument("--source-col", default="source",
                            help="column to group the percentiles by")
+        elif name == "decontaminate":
+            s.add_argument("--benchmark", required=True,
+                           help="parquet path of the eval/benchmark corpus")
+            s.add_argument("--shingle-k", type=int, default=3)
+            s.add_argument("--threshold", type=float, default=0.5)
+        elif name == "bm25":
+            s.add_argument("--terms", required=True,
+                           help="comma-separated query terms")
+            s.add_argument("--k", type=int, default=10)
+        elif name == "truncate-emb":
+            s.add_argument("--dims", type=int, default=16)
+            s.add_argument("--vec-col", default="embedding")
+            s.add_argument("--no-renorm", action="store_true")
         elif name == "export-tar":
             s.add_argument("--n-shards", type=int, default=8)
             s.add_argument("--payload-col", default=None,
@@ -577,6 +594,42 @@ def curate_main(argv: list[str] | None = None) -> int:
                 F.round(F.percentile("n_tok", 0.9), 4).alias("p90_tokens"),
                 F.round(F.percentile("n_tok", 0.99), 4).alias("p99_tokens"),
             )
+        )
+    elif args.op == "decontaminate":
+        from res2df_spark.llm.curation import contamination_check
+
+        bench = spark.read.parquet(args.benchmark)
+        out = contamination_check(
+            df, bench, id_col=idc, text_col=txt,
+            shingle_k=args.shingle_k, threshold=args.threshold,
+        )
+    elif args.op == "bm25":
+        from pyspark.sql import functions as F
+
+        from res2df_spark.llm.vocab import bm25_topk
+
+        terms = [t.strip() for t in args.terms.split(",") if t.strip()]
+        if not terms:
+            raise SystemExit("bm25: --terms must list at least one term")
+        q = spark.createDataFrame(
+            [("q0", t) for t in terms], "query_id string, term string"
+        )
+        out = bm25_topk(df, q, k=args.k, id_col=idc, text_col=txt)
+    elif args.op == "entropy":
+        from res2df_spark.llm.vocab import corpus_token_stats
+
+        out = corpus_token_stats(df, id_col=idc, text_col=txt)
+    elif args.op == "truncate-emb":
+        from res2df_spark.llm.similarity import truncate_embeddings
+
+        if args.vec_col not in df.columns:
+            raise SystemExit(
+                f"truncate-emb: column {args.vec_col!r} not in input "
+                f"(columns: {', '.join(df.columns)}); pass --vec-col"
+            )
+        out = truncate_embeddings(
+            df, dims=args.dims, renormalize=not args.no_renorm,
+            id_col=idc, vec_col=args.vec_col,
         )
     else:  # pragma: no cover
         raise SystemExit(f"unknown op {args.op}")

@@ -643,6 +643,14 @@ def semantic_dedup_pairs(
     re-joined afterwards, and each vector's L2 norm is computed once
     per SIDE, not once per pair, so the per-pair work is a single dot
     product (3× fewer array folds than a naive cosine per pair).
+
+    Self-join note: Spark re-executes the assignment lineage for each
+    side of the pair join (ReuseExchange misses because the two sides
+    project different aliases) — a constant 2×, not a scale hazard.  In
+    a production pipeline, ``persist()``/checkpoint the assignment
+    frame before pairing (or reuse it across the dedup + reporting
+    consumers that want it anyway); the suite leaves it unmaterialized
+    so benchmarks measure the full plan, not a cache.
     """
     import math
 

@@ -334,3 +334,60 @@ def test_curate_cli_quality_sample_stats(spark, tmp_path):
     assert curate_main(["stats", src, "-o", stats]) == 0
     cols = duckdb.sql(f"SELECT * FROM '{stats}/*.parquet' LIMIT 1").df().columns
     assert {"source", "n_docs", "p50_tokens"} <= set(cols)
+
+
+def test_curate_cli_round5_ops(spark, tmp_path):
+    """Round-5 curate subcommands: decontaminate, bm25, entropy,
+    truncate-emb — parquet in → parquet out."""
+    import duckdb
+
+    from res2df_spark.cli import curate_main
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(100, "the quick brown fox ate lunch")], "doc_id long, text string"
+    ).write.parquet(bench)
+
+    deco = str(tmp_path / "deco")
+    assert curate_main(
+        ["decontaminate", docs, "-o", deco, "--benchmark", bench,
+         "--threshold", "0.05"]
+    ) == 0
+    got = dict(duckdb.sql(
+        f"SELECT doc_id, is_contaminated FROM '{deco}/*.parquet'"
+    ).fetchall())
+    assert got == {1: True, 2: False}
+
+    bm = str(tmp_path / "bm")
+    assert curate_main(["bm25", docs, "-o", bm, "--terms", "fox,text"]) == 0
+    assert duckdb.sql(
+        f"SELECT count(*) FROM '{bm}/*.parquet'"
+    ).fetchone()[0] == 2
+
+    ent = str(tmp_path / "ent")
+    assert curate_main(["entropy", docs, "-o", ent]) == 0
+    row = duckdb.sql(
+        f"SELECT n_tokens, n_types FROM '{ent}/*.parquet'"
+    ).fetchone()
+    assert row[0] == 17 and row[1] > 10
+
+    emb = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(0, [3.0, 4.0, 9.0, 9.0])], "vec_id long, embedding array<float>"
+    ).write.parquet(emb)
+    tr = str(tmp_path / "tr")
+    assert curate_main(
+        ["truncate-emb", emb, "-o", tr, "--dims", "2", "--id-col", "vec_id"]
+    ) == 0
+    vals = duckdb.sql(
+        f"SELECT truncated, prefix_norm FROM '{tr}/*.parquet'"
+    ).fetchone()
+    assert vals[1] == 5.0 and [round(x, 6) for x in vals[0]] == [0.6, 0.8]
