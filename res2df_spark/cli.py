@@ -608,7 +608,9 @@ def curate_main(argv: list[str] | None = None) -> int:
 
         from res2df_spark.llm.vocab import bm25_topk
 
-        terms = [t.strip() for t in args.terms.split(",") if t.strip()]
+        # the corpus side is lowercased by the tokenizer, so normalize
+        # query terms the same way — 'Fox' must match 'fox'
+        terms = [t.strip().lower() for t in args.terms.split(",") if t.strip()]
         if not terms:
             raise SystemExit("bm25: --terms must list at least one term")
         q = spark.createDataFrame(

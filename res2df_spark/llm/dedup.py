@@ -512,6 +512,69 @@ def minhash_novelty(
     )
 
 
+def _simhash_chunks(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int
+) -> DataFrame:
+    """(id, simhash, chunk_idx, chunk_val) — the pigeonhole bucket keys
+    shared by :func:`simhash_near_pairs` (pairing) and
+    :func:`simhash_bucket_stats` (observability)."""
+    bits = 64
+    n_chunks = max_hamming + 1
+    if bits % n_chunks:
+        raise ValueError("max_hamming + 1 must divide 64 (1, 3, 7 or 15)")
+    cb = bits // n_chunks
+    mask = (1 << cb) - 1
+    sig = simhash_signatures(docs, id_col, text_col)
+    return sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * cb)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("long")
+                        .alias("chunk_val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
+
+
+def simhash_bucket_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Pigeonhole chunk-bucket size distribution — the observability
+    twin of :func:`minhash_lsh_bucket_stats` for the SimHash family:
+    (chunk_idx, chunk_val, bucket_size, dropped) for every multi-member
+    bucket, where ``dropped`` marks buckets :func:`simhash_near_pairs`
+    would sacrifice under the same ``max_bucket_size``.  Run alongside
+    a capped pairing job so the drop accounting is MEASURED, not
+    assumed."""
+    sizes = (
+        _simhash_chunks(docs, id_col, text_col, max_hamming)
+        .groupBy("chunk_idx", "chunk_val")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > 1)
+    )
+    dropped = (
+        F.lit(False)
+        if max_bucket_size is None
+        else (F.col("bucket_size") > max_bucket_size)
+    )
+    return sizes.select(
+        "chunk_idx", "chunk_val", "bucket_size", dropped.alias("dropped")
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -537,31 +600,7 @@ def simhash_near_pairs(
     with the same window-count formulation that adds no exchange.
     Returns (d1, d2, hamming) with d1 < d2.
     """
-    bits = 64
-    n_chunks = max_hamming + 1
-    if bits % n_chunks:
-        raise ValueError("max_hamming + 1 must divide 64 (1, 3, 7 or 15)")
-    cb = bits // n_chunks
-    mask = (1 << cb) - 1
-    sig = simhash_signatures(docs, id_col, text_col)
-    chunks = sig.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), i * cb)
-                        .bitwiseAND(F.lit(mask))
-                        .cast("long")
-                        .alias("chunk_val"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
+    chunks = _simhash_chunks(docs, id_col, text_col, max_hamming)
     if max_bucket_size is not None:
         from pyspark.sql import Window
 

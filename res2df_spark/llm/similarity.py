@@ -451,16 +451,20 @@ def cluster_mean(
         .agg(
             F.sum(F.col("__x").cast("double")).alias("__s"),
             F.count(F.lit(1)).alias("__n"),
+            F.count("__x").alias("__nn"),
         )
+    )
+    # NULL array elements poison their dimension's mean (sum skips NULLs
+    # but mean_pool's zip_with fold yields NULL there — match it), and
+    # the denominator is the ROW count, never the non-null count
+    mean = F.when(
+        F.col("__nn") == F.col("__n"), F.col("__s") / F.col("__n")
     )
     return dims.groupBy(group_col).agg(
         F.transform(
             F.array_sort(
                 F.collect_list(
-                    F.struct(
-                        F.col("__pos").alias("p"),
-                        (F.col("__s") / F.col("__n")).alias("m"),
-                    )
+                    F.struct(F.col("__pos").alias("p"), mean.alias("m"))
                 )
             ),
             lambda s: s["m"],
@@ -663,8 +667,14 @@ def semantic_dedup_pairs(
     if n_coarse is None:
         # the centroid frame is model-sized; counting it is a k-row job
         n_coarse = max(int(math.ceil(math.sqrt(fine.count()))), 1)
+    # the n_coarse LOWEST centroid ids (orderBy/limit, not an id-value
+    # filter: centroid tables need not be dense 0-based — an id-value
+    # filter would silently select an empty coarse set and drop every
+    # vector for e.g. ids starting at 10)
     coarse = broadcast(
-        fine.filter(F.col("centroid_id") < n_coarse).select(
+        fine.orderBy("centroid_id")
+        .limit(n_coarse)
+        .select(
             F.col("centroid_id").alias("__coid"), F.col("__fv").alias("__cov")
         )
     )

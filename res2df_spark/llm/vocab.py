@@ -452,6 +452,10 @@ def bm25_topk(
     Reference analogue: none (the reference has no IR scoring) —
     north-star scope: retrieval-based decontamination and hard-negative
     mining both need corpus-scale BM25.
+
+    Query terms are matched VERBATIM against the tokenizer's output,
+    which is lowercased — callers must lowercase their terms (the
+    curate CLI does).
     """
     tf = _doc_terms(docs, id_col, text_col)
     dl = docs.select(

@@ -92,3 +92,17 @@ def test_semantic_cap_bounds_one_hot_cluster(spark):
     assert capped.count() == 0
     small = emb.filter(F.col("vec_id") < 10)
     assert semantic_dedup_pairs(small, cents, threshold=0.5).count() == 45
+
+
+def test_simhash_bucket_stats_measures_drops(spark):
+    """The SimHash observability twin: over-cap chunk buckets are
+    reported with their sizes, mirroring minhash_lsh_bucket_stats."""
+    from res2df_spark.llm.dedup import simhash_bucket_stats
+
+    docs = _hot_docs(spark)
+    stats = simhash_bucket_stats(docs, max_bucket_size=16)
+    dropped = stats.filter(F.col("dropped")).collect()
+    assert len(dropped) > 0
+    assert all(r["bucket_size"] == N_HOT for r in dropped)
+    # without a cap nothing is marked dropped
+    assert simhash_bucket_stats(docs).filter(F.col("dropped")).count() == 0

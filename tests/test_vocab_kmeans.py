@@ -428,3 +428,41 @@ def test_semantic_dedup_two_level_probes_coarse_list(spark):
     ))
     assert (0, 1, 1) in got
     assert (2, 3, 2) in got
+
+
+def test_semantic_dedup_non_dense_centroid_ids(spark):
+    """Centroid tables need not be dense 0-based: the coarse set is the
+    n_coarse LOWEST ids (orderBy/limit), never an id-value filter — an
+    id-value filter would pick an empty coarse set for ids starting at
+    10 and silently drop every vector."""
+    from res2df_spark.llm.similarity import semantic_dedup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(6)],
+        "vec_id int, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 1.0]), (11, [50.0, 50.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    got = rows(
+        semantic_dedup_pairs(emb, cents, threshold=0.5),
+        "id_1", "id_2", "centroid_id",
+    )
+    assert len(got) == 15  # C(6,2), all in cluster 10
+    assert all(c == 10 for _, _, c in got)
+
+
+def test_cluster_mean_null_elements_match_mean_pool(spark):
+    """A NULL array ELEMENT poisons its dimension's mean in mean_pool
+    (zip_with fold); cluster_mean must match — and never dilute the
+    denominator with the NULL row."""
+    from res2df_spark.llm.similarity import cluster_mean, mean_pool
+
+    emb = spark.createDataFrame(
+        [(0, 0, [1.0, None, 3.0]), (1, 0, [3.0, 2.0, 1.0])],
+        "vec_id int, grp int, embedding array<double>",
+    )
+    a = rows(cluster_mean(emb, "grp"), "grp", "pooled", "n_vecs")
+    b = rows(mean_pool(emb, "grp"), "grp", "pooled", "n_vecs")
+    assert a == b == [(0, [2.0, None, 2.0], 2)]

@@ -87,6 +87,9 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: check_oracle.py [--json FILE] [query ...]")
+            return 2
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     only = set(argv)

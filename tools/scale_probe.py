@@ -151,17 +151,38 @@ def probe_adversarial(spark) -> dict:
             file=sys.stderr,
         )
 
-    stats = minhash_lsh_bucket_stats(docs, max_bucket_size=64)
-    n_dropped_buckets = stats.filter(F.col("dropped")).count()
+    # every drop count below is MEASURED from the operators' own
+    # observability surfaces (bucket stats, blocking keys, assignment),
+    # never asserted — if a cap silently stops dropping, the artifact
+    # records it
+    from res2df_spark.llm.dedup import simhash_bucket_stats
+    from res2df_spark.llm.similarity import assign_nearest
+
+    mh_stats = minhash_lsh_bucket_stats(docs, max_bucket_size=64)
     rec(
         "dedup_minhash_capped",
         minhash_lsh_candidates(docs, max_bucket_size=64),
-        n_dropped_buckets,
+        mh_stats.filter(F.col("dropped")).count(),
+    )
+    sh_dropped = (
+        simhash_bucket_stats(docs, max_bucket_size=64)
+        .filter(F.col("dropped"))
+        .agg(F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("s"))
+        .collect()[0]["s"]
     )
     rec(
         "dedup_simhash_pairs",
         simhash_near_pairs(docs, max_bucket_size=64),
-        n,  # one hot chunk-bucket of n members dropped whole
+        int(sh_dropped),
+    )
+    # blocking keys are the operator's public contract: over-cap block
+    # membership is directly observable from the input
+    lk_dropped = (
+        recs.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 64)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("s"))
+        .collect()[0]["s"]
     )
     rec(
         "record_linkage",
@@ -169,12 +190,20 @@ def probe_adversarial(spark) -> dict:
             recs, "rec_id", "name", ["blk"],
             max_edit_distance=2, max_block_size=64,
         ),
-        n,  # the single over-cap block
+        int(lk_dropped),
+    )
+    sd_dropped = (
+        assign_nearest(emb, cents)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 64)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("s"))
+        .collect()[0]["s"]
     )
     rec(
         "semantic_dedup",
         semantic_dedup_pairs(emb, cents, threshold=0.5, max_cluster_size=64),
-        n,  # the single over-cap cluster
+        int(sd_dropped),
     )
     return out
 
