@@ -3954,3 +3954,64 @@ def stream_decontaminate(spark, sf_dir):
     return run_available_now(
         out, name="stream_decontaminate", output_mode="append"
     )
+
+
+@_q(
+    "semantic_keepers",
+    """
+    WITH pairs AS (
+    """
+    + _ORACLES["semantic_dedup"]
+    + """
+    ),
+    bidir AS (SELECT id_1 AS a, id_2 AS b FROM pairs
+              UNION SELECT id_2, id_1 FROM pairs),
+    reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT a, b FROM bidir
+            UNION
+            SELECT r.a, bd.b FROM r JOIN bidir bd ON r.b = bd.a)
+        SELECT * FROM r),
+    labels AS (SELECT e.vec_id,
+                      CAST(least(e.vec_id, coalesce(min(reach.b), e.vec_id))
+                           AS BIGINT) AS cluster_id
+               FROM embeddings e LEFT JOIN reach ON reach.a = e.vec_id
+               GROUP BY e.vec_id)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, cluster_id,
+           vec_id = cluster_id AS keep
+    FROM labels
+    """,
+)
+def semantic_keepers(spark, sf_dir):
+    """End-to-end SemDeDup decision: the two-level semantic near-dup
+    pairs resolved into components (llm/dedup.connected_components —
+    pointer-jumping min-label, O(log D) rounds, lineage-truncated) and
+    ONE keeper per component (the minimum vec_id — keep = doc survives
+    dedup).  This is the row-level output a curation pipeline consumes;
+    the oracle nests the full two-level pair SQL inside recursive-CTE
+    reachability."""
+    from res2df_spark.llm.dedup import connected_components
+    from res2df_spark.llm.similarity import semantic_dedup_pairs
+
+    emb = Catalog(spark, sf_dir).embeddings
+    k = max(emb.count() // 64, 8)
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(int(k))
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "centroid_id"
+            ),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    pairs = semantic_dedup_pairs(emb, centroids, threshold=0.35).select(
+        F.col("id_1").alias("d1"), F.col("id_2").alias("d2")
+    )
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    labels = connected_components(pairs, nodes)
+    return labels.select(
+        F.col("doc_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
