@@ -3616,7 +3616,8 @@ def table_profile(spark, sf_dir):
 
 
 _LINKAGE_SQL = """
-    WITH s AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+    WITH s AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                      c_custkey // 512 AS c_kblock
                FROM customer)
     SELECT a.c_custkey AS id1, b.c_custkey AS id2,
            a.c_name AS name1, b.c_name AS name2,
@@ -3624,6 +3625,7 @@ _LINKAGE_SQL = """
     FROM s a JOIN s b
       ON a.c_nationkey = b.c_nationkey
      AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_kblock = b.c_kblock
      AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
@@ -3632,16 +3634,27 @@ _LINKAGE_SQL = """
 @_q("record_linkage", _LINKAGE_SQL)
 def record_linkage(spark, sf_dir):
     """Blocked fuzzy record linkage (operators/linkage.py): customers
-    sharing (nation, market segment) compared by name edit distance —
-    blocking confines the quadratic pair work to within-block pairs,
-    the structured-records sibling of LSH banding.  Levenshtein is the
-    same DP on both engines, so distances match exactly."""
+    sharing (nation, market segment, key-range) compared by name edit
+    distance — blocking confines the quadratic pair work to
+    within-block pairs, the structured-records sibling of LSH banding.
+    The key-range component (c_custkey // 512, sorted-neighborhood
+    blocking — TPC-H names embed the key, so near-names have near
+    keys) is the piece that SCALES: (nation, segment) alone is a
+    FIXED-cardinality blocking whose block sizes — and Σ|block|² work —
+    grow quadratically with the corpus (measured 24× at 10× data
+    before this component).  Block count now grows with N and sizes
+    stay ≤ 512; the standard blocking trade applies (a near-pair
+    spanning a range boundary is missed — recall for bounded work).
+    Levenshtein is the same DP on both engines, so distances match
+    exactly."""
     from res2df_spark.operators.linkage import blocked_fuzzy_pairs
 
-    cust = Catalog(spark, sf_dir).customer
+    cust = Catalog(spark, sf_dir).customer.withColumn(
+        "c_kblock", F.floor(F.col("c_custkey") / 512)
+    )
     return blocked_fuzzy_pairs(
         cust, "c_custkey", "c_name",
-        ["c_nationkey", "c_mktsegment"], max_edit_distance=2,
+        ["c_nationkey", "c_mktsegment", "c_kblock"], max_edit_distance=2,
     ).select(
         F.col("id1").cast("long").alias("id1"),
         F.col("id2").cast("long").alias("id2"),

@@ -72,9 +72,29 @@ def build_big(spark) -> None:
             for k in keys:
                 rep = rep.withColumn(k, F.col(k) + F.lit(i * OFF))
             if t == "documents" and i > 0:
-                # per-replica marker keeps near-dup groups replica-local
+                # per-replica marker keeps near-dup groups replica-local.
+                # One token is enough for shingle-based families
+                # (MinHash/Jaccard: the shingle set changes) but NOT for
+                # SimHash, which is robust to one-token edits BY DESIGN —
+                # a single marker left replica signatures within 3
+                # Hamming bits of each other, so chunk buckets held all
+                # 10 replicas and the r5 probe measured the WORKLOAD
+                # (real cross-replica near-dups) growing quadratically,
+                # not the engine.  Repeating the marker shifts every
+                # simhash bit-vote by 8 and pushes replicas past the
+                # Hamming budget.
+                marker = " " + " ".join([f"zrep{i}x{j}" for j in range(8)])
                 rep = rep.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" zrep{i}"))
+                    "text", F.concat(F.col("text"), F.lit(marker))
+                )
+            if t == "customer" and i > 0:
+                # same for record linkage: replicated c_names are
+                # edit-distance-0 cross-replica pairs inside the fixed
+                # (nation, segment) blocks — a real quadratic workload,
+                # not an engine defect; suffix the name so near-pairs
+                # stay replica-local
+                rep = rep.withColumn(
+                    "c_name", F.concat(F.col("c_name"), F.lit(f"#zrep{i}"))
                 )
             parts.append(rep)
         big = parts[0]
