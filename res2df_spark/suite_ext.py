@@ -4028,3 +4028,44 @@ def semantic_keepers(spark, sf_dir):
         F.col("cluster_id").cast("long").alias("cluster_id"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+@_q(
+    "dedup_simhash_capped",
+    _SIMHASH_SIG_SQL
+    + """
+    , u AS (SELECT doc_id, simhash,
+                   CAST(simhash AS HUGEINT)
+                   + CASE WHEN simhash < 0
+                          THEN CAST('18446744073709551616' AS HUGEINT)
+                          ELSE 0 END AS us
+            FROM sigs),
+    chunks AS (SELECT doc_id, simhash, d.i AS chunk_idx,
+                      CAST((us // d.dv) % 65536 AS BIGINT) AS chunk_val
+               FROM u, (VALUES (0, CAST(1 AS HUGEINT)),
+                               (1, CAST(65536 AS HUGEINT)),
+                               (2, CAST(4294967296 AS HUGEINT)),
+                               (3, CAST(281474976710656 AS HUGEINT))) d(i, dv)),
+    ok AS (SELECT chunk_idx, chunk_val FROM chunks
+           GROUP BY 1, 2 HAVING count(*) <= 24),
+    kept AS (SELECT c.* FROM chunks c JOIN ok USING (chunk_idx, chunk_val)),
+    cand AS (SELECT c1.doc_id AS d1, c2.doc_id AS d2,
+                    c1.simhash AS s1, c2.simhash AS s2
+             FROM kept c1 JOIN kept c2 USING (chunk_idx, chunk_val)
+             WHERE c1.doc_id < c2.doc_id GROUP BY 1, 2, 3, 4)
+    SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+    """,
+)
+def dedup_simhash_capped(spark, sf_dir):
+    """SimHash pairing with the hot-bucket cap ON (max_bucket_size=24)
+    — the 100 TB configuration: a degenerate chunk bucket (boilerplate
+    signatures, the all-zero chunk of near-empty docs) is dropped
+    before its pair combinatorics materialize, the simhash twin of
+    `dedup_minhash_capped`; `simhash_bucket_stats` is the drop
+    accounting.  The oracle replicates the cap as a HAVING filter on
+    the chunk-bucket size."""
+    from res2df_spark.llm.dedup import simhash_near_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    return simhash_near_pairs(docs, max_hamming=3, max_bucket_size=24)
