@@ -69,6 +69,7 @@ HEADLINE = [
     "bm25_topk",               # lexical retrieval, broadcast query postings (round 5)
     "corpus_entropy",          # dataset-card unigram stats (round 5)
     "emb_truncate",            # matryoshka prefix + renorm, map-only (round 5)
+    "dedup_simhash_capped",    # simhash with the hot-bucket cap on (round 5)
 ]
 
 
