@@ -596,6 +596,93 @@ def kmeans_fit(
     return centroids
 
 
+def two_level_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_coarse: int | None = None,
+) -> DataFrame:
+    """Hierarchical coarse→fine nearest-centroid assignment — the
+    shared scale engine of :func:`semantic_dedup_pairs` and
+    :func:`semantic_novelty`.  With k ∝ N centroids a flat argmin is
+    O(N·k) with an O(N) broadcast; this is O(N·√k) with nothing
+    broadcast beyond ``n_coarse`` (default ⌈√k⌉) rows: the n_coarse
+    LOWEST-id centroids act as coarse lists, each fine centroid maps to
+    its nearest coarse, each vector finds its nearest coarse (broadcast
+    crossJoin + map-side partial argmin) and then its nearest fine
+    centroid among those mapped to that list (equality join on the
+    coarse id).  Every tie-break goes to the LOWER id, so the
+    assignment is a pure function of (vectors, centroids) on any
+    engine; ``n_coarse`` = k recovers the exact flat argmin.
+
+    Returns (id, centroid_id, __v double-cast vector, __n L2 norm) —
+    the vector and its norm ride through the argmin aggregations so
+    downstream cosine consumers never re-join the corpus.
+    """
+    import math
+
+    from res2df_spark.functions.vectors import l2_norm
+
+    fine = centroids.select(
+        F.col("centroid_id"),
+        F.transform("centroid", lambda x: x.cast("double")).alias("__fv"),
+    )
+    if n_coarse is None:
+        # the centroid frame is model-sized; counting it is a k-row job
+        n_coarse = max(int(math.ceil(math.sqrt(fine.count()))), 1)
+    # the n_coarse LOWEST centroid ids (orderBy/limit, not an id-value
+    # filter: centroid tables need not be dense 0-based — an id-value
+    # filter would silently select an empty coarse set and drop every
+    # vector for e.g. ids starting at 10)
+    coarse = broadcast(
+        fine.orderBy("centroid_id")
+        .limit(n_coarse)
+        .select(
+            F.col("centroid_id").alias("__coid"), F.col("__fv").alias("__cov")
+        )
+    )
+    best_coarse = F.min(
+        F.struct(F.col("__d").alias("d"), F.col("__coid").alias("c"))
+    )
+    # fine centroid → coarse list (k·n_coarse work, model-sized)
+    fc = (
+        fine.crossJoin(coarse)
+        .withColumn("__d", _sq_dist(F.col("__fv"), F.col("__cov")))
+        .groupBy("centroid_id")
+        .agg(best_coarse.alias("__b"), F.first("__fv").alias("__fv"))
+        .select("centroid_id", F.col("__b.c").alias("__coid"), "__fv")
+    )
+    # vector → coarse list (broadcast n_coarse rows; argmin
+    # partial-aggregates map-side before the exchange on the vector id)
+    vc = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .crossJoin(coarse)
+        .withColumn("__d", _sq_dist(F.col(vec_col), F.col("__cov")))
+        .groupBy(id_col)
+        .agg(best_coarse.alias("__b"), F.first(vec_col).alias("__v"))
+        .select(F.col(id_col), F.col("__b.c").alias("__coid"), F.col("__v"))
+    )
+    # vector → nearest FINE centroid within its coarse list: equality
+    # join on the coarse id (never all-pairs; fine side is k rows)
+    best_fine = F.min(
+        F.struct(F.col("__d").alias("d"), F.col("centroid_id").alias("c"))
+    )
+    return (
+        vc.join(fc, "__coid")
+        .withColumn("__d", _sq_dist(F.col("__v"), F.col("__fv")))
+        .groupBy(id_col)
+        .agg(best_fine.alias("__b"), F.first("__v").alias("__v"))
+        .select(
+            F.col(id_col),
+            F.col("__b.c").alias("centroid_id"),
+            F.col("__v"),
+            l2_norm(F.col("__v")).alias("__n"),
+        )
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     centroids: DataFrame,
@@ -656,66 +743,10 @@ def semantic_dedup_pairs(
     consumers that want it anyway); the suite leaves it unmaterialized
     so benchmarks measure the full plan, not a cache.
     """
-    import math
+    from res2df_spark.functions.vectors import dot
 
-    from res2df_spark.functions.vectors import dot, l2_norm
-
-    fine = centroids.select(
-        F.col("centroid_id"),
-        F.transform("centroid", lambda x: x.cast("double")).alias("__fv"),
-    )
-    if n_coarse is None:
-        # the centroid frame is model-sized; counting it is a k-row job
-        n_coarse = max(int(math.ceil(math.sqrt(fine.count()))), 1)
-    # the n_coarse LOWEST centroid ids (orderBy/limit, not an id-value
-    # filter: centroid tables need not be dense 0-based — an id-value
-    # filter would silently select an empty coarse set and drop every
-    # vector for e.g. ids starting at 10)
-    coarse = broadcast(
-        fine.orderBy("centroid_id")
-        .limit(n_coarse)
-        .select(
-            F.col("centroid_id").alias("__coid"), F.col("__fv").alias("__cov")
-        )
-    )
-    best_coarse = F.min(
-        F.struct(F.col("__d").alias("d"), F.col("__coid").alias("c"))
-    )
-    # fine centroid → coarse list (k·n_coarse work, model-sized)
-    fc = (
-        fine.crossJoin(coarse)
-        .withColumn("__d", _sq_dist(F.col("__fv"), F.col("__cov")))
-        .groupBy("centroid_id")
-        .agg(best_coarse.alias("__b"), F.first("__fv").alias("__fv"))
-        .select("centroid_id", F.col("__b.c").alias("__coid"), "__fv")
-    )
-    # vector → coarse list (broadcast n_coarse rows; argmin
-    # partial-aggregates map-side before the exchange on the vector id)
-    vc = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .filter(F.col(vec_col).isNotNull())
-        .crossJoin(coarse)
-        .withColumn("__d", _sq_dist(F.col(vec_col), F.col("__cov")))
-        .groupBy(id_col)
-        .agg(best_coarse.alias("__b"), F.first(vec_col).alias("__v"))
-        .select(F.col(id_col), F.col("__b.c").alias("__coid"), F.col("__v"))
-    )
-    # vector → nearest FINE centroid within its coarse list: equality
-    # join on the coarse id (never all-pairs; fine side is k rows)
-    best_fine = F.min(
-        F.struct(F.col("__d").alias("d"), F.col("centroid_id").alias("c"))
-    )
-    sides = (
-        vc.join(fc, "__coid")
-        .withColumn("__d", _sq_dist(F.col("__v"), F.col("__fv")))
-        .groupBy(id_col)
-        .agg(best_fine.alias("__b"), F.first("__v").alias("__v"))
-        .select(
-            F.col(id_col),
-            F.col("__b.c").alias("centroid_id"),
-            F.col("__v"),
-            l2_norm(F.col("__v")).alias("__n"),
-        )
+    sides = two_level_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col, n_coarse=n_coarse
     )
     if max_cluster_size is not None:
         ok = (
@@ -751,6 +782,76 @@ def semantic_dedup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_1", "id_2", "centroid_id", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def semantic_novelty(
+    new: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "centroid_id",
+    n_coarse: int | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup — the embedding twin of
+    ``dedup.minhash_novelty``: score a NEW batch of embeddings against
+    a PERSISTED cluster-assigned index without rescanning the corpus,
+    the daily-ingest shape.  ``index`` is (id, cluster, vector) — the
+    assignment a previous :func:`two_level_assign` run wrote out; store
+    it partitioned by the cluster column and the equality join below
+    becomes a partition-pruned read touching only the new batch's
+    clusters, so ingest cost is O(|new|·√k + |new|·cluster_size),
+    independent of corpus size.
+
+    Each new vector is assigned with the SAME two-level rule as the
+    index was, then compared (cosine) against indexed vectors in its
+    cluster only.  Returns one row per new vector: (id, is_novel,
+    match_id, cos_sim) where match is the best indexed candidate
+    (highest cosine, tie → lower id; NULL when the cluster has no
+    indexed members) and ``is_novel`` = no candidate reaches
+    ``threshold``.  Like all cluster-scoped dedup, a near-dup whose
+    twin landed in a different cluster is missed — the SemDeDup trade.
+    """
+    from res2df_spark.functions.vectors import dot, l2_norm
+
+    assigned = two_level_assign(
+        new, centroids, id_col=id_col, vec_col=vec_col, n_coarse=n_coarse
+    )
+    idx = index.select(
+        F.col(cluster_col).alias("centroid_id"),
+        F.col(id_col).alias("__mid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__iv"),
+    ).withColumn("__in", l2_norm(F.col("__iv")))
+    denom = F.col("__n") * F.col("__in")
+    # a cluster with no indexed members leaves one unmatched left-join
+    # row per new id: its cosine must stay NULL (not the zero-norm 0.0)
+    # so (is_novel, match_id, cos_sim) come out (true, NULL, NULL)
+    sim = F.when(
+        F.col("__mid").isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.when(denom > 0, dot(F.col("__v"), F.col("__iv")) / denom).otherwise(
+            F.lit(0.0)
+        )
+    )
+    best = F.max(
+        F.struct(F.col("__cos").alias("c"), (-F.col("__mid")).alias("m"))
+    )
+    scored = (
+        assigned.join(idx, "centroid_id", "left")
+        .withColumn("__cos", sim)
+        .groupBy(id_col)
+        .agg(best.alias("__b"))
+        .select(
+            F.col(id_col),
+            (
+                F.col("__b.c").isNull() | (F.col("__b.c") < threshold)
+            ).alias("is_novel"),
+            (-F.col("__b.m")).cast("long").alias("match_id"),
+            F.round("__b.c", 6).alias("cos_sim"),
+        )
+    )
+    return scored
 
 
 # ---------------------------------------------------------------------------

@@ -4069,3 +4069,149 @@ def dedup_simhash_capped(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return simhash_near_pairs(docs, max_hamming=3, max_bucket_size=24)
+
+
+_SEM_NOVELTY_SQL = """
+    WITH old AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0),
+    newb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+    stats AS (SELECT greatest(count(*) // 64, 8) AS k,
+                     greatest(CAST(ceiling(sqrt(CAST(greatest(count(*) // 64, 8)
+                                                     AS DOUBLE))) AS BIGINT),
+                              1) AS kc
+              FROM old),
+    ranked_c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+                        embedding AS cv
+                 FROM old),
+    c AS (SELECT centroid_id, cv FROM ranked_c
+          WHERE centroid_id < (SELECT k FROM stats)),
+    coarse AS (SELECT centroid_id AS coarse_id, cv AS ccv FROM c
+               WHERE centroid_id < (SELECT kc FROM stats)),
+    fc_d AS (SELECT f.centroid_id, co.coarse_id,
+                    list_sum(list_transform(generate_series(1, len(f.cv)),
+                        i -> (CAST(f.cv[i] AS DOUBLE) - CAST(co.ccv[i] AS DOUBLE))
+                           * (CAST(f.cv[i] AS DOUBLE) - CAST(co.ccv[i] AS DOUBLE))))
+                    AS sq
+             FROM c f CROSS JOIN coarse co),
+    fc AS (SELECT centroid_id, coarse_id FROM (
+             SELECT centroid_id, coarse_id,
+                    row_number() OVER (PARTITION BY centroid_id
+                                       ORDER BY sq, coarse_id) AS rn
+             FROM fc_d) WHERE rn = 1),
+    vco_d AS (SELECT e.vec_id, co.coarse_id,
+                     list_sum(list_transform(generate_series(1, len(e.embedding)),
+                         i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(co.ccv[i] AS DOUBLE))
+                            * (CAST(e.embedding[i] AS DOUBLE) - CAST(co.ccv[i] AS DOUBLE))))
+                     AS sq
+              FROM old e CROSS JOIN coarse co),
+    vco AS (SELECT vec_id, coarse_id FROM (
+              SELECT vec_id, coarse_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sq, coarse_id) AS rn
+              FROM vco_d) WHERE rn = 1),
+    vfo_d AS (SELECT e.vec_id, f.centroid_id,
+                     list_sum(list_transform(generate_series(1, len(e.embedding)),
+                         i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(f.cv[i] AS DOUBLE))
+                            * (CAST(e.embedding[i] AS DOUBLE) - CAST(f.cv[i] AS DOUBLE))))
+                     AS sq
+              FROM old e
+              JOIN vco ON vco.vec_id = e.vec_id
+              JOIN fc ON fc.coarse_id = vco.coarse_id
+              JOIN c f ON f.centroid_id = fc.centroid_id),
+    a_old AS (SELECT vec_id, centroid_id FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sq, centroid_id) AS rn
+                FROM vfo_d) WHERE rn = 1),
+    vcn_d AS (SELECT e.vec_id, co.coarse_id,
+                     list_sum(list_transform(generate_series(1, len(e.embedding)),
+                         i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(co.ccv[i] AS DOUBLE))
+                            * (CAST(e.embedding[i] AS DOUBLE) - CAST(co.ccv[i] AS DOUBLE))))
+                     AS sq
+              FROM newb e CROSS JOIN coarse co),
+    vcn AS (SELECT vec_id, coarse_id FROM (
+              SELECT vec_id, coarse_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sq, coarse_id) AS rn
+              FROM vcn_d) WHERE rn = 1),
+    vfn_d AS (SELECT e.vec_id, f.centroid_id,
+                     list_sum(list_transform(generate_series(1, len(e.embedding)),
+                         i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(f.cv[i] AS DOUBLE))
+                            * (CAST(e.embedding[i] AS DOUBLE) - CAST(f.cv[i] AS DOUBLE))))
+                     AS sq
+              FROM newb e
+              JOIN vcn ON vcn.vec_id = e.vec_id
+              JOIN fc ON fc.coarse_id = vcn.coarse_id
+              JOIN c f ON f.centroid_id = fc.centroid_id),
+    a_new AS (SELECT vec_id, centroid_id FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sq, centroid_id) AS rn
+                FROM vfn_d) WHERE rn = 1),
+    idx AS (SELECT a.vec_id AS mid, a.centroid_id, o.embedding AS iv
+            FROM a_old a JOIN old o USING (vec_id)),
+    nn AS (SELECT a.vec_id, a.centroid_id, n.embedding AS nv
+           FROM a_new a JOIN newb n USING (vec_id)),
+    cand AS (SELECT nn.vec_id, idx.mid,
+                    CASE WHEN idx.mid IS NULL THEN NULL
+                         WHEN sqrt(list_sum(list_transform(generate_series(1, len(nn.nv)),
+                                  i -> CAST(nn.nv[i] AS DOUBLE) * CAST(nn.nv[i] AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(generate_series(1, len(idx.iv)),
+                                  i -> CAST(idx.iv[i] AS DOUBLE) * CAST(idx.iv[i] AS DOUBLE)))) > 0
+                         THEN list_sum(list_transform(generate_series(1, len(nn.nv)),
+                                  i -> CAST(nn.nv[i] AS DOUBLE) * CAST(idx.iv[i] AS DOUBLE)))
+                            / (sqrt(list_sum(list_transform(generate_series(1, len(nn.nv)),
+                                  i -> CAST(nn.nv[i] AS DOUBLE) * CAST(nn.nv[i] AS DOUBLE))))
+                             * sqrt(list_sum(list_transform(generate_series(1, len(idx.iv)),
+                                  i -> CAST(idx.iv[i] AS DOUBLE) * CAST(idx.iv[i] AS DOUBLE)))))
+                         ELSE 0.0 END AS cos
+             FROM nn LEFT JOIN idx USING (centroid_id)),
+    best AS (SELECT vec_id, mid, cos,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, mid) AS rn
+             FROM cand)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           (cos IS NULL OR cos < 0.35) AS is_novel,
+           CAST(mid AS BIGINT) AS match_id,
+           CAST(round(cos, 6) AS DOUBLE) AS cos_sim
+    FROM best WHERE rn = 1
+"""
+
+
+@_q("semantic_novelty", _SEM_NOVELTY_SQL)
+def semantic_novelty(spark, sf_dir):
+    """Incremental SemDeDup (llm/similarity.semantic_novelty): a NEW
+    batch (vec_id % 7 == 0) scored against a persisted cluster-assigned
+    index of the rest of the corpus — the embedding twin of
+    `dedup_incremental`: the index never rescans, new vectors assign
+    with the same two-level rule the index was built with, and the
+    cluster-equality join is a partition-pruned read when the index is
+    stored partitioned by cluster.  Best match per new vector (highest
+    cosine, tie → lower id), is_novel below the 0.35 threshold; the
+    oracle replicates both two-level assignments and the left-join
+    best-match semantics."""
+    from res2df_spark.llm.similarity import semantic_novelty as op
+    from res2df_spark.llm.similarity import two_level_assign
+
+    emb = Catalog(spark, sf_dir).embeddings
+    old = emb.filter(F.col("vec_id") % 7 != 0)
+    new = emb.filter(F.col("vec_id") % 7 == 0)
+    k = max(old.count() // 64, 8)
+    centroids = (
+        old.orderBy("vec_id")
+        .limit(int(k))
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "centroid_id"
+            ),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    index = two_level_assign(old, centroids).select(
+        "vec_id", "centroid_id", F.col("__v").alias("embedding")
+    )
+    return op(new, index, centroids, threshold=0.35).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "is_novel",
+        "match_id",
+        "cos_sim",
+    )

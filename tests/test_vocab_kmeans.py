@@ -466,3 +466,39 @@ def test_cluster_mean_null_elements_match_mean_pool(spark):
     a = rows(cluster_mean(emb, "grp"), "grp", "pooled", "n_vecs")
     b = rows(mean_pool(emb, "grp"), "grp", "pooled", "n_vecs")
     assert a == b == [(0, [2.0, None, 2.0], 2)]
+
+
+def test_semantic_novelty_incremental(spark):
+    """Incremental SemDeDup: new vectors score only against indexed
+    vectors in their cluster; best match ties to the lower id; a new
+    vector in an empty cluster is novel with NULL match."""
+    from res2df_spark.llm.similarity import semantic_novelty, two_level_assign
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 10.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    old = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.99, 0.01, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    index = two_level_assign(old, cents).select(
+        "vec_id", "centroid_id", F.col("__v").alias("embedding")
+    )
+    new = spark.createDataFrame(
+        [
+            (100, [1.0, 0.001, 0.0]),   # dup of 10/11 (cluster 0)
+            (101, [0.0, 1.0, 0.0]),     # cluster 0 but orthogonal → novel
+            (102, [0.0, 0.0, 9.0]),     # cluster 1 — no indexed members
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in semantic_novelty(
+        new, index, cents, threshold=0.9
+    ).collect()}
+    assert not got[100]["is_novel"]
+    assert got[100]["match_id"] == 10  # ties/ordering → lower id wins
+    assert got[100]["cos_sim"] > 0.99
+    assert got[101]["is_novel"] and got[101]["match_id"] in (10, 11)
+    assert got[102]["is_novel"]
+    assert got[102]["match_id"] is None and got[102]["cos_sim"] is None
