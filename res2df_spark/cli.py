@@ -392,6 +392,7 @@ _CURATE_MODULES = {
     "bm25": "BM25 top-k retrieval for --terms over the corpus",
     "entropy": "one-row corpus token statistics (entropy, Zipf head)",
     "truncate-emb": "matryoshka prefix truncation + L2 renorm (--dims)",
+    "semantic-dedup": "SemDeDup keep/drop over an embedding column",
 }
 
 
@@ -452,6 +453,15 @@ def get_curate_parser() -> argparse.ArgumentParser:
             s.add_argument("--dims", type=int, default=16)
             s.add_argument("--vec-col", default="embedding")
             s.add_argument("--no-renorm", action="store_true")
+        elif name == "semantic-dedup":
+            s.add_argument("--vec-col", default="embedding")
+            s.add_argument("--threshold", type=float, default=0.95)
+            s.add_argument("--target-cluster", type=int, default=64,
+                           help="target cluster size; k = max(N/target, 8)")
+            s.add_argument("--max-cluster-size", type=int, default=None)
+            s.add_argument("--keep-only", action="store_true",
+                           help="write only surviving rows instead of the "
+                                "(id, cluster_id, keep) audit table")
         elif name == "export-tar":
             s.add_argument("--n-shards", type=int, default=8)
             s.add_argument("--payload-col", default=None,
@@ -633,6 +643,46 @@ def curate_main(argv: list[str] | None = None) -> int:
             df, dims=args.dims, renormalize=not args.no_renorm,
             id_col=idc, vec_col=args.vec_col,
         )
+    elif args.op == "semantic-dedup":
+        from pyspark.sql import Window, functions as F
+
+        from res2df_spark.llm.dedup import connected_components
+        from res2df_spark.llm.similarity import semantic_dedup_pairs
+
+        if args.vec_col not in df.columns:
+            raise SystemExit(
+                f"semantic-dedup: column {args.vec_col!r} not in input "
+                f"(columns: {', '.join(df.columns)}); pass --vec-col"
+            )
+        k = max(df.count() // args.target_cluster, 8)
+        centroids = (
+            df.orderBy(idc)
+            .limit(int(k))
+            .select(
+                (F.row_number().over(Window.orderBy(idc)) - 1).alias(
+                    "centroid_id"
+                ),
+                F.col(args.vec_col).alias("centroid"),
+            )
+        )
+        pairs = semantic_dedup_pairs(
+            df, centroids, threshold=args.threshold,
+            id_col=idc, vec_col=args.vec_col,
+            max_cluster_size=args.max_cluster_size,
+        ).select(F.col("id_1").alias("d1"), F.col("id_2").alias("d2"))
+        labels = connected_components(
+            pairs, df.select(F.col(idc).alias("doc_id"))
+        ).select(
+            F.col("doc_id").alias(idc),
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+        if args.keep_only:
+            out = df.join(
+                labels.filter("keep").select(idc), idc, "left_semi"
+            )
+        else:
+            out = labels
     else:  # pragma: no cover
         raise SystemExit(f"unknown op {args.op}")
 

@@ -2551,7 +2551,13 @@ def pack_shuffled(spark, sf_dir):
     idx AS (SELECT label, embedding,
                    unnest(generate_series(1, len(embedding))) AS pos FROM e),
     dims AS (SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS v FROM idx),
-    pooled AS (SELECT label, pos, avg(v) AS m, count(*) AS n
+    -- a NULL element poisons its dimension (cluster_mean / mean_pool
+    -- contract) and the denominator is the ROW count, so the oracle
+    -- must not silently avg() past NULLs
+    pooled AS (SELECT label, pos,
+                      CASE WHEN count(v) = count(*)
+                           THEN sum(v) / count(*) END AS m,
+                      count(*) AS n
                FROM dims GROUP BY 1, 2)
     SELECT CAST(label AS BIGINT) AS label,
            string_agg(CAST(CAST(round(m, 6) AS DECIMAL(20, 6)) AS VARCHAR),

@@ -391,3 +391,34 @@ def test_curate_cli_round5_ops(spark, tmp_path):
         f"SELECT truncated, prefix_norm FROM '{tr}/*.parquet'"
     ).fetchone()
     assert vals[1] == 5.0 and [round(x, 6) for x in vals[0]] == [0.6, 0.8]
+
+
+def test_curate_cli_semantic_dedup(spark, tmp_path):
+    """semantic-dedup subcommand: identical embeddings collapse to one
+    keeper; --keep-only writes the surviving rows."""
+    import duckdb
+
+    from res2df_spark.cli import curate_main
+
+    emb = str(tmp_path / "emb")
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(6)]
+    rows += [(10 + i, [float(10 + i), 0.0, -5.0]) for i in range(3)]
+    spark.createDataFrame(
+        rows, "doc_id long, embedding array<float>"
+    ).write.parquet(emb)
+    audit = str(tmp_path / "audit")
+    assert curate_main(
+        ["semantic-dedup", emb, "-o", audit, "--threshold", "0.99"]
+    ) == 0
+    kept = dict(duckdb.sql(
+        f"SELECT doc_id, keep FROM '{audit}/*.parquet'"
+    ).fetchall())
+    assert kept[0] is True
+    assert all(kept[i] is False for i in range(1, 6))  # dups of 0
+    surv = str(tmp_path / "surv")
+    assert curate_main(
+        ["semantic-dedup", emb, "-o", surv, "--threshold", "0.99",
+         "--keep-only"]
+    ) == 0
+    n = duckdb.sql(f"SELECT count(*) FROM '{surv}/*.parquet'").fetchone()[0]
+    assert n == sum(1 for v in kept.values() if v)
