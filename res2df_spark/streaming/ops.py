@@ -541,3 +541,137 @@ def decontaminate_stream(
             (inter / n >= threshold).alias("is_contaminated"),
         )
     )
+
+
+def semantic_claims_stream(
+    new: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "centroid_id",
+    n_coarse: int | None = None,
+) -> DataFrame:
+    """Streaming incremental SemDeDup claims — the embedding twin of
+    ``near_dup_verdicts``, fully STATELESS: every arriving vector is
+    assigned to its cluster ROW-LOCALLY (the two-level coarse→fine rule
+    of ``similarity.two_level_assign`` re-expressed as folds over
+    one-row broadcast model arrays, so no streaming groupBy argmin),
+    then joined against the PERSISTED cluster-assigned index on the
+    cluster id — a stream-static equality join, stateless and append-
+    mode — and every indexed vector with cosine ≥ ``threshold`` is
+    emitted as a claim (new_id, match_id, centroid_id, cos_sim).
+    Novelty is the ABSENCE of claims for an id (the same contract as
+    the band-claim stream: per-row aggregation would be stateful, so
+    the consumer — or a downstream batch job — decides keep/drop).
+
+    Model-size contract: the centroid set rides as one-row broadcast
+    arrays (coarse list + a coarse→fines map), so k·dim doubles must
+    fit a broadcast row — the same bounded-model contract as llm/lm.py;
+    for centroid sets beyond that, run the batch
+    ``similarity.semantic_novelty`` per micro-batch via foreachBatch.
+    All tie-breaks go to the LOWER id (sorted model arrays + strict-
+    less folds), so an AvailableNow replay is oracle-checkable.
+    """
+    import math
+
+    from res2df_spark.functions.vectors import dot, l2_norm
+    from res2df_spark.llm.similarity import _sq_dist
+
+    fine = centroids.select(
+        F.col("centroid_id"),
+        F.transform("centroid", lambda x: x.cast("double")).alias("__fv"),
+    )
+    if n_coarse is None:
+        n_coarse = max(int(math.ceil(math.sqrt(fine.count()))), 1)
+    coarse = fine.orderBy("centroid_id").limit(n_coarse).select(
+        F.col("centroid_id").alias("__coid"), F.col("__fv").alias("__cov")
+    )
+    # fine → coarse (batch, model-sized), then the whole model as ONE
+    # broadcast row: a sorted coarse array + a coarse→fines map
+    best_coarse = F.min(
+        F.struct(F.col("__d").alias("d"), F.col("__coid").alias("c"))
+    )
+    fc = (
+        fine.crossJoin(F.broadcast(coarse))
+        .withColumn("__d", _sq_dist(F.col("__fv"), F.col("__cov")))
+        .groupBy("centroid_id")
+        .agg(best_coarse.alias("__b"), F.first("__fv").alias("__fv"))
+        .select("centroid_id", F.col("__b.c").alias("__coid"), "__fv")
+    )
+    model = (
+        coarse.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__coid").alias("c"),
+                                        F.col("__cov").alias("v")))
+            ).alias("__coarse")
+        )
+        .crossJoin(
+            fc.groupBy("__coid")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("centroid_id").alias("c"),
+                                            F.col("__fv").alias("v")))
+                ).alias("__fines")
+            )
+            .agg(
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(F.struct("__coid", "__fines"))
+                    )
+                ).alias("__fmap")
+            )
+        )
+    )
+
+    def argmin(cands, vec):
+        # strict-less fold over a (c asc)-sorted array → lowest id wins
+        # ties, matching two_level_assign's min(struct(d, c))
+        init = F.struct(
+            F.lit(None).cast("double").alias("d"),
+            F.lit(None).cast("long").alias("c"),
+        )
+
+        def step(acc, s):
+            d = _sq_dist(vec, s["v"])
+            better = acc["d"].isNull() | (d < acc["d"])
+            return F.struct(
+                F.when(better, d).otherwise(acc["d"]).alias("d"),
+                F.when(better, s["c"].cast("long")).otherwise(acc["c"]).alias("c"),
+            )
+
+        return F.aggregate(cands, init, step, lambda acc: acc["c"])
+
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = (
+        new.select(F.col(id_col), vecd.alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .crossJoin(F.broadcast(model))
+        .withColumn("__coid", argmin(F.col("__coarse"), F.col("__v")))
+        .withColumn(
+            "centroid_id", argmin(F.col("__fmap")[F.col("__coid")], F.col("__v"))
+        )
+        .select(F.col(id_col), "centroid_id", "__v",
+                l2_norm(F.col("__v")).alias("__n"))
+    )
+    idx = index.select(
+        F.col(cluster_col).alias("centroid_id"),
+        F.col(id_col).alias("__mid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__iv"),
+    ).withColumn("__in", l2_norm(F.col("__iv")))
+    denom = F.col("__n") * F.col("__in")
+    sim = F.when(denom > 0, dot(F.col("__v"), F.col("__iv")) / denom).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        assigned.join(idx, "centroid_id")
+        .withColumn("__cos", sim)
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            F.col(id_col),
+            F.col("__mid").alias("match_id"),
+            "centroid_id",
+            F.round("__cos", 6).alias("cos_sim"),
+        )
+    )

@@ -4221,3 +4221,76 @@ def semantic_novelty(spark, sf_dir):
         "match_id",
         "cos_sim",
     )
+
+
+# the claims oracle shares the two-level assignment CTEs with
+# semantic_novelty verbatim; only the final pair selection differs
+_SEM_CLAIMS_SQL = _SEM_NOVELTY_SQL.split("\n    cand AS (")[0] + """
+    cand AS (SELECT nn.vec_id, idx.mid, nn.centroid_id,
+                    CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(nn.nv)),
+                              i -> CAST(nn.nv[i] AS DOUBLE) * CAST(nn.nv[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(generate_series(1, len(idx.iv)),
+                              i -> CAST(idx.iv[i] AS DOUBLE) * CAST(idx.iv[i] AS DOUBLE)))) > 0
+                     THEN list_sum(list_transform(generate_series(1, len(nn.nv)),
+                              i -> CAST(nn.nv[i] AS DOUBLE) * CAST(idx.iv[i] AS DOUBLE)))
+                        / (sqrt(list_sum(list_transform(generate_series(1, len(nn.nv)),
+                              i -> CAST(nn.nv[i] AS DOUBLE) * CAST(nn.nv[i] AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(generate_series(1, len(idx.iv)),
+                              i -> CAST(idx.iv[i] AS DOUBLE) * CAST(idx.iv[i] AS DOUBLE)))))
+                     ELSE 0.0 END AS cos
+             FROM nn JOIN idx USING (centroid_id))
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(mid AS BIGINT) AS match_id,
+           CAST(centroid_id AS BIGINT) AS centroid_id,
+           CAST(round(cos, 6) AS DOUBLE) AS cos_sim
+    FROM cand WHERE cos >= 0.35
+"""
+
+
+@_q("stream_semantic_claims", _SEM_CLAIMS_SQL)
+def stream_semantic_claims(spark, sf_dir):
+    """Incremental SemDeDup AS A STREAM
+    (streaming/ops.semantic_claims_stream): arriving embeddings
+    (vec_id % 7 == 0) assign to their cluster ROW-LOCALLY (two-level
+    folds over one-row broadcast model arrays — no streaming groupBy,
+    no state), then a stream-static equality join against the persisted
+    cluster index emits every ≥-threshold match as an append-mode
+    claim; novelty is the absence of claims.  Replayed with
+    AvailableNow; the oracle shares semantic_novelty's two-level
+    assignment CTEs verbatim and differs only in the final pair
+    selection."""
+    from res2df_spark.llm.similarity import two_level_assign
+    from res2df_spark.streaming.ops import (
+        run_available_now,
+        semantic_claims_stream,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    old = emb.filter(F.col("vec_id") % 7 != 0)
+    k = max(old.count() // 64, 8)
+    centroids = (
+        old.orderBy("vec_id")
+        .limit(int(k))
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "centroid_id"
+            ),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    index = two_level_assign(old, centroids).select(
+        "vec_id", "centroid_id", F.col("__v").alias("embedding")
+    )
+    src = Catalog(spark, sf_dir).stream_table("embeddings").filter(
+        F.col("vec_id") % 7 == 0
+    )
+    claims = semantic_claims_stream(src, index, centroids, threshold=0.35)
+    out = run_available_now(
+        claims, name="stream_semantic_claims", output_mode="append"
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("match_id").cast("long").alias("match_id"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        "cos_sim",
+    )

@@ -338,3 +338,57 @@ def test_decontaminate_stream_matches_batch(spark, tmp_path):
     }
     assert flagged == {1: True, 2: False}
     assert got[2]["n_contaminated"] == 0
+
+
+def test_semantic_claims_stream_matches_batch_novelty(spark, tmp_path):
+    """The stateless streaming claims must agree with the batch
+    incremental path: every non-novel batch verdict has a stream claim
+    for its best match, and novel ids produce no claims."""
+    from pyspark.sql import Window
+
+    from res2df_spark.llm.similarity import semantic_novelty, two_level_assign
+    from res2df_spark.streaming.ops import (
+        run_available_now,
+        semantic_claims_stream,
+    )
+
+    old = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.99, 0.01, 0.0]),
+         (12, [0.0, 0.0, 10.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = old.orderBy("vec_id").limit(2).select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    index = two_level_assign(old, cents).select(
+        "vec_id", "centroid_id", F.col("__v").alias("embedding")
+    )
+    new = spark.createDataFrame(
+        [(100, [1.0, 0.001, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    p = str(tmp_path / "new")
+    new.write.parquet(p)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(p)
+    claims = run_available_now(
+        semantic_claims_stream(stream, index, cents, threshold=0.9),
+        output_mode="append",
+    ).collect()
+    batch = {r["vec_id"]: r for r in semantic_novelty(
+        new, index, cents, threshold=0.9
+    ).collect()}
+    claimed = {(r["vec_id"], r["match_id"]) for r in claims}
+    # 11 seeded centroid 1, so it sits in a different cluster than 100
+    # (which lands on centroid 0 with index member 10): cluster-scoped
+    # matching — the SemDeDup trade — yields exactly the one claim
+    assert claimed == {(100, 10)}
+    assert not batch[100]["is_novel"] and batch[101]["is_novel"]
+    best = {r["vec_id"]: (r["match_id"], r["cos_sim"]) for r in claims}
+    # stream cosines equal the batch best-match cosine for the best pair
+    stream_best = max(
+        (r for r in claims if r["vec_id"] == 100),
+        key=lambda r: (r["cos_sim"], -r["match_id"]),
+    )
+    assert stream_best["match_id"] == batch[100]["match_id"]
+    assert stream_best["cos_sim"] == batch[100]["cos_sim"]
