@@ -17,3 +17,8 @@ from res2df_spark.llm.similarity import (  # noqa: F401
     pq_train,
 )
 from res2df_spark.llm.lm import lm_quality_score, train_char_lm  # noqa: F401
+from res2df_spark.llm.weights import (  # noqa: F401
+    dsir_weights,
+    nb_quality_score,
+    soft_dedup_weights,
+)

@@ -1,0 +1,255 @@
+"""Document reweighting and selection scores for training-data
+curation: instead of the hard keep/drop decisions in
+:mod:`res2df_spark.llm.dedup` and :mod:`res2df_spark.llm.curation`,
+these operators assign each document a SAMPLING WEIGHT or a
+classifier-style quality score, the way modern pretraining pipelines
+mix "soft" signals (SoftDeDup-style frequency down-weighting, DSIR
+hashed-n-gram importance resampling, CCNet/GPT-3-style linear quality
+classifiers) rather than discarding data outright.
+
+Scale notes (design target: a 100 TB corpus):
+
+* every operator is a composition of token/shingle long-form explodes,
+  partial-aggregated groupBys on uniform md5-derived keys, and joins
+  whose small side is either provably tiny (the 256-bucket DSIR ratio
+  table — a broadcast) or vocabulary-sized (the NB token-ratio table —
+  a plain shuffle join that AQE broadcasts when it fits);
+* corpus-level scalars (class token totals, vocabulary size, document
+  counts) ride along as broadcast single-row cross joins — no
+  driver-side ``.count()`` in any plan;
+* all hashing is md5-based so the DuckDB oracle reproduces every score
+  bit-for-bit (see functions/textan.py module docstring).
+
+Reference analogue: the reference engine (equinor/res2df) has no
+document-scoring surface; this family is north-star scope for the
+LLM-pipeline goals in BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+from res2df_spark.session import spread
+from res2df_spark.functions.textan import shingles, tokens
+from res2df_spark.llm.curation import md5_bucket256
+
+
+def _grams_long(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int | None,
+    distinct: bool,
+) -> DataFrame:
+    """(id, gram) long form: words when ``shingle_k`` is None, k-word
+    shingles otherwise.  ``distinct=False`` keeps multiplicity (needed
+    by multinomial models)."""
+    toks = tokens(text_col)
+    grams = toks if shingle_k is None else shingles(toks, shingle_k)
+    out = spread(docs.filter(F.col(text_col).isNotNull())).select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+    return out.distinct() if distinct else out
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """SoftDeDup-style sampling weights: down-weight repeated content
+    instead of deleting it (He et al. 2024, "SoftDedup"; the soft
+    counterpart of :func:`res2df_spark.llm.dedup.exact_duplicates`).
+
+    Two signals per document:
+
+    * ``group_size`` — exact-duplicate group size (md5(text) groups);
+      ``w_exact = 1 / group_size`` splits one epoch's worth of
+      gradient signal evenly across byte-identical copies.
+    * ``mean_log_df`` — the document's "commonness": the mean over its
+      DISTINCT k-word shingles of ln(number of documents containing
+      that shingle).  Boilerplate-heavy documents score high even when
+      no single byte-identical copy exists; ``w_soft = 1 / (1 +
+      mean_log_df)`` is the smooth down-weight.  Documents with fewer
+      than k tokens have no shingles and take commonness 0 (weight 1).
+
+    Plan shape: one md5 hash-aggregate for groups (uniform 128-bit
+    key), one shingle-df groupBy (vocabulary-sized output, partial-agg
+    collapses map-side), one join back on the shingle key, one per-doc
+    mean.  No driver scalars, no windows over unbounded groups.
+    NULL texts are excluded for the same phantom-group reason as
+    ``exact_duplicates``.
+    """
+    base = spread(docs.filter(F.col(text_col).isNotNull()))
+    grp = (
+        base.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+    )
+    sizes = grp.groupBy("__h").agg(F.count(F.lit(1)).alias("group_size"))
+    by_doc = grp.join(sizes, "__h").select(id_col, "group_size")
+
+    sh = _grams_long(docs, id_col, text_col, shingle_k, distinct=True)
+    df = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    commonness = (
+        sh.join(df, "gram")
+        .groupBy(id_col)
+        .agg(F.avg(F.log(F.col("__df"))).alias("mean_log_df"))
+    )
+    out = by_doc.join(commonness, id_col, "left").select(
+        id_col,
+        F.col("group_size").cast("long").alias("group_size"),
+        F.round(F.coalesce(F.col("mean_log_df"), F.lit(0.0)), 6).alias(
+            "mean_log_df"
+        ),
+        F.round(F.lit(1.0) / F.col("group_size"), 6).alias("w_exact"),
+        F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.coalesce(F.col("mean_log_df"), F.lit(0.0))),
+            6,
+        ).alias("w_soft"),
+    )
+    return out
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed n-gram features are under a
+    TARGET distribution than under the RAW corpus distribution.
+
+    Features are unigrams + bigrams hashed into ``n_buckets`` buckets
+    (md5-derived, engine-portable; collisions are the point — the model
+    stays 256 numbers regardless of vocabulary size).  With Laplace
+    smoothing, ``lambda(b) = ln((t_b+1)/(T+B)) - ln((r_b+1)/(R+B))``
+    where ``t_b``/``r_b`` are feature counts in the target slice and
+    the raw corpus and ``T``/``R`` their totals; a document's
+    ``log_weight`` is the feature-count-weighted sum of lambda over its
+    buckets.  Resampling then keeps documents proportionally to
+    ``exp(log_weight)`` — pair with
+    :func:`res2df_spark.llm.curation.weighted_sample`.
+
+    ``target_filter``: a boolean Column over ``docs`` rows selecting
+    the target slice (e.g. ``F.col("lang") == "en"``).
+
+    Plan shape: one gram explode (multiplicity kept), one
+    (bucket)-keyed conditional aggregate producing the 2×256 count
+    table, the lambda table broadcast back onto per-doc bucket counts,
+    one per-doc sum.  The model is 256 rows BY CONSTRUCTION — the
+    broadcast never grows with the corpus, the explicit fix for the
+    k∝N anti-pattern.  Totals ride as a broadcast one-row cross join.
+    """
+    base = spread(docs.filter(F.col(text_col).isNotNull())).withColumn(
+        "__is_t", target_filter
+    )
+    toks = tokens(text_col)
+    grams = F.concat(toks, shingles(toks, 2))
+    feat = base.select(
+        F.col(id_col), "__is_t", F.explode(grams).alias("gram")
+    ).withColumn("bucket", md5_bucket256(F.col("gram"), salt))
+    if n_buckets != 256:
+        raise ValueError("md5_bucket256-backed DSIR supports n_buckets=256")
+
+    counts = feat.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("t_b"),
+        F.sum(F.when(F.col("__is_t"), 0).otherwise(1)).alias("r_b"),
+    )
+    totals = counts.agg(
+        F.sum("t_b").alias("__T"), F.sum("r_b").alias("__R")
+    )
+    lam = counts.crossJoin(broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("t_b") + 1) / (F.col("__T") + F.lit(n_buckets)))
+            - F.log((F.col("r_b") + 1) / (F.col("__R") + F.lit(n_buckets)))
+        ).alias("lam"),
+    )
+    doc_buckets = feat.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        doc_buckets.join(broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.col("n") * F.col("lam")), 6).alias("log_weight"),
+            F.sum("n").cast("long").alias("n_feats"),
+        )
+    )
+
+
+def nb_quality_score(
+    docs: DataFrame,
+    positive_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet/GPT-3-style quality classifier score: a multinomial Naive
+    Bayes log-odds of "looks like the positive slice" vs "looks like
+    the rest", trained and applied in one declarative plan (the
+    classic pretraining quality filter: train on a trusted corpus as
+    positives, the raw crawl as negatives, keep documents whose score
+    clears a bar — Brown et al. 2020 §A; Wenzek et al. 2020).
+
+    With Laplace smoothing over the shared vocabulary ``V``:
+    ``P(tok|c) = (cnt_c(tok)+1) / (N_c + |V|)`` and
+    ``score(d) = ln(D_pos/D_neg) + Σ_tok cnt_d(tok) ·
+    (ln P(tok|pos) − ln P(tok|neg))``; ``predicted_pos = score > 0``.
+
+    Unlike :func:`dsir_weights` this is a per-TOKEN model with a class
+    prior — the ratio table is vocabulary-sized, not fixed-size, so it
+    joins on the token key (a plain shuffle join; AQE broadcasts it
+    when the vocabulary fits, and at 100 TB a vocabulary table is
+    still MBs — Heaps' law, not corpus-linear).  Token multiplicity
+    counts (multinomial, not Bernoulli).  Scalars (class token totals,
+    |V|, document counts) ride as one broadcast one-row cross join.
+    """
+    base = spread(docs.filter(F.col(text_col).isNotNull())).withColumn(
+        "__pos", positive_filter
+    )
+    tok = base.select(
+        F.col(id_col), "__pos", F.explode(tokens(text_col)).alias("token")
+    )
+    cls = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("c_neg"),
+    )
+    scalars = cls.agg(
+        F.sum("c_pos").alias("__np"),
+        F.sum("c_neg").alias("__nn"),
+        F.count(F.lit(1)).alias("__v"),
+    ).crossJoin(
+        broadcast(
+            base.agg(
+                F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("__dp"),
+                F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("__dn"),
+            )
+        )
+    )
+    ratio = cls.crossJoin(broadcast(scalars)).select(
+        "token",
+        (
+            F.log((F.col("c_pos") + 1) / (F.col("__np") + F.col("__v")))
+            - F.log((F.col("c_neg") + 1) / (F.col("__nn") + F.col("__v")))
+        ).alias("llr"),
+        (F.log(F.col("__dp") / F.col("__dn"))).alias("prior"),
+    )
+    doc_tok = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        doc_tok.join(ratio, "token")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.first("prior") + F.sum(F.col("n") * F.col("llr")), 6
+            ).alias("nb_score"),
+            (F.first("prior") + F.sum(F.col("n") * F.col("llr")) > 0).alias(
+                "predicted_pos"
+            ),
+        )
+    )

@@ -4294,3 +4294,128 @@ def stream_semantic_claims(spark, sf_dir):
         F.col("centroid_id").cast("long").alias("centroid_id"),
         "cos_sim",
     )
+
+
+# ---------------------------------------------------------------------------
+# Document reweighting / selection scores (llm/weights.py)
+# ---------------------------------------------------------------------------
+
+_SOFT_DEDUP_SQL = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks
+               FROM documents WHERE text IS NOT NULL),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+            FROM t),
+    sh AS (SELECT DISTINCT doc_id,
+                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+           FROM idx),
+    df AS (SELECT shingle, count(*) AS d FROM sh GROUP BY 1),
+    com AS (SELECT doc_id, avg(ln(d)) AS mld
+            FROM sh JOIN df USING (shingle) GROUP BY 1),
+    sz AS (SELECT md5(text) AS h, count(*) AS n
+           FROM documents WHERE text IS NOT NULL GROUP BY 1),
+    g AS (SELECT doc_id, n FROM documents JOIN sz ON md5(text) = h
+          WHERE text IS NOT NULL)
+    SELECT doc_id, CAST(n AS BIGINT) AS group_size,
+           CAST(round(coalesce(mld, 0), 6) AS DOUBLE) AS mean_log_df,
+           CAST(round(1.0 / n, 6) AS DOUBLE) AS w_exact,
+           CAST(round(1.0 / (1 + coalesce(mld, 0)), 6) AS DOUBLE) AS w_soft
+    FROM g LEFT JOIN com USING (doc_id)
+"""
+
+
+@_q("soft_dedup_weights", _SOFT_DEDUP_SQL)
+def soft_dedup_weights_q(spark, sf_dir):
+    """SoftDeDup-style sampling weights (llm/weights.soft_dedup_weights):
+    1/group_size for byte-identical copies plus a smooth "commonness"
+    down-weight (mean ln shingle-df) for boilerplate-heavy documents —
+    the soft counterpart of dedup_exact.  One md5 hash-aggregate + one
+    vocabulary-sized shingle-df groupBy; no unbounded state."""
+    from res2df_spark.llm.weights import soft_dedup_weights as op
+
+    return op(Catalog(spark, sf_dir).documents)
+
+
+_DSIR_SQL = f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks
+               FROM documents WHERE text IS NOT NULL),
+    uni AS (SELECT doc_id, lang, unnest(toks) AS gram FROM t),
+    bidx AS (SELECT doc_id, lang, toks,
+                    unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+             FROM t),
+    bi AS (SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS gram FROM bidx),
+    feat AS (SELECT doc_id, lang = 'en' AS is_t, gram,
+                    {_bucket256_sql('dsir', 'gram')} AS bucket
+             FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    counts AS (SELECT bucket,
+                      sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_b,
+                      sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS r_b
+               FROM feat GROUP BY 1),
+    tot AS (SELECT sum(t_b) AS tt, sum(r_b) AS rr FROM counts),
+    lam AS (SELECT bucket,
+                   ln((t_b + 1) / CAST(tt + 256 AS DOUBLE))
+                 - ln((r_b + 1) / CAST(rr + 256 AS DOUBLE)) AS lam
+            FROM counts CROSS JOIN tot),
+    db AS (SELECT doc_id, bucket, count(*) AS n FROM feat GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(round(sum(n * lam), 6) AS DOUBLE) AS log_weight,
+           CAST(sum(n) AS BIGINT) AS n_feats
+    FROM db JOIN lam USING (bucket) GROUP BY doc_id
+"""
+
+
+@_q("dsir_weights", _DSIR_SQL)
+def dsir_weights_q(spark, sf_dir):
+    """DSIR importance-resampling weights (llm/weights.dsir_weights):
+    hashed unigram+bigram log-likelihood ratio of the lang='en' target
+    slice vs the raw corpus.  The model is a 256-row broadcast BY
+    CONSTRUCTION (hashed features), so the small side never grows with
+    the corpus; the oracle replicates the md5 bucketing, Laplace
+    smoothing and per-doc feature-count-weighted sum."""
+    from res2df_spark.llm.weights import dsir_weights as op
+
+    docs = Catalog(spark, sf_dir).documents
+    return op(docs, F.col("lang") == "en")
+
+
+_NB_SQL = f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks
+               FROM documents WHERE text IS NOT NULL),
+    tok AS (SELECT doc_id, source IN ('src0', 'src1', 'src2') AS pos,
+                   unnest(toks) AS token
+            FROM t),
+    cls AS (SELECT token,
+                   sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+                   sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+            FROM tok GROUP BY 1),
+    sc AS (SELECT sum(c_pos) AS np, sum(c_neg) AS nn, count(*) AS v FROM cls),
+    dc AS (SELECT sum(CASE WHEN source IN ('src0', 'src1', 'src2')
+                           THEN 1 ELSE 0 END) AS dp,
+                  sum(CASE WHEN source IN ('src0', 'src1', 'src2')
+                           THEN 0 ELSE 1 END) AS dn
+           FROM documents WHERE text IS NOT NULL),
+    ratio AS (SELECT token,
+                     ln((c_pos + 1) / CAST(np + v AS DOUBLE))
+                   - ln((c_neg + 1) / CAST(nn + v AS DOUBLE)) AS llr,
+                     ln(CAST(dp AS DOUBLE) / dn) AS prior
+              FROM cls CROSS JOIN sc CROSS JOIN dc),
+    dt AS (SELECT doc_id, token, count(*) AS n FROM tok GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(round(any_value(prior) + sum(n * llr), 6) AS DOUBLE) AS nb_score,
+           (any_value(prior) + sum(n * llr)) > 0 AS predicted_pos
+    FROM dt JOIN ratio USING (token) GROUP BY doc_id
+"""
+
+
+@_q("nb_quality_score", _NB_SQL)
+def nb_quality_score_q(spark, sf_dir):
+    """Naive-Bayes quality-classifier scores (llm/weights.nb_quality_score):
+    multinomial log-odds of "looks like src0-src2" vs the rest with
+    Laplace smoothing and a class prior — the CCNet/GPT-3 quality
+    filter shape.  The vocabulary-sized ratio table joins on the token
+    key (Heaps'-law small even at 100 TB); the oracle replicates the
+    smoothing arithmetic term by term."""
+    from res2df_spark.llm.weights import nb_quality_score as op
+
+    docs = Catalog(spark, sf_dir).documents
+    return op(docs, F.col("source").isin("src0", "src1", "src2"))
