@@ -702,3 +702,127 @@ def duplicate_ngram_spans(
     return hits.select(
         id_col, "n_grams", "n_dup_grams", F.round(frac, 6).alias("dup_span_frac")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_token_df: int | None = None,
+    shingle_k: int | None = 3,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle-set CONTAINMENT
+    (Broder 1997): ``c1 = |A∩B| / |A|`` and ``c2 = |A∩B| / |B|`` —
+    the measure Jaccard misses when a short document is wholly embedded
+    in a long one (quote farms, wrapper boilerplate, page-of-pages).
+    A 50-shingle doc inside a 5000-shingle doc has Jaccard ≤ 0.01 but
+    containment 1.0; dedup pipelines drop or trim the CONTAINED side.
+
+    Pairs where ``max(c1, c2) ≥ threshold``, from the same inverted-
+    index candidate join as :func:`ngram_jaccard_pairs` (shared-token
+    equality join — never all-pairs), with the same ``max_token_df``
+    stop-shingle cap bounding hot-token fan-in at corpus scale.
+    Returns (d1, d2, n_shared, size1, size2, c1, c2) with d1 < d2.
+    """
+    toks = _doc_token_sets(docs, id_col, text_col, max_token_df, shingle_k)
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    t1 = toks.select(F.col(id_col).alias("d1"), "token")
+    t2 = toks.select(F.col(id_col).alias("d2"), "token")
+    shared = (
+        t1.join(t2, "token")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("set_size").alias("size1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("set_size").alias("size2"))
+    out = (
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("c1", F.col("n_shared") / F.col("size1"))
+        .withColumn("c2", F.col("n_shared") / F.col("size2"))
+        .filter(F.greatest(F.col("c1"), F.col("c2")) >= F.lit(threshold))
+    )
+    return out.select(
+        "d1", "d2", "n_shared", "size1", "size2",
+        F.round("c1", 6).alias("c1"), F.round("c2", 6).alias("c2"),
+    )
+
+
+def cross_doc_segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    max_df: int = 1,
+) -> DataFrame:
+    """CCNet-style cross-document line dedup (Wenzek et al. 2020 §3.1)
+    generalized to unlined corpora: text splits into NON-overlapping
+    ``window``-token segments (the "lines"), a segment is dropped from
+    every document when it occurs in more than ``max_df`` DISTINCT
+    documents, and the per-document survivor text is rebuilt in
+    original order.  This removes shared headers/footers/boilerplate
+    *surgically* while document-level dedup would keep or kill whole
+    docs.
+
+    Per doc: (n_segments, n_kept, kept_text).  A short tail segment
+    (< window tokens) participates like any other.  Scale shape: one
+    map-side segment explode, one md5 hash-aggregate for segment df
+    (uniform 128-bit key), one join back on the hash, one per-doc
+    ordered rebuild whose state is the document itself (bounded by doc
+    length, never by corpus size).  NULL texts are excluded.
+    """
+    # materialize the token array BEFORE the higher-order transform:
+    # a lambda-captured expression is re-evaluated per array element
+    # (the split would run n_segments times per row otherwise)
+    base = spread(docs.filter(F.col(text_col).isNotNull())).withColumn(
+        "__toks", tokens(text_col)
+    )
+    toks = F.col("__toks")
+    n_seg = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    seg_idx = F.sequence(F.lit(0), F.greatest(n_seg - 1, F.lit(0)))
+    segs = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(toks) > 0,
+                F.transform(
+                    seg_idx,
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i * window + 1, window)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("seg_idx", "seg"),
+    ).withColumn("seg_h", F.md5(F.col("seg")))
+    seg_df = (
+        segs.select(id_col, "seg_h")
+        .distinct()
+        .groupBy("seg_h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    marked = segs.join(seg_df, "seg_h").withColumn(
+        "__keep", F.col("__df") <= F.lit(max_df)
+    )
+    rebuilt = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("seg_idx"), F.col("seg")),
+                        )
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return rebuilt

@@ -4419,3 +4419,79 @@ def nb_quality_score_q(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return op(docs, F.col("source").isin("src0", "src1", "src2"))
+
+
+_CONTAINMENT_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks
+               FROM documents WHERE text IS NOT NULL),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+            FROM t),
+    sh AS (SELECT DISTINCT doc_id,
+                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+           FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    shared AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS n_shared
+               FROM sh s1 JOIN sh s2 USING (shingle)
+               WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2)
+    SELECT d1, d2, n_shared,
+           CAST(z1.sz AS BIGINT) AS size1, CAST(z2.sz AS BIGINT) AS size2,
+           CAST(round(n_shared / CAST(z1.sz AS DOUBLE), 6) AS DOUBLE) AS c1,
+           CAST(round(n_shared / CAST(z2.sz AS DOUBLE), 6) AS DOUBLE) AS c2
+    FROM shared JOIN sizes z1 ON z1.doc_id = d1 JOIN sizes z2 ON z2.doc_id = d2
+    WHERE greatest(n_shared / CAST(z1.sz AS DOUBLE),
+                   n_shared / CAST(z2.sz AS DOUBLE)) >= 0.8
+"""
+
+
+@_q("dedup_containment", _CONTAINMENT_SQL)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment pairs (llm/dedup.containment_pairs):
+    |A∩B|/|A| over 3-gram shingle sets — catches a short document
+    embedded in a long one, which Jaccard structurally misses (a
+    50-in-5000-shingle embedding has Jaccard ≤ 0.01, containment 1.0).
+    Same inverted-index candidate join + stop-shingle cap family as
+    dedup_ngram_jaccard; the oracle replicates both direction ratios
+    and the max(c1,c2) gate."""
+    from res2df_spark.llm.dedup import containment_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    return containment_pairs(docs, threshold=0.8, shingle_k=3)
+
+
+_LINE_DEDUP_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks
+               FROM documents WHERE text IS NOT NULL),
+    nseg AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 8.0) AS INT) AS ns
+             FROM t WHERE len(toks) > 0),
+    segs AS (SELECT doc_id, i AS seg_idx,
+                    array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg
+             FROM (SELECT doc_id, toks, unnest(generate_series(0, ns - 1)) AS i
+                   FROM nseg)),
+    sdf AS (SELECT md5(seg) AS seg_h, count(DISTINCT doc_id) AS df
+            FROM segs GROUP BY 1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                        FILTER (WHERE df <= 1), '') AS kept_text
+    FROM segs JOIN sdf ON md5(seg) = seg_h
+    GROUP BY doc_id
+"""
+
+
+@_q("line_dedup", _LINE_DEDUP_SQL)
+def line_dedup(spark, sf_dir):
+    """CCNet-style cross-document segment dedup
+    (llm/dedup.cross_doc_segment_dedup): 8-token non-overlapping
+    segments standing in for lines; any segment occurring in more than
+    one DISTINCT document is cut from every document and the survivor
+    text rebuilt in order — boilerplate removed surgically where
+    doc-level dedup would keep or kill whole documents.  One md5
+    hash-aggregate for segment df; rebuild state is bounded by the
+    document, never the corpus.  The oracle rebuilds with an ordered
+    filtered string_agg."""
+    from res2df_spark.llm.dedup import cross_doc_segment_dedup
+
+    docs = Catalog(spark, sf_dir).documents
+    return cross_doc_segment_dedup(docs, window=8, max_df=1)
