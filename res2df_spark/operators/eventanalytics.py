@@ -160,3 +160,50 @@ def retention_cohorts(
     if max_offset_days is not None:
         grid = grid.filter(F.col("day_offset") <= max_offset_days)
     return grid
+
+
+def value_anomalies(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    min_events: int = 5,
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Per-key z-score outliers: events whose value deviates from the
+    key's own mean by ≥ ``z_threshold`` population standard deviations
+    (keys with fewer than ``min_events`` events or zero variance are
+    skipped) — the telemetry-anomaly shape a curation pipeline runs
+    over ingest metrics (bytes/doc, docs/shard, latency per source).
+
+    Variance is computed from explicit moments (``E[v²] − E[v]²``), not
+    ``stddev_pop``, so the arithmetic is identical on any engine — the
+    one-pass formulation is also what the partial aggregate computes
+    anyway.  Plan shape: one partial-aggregated groupBy on the user key
+    plus one join back on the same key (partitioning reused); no
+    windows, no unbounded state.
+    """
+    v = F.col(value_col).cast("double")
+    stats = events.groupBy(user_col).agg(
+        F.avg(v).alias("__mean"),
+        F.avg(v * v).alias("__m2"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    joined = events.join(stats, user_col).withColumn(
+        "__var", F.col("__m2") - F.col("__mean") * F.col("__mean")
+    )
+    z = (v - F.col("__mean")) / F.sqrt(F.col("__var"))
+    return (
+        joined.filter(
+            (F.col("__n") >= min_events) & (F.col("__var") > 0)
+        )
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= z_threshold)
+        .select(
+            id_col,
+            user_col,
+            v.alias(value_col),
+            F.round("z", 6).alias("z"),
+            F.col("__n").cast("long").alias("n_user_events"),
+        )
+    )

@@ -4495,3 +4495,89 @@ def line_dedup(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return cross_doc_segment_dedup(docs, window=8, max_df=1)
+
+
+# ---------------------------------------------------------------------------
+# Graph ranking (operators/graph.py) + telemetry anomalies
+# ---------------------------------------------------------------------------
+
+_PAGERANK_SQL = """
+    WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                               's' || CAST(l_suppkey AS VARCHAR) AS dst
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+    od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    r0 AS (SELECT node, 1.0 / nn AS r FROM n CROSS JOIN cnt),
+    c1 AS (SELECT e.dst, sum(r0.r / od.deg) AS m
+           FROM e JOIN od USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+    r1 AS (SELECT node, (1 - 0.85) / nn + 0.85 * coalesce(m, 0) AS r
+           FROM n CROSS JOIN cnt LEFT JOIN c1 ON c1.dst = node),
+    c2 AS (SELECT e.dst, sum(r1.r / od.deg) AS m
+           FROM e JOIN od USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+    r2 AS (SELECT node, (1 - 0.85) / nn + 0.85 * coalesce(m, 0) AS r
+           FROM n CROSS JOIN cnt LEFT JOIN c2 ON c2.dst = node),
+    c3 AS (SELECT e.dst, sum(r2.r / od.deg) AS m
+           FROM e JOIN od USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+    r3 AS (SELECT node, (1 - 0.85) / nn + 0.85 * coalesce(m, 0) AS r
+           FROM n CROSS JOIN cnt LEFT JOIN c3 ON c3.dst = node)
+    SELECT node, CAST(round(r, 6) AS DOUBLE) AS pagerank FROM r3
+"""
+
+
+@_q("pagerank_entities", _PAGERANK_SQL)
+def pagerank_entities(spark, sf_dir):
+    """PageRank (operators/graph.pagerank) over the customer→supplier
+    trade graph (distinct o_custkey→l_suppkey edges), 3 power
+    iterations, damping 0.85 — the domain-centrality shape crawl
+    curation ranks sources with.  Each iteration is one edge⋈rank
+    shuffle join + one partial-aggregated dst groupBy (hub in-degree
+    collapses map-side), lineage truncated per round; the node count
+    rides as a broadcast one-row cross join.  The oracle unrolls the
+    same three iterations as CTEs."""
+    from res2df_spark.operators.graph import pagerank
+
+    cat = Catalog(spark, sf_dir)
+    edges = (
+        cat.lineitem.join(
+            cat.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    out = pagerank(edges, damping=0.85, iterations=3)
+    return out.select("node", F.col("rank").alias("pagerank"))
+
+
+_ANOMALY_SQL = """
+    WITH s AS (SELECT user_id, avg(value) AS mean, avg(value * value) AS m2,
+                      count(*) AS n
+               FROM events GROUP BY 1)
+    SELECT event_id, e.user_id, e.value,
+           CAST(round((e.value - mean) / sqrt(m2 - mean * mean), 6) AS DOUBLE)
+               AS z,
+           CAST(n AS BIGINT) AS n_user_events
+    FROM events e JOIN s USING (user_id)
+    WHERE n >= 5 AND m2 - mean * mean > 0
+      AND abs((e.value - mean) / sqrt(m2 - mean * mean)) >= 2.5
+"""
+
+
+@_q("value_anomalies", _ANOMALY_SQL)
+def value_anomalies_q(spark, sf_dir):
+    """Per-user z-score outliers (operators/eventanalytics.
+    value_anomalies): |value − user mean| ≥ 2.5 population std-devs,
+    variance from explicit moments so the arithmetic is
+    engine-identical.  One partial-agg groupBy + one join on the same
+    user key — partitioning reused, no unbounded state."""
+    from res2df_spark.operators.eventanalytics import value_anomalies
+
+    ev = Catalog(spark, sf_dir).events
+    return value_anomalies(ev)
