@@ -70,6 +70,13 @@ HEADLINE = [
     "corpus_entropy",          # dataset-card unigram stats (round 5)
     "emb_truncate",            # matryoshka prefix + renorm, map-only (round 5)
     "dedup_simhash_capped",    # simhash with the hot-bucket cap on (round 5)
+    "soft_dedup_weights",      # SoftDeDup 1/group + commonness weights (round 5)
+    "dsir_weights",            # hashed-n-gram importance weights (round 5)
+    "nb_quality_score",        # Naive-Bayes quality log-odds (round 5)
+    "dedup_containment",       # asymmetric containment pairs (round 5)
+    "line_dedup",              # cross-doc segment dedup + rebuild (round 5)
+    "pagerank_entities",       # 3-iteration graph rank, lineage-truncated (round 5)
+    "value_anomalies",         # per-key z-score outliers (round 5)
 ]
 
 

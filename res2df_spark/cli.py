@@ -393,6 +393,13 @@ _CURATE_MODULES = {
     "entropy": "one-row corpus token statistics (entropy, Zipf head)",
     "truncate-emb": "matryoshka prefix truncation + L2 renorm (--dims)",
     "semantic-dedup": "SemDeDup keep/drop over an embedding column",
+    "soft-dedup": "SoftDeDup sampling weights (1/group-size + commonness)",
+    "dsir": "DSIR hashed-n-gram importance weights vs a target slice",
+    "nb-score": "Naive-Bayes quality-classifier log-odds vs a positive slice",
+    "line-dedup": "cut token-window segments shared across documents",
+    "containment": "asymmetric shingle-containment near-dup pairs",
+    "pagerank": "PageRank over an edge parquet (--src-col/--dst-col)",
+    "anomalies": "per-key z-score value outliers (--key-col/--value-col)",
 }
 
 
@@ -462,6 +469,38 @@ def get_curate_parser() -> argparse.ArgumentParser:
             s.add_argument("--keep-only", action="store_true",
                            help="write only surviving rows instead of the "
                                 "(id, cluster_id, keep) audit table")
+        elif name == "soft-dedup":
+            s.add_argument("--shingle-k", type=int, default=3)
+        elif name == "dsir":
+            s.add_argument("--target-col", default="lang",
+                           help="column defining the target slice")
+            s.add_argument("--target-value", required=True,
+                           help="value of --target-col marking target docs")
+        elif name == "nb-score":
+            s.add_argument("--pos-col", default="source",
+                           help="column defining the positive slice")
+            s.add_argument("--pos-values", required=True,
+                           help="comma-separated values of --pos-col "
+                                "marking positive (trusted) docs")
+        elif name == "line-dedup":
+            s.add_argument("--window", type=int, default=8,
+                           help="tokens per segment (the 'line' width)")
+            s.add_argument("--max-df", type=int, default=1,
+                           help="drop segments in more than this many docs")
+        elif name == "containment":
+            s.add_argument("--threshold", type=float, default=0.8)
+            s.add_argument("--shingle-k", type=int, default=3)
+            s.add_argument("--max-token-df", type=int, default=None)
+        elif name == "pagerank":
+            s.add_argument("--src-col", default="src")
+            s.add_argument("--dst-col", default="dst")
+            s.add_argument("--damping", type=float, default=0.85)
+            s.add_argument("--iterations", type=int, default=10)
+        elif name == "anomalies":
+            s.add_argument("--key-col", default="user_id")
+            s.add_argument("--value-col", default="value")
+            s.add_argument("--min-events", type=int, default=5)
+            s.add_argument("--z-threshold", type=float, default=2.5)
         elif name == "export-tar":
             s.add_argument("--n-shards", type=int, default=8)
             s.add_argument("--payload-col", default=None,
@@ -683,6 +722,94 @@ def curate_main(argv: list[str] | None = None) -> int:
             )
         else:
             out = labels
+    elif args.op == "soft-dedup":
+        from res2df_spark.llm.weights import soft_dedup_weights
+
+        out = soft_dedup_weights(
+            df, id_col=idc, text_col=txt, shingle_k=args.shingle_k
+        )
+    elif args.op == "dsir":
+        from pyspark.sql import functions as F
+
+        from res2df_spark.llm.weights import dsir_weights
+
+        if args.target_col not in df.columns:
+            raise SystemExit(
+                f"dsir: column {args.target_col!r} not in input "
+                f"(columns: {', '.join(df.columns)}); pass --target-col"
+            )
+        tgt = F.col(args.target_col) == args.target_value
+        if df.filter(tgt).limit(1).count() == 0:
+            raise SystemExit(
+                f"dsir: --target-value {args.target_value!r} matches no rows "
+                f"of {args.target_col!r} — weights against an empty target "
+                "distribution are pure smoothing noise"
+            )
+        out = dsir_weights(df, tgt, id_col=idc, text_col=txt)
+    elif args.op == "nb-score":
+        from pyspark.sql import functions as F
+
+        from res2df_spark.llm.weights import nb_quality_score
+
+        if args.pos_col not in df.columns:
+            raise SystemExit(
+                f"nb-score: column {args.pos_col!r} not in input "
+                f"(columns: {', '.join(df.columns)}); pass --pos-col"
+            )
+        vals = [v for v in args.pos_values.split(",") if v]
+        pos = F.col(args.pos_col).isin(vals)
+        pos_n = df.filter(pos).limit(1).count()
+        neg_n = df.filter(~pos).limit(1).count()
+        if pos_n == 0 or neg_n == 0:
+            raise SystemExit(
+                "nb-score: --pos-values must split the corpus into "
+                "non-empty positive AND negative slices "
+                f"(positive empty: {pos_n == 0}, negative empty: {neg_n == 0})"
+            )
+        out = nb_quality_score(df, pos, id_col=idc, text_col=txt)
+    elif args.op == "line-dedup":
+        from res2df_spark.llm.dedup import cross_doc_segment_dedup
+
+        out = cross_doc_segment_dedup(
+            df, id_col=idc, text_col=txt,
+            window=args.window, max_df=args.max_df,
+        )
+    elif args.op == "containment":
+        from res2df_spark.llm.dedup import containment_pairs
+
+        out = containment_pairs(
+            df, id_col=idc, text_col=txt, threshold=args.threshold,
+            max_token_df=args.max_token_df, shingle_k=args.shingle_k,
+        )
+    elif args.op == "pagerank":
+        from res2df_spark.operators.graph import pagerank
+
+        for c in (args.src_col, args.dst_col):
+            if c not in df.columns:
+                raise SystemExit(
+                    f"pagerank: column {c!r} not in input "
+                    f"(columns: {', '.join(df.columns)}); "
+                    "pass --src-col/--dst-col"
+                )
+        out = pagerank(
+            df, src_col=args.src_col, dst_col=args.dst_col,
+            damping=args.damping, iterations=args.iterations,
+        )
+    elif args.op == "anomalies":
+        from res2df_spark.operators.eventanalytics import value_anomalies
+
+        for c in (args.key_col, args.value_col, idc):
+            if c not in df.columns:
+                raise SystemExit(
+                    f"anomalies: column {c!r} not in input "
+                    f"(columns: {', '.join(df.columns)}); "
+                    "pass --key-col/--value-col/--id-col"
+                )
+        out = value_anomalies(
+            df, user_col=args.key_col, value_col=args.value_col,
+            id_col=idc, min_events=args.min_events,
+            z_threshold=args.z_threshold,
+        )
     else:  # pragma: no cover
         raise SystemExit(f"unknown op {args.op}")
 

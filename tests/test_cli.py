@@ -422,3 +422,90 @@ def test_curate_cli_semantic_dedup(spark, tmp_path):
     ) == 0
     n = duckdb.sql(f"SELECT count(*) FROM '{surv}/*.parquet'").fetchone()[0]
     assert n == sum(1 for v in kept.values() if v)
+
+
+def test_curate_cli_weights_and_segment_ops(spark, tmp_path):
+    """Round-5 additions: soft-dedup / dsir / nb-score / line-dedup /
+    containment subcommands, parquet in → parquet out."""
+    import duckdb
+
+    from res2df_spark.cli import curate_main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    n_docs = duckdb.sql(f"SELECT count(*) FROM '{docs}'").fetchone()[0]
+
+    soft = str(tmp_path / "soft")
+    assert curate_main(["soft-dedup", docs, "-o", soft]) == 0
+    got = duckdb.sql(
+        f"SELECT count(*), min(w_exact) > 0, max(w_soft) <= 1.0 "
+        f"FROM '{soft}/*.parquet'"
+    ).fetchone()
+    assert got == (n_docs, True, True)
+
+    dsir = str(tmp_path / "dsir")
+    assert curate_main(
+        ["dsir", docs, "-o", dsir, "--target-value", "en"]
+    ) == 0
+    assert duckdb.sql(
+        f"SELECT count(*) FROM '{dsir}/*.parquet'"
+    ).fetchone()[0] == n_docs
+    # no-match target must fail loudly, not emit smoothing noise
+    with pytest.raises(SystemExit, match="matches no rows"):
+        curate_main(["dsir", docs, "-o", dsir, "--target-value", "klingon"])
+
+    nb = str(tmp_path / "nb")
+    assert curate_main(
+        ["nb-score", docs, "-o", nb, "--pos-values", "src0,src1"]
+    ) == 0
+    cols = duckdb.sql(f"SELECT * FROM '{nb}/*.parquet' LIMIT 1").df().columns
+    assert {"doc_id", "nb_score", "predicted_pos"} <= set(cols)
+    with pytest.raises(SystemExit, match="non-empty positive AND negative"):
+        curate_main(["nb-score", docs, "-o", nb, "--pos-values", "nope"])
+
+    ld = str(tmp_path / "ld")
+    assert curate_main(["line-dedup", docs, "-o", ld]) == 0
+    row = duckdb.sql(
+        f"SELECT sum(n_segments) >= sum(n_kept) FROM '{ld}/*.parquet'"
+    ).fetchone()
+    assert row == (True,)
+
+    cont = str(tmp_path / "cont")
+    assert curate_main(
+        ["containment", docs, "-o", cont, "--threshold", "0.5"]
+    ) == 0
+    cols = duckdb.sql(f"SELECT * FROM '{cont}/*.parquet' LIMIT 0").df().columns
+    assert {"d1", "d2", "c1", "c2"} <= set(cols)
+
+
+def test_curate_cli_pagerank_and_anomalies(spark, tmp_path):
+    import duckdb
+
+    from res2df_spark.cli import curate_main
+
+    edges = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], "src string, dst string"
+    ).write.parquet(edges)
+    pr = str(tmp_path / "pr")
+    assert curate_main(
+        ["pagerank", edges, "-o", pr, "--iterations", "4"]
+    ) == 0
+    rows = duckdb.sql(
+        f"SELECT node, rank FROM '{pr}/*.parquet' ORDER BY node"
+    ).fetchall()
+    assert [n for n, _ in rows] == ["a", "b", "c"]
+    assert all(r > 0 for _, r in rows)
+    with pytest.raises(SystemExit, match="not in input"):
+        curate_main(["pagerank", edges, "-o", pr, "--src-col", "nope"])
+
+    ev = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [(i, "u1", 10.0 if i else 999.0) for i in range(8)],
+        "event_id long, user_id string, value double",
+    ).write.parquet(ev)
+    an = str(tmp_path / "an")
+    assert curate_main(
+        ["anomalies", ev, "-o", an, "--id-col", "event_id"]
+    ) == 0
+    got = duckdb.sql(f"SELECT event_id, value FROM '{an}/*.parquet'").fetchall()
+    assert got == [(0, 999.0)]
