@@ -162,6 +162,23 @@ def retention_cohorts(
     return grid
 
 
+def user_value_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key first/second moments + count — the tiny "model" side of
+    :func:`value_anomalies`, exposed separately so a STREAMING scorer
+    can train it on history and join it stream-static (the same
+    train-on-batch / score-on-stream split as llm/lm.py)."""
+    v = F.col(value_col).cast("double")
+    return events.groupBy(user_col).agg(
+        F.avg(v).alias("__mean"),
+        F.avg(v * v).alias("__m2"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+
+
 def value_anomalies(
     events: DataFrame,
     user_col: str = "user_id",
@@ -183,12 +200,8 @@ def value_anomalies(
     plus one join back on the same key (partitioning reused); no
     windows, no unbounded state.
     """
+    stats = user_value_stats(events, user_col=user_col, value_col=value_col)
     v = F.col(value_col).cast("double")
-    stats = events.groupBy(user_col).agg(
-        F.avg(v).alias("__mean"),
-        F.avg(v * v).alias("__m2"),
-        F.count(F.lit(1)).alias("__n"),
-    )
     joined = events.join(stats, user_col).withColumn(
         "__var", F.col("__m2") - F.col("__mean") * F.col("__mean")
     )

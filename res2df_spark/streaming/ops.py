@@ -675,3 +675,45 @@ def semantic_claims_stream(
             F.round("__cos", 6).alias("cos_sim"),
         )
     )
+
+
+def anomaly_stream(
+    events: DataFrame,
+    stats: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    min_events: int = 5,
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Streaming per-key z-score anomaly detection: the batch operator
+    (operators/eventanalytics.value_anomalies) split into its natural
+    production shape — the per-key moment table is TRAINED on history
+    (``user_value_stats`` over the lake) and arriving events score
+    against it through a stream-static equi-join on the key, which is
+    STATELESS in Structured Streaming (no watermark, append mode; the
+    static side is re-read per micro-batch, so a nightly stats refresh
+    is picked up automatically).
+
+    Same filter semantics and moment-based z arithmetic as the batch
+    form, so a finite replay over the same events the stats were
+    trained on is oracle-checkable against the SAME SQL.  At 100 TB
+    the static side is one row per key — a key-partitioned join, and
+    the stream side never accumulates state.
+    """
+    v = F.col(value_col).cast("double")
+    z = (v - F.col("__mean")) / F.sqrt(F.col("__var"))
+    return (
+        events.join(stats, user_col)
+        .withColumn("__var", F.col("__m2") - F.col("__mean") * F.col("__mean"))
+        .filter((F.col("__n") >= min_events) & (F.col("__var") > 0))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= z_threshold)
+        .select(
+            id_col,
+            user_col,
+            v.alias(value_col),
+            F.round("z", 6).alias("z"),
+            F.col("__n").cast("long").alias("n_user_events"),
+        )
+    )

@@ -4581,3 +4581,24 @@ def value_anomalies_q(spark, sf_dir):
 
     ev = Catalog(spark, sf_dir).events
     return value_anomalies(ev)
+
+
+@_q("stream_anomalies", _ANOMALY_SQL)
+def stream_anomalies(spark, sf_dir):
+    """Per-key z-score anomalies AS A STREAM
+    (streaming/ops.anomaly_stream): the moment table trains on the
+    batch history (user_value_stats), arriving events score through a
+    stateless stream-static join on the user key — the
+    train-on-lake / score-on-ingest split.  Replayed with AvailableNow
+    over the same events the stats saw, so the output equals the batch
+    operator's and the oracle SQL is shared verbatim."""
+    from res2df_spark.operators.eventanalytics import user_value_stats
+    from res2df_spark.streaming.ops import anomaly_stream, run_available_now
+
+    cat = Catalog(spark, sf_dir)
+    stats = user_value_stats(cat.events)
+    src = cat.stream_table("events")
+    out = anomaly_stream(src, stats)
+    return run_available_now(
+        out, name="stream_anomalies", output_mode="append"
+    )

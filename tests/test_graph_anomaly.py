@@ -109,3 +109,28 @@ def test_anomaly_per_user_isolation(spark):
     # normal under its own
     rows = [("u1", 1.0)] * 6 + [("u2", 500.0)] * 6
     assert value_anomalies(_events(spark, rows)).count() == 0
+
+
+def test_anomaly_stream_matches_batch(spark, tmp_path):
+    """The stream-static anomaly scorer replayed over the training
+    events equals the batch operator row-for-row."""
+    from res2df_spark.operators.eventanalytics import user_value_stats
+    from res2df_spark.streaming.ops import anomaly_stream, run_available_now
+
+    rows = [("u1", 10.0)] * 9 + [("u1", 500.0)] + [("u2", 3.0)] * 6
+    ev = _events(spark, rows)
+    path = str(tmp_path / "ev")
+    ev.write.parquet(path)
+    static = spark.read.parquet(path)
+    batch = sorted(
+        value_anomalies(static).collect(), key=lambda r: r["event_id"]
+    )
+    src = spark.readStream.schema(static.schema).parquet(path)
+    out = run_available_now(
+        anomaly_stream(src, user_value_stats(static)),
+        name="t_anomaly_stream",
+        output_mode="append",
+    )
+    got = sorted(out.collect(), key=lambda r: r["event_id"])
+    assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+    assert len(got) == 1 and got[0]["value"] == 500.0
