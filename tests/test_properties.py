@@ -384,3 +384,117 @@ def test_temperature_mix_rates_property(spark, counts, alpha):
         mu = n * rate
         tol = 4 * (n * rate * (1 - rate)) ** 0.5 + 1
         assert mu - tol <= got <= mu + tol, (s, n, rate, got)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators: pagerank mass conservation, containment vs a
+# brute-force python reference, line-dedup subsequence invariants.
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    iters=st.integers(1, 3),
+)
+@_slow
+def test_pagerank_mass_and_reference(spark, edges, iters):
+    """Distributed PageRank equals a dict-based power iteration, and
+    when every node has out-edges total mass stays exactly 1."""
+    from res2df_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, damping=0.85, iterations=iters).collect()
+    }
+    nodes = sorted({f"n{a}" for a, _ in edges} | {f"n{b}" for _, b in edges})
+    n = len(nodes)
+    out: dict[str, list[str]] = {}
+    for a, b in edges:
+        out.setdefault(f"n{a}", []).append(f"n{b}")
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        nxt = {v: 0.15 / n for v in nodes}
+        for u, dsts in out.items():
+            for v in dsts:
+                nxt[v] += 0.85 * r[u] / len(dsts)
+        r = nxt
+    for v in nodes:
+        assert abs(got[v] - r[v]) < 1e-5, v
+    if all(v in out for v in nodes):  # no dangling nodes
+        assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+@_slow
+def test_containment_matches_python_sets(spark, docs):
+    """containment_pairs (word tokens) equals brute-force set math."""
+    from res2df_spark.llm.dedup import containment_pairs
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        (r["d1"], r["d2"]): (r["n_shared"], r["c1"], r["c2"])
+        for r in containment_pairs(df, threshold=0.5, shingle_k=None).collect()
+    }
+    sets = [set(d) for d in docs]
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(sets[i] & sets[j])
+            if inter and max(inter / len(sets[i]), inter / len(sets[j])) >= 0.5:
+                want[(i, j)] = inter
+    assert set(got) == set(want)
+    for (i, j), (n_shared, c1, c2) in got.items():
+        assert n_shared == want[(i, j)]
+        assert abs(c1 - round(n_shared / len(sets[i]), 6)) < 1e-9
+        assert abs(c2 - round(n_shared / len(sets[j]), 6)) < 1e-9
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("pqrs"), min_size=0, max_size=20),
+        min_size=1,
+        max_size=5,
+    ),
+    window=st.integers(2, 5),
+)
+@_slow
+def test_line_dedup_invariants(spark, docs, window):
+    """kept_text tokens are an ordered sub-sequence of the original,
+    n_kept ≤ n_segments, and a doc with globally unique segments is
+    untouched."""
+    from res2df_spark.llm.dedup import cross_doc_segment_dedup
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cross_doc_segment_dedup(df, window=window).collect()
+    }
+    for i, toks in enumerate(docs):
+        if not toks:
+            assert i not in out  # empty docs yield no segments
+            continue
+        row = out[i]
+        assert 0 <= row["n_kept"] <= row["n_segments"]
+        kept = row["kept_text"].split() if row["kept_text"] else []
+        # ordered subsequence check
+        it = iter(toks)
+        assert all(any(k == t for t in it) for k in kept)
