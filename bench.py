@@ -95,14 +95,29 @@ def run_one(spark, name: str, repeats: int = 5) -> float:
     host-level CPU noise (identical hot plans oscillating 1s ↔ 10s —
     BENCH_r01 recorded 21 s for a query that measures 0.9 s quiet), so
     a single sample is dominated by scheduler luck; min-of-5 measures
-    the plan."""
+    the plan.
+
+    Returns ``(build_secs, exec_best_secs)``.  Construction is timed
+    SEPARATELY because the two costs mean different things: iterative
+    operators (pagerank, connected components) materialize their
+    per-round ``localCheckpoint`` eagerly at build time — execution-only
+    timing would hide that work entirely (measured: pagerank_entities
+    reads 0.025 s exec-only vs ~3.7 s of real per-run cost) — while
+    folding construction into every repeat inflates all 50 queries by a
+    ~0.3-0.5 s re-analysis constant that would read as a fake
+    regression against earlier rounds' exec-only numbers.  So
+    ``queries`` stays exec-only best-of-N (round-comparable) and
+    ``build`` carries each query's one-shot construction cost; read
+    BOTH for operators whose docstrings note eager materialization."""
+    t0 = time.time()
     df = suite.QUERIES[name](spark, SF_DIR)
+    build = time.time() - t0
     best = float("inf")
     for _ in range(repeats):
         t0 = time.time()
         df.write.mode("overwrite").format("noop").save()
         best = min(best, time.time() - t0)
-    return best
+    return build, best
 
 
 def main() -> None:
@@ -118,9 +133,12 @@ def main() -> None:
     # Per-query error isolation: one failing query must never zero out the
     # whole artifact — record its error string and keep timing the rest.
     timings: dict[str, object] = {}
+    builds: dict[str, float] = {}
     for name in HEADLINE:
         try:
-            timings[name] = round(run_one(spark, name), 3)
+            build, best = run_one(spark, name)
+            timings[name] = round(best, 3)
+            builds[name] = round(build, 3)
         except Exception as exc:  # noqa: BLE001
             timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
     errors = [n for n, t in timings.items() if not isinstance(t, float)]
@@ -131,6 +149,11 @@ def main() -> None:
         "value": total if not errors else None,
         "unit": "sec",
         "queries": timings,
+        # one-shot construction cost per query; this is where eagerly
+        # materialized work (pagerank's checkpoint rounds, model
+        # collects) shows up — see run_one's docstring
+        "build": builds,
+        "build_total": round(sum(builds.values()), 3),
         "sf": infer_sf(SF_DIR),
     }
     if errors:

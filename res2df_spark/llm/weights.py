@@ -146,6 +146,8 @@ def dsir_weights(
     broadcast never grows with the corpus, the explicit fix for the
     k∝N anti-pattern.  Totals ride as a broadcast one-row cross join.
     """
+    if n_buckets != 256:
+        raise ValueError("md5_bucket256-backed DSIR supports n_buckets=256")
     base = spread(docs.filter(F.col(text_col).isNotNull())).withColumn(
         "__is_t", target_filter
     )
@@ -154,12 +156,23 @@ def dsir_weights(
     feat = base.select(
         F.col(id_col), "__is_t", F.explode(grams).alias("gram")
     ).withColumn("bucket", md5_bucket256(F.col("gram"), salt))
-    if n_buckets != 256:
-        raise ValueError("md5_bucket256-backed DSIR supports n_buckets=256")
-
-    counts = feat.groupBy("bucket").agg(
-        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("t_b"),
-        F.sum(F.when(F.col("__is_t"), 0).otherwise(1)).alias("r_b"),
+    # The 256-row count table is MATERIALIZED once (localCheckpoint):
+    # its three consumers (totals, lambda, and totals again inside
+    # lambda) would otherwise each re-run the corpus explode — column
+    # pruning makes the branches canonically different, so Spark's
+    # exchange reuse cannot deduplicate them.  Two corpus passes total
+    # (counts + per-doc buckets), and the checkpoint is 256 rows by
+    # construction.
+    counts = (
+        feat.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("t_b"),
+            F.sum(F.when(F.col("__is_t"), 0).otherwise(1)).alias("r_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    doc_buckets = feat.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n")
     )
     totals = counts.agg(
         F.sum("t_b").alias("__T"), F.sum("r_b").alias("__R")
@@ -170,9 +183,6 @@ def dsir_weights(
             F.log((F.col("t_b") + 1) / (F.col("__T") + F.lit(n_buckets)))
             - F.log((F.col("r_b") + 1) / (F.col("__R") + F.lit(n_buckets)))
         ).alias("lam"),
-    )
-    doc_buckets = feat.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("n")
     )
     return (
         doc_buckets.join(broadcast(lam), "bucket")
@@ -216,10 +226,21 @@ def nb_quality_score(
     tok = base.select(
         F.col(id_col), "__pos", F.explode(tokens(text_col)).alias("token")
     )
-    cls = tok.groupBy("token").agg(
-        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("c_pos"),
-        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("c_neg"),
+    # The vocabulary-sized class-count table is MATERIALIZED once
+    # (localCheckpoint — bounded by Heaps' law, MBs even at 100 TB):
+    # its consumers (scalars + ratio) would otherwise each re-run the
+    # corpus explode, and column pruning defeats exchange reuse across
+    # the branches.  Two corpus explode passes total (cls + doc_tok)
+    # plus one explode-free column scan for the document prior.
+    cls = (
+        tok.groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("c_pos"),
+            F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("c_neg"),
+        )
+        .localCheckpoint(eager=True)
     )
+    doc_tok = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("n"))
     scalars = cls.agg(
         F.sum("c_pos").alias("__np"),
         F.sum("c_neg").alias("__nn"),
@@ -240,7 +261,6 @@ def nb_quality_score(
         ).alias("llr"),
         (F.log(F.col("__dp") / F.col("__dn"))).alias("prior"),
     )
-    doc_tok = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("n"))
     return (
         doc_tok.join(ratio, "token")
         .groupBy(id_col)

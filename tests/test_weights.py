@@ -140,3 +140,25 @@ def test_nb_multiplicity_counts(spark):
     # doc 2 is all-'a' (the positive token): 4 repeats push it positive
     # beyond doc 0's single-occurrence score minus prior differences
     assert out[2] > out[1]
+
+
+def test_weight_models_materialized_not_rescan(spark):
+    """The model tables (DSIR 256-bucket counts, NB class counts) are
+    checkpointed, so the FINAL plan re-runs the corpus explode at most
+    once for the per-doc side + one explode-free scan for priors —
+    regression guard against the naive form that exploded the corpus
+    once per model consumer."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(
+        spark,
+        [("aa bb cc dd", "en", "s"), ("xx yy zz", "de", "t")] * 3,
+    )
+    for fn, flt in (
+        (dsir_weights, F.col("lang") == "en"),
+        (nb_quality_score, F.col("source") == "s"),
+    ):
+        plan = (
+            fn(docs, flt)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Generate") <= 1, fn.__name__
