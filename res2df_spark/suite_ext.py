@@ -4602,3 +4602,64 @@ def stream_anomalies(spark, sf_dir):
     return run_available_now(
         out, name="stream_anomalies", output_mode="append"
     )
+
+
+_PIPELINE3_SQL = f"""
+    WITH nn AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    keep AS (SELECT min(doc_id) AS doc_id FROM nn GROUP BY md5(text)),
+    surv AS (SELECT nn.doc_id, nn.text FROM nn JOIN keep USING (doc_id)),
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM surv),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+            FROM t),
+    sh AS (SELECT DISTINCT doc_id,
+                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+           FROM idx),
+    df AS (SELECT shingle, count(*) AS d FROM sh GROUP BY 1),
+    com AS (SELECT doc_id, avg(ln(d)) AS mld
+            FROM sh JOIN df USING (shingle) GROUP BY 1),
+    w AS (SELECT surv.doc_id,
+                 round(1.0 / (1 + coalesce(mld, 0)), 6) AS w_soft
+          FROM surv LEFT JOIN com USING (doc_id)),
+    ranked AS (SELECT doc_id, w_soft,
+                      row_number() OVER (ORDER BY w_soft DESC, doc_id) AS rnk
+               FROM w)
+    SELECT doc_id, CAST(w_soft AS DOUBLE) AS w_soft,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 50
+"""
+
+
+@_q("curation_pipeline3", _PIPELINE3_SQL)
+def curation_pipeline3(spark, sf_dir):
+    """The reweighting chain composed end-to-end: exact-dedup keepers
+    (md5 min-id groups) → SoftDeDup commonness weights on the
+    SURVIVORS (the df table reflects the deduped corpus, the way a
+    production pipeline orders the two) → deterministic top-50 most
+    novel documents by w_soft.  Shows hard dedup and soft reweighting
+    composing: byte-identical copies die, boilerplate-heavy survivors
+    sink.  Plan: one md5 hash-agg + keeper semi-join, the weights'
+    shingle-df pass, one TakeOrdered-style ranking window."""
+    from res2df_spark.llm.dedup import exact_duplicates
+    from res2df_spark.llm.weights import soft_dedup_weights
+
+    docs = Catalog(spark, sf_dir).documents
+    keepers = exact_duplicates(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    surv = docs.join(keepers, "doc_id", "left_semi")
+    w = soft_dedup_weights(surv)
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-task
+    # heaps, no global sort), THEN the ranking window runs over only
+    # the 50 survivors; a row_number over the whole corpus would drag
+    # every row through one partition
+    top = w.orderBy(F.col("w_soft").desc(), F.col("doc_id")).limit(50)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("w_soft").desc(), F.col("doc_id"))
+        ),
+    )
+    return ranked.select(
+        "doc_id", "w_soft", F.col("rnk").cast("int").alias("rnk")
+    )
