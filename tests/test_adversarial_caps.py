@@ -106,3 +106,23 @@ def test_simhash_bucket_stats_measures_drops(spark):
     assert all(r["bucket_size"] == N_HOT for r in dropped)
     # without a cap nothing is marked dropped
     assert simhash_bucket_stats(docs).filter(F.col("dropped")).count() == 0
+
+
+def test_containment_stop_shingle_cap_bounds_hot_corpus(spark):
+    """All-identical texts: every shingle's df equals the corpus size,
+    so the max_token_df stop-shingle cap removes them ALL before the
+    inverted-index join — zero candidate pairs instead of C(n,2); the
+    unique control document keeps its (now index-absent) shingles from
+    pairing with anything."""
+    from res2df_spark.llm.dedup import containment_pairs
+
+    docs = _hot_docs(spark)
+    capped = containment_pairs(
+        docs, threshold=0.5, shingle_k=3, max_token_df=16
+    )
+    assert capped.count() == 0
+    # uncapped on a small slice: identical docs fully contain each other
+    small = docs.filter(F.col("doc_id") < 6)
+    pairs = containment_pairs(small, threshold=0.99, shingle_k=3).collect()
+    assert len(pairs) == 15  # C(6,2)
+    assert all(r["c1"] == 1.0 and r["c2"] == 1.0 for r in pairs)

@@ -225,6 +225,23 @@ def probe_adversarial(spark) -> dict:
         semantic_dedup_pairs(emb, cents, threshold=0.5, max_cluster_size=64),
         int(sd_dropped),
     )
+    # containment: identical corpus -> every shingle over max_token_df,
+    # the whole index empties before the join (drop count = distinct
+    # over-cap shingles, observable from the input)
+    from res2df_spark.llm.dedup import _doc_token_sets, containment_pairs
+
+    ct_dropped = (
+        _doc_token_sets(docs, "doc_id", "text", None, 3)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 64)
+        .count()
+    )
+    rec(
+        "dedup_containment",
+        containment_pairs(docs, threshold=0.5, shingle_k=3, max_token_df=64),
+        int(ct_dropped),
+    )
     return out
 
 
