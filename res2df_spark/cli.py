@@ -496,6 +496,8 @@ def get_curate_parser() -> argparse.ArgumentParser:
             s.add_argument("--dst-col", default="dst")
             s.add_argument("--damping", type=float, default=0.85)
             s.add_argument("--iterations", type=int, default=10)
+            s.add_argument("--weight-col", default=None,
+                           help="positive edge-weight column (weighted PR)")
         elif name == "anomalies":
             s.add_argument("--key-col", default="user_id")
             s.add_argument("--value-col", default="value")
@@ -791,9 +793,15 @@ def curate_main(argv: list[str] | None = None) -> int:
                     f"(columns: {', '.join(df.columns)}); "
                     "pass --src-col/--dst-col"
                 )
+        if args.weight_col is not None and args.weight_col not in df.columns:
+            raise SystemExit(
+                f"pagerank: column {args.weight_col!r} not in input "
+                f"(columns: {', '.join(df.columns)}); pass --weight-col"
+            )
         out = pagerank(
             df, src_col=args.src_col, dst_col=args.dst_col,
             damping=args.damping, iterations=args.iterations,
+            weight_col=args.weight_col,
         )
     elif args.op == "anomalies":
         from res2df_spark.operators.eventanalytics import value_anomalies

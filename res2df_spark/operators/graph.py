@@ -34,6 +34,7 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     iterations: int = 3,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, rank).
 
@@ -42,6 +43,12 @@ def pagerank(
 
         r_0(v)     = 1 / N
         r_{t+1}(v) = (1 - d) / N + d * Σ_{u→v} r_t(u) / outdeg(u)
+
+    With ``weight_col`` set, each out-edge carries its weight's share
+    of the source's mass instead of 1/outdeg (weighted PageRank —
+    production link/trade graphs are weighted); weights must be
+    positive, and the unweighted form is the weighted form with all
+    weights 1.
 
     Nodes with no out-edges contribute nothing (their mass leaves the
     system — the standard "simplified PageRank" taught alongside the
@@ -53,8 +60,15 @@ def pagerank(
     ``iterations`` is fixed, not convergence-tested: a bounded plan the
     oracle can unroll; production runs pick 10-20.
     """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
     e = edges.select(
-        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+        F.col(src_col).alias("__src"),
+        F.col(dst_col).alias("__dst"),
+        w.alias("__w"),
     ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("__src").alias("node"))
@@ -63,7 +77,7 @@ def pagerank(
     )
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     base = nodes.crossJoin(broadcast(n_row)).localCheckpoint(eager=True)
-    outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    outdeg = e.groupBy("__src").agg(F.sum("__w").alias("__deg"))
 
     ranks = base.select("node", (F.lit(1.0) / F.col("__n")).alias("rank"))
     for _ in range(iterations):
@@ -71,7 +85,11 @@ def pagerank(
             e.join(outdeg, "__src")
             .join(ranks, e["__src"] == ranks["node"])
             .groupBy("__dst")
-            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__m"))
+            .agg(
+                F.sum(
+                    F.col("rank") * F.col("__w") / F.col("__deg")
+                ).alias("__m")
+            )
         )
         ranks = (
             base.join(contrib, base["node"] == contrib["__dst"], "left")

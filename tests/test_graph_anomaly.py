@@ -134,3 +134,43 @@ def test_anomaly_stream_matches_batch(spark, tmp_path):
     got = sorted(out.collect(), key=lambda r: r["event_id"])
     assert [tuple(r) for r in got] == [tuple(r) for r in batch]
     assert len(got) == 1 and got[0]["value"] == 500.0
+
+
+def test_weighted_pagerank_matches_reference_and_reduces_to_unweighted(spark):
+    from res2df_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0)],
+        "src string, dst string, w double",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, weight_col="w", iterations=2).collect()
+    }
+    n = 3.0
+    r = {v: 1 / n for v in "abc"}
+    outw = {"a": 4.0, "b": 2.0}
+    for _ in range(2):
+        nxt = {v: 0.15 / n for v in "abc"}
+        nxt["b"] += 0.85 * r["a"] * 3.0 / outw["a"]
+        nxt["c"] += 0.85 * (r["a"] * 1.0 / outw["a"] + r["b"] * 2.0 / outw["b"])
+        r = nxt
+    for v in "abc":
+        assert got[v] == pytest.approx(round(r[v], 6), abs=1e-6)
+    # b gets 3x a->b's share vs 1x a->c: weighted b outranks where
+    # unweighted they tie on a's out-edges
+    uw = {
+        row["node"]: row["rank"]
+        for row in pagerank(e.select("src", "dst"), iterations=2).collect()
+    }
+    assert got["b"] > uw["b"]
+    # all-equal weights reduce to the unweighted result exactly
+    eq = spark.createDataFrame(
+        [("a", "b", 7.0), ("a", "c", 7.0), ("b", "c", 7.0)],
+        "src string, dst string, w double",
+    )
+    got_eq = {
+        r["node"]: r["rank"]
+        for r in pagerank(eq, weight_col="w", iterations=2).collect()
+    }
+    assert got_eq == uw
