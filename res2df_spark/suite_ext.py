@@ -4663,3 +4663,50 @@ def curation_pipeline3(spark, sf_dir):
     return ranked.select(
         "doc_id", "w_soft", F.col("rnk").cast("int").alias("rnk")
     )
+
+
+# the verified-pairs oracle extends the shared LSH banding CTEs with
+# exact-Jaccard verification of only the candidate pairs
+from res2df_spark.suite import _MINHASH_BANDS_SQL  # noqa: E402
+
+_MINHASH_VERIFIED_SQL = _MINHASH_BANDS_SQL + """
+    , cand AS (SELECT b1.doc_id AS d1, b2.doc_id AS d2, count(*) AS n_bands
+               FROM bands b1 JOIN bands b2 USING (band_idx, band_key)
+               WHERE b1.doc_id < b2.doc_id GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    shared AS (SELECT c.d1, c.d2, count(*) AS n_shared
+               FROM cand c
+               JOIN sh s1 ON s1.doc_id = c.d1
+               JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+               GROUP BY 1, 2)
+    SELECT c.d1, c.d2, c.n_bands,
+           CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(round(coalesce(n_shared, 0)
+                      / CAST(z1.sz + z2.sz - coalesce(n_shared, 0) AS DOUBLE),
+                      6) AS DOUBLE) AS jaccard,
+           coalesce(n_shared, 0)
+               / CAST(z1.sz + z2.sz - coalesce(n_shared, 0) AS DOUBLE)
+               >= 0.7 AS is_dup
+    FROM cand c
+    LEFT JOIN shared USING (d1, d2)
+    JOIN sizes z1 ON z1.doc_id = c.d1
+    JOIN sizes z2 ON z2.doc_id = c.d2
+"""
+
+
+@_q("dedup_minhash_verified", _MINHASH_VERIFIED_SQL)
+def dedup_minhash_verified(spark, sf_dir):
+    """The full candidates→verify→threshold near-dup pipeline
+    (llm/dedup.minhash_verified_pairs): LSH banding proposes, exact
+    shingle-Jaccard disposes — every candidate pair returned with its
+    band count, exact Jaccard and is_dup verdict (pure minhash
+    collisions survive with jaccard 0, keeping the false-positive rate
+    observable).  Verification cost is proportional to candidate
+    density, never C(n,2); the oracle extends the shared banding CTEs
+    with the same verification join."""
+    from res2df_spark.llm.dedup import minhash_verified_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    return minhash_verified_pairs(
+        docs, num_hashes=16, band_size=4, shingle_k=3, threshold=0.7
+    )

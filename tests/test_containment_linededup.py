@@ -107,3 +107,52 @@ def test_no_cartesian_in_plans(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# minhash_verified_pairs (candidates -> verify -> threshold)
+
+
+def test_minhash_verified_separates_true_and_false_candidates(spark):
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"  # ~0.87 jaccard sets
+    far = " ".join(f"x{i}" for i in range(30))
+    docs = _docs(spark, [base, near, far])
+    from res2df_spark.llm.dedup import minhash_verified_pairs
+
+    rows = minhash_verified_pairs(
+        docs, num_hashes=16, band_size=4, shingle_k=3, threshold=0.7
+    ).collect()
+    got = {(r["d1"], r["d2"]): r for r in rows}
+    assert (0, 1) in got
+    r = got[(0, 1)]
+    assert r["is_dup"] and r["jaccard"] >= 0.7 and r["n_bands"] >= 1
+    # the unrelated doc never becomes a verified duplicate
+    assert all(not r["is_dup"] for (a, b), r in got.items() if 2 in (a, b))
+
+
+def test_minhash_verified_agrees_with_exact_jaccard(spark):
+    docs = _docs(
+        spark,
+        [
+            "p q r s t u v w",
+            "p q r s t u v y",
+            "p q r s a b c d",
+        ],
+    )
+    from res2df_spark.llm.dedup import minhash_verified_pairs
+
+    verified = {
+        (r["d1"], r["d2"]): (r["n_shared"], r["jaccard"])
+        for r in minhash_verified_pairs(
+            docs, shingle_k=3, threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r["d1"], r["d2"]): (r["n_shared"], round(r["jaccard"], 6))
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, shingle_k=3).collect()
+    }
+    # every candidate's jaccard equals the exact all-pairs number
+    for pair, (n, j) in verified.items():
+        if n > 0:
+            assert exact[pair] == (n, j), pair
