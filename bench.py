@@ -77,6 +77,8 @@ HEADLINE = [
     "line_dedup",              # cross-doc segment dedup + rebuild (round 5)
     "pagerank_entities",       # 3-iteration graph rank, lineage-truncated (round 5)
     "value_anomalies",         # per-key z-score outliers (round 5)
+    "dedup_minhash_verified",  # candidates -> exact-Jaccard verify (round 5)
+    "curation_pipeline3",      # dedup -> soft weights -> top-k chain (round 5)
 ]
 
 
