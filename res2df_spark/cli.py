@@ -793,11 +793,21 @@ def curate_main(argv: list[str] | None = None) -> int:
                     f"(columns: {', '.join(df.columns)}); "
                     "pass --src-col/--dst-col"
                 )
-        if args.weight_col is not None and args.weight_col not in df.columns:
-            raise SystemExit(
-                f"pagerank: column {args.weight_col!r} not in input "
-                f"(columns: {', '.join(df.columns)}); pass --weight-col"
-            )
+        if args.weight_col is not None:
+            from pyspark.sql import functions as F
+
+            if args.weight_col not in df.columns:
+                raise SystemExit(
+                    f"pagerank: column {args.weight_col!r} not in input "
+                    f"(columns: {', '.join(df.columns)}); pass --weight-col"
+                )
+            w = F.col(args.weight_col).cast("double")
+            if df.filter(w.isNull() | (w <= 0)).limit(1).count() > 0:
+                raise SystemExit(
+                    f"pagerank: {args.weight_col!r} contains NULL or "
+                    "non-positive weights — a zero/NULL weight silently "
+                    "deletes its source's mass; clean the edge table first"
+                )
         out = pagerank(
             df, src_col=args.src_col, dst_col=args.dst_col,
             damping=args.damping, iterations=args.iterations,

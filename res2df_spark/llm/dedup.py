@@ -55,10 +55,17 @@ def _doc_token_sets(
     words to k-word shingles (much more selective — the scale path)."""
     docs = spread(docs)
     if shingle_k:
-        toks = docs.select(
-            F.col(id_col),
-            F.explode(shingles(tokens(text_col), shingle_k)).alias("token"),
-        ).distinct()
+        # materialize the token array before the shingle transform: a
+        # lambda-captured expression re-evaluates per array element, so
+        # the raw split would re-run once per shingle index
+        toks = (
+            docs.withColumn("__toks", tokens(text_col))
+            .select(
+                F.col(id_col),
+                F.explode(shingles(F.col("__toks"), shingle_k)).alias("token"),
+            )
+            .distinct()
+        )
     else:
         toks = doc_tokens_long(docs, id_col, text_col, distinct=True)
     if max_token_df is not None:
@@ -72,22 +79,13 @@ def _doc_token_sets(
     return toks
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.5,
-    max_token_df: int | None = None,
-    shingle_k: int | None = None,
-) -> DataFrame:
-    """Pairs of docs with token-set Jaccard ≥ threshold.
-
-    Candidate pairs come from an inverted-index self-join (docs sharing a
-    token); the Jaccard is |∩| / (|A|+|B|−|∩|) from the shared-token
-    count and per-doc set sizes — no array materialization, three
-    aggregates and one equi-join.
-    """
-    toks = _doc_token_sets(docs, id_col, text_col, max_token_df, shingle_k)
+def _pair_overlap(toks: DataFrame, id_col: str) -> DataFrame:
+    """Inverted-index pair overlap: from (id, token) long form, every
+    pair of docs sharing ≥1 token with (d1, d2, n_shared, size1, size2)
+    and d1 < d2 — the shared candidate-generation block behind the
+    Jaccard and containment pairings (one code path, so a skew guard or
+    cap change lands everywhere at once).  No array materialization:
+    three aggregates and one equi-join on the token key."""
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     t1 = toks.select(F.col(id_col).alias("d1"), "token")
     t2 = toks.select(F.col(id_col).alias("d2"), "token")
@@ -99,9 +97,26 @@ def ngram_jaccard_pairs(
     )
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("set_size").alias("size1"))
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("set_size").alias("size2"))
+    return shared.join(s1, "d1").join(s2, "d2")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_token_df: int | None = None,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """Pairs of docs with token-set Jaccard ≥ threshold.
+
+    Candidate pairs come from the shared inverted-index block
+    (:func:`_pair_overlap`); the Jaccard is |∩| / (|A|+|B|−|∩|) from
+    the shared-token count and per-doc set sizes.
+    """
+    toks = _doc_token_sets(docs, id_col, text_col, max_token_df, shingle_k)
     out = (
-        shared.join(s1, "d1")
-        .join(s2, "d2")
+        _pair_overlap(toks, id_col)
         .withColumn(
             "jaccard",
             F.col("n_shared") / (F.col("size1") + F.col("size2") - F.col("n_shared")),
@@ -124,8 +139,13 @@ def _minhash_bands(
     assert num_hashes % band_size == 0
     # signature hashing is CPU-bound per row — make sure the scan isn't a
     # single small-file partition pinning the stage to one core
-    docs = spread(docs)
-    elems = tokens(text_col) if not shingle_k else shingles(tokens(text_col), shingle_k)
+    docs = spread(docs).withColumn("__toks", tokens(text_col))
+    # token array materialized first — see _doc_token_sets for why
+    elems = (
+        F.col("__toks")
+        if not shingle_k
+        else shingles(F.col("__toks"), shingle_k)
+    )
     # Relational signature: explode the element set, compute the seeded
     # digests ONCE per (doc, element) row, then one min() per signature
     # position.  The array-expression form (functions.textan.
@@ -672,8 +692,8 @@ def duplicate_ngram_spans(
     ``max_token_df`` above — with it, the join fan-in per gram is
     bounded and the whole pipeline is linear in corpus size.
     """
-    base = spread(docs).select(
-        F.col(id_col), shingles(tokens(F.col(text_col)), k).alias("__sh")
+    base = spread(docs).withColumn("__toks", tokens(F.col(text_col))).select(
+        F.col(id_col), shingles(F.col("__toks"), k).alias("__sh")
     )
     grams = base.select(
         F.col(id_col),
@@ -726,20 +746,8 @@ def containment_pairs(
     Returns (d1, d2, n_shared, size1, size2, c1, c2) with d1 < d2.
     """
     toks = _doc_token_sets(docs, id_col, text_col, max_token_df, shingle_k)
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    t1 = toks.select(F.col(id_col).alias("d1"), "token")
-    t2 = toks.select(F.col(id_col).alias("d2"), "token")
-    shared = (
-        t1.join(t2, "token")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("set_size").alias("size1"))
-    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("set_size").alias("size2"))
     out = (
-        shared.join(s1, "d1")
-        .join(s2, "d2")
+        _pair_overlap(toks, id_col)
         .withColumn("c1", F.col("n_shared") / F.col("size1"))
         .withColumn("c2", F.col("n_shared") / F.col("size2"))
         .filter(F.greatest(F.col("c1"), F.col("c2")) >= F.lit(threshold))
@@ -858,6 +866,11 @@ def minhash_verified_pairs(
     never array materialization.  The ``max_bucket_size`` cap bounds
     the candidate count itself under boilerplate band keys.
     """
+    # the candidate table is MATERIALIZED once (localCheckpoint): its
+    # two consumers (the shared-token count and the final left join)
+    # prune different columns, so exchange reuse cannot deduplicate
+    # them and the whole signature+banding pipeline would execute
+    # twice; the checkpoint is pair-density-sized, not corpus-sized
     cand = minhash_lsh_candidates(
         docs,
         id_col=id_col,
@@ -866,7 +879,7 @@ def minhash_verified_pairs(
         band_size=band_size,
         shingle_k=shingle_k,
         max_bucket_size=max_bucket_size,
-    )
+    ).localCheckpoint(eager=True)
     toks = _doc_token_sets(docs, id_col, text_col, None, shingle_k)
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     t1 = toks.select(F.col(id_col).alias("d1"), "token")

@@ -205,9 +205,10 @@ def boilerplate_score(
     tokens yield no row (they have no shingles to score).
     """
     sh = (
-        docs.select(
+        docs.withColumn("__toks", tokens(text_col))
+        .select(
             F.col(id_col),
-            F.explode(shingles(tokens(text_col), shingle_k)).alias("shingle"),
+            F.explode(shingles(F.col("__toks"), shingle_k)).alias("shingle"),
         )
         .distinct()
     )

@@ -27,7 +27,7 @@ LLM-pipeline goals in BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
 from res2df_spark.session import spread
@@ -44,12 +44,19 @@ def _grams_long(
 ) -> DataFrame:
     """(id, gram) long form: words when ``shingle_k`` is None, k-word
     shingles otherwise.  ``distinct=False`` keeps multiplicity (needed
-    by multinomial models)."""
-    toks = tokens(text_col)
-    grams = toks if shingle_k is None else shingles(toks, shingle_k)
-    out = spread(docs.filter(F.col(text_col).isNotNull())).select(
-        F.col(id_col), F.explode(grams).alias("gram")
+    by multinomial models).
+
+    The token array is materialized into a column BEFORE the shingle
+    transform: a lambda-captured expression is re-evaluated per array
+    element, so passing the raw split into ``shingles`` would re-run
+    the tokenization once per shingle index (the HOF-capture pitfall
+    measured at 93× elsewhere in this project)."""
+    base = spread(docs.filter(F.col(text_col).isNotNull())).withColumn(
+        "__toks", tokens(text_col)
     )
+    toks = F.col("__toks")
+    grams = toks if shingle_k is None else shingles(toks, shingle_k)
+    out = base.select(F.col(id_col), F.explode(grams).alias("gram"))
     return out.distinct() if distinct else out
 
 
@@ -129,15 +136,21 @@ def dsir_weights(
     (md5-derived, engine-portable; collisions are the point — the model
     stays 256 numbers regardless of vocabulary size).  With Laplace
     smoothing, ``lambda(b) = ln((t_b+1)/(T+B)) - ln((r_b+1)/(R+B))``
-    where ``t_b``/``r_b`` are feature counts in the target slice and
-    the raw corpus and ``T``/``R`` their totals; a document's
-    ``log_weight`` is the feature-count-weighted sum of lambda over its
-    buckets.  Resampling then keeps documents proportionally to
-    ``exp(log_weight)`` — pair with
-    :func:`res2df_spark.llm.curation.weighted_sample`.
+    where ``t_b`` counts the feature in the target slice, ``r_b`` in
+    the FULL raw corpus (target included — DSIR's denominator is the
+    whole pool being resampled, not its complement), and ``T``/``R``
+    are their totals; a document's ``log_weight`` is the
+    feature-count-weighted sum of lambda over its buckets.  Resampling
+    then keeps documents proportionally to ``exp(log_weight)`` — pair
+    with :func:`res2df_spark.llm.curation.weighted_sample`.
 
     ``target_filter``: a boolean Column over ``docs`` rows selecting
     the target slice (e.g. ``F.col("lang") == "en"``).
+
+    Every non-NULL-text document gets an output row: zero-token
+    documents carry ``log_weight 0.0`` / ``n_feats 0`` instead of
+    silently vanishing (a downstream weights⋈corpus join must not
+    drop them).
 
     Plan shape: one gram explode (multiplicity kept), one
     (bucket)-keyed conditional aggregate producing the 2×256 count
@@ -150,8 +163,10 @@ def dsir_weights(
         raise ValueError("md5_bucket256-backed DSIR supports n_buckets=256")
     base = spread(docs.filter(F.col(text_col).isNotNull())).withColumn(
         "__is_t", target_filter
-    )
-    toks = tokens(text_col)
+    ).withColumn("__toks", tokens(text_col))
+    # token array materialized before the bigram transform — the HOF
+    # lambda would re-run the tokenization per shingle index otherwise
+    toks = F.col("__toks")
     grams = F.concat(toks, shingles(toks, 2))
     feat = base.select(
         F.col(id_col), "__is_t", F.explode(grams).alias("gram")
@@ -167,7 +182,7 @@ def dsir_weights(
         feat.groupBy("bucket")
         .agg(
             F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("t_b"),
-            F.sum(F.when(F.col("__is_t"), 0).otherwise(1)).alias("r_b"),
+            F.count(F.lit(1)).alias("r_b"),
         )
         .localCheckpoint(eager=True)
     )
@@ -184,13 +199,21 @@ def dsir_weights(
             - F.log((F.col("r_b") + 1) / (F.col("__R") + F.lit(n_buckets)))
         ).alias("lam"),
     )
-    return (
+    scored = (
         doc_buckets.join(broadcast(lam), "bucket")
         .groupBy(id_col)
         .agg(
             F.round(F.sum(F.col("n") * F.col("lam")), 6).alias("log_weight"),
             F.sum("n").cast("long").alias("n_feats"),
         )
+    )
+    # zero-token docs have no feature rows — restore them with the
+    # empty-product weight (log 0.0) so the output covers every
+    # non-NULL-text document
+    return base.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
     )
 
 
@@ -219,6 +242,10 @@ def nb_quality_score(
     still MBs — Heaps' law, not corpus-linear).  Token multiplicity
     counts (multinomial, not Bernoulli).  Scalars (class token totals,
     |V|, document counts) ride as one broadcast one-row cross join.
+
+    Every non-NULL-text document gets an output row: zero-token
+    documents score at the bare class prior instead of silently
+    vanishing from the output.
     """
     base = spread(docs.filter(F.col(text_col).isNotNull())).withColumn(
         "__pos", positive_filter
@@ -261,7 +288,7 @@ def nb_quality_score(
         ).alias("llr"),
         (F.log(F.col("__dp") / F.col("__dn"))).alias("prior"),
     )
-    return (
+    scored = (
         doc_tok.join(ratio, "token")
         .groupBy(id_col)
         .agg(
@@ -271,5 +298,24 @@ def nb_quality_score(
             (F.first("prior") + F.sum(F.col("n") * F.col("llr")) > 0).alias(
                 "predicted_pos"
             ),
+        )
+    )
+    # zero-token docs have no token rows — their NB score is the bare
+    # class prior, not a silently missing row
+    prior_row = scalars.select(
+        (F.log(F.col("__dp") / F.col("__dn"))).alias("__prior")
+    )
+    return (
+        base.select(id_col)
+        .crossJoin(broadcast(prior_row))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("nb_score"), F.round(F.col("__prior"), 6)).alias(
+                "nb_score"
+            ),
+            F.coalesce(
+                F.col("predicted_pos"), F.col("__prior") > 0
+            ).alias("predicted_pos"),
         )
     )

@@ -167,15 +167,76 @@ def user_value_stats(
     user_col: str = "user_id",
     value_col: str = "value",
 ) -> DataFrame:
-    """Per-key first/second moments + count — the tiny "model" side of
-    :func:`value_anomalies`, exposed separately so a STREAMING scorer
-    can train it on history and join it stream-static (the same
-    train-on-batch / score-on-stream split as llm/lm.py)."""
+    """Per-key SHIFTED first/second moments + count — the tiny "model"
+    side of :func:`value_anomalies`, exposed separately so a STREAMING
+    scorer can train it on history and join it stream-static (the same
+    train-on-batch / score-on-stream split as llm/lm.py).
+
+    Moments are computed about a per-key anchor (the key's minimum
+    value) rather than about zero: the naive ``E[v²] − E[v]²`` form
+    suffers catastrophic cancellation when |mean| ≫ std (byte counters,
+    epoch-like values: mean ≈ 1e9, std ≈ 1 puts E[v²] ≈ 1e18 where a
+    double's ULP is ~128 — the computed variance is rounding noise).
+    Shifting by min(v) keeps the squared terms near the actual spread.
+    Two passes on the SAME key (anchor, then moments) — both explicit
+    arithmetic, so any engine reproduces the numbers bit-for-bit.
+
+    Returns (key, __mean, __var, __n) with ``__mean = anchor + E[v−a]``
+    and ``__var = E[(v−a)²] − E[v−a]²``.
+    """
     v = F.col(value_col).cast("double")
-    return events.groupBy(user_col).agg(
-        F.avg(v).alias("__mean"),
-        F.avg(v * v).alias("__m2"),
-        F.count(F.lit(1)).alias("__n"),
+    anchor = events.groupBy(user_col).agg(F.min(v).alias("__a"))
+    return (
+        events.join(anchor, user_col)
+        .groupBy(user_col)
+        .agg(
+            F.avg(v - F.col("__a")).alias("__m1"),
+            F.avg((v - F.col("__a")) * (v - F.col("__a"))).alias("__m2s"),
+            F.min(F.col("__a")).alias("__a"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            user_col,
+            (F.col("__a") + F.col("__m1")).alias("__mean"),
+            (F.col("__m2s") - F.col("__m1") * F.col("__m1")).alias("__var"),
+            "__n",
+        )
+    )
+
+
+def score_value_anomalies(
+    events: DataFrame,
+    stats: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    min_events: int = 5,
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Score ``events`` against a per-key moment table from
+    :func:`user_value_stats`: emit rows where |z| ≥ ``z_threshold``
+    (keys with fewer than ``min_events`` events or zero variance are
+    skipped).  The SINGLE scoring path shared by the batch operator
+    (:func:`value_anomalies`) and the streaming one
+    (``streaming/ops.anomaly_stream``) — their row-for-row parity is a
+    stated oracle contract, so the arithmetic lives in exactly one
+    place.  Stateless: one equi-join on the key plus map-side
+    filters, which is why the same code runs under Structured
+    Streaming unchanged."""
+    v = F.col(value_col).cast("double")
+    z = (v - F.col("__mean")) / F.sqrt(F.col("__var"))
+    return (
+        events.join(stats, user_col)
+        .filter((F.col("__n") >= min_events) & (F.col("__var") > 0))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= z_threshold)
+        .select(
+            id_col,
+            user_col,
+            v.alias(value_col),
+            F.round("z", 6).alias("z"),
+            F.col("__n").cast("long").alias("n_user_events"),
+        )
     )
 
 
@@ -189,34 +250,19 @@ def value_anomalies(
 ) -> DataFrame:
     """Per-key z-score outliers: events whose value deviates from the
     key's own mean by ≥ ``z_threshold`` population standard deviations
-    (keys with fewer than ``min_events`` events or zero variance are
-    skipped) — the telemetry-anomaly shape a curation pipeline runs
-    over ingest metrics (bytes/doc, docs/shard, latency per source).
-
-    Variance is computed from explicit moments (``E[v²] − E[v]²``), not
-    ``stddev_pop``, so the arithmetic is identical on any engine — the
-    one-pass formulation is also what the partial aggregate computes
-    anyway.  Plan shape: one partial-aggregated groupBy on the user key
-    plus one join back on the same key (partitioning reused); no
-    windows, no unbounded state.
-    """
+    — the telemetry-anomaly shape a curation pipeline runs over ingest
+    metrics (bytes/doc, docs/shard, latency per source).  Exactly
+    ``score_value_anomalies(events, user_value_stats(events))``; see
+    those two for the cancellation-safe variance and the plan shape
+    (key-partitioned groupBys + one join, partitioning reused, no
+    unbounded state)."""
     stats = user_value_stats(events, user_col=user_col, value_col=value_col)
-    v = F.col(value_col).cast("double")
-    joined = events.join(stats, user_col).withColumn(
-        "__var", F.col("__m2") - F.col("__mean") * F.col("__mean")
-    )
-    z = (v - F.col("__mean")) / F.sqrt(F.col("__var"))
-    return (
-        joined.filter(
-            (F.col("__n") >= min_events) & (F.col("__var") > 0)
-        )
-        .withColumn("z", z)
-        .filter(F.abs(F.col("z")) >= z_threshold)
-        .select(
-            id_col,
-            user_col,
-            v.alias(value_col),
-            F.round("z", 6).alias("z"),
-            F.col("__n").cast("long").alias("n_user_events"),
-        )
+    return score_value_anomalies(
+        events,
+        stats,
+        user_col=user_col,
+        value_col=value_col,
+        id_col=id_col,
+        min_events=min_events,
+        z_threshold=z_threshold,
     )

@@ -46,9 +46,11 @@ def pagerank(
 
     With ``weight_col`` set, each out-edge carries its weight's share
     of the source's mass instead of 1/outdeg (weighted PageRank —
-    production link/trade graphs are weighted); weights must be
-    positive, and the unweighted form is the weighted form with all
-    weights 1.
+    production link/trade graphs are weighted); the unweighted form is
+    the weighted form with all weights 1.  Edges whose weight is NULL
+    or non-positive are DROPPED before iteration (a NULL/zero weight
+    would otherwise poison the source's out-degree sum and silently
+    delete its whole mass); the CLI validates and raises instead.
 
     Nodes with no out-edges contribute nothing (their mass leaves the
     system — the standard "simplified PageRank" taught alongside the
@@ -69,7 +71,9 @@ def pagerank(
         F.col(src_col).alias("__src"),
         F.col(dst_col).alias("__dst"),
         w.alias("__w"),
-    ).localCheckpoint(eager=True)
+    ).filter(F.col("__w").isNotNull() & (F.col("__w") > 0)).localCheckpoint(
+        eager=True
+    )
     nodes = (
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))

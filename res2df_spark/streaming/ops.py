@@ -519,18 +519,22 @@ def decontaminate_stream(
     """
     from res2df_spark.functions.textan import shingles, tokens
 
+    # token arrays materialized before the shingle transform (HOF
+    # lambda capture re-evaluates the split per element otherwise)
     bench_arr = (
-        benchmark.select(
-            F.explode(shingles(tokens(text_col), shingle_k)).alias("__s")
+        benchmark.withColumn("__toks", tokens(text_col))
+        .select(
+            F.explode(shingles(F.col("__toks"), shingle_k)).alias("__s")
         )
         .distinct()
         .agg(F.sort_array(F.collect_list("__s")).alias("__bench"))
     )
-    doc_sh = F.array_distinct(shingles(tokens(text_col), shingle_k))
+    doc_sh = F.array_distinct(shingles(F.col("__toks"), shingle_k))
     n = F.size("__sh").cast("long")
     inter = F.size(F.array_intersect("__sh", "__bench")).cast("long")
     return (
-        docs.select(F.col(id_col), doc_sh.alias("__sh"))
+        docs.withColumn("__toks", tokens(text_col))
+        .select(F.col(id_col), doc_sh.alias("__sh"))
         .filter(F.size("__sh") > 0)
         .crossJoin(F.broadcast(bench_arr))
         .select(
@@ -695,25 +699,21 @@ def anomaly_stream(
     static side is re-read per micro-batch, so a nightly stats refresh
     is picked up automatically).
 
-    Same filter semantics and moment-based z arithmetic as the batch
-    form, so a finite replay over the same events the stats were
-    trained on is oracle-checkable against the SAME SQL.  At 100 TB
-    the static side is one row per key — a key-partitioned join, and
-    the stream side never accumulates state.
+    The scoring arithmetic is the SAME code as the batch form
+    (``score_value_anomalies`` — not a copy), so a finite replay over
+    the events the stats were trained on is oracle-checkable against
+    the same SQL; batch/stream parity cannot drift.  At 100 TB the
+    static side is one row per key — a key-partitioned join, and the
+    stream side never accumulates state.
     """
-    v = F.col(value_col).cast("double")
-    z = (v - F.col("__mean")) / F.sqrt(F.col("__var"))
-    return (
-        events.join(stats, user_col)
-        .withColumn("__var", F.col("__m2") - F.col("__mean") * F.col("__mean"))
-        .filter((F.col("__n") >= min_events) & (F.col("__var") > 0))
-        .withColumn("z", z)
-        .filter(F.abs(F.col("z")) >= z_threshold)
-        .select(
-            id_col,
-            user_col,
-            v.alias(value_col),
-            F.round("z", 6).alias("z"),
-            F.col("__n").cast("long").alias("n_user_events"),
-        )
+    from res2df_spark.operators.eventanalytics import score_value_anomalies
+
+    return score_value_anomalies(
+        events,
+        stats,
+        user_col=user_col,
+        value_col=value_col,
+        id_col=id_col,
+        min_events=min_events,
+        z_threshold=z_threshold,
     )

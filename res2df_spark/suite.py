@@ -1143,8 +1143,10 @@ def text_langid(spark, sf_dir):
 def text_fingerprint(spark, sf_dir):
     """Document fingerprinting (north star): min-md5 over 3-word
     shingles (winnowing-style), md5(text) fallback for short docs."""
-    docs = spread(Catalog(spark, sf_dir).documents)
-    sh = shingles(tokens("text"), 3)
+    docs = spread(Catalog(spark, sf_dir).documents).withColumn(
+        "__toks", tokens("text")
+    )
+    sh = shingles(F.col("__toks"), 3)
     fp = F.array_min(F.transform(sh, F.md5))
     return docs.select(
         "doc_id", F.coalesce(fp, F.md5(F.col("text"))).alias("fingerprint")

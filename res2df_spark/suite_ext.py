@@ -4349,18 +4349,23 @@ _DSIR_SQL = f"""
              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
     counts AS (SELECT bucket,
                       sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_b,
-                      sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS r_b
+                      count(*) AS r_b
                FROM feat GROUP BY 1),
     tot AS (SELECT sum(t_b) AS tt, sum(r_b) AS rr FROM counts),
     lam AS (SELECT bucket,
                    ln((t_b + 1) / CAST(tt + 256 AS DOUBLE))
                  - ln((r_b + 1) / CAST(rr + 256 AS DOUBLE)) AS lam
             FROM counts CROSS JOIN tot),
-    db AS (SELECT doc_id, bucket, count(*) AS n FROM feat GROUP BY 1, 2)
-    SELECT doc_id,
-           CAST(round(sum(n * lam), 6) AS DOUBLE) AS log_weight,
-           CAST(sum(n) AS BIGINT) AS n_feats
-    FROM db JOIN lam USING (bucket) GROUP BY doc_id
+    db AS (SELECT doc_id, bucket, count(*) AS n FROM feat GROUP BY 1, 2),
+    perdoc AS (SELECT doc_id,
+                      round(sum(n * lam), 6) AS log_weight,
+                      sum(n) AS n_feats
+               FROM db JOIN lam USING (bucket) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(log_weight, 0.0) AS DOUBLE) AS log_weight,
+           CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats
+    FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+    LEFT JOIN perdoc USING (doc_id)
 """
 
 
@@ -4399,11 +4404,20 @@ _NB_SQL = f"""
                    - ln((c_neg + 1) / CAST(nn + v AS DOUBLE)) AS llr,
                      ln(CAST(dp AS DOUBLE) / dn) AS prior
               FROM cls CROSS JOIN sc CROSS JOIN dc),
-    dt AS (SELECT doc_id, token, count(*) AS n FROM tok GROUP BY 1, 2)
-    SELECT doc_id,
-           CAST(round(any_value(prior) + sum(n * llr), 6) AS DOUBLE) AS nb_score,
-           (any_value(prior) + sum(n * llr)) > 0 AS predicted_pos
-    FROM dt JOIN ratio USING (token) GROUP BY doc_id
+    dt AS (SELECT doc_id, token, count(*) AS n FROM tok GROUP BY 1, 2),
+    perdoc AS (SELECT doc_id,
+                      round(any_value(prior) + sum(n * llr), 6) AS nb_score,
+                      (any_value(prior) + sum(n * llr)) > 0 AS predicted_pos
+               FROM dt JOIN ratio USING (token) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(nb_score,
+                         round(ln(CAST(dp AS DOUBLE) / dn), 6)) AS DOUBLE)
+               AS nb_score,
+           coalesce(predicted_pos, ln(CAST(dp AS DOUBLE) / dn) > 0)
+               AS predicted_pos
+    FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+    CROSS JOIN dc
+    LEFT JOIN perdoc USING (doc_id)
 """
 
 
@@ -4557,16 +4571,19 @@ def pagerank_entities(spark, sf_dir):
 
 
 _ANOMALY_SQL = """
-    WITH s AS (SELECT user_id, avg(value) AS mean, avg(value * value) AS m2,
-                      count(*) AS n
-               FROM events GROUP BY 1)
+    WITH a AS (SELECT user_id, min(value) AS av FROM events GROUP BY 1),
+    s AS (SELECT e.user_id,
+                 avg(e.value - av) AS m1,
+                 avg((e.value - av) * (e.value - av)) AS m2s,
+                 min(av) AS av, count(*) AS n
+          FROM events e JOIN a USING (user_id) GROUP BY 1),
+    st AS (SELECT user_id, av + m1 AS mean, m2s - m1 * m1 AS vr, n FROM s)
     SELECT event_id, e.user_id, e.value,
-           CAST(round((e.value - mean) / sqrt(m2 - mean * mean), 6) AS DOUBLE)
-               AS z,
+           CAST(round((e.value - mean) / sqrt(vr), 6) AS DOUBLE) AS z,
            CAST(n AS BIGINT) AS n_user_events
-    FROM events e JOIN s USING (user_id)
-    WHERE n >= 5 AND m2 - mean * mean > 0
-      AND abs((e.value - mean) / sqrt(m2 - mean * mean)) >= 2.5
+    FROM events e JOIN st USING (user_id)
+    WHERE n >= 5 AND vr > 0
+      AND abs((e.value - mean) / sqrt(vr)) >= 2.5
 """
 
 

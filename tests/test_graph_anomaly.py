@@ -174,3 +174,35 @@ def test_weighted_pagerank_matches_reference_and_reduces_to_unweighted(spark):
         for r in pagerank(eq, weight_col="w", iterations=2).collect()
     }
     assert got_eq == uw
+
+
+def test_anomaly_large_mean_no_cancellation(spark):
+    """Byte-counter-style values (mean ~1e9, std ~1): the naive
+    E[v2]-E[v]2 variance is rounding noise at that magnitude; the
+    shifted-moment form must still flag exactly the real outlier."""
+    base = 1_234_567_890.0
+    deltas = (0.0, 1.0, -1.0, 0.5, -0.5, 0.25, -0.25, 0.75, -0.75)
+    rows = [("u1", base + d) for d in deltas]
+    rows.append(("u1", base + 50.0))  # the outlier
+    out = value_anomalies(_events(spark, rows), z_threshold=2.5).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == base + 50.0
+    assert out[0]["z"] > 2.5
+
+
+def test_pagerank_drops_null_and_nonpositive_weights(spark):
+    from res2df_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", None), ("b", "c", -2.0), ("b", "a", 0.0)],
+        "src string, dst string, w double",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, weight_col="w", iterations=1).collect()
+    }
+    # only a->b survives: b gets a's full mass, a only the teleport
+    # term, and c (reachable only via dropped edges) disappears from
+    # the node set entirely
+    assert set(got) == {"a", "b"}
+    assert got["b"] > got["a"]

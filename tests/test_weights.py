@@ -162,3 +162,39 @@ def test_weight_models_materialized_not_rescan(spark):
             fn(docs, flt)._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("Generate") <= 1, fn.__name__
+
+
+def test_dsir_raw_includes_target_and_zero_token_rows(spark):
+    """DSIR's denominator is the FULL corpus (target included): with
+    every document in the target slice, t_b == r_b for every bucket so
+    all weights are ~0 (not uniformly positive, which the
+    complement-denominator bug produced).  Zero-token docs still get a
+    row with log_weight 0 / n_feats 0."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="aa bb cc", lang="en"),
+            Row(doc_id=1, text="aa bb dd", lang="en"),
+            Row(doc_id=2, text="   ", lang="en"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(docs, F.col("lang") == "en").collect()}
+    assert set(out) == {0, 1, 2}
+    # t_b == r_b -> lambda = ln((t+1)/(T+256)) - ln((t+1)/(T+256)) = 0
+    assert out[0]["log_weight"] == pytest.approx(0.0, abs=1e-6)
+    assert out[2]["log_weight"] == 0.0 and out[2]["n_feats"] == 0
+
+
+def test_nb_zero_token_doc_scores_at_prior(spark):
+    docs = _docs(
+        spark,
+        [("good text here", "en", "p")] * 3
+        + [("bad junk words", "en", "n")]
+        + [("   ", "en", "n")],
+    )
+    out = {r["doc_id"]: r for r in nb_quality_score(docs, F.col("source") == "p").collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    import math
+
+    prior = round(math.log(3 / 2), 6)
+    assert out[4]["nb_score"] == pytest.approx(prior, abs=1e-6)
+    assert out[4]["predicted_pos"] == (prior > 0)
