@@ -109,11 +109,14 @@ def lsh_bucketed_topk(
     cluster) would otherwise fan every query probing it into millions
     of candidates; dropping it trades bounded recall loss for a bounded
     join, the same contract as ``dedup.minhash_lsh_candidates``."""
-    first = corpus.select(vec_col).first()
+    # skip NULL vectors when probing dimensionality: .first() returns
+    # an arbitrary (partition-order-dependent) row, and a corpus whose
+    # first-scanned row happens to be NULL must not silently yield zero
+    # neighbors for every query
+    first = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     spark = corpus.sparkSession
-    if first is None or first[0] is None:
-        # empty corpus (or leading NULL vector) yields an empty result,
-        # not a driver crash probing the dimensionality
+    if first is None:
+        # corpus with no non-NULL vectors: empty result, not a crash
         qt = queries.schema[id_col].dataType.simpleString()
         it = corpus.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
@@ -338,19 +341,29 @@ def quantize_embeddings(
     ingest.  Codes return as array<int> plus (lo, hi) doubles.
     """
     x = F.col(vec_col)
-    lo = F.array_min(x).cast("double")
-    hi = F.array_max(x).cast("double")
-    span = hi - lo
+    # lo/hi/span materialize as columns BEFORE the transform: a
+    # lambda-captured aggregate expression is re-evaluated per array
+    # element, which would turn the per-vector cost from O(d) into
+    # O(d²) (the HOF-capture pitfall measured at 93× in this repo)
+    base = emb.select(F.col(id_col), x.alias("__x")).select(
+        id_col,
+        "__x",
+        F.array_min(F.col("__x")).cast("double").alias("__lo"),
+        F.array_max(F.col("__x")).cast("double").alias("__hi"),
+    ).withColumn("__span", F.col("__hi") - F.col("__lo"))
     code = lambda v: F.when(  # noqa: E731
-        span == 0, F.lit(0)
+        F.col("__span") == 0, F.lit(0)
     ).otherwise(
-        F.floor((v.cast("double") - lo) * F.lit(255.0) / span + F.lit(0.5))
+        F.floor(
+            (v.cast("double") - F.col("__lo")) * F.lit(255.0) / F.col("__span")
+            + F.lit(0.5)
+        )
     ).cast("int")
-    return emb.select(
+    return base.select(
         F.col(id_col),
-        F.transform(x, code).alias("codes"),
-        lo.alias("lo"),
-        hi.alias("hi"),
+        F.transform(F.col("__x"), code).alias("codes"),
+        F.col("__lo").alias("lo"),
+        F.col("__hi").alias("hi"),
     )
 
 
@@ -620,48 +633,23 @@ def two_level_assign(
     the vector and its norm ride through the argmin aggregations so
     downstream cosine consumers never re-join the corpus.
     """
-    import math
-
     from res2df_spark.functions.vectors import l2_norm
 
-    fine = centroids.select(
-        F.col("centroid_id"),
-        F.transform("centroid", lambda x: x.cast("double")).alias("__fv"),
-    )
-    if n_coarse is None:
-        # the centroid frame is model-sized; counting it is a k-row job
-        n_coarse = max(int(math.ceil(math.sqrt(fine.count()))), 1)
-    # the n_coarse LOWEST centroid ids (orderBy/limit, not an id-value
-    # filter: centroid tables need not be dense 0-based — an id-value
-    # filter would silently select an empty coarse set and drop every
-    # vector for e.g. ids starting at 10)
-    coarse = broadcast(
-        fine.orderBy("centroid_id")
-        .limit(n_coarse)
-        .select(
-            F.col("centroid_id").alias("__coid"), F.col("__fv").alias("__cov")
-        )
-    )
+    fine, coarse, fc = _coarse_fine_model(centroids, n_coarse)
+    coarse = broadcast(coarse)
     best_coarse = F.min(
         F.struct(F.col("__d").alias("d"), F.col("__coid").alias("c"))
     )
-    # fine centroid → coarse list (k·n_coarse work, model-sized)
-    fc = (
-        fine.crossJoin(coarse)
-        .withColumn("__d", _sq_dist(F.col("__fv"), F.col("__cov")))
-        .groupBy("centroid_id")
-        .agg(best_coarse.alias("__b"), F.first("__fv").alias("__fv"))
-        .select("centroid_id", F.col("__b.c").alias("__coid"), "__fv")
-    )
     # vector → coarse list (broadcast n_coarse rows; argmin
     # partial-aggregates map-side before the exchange on the vector id)
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     vc = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .filter(F.col(vec_col).isNotNull())
+        df.select(F.col(id_col), vecd.alias("__vd"))
+        .filter(F.col("__vd").isNotNull())
         .crossJoin(coarse)
-        .withColumn("__d", _sq_dist(F.col(vec_col), F.col("__cov")))
+        .withColumn("__d", _sq_dist(F.col("__vd"), F.col("__cov")))
         .groupBy(id_col)
-        .agg(best_coarse.alias("__b"), F.first(vec_col).alias("__v"))
+        .agg(best_coarse.alias("__b"), F.first("__vd").alias("__v"))
         .select(F.col(id_col), F.col("__b.c").alias("__coid"), F.col("__v"))
     )
     # vector → nearest FINE centroid within its coarse list: equality
@@ -681,6 +669,48 @@ def two_level_assign(
             l2_norm(F.col("__v")).alias("__n"),
         )
     )
+
+
+def _coarse_fine_model(centroids: DataFrame, n_coarse: int | None):
+    """(fine, coarse, fc) model frames shared by
+    :func:`two_level_assign` (batch) and
+    ``streaming/ops.semantic_claims_stream`` — ONE construction so the
+    two paths cannot drift on tie-break or coarse-selection semantics:
+
+    * ``fine``: (centroid_id, __fv double-cast vector);
+    * ``coarse``: the ``n_coarse`` (default ⌈√k⌉) LOWEST-id centroids
+      as (__coid, __cov) — orderBy/limit, not an id-value filter, so
+      sparse/offset centroid ids still select a non-empty coarse set;
+    * ``fc``: fine → nearest coarse (min(struct(d, id)) — ties to the
+      lower id), computed at model size (k·n_coarse).
+    """
+    import math
+
+    fine = centroids.select(
+        F.col("centroid_id"),
+        F.transform("centroid", lambda x: x.cast("double")).alias("__fv"),
+    )
+    if n_coarse is None:
+        # the centroid frame is model-sized; counting it is a k-row job
+        n_coarse = max(int(math.ceil(math.sqrt(fine.count()))), 1)
+    coarse = (
+        fine.orderBy("centroid_id")
+        .limit(n_coarse)
+        .select(
+            F.col("centroid_id").alias("__coid"), F.col("__fv").alias("__cov")
+        )
+    )
+    best_coarse = F.min(
+        F.struct(F.col("__d").alias("d"), F.col("__coid").alias("c"))
+    )
+    fc = (
+        fine.crossJoin(broadcast(coarse))
+        .withColumn("__d", _sq_dist(F.col("__fv"), F.col("__cov")))
+        .groupBy("centroid_id")
+        .agg(best_coarse.alias("__b"), F.first("__fv").alias("__fv"))
+        .select("centroid_id", F.col("__b.c").alias("__coid"), "__fv")
+    )
+    return fine, coarse, fc
 
 
 def semantic_dedup_pairs(
@@ -834,8 +864,12 @@ def semantic_novelty(
             F.lit(0.0)
         )
     )
-    best = F.max(
-        F.struct(F.col("__cos").alias("c"), (-F.col("__mid")).alias("m"))
+    # min over (−cos, id): highest cosine wins, ties go to the LOWER
+    # id, and the id rides through the struct untouched — no numeric
+    # negation of the id, so string/any-type ids survive with their
+    # input type (max(struct(cos, −id)) broke both properties)
+    best = F.min(
+        F.struct((-F.col("__cos")).alias("nc"), F.col("__mid").alias("m"))
     )
     scored = (
         assigned.join(idx, "centroid_id", "left")
@@ -845,10 +879,10 @@ def semantic_novelty(
         .select(
             F.col(id_col),
             (
-                F.col("__b.c").isNull() | (F.col("__b.c") < threshold)
+                F.col("__b.nc").isNull() | (-F.col("__b.nc") < threshold)
             ).alias("is_novel"),
-            (-F.col("__b.m")).cast("long").alias("match_id"),
-            F.round("__b.c", 6).alias("cos_sim"),
+            F.col("__b.m").alias("match_id"),
+            F.round(-F.col("__b.nc"), 6).alias("cos_sim"),
         )
     )
     return scored
@@ -1252,20 +1286,26 @@ def truncate_embeddings(
     renormalizing would divide by zero).  Returns (id, truncated
     array<double>, prefix_norm).
     """
-    pre = F.slice(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")), 1, dims
+    # prefix and norm materialize as columns BEFORE the renormalizing
+    # transform — a lambda-captured aggregate re-evaluates per element,
+    # turning O(dims) into O(dims²) per vector otherwise
+    base = emb.select(
+        F.col(id_col),
+        F.slice(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")), 1, dims
+        ).alias("__pre"),
+    ).withColumn(
+        "__norm",
+        F.sqrt(
+            F.aggregate(F.col("__pre"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ),
     )
-    norm = F.sqrt(
-        F.aggregate(pre, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    out = (
-        F.when(
-            F.lit(renormalize) & (norm > 0),
-            F.transform(pre, lambda x: x / norm),
-        ).otherwise(pre)
-    )
-    return emb.select(
+    out = F.when(
+        F.lit(renormalize) & (F.col("__norm") > 0),
+        F.transform(F.col("__pre"), lambda x: x / F.col("__norm")),
+    ).otherwise(F.col("__pre"))
+    return base.select(
         F.col(id_col),
         out.alias("truncated"),
-        norm.alias("prefix_norm"),
+        F.col("__norm").alias("prefix_norm"),
     )

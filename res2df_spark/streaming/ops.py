@@ -260,7 +260,16 @@ def summary_ingest_stream(spark, watch_dir: str):
     def parse(batches):
         for pdf in batches:
             for path, unsmry_buf in zip(pdf["path"], pdf["content"]):
-                local = re.sub("^file:", "", path)
+                # binaryFile reports a percent-encoded file: URI
+                # (spaces arrive as %20); decode before local
+                # filesystem access or the SMSPEC-sibling probe fails
+                # on perfectly valid paths with a wrong diagnosis
+                from urllib.parse import unquote, urlparse
+
+                if path.startswith("file:"):
+                    local = unquote(urlparse(path).path)
+                else:
+                    local = path
                 smspec = os.path.splitext(local)[0] + ".SMSPEC"
                 if not os.path.exists(smspec):
                     raise FileNotFoundError(
@@ -317,7 +326,7 @@ def near_dedup_stream(
     Consume with :func:`near_dup_verdicts` to turn the surviving
     claims into per-document verdicts.
     """
-    from res2df_spark.functions.textan import minhash_signature, tokens
+    from res2df_spark.functions.textan import tokens
 
     if num_hashes % band_size != 0:
         # same contract as the batch _minhash_bands: silent floor
@@ -328,7 +337,34 @@ def near_dedup_stream(
             f"({band_size})"
         )
     n_bands = num_hashes // band_size
-    sig = F.array_compact(minhash_signature(tokens(F.col(text_col)), num_hashes))
+    # The per-token digest array is MATERIALIZED as a column before the
+    # num_hashes substring-min transforms: the array-expression
+    # minhash_signature captures its digest transform inside each
+    # element's lambda, re-running every token's md5 once per signature
+    # position (~num_hashes× the necessary hashing — the cost
+    # llm/dedup._minhash_bands documents and avoids in batch).  Same
+    # seeded-digest arithmetic, so band keys stay byte-identical with
+    # the batch form and any batch-built index.
+    n_md5 = -(-num_hashes // 4)
+    digests = F.transform(
+        F.col("__toks"),
+        lambda t: F.concat(
+            *[F.md5(F.concat(F.lit(f"{s}:"), t)) for s in range(n_md5)]
+        ),
+    )
+    sig = F.array_compact(
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("__digests"),
+                        lambda h: F.substring(h, 1 + 8 * i, 8),
+                    )
+                )
+                for i in range(num_hashes)
+            ]
+        )
+    )
     bands = F.array(
         *[
             F.struct(
@@ -341,7 +377,9 @@ def near_dedup_stream(
         ]
     )
     claimed = (
-        docs.withColumn("__sig", sig)
+        docs.withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn("__digests", digests)
+        .withColumn("__sig", sig)
         .filter(F.size("__sig") == num_hashes)  # empty docs: no claims
         .select(id_col, ts_col, F.explode(bands).alias("band"))
         .select(id_col, ts_col, "band.band_idx", "band.band_key")
@@ -371,7 +409,10 @@ def near_dup_verdicts(
     from res2df_spark.functions.textan import tokens
 
     won = claims.groupBy(id_col).agg(F.count(F.lit(1)).alias("bands_won"))
-    has_toks = F.size(tokens(F.col(text_col))) > 0
+    # NULL text tokenizes to NULL, and when(~NULL) would fall through
+    # to the candidate branch — coalesce so NULL-text docs get the
+    # documented NULL verdict like empty-string docs
+    has_toks = F.coalesce(F.size(tokens(F.col(text_col))) > 0, F.lit(False))
     return (
         docs.select(id_col, has_toks.alias("__has"))
         .join(won, id_col, "left")
@@ -578,32 +619,15 @@ def semantic_claims_stream(
     All tie-breaks go to the LOWER id (sorted model arrays + strict-
     less folds), so an AvailableNow replay is oracle-checkable.
     """
-    import math
-
     from res2df_spark.functions.vectors import dot, l2_norm
-    from res2df_spark.llm.similarity import _sq_dist
+    from res2df_spark.llm.similarity import _coarse_fine_model, _sq_dist
 
-    fine = centroids.select(
-        F.col("centroid_id"),
-        F.transform("centroid", lambda x: x.cast("double")).alias("__fv"),
-    )
-    if n_coarse is None:
-        n_coarse = max(int(math.ceil(math.sqrt(fine.count()))), 1)
-    coarse = fine.orderBy("centroid_id").limit(n_coarse).select(
-        F.col("centroid_id").alias("__coid"), F.col("__fv").alias("__cov")
-    )
-    # fine → coarse (batch, model-sized), then the whole model as ONE
-    # broadcast row: a sorted coarse array + a coarse→fines map
-    best_coarse = F.min(
-        F.struct(F.col("__d").alias("d"), F.col("__coid").alias("c"))
-    )
-    fc = (
-        fine.crossJoin(F.broadcast(coarse))
-        .withColumn("__d", _sq_dist(F.col("__fv"), F.col("__cov")))
-        .groupBy("centroid_id")
-        .agg(best_coarse.alias("__b"), F.first("__fv").alias("__fv"))
-        .select("centroid_id", F.col("__b.c").alias("__coid"), "__fv")
-    )
+    # the fine/coarse/fc frames come from the SAME builder as the
+    # batch two_level_assign — one construction, so stream and batch
+    # cannot drift on coarse selection or tie-break semantics; here
+    # they roll up further into ONE broadcast row (sorted coarse array
+    # + coarse→fines map) for row-local assignment
+    _fine, coarse, fc = _coarse_fine_model(centroids, n_coarse)
     model = (
         coarse.agg(
             F.sort_array(
@@ -629,20 +653,33 @@ def semantic_claims_stream(
         )
     )
 
+    cid_type = centroids.schema["centroid_id"].dataType
+
     def argmin(cands, vec):
-        # strict-less fold over a (c asc)-sorted array → lowest id wins
-        # ties, matching two_level_assign's min(struct(d, c))
+        # fold over a (c asc)-sorted array replicating the batch
+        # min(struct(d, c)) ordering EXACTLY, including its null
+        # semantics: a NULL distance sorts FIRST (Spark struct
+        # ordering), so a NULL-element vector lands on the lowest-id
+        # candidate on both paths instead of poisoning every
+        # subsequent comparison; ties on d keep the earlier (lower-id)
+        # candidate because the array is sorted and the test is strict
         init = F.struct(
             F.lit(None).cast("double").alias("d"),
-            F.lit(None).cast("long").alias("c"),
+            F.lit(None).cast(cid_type).alias("c"),
+            F.lit(False).alias("set"),
         )
 
         def step(acc, s):
             d = _sq_dist(vec, s["v"])
-            better = acc["d"].isNull() | (d < acc["d"])
+            better = (
+                ~acc["set"]
+                | (d.isNull() & acc["d"].isNotNull())
+                | (d.isNotNull() & acc["d"].isNotNull() & (d < acc["d"]))
+            )
             return F.struct(
                 F.when(better, d).otherwise(acc["d"]).alias("d"),
-                F.when(better, s["c"].cast("long")).otherwise(acc["c"]).alias("c"),
+                F.when(better, s["c"]).otherwise(acc["c"]).alias("c"),
+                F.lit(True).alias("set"),
             )
 
         return F.aggregate(cands, init, step, lambda acc: acc["c"])

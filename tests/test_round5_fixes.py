@@ -143,3 +143,92 @@ def test_pq_train_empty_corpus(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         pq_train(empty, m=2, k=2)
+
+
+# ---------------------------------------------------------------------------
+# Second round-5 review pass (similarity + streaming)
+
+
+def test_semantic_novelty_string_ids(spark):
+    """match_id must survive non-numeric id types (the max(struct(cos,
+    -id)) form coerced/crashed on strings)."""
+    from pyspark.sql import Row, functions as F
+
+    from res2df_spark.llm.similarity import semantic_novelty
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    index = spark.createDataFrame(
+        [
+            Row(vec_id="doc-a", centroid_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id="doc-b", centroid_id=0, embedding=[0.9, 0.1]),
+        ]
+    )
+    new = spark.createDataFrame(
+        [Row(vec_id="doc-new", embedding=[1.0, 0.05])]
+    )
+    row = semantic_novelty(new, index, cents, threshold=0.9).collect()[0]
+    assert row["match_id"] == "doc-a"  # best cosine, string id intact
+    assert not row["is_novel"]
+    # tie-break goes to the LOWER id
+    tied = spark.createDataFrame(
+        [
+            Row(vec_id="z-high", centroid_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id="a-low", centroid_id=0, embedding=[1.0, 0.0]),
+        ]
+    )
+    row = semantic_novelty(
+        spark.createDataFrame([Row(vec_id="q", embedding=[1.0, 0.0])]),
+        tied,
+        cents,
+        threshold=0.9,
+    ).collect()[0]
+    assert row["match_id"] == "a-low"
+
+
+def test_near_dup_verdicts_null_text_is_null_verdict(spark):
+    from pyspark.sql import Row
+
+    from res2df_spark.streaming.ops import near_dup_verdicts
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="real words here"),
+            Row(doc_id=1, text=None),
+            Row(doc_id=2, text="   "),
+        ]
+    )
+    claims = spark.createDataFrame([Row(doc_id=0, band_idx=0, band_key="k")])
+    out = {r["doc_id"]: r for r in near_dup_verdicts(docs, claims).collect()}
+    assert out[0]["is_near_dup_candidate"] is False
+    assert out[1]["is_near_dup_candidate"] is None  # NULL text
+    assert out[2]["is_near_dup_candidate"] is None  # whitespace-only
+
+
+def test_quantize_and_truncate_plans_materialize_aggregates(spark):
+    """The per-vector min/max/norm must appear ONCE as projected
+    columns, not re-evaluated inside the element lambda (O(d^2))."""
+    from pyspark.sql import Row
+
+    from res2df_spark.llm.similarity import (
+        quantize_embeddings,
+        truncate_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[float(i) for i in range(8)])]
+    )
+    qplan = (
+        quantize_embeddings(emb)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # one array_min/array_max each in the projection, not one per element
+    assert qplan.count("array_min") == 1 and qplan.count("array_max") == 1
+    tplan = (
+        truncate_embeddings(emb, dims=4)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert tplan.lower().count("aggregate(") <= 2  # norm computed once
