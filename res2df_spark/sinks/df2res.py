@@ -12,22 +12,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from res2df_spark.sources.deck import KEYWORD_ITEMS, TABLE_KEYWORDS
-
-
-def _fmt(v) -> str:
-    if v is None:
-        return "1*"
-    if isinstance(v, bool):
-        # before the int fallthrough: str(True) is not valid deck text
-        return "1" if v else "0"
-    if isinstance(v, float):
-        # repr() is the shortest string that round-trips the double —
-        # '%g' (6 sig figs) silently truncated KH/TRAN/volume factors.
-        return repr(v)
-    if isinstance(v, str):
-        return f"'{v}'"
-    return str(v)
+from res2df_spark.sinks.writers import _fmt_value as _fmt
+from res2df_spark.sources.deck import (
+    KEYWORD_ITEMS,
+    NESTED_TABLE_KEYWORDS,
+    TABLE_KEYWORDS,
+)
 
 
 def df2res_compdat(df: DataFrame) -> str:
@@ -65,7 +55,12 @@ def df2res_satfunc(df: DataFrame) -> str:
         for region in sorted(sub[region_col].dropna().unique()):
             tbl = sub[sub[region_col] == region].sort_values("ROW_IDX")
             for _, r in tbl.iterrows():
-                vals = [r[c] for c in cols if c in tbl.columns]
+                # absent optional columns keep their positional slot as
+                # '1*' (same contract as df2res_compdat above) — skipping
+                # them would shift later values into earlier slots
+                vals = [
+                    None if c not in tbl.columns else r[c] for c in cols
+                ]
                 out.append("  " + " ".join(_fmt(None if v is None or v != v else float(v)) for v in vals))
             out.append("/")
         out.append("")
@@ -151,10 +146,11 @@ def df2res_editnnc(df: DataFrame) -> str:
     return "\n".join(lines) + "\n"
 
 
-#: nested PVT keywords: (outer column, inner columns) — pvt.py:44-56.
+#: nested PVT keywords: (outer column, inner columns) — derived from the
+#: parser's schema so writer and reader can never disagree (pvt.py:44-56).
 _NESTED_PVT = {
-    "PVTO": ("RS", ["PRESSURE", "VOLUMEFACTOR", "VISCOSITY"]),
-    "PVTG": ("PRESSURE", ["RV", "VOLUMEFACTOR", "VISCOSITY"]),
+    kw: (outer, inner)
+    for kw, (outer, inner, _region) in NESTED_TABLE_KEYWORDS.items()
 }
 
 
@@ -189,7 +185,11 @@ def df2res_pvt(df: DataFrame) -> str:
             for region in sorted(sub[region_col].dropna().unique()):
                 tbl = sub[sub[region_col] == region].sort_values("ROW_IDX")
                 for _, r in tbl.iterrows():
-                    vals = [r[c] for c in cols if c in tbl.columns]
+                    # absent columns keep their positional slot as '1*'
+                    # (same contract as df2res_compdat / df2res_satfunc)
+                    vals = [
+                        None if c not in tbl.columns else r[c] for c in cols
+                    ]
                     out.append(
                         "  " + " ".join(
                             _fmt(None if v is None or v != v else float(v)) for v in vals
@@ -208,8 +208,20 @@ def df2res_vfpprod(df: DataFrame) -> str:
     pdf = df.toPandas()
     out = []
     for table in sorted(pdf["TABLE"].unique()):
-        tbl = pdf[pdf["TABLE"] == table]
+        tbl = pdf[pdf["TABLE"] == table].copy()
         datum = float(tbl["DATUM"].iloc[0])
+        # ALQ is the one axis a deck commonly defaults: an all-NaN ALQ
+        # column means "no artificial lift axis" and renders as the
+        # single value 0.0 (the simulator's default).  NaN in any other
+        # axis — or a *partially* NaN ALQ — is corrupt input; pandas
+        # groupby would silently drop those rows, so raise instead.
+        if tbl["ALQ"].isna().all():
+            tbl["ALQ"] = 0.0
+        for name in ("THP", "WFR", "GFR", "ALQ"):
+            if tbl[name].isna().any():
+                raise ValueError(
+                    f"VFPPROD table {table}: NaN in axis column {name}"
+                )
         axes = {
             name: sorted(tbl[name].dropna().unique())
             for name in ("THP", "WFR", "GFR", "ALQ")
@@ -265,9 +277,13 @@ def df2res_grid_property(
     if keyword not in grid_df.columns:
         raise ValueError(f"Keyword {keyword} not found in grid dataframe")
     if global_size is None:
-        global_size = (
-            grid_df.agg(F.max("GLOBAL_INDEX").cast("long")).first()[0] + 1
-        )
+        max_idx = grid_df.agg(F.max("GLOBAL_INDEX").cast("long")).first()[0]
+        if max_idx is None:
+            raise ValueError(
+                "grid_df has no rows; pass global_size explicitly to "
+                "render an all-fill keyword block"
+            )
+        global_size = max_idx + 1
     spine = spark.range(global_size).withColumnRenamed("id", "GLOBAL_INDEX")
     cast_t = "long" if int_dtype else "double"
     dense = spine.join(
@@ -304,6 +320,10 @@ def df2res_vfpinj(df: DataFrame) -> str:
     for table in sorted(pdf["TABLE"].unique()):
         tbl = pdf[pdf["TABLE"] == table]
         datum = float(tbl["DATUM"].iloc[0])
+        if tbl["THP"].isna().any():
+            # pandas groupby/filter-by-equality would silently drop
+            # NaN-THP rows, emitting a table missing value records
+            raise ValueError(f"VFPINJ table {table}: NaN in THP axis")
         thps = sorted(tbl["THP"].dropna().unique())
         flow = sorted(tbl["RATE"].dropna().unique())
         out.append("VFPINJ")

@@ -75,33 +75,51 @@ def to_pandas_datesafe(df: DataFrame) -> "pd.DataFrame":  # noqa: F821
 
     lo_us = pd.Timestamp.min.value // 1000 + 1
     hi_us = pd.Timestamp.max.value // 1000
+    # NTZ columns probe through a cast to TimestampType, which shifts
+    # the wall-clock by the session-timezone offset; shrink their
+    # in-range window by the largest real offset (UTC−12…UTC+14, use
+    # 15 h) so an NTZ value just past the pandas boundary can never be
+    # misclassified as in-range.  Over-flagging a value just INSIDE the
+    # boundary is harmless — that column merely takes the object-dtype
+    # path.
+    ntz_margin_us = 15 * 3600 * 1_000_000
     # the fallback recomputes the plan twice (bounds probe + collect);
     # persist so both read the materialized result, then release
     df = df.persist()
+    try:
 
-    def us(c: str) -> F.Column:
-        col = F.col(c)
-        if isinstance(df.schema[c].dataType, TimestampNTZType):
-            col = col.cast("timestamp")
-        return F.unix_micros(col)
+        def us(c: str) -> F.Column:
+            col = F.col(c)
+            if isinstance(df.schema[c].dataType, TimestampNTZType):
+                col = col.cast("timestamp")
+            return F.unix_micros(col)
 
-    bounds = df.agg(
-        *[F.min(us(c)).alias(f"__lo_{i}") for i, c in enumerate(ts_cols)],
-        *[F.max(us(c)).alias(f"__hi_{i}") for i, c in enumerate(ts_cols)],
-    ).collect()[0]
-    wild = [
-        c
-        for i, c in enumerate(ts_cols)
-        if bounds[f"__lo_{i}"] is not None
-        and not (lo_us <= bounds[f"__lo_{i}"] and bounds[f"__hi_{i}"] <= hi_us)
-    ]
-    stringified = df
-    for c in wild:
-        stringified = stringified.withColumn(
-            c, F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
-        )
-    pdf = stringified.toPandas()
-    df.unpersist()
+        def window(c: str) -> tuple[int, int]:
+            if isinstance(df.schema[c].dataType, TimestampNTZType):
+                return lo_us + ntz_margin_us, hi_us - ntz_margin_us
+            return lo_us, hi_us
+
+        bounds = df.agg(
+            *[F.min(us(c)).alias(f"__lo_{i}") for i, c in enumerate(ts_cols)],
+            *[F.max(us(c)).alias(f"__hi_{i}") for i, c in enumerate(ts_cols)],
+        ).collect()[0]
+        wild = [
+            c
+            for i, c in enumerate(ts_cols)
+            if bounds[f"__lo_{i}"] is not None
+            and not (
+                window(c)[0] <= bounds[f"__lo_{i}"]
+                and bounds[f"__hi_{i}"] <= window(c)[1]
+            )
+        ]
+        stringified = df
+        for c in wild:
+            stringified = stringified.withColumn(
+                c, F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            )
+        pdf = stringified.toPandas()
+    finally:
+        df.unpersist()
     for c in wild:
         pdf[c] = pdf[c].map(
             lambda s: dt.datetime.fromisoformat(s) if s is not None else None

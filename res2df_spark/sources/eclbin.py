@@ -50,11 +50,18 @@ class EclFormatError(ValueError):
 # ---------------------------------------------------------------------------
 
 
-def iter_keywords(buf: bytes) -> Iterator[tuple[str, str, np.ndarray]]:
+def iter_keywords(
+    buf: bytes, want: set[str] | None = None
+) -> Iterator[tuple[str, str, np.ndarray]]:
     """Yield (keyword, type, values) from an Eclipse binary buffer.
 
     values: numpy array — int32 for INTE, float32 REAL, float64 DOUB,
     bool LOGI, fixed-width unicode for CHAR/C0NN, empty array for MESS.
+
+    ``want`` (optional): only decode and yield keywords in this set;
+    other keywords' data records are walked marker-by-marker but never
+    copied or decoded — a header-only scan of an EGRID skips the
+    multi-MB ZCORN/COORD numeric decode entirely.
     """
     pos, n = 0, len(buf)
     while pos < n:
@@ -72,8 +79,10 @@ def iter_keywords(buf: bytes) -> Iterator[tuple[str, str, np.ndarray]]:
         pos += 24
         keyword = kw.decode("ascii", "replace").rstrip()
         tname = typ.decode("ascii", "replace")
+        skip = want is not None and keyword not in want
         if typ == b"MESS" or count == 0:
-            yield keyword, tname, np.empty(0)
+            if not skip:
+                yield keyword, tname, np.empty(0)
             continue
         if count < 0:
             raise EclFormatError(f"X231 extension (count={count}) not supported")
@@ -97,12 +106,15 @@ def iter_keywords(buf: bytes) -> Iterator[tuple[str, str, np.ndarray]]:
                 raise EclFormatError(
                     f"{keyword}: data record of {rlen} bytes, expected {take * esize}"
                 )
-            chunks.append(buf[pos + 4 : pos + 4 + rlen])
+            if not skip:
+                chunks.append(buf[pos + 4 : pos + 4 + rlen])
             (tail,) = struct.unpack_from(">i", buf, pos + 4 + rlen)
             if tail != rlen:
                 raise EclFormatError(f"{keyword}: unbalanced data markers at {pos}")
             pos += 8 + rlen
             remaining -= take
+        if skip:
+            continue
         raw = b"".join(chunks)
         if dt is not None:
             arr = np.frombuffer(raw, dtype=dt).astype(dt.newbyteorder("="))
@@ -335,7 +347,9 @@ def summary_long_many(spark, root_glob: str):
                 with open(unsmry, "rb") as f:
                     ubuf = f.read()
                 out = summary_long_pandas(bytes(smspec), ubuf)
-                m = re.search(r"real(?:ization)?-?(\d+)", local)
+                # segment boundary before 'real': 'montreal-5' or
+                # 'boreal3' must not be read as a realization id
+                m = re.search(r"(?:^|[^A-Za-z0-9])real(?:ization)?[-_]?(\d+)", local)
                 out["REAL"] = m.group(1) if m else os.path.splitext(os.path.basename(local))[0]
                 yield out
             if len(pdf) == 0:
@@ -364,7 +378,13 @@ def write_summary(smspec_path: str, start: datetime.datetime, wide) -> None:
     for v in vectors:
         parts = str(v).split(":")
         keywords.append(parts[0])
-        wgnames.append(parts[1] if len(parts) > 1 and not parts[1][:1].isdigit() else ":+:+:+:+")
+        # parts[1] is a NUMS payload only when it is ALL digits (region/
+        # aquifer number) or an i,j,k triple (block address); a merely
+        # digit-LEADING token is a legal well name ('1AH') and must
+        # round-trip as the WGNAME
+        wg = parts[1] if len(parts) > 1 else ""
+        wg_is_num = wg.isdigit() or bool(re.fullmatch(r"\d+,\d+,\d+", wg))
+        wgnames.append(wg if wg and not wg_is_num else ":+:+:+:+")
         last = parts[-1]
         if re.fullmatch(r"\d+,\d+,\d+", last):
             i, j, k = (int(x) for x in last.split(","))
@@ -583,7 +603,9 @@ def grid_table(spark, egrid_path: str, init_path: str | None = None,
     # at the second GRIDHEAD so a fully-active global grid (no ACTNUM)
     # cannot pick up an LGR's wrong-length mask
     seen_gridhead = False
-    for k, _t, v in iter_keywords(ebuf):
+    # header-only re-scan: decodes just GRIDHEAD/ACTNUM, seeking past
+    # the ZCORN/COORD blocks grid_geometry_pandas already decoded
+    for k, _t, v in iter_keywords(ebuf, want={"GRIDHEAD", "ACTNUM"}):
         if k == "GRIDHEAD":
             if seen_gridhead:
                 break
@@ -677,7 +699,8 @@ def nnc_table(spark, egrid_path: str, init_path: str | None = None):
     # the global list and be decoded against global dims) — same policy
     # as grid_table / grid_geometry_pandas
     seen_gridhead = False
-    for k, _t, v in iter_keywords(ebuf):
+    # header-only scan: ZCORN/COORD are irrelevant to the NNC pair list
+    for k, _t, v in iter_keywords(ebuf, want={"GRIDHEAD", "NNC1", "NNC2"}):
         if k == "GRIDHEAD":
             if seen_gridhead:
                 break

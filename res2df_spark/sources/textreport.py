@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def numbered_lines(
-    spark: SparkSession, path: str, keep_splits: bool = False
+    spark: SparkSession, path: str, keep_splits: bool = True
 ) -> DataFrame:
     """(line_no, line) with a GLOBAL, order-preserving line number —
     unique across every matched file (files ordered by path, splits by
@@ -38,9 +38,14 @@ def numbered_lines(
     assigns a line spanning a split boundary to the earlier split, so
     per-split counts partition each file exactly.
 
-    ``keep_splits=True`` additionally returns the ``__fp``/``__blk``
-    columns — :func:`parse_report_blocks` dispatches on them to run its
-    forward fill as the same two-pass distributed scan."""
+    ``keep_splits=True`` (the default) additionally returns the
+    ``__fp``/``__blk`` columns — :func:`parse_report_blocks` dispatches
+    on them to run its forward fill as the same two-pass distributed
+    scan, partitioned so block context never crosses a file boundary.
+    Pass ``keep_splits=False`` only for single-file input where the
+    bare 2-column frame is wanted: without the file column the
+    downstream forward fill must fall back to one global serial window,
+    which would leak context across files in a multi-file glob."""
     df = spark.read.text(path).select(
         F.col("_metadata.file_path").alias("__fp"),
         F.col("_metadata.file_block_start").alias("__blk"),
@@ -91,7 +96,9 @@ def parse_report_blocks(
     per-split carry, broadcast back — no single-partition window over
     the data.  Context never crosses a file boundary (the carry window
     partitions by file).  A bare (line_no, line) input falls back to
-    the global-window form (correct, serial)."""
+    the global-window form — correct only for SINGLE-file input (with
+    no file column the serial window cannot stop context at a file
+    boundary), and serial."""
     ctx = with_block_context(lines, start_pattern, context_fields)
     rows = ctx.filter(F.col("line").rlike(row_pattern)).select(
         "line_no",
