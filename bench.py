@@ -74,6 +74,7 @@ HEADLINE = [
     "dsir_weights",            # hashed-n-gram importance weights (round 5)
     "nb_quality_score",        # Naive-Bayes quality log-odds (round 5)
     "dedup_containment",       # asymmetric containment pairs (round 5)
+    "dedup_containment_capped",  # same with the stop-shingle cap on (round 5)
     "line_dedup",              # cross-doc segment dedup + rebuild (round 5)
     "pagerank_entities",       # 3-iteration graph rank, lineage-truncated (round 5)
     "value_anomalies",         # per-key z-score outliers (round 5)

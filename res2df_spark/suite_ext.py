@@ -4727,3 +4727,46 @@ def dedup_minhash_verified(spark, sf_dir):
     return minhash_verified_pairs(
         docs, num_hashes=16, band_size=4, shingle_k=3, threshold=0.7
     )
+
+
+_CONTAINMENT_CAPPED_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks
+               FROM documents WHERE text IS NOT NULL),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+            FROM t),
+    sh AS (SELECT DISTINCT doc_id,
+                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+           FROM idx),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+    shared AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS n_shared
+               FROM shf s1 JOIN shf s2 USING (shingle)
+               WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2)
+    SELECT d1, d2, n_shared,
+           CAST(z1.sz AS BIGINT) AS size1, CAST(z2.sz AS BIGINT) AS size2,
+           CAST(round(n_shared / CAST(z1.sz AS DOUBLE), 6) AS DOUBLE) AS c1,
+           CAST(round(n_shared / CAST(z2.sz AS DOUBLE), 6) AS DOUBLE) AS c2
+    FROM shared JOIN sizes z1 ON z1.doc_id = d1 JOIN sizes z2 ON z2.doc_id = d2
+    WHERE greatest(n_shared / CAST(z1.sz AS DOUBLE),
+                   n_shared / CAST(z2.sz AS DOUBLE)) >= 0.8
+"""
+
+
+@_q("dedup_containment_capped", _CONTAINMENT_CAPPED_SQL)
+def dedup_containment_capped(spark, sf_dir):
+    """Containment pairing WITH the stop-shingle cap engaged
+    (llm/dedup.containment_pairs max_token_df=5) — the 100 TB
+    configuration: a shingle appearing in more than ``max_token_df``
+    documents is boilerplate and is dropped from every document's set
+    BEFORE the inverted-index join, bounding per-token join fan-in at
+    cap² instead of df² (the uncapped join is quadratic in the hottest
+    shingle's document frequency).  At the oracle scale the sf0.01
+    corpus has shingles up to df=7, so cap=5 genuinely drops shingles
+    here — the oracle replicates the drop with a HAVING df<=5 gate and
+    both sides recompute set sizes from the surviving shingles."""
+    from res2df_spark.llm.dedup import containment_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    return containment_pairs(docs, threshold=0.8, shingle_k=3, max_token_df=5)

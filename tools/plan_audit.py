@@ -1,0 +1,192 @@
+"""Fleet-wide physical-plan audit over the whole query registry.
+
+For every ``suite.QUERIES`` entry this builds the DataFrame (lazy — no
+job runs for batch queries) against ``SPARK_GRAFT_CHECK_SF`` and
+inspects the FORMATTED physical plan for the anti-patterns that matter
+at 100 TB:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — quadratic joins;
+- ``BatchEvalPython`` — row-at-a-time Python UDF in the hot path (the
+  Arrow-batched forms ``ArrowEvalPython`` / ``MapInPandas`` /
+  ``FlatMapGroupsInPandas`` are counted separately and are fine);
+- shuffle pressure: every ``Exchange hashpartitioning`` / ``range`` /
+  ``SinglePartition`` (a SinglePartition exchange over big data is a
+  serialization point);
+- scan hygiene: per-parquet-scan ``PushedFilters`` and ``ReadSchema``
+  width (a scan reading every column for a 2-column projection means
+  pruning failed);
+- ``WholeStageCodegen`` span count (JVM codegen coverage).
+
+Usage: python tools/plan_audit.py [--json FILE] [query ...]
+
+Exit 1 if any query's plan contains a CartesianProduct or a
+row-at-a-time Python UDF; everything else is recorded, not judged —
+``SinglePartition`` exchanges, for instance, are correct for bounded
+model artifacts (codebooks, centroid tables) and the JSON keeps enough
+context to tell.
+
+Streaming-replay queries (``stream_*``) EXECUTE during build (their
+queries() callables run an AvailableNow stream and return the result);
+their recorded plan describes the materialized result read, so they are
+marked ``"kind": "materialized"`` and their plan features are not
+meaningful for the streaming half — test_plans.py pins those shapes
+instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
+
+
+def explain_string(spark, df, mode: str) -> str:
+    qe = df._jdf.queryExecution()
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return qe.explainString(jmode)
+
+
+def scan_features(plan: str) -> list[dict]:
+    """Per-scan PushedFilters / ReadSchema width from the formatted
+    plan's operator-detail section."""
+    scans = []
+    # detail blocks look like:  (1) Scan parquet \n ... PushedFilters: [...] \n ReadSchema: struct<...>
+    for m in re.finditer(
+        r"\(\d+\) Scan parquet ?\S*\n(?:.*\n)*?(?:PushedFilters: \[(?P<pf>[^\]]*)\]\n)?(?:.*\n)*?ReadSchema: (?P<rs>.*)",
+        plan,
+    ):
+        pf = (m.group("pf") or "").strip()
+        rs = m.group("rs") or ""
+        ncols = rs.count(":") if rs.startswith("struct<") else None
+        scans.append(
+            {
+                "pushed_filters": [f.strip() for f in pf.split(",") if f.strip()],
+                "read_columns": ncols,
+            }
+        )
+    return scans
+
+
+def audit_one(spark, name: str, fn) -> dict:
+    t0 = time.time()
+    df = fn(spark, SF_DIR)
+    plan = explain_string(spark, df, "formatted")
+    simple = explain_string(spark, df, "simple")
+    # the formatted detail section lists each operator exactly once as
+    # '(N) OpName' at column 0 (tree lines are indented / 'Name (N)')
+    ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    # an Exchange's partitioning lives on its 'Arguments:' detail line
+    # (an 'Input [...]' line sits between the op header and Arguments)
+    ex_args = re.findall(
+        r"^\(\d+\) Exchange\n(?:Input[^\n]*\n)?Arguments: ([^\n]+)", plan, re.M
+    )
+    rec = {
+        "kind": "materialized" if name.startswith("stream_") else "batch",
+        "cartesian": "CartesianProduct" in ops,
+        "nested_loop_join": "BroadcastNestedLoopJoin" in ops,
+        "python_row_udf": "BatchEvalPython" in ops,
+        "arrow_python_ops": sum(
+            ops.count(o)
+            for o in (
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+                "FlatMapGroupsInPandasWithState",
+                "MapInArrow",
+            )
+        ),
+        "exchanges_hash": sum("hashpartitioning" in a for a in ex_args),
+        "exchanges_range": sum("rangepartitioning" in a for a in ex_args),
+        "exchanges_single": sum("SinglePartition" in a for a in ex_args),
+        "exchanges_roundrobin": sum(
+            "RoundRobinPartitioning" in a for a in ex_args
+        ),
+        "broadcast_exchanges": ops.count("BroadcastExchange"),
+        "sort_merge_joins": ops.count("SortMergeJoin"),
+        "broadcast_hash_joins": ops.count("BroadcastHashJoin"),
+        # distinct whole-stage-codegen spans from the simple plan's
+        # '*(id)' markers — formatted mode hides codegen ids
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", simple))),
+        "scans": scan_features(plan),
+        "build_s": round(time.time() - t0, 2),
+    }
+    return rec
+
+
+def main() -> int:
+    from res2df_spark import suite
+    from res2df_spark.session import get_spark
+
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: plan_audit.py [--json FILE] [query ...]")
+            return 2
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = set(argv)
+
+    spark = get_spark("plan-audit")
+    records: dict[str, dict] = {}
+    bad = 0
+    for name, fn in suite.QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            rec = audit_one(spark, name, fn)
+        except Exception as e:  # noqa: BLE001
+            records[name] = {"err": str(e)[:300]}
+            print(f"ERR  {name}: {e}")
+            bad += 1
+            continue
+        records[name] = rec
+        flags = []
+        if rec["cartesian"]:
+            flags.append("CARTESIAN")
+        if rec["python_row_udf"]:
+            flags.append("ROW_UDF")
+        if rec["nested_loop_join"]:
+            flags.append("bnlj")
+        if flags and rec["kind"] == "batch":
+            bad += 1
+        shuffles = (
+            rec["exchanges_hash"]
+            + rec["exchanges_range"]
+            + rec["exchanges_single"]
+            + rec["exchanges_roundrobin"]
+        )
+        print(
+            f"{'FLAG' if flags else 'ok  '} {name}: "
+            f"{shuffles} shuffle(s), {rec['broadcast_exchanges']} bcast, "
+            f"{rec['codegen_spans']} codegen, {rec['arrow_python_ops']} arrow-py"
+            + (f"  [{','.join(flags)}]" if flags else "")
+        )
+    n_flagged = sum(
+        1
+        for r in records.values()
+        if r.get("kind") == "batch"
+        and (r.get("cartesian") or r.get("python_row_udf"))
+    )
+    summary = {
+        "queries": len(records),
+        "flagged": n_flagged,
+        "errors": sum(1 for r in records.values() if "err" in r),
+        "sf_dir": SF_DIR,
+    }
+    print(json.dumps(summary))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"summary": summary, "plans": records}, f, indent=1, sort_keys=True)
+    return 1 if (summary["flagged"] or summary["errors"]) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

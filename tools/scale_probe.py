@@ -72,20 +72,35 @@ def build_big(spark) -> None:
             for k in keys:
                 rep = rep.withColumn(k, F.col(k) + F.lit(i * OFF))
             if t == "documents" and i > 0:
-                # per-replica marker keeps near-dup groups replica-local.
-                # One token is enough for shingle-based families
-                # (MinHash/Jaccard: the shingle set changes) but NOT for
-                # SimHash, which is robust to one-token edits BY DESIGN —
-                # a single marker left replica signatures within 3
-                # Hamming bits of each other, so chunk buckets held all
-                # 10 replicas and the r5 probe measured the WORKLOAD
-                # (real cross-replica near-dups) growing quadratically,
-                # not the engine.  Repeating the marker shifts every
-                # simhash bit-vote by 8 and pushes replicas past the
-                # Hamming budget.
-                marker = " " + " ".join([f"zrep{i}x{j}" for j in range(8)])
+                # per-replica PER-TOKEN suffix keeps near-dup groups
+                # replica-local for every text family at once.  An
+                # appended marker (the r4/r5-early scheme) is not
+                # enough: it changes only the trailing shingles, so the
+                # bulk of each document's shingle set stayed identical
+                # across replicas — shingle document-frequency grew
+                # ×replicas and the containment/Jaccard inverted-index
+                # join measured the WORKLOAD (real cross-replica
+                # near-dups, quadratic by definition) instead of the
+                # engine (the r5 probe's 64× containment entry).  A
+                # bijective token map preserves the within-replica
+                # near-dup structure exactly while making shingle sets,
+                # minhash signatures, simhash votes, dup-span grams and
+                # line-dedup segments all replica-disjoint — the same
+                # "joins stay replica-local" contract the fact tables
+                # get from key offsets.
+                suffix = f"zr{i}"
                 rep = rep.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(marker))
+                    "text",
+                    F.when(
+                        F.col("text").isNotNull(),
+                        F.array_join(
+                            F.transform(
+                                F.split(F.col("text"), r"\s+"),
+                                lambda tok: F.concat(tok, F.lit(suffix)),
+                            ),
+                            " ",
+                        ),
+                    ),
                 )
             if t == "customer" and i > 0:
                 # same for record linkage: replicated c_names are
@@ -258,6 +273,12 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--out", default="SCALEPROBE_r05.json")
     ap.add_argument("--keep", action="store_true", help="keep the big dataset")
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="probe only these queries (skips the adversarial battery)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("res2df-spark-scale-probe")
@@ -274,6 +295,8 @@ def main() -> None:
     queries = list(
         dict.fromkeys(list(HEADLINE) + ["dedup_minhash_capped", "semantic_dedup"])
     )
+    if args.only is not None:
+        queries = [q for q in queries if q in set(args.only)] or list(args.only)
     # warm up both directories (JVM, parquet footers)
     run_one(spark, "dedup_exact", SMALL_DIR, 1)
     run_one(spark, "dedup_exact", BIG_DIR, 1)
@@ -303,6 +326,11 @@ def main() -> None:
                   file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — isolate per query
             out[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+
+    if args.only is not None:
+        print(json.dumps({k: v for k, v in out.items()}), file=sys.stderr)
+        print(json.dumps({"only": list(out)}))
+        return
 
     print("adversarial capped-operator probe ...", file=sys.stderr)
     adversarial = probe_adversarial(spark)
