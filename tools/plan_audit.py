@@ -45,6 +45,41 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
 
+#: BroadcastNestedLoopJoin is the CORRECT plan for two families this
+#: engine uses deliberately; anything else containing one is flagged.
+#: (a) a one-row / bounded model or stats table joined with no key —
+#:     codebooks, centroid tables, char-LM LUTs, corpus-level stats,
+#:     mixture weights: broadcast of a bounded artifact, corpus-side
+#:     map-only;
+#: (b) a non-equi join whose broadcast side is a small dim — wildcard
+#:     pattern match, date-range bracketing, K-range lumping, or a
+#:     broadcast query/probe set against the corpus (brute-force ANN /
+#:     shortlist rerank by design).
+BNLJ_INTENTIONAL = {
+    "ann_cosine_topk": "broadcast query set x corpus: brute-force ANN by design",
+    "ann_lsh_bucketed": "broadcast probe set; bucket join bounds the corpus side",
+    "ann_lsh_multiprobe": "broadcast probe set; bucket join bounds the corpus side",
+    "ann_ivf_topk": "broadcast query+centroid tables; probed-list join",
+    "pq_recall": "broadcast codebook + query tables (bounded artifacts)",
+    "kmeans_assign": "broadcast centroid table, map-side argmin",
+    "semantic_dedup": "broadcast coarse+fine centroid tables (two-level)",
+    "semantic_novelty": "broadcast persisted cluster index stats",
+    "dedup_embedding_cosine": "broadcast query embeddings x corpus by design",
+    "lm_quality": "broadcast one-row char-LM LUT (alphabet-bounded)",
+    "tfidf_topk": "broadcast one-row corpus df table (vocab-bounded)",
+    "vocab_topk": "broadcast one-row totals table",
+    "bm25_topk": "broadcast one-row corpus stats (N, avgdl)",
+    "dsir_weights": "broadcast one-row source/target LM tables (bounded)",
+    "nb_quality_score": "broadcast one-row NB model table (bounded)",
+    "temperature_mix": "broadcast one-row mixture-weight table",
+    "mix_plan": "broadcast one-row plan table",
+    "decayed_user_value": "broadcast one-row reference-time table",
+    "r3_wildcard_expand": "non-equi rlike join; broadcast side = pattern list",
+    "w7_tree_snapshot": "non-equi date-range join; broadcast side = snapshot dates",
+    "w8_resample_linear": "non-equi bracketing join; broadcast side = date spine",
+    "compdat_pipeline": "non-equi K-range COMPLUMP join; broadcast side = lump table",
+}
+
 
 def explain_string(spark, df, mode: str) -> str:
     qe = df._jdf.queryExecution()
@@ -135,6 +170,10 @@ def main() -> int:
     only = set(argv)
 
     spark = get_spark("plan-audit")
+    # AQE wraps every plan in AdaptiveSparkPlan, which hides whole-stage
+    # codegen ids until execution; the audit wants the static plan's
+    # codegen spans (scan hygiene / operator choice are identical)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     records: dict[str, dict] = {}
     bad = 0
     for name, fn in suite.QUERIES.items():
@@ -147,14 +186,17 @@ def main() -> int:
             print(f"ERR  {name}: {e}")
             bad += 1
             continue
-        records[name] = rec
         flags = []
         if rec["cartesian"]:
             flags.append("CARTESIAN")
         if rec["python_row_udf"]:
             flags.append("ROW_UDF")
         if rec["nested_loop_join"]:
-            flags.append("bnlj")
+            if name in BNLJ_INTENTIONAL:
+                rec["bnlj_reason"] = BNLJ_INTENTIONAL[name]
+            else:
+                flags.append("BNLJ_UNEXPLAINED")
+        records[name] = rec
         if flags and rec["kind"] == "batch":
             bad += 1
         shuffles = (
@@ -171,9 +213,13 @@ def main() -> int:
         )
     n_flagged = sum(
         1
-        for r in records.values()
+        for name, r in records.items()
         if r.get("kind") == "batch"
-        and (r.get("cartesian") or r.get("python_row_udf"))
+        and (
+            r.get("cartesian")
+            or r.get("python_row_udf")
+            or (r.get("nested_loop_join") and name not in BNLJ_INTENTIONAL)
+        )
     )
     summary = {
         "queries": len(records),
