@@ -347,3 +347,32 @@ def test_sessionize_events_single_exchange(spark):
     # hash partitioning on user_id
     plan = _plan(spark, "sessionize_events")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_plan_audit_extraction(spark):
+    """tools/plan_audit.py's regexes must keep parsing Spark's formatted
+    explain (operator headers, Exchange Arguments lines, parquet scan
+    details) — this pins the extraction against Spark version drift."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.plan_audit import audit_one
+
+    from res2df_spark import suite
+
+    rec = audit_one(spark, "j4_region_revenue", suite.QUERIES["j4_region_revenue"])
+    assert not rec["cartesian"] and not rec["python_row_udf"]
+    assert rec["broadcast_exchanges"] >= 1      # dim-chain broadcasts
+    assert rec["scans"], "parquet scan details must parse"
+    assert any(s["read_columns"] for s in rec["scans"])
+    rec2 = audit_one(
+        spark, "dedup_minhash_lsh", suite.QUERIES["dedup_minhash_lsh"]
+    )
+    total_ex = (
+        rec2["exchanges_hash"]
+        + rec2["exchanges_range"]
+        + rec2["exchanges_single"]
+        + rec2["exchanges_roundrobin"]
+    )
+    assert total_ex >= 2, rec2   # banding aggregates genuinely shuffle
