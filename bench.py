@@ -79,6 +79,7 @@ HEADLINE = [
     "pagerank_entities",       # 3-iteration graph rank, lineage-truncated (round 5)
     "value_anomalies",         # per-key z-score outliers (round 5)
     "dedup_minhash_verified",  # candidates -> exact-Jaccard verify (round 5)
+    "minhash_recall",          # LSH recall vs exact-Jaccard truth (round 5)
     "curation_pipeline3",      # dedup -> soft weights -> top-k chain (round 5)
 ]
 

@@ -910,3 +910,53 @@ def minhash_verified_pairs(
             (jac >= F.lit(threshold)).alias("is_dup"),
         )
     )
+
+
+def minhash_recall(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int | None = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Measured recall of MinHash-LSH candidate generation against the
+    EXACT Jaccard truth — the quality gate for the banding parameters
+    (the minhash analogue of similarity.recall_at_k for PQ): one row
+    (n_true, n_caught, recall) where truth = pairs with shingle-set
+    Jaccard ≥ ``threshold`` from the inverted-index join and caught =
+    truth pairs that LSH banding also proposed.
+
+    This is an OFFLINE calibration operator: the exact truth side costs
+    the full inverted-index pair join, so it runs on a sample or a
+    validation slice, never the production corpus — its output is the
+    evidence that (num_hashes, band_size) meet the recall bar before a
+    capped production run (:func:`minhash_verified_pairs`).
+    """
+    truth = ngram_jaccard_pairs(
+        docs, id_col, text_col, threshold=threshold, shingle_k=shingle_k
+    ).select("d1", "d2")
+    cand = (
+        minhash_lsh_candidates(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            shingle_k=shingle_k,
+        )
+        .select("d1", "d2", F.lit(1).alias("__hit"))
+    )
+    joined = truth.join(cand, ["d1", "d2"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_caught"),
+    ).select(
+        "n_true",
+        "n_caught",
+        F.when(
+            F.col("n_true") > 0,
+            F.round(F.col("n_caught") / F.col("n_true"), 6),
+        ).alias("recall"),
+    )

@@ -4770,3 +4770,42 @@ def dedup_containment_capped(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return containment_pairs(docs, threshold=0.8, shingle_k=3, max_token_df=5)
+
+
+_MINHASH_RECALL_SQL = _MINHASH_BANDS_SQL + """
+    , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    shared AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS n_shared
+               FROM sh s1 JOIN sh s2 USING (shingle)
+               WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2),
+    truth AS (SELECT d1, d2 FROM shared
+              JOIN sizes z1 ON z1.doc_id = d1
+              JOIN sizes z2 ON z2.doc_id = d2
+              WHERE n_shared / CAST(z1.sz + z2.sz - n_shared AS DOUBLE) >= 0.7),
+    cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+             FROM bands b1 JOIN bands b2 USING (band_idx, band_key)
+             WHERE b1.doc_id < b2.doc_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_caught,
+           CASE WHEN count(*) > 0
+                THEN CAST(round(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END)
+                                / CAST(count(*) AS DOUBLE), 6) AS DOUBLE)
+           END AS recall
+    FROM truth t LEFT JOIN cand c ON c.d1 = t.d1 AND c.d2 = t.d2
+"""
+
+
+@_q("minhash_recall", _MINHASH_RECALL_SQL)
+def minhash_recall_q(spark, sf_dir):
+    """LSH banding recall vs exact Jaccard truth
+    (llm/dedup.minhash_recall): the offline calibration gate proving
+    (num_hashes=16, band_size=4) catch the Jaccard≥0.7 pairs before a
+    capped production run — the minhash analogue of the pq_recall
+    quality query.  The oracle recomputes both the exact inverted-index
+    truth and the banding candidates in SQL and takes the same ratio."""
+    from res2df_spark.llm.dedup import minhash_recall
+
+    docs = Catalog(spark, sf_dir).documents
+    return minhash_recall(
+        docs, num_hashes=16, band_size=4, shingle_k=3, threshold=0.7
+    )
