@@ -81,19 +81,23 @@ def pagerank(
     )
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     base = nodes.crossJoin(broadcast(n_row)).localCheckpoint(eager=True)
+    # per-edge mass share (__w / outdeg-sum) is iteration-invariant:
+    # materialize it ONCE instead of re-running the out-degree join +
+    # aggregate inside every round — each iteration is then exactly one
+    # join on the rank vector plus one partial-aggregated groupBy
     outdeg = e.groupBy("__src").agg(F.sum("__w").alias("__deg"))
+    shares = (
+        e.join(outdeg, "__src")
+        .select("__src", "__dst", (F.col("__w") / F.col("__deg")).alias("__share"))
+        .localCheckpoint(eager=True)
+    )
 
     ranks = base.select("node", (F.lit(1.0) / F.col("__n")).alias("rank"))
     for _ in range(iterations):
         contrib = (
-            e.join(outdeg, "__src")
-            .join(ranks, e["__src"] == ranks["node"])
+            shares.join(ranks, shares["__src"] == ranks["node"])
             .groupBy("__dst")
-            .agg(
-                F.sum(
-                    F.col("rank") * F.col("__w") / F.col("__deg")
-                ).alias("__m")
-            )
+            .agg(F.sum(F.col("rank") * F.col("__share")).alias("__m"))
         )
         ranks = (
             base.join(contrib, base["node"] == contrib["__dst"], "left")
