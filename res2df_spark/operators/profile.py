@@ -40,8 +40,11 @@ def profile_table(
             F.count(F.lit(1)).alias(f"__n_{c}"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
             distinct(c).alias(f"__nd_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+            # min/max on the NATIVE type, rendered to string afterwards —
+            # casting first would make numeric extremes lexicographic
+            # (min of [9, 10] = '10')
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
         ]
     one = df.agg(*aggs)
     rows = F.array(

@@ -3592,8 +3592,8 @@ _PROFILE_SQL = """
     SELECT 'doc_id' AS column, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
-           min(CAST(doc_id AS VARCHAR)) AS min_str,
-           max(CAST(doc_id AS VARCHAR)) AS max_str
+           CAST(min(doc_id) AS VARCHAR) AS min_str,
+           CAST(max(doc_id) AS VARCHAR) AS max_str
     FROM documents
     UNION ALL
     SELECT 'source', CAST(count(*) AS BIGINT),

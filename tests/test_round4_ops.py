@@ -255,6 +255,12 @@ def test_profile_table_generic(spark):
     assert got["id"].n_distinct == 3
     assert got["s"].n_distinct == 2 and got["s"].min_str == "a"
     assert got["v"].n_nulls == 2
+    # extremes are computed on the NATIVE type, then rendered: a
+    # string-cast-first min would report lexicographic extremes
+    # (min of [5.0, 6.0] stays '5.0', but min of [9, 10] must be '9')
+    wide = spark.createDataFrame([(9,), (10,)], "n int")
+    prof = {r.column: r for r in profile_table(wide).collect()}
+    assert prof["n"].min_str == "9" and prof["n"].max_str == "10"
     # approximate path returns the same shape
     approx = {r.column: r.n_distinct for r in profile_table(df, exact_distinct=False).collect()}
     assert set(approx) == {"id", "s", "v"}
