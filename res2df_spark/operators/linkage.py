@@ -53,11 +53,17 @@ def blocked_fuzzy_pairs(
     b = side.select(
         F.col(id_col).alias("id2"), F.col(name_col).alias("name2"), *blocks
     )
-    dist = F.levenshtein("name1", "name2")
+    # the threshold form early-exits the DP once the distance is proven
+    # above the bound — per-pair cost O(k·min(|a|,|b|)) instead of
+    # O(|a|·|b|); pairs above the bound return -1
+    dist = F.levenshtein(F.col("name1"), F.col("name2"), max_edit_distance)
     return (
         a.join(b, list(block_cols))
         .filter(F.col("id1") < F.col("id2"))
         .withColumn("edit_dist", dist.cast("long"))
-        .filter(F.col("edit_dist") <= max_edit_distance)
+        .filter(
+            (F.col("edit_dist") >= 0)
+            & (F.col("edit_dist") <= max_edit_distance)
+        )
         .select("id1", "id2", "name1", "name2", "edit_dist")
     )
