@@ -265,6 +265,16 @@ def probe_adversarial(spark) -> dict:
         containment_pairs(docs, threshold=0.5, shingle_k=3, max_token_df=64),
         int(ct_dropped),
     )
+    # the candidates→verify pipeline: with the bucket cap on, the
+    # verification join's input is empty, so the full pipeline stays
+    # bounded even though verification cost is ∝ candidate density
+    from res2df_spark.llm.dedup import minhash_verified_pairs
+
+    rec(
+        "dedup_minhash_verified",
+        minhash_verified_pairs(docs, max_bucket_size=64),
+        mh_stats.filter(F.col("dropped")).count(),
+    )
     return out
 
 
