@@ -289,7 +289,25 @@ def main() -> None:
         default=None,
         help="probe only these queries (skips the adversarial battery)",
     )
+    ap.add_argument(
+        "--adversarial-only",
+        action="store_true",
+        help="re-run just the degenerate-corpus battery and merge its "
+        "results into an existing --out artifact (no 10x build)",
+    )
     args = ap.parse_args()
+
+    if args.adversarial_only:
+        spark = get_spark("res2df-spark-scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        adversarial = probe_adversarial(spark)
+        with open(args.out) as f:
+            record = json.load(f)
+        record["adversarial"] = adversarial
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(json.dumps({"adversarial": adversarial}))
+        return
 
     spark = get_spark("res2df-spark-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
