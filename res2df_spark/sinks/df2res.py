@@ -217,7 +217,10 @@ def df2res_vfpprod(df: DataFrame) -> str:
         # groupby would silently drop those rows, so raise instead.
         if tbl["ALQ"].isna().all():
             tbl["ALQ"] = 0.0
-        for name in ("THP", "WFR", "GFR", "ALQ"):
+        # RATE included: a NaN flow value would drop from the flow-axis
+        # vector while its BHP still rendered into the value record —
+        # a silently misaligned table
+        for name in ("THP", "WFR", "GFR", "ALQ", "RATE"):
             if tbl[name].isna().any():
                 raise ValueError(
                     f"VFPPROD table {table}: NaN in axis column {name}"
@@ -320,10 +323,12 @@ def df2res_vfpinj(df: DataFrame) -> str:
     for table in sorted(pdf["TABLE"].unique()):
         tbl = pdf[pdf["TABLE"] == table]
         datum = float(tbl["DATUM"].iloc[0])
-        if tbl["THP"].isna().any():
+        for name in ("THP", "RATE"):
             # pandas groupby/filter-by-equality would silently drop
-            # NaN-THP rows, emitting a table missing value records
-            raise ValueError(f"VFPINJ table {table}: NaN in THP axis")
+            # NaN-THP rows (and a NaN RATE would misalign BHP against
+            # the flow axis), emitting a corrupt table
+            if tbl[name].isna().any():
+                raise ValueError(f"VFPINJ table {table}: NaN in {name} axis")
         thps = sorted(tbl["THP"].dropna().unique())
         flow = sorted(tbl["RATE"].dropna().unique())
         out.append("VFPINJ")

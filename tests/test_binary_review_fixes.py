@@ -142,6 +142,24 @@ def test_df2res_vfp_nan_axis_raises(spark):
     )
     with pytest.raises(ValueError, match="THP"):
         df2res_vfpinj(inj)
+    # RATE too: a NaN flow value would vanish from the flow axis while
+    # its BHP still rendered, misaligning every value record
+    prod_rate = spark.createDataFrame(
+        [
+            (1, 100.0, 10.0, 0.0, 0.0, 0.0, 50.0, 200.0),
+            (1, 100.0, 10.0, 0.0, 0.0, 0.0, None, 210.0),
+        ],
+        "TABLE int, DATUM double, THP double, WFR double, GFR double, "
+        "ALQ double, RATE double, BHP double",
+    )
+    with pytest.raises(ValueError, match="RATE"):
+        df2res_vfpprod(prod_rate)
+    inj_rate = spark.createDataFrame(
+        [(1, 100.0, 10.0, 50.0, 200.0), (1, 100.0, 10.0, None, 210.0)],
+        "TABLE int, DATUM double, THP double, RATE double, BHP double",
+    )
+    with pytest.raises(ValueError, match="RATE"):
+        df2res_vfpinj(inj_rate)
 
 
 def test_df2res_grid_property_empty_raises(spark):

@@ -89,15 +89,21 @@ def explain_string(spark, df, mode: str) -> str:
 
 def scan_features(plan: str) -> list[dict]:
     """Per-scan PushedFilters / ReadSchema width from the formatted
-    plan's operator-detail section."""
+    plan's operator-detail section.  Each `(N) OpName` detail block is
+    isolated FIRST so a block missing its ReadSchema line (format
+    drift, truncated output) can never bleed the lazy search into the
+    next scan's details."""
     scans = []
-    # detail blocks look like:  (1) Scan parquet \n ... PushedFilters: [...] \n ReadSchema: struct<...>
-    for m in re.finditer(
-        r"\(\d+\) Scan parquet ?\S*\n(?:.*\n)*?(?:PushedFilters: \[(?P<pf>[^\]]*)\]\n)?(?:.*\n)*?ReadSchema: (?P<rs>.*)",
-        plan,
-    ):
-        pf = (m.group("pf") or "").strip()
-        rs = m.group("rs") or ""
+    # split the detail section into per-operator blocks at each
+    # column-0 '(N) ' header; keep header with its block body
+    blocks = re.split(r"(?m)^(?=\(\d+\) )", plan)
+    for block in blocks:
+        if not re.match(r"\(\d+\) Scan parquet", block):
+            continue
+        pf_m = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        rs_m = re.search(r"ReadSchema: (.*)", block)
+        pf = (pf_m.group(1) if pf_m else "").strip()
+        rs = rs_m.group(1) if rs_m else ""
         ncols = rs.count(":") if rs.startswith("struct<") else None
         scans.append(
             {
@@ -168,6 +174,12 @@ def main() -> int:
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     only = set(argv)
+    unknown = only - set(suite.QUERIES)
+    if unknown:
+        # a typo'd name must not produce a green zero-query audit
+        print(f"unknown quer{'y' if len(unknown) == 1 else 'ies'}: "
+              f"{sorted(unknown)}")
+        return 2
 
     spark = get_spark("plan-audit")
     # AQE wraps every plan in AdaptiveSparkPlan, which hides whole-stage
@@ -175,7 +187,6 @@ def main() -> int:
     # codegen spans (scan hygiene / operator choice are identical)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     records: dict[str, dict] = {}
-    bad = 0
     for name, fn in suite.QUERIES.items():
         if only and name not in only:
             continue
@@ -184,7 +195,6 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             records[name] = {"err": str(e)[:300]}
             print(f"ERR  {name}: {e}")
-            bad += 1
             continue
         flags = []
         if rec["cartesian"]:
@@ -197,8 +207,6 @@ def main() -> int:
             else:
                 flags.append("BNLJ_UNEXPLAINED")
         records[name] = rec
-        if flags and rec["kind"] == "batch":
-            bad += 1
         shuffles = (
             rec["exchanges_hash"]
             + rec["exchanges_range"]

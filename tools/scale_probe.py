@@ -267,13 +267,23 @@ def probe_adversarial(spark) -> dict:
     )
     # the candidates→verify pipeline: with the bucket cap on, the
     # verification join's input is empty, so the full pipeline stays
-    # bounded even though verification cost is ∝ candidate density
+    # bounded even though verification cost is ∝ candidate density.
+    # Drop accounting comes from bucket stats built with the SAME
+    # banding parameters the pipeline runs (16 hashes, band 4,
+    # 3-shingles) — the earlier mh_stats describes a different config.
     from res2df_spark.llm.dedup import minhash_verified_pairs
 
+    mv_dropped = (
+        minhash_lsh_bucket_stats(
+            docs, num_hashes=16, band_size=4, shingle_k=3, max_bucket_size=64
+        )
+        .filter(F.col("dropped"))
+        .count()
+    )
     rec(
         "dedup_minhash_verified",
         minhash_verified_pairs(docs, max_bucket_size=64),
-        mh_stats.filter(F.col("dropped")).count(),
+        int(mv_dropped),
     )
     return out
 
@@ -298,6 +308,13 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.adversarial_only:
+        if not os.path.exists(args.out):
+            print(
+                f"--adversarial-only merges into an existing artifact; "
+                f"{args.out} not found (run a full probe first)",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         spark = get_spark("res2df-spark-scale-probe")
         spark.sparkContext.setLogLevel("ERROR")
         adversarial = probe_adversarial(spark)
@@ -358,6 +375,8 @@ def main() -> None:
     if args.only is not None:
         print(json.dumps({k: v for k, v in out.items()}), file=sys.stderr)
         print(json.dumps({"only": list(out)}))
+        if not args.keep:
+            shutil.rmtree(os.path.dirname(BIG_DIR), ignore_errors=True)
         return
 
     print("adversarial capped-operator probe ...", file=sys.stderr)
