@@ -14,9 +14,25 @@ import re
 from pyspark.sql import Column, functions as F
 
 
-def well_template_to_regex(template: str) -> str:
-    """Glob well template → anchored regex string (driver-side, templates
-    are query constants)."""
+def well_template_to_regex(
+    template: str, anchored_end: bool = True, reject_leading_wildcard: bool = False
+) -> str:
+    """Glob well template → regex string (driver-side, templates are
+    query constants).
+
+    ``anchored_end=False`` reproduces the reference well matcher's
+    PREFIX semantics (common.py:980 uses bare ``re.match`` with no
+    ``$``: 'OP*1' matches OP213 because 'OP.*1' prefix-matches it) —
+    the WELOPEN/WLIST well-matching path needs that form; summary
+    column-key matching stays fully anchored (resdata fnmatch
+    semantics).  ``reject_leading_wildcard=True`` raises the
+    reference's ValueError for templates starting with ``*``/``?``
+    unless escaped with a leading backslash (common.py:973-977)."""
+    if reject_leading_wildcard and template.startswith(("*", "?")):
+        raise ValueError(
+            "Well template not allowed to start with a wildcard character: "
+            f"Must be preceded with a \\: {template}"
+        )
     # the reference strips a leading backslash and STILL expands
     # wildcards ('\*P1' matches every well ending in P1); it exists
     # only because a BARE leading wildcard means a well list elsewhere
@@ -29,7 +45,7 @@ def well_template_to_regex(template: str) -> str:
             out.append(".")
         else:
             out.append(re.escape(ch))
-    return "^" + "".join(out) + "$"
+    return "^" + "".join(out) + ("$" if anchored_end else "")
 
 
 def matches_template(col: Column | str, template: str) -> Column:

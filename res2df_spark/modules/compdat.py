@@ -20,6 +20,8 @@ data they describe).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import broadcast
 
@@ -32,6 +34,8 @@ from res2df_spark.sources.deck import (
     parse_deck,
     schedule_events,
 )
+
+_logger = logging.getLogger(__name__)
 
 
 def _with_dates(df: DataFrame, events: DataFrame) -> DataFrame:
@@ -54,16 +58,57 @@ def _with_dates(df: DataFrame, events: DataFrame) -> DataFrame:
     )
 
 
-def df(spark: SparkSession, deck_text: str) -> DataFrame:
+def df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
     """Deck text → connection table
-    (WELL, I, J, K, OP_SH, DATE, SATN, KH, SKIN)."""
+    (WELL, I, J, K, OP_SH, DATE, SATN, KH, SKIN).
+
+    ``records``: pre-parsed ``fill_dates(parse_deck(...))`` output —
+    lets :func:`dfs` parse the deck once for every frame family."""
     from res2df_spark.modules.wlist import expand_welopen_wlists
 
     # ONE driver-side parse: dates stamped at the parse layer (W1 over
     # deck-bounded text) and ``*LIST`` well references in WELOPEN
     # expanded against the running WLIST state at each record's deck
     # position (reference compdat.py:769-801).
-    dated = expand_welopen_wlists(fill_dates(parse_deck(deck_text)))
+    if records is None:
+        records = fill_dates(parse_deck(deck_text))
+    dated = expand_welopen_wlists(records)
+    # defaulted COMPDAT I/J require a WELSPECS seen EARLIER in the deck
+    # to fill from — the reference raises, never emits NULL coordinates
+    # (compdat.py:132-143)
+    seen_wells: set = set()
+    for r in dated:
+        if r["KEYWORD"] == "WELSPECS":
+            seen_wells.add(r["WELL"])
+        elif r["KEYWORD"] == "COMPDAT":
+            for coord in ("I", "J"):
+                if r[coord] in (None, 0) and r["WELL"] not in seen_wells:
+                    raise ValueError(
+                        f"WELSPECS must be provided when {coord} is "
+                        "defaulted in COMPDAT"
+                    )
+        elif r["KEYWORD"] == "COMPLUMP":
+            # reference unroll_complump validation (compdat.py:499-513):
+            # negative coordinates and inverted K ranges raise.
+            # DEFAULTED (0/None) coordinates are a documented EXTENSION:
+            # the reference refuses them outright ("Defaulted COMPLUMP
+            # coordinates are not supported in res2df") while this
+            # engine implements the simulator's wildcard semantics — a
+            # defaulted coordinate matches every connection (see the
+            # lump join below and tests/test_deck_compdat.py::
+            # test_complump_fully_defaulted_is_wildcard).
+            coords = [r[c] for c in ("I", "J", "K1", "K2")]
+            if any(v is not None and v < 0 for v in coords):
+                raise ValueError(
+                    "Negative values for COMPLUMP coordinates are not "
+                    f"allowed: {r}"
+                )
+            if (
+                r["K1"] is not None
+                and r["K2"] is not None
+                and r["K2"] < r["K1"]
+            ):
+                raise ValueError(f"K2 must be equal to or greater than K1: {r}")
     compdat = deck_records(spark, deck_text, "COMPDAT", records=dated)
     welspecs = deck_records(spark, deck_text, "WELSPECS", records=dated)
     wo_recs = [r for r in dated if r["KEYWORD"] == "WELOPEN"]
@@ -74,6 +119,20 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
                 "Both or none of the completion numbers G1/C2 in WELOPEN "
                 f"must be defined (well {r['WELL']!r})"
             )
+        if r["STATUS"] not in ("OPEN", "SHUT", "STOP", "AUTO", "POPN"):
+            # reference compdat.py:180-188 coerces invalid statuses to
+            # SHUT with a warning instead of emitting an unknown OP/SH
+            _logger.warning(
+                "WELOPEN status %s is not a valid COMPDAT state. "
+                "Using 'SHUT' instead.",
+                r["STATUS"],
+            )
+    wo_recs = [
+        {**r, "STATUS": "SHUT"}
+        if r["STATUS"] not in ("OPEN", "SHUT", "STOP", "AUTO", "POPN")
+        else r
+        for r in wo_recs
+    ]
 
     # W2: WELSPECS head-location fill.  Union the header rows, ffill the
     # head coords per well over deck order, apply to defaulted I/J.
@@ -152,10 +211,20 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
     # R3: wildcard wells expand against wells defined at <= action date.
     # Records are already driver-side, so the glob→regex translation
     # happens in place — no collect round trip.
+    # wildcard templates use the reference matcher's PREFIX semantics
+    # (bare re.match, no $ — common.py:980: 'OP*1' matches OP213) and
+    # reject a leading wildcard; exact names stay fully anchored
+    def _wo_regex(well: str) -> str:
+        if "*" in well or "?" in well:
+            return well_template_to_regex(
+                well, anchored_end=False, reject_leading_wildcard=True
+            )
+        return well_template_to_regex(well)
+
     actions = spark.createDataFrame(
         [
             (
-                r["WELL"], well_template_to_regex(r["WELL"]), r["STATUS"],
+                r["WELL"], _wo_regex(r["WELL"]), r["STATUS"],
                 r["I"], r["J"], r["K"], r["C1"], r["C2"],
                 r["DATE"], r["KEYWORD_IDX"], r["RECORD_IDX"],
             )
@@ -344,7 +413,7 @@ def dfs(spark: SparkSession, deck_text: str, unroll: bool = True) -> dict[str, D
     connection/segment frame the schedule section defines."""
     recs = fill_dates(parse_deck(deck_text))
     return {
-        "COMPDAT": df(spark, deck_text),
+        "COMPDAT": df(spark, deck_text, records=recs),
         "WELSEGS": welsegs_df(spark, deck_text, unroll=unroll, records=recs),
         "COMPSEGS": compsegs_df(spark, deck_text, records=recs),
         "WSEGSICD": wsegsicd_df(spark, deck_text, unroll=unroll, records=recs),

@@ -170,10 +170,15 @@ def df(
         snaps = snaps.unionByName(s)
     snaps = snaps.distinct().select("FAM", F.col("DATE").alias("SD"))
 
-    # snapshot grid: every family snapshot date × every (KIND, CHILD)
-    # that family's logs ever mention — equality join on FAM, both
-    # sides deck-bounded
-    children = log.select("FAM", "KIND", "CHILD").distinct()
+    # snapshot grid: every family snapshot date × every (KIND, CHILD,
+    # PARENT) EDGE the family's logs ever mention — keyed by the edge
+    # pair, not the child, because the reference ACCUMULATES edges in a
+    # dict indexed by (child, parent) (gruptree.py:73-79,135): after a
+    # reparent the abandoned parent's edge stays in the tree (and the
+    # abandoned parent keeps its root row); only the final per-(DATE,
+    # CHILD, KEYWORD) dedup below picks one surviving row per child.
+    # Equality join on FAM, both sides deck-bounded.
+    children = log.select("FAM", "KIND", "CHILD", "PARENT").distinct()
     grid = snaps.join(broadcast(children), "FAM")
 
     # ONE union-window as-of pass: latest whole record per
@@ -182,9 +187,9 @@ def df(
     # snapshot-grid × log range join + keep-last window, twice per
     # family — was quadratic in snapshots and dominated wall time)
     snap = snapshot_latest(
-        log, grid, keys=["FAM", "KIND", "CHILD"], snap_col="SD",
+        log, grid, keys=["FAM", "KIND", "CHILD", "PARENT"], snap_col="SD",
         time_col="DATE", order_by=["KEYWORD_IDX", "RECORD_IDX"],
-        payload_cols=["KEYWORD_IDX", "KEYWORD", "PARENT", *_EDGE_COLS],
+        payload_cols=["KEYWORD_IDX", "KEYWORD", *_EDGE_COLS],
     ).filter(F.col("KEYWORD_IDX").isNotNull())
     # `snap` fans out to tree/wells/tkeys/roots — Spark re-executes a
     # referenced subtree per reference (no cross-reference reuse), so
@@ -192,10 +197,12 @@ def df(
     snap = snap.localCheckpoint(eager=True)
 
     tree = snap.filter(F.col("KIND") == "E").select(
-        "FAM", "SD", "CHILD", "PARENT", "KEYWORD", *_EDGE_COLS,
+        "FAM", "SD", "CHILD", "PARENT", "KEYWORD",
+        F.col("KEYWORD_IDX").alias("__IDX"), *_EDGE_COLS,
     )
     wells = snap.filter(F.col("KIND") == "W").select(
         "FAM", "SD", "CHILD", "PARENT", "KEYWORD",
+        F.col("KEYWORD_IDX").alias("__IDX"),
         *[F.lit(None).cast(snap.schema[c].dataType).alias(c) for c in _EDGE_COLS],
     )
     tkeys = broadcast(
@@ -232,6 +239,7 @@ def df(
         .select(
             "FAM", "SD", "CHILD", F.lit("FIELD").alias("PARENT"),
             treetype_col.alias("KEYWORD"),
+            F.lit(None).cast("long").alias("__IDX"),
             *[F.lit(None).cast(snap.schema[c].dataType).alias(c)
               for c in _EDGE_COLS],
         )
@@ -254,6 +262,7 @@ def df(
         .select(
             "FAM", "SD", "CHILD", F.lit(None).cast("string").alias("PARENT"),
             treetype_col.alias("KEYWORD"),
+            F.lit(None).cast("long").alias("__IDX"),
             *[F.lit(None).cast(snap.schema[c].dataType).alias(c)
               for c in _EDGE_COLS],
         )
@@ -274,7 +283,7 @@ def df(
         fam, keys=["FAM", "CHILD"], snap_col="SD", time_col="DATE",
         order_by=["KEYWORD_IDX", "RECORD_IDX"],
         payload_cols=_NODE_COLS,
-        carry_cols=["PARENT", "KEYWORD", *_EDGE_COLS],
+        carry_cols=["PARENT", "KEYWORD", "__IDX", *_EDGE_COLS],
         payload_prefix="N_",
     )
     merged_cols = []
@@ -286,14 +295,23 @@ def df(
     extra_edge = [F.col(c).alias(c) for c in _EDGE_COLS if c not in _NODE_COLS]
     out = fam.select(
         F.col("SD").alias("DATE"), "CHILD", "PARENT", "KEYWORD",
-        *merged_cols, *extra_edge, F.col("FAM").alias("__FAM"),
+        *merged_cols, *extra_edge, F.col("FAM").alias("__FAM"), "__IDX",
     )
     # duplicate (DATE, CHILD, KEYWORD) rows keep the last family's row
-    # (WELSPECS rows present under both trees — reference keep='last',
-    # gruptree.py:178-182)
+    # (WELSPECS present under both trees) and, within a family, the
+    # child's LATEST-declared edge — the reference's final
+    # drop_duplicates(["DATE","CHILD","KEYWORD"], keep="last")
+    # (gruptree.py:178-182; its comment names both the WELSPECS and the
+    # reparent case).  Deliberate divergence from one reference quirk:
+    # the reference's record order is dict-INSERTION order, so an edge
+    # pair re-declared after a reparent keeps its ORIGINAL position and
+    # loses the dedup to the stale edge; here the latest declaration
+    # (KEYWORD_IDX) wins.  Root/graft rows carry NULL __IDX and never
+    # collide on these keys.
     return dedup_keep(
-        out, keys=["DATE", "CHILD", "KEYWORD"], order_by=["__FAM"], keep="last"
-    ).drop("__FAM")
+        out, keys=["DATE", "CHILD", "KEYWORD"], order_by=["__FAM", "__IDX"],
+        keep="last",
+    ).drop("__FAM", "__IDX")
 
 
 # ---------------------------------------------------------------------------

@@ -75,7 +75,12 @@ def resample(
     # Null-safe complement split: rates bfill, EVERYTHING else linear
     # (the reference linearly interpolates all non-rate vectors).  The
     # two conditions partition every null combination — a vector can
-    # never be silently dropped.
+    # never be silently dropped.  At spine dates PAST the last
+    # observation (the rolled-forward month/year boundary) a rate has
+    # no next sample; resample_asof falls back to the last value there
+    # — a deliberate clamp matching resdata's end-of-range behavior
+    # (its Summary interpolation never extrapolates to NaN); callers
+    # that want NULL-past-end can crop the spine to max(DATE) first.
     is_rate = F.coalesce(F.col("IS_RATE"), F.lit(False)) & ~F.coalesce(
         F.col("IS_TOTAL"), F.lit(False)
     )
@@ -150,18 +155,26 @@ def crop_mnemonic(
 def df(
     long: DataFrame,
     meta: DataFrame,
-    time_index: str = "monthly",
+    time_index: str | None = None,
     column_keys: Sequence[str] = (),
     wide: bool = True,
 ) -> DataFrame:
     """The reference's ``summary.df(resdatafiles, time_index,
     column_keys)`` equivalent over the long table + metadata dim.
 
-    ``time_index``: a frequency (daily/weekly/monthly/yearly → resample
-    with rate/total-aware interpolation), a mnemonic (raw/first/last →
+    ``time_index``: ``None`` (the default — raw report steps, matching
+    the reference's ``time_index=None`` default, summary.py:293-295), a
+    frequency (daily/weekly/monthly/yearly → resample with
+    rate/total-aware interpolation), a mnemonic (raw/first/last →
     crop, no interpolation), or an explicit ISO date / ``datetime.date``
     → interpolated point-in-time lookup at exactly that date (the
-    reference's ``time_index=datetime`` form, summary.py:125-127)."""
+    reference's ``time_index=datetime`` form, summary.py:125-127).
+
+    The resampling spine and the first/last dates resolve from the FULL
+    summary date range, not the ``column_keys``-filtered subset — the
+    reference always derives its time index from ``summary.dates``
+    (summary.py:360-375), so a vector first observed mid-run still
+    reads back to the run's global first date."""
     import datetime as _dt
     import re as _re
 
@@ -197,19 +210,22 @@ def df(
             one = F.lit(explicit).cast("timestamp")
         spine = long.sparkSession.range(1).select(one.alias("DATE"))
         res = resample(sel, meta, spine=spine)
-    elif time_index == "raw":
-        res = crop_mnemonic(sel, time_index)
+    elif time_index is None or time_index == "raw":
+        res = crop_mnemonic(sel, "raw")
     elif time_index in ("first", "last"):
         # a one-date spine + resample, NOT a date filter: a vector with
         # no observation exactly at the global min/max date must still
         # appear, interpolated/filled at that date (the reference
         # resolves first/last to a one-date index and reads every
-        # vector there, summary.py:88-127)
+        # vector there, summary.py:88-127).  The date comes from the
+        # UNFILTERED long table (summary.dates in the reference).
         agg = F.min("DATE") if time_index == "first" else F.max("DATE")
-        spine = sel.agg(agg.alias("DATE"))
+        spine = long.agg(agg.alias("DATE"))
         res = resample(sel, meta, spine=spine)
     else:
-        res = resample(sel, meta, freq=time_index)
+        # spine over the FULL summary range, applied to the selection
+        spine = spine_from_observations(long, "DATE", freq=time_index)
+        res = resample(sel, meta, spine=spine)
     return pivot_wide(res) if wide else res
 
 

@@ -180,6 +180,16 @@ HEADER_RECORD_KEYWORDS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, s
 #: (opm returns defaults for unspecified items — the reference relies
 #: on that in parse_opmio_deckrecord; values from the opmkeywords JSON).
 KEYWORD_DEFAULTS: dict[str, dict[str, object]] = {
+    # opmkeywords/COMPDAT: STATE 'OPEN', SAT_TABLE 0, Kh -1, SKIN 0,
+    # DIR 'Z'; I/J default 0 = "take from WELSPECS" (resolved — or
+    # rejected when no WELSPECS exists — in modules/compdat.df, the
+    # reference's compdat.py:132-143 contract)
+    "COMPDAT": {
+        "I": 0, "J": 0, "OP/SH": "OPEN", "SATN": 0,
+        "KH": -1.0, "SKIN": 0.0, "DIR": "Z",
+    },
+    # opmkeywords/WELOPEN: STATUS 'OPEN'
+    "WELOPEN": {"STATUS": "OPEN"},
     "WSEGSICD": {
         "LENGTH": 12.0, "DENSITY_CALI": 1000.25, "VISCOSITY_CALI": 1.45,
         "CRITICAL_VALUE": 0.5, "WIDTH_TRANS": 0.05, "MAX_VISC_RATIO": 5.0,

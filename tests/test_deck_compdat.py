@@ -41,7 +41,10 @@ def test_parse_deck_basic():
     assert recs[0]["DATE"] == date(2020, 1, 1)
     c = recs[2]
     assert c["WELL"] == "OP1" and c["K1"] == 1 and c["K2"] == 3
-    assert c["SATN"] is None  # 1* default
+    # 1* takes the opm schema default (SAT_TABLE 0, opmkeywords/COMPDAT),
+    # matching the reference's parse_opmio_deckrecord behavior
+    assert c["SATN"] == 0
+    assert c["KH"] == -1.0 and c["SKIN"] == 0.0  # Kh/SKIN schema defaults
     assert c["TRAN"] == 100.5
 
 
@@ -728,3 +731,108 @@ WELOPEN
     out = compdat.df(spark, deck)
     shut = rows(out.filter("OP_SH = 'SHUT'"), "K")
     assert shut == [(1,), (2,)]  # defaulted K range lumps BOTH cells
+
+
+def test_compdat_defaults_follow_opm_schema(spark):
+    """Reference parity: defaulted COMPDAT state is 'OPEN' (opm schema
+    default), and a bare 'WELOPEN well /' record means STATUS='OPEN'."""
+    deck = """
+START
+  1 JAN 2020 /
+WELSPECS
+  'OP1' 'G1' 33 44 1000.0 'OIL' /
+/
+COMPDAT
+  'OP1' 33 44 10 10 /
+/
+"""
+    out = compdat.df(spark, deck)
+    r = out.collect()[0]
+    assert r["OP_SH"] == "OPEN" and r["SATN"] == 0
+    assert r["KH"] == -1.0 and r["SKIN"] == 0.0
+    # bare WELOPEN record: STATUS defaults to OPEN and acts on the well
+    deck2 = deck + "WELOPEN\n  'OP1' /\n/\n"
+    out2 = compdat.df(spark, deck2)
+    assert {r["OP_SH"] for r in out2.collect()} == {"OPEN"}
+
+
+def test_compdat_defaulted_coords_require_welspecs(spark):
+    import pytest as _pytest
+
+    deck = """
+START
+  1 JAN 2020 /
+COMPDAT
+  'OP1' 2* 1 1 'OPEN' /
+/
+"""
+    with _pytest.raises(ValueError, match="WELSPECS must be provided"):
+        compdat.df(spark, deck)
+
+
+def test_welopen_invalid_status_coerces_to_shut(spark):
+    deck = """
+START
+  1 JAN 2020 /
+WELSPECS
+  'OP1' 'G1' 1 1 1000.0 'OIL' /
+/
+COMPDAT
+  'OP1' 1 1 1 1 'OPEN' /
+/
+DATES
+  1 FEB 2020 /
+/
+WELOPEN
+  'OP1' 'XXXX' /
+/
+"""
+    out = compdat.df(spark, deck)
+    feb = [r for r in out.collect() if str(r["DATE"]) == "2020-02-01"]
+    assert feb and all(r["OP_SH"] == "SHUT" for r in feb)
+
+
+def test_welopen_wildcard_prefix_semantics(spark):
+    """Reference common.py:980 uses bare re.match (no $): 'OP*1' also
+    matches OP213 (prefix); leading-wildcard templates raise."""
+    import pytest as _pytest
+
+    base = """
+START
+  1 JAN 2020 /
+WELSPECS
+  'OP11' 'G1' 1 1 1000.0 'OIL' /
+  'OP213' 'G1' 2 2 1000.0 'OIL' /
+/
+COMPDAT
+  'OP11' 1 1 1 1 'OPEN' /
+  'OP213' 2 2 1 1 'OPEN' /
+/
+DATES
+  1 FEB 2020 /
+/
+"""
+    out = compdat.df(spark, base + "WELOPEN\n  'OP*1' 'SHUT' /\n/\n")
+    shut = {r["WELL"] for r in out.collect() if r["OP_SH"] == "SHUT"}
+    assert shut == {"OP11", "OP213"}
+    with _pytest.raises(ValueError, match="wildcard"):
+        compdat.df(spark, base + "WELOPEN\n  '?P11' 'SHUT' /\n/\n")
+
+
+def test_complump_validation_raises(spark):
+    import pytest as _pytest
+
+    base = """
+START
+  1 JAN 2020 /
+WELSPECS
+  'OP1' 'G1' 1 1 1000.0 'OIL' /
+/
+COMPDAT
+  'OP1' 1 1 1 2 'OPEN' /
+/
+"""
+    with _pytest.raises(ValueError, match="Negative"):
+        compdat.df(spark, base + "COMPLUMP\n  'OP1' -1 1 1 2 1 /\n/\n")
+    with _pytest.raises(ValueError, match="K2 must be"):
+        compdat.df(spark, base + "COMPLUMP\n  'OP1' 1 1 2 1 1 /\n/\n")

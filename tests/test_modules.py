@@ -648,3 +648,30 @@ def test_seg2dicttree_multiple_edgeless_roots(spark):
     import pandas as pd
 
     assert rft.seg2dicttree(pd.DataFrame(rows_)) == {1: {}, 2: {}}
+
+
+def test_gruptree_reparent_keeps_abandoned_parent_as_root(spark):
+    """Reference parity (gruptree.py:73-79,135,182): edges accumulate by
+    (child, parent) pair, so after a reparent the abandoned parent stays
+    in the tree as a root row; only the child's own row dedups to the
+    latest parent."""
+    deck = """
+START
+  1 JAN 2020 /
+GRUPTREE
+  'G1' 'PLATA' /
+/
+DATES
+  1 MAR 2020 /
+/
+GRUPTREE
+  'G1' 'PLATB' /
+/
+"""
+    out = gruptree.df(spark, deck)
+    got = rows(out, "DATE", "CHILD", "PARENT")
+    mar = date(2020, 3, 1)
+    assert (mar, "G1", "PLATB") in got       # latest declaration wins
+    assert (mar, "G1", "PLATA") not in got   # per-child dedup
+    assert (mar, "PLATA", None) in got       # abandoned parent stays a root
+    assert (mar, "PLATB", None) in got
