@@ -18,19 +18,36 @@ expression work; no Python in the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from res2df_spark.sources.deck import _MONTHS
 from res2df_spark.sources.textreport import numbered_lines, with_block_context
 
 #: running report date, e.g. ``  REPORT   0     1 JAN 2000``
 _DATE_START = r"\s\sREPORT\s+\d+\s+(\d+)\s+(\w+)\s+(\d+)"
 #: OPM flow writes dates as ``Starting time step .. date = 01-Jan-2000``
 _OPM_DATE_START = r"Starting time step.*? date = (\d+)-(\w+)-(\d+)"
-#: region block header, e.g. ``: FIPNUM  REPORT REGION    2    :``
-#: (case-insensitive in the reference; Eclipse100 and OPM both match)
-_REGION_START = r"(?i).+{fipname}\s+REPORT\s+REGION\s+(\d+)"
+#: region block context: a block HEADER opens it (group 1 = region
+#: number), the ``====…`` terminator line CLOSES it (matches with group
+#: 1 unset → regexp_extract yields '' → "not in a block", replicating
+#: the reference's ``in_report_block = False`` reset at
+#: fipreports.py:164-166 — without it every balance sheet after the
+#: first region block inherits a stale region).  Case-insensitive
+#: header like the reference; Eclipse100 and OPM both match.
+_REGION_START = r"(?i)(?:.+{fipname}\s+REPORT\s+REGION\s+(\d+))|(?:^ =============)"
 #: the four data-line families the reference accepts
 _ROW_STARTS = ("CURRENTLY", "OUTFLOW", "MATERIAL", "ORIGINALLY")
+
+
+def _month_num(col: Column) -> Column:
+    """Month token → number via the deck layer's alias table — Eclipse
+    writes July as ``JLY``, which no ``MMM`` date pattern parses (the
+    reference routes through common.parse_month for the same reason)."""
+    m = F.upper(F.substring(col, 1, 3))
+    out = F.lit(None).cast("int")
+    for name, num in _MONTHS.items():
+        out = F.when(m == name, F.lit(num)).otherwise(out)
+    return out
 
 
 def df(spark: SparkSession, prt_path: str, fipname: str = "FIPNUM") -> DataFrame:
@@ -56,16 +73,42 @@ def df(spark: SparkSession, prt_path: str, fipname: str = "FIPNUM") -> DataFrame
         lines, _REGION_START.format(fipname=fipname), {"__REGION": 1}
     )
 
+    # The reference's colon repair (fipreports.py:176-186): colons are
+    # not reliably present (differs by Eclipse version), so strip the
+    # line, prepend ':' when the first char isn't one, and if chars
+    # 26-27 (1-based) hold no ':' force one at position 27 — fixed
+    # positions, like the reference ("and hope for the best").
     first_word = F.upper(
         F.element_at(F.split(F.trim(F.expr("element_at(__secs, 2)")), r"\s+"), 1)
     )
     rows = (
-        lines.withColumn("__secs", F.split(F.col("line"), ":"))
+        lines.withColumn("__rep", F.trim(F.col("line")))
+        .withColumn(
+            "__rep",
+            F.when(
+                F.substring(F.col("__rep"), 1, 1) != ":",
+                F.concat(F.lit(":"), F.col("__rep")),
+            ).otherwise(F.col("__rep")),
+        )
+        .withColumn(
+            "__rep",
+            F.when(
+                (~F.substring(F.col("__rep"), 26, 2).contains(":"))
+                & (F.length(F.col("__rep")) > 26),
+                F.concat(
+                    F.substring(F.col("__rep"), 1, 26),
+                    F.lit(":"),
+                    F.expr("substring(__rep, 28, 2147483647)"),
+                ),
+            ).otherwise(F.col("__rep")),
+        )
+        .withColumn("__secs", F.split(F.col("__rep"), ":"))
         .filter(F.size("__secs") >= 5)
         .filter(F.trim(F.expr("element_at(__secs, 1)")) == "")
         .withColumn("__name_sec", F.trim(F.expr("element_at(__secs, 2)")))
         .filter(first_word.rlike("^(" + "|".join(_ROW_STARTS) + ")"))
-        .filter(F.col("__REGION").isNotNull())
+        # '' = after a block terminator (outside any region block)
+        .filter(F.col("__REGION").isNotNull() & (F.col("__REGION") != ""))
     )
 
     def sec(i):
@@ -91,7 +134,10 @@ def df(spark: SparkSession, prt_path: str, fipname: str = "FIPNUM") -> DataFrame
     total_oil = F.when(n_oil == 3, num("__oil", 3)).otherwise(
         F.when(n_oil == 2, num("__oil", 2)).otherwise(num("__oil", 1))
     )
-    total_water = num("__wat", 1)
+    # the reference casts the WHOLE water section (float_or_nan on the
+    # untokenized string) — a multi-token water section yields NULL,
+    # not its first token
+    total_water = F.expr("try_cast(trim(element_at(__secs, 4)) AS DOUBLE)")
     free_gas = F.when(n_gas >= 2, num("__gas", 1))
     dissolved_gas = F.when(n_gas == 3, num("__gas", 2))
     total_gas = F.when(n_gas == 3, num("__gas", 3)).otherwise(
@@ -109,12 +155,17 @@ def df(spark: SparkSession, prt_path: str, fipname: str = "FIPNUM") -> DataFrame
     )
     # whichever date family appeared LAST before this line wins; lines
     # before any date line keep a NULL DATE (the reference's None), and
-    # try_to_date never ANSI-aborts on the empty pre-context string
+    # try_to_date never ANSI-aborts on the empty pre-context string.
+    # Month tokens go through the deck layer's alias table (JLY = July,
+    # which 'MMM' cannot parse) — numeric months via 'd M yyyy'.
+    rows = rows.withColumn("__MONNUM", _month_num(F.col("__MON"))).withColumn(
+        "__OMONNUM", _month_num(F.col("__OMON"))
+    )
     ecl_date = F.expr(
-        "try_to_date(concat_ws(' ', __D, initcap(lower(__MON)), __Y), 'd MMM yyyy')"
+        "try_to_date(concat_ws(' ', __D, cast(__MONNUM AS STRING), __Y), 'd M yyyy')"
     )
     opm_date = F.expr(
-        "try_to_date(concat_ws(' ', __OD, initcap(lower(__OMON)), __OY), 'd MMM yyyy')"
+        "try_to_date(concat_ws(' ', __OD, cast(__OMONNUM AS STRING), __OY), 'd M yyyy')"
     )
     # the family whose date line appeared LAST before this row wins —
     # resolved on the forward-filled line numbers of each family's most

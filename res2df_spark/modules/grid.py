@@ -185,22 +185,44 @@ def contact_estimate(
 
 
 def trans_df(grid: DataFrame, directions: str = "IJK") -> DataFrame:
-    """Neighbour transmissibilities (reference trans.py:44-130): one row
-    per cell face-pair, TRAN taken from the FIRST cell's directional
-    vector (TRANX for an I-shift, TRANY for J, TRANZ for K) — the
-    simulator's owning-cell convention.  Built on the J5 neighbour
-    self-join; both sides shuffle on the same key, no cartesian."""
-    cols = ["I", "J", "K"] + [
-        c for c in ("TRANX", "TRANY", "TRANZ") if c in grid.columns
-    ]
-    pairs = neighbor_pairs(grid.select(*cols), directions=directions)
-    tran = F.lit(None).cast("double")
-    for d, vec in (("I", "TRANX1"), ("J", "TRANY1"), ("K", "TRANZ1")):
-        if vec in pairs.columns:
-            tran = F.when(F.col("DIR") == d, F.col(vec)).otherwise(tran)
-    # reference trans.py:106-131 builds each direction from
-    # grid_df[TRAN* > 0]: sealing faults (TRAN == 0) and absent
-    # directional vectors (NULL) yield NO row, not a zero/NULL row
-    return pairs.select(
-        "I1", "J1", "K1", "I2", "J2", "K2", "DIR", tran.alias("TRAN")
-    ).filter(F.col("TRAN") > 0)
+    """Neighbour transmissibilities (reference trans.py:106-135): one
+    row per cell face with ``TRAN* > 0``, the neighbour address
+    SYNTHESIZED as (I+1, J, K)/(I, J+1, K)/(I, J, K+1) — the reference
+    never requires the neighbour cell to be present in the grid frame
+    (a cell with nonzero TRANX whose +I neighbour is inactive still
+    emits its row; consumers that merge cell-2 properties drop such
+    rows in their own inner join, exactly like the reference's
+    vectors/coords path, trans.py:153-168).  Sealing faults
+    (``TRAN == 0``) and absent directional vectors (NULL) yield NO row.
+
+    Plan: three filtered projections unioned — map-only, no self-join,
+    no shuffle (the previous neighbour-join form both shuffled twice
+    and silently dropped absent-neighbour faces)."""
+    parts = []
+    for d, vec, (di, dj, dk) in (
+        ("I", "TRANX", (1, 0, 0)),
+        ("J", "TRANY", (0, 1, 0)),
+        ("K", "TRANZ", (0, 0, 1)),
+    ):
+        if d not in directions.upper() or vec not in grid.columns:
+            continue
+        parts.append(
+            grid.filter(F.col(vec) > 0).select(
+                F.col("I").alias("I1"), F.col("J").alias("J1"),
+                F.col("K").alias("K1"),
+                (F.col("I") + di).alias("I2"), (F.col("J") + dj).alias("J2"),
+                (F.col("K") + dk).alias("K2"),
+                F.lit(d).alias("DIR"), F.col(vec).alias("TRAN"),
+            )
+        )
+    if not parts:
+        spark = grid.sparkSession
+        return spark.createDataFrame(
+            [],
+            "I1 int, J1 int, K1 int, I2 int, J2 int, K2 int, "
+            "DIR string, TRAN double",
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -198,7 +198,14 @@ def merge_icd_seg_conseg(
     one segment, so junction fan-out never duplicates rows.  Three
     equi-joins + an anti-join, all hashed on (keys, segment)."""
     keys = list(keys)
-    if seg is None or not seg.columns or not seg.take(1):
+    if seg is None or not seg.columns:
+        return con
+    # materialize the deck-bounded segment frame ONCE: the emptiness
+    # probe (pass-through contract for non-multiseg wells) and the
+    # three joins below would otherwise each re-execute the whole
+    # upstream split_seg_icd window/join pipeline
+    seg = seg.localCheckpoint(eager=True)
+    if not seg.take(1):
         return con
     with_icd = None
     if icd is not None and icd.columns:

@@ -25,14 +25,14 @@ EQUIL_SOLUTION_KEYWORDS = ("RSVD", "RVVD", "PBVD", "PDVD")
 
 
 def _family_df(
-    spark: SparkSession, deck_text: str, keywords: Sequence[str]
+    spark: SparkSession, deck_text: str, keywords: Sequence[str], records=None
 ) -> DataFrame | None:
     # ONE driver-side parse shared across the whole family (the old
     # form re-tokenized the deck AND ran an eager take(1) job per
     # keyword); presence comes for free from the record list
     from res2df_spark.sources.deck import fill_dates, parse_deck
 
-    recs = fill_dates(parse_deck(deck_text))
+    recs = fill_dates(parse_deck(deck_text)) if records is None else records
     present = {r["KEYWORD"] for r in recs}
     frames = []
     for kw in keywords:
@@ -55,7 +55,19 @@ def satfunc_df(
     value columns).  Defaulted (1*) values interpolate linearly against
     the saturation column inside each (KEYWORD, SATNUM) table — the
     reference's per-SATNUM pandas interpolate (satfunc.py:132-157)."""
-    out = _family_df(spark, deck_text, SATFUNC_KEYWORDS)
+    from res2df_spark.sources.deck import fill_dates, parse_deck
+
+    recs = fill_dates(parse_deck(deck_text))
+    # reference satfunc.py:146-147: a defaulted (1*) SATURATION value is
+    # not interpolatable (it is the interpolation axis) and raises; a
+    # silent NULL would sort first in the interpolation windows and
+    # corrupt the whole table
+    for r in recs:
+        if r["KEYWORD"] in SATFUNC_KEYWORDS:
+            sat_col = TABLE_KEYWORDS[r["KEYWORD"]][0][0]
+            if r.get(sat_col) is None:
+                raise ValueError("nan in saturation column is not allowed")
+    out = _family_df(spark, deck_text, SATFUNC_KEYWORDS, records=recs)
     if out is None or not interpolate_defaults:
         return out
     sat_col = F.coalesce(*[F.col(c) for c in ("SW", "SG", "SL", "SO") if c in out.columns])

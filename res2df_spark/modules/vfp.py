@@ -97,6 +97,17 @@ def df_prod(spark: SparkSession, deck_text: str) -> DataFrame | None:
     for bi, b in enumerate(blocks):
         flow, thp, wfr, gfr, alq = b["axes"]
         for (ithp, iwfr, igfr, ialq), vals in b["values"]:
+            # out-of-range indices would silently vanish in the inner
+            # axis join below — raise with deck context instead
+            for axn, idx, axv in (
+                ("THP", ithp, thp), ("WFR", iwfr, wfr),
+                ("GFR", igfr, gfr), ("ALQ", ialq, alq),
+            ):
+                if not 1 <= idx <= len(axv):
+                    raise ValueError(
+                        f"VFPPROD table {b['table']}: {axn} index {idx} "
+                        f"outside the {len(axv)}-value axis"
+                    )
             rows.append((bi, b["table"], b["datum"], ithp, iwfr, igfr, ialq, flow, vals))
         for name, ax in (("THP", thp), ("WFR", wfr), ("GFR", gfr), ("ALQ", alq)):
             axis_rows.extend((bi, b["table"], name, i + 1, v) for i, v in enumerate(ax))
@@ -138,6 +149,13 @@ def df_inj(spark: SparkSession, deck_text: str) -> DataFrame | None:
     for b in blocks:
         flow, thp = b["axes"]
         for (ithp,), vals in b["values"]:
+            # explicit bounds check: ithp=0 in a corrupt deck would
+            # silently wrap (Python negative indexing) to the LAST THP
+            if not 1 <= ithp <= len(thp):
+                raise ValueError(
+                    f"VFPINJ table {b['table']}: THP index {ithp} outside "
+                    f"the {len(thp)}-value THP axis"
+                )
             rows.append((b["table"], b["datum"], thp[ithp - 1], flow, vals))
     recs = spark.createDataFrame(
         rows, "TABLE int, DATUM double, THP double, FLOW array<double>, BHP array<double>"

@@ -53,7 +53,9 @@ def fold_wlist(records: list[dict]) -> list[tuple[_date | None, str, str]]:
     def emit(at: _date | None) -> None:
         for lname, lwells in state.items():
             for w in lwells:
-                snapshots.append((at, lname, w))
+                # the reference strips the Eclipse-syntax asterisk from
+                # list names in its output frame (compdat.py:218-220)
+                snapshots.append((at, lname.lstrip("*"), w))
 
     for r in records:
         if r["KEYWORD"] in ("START", "DATES", "TSTEP"):
@@ -74,9 +76,18 @@ def fold_wlist(records: list[dict]) -> list[tuple[_date | None, str, str]]:
 
 
 def _apply_action(state: dict[str, list[str]], r: dict) -> None:
-    """Mutate the list state with one WLIST record (NEW/ADD/DEL/MOV)."""
+    """Mutate the list state with one WLIST record (NEW/ADD/DEL/MOV).
+
+    Recursive ``*LIST`` well arguments expand ONLY for NEW/ADD — the
+    reference resolves them in its ADD/NEW branch alone
+    (compdat.py:584-602); a ``*X`` token in DEL/MOV stays a literal
+    token that matches no well name (a no-op), never an expansion and
+    never an undefined-list error."""
     name, action = r["NAME"], r["ACTION"]
-    wells = _resolve(r["WELLS"], state)
+    if action in ("NEW", "ADD"):
+        wells = _resolve(r["WELLS"], state)
+    else:
+        wells = list(r["WELLS"])
     if action == "NEW":
         state[name] = wells
     elif action == "ADD":
@@ -93,7 +104,9 @@ def _apply_action(state: dict[str, list[str]], r: dict) -> None:
         for other in state:
             if other != name:
                 state[other] = [w for w in state[other] if w not in set(wells)]
-        state[name] = _resolve(state.get(name, []) + wells, state)
+        state[name] = state.get(name, []) + [
+            w for w in wells if w not in set(state.get(name, []))
+        ]
     else:
         raise ValueError(f"unknown WLIST action {action!r}")
 

@@ -110,3 +110,56 @@ def test_reversed_lyr_range_raises():
 
     with pytest.raises(ValueError, match="reversed"):
         parse_zonemap("'UpperReek' 5-3\n")
+
+
+def test_fipreports_block_terminator_resets_region(spark, tmp_path):
+    """Reference parity (fipreports.py:164-166): a '====' line closes
+    the region block, so a later field-level balance sheet must NOT be
+    stamped with the stale region."""
+    prt = (
+        " NOISE\n"
+        "  REPORT   0     1 JAN 2020   *  RUN\n"
+        "                     : FIPNUM  REPORT REGION    2    :\n"
+        " :CURRENTLY IN PLACE       :        1000.5           20.    1020.5:      500. :       10.        90.       100.:\n"
+        " ============================\n"
+        " :CURRENTLY IN PLACE       :        9999.0            0.    9999.0:        0. :        0.         0.         0.:\n"
+    )
+    p = tmp_path / "TERM.PRT"
+    p.write_text(prt)
+    out = fipreports.df(spark, str(p))
+    got = rows(out, "REGION", "STOIIP_OIL")
+    assert got == [(2, 1000.5)]  # the post-terminator line is dropped
+
+
+def test_fipreports_jly_month(spark, tmp_path):
+    """Eclipse writes July as JLY; the date must parse, not go NULL."""
+    from datetime import date as _date
+
+    prt = (
+        "  REPORT   7     1 JLY 2000   *  RUN\n"
+        "                     : FIPNUM  REPORT REGION    1    :\n"
+        " :CURRENTLY IN PLACE       :        1000.5           20.    1020.5:      500. :       10.        90.       100.:\n"
+    )
+    p = tmp_path / "JLY.PRT"
+    p.write_text(prt)
+    out = fipreports.df(spark, str(p))
+    got = rows(out, "DATE", "REGION")
+    assert got == [(_date(2000, 7, 1), 1)]
+
+
+def test_fipreports_colon_repair(spark, tmp_path):
+    """Reference parity (fipreports.py:176-186): some Eclipse versions
+    omit the leading colon (and the one near column 27); the parser
+    inserts them at fixed positions before splitting."""
+    # leading colon missing; the second colon is present at position 27
+    # of the STRIPPED line, as in the reference's fixture format
+    prt = (
+        "  REPORT   0     1 JAN 2020   *  RUN\n"
+        "                     : FIPNUM  REPORT REGION    3    :\n"
+        " CURRENTLY IN PLACE       :        1000.5           20.    1020.5:      500. :       10.        90.       100.:\n"
+    )
+    p = tmp_path / "NOCOLON.PRT"
+    p.write_text(prt)
+    out = fipreports.df(spark, str(p))
+    got = rows(out, "REGION", "STOIIP_OIL", "STOIIP_TOTAL", "WIIP_TOTAL")
+    assert got == [(3, 1000.5, 1020.5, 500.0)]

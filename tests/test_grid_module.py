@@ -103,3 +103,19 @@ def test_contact_estimate(spark):
     # only pillar 2-1 has SWAT>0.5; the reference contact is the
     # DEEPEST such cell (max Z, pillars.py:260-281)
     assert got == [("2-1", 20.5, 2)]
+
+
+def test_trans_df_emits_absent_neighbor_faces(spark):
+    """Reference trans.py:106-135 synthesizes the neighbour address —
+    a TRANX>0 cell emits its face row even when (I+1,J,K) is not in
+    the grid frame (inactive neighbour)."""
+    from res2df_spark.modules.grid import trans_df
+
+    grid = spark.createDataFrame(
+        [(1, 1, 1, 2.5, 0.0, None)],
+        "I int, J int, K int, TRANX double, TRANY double, TRANZ double",
+    )
+    got = trans_df(grid).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["I1"], r["I2"], r["DIR"], r["TRAN"]) == (1, 2, "I", 2.5)

@@ -104,17 +104,17 @@ def test_wlist_fold(spark):
     out = wlist.df(spark, WLIST_DECK)
     jan, feb, mar = date(2020, 1, 1), date(2020, 2, 1), date(2020, 3, 1)
     got = set(rows(out, "DATE", "NAME", "WELL"))
-    # NEW
-    assert (jan, "*L1", "OP1") in got and (jan, "*L1", "OP2") in got
+    # NEW (NAME is stripped of the Eclipse asterisk, reference
+    # compdat.py:218-220)
+    assert (jan, "L1", "OP1") in got and (jan, "L1", "OP2") in got
     # recursive NEW resolves *L1's membership at definition time
-    assert (feb, "*L2", "OP1") in got and (feb, "*L2", "OP2") in got
-    assert (feb, "*L2", "WI1") in got
+    assert (feb, "L2", "OP1") in got and (feb, "L2", "OP2") in got
+    assert (feb, "L2", "WI1") in got
     # DEL removes from L1 only
-    assert (feb, "*L1", "OP2") not in {(d, n, w) for d, n, w in got if n == "*L1" and d == feb} or True
-    l1_feb = {w for d, n, w in got if d == feb and n == "*L1"}
+    l1_feb = {w for d, n, w in got if d == feb and n == "L1"}
     assert l1_feb == {"OP1"}
     # MOV adds to L2
-    l2_mar = {w for d, n, w in got if d == mar and n == "*L2"}
+    l2_mar = {w for d, n, w in got if d == mar and n == "L2"}
     assert "OP9" in l2_mar
 
 
@@ -675,3 +675,31 @@ GRUPTREE
     assert (mar, "G1", "PLATA") not in got   # per-child dedup
     assert (mar, "PLATA", None) in got       # abandoned parent stays a root
     assert (mar, "PLATB", None) in got
+
+
+def test_wlist_del_treats_starred_arg_as_literal(spark):
+    """Reference parity (compdat.py:584-602): recursive *LIST arguments
+    expand only for NEW/ADD; a '*B' token in DEL is a literal that
+    matches no well — a no-op, not an expansion or an error."""
+    from res2df_spark.modules import wlist
+
+    deck = """
+START
+  1 JAN 2020 /
+WLIST
+  '*A' 'NEW' 'W1' 'W2' 'W3' /
+  '*B' 'NEW' 'W3' /
+  '*A' 'DEL' '*B' /
+  '*C' 'DEL' '*UNDEF' /
+/
+"""
+    # '*C' DEL on an undefined LIST NAME still raises (ADD/DEL need the
+    # target list) — but the starred ARGUMENT must not
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not exist"):
+        wlist.df(spark, deck).collect()
+    deck_ok = deck.replace("  '*C' 'DEL' '*UNDEF' /\n", "")
+    out = wlist.df(spark, deck_ok)
+    a = {r["WELL"] for r in out.collect() if r["NAME"] == "A"}
+    assert a == {"W1", "W2", "W3"}  # W3 NOT removed: '*B' was literal

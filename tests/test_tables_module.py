@@ -192,3 +192,19 @@ SGWFN
     assert sorted(rows(s, "KEYWORD", "SATNUM", "ROW_IDX", "SG", "PCGW")) == sorted(
         rows(s2, "KEYWORD", "SATNUM", "ROW_IDX", "SG", "PCGW")
     )
+
+
+def test_satfunc_nan_saturation_raises(spark):
+    """Reference satfunc.py:146-147: a defaulted (1*) saturation value
+    raises — it is the interpolation axis."""
+    import pytest as _pytest
+
+    deck = """
+SWOF
+  1* 0.5 0.5 0.0
+  0.9 0.8 0.0 0.0 /
+"""
+    from res2df_spark.modules.tables import satfunc_df
+
+    with _pytest.raises(ValueError, match="saturation column"):
+        satfunc_df(spark, deck)

@@ -48,3 +48,19 @@ def test_vfpinj_melt(spark):
         (2, 15.0, 50.0, 350.0),
         (2, 15.0, 150.0, 330.0),
     ]
+
+
+def test_vfpinj_out_of_range_index_raises(spark):
+    import pytest as _pytest
+
+    from res2df_spark.modules.vfp import df_inj
+
+    deck = """
+VFPINJ
+  1 3000.0 /
+  100.0 200.0 /
+  40.0 80.0 /
+  0 1500.0 1600.0 /
+"""
+    with _pytest.raises(ValueError, match="THP index 0"):
+        df_inj(spark, deck)
