@@ -73,18 +73,40 @@ def minhash_signature(toks: Column, num_hashes: int = 32) -> Column:
     DuckDB oracle matches bit-for-bit.
     """
     n_md5 = -(-num_hashes // _CHUNKS_PER_MD5)
-    # one pass computing all digests per token, concatenated …
-    digests = F.transform(
-        toks, lambda t: F.concat(*[F.md5(F.concat(F.lit(f"{s}:"), t)) for s in range(n_md5)])
-    )
-    # … then each signature element is a cheap substring min.
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(digests, lambda h: F.substring(h, 1 + _CHUNK * i, _CHUNK))
-            )
-            for i in range(num_hashes)
-        ]
+
+    # HOF lambdas get no common-subexpression elimination: embedding the
+    # digest transform inside num_hashes array_min expressions (the old
+    # form) re-ran every md5 once per signature position (~num_hashes×
+    # the necessary hashing — the measured HOF-recapture pitfall).  Two
+    # tricks keep each md5 to exactly ONE evaluation per token:
+    #   1. the concatenated digest is LET-BOUND via a one-element
+    #      transform — a lambda argument is materialized per element,
+    #      so the substrings below read the bound value;
+    #   2. the per-position min is a single aggregate fold with a
+    #      zip_with(least) combiner — one pass over the token array.
+    def per_token(t: Column) -> Column:
+        h = F.concat(*[F.md5(F.concat(F.lit(f"{s}:"), t)) for s in range(n_md5)])
+        return F.element_at(
+            F.transform(
+                F.array(h),
+                lambda hh: F.array(
+                    *[
+                        F.substring(hh, 1 + _CHUNK * i, _CHUNK)
+                        for i in range(num_hashes)
+                    ]
+                ),
+            ),
+            1,
+        )
+
+    vectors = F.transform(toks, per_token)
+    init = F.array_repeat(F.lit(None).cast("string"), num_hashes)
+    # least(NULL, x) = x, so the NULL-filled init is the identity and an
+    # empty token array yields all-NULL — same as the old array_min form
+    return F.aggregate(
+        vectors,
+        init,
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: F.least(a, b)),
     )
 
 

@@ -10,6 +10,12 @@ from pyspark.sql import Column, functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
+    """Length-mismatched vectors yield NULL (``zip_with`` NULL-pads the
+    shorter side, and NULL products poison the sum) — callers treating
+    NULL similarity as "no match" thereby skip corrupt rows rather than
+    scoring them; validate dimensionality upstream where a loud failure
+    is wanted (profile the column or assert ``size()`` once per table,
+    not per pair)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

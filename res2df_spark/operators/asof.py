@@ -89,11 +89,6 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    # Right rows sort before left rows at equal time unless strict, in
-    # which case they sort after (so an equal-time observation is NOT
-    # visible to the left row).
-    order = [lt.asc(), F.col("__is_left").asc() if not strict else F.col("__is_left").desc()]
-    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     # Row-wise fill (merge_asof semantics): the matched observation is
     # the latest visible right ROW — its values are taken as-is, NULL
     # fields included, never skipped past to an older row the way
@@ -105,6 +100,18 @@ def asof_join(
             *[F.col(f"__v_{c}").alias(f"v_{c}") for c in value_cols],
         ),
     )
+    # Right rows sort before left rows at equal time unless strict, in
+    # which case they sort after (so an equal-time observation is NOT
+    # visible to the left row).  The payload struct is the FINAL sort
+    # key, making the documented tiebreak real: duplicate right rows at
+    # equal (keys, right_time) resolve to the one sorting last under
+    # the right row's remaining columns, not to partition layout.
+    order = [
+        lt.asc(),
+        F.col("__is_left").asc() if not strict else F.col("__is_left").desc(),
+        payload.asc_nulls_first(),
+    ]
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     filled = unioned.withColumn("__m", F.last(payload, ignorenulls=True).over(w))
     if strict:
         # with right rows ordered after left rows at equal __t, the window

@@ -28,17 +28,25 @@ def interpolate_linear(
     NULL, matching ``limit_area="inside"``)."""
     out_col = out_col or y_col
     x = F.col(x_col).cast("double")
-    y = F.col(y_col).cast("double")
+    y_raw = F.col(y_col).cast("double")
+    # a NULL-x row contributes neither its y nor an x to the windows —
+    # gating only y_x would pair its y with a neighbour's x and emit
+    # the phantom value into the interpolation; the row itself still
+    # keeps its own y via the y_raw pass-through below
+    y = F.when(x.isNotNull(), y_raw)
     y_x = F.when(y.isNotNull(), x)
 
+    # y as the secondary sort: duplicate-x rows with different y would
+    # otherwise resolve by partition layout (run-to-run nondeterminism);
+    # equal (x, y) ties are outcome-identical in any order
     wp = (
         Window.partitionBy(*partition_by)
-        .orderBy(x.asc())
+        .orderBy(x.asc(), y_raw.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wn = (
         Window.partitionBy(*partition_by)
-        .orderBy(x.asc())
+        .orderBy(x.asc(), y_raw.asc_nulls_first())
         .rowsBetween(0, Window.unboundedFollowing)
     )
     prev_y = F.last(y, ignorenulls=True).over(wp)
@@ -48,7 +56,7 @@ def interpolate_linear(
 
     frac = F.when(next_x != prev_x, (x - prev_x) / (next_x - prev_x)).otherwise(F.lit(0.0))
     interp = prev_y + (next_y - prev_y) * frac
-    filled = F.when(y.isNotNull(), y).when(
+    filled = F.when(y_raw.isNotNull(), y_raw).when(
         prev_y.isNotNull() & next_y.isNotNull(), interp
     )
     return df.withColumn(out_col, filled)

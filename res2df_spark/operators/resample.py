@@ -123,18 +123,23 @@ def resample_asof(
     )
     u = tagged_obs.unionByName(tagged_spine)
     x = F.col("__t").cast("double")
-    y = F.col("__y")
+    # a NULL-date observation must contribute NEITHER its value nor an
+    # x: gating only y_x would desynchronize the (prev_y, prev_x) pair
+    # and emit the phantom value verbatim at spine dates
+    y = F.when(x.isNotNull(), F.col("__y"))
     y_x = F.when(y.isNotNull(), x)
     # observation sorts before the spine row at equal time → exact hits
-    # take the observed value.
+    # take the observed value; __y as the final sort makes duplicate
+    # same-date observations resolve deterministically instead of by
+    # partition layout
     wp = (
         Window.partitionBy(*keys)
-        .orderBy(x.asc(), F.col("__is_spine").asc())
+        .orderBy(x.asc(), F.col("__is_spine").asc(), F.col("__y").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wn = (
         Window.partitionBy(*keys)
-        .orderBy(x.asc(), F.col("__is_spine").desc())
+        .orderBy(x.asc(), F.col("__is_spine").desc(), F.col("__y").asc_nulls_first())
         .rowsBetween(0, Window.unboundedFollowing)
     )
     prev_y = F.last(y, ignorenulls=True).over(wp)

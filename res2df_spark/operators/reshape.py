@@ -77,6 +77,13 @@ def melt(
     /root/reference/src/res2df/common.py:787-844).  Uses the ``stack``
     generator — codegen'd, no shuffle."""
     n = len(value_cols)
+    if n == 0:
+        raise ValueError("melt needs at least one value column")
+    bad = [c for c in value_cols if "'" in c or "`" in c]
+    if bad:
+        # the names are interpolated into generated SQL below; a quote
+        # or backtick would break the stack() expression mid-parse
+        raise ValueError(f"melt cannot handle quotes/backticks in column names: {bad}")
     pairs = ", ".join(f"'{c}', cast(`{c}` as {value_type})" for c in value_cols)
     stacked = df.select(
         *id_cols, F.expr(f"stack({n}, {pairs}) as (`{var_name}`, `{value_name}`)")
@@ -98,6 +105,14 @@ def stack_dated_columns(
     /root/reference/src/res2df/common.py:787-844)."""
     import re as _re
 
+    # validate driver-side: a column without the separator would hit
+    # split().getItem(1) → INVALID_ARRAY_INDEX mid-job under ANSI mode
+    # instead of a clear error naming the column
+    missing = [c for c in dated_cols if sep not in c]
+    if missing:
+        raise ValueError(
+            f"dated columns missing the {sep!r} separator: {missing}"
+        )
     out = melt(df, id_cols, dated_cols, var_name="__nv", value_name=value_name)
     # F.split treats the separator as a REGEX — escape it so '.', '|'
     # and friends split on the literal character, not on everything

@@ -46,12 +46,22 @@ def sessionize(
     w = Window.partitionBy(*keys).orderBy(*order)
     us = F.unix_micros(F.col(ts_col))
     prev_us = F.lag(us).over(w)
-    is_new = F.when(
-        prev_us.isNull() | (us - prev_us >= F.lit(int(gap_seconds) * 1_000_000)),
-        F.lit(1),
-    ).otherwise(F.lit(0))
+    # NULL-timestamp events have no place on the time axis: they get a
+    # NULL session id and never open a session — without the gate every
+    # NULL-ts row would fire is_new (prev_us is NULL for each) and
+    # inflate the ordinal ids of all real sessions in the partition
+    is_new = (
+        F.when(us.isNull(), F.lit(0))
+        .when(
+            prev_us.isNull() | (us - prev_us >= F.lit(int(gap_seconds) * 1_000_000)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
     running = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return df.withColumn(session_col, running.cast("long"))
+    return df.withColumn(
+        session_col, F.when(us.isNotNull(), running).cast("long")
+    )
 
 
 def session_stats(

@@ -40,6 +40,11 @@ def ffill(
     """
     w = _window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
     out_names = list(out_names or cols)
+    if len(out_names) != len(cols):
+        # zip would silently truncate, skipping fills with no error
+        raise ValueError(
+            f"out_names ({len(out_names)}) must match cols ({len(cols)})"
+        )
     for col, out in zip(cols, out_names):
         df = df.withColumn(out, F.last(F.col(col), ignorenulls=True).over(w))
     return df
@@ -148,7 +153,14 @@ def repair_duplicate_timestamps(
 ) -> DataFrame:
     """Separate duplicated timestamps by adding ``(k-1)`` units to the
     k-th duplicate (W5: /root/reference/src/res2df/summary.py:435-483,
-    which adds TIMESTEP to duplicated DATE index entries)."""
+    which adds TIMESTEP to duplicated DATE index entries).
+
+    Single-pass like the reference: a repaired timestamp CAN collide
+    with a distinct later observation one unit ahead (two rows at
+    10:00:00 plus one at 10:00:01 → two rows at 10:00:01) — the same
+    contract as the reference's index repair, which also never
+    re-checks.  Callers needing global uniqueness should repair with a
+    unit finer than their minimum observation spacing."""
     w = _window([*partition_by, ts_col], tiebreak)
     rn = F.row_number().over(w)
     out_col = out_col or ts_col

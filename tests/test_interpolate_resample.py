@@ -103,3 +103,36 @@ def test_spine_from_observations(spark):
     # max obs 2020-05-01 is ON the month boundary: rollforward keeps it
     # (the reference's offset.rollforward), no fabricated June row
     assert got[-1] == date(2020, 5, 1)
+
+
+def test_resample_asof_null_date_observation_ignored(spark):
+    """A NULL-date observation must contribute neither value nor x —
+    the desynchronized (prev_y, prev_x) pair used to emit its value
+    verbatim at spine dates."""
+    from res2df_spark.operators.resample import resample_asof
+
+    obs = spark.createDataFrame(
+        [("k", None, 99.0), ("k", "2020-02-01", 5.0)],
+        "k string, DATE string, v double",
+    ).selectExpr("k", "cast(DATE as timestamp) as DATE", "v")
+    spine = spark.createDataFrame([("2020-01-01",)], "DATE string").selectExpr(
+        "cast(DATE as timestamp) as DATE"
+    )
+    out = resample_asof(obs, spine, keys=["k"], date_col="DATE", value_col="v")
+    assert [r["v"] for r in out.collect()] == [5.0]  # not the phantom 99
+
+
+def test_interpolate_linear_null_x_row_keeps_own_value(spark):
+    from pyspark.sql import functions as F
+
+    from res2df_spark.operators.interpolate import interpolate_linear
+
+    df = spark.createDataFrame(
+        [("p", 1.0, 10.0), ("p", None, 99.0), ("p", 3.0, 30.0), ("p", 2.0, None)],
+        "p string, x double, y double",
+    )
+    out = {r["x"]: r["y"] for r in interpolate_linear(
+        df, x_col="x", y_col="y", partition_by=["p"]
+    ).collect()}
+    assert out[2.0] == 20.0   # interpolated from (1,10)-(3,30), not via 99
+    assert out[None] == 99.0  # NULL-x row keeps its own value

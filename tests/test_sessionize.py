@@ -123,3 +123,19 @@ def test_session_stats_single_exchange(spark):
     # one shuffle: the lag/sum window and the groupBy share the
     # hash-partitioning on the session key
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_sessionize_null_timestamps_get_null_session(spark):
+    from res2df_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [("u", None, 1), ("u", None, 2), ("u", "2020-01-01 00:00:00", 3),
+         ("u", "2020-01-01 10:00:00", 4)],
+        "u string, ts string, eid int",
+    ).selectExpr("u", "cast(ts as timestamp) as ts", "eid")
+    out = {r["eid"]: r["session_id"] for r in sessionize(
+        df, ts_col="ts", keys=["u"], gap_seconds=1800,
+        session_col="session_id", tiebreak=["eid"],
+    ).collect()}
+    assert out[1] is None and out[2] is None
+    assert out[3] == 1 and out[4] == 2  # real sessions start at 1
