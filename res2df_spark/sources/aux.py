@@ -16,30 +16,69 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-_LYR_RE = re.compile(
-    r"""^\s*(?:'([^']+)'|(\S+))\s+(\d+)(?:\s*-\s*(\d+))?\s*(?:(\#[0-9a-fA-F]{6}|\w+))?\s*$"""
-)
+def _is_color(token: str) -> bool:
+    """Reference ``is_color`` approximation (common.py:847-856):
+    '#RRGGBB' / '#RGB' hex, or a purely alphabetic token (SVG color
+    keywords are alphabetic; layer numbers never are, so '8' is NOT a
+    color and a malformed ``'Z' 5 8`` line fails the number parse
+    instead of silently losing the 8)."""
+    return (
+        bool(re.fullmatch(r"#([0-9a-fA-F]{6}|[0-9a-fA-F]{3})", token))
+        or token.isalpha()
+    )
 
 
 def parse_zonemap(text: str) -> list[tuple[str, int]]:
-    """lyr text → [(zone, k), ...] with ranges expanded."""
-    out: list[tuple[str, int]] = []
-    for line in text.splitlines():
-        line = line.split("--", 1)[0].strip()
-        if not line:
-            continue
-        m = _LYR_RE.match(line)
-        if not m:
+    """lyr text → [(zone, k), ...] — the reference's
+    parse_lyrfile + convert_lyrlist_to_zonemap composition
+    (common.py:859-952):
+
+    * ``--`` comments stripped and ``#``-leading lines skipped;
+    * ``'Zone' a-b`` is an absolute layer range (``a > b`` raises);
+    * ``'Zone' n`` is a SPAN: layers ``prev_to+1 .. prev_to+1+n``
+      (``1 .. 1+n`` for the first entry) — the reference's
+      convert_lyrlist_to_zonemap arithmetic, to_layer = from + span;
+    * an optional trailing color token (hex or named) is dropped;
+    * later entries overwrite earlier ones per layer (dict semantics).
+
+    One documented divergence: a span entry following another span
+    entry resolves against the previous entry's EFFECTIVE end layer,
+    where the reference raises KeyError (it only records to_layer for
+    range entries)."""
+    import shlex
+
+    lines = [ln.split("--", 1)[0].strip() for ln in text.splitlines()]
+    lines = [ln for ln in lines if ln and not ln.startswith("#")]
+    zonemap: dict[int, str] = {}
+    prev_to: int | None = None
+    for line in lines:
+        try:
+            toks = shlex.split(line)
+        except ValueError as exc:
+            raise ValueError(f"bad lyr line: {line!r}") from exc
+        if len(toks) < 2:
             raise ValueError(f"bad lyr line: {line!r}")
-        zone = m.group(1) or m.group(2)
-        k1 = int(m.group(3))
-        k2 = int(m.group(4)) if m.group(4) else k1
-        if k2 < k1:
-            # a reversed range would silently produce ZERO layers for
-            # the zone — fail like any other malformed lyr line
-            raise ValueError(f"reversed k-range in lyr line: {line!r}")
-        out.extend((zone, k) for k in range(k1, k2 + 1))
-    return out
+        zone, rest = toks[0], toks[1:]
+        if rest and _is_color(rest[-1]):
+            rest = rest[:-1]
+        numbers = " ".join(rest).split("-")
+        try:
+            if len(numbers) == 2:
+                k1, k2 = int(numbers[0]), int(numbers[1])
+                if k1 > k2:
+                    raise ValueError("from_layer higher than to_layer")
+            elif len(numbers) == 1:
+                span = int(numbers[0])
+                k1 = (prev_to + 1) if prev_to is not None else 1
+                k2 = k1 + span
+            else:
+                raise ValueError("too many '-' separators")
+        except ValueError as exc:
+            raise ValueError(f"bad lyr line: {line!r}") from exc
+        prev_to = k2
+        for k in range(k1, k2 + 1):
+            zonemap[k] = zone
+    return [(z, k) for k, z in sorted(zonemap.items())]
 
 
 def zonemap_df(spark: SparkSession, text: str) -> DataFrame:

@@ -13,6 +13,10 @@ from tests.conftest import rows
 
 
 def test_parse_zonemap():
+    # Reference semantics (common.py:859-952): a bare number is a SPAN
+    # resolved against the previous entry's end layer (to = from + span),
+    # ranges are absolute, a trailing color token is dropped, and later
+    # entries overwrite earlier ones per layer.
     text = """
 -- layer to zone
 'Upper Zone' 1-3
@@ -21,14 +25,18 @@ Middle 4
 """
     got = parse_zonemap(text)
     assert ("Upper Zone", 1) in got and ("Upper Zone", 3) in got
-    assert ("Middle", 4) in got
-    assert ("Lower", 6) in got
-    assert len(got) == 6
+    # Middle spans 4..4+4=8; layers 5-6 then overwritten by 'Lower'
+    assert ("Middle", 4) in got and ("Middle", 7) in got and ("Middle", 8) in got
+    assert ("Lower", 5) in got and ("Lower", 6) in got
+    assert len(got) == 8
 
 
 def test_zonemap_df(spark):
+    # 'B' 3 is a span: layers 3..3+3=6, per the reference arithmetic
     df = zonemap_df(spark, "'A' 1-2\n'B' 3\n")
-    assert rows(df, "K", "ZONE") == [(1, "A"), (2, "A"), (3, "B")]
+    assert rows(df, "K", "ZONE") == [
+        (1, "A"), (2, "A"), (3, "B"), (4, "B"), (5, "B"), (6, "B"),
+    ]
 
 
 def test_parameters_discovery(tmp_path):
@@ -108,7 +116,7 @@ def test_reversed_lyr_range_raises():
 
     from res2df_spark.sources.aux import parse_zonemap
 
-    with pytest.raises(ValueError, match="reversed"):
+    with pytest.raises(ValueError, match="bad lyr line"):
         parse_zonemap("'UpperReek' 5-3\n")
 
 
