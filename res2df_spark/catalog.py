@@ -80,12 +80,26 @@ class Catalog:
         raise AttributeError(name)
 
     def register_views(self, prefix: str = "") -> None:
-        """Register every known table as a temp view (for spark.sql use)."""
-        import os
+        """Register every known table as a temp view (for spark.sql use).
+
+        Absence is probed through the Spark read itself, not
+        ``os.path.exists`` — ``sf_dir`` may be an object-store or HDFS
+        URI the driver's local filesystem cannot see (a local-only probe
+        would silently register NOTHING on a cluster)."""
+        from pyspark.errors import AnalysisException
 
         for name in TABLES:
-            # skip genuinely absent tables; anything else (corrupt
-            # parquet, schema errors) must surface, not be swallowed
-            if not os.path.exists(os.path.join(self.sf_dir, f"{name}.parquet")):
-                continue
-            self.table(name).createOrReplaceTempView(prefix + name)
+            try:
+                df = self.table(name)
+            except AnalysisException as exc:
+                cond = (
+                    exc.getCondition()
+                    if hasattr(exc, "getCondition")
+                    else exc.getErrorClass()
+                )
+                # skip genuinely absent tables; anything else (corrupt
+                # parquet, schema errors) must surface, not be swallowed
+                if cond == "PATH_NOT_FOUND":
+                    continue
+                raise
+            df.createOrReplaceTempView(prefix + name)

@@ -533,17 +533,21 @@ def curate_main(argv: list[str] | None = None) -> int:
                 "alpha_ratio", "reject_mask", "keep",
             )
     elif args.op == "dedup-exact":
-        from pyspark.sql import Window, functions as F
+        from pyspark.sql import functions as F
 
-        # NULL texts are exempt from the window: md5(NULL) is NULL, so
-        # partitionBy(md5(text)) would pool every null-text document into
-        # one phantom group and keep exactly one of them (the same bug
-        # llm.dedup.exact_duplicates filters against).
-        nonnull = df.filter(F.col(txt).isNotNull())
-        w = Window.partitionBy(F.md5(F.col(txt))).orderBy(idc)
+        from res2df_spark.llm.dedup import exact_duplicates
+
+        # Reuse the library operator (min-id keeper per md5 group, NULL
+        # texts exempt) instead of a parallel window implementation: the
+        # groupBy keeper set partial-aggregates map-side, and the
+        # left-semi join against it broadcasts when small.  NULL-text
+        # rows pass through untouched.
+        keepers = exact_duplicates(df, id_col=idc, text_col=txt).select(
+            F.col("keeper_id").alias(idc)
+        )
         out = (
-            nonnull.withColumn("__rn", F.row_number().over(w))
-            .filter("__rn = 1").drop("__rn")
+            df.filter(F.col(txt).isNotNull())
+            .join(keepers, on=idc, how="left_semi")
             .unionByName(df.filter(F.col(txt).isNull()))
         )
     elif args.op == "near-dup":

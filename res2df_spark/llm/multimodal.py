@@ -97,7 +97,10 @@ def extract_features(
             feats = [None if p is None else dec(p) for p in payloads]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    # nullable Int64: ids arrive as float64-with-NaN when
+                    # the batch has NULL ids, and astype("int64") would
+                    # abort the whole featurization job on the first one
+                    "doc_id": pdf[id_col].astype("Int64"),
                     "n_bytes": [None if p is None else len(p) for p in payloads],
                     "content_md5": [
                         None if p is None else hashlib.md5(p).hexdigest()
@@ -171,7 +174,10 @@ def sample_frames(
                 "frame_md5": [],
             }
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                if payload is None:
+                # skip NULL payloads AND NULL ids: a frame row without an
+                # owning doc id is unjoinable downstream, and int(None)
+                # would crash the worker mid-corpus
+                if payload is None or pd.isna(doc_id):
                     continue
                 frames = split(bytes(payload))
                 for idx in range(0, len(frames), every_n):

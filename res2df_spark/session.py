@@ -63,10 +63,22 @@ def get_spark(app_name: str = "res2df-spark", master: str | None = None) -> Spar
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_MASTER")
     if master is None:
-        from pyspark import SparkConf
+        # Under spark-submit the JVM gateway pre-exists and owns
+        # spark.master; a fresh SparkConf() in a bare python process has
+        # NO JVM attached and is an empty dict, so probing it alone can
+        # never see a submit-time --master — detect submission via the
+        # env vars spark-submit/pyspark set before user code runs.
+        submitted = (
+            "PYSPARK_GATEWAY_PORT" in os.environ
+            or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+        )
+        if not submitted:
+            from pyspark import SparkConf
 
-        if not SparkConf().contains("spark.master"):
-            master = f"local[{cpus}]"
+            # last resort: a JVM already attached in-process (e.g. an
+            # earlier SparkContext) exposes system properties here
+            if not SparkConf().contains("spark.master"):
+                master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)

@@ -104,35 +104,64 @@ def _load_yaml(content: str) -> dict:
     return data if isinstance(data, dict) else {}
 
 
+def _parse_parameterstxt(content: str) -> dict:
+    """``parameters.txt`` → dict, matching the reference's
+    load_parameterstxt (parameters.py:60-87): lines after a ``#`` are
+    comments, keys stay strings, and values get pandas-read_csv-style
+    COLUMN-level inference — the whole value column becomes int if every
+    value parses as int, else float if every value parses as float, else
+    all values stay strings.  One permissive divergence: a value may
+    contain whitespace (the reference's single-whitespace sep raises on
+    such lines)."""
+    pairs: list[tuple[str, str]] = []
+    for line in content.splitlines():
+        line = line.split("#", 1)[0]
+        parts = line.split(None, 1)
+        if len(parts) == 2:
+            pairs.append((parts[0], parts[1].strip()))
+    for cast in (int, float):
+        try:
+            return {k: cast(v) for k, v in pairs}
+        except ValueError:
+            continue
+    return dict(pairs)
+
+
 def load_parameters(path: str, search_parents: int = 2) -> dict:
-    """Find and merge ``parameters.txt`` / ``parameters.yml`` /
-    ``parameters.json`` in the case directory and up to
-    ``search_parents`` levels above (the reference looks in ., ..,
-    ../.. — parameters.py:18-60,118-135)."""
+    """Find and merge ``parameters.json`` / ``parameters.yml`` /
+    ``parameters.txt`` / bare ``parameters`` in the case directory and
+    up to ``search_parents`` levels above.
+
+    Reference parity (parameters.py:18-57 find_parameter_files +
+    :89-115 load_all): the search runs nearest-dir first and json
+    before yml before txt within a dir, and the FIRST occurrence of a
+    key wins — i.e. nearest dir beats parents, json beats yml beats
+    txt in the same dir.  Dict-valued keys (grouped json) are dropped
+    as in load() (parameters.py:178-183)."""
     merged: dict = {}
     d = os.path.abspath(path if os.path.isdir(path) else os.path.dirname(path))
     dirs = [d]
     for _ in range(search_parents):
         d = os.path.dirname(d)
         dirs.append(d)
-    for d in reversed(dirs):  # nearest file wins on key conflicts
+    # Iterate lowest-precedence first so dict.update leaves the
+    # highest-precedence (nearest dir, json-first) value standing.
+    for d in reversed(dirs):
         for fname, loader in (
-            ("parameters.json", lambda s: json.loads(s)),
-            ("parameters.yml", _load_yaml),
+            ("parameters", None),
             ("parameters.txt", None),
+            ("parameters.yml", _load_yaml),
+            ("parameters.json", lambda s: json.loads(s)),
         ):
             p = os.path.join(d, fname)
-            if not os.path.exists(p):
+            if not os.path.isfile(p):
                 continue
             with open(p) as f:
                 content = f.read()
-            if loader:
-                merged.update(loader(content))
-            else:
-                for line in content.splitlines():
-                    parts = line.split(None, 1)
-                    if len(parts) == 2:
-                        merged[parts[0]] = parts[1].strip()
+            loaded = loader(content) if loader else _parse_parameterstxt(content)
+            merged.update(
+                {k: v for k, v in loaded.items() if not isinstance(v, dict)}
+            )
     return merged
 
 

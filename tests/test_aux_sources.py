@@ -101,14 +101,28 @@ def test_parameters_yml(tmp_path):
     assert params["LABEL"] == "base"
 
 
-def test_parameters_txt_overrides_yml(tmp_path):
+def test_parameters_yml_overrides_txt(tmp_path):
+    # Reference load_all (parameters.py:89-115): first occurrence wins,
+    # and find_parameter_files lists json before yml before txt.
     from res2df_spark.sources.aux import load_parameters
 
     (tmp_path / "parameters.yml").write_text("A: 1\nB: 2\n")
-    (tmp_path / "parameters.txt").write_text("B 3\n")
+    (tmp_path / "parameters.txt").write_text("B 3\nC 4\n")
     params = load_parameters(str(tmp_path / "CASE.DATA"))
     assert params["A"] == 1
-    assert params["B"] == "3"  # txt read after yml in the same dir
+    assert params["B"] == 2  # yml beats txt in the same dir
+    assert params["C"] == 4  # txt all-int column → ints (pandas inference)
+
+
+def test_parameters_txt_comments_and_inference(tmp_path):
+    from res2df_spark.sources.aux import load_parameters
+
+    (tmp_path / "parameters.txt").write_text(
+        "# full-line comment\nA 1.5  # trailing comment\nB 2\n"
+    )
+    params = load_parameters(str(tmp_path / "CASE.DATA"))
+    # mixed int/float column → float for every value, as pandas infers
+    assert params == {"A": 1.5, "B": 2.0}
 
 
 def test_reversed_lyr_range_raises():

@@ -77,3 +77,22 @@ def test_sample_frames_custom_splitter(spark):
     got = {r.doc_id: r for r in out.collect()}
     assert got[1].n_frames == 1 and got[1].frame_bytes == 21
     assert 3 not in got
+
+
+def test_null_ids_survive(spark):
+    """NULL doc ids must not abort the Arrow worker: extract_features
+    keeps the row (NULL id, features computed), sample_frames skips it
+    (frames without an owning doc are unjoinable)."""
+    rows = [(None, bytearray(b"abcdefgh")), (7, bytearray(b"abcdefgh")), (8, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    feats = extract_features(df).collect()
+    assert len(feats) == 3
+    by_id = {r.doc_id: r for r in feats}
+    assert by_id[None].n_bytes == 8
+    assert by_id[7].content_md5 == by_id[None].content_md5
+    assert by_id[8].n_bytes is None
+
+    frames = sample_frames(df, frame_size=4, every_n=1).collect()
+    assert {r.doc_id for r in frames} == {7}
+    assert len(frames) == 2
