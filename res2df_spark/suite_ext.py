@@ -4825,8 +4825,8 @@ def minhash_recall_q(spark, sf_dir):
 _GRID_RT_SQL = """
     WITH src AS (
         SELECT l_discount AS poro, l_extendedprice AS pres,
-               row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS gi
-        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 8),
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1 AS gi
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 8),
     cells AS (
         SELECT gi, gi % 2 + 1 AS i, (gi // 2) % 2 + 1 AS j, gi // 4 + 1 AS k,
                poro, pres
@@ -4876,7 +4876,7 @@ def eclbin_grid_roundtrip(spark, sf_dir):
     rows = (
         Catalog(spark, sf_dir).lineitem
         .select("l_orderkey", "l_linenumber", "l_discount", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
         .limit(8)
         .collect()  # 8 rows — driver-side writer boundary, like all K* sinks
     )
@@ -4926,3 +4926,156 @@ def eclbin_grid_roundtrip(spark, sf_dir):
         F.col("PORO").alias("poro"), F.col("PORV").alias("porv"),
         F.col("DATE").alias("d"), F.col("PRESSURE").alias("pressure"),
     ).orderBy("d", "global_index")
+
+
+# ---------------------------------------------------------------------------
+# Binary RFT round-trip (sources/eclbin.py: S6) — survey grouping by
+# TIME records, DATE/WELLETC context, per-connection vectors.
+# ---------------------------------------------------------------------------
+
+_RFT_RT_SQL = """
+    WITH src AS (
+        SELECT l_quantity AS qty, l_extendedprice AS price, l_discount AS disc,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1 AS ci
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 4),
+    surveys AS (
+        SELECT CAST('2021-03-01' AS TIMESTAMP) AS d, 'OP1' AS well,
+               CAST(1.0 AS DOUBLE) AS scale
+        UNION ALL
+        SELECT CAST('2021-04-15' AS TIMESTAMP) AS d, 'OP2' AS well,
+               CAST(2.0 AS DOUBLE) AS scale)
+    SELECT s.d, s.well, CAST(c.ci AS BIGINT) AS conidx,
+           CAST(c.ci + 1 AS BIGINT) AS conipos,
+           CAST(1 AS BIGINT) AS conjpos,
+           CAST(c.ci + 1 AS BIGINT) AS conkpos,
+           CAST(CAST(c.qty * CAST(10.0 AS DOUBLE) AS REAL) AS DOUBLE) AS depth,
+           CAST(CAST(c.price * s.scale AS REAL) AS DOUBLE) AS pressure,
+           CAST(CAST(c.disc AS REAL) AS DOUBLE) AS swat
+    FROM src c CROSS JOIN surveys s
+    ORDER BY d, conidx
+"""
+
+
+@_q("rft_binary_roundtrip", _RFT_RT_SQL)
+def rft_binary_roundtrip(spark, sf_dir):
+    """S6 write -> read fixed point on the binary RFT layer (reference
+    rft.py survey grouping): two TIME-delimited surveys with DATE and
+    WELLETC context and CON*/DEPTH/PRESSURE/SWAT vectors are written
+    via write_keyword and read back through rft_table.  The oracle
+    recomputes the survey stack and float32 vector round-trip from the
+    same lineitem rows in SQL — green means survey boundary detection,
+    date/well context stamping and the int/float vector split are the
+    identity."""
+    import os
+    import tempfile
+
+    from res2df_spark.sources.eclbin import rft_table, write_keyword
+
+    rows = (
+        Catalog(spark, sf_dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(4)
+        .collect()  # 4 rows — driver-side writer boundary
+    )
+    qty = [float(r.l_quantity) for r in rows]
+    price = [float(r.l_extendedprice) for r in rows]
+    disc = [float(r.l_discount) for r in rows]
+    n = len(rows)
+
+    d = tempfile.mkdtemp(prefix="eclbin_rft_rt_")
+    path = os.path.join(d, "CASE.RFT")
+    with open(path, "wb") as f:
+        for days, (dd, mm, yy), well, scale in (
+            (59.0, (1, 3, 2021), "OP1", 1.0),
+            (104.0, (15, 4, 2021), "OP2", 2.0),
+        ):
+            write_keyword(f, "TIME", "REAL", [days])
+            write_keyword(f, "DATE", "INTE", [dd, mm, yy])
+            write_keyword(f, "WELLETC", "CHAR", ["METRIC", well, "R", "P"])
+            write_keyword(f, "CONIPOS", "INTE", [c + 1 for c in range(n)])
+            write_keyword(f, "CONJPOS", "INTE", [1] * n)
+            write_keyword(f, "CONKPOS", "INTE", [c + 1 for c in range(n)])
+            write_keyword(f, "DEPTH", "REAL", [q * 10.0 for q in qty])
+            write_keyword(f, "PRESSURE", "REAL", [p * scale for p in price])
+            write_keyword(f, "SWAT", "REAL", disc)
+
+    out = rft_table(spark, path)
+    return out.select(
+        F.col("DATE").alias("d"), F.col("WELL").alias("well"),
+        F.col("CONIDX").alias("conidx"),
+        F.col("CONIPOS").alias("conipos"), F.col("CONJPOS").alias("conjpos"),
+        F.col("CONKPOS").alias("conkpos"),
+        F.col("DEPTH").alias("depth"), F.col("PRESSURE").alias("pressure"),
+        F.col("SWAT").alias("swat"),
+    ).orderBy("d", "conidx")
+
+
+# ---------------------------------------------------------------------------
+# Binary NNC round-trip (sources/eclbin.py nnc_table, reference
+# nnc.py:37-110): EGRID NNC1/NNC2 global->I,J,K decode + INIT TRANNNC
+# alignment, oracled by recomputing the index arithmetic in SQL.
+# ---------------------------------------------------------------------------
+
+_NNC_RT_SQL = """
+    WITH src AS (
+        SELECT l_extendedprice AS tran,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1 AS e
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 6),
+    pairs AS (
+        -- NNC e: global pair (e+1, 8-e) on the 2x2x2 grid, 1-based
+        SELECT e, e + 1 AS g1, 8 - e AS g2, tran FROM src)
+    SELECT CAST((g1 - 1) % 2 + 1 AS INT) AS i1,
+           CAST(((g1 - 1) // 2) % 2 + 1 AS INT) AS j1,
+           CAST((g1 - 1) // 4 + 1 AS INT) AS k1,
+           CAST((g2 - 1) % 2 + 1 AS INT) AS i2,
+           CAST(((g2 - 1) // 2) % 2 + 1 AS INT) AS j2,
+           CAST((g2 - 1) // 4 + 1 AS INT) AS k2,
+           CAST(CAST(tran AS REAL) AS DOUBLE) AS tran
+    FROM pairs ORDER BY e
+"""
+
+
+@_q("nnc_binary_roundtrip", _NNC_RT_SQL)
+def nnc_binary_roundtrip(spark, sf_dir):
+    """EGRID NNC pair-list decode (reference nnc.py:37-110): NNC1/NNC2
+    1-based global indices written to a 2x2x2 EGRID and TRANNNC to the
+    INIT are read back through nnc_table; the oracle recomputes the
+    global->(I,J,K) arithmetic and the float32 TRAN round-trip in SQL
+    from the same lineitem rows."""
+    import os
+    import tempfile
+
+    from res2df_spark.sources.eclbin import nnc_table, write_keyword
+
+    rows = (
+        Catalog(spark, sf_dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(6)
+        .collect()  # 6 rows — driver-side writer boundary
+    )
+    tran = [float(r.l_extendedprice) for r in rows]
+    n = len(rows)
+
+    d = tempfile.mkdtemp(prefix="eclbin_nnc_rt_")
+    egrid = os.path.join(d, "CASE.EGRID")
+    init = os.path.join(d, "CASE.INIT")
+    gridhead = [0] * 100
+    gridhead[0:4] = [1, 2, 2, 2]
+    with open(egrid, "wb") as f:
+        write_keyword(f, "GRIDHEAD", "INTE", gridhead)
+        write_keyword(f, "NNC1", "INTE", [e + 1 for e in range(n)])
+        write_keyword(f, "NNC2", "INTE", [8 - e for e in range(n)])
+    with open(init, "wb") as f:
+        write_keyword(f, "TRANNNC", "REAL", tran)
+
+    out = nnc_table(spark, egrid, init_path=init)
+    return out.select(
+        F.col("I1").alias("i1"), F.col("J1").alias("j1"),
+        F.col("K1").alias("k1"),
+        F.col("I2").alias("i2"), F.col("J2").alias("j2"),
+        F.col("K2").alias("k2"),
+        F.col("TRAN").alias("tran"),
+    )
