@@ -5079,3 +5079,238 @@ def nnc_binary_roundtrip(spark, sf_dir):
         F.col("K2").alias("k2"),
         F.col("TRAN").alias("tran"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PRT balance-sheet scan (modules/fipreports.py: S7) — driver-visible
+# oracle for the distributed text-report parser: a real-shape PRT is
+# generated from per-region customer counts, parsed with the positional
+# colon-section rules, and the oracle recomputes every balance value
+# (all chosen exactly representable: x.5 / x.25 / integers) in SQL.
+# ---------------------------------------------------------------------------
+
+_FIPREPORTS_SQL = """
+    WITH cnt AS (
+        SELECT n_regionkey AS r, CAST(count(*) AS DOUBLE) AS c
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_regionkey)
+    SELECT CAST(make_date(2020, 1, CAST(r + 1 AS INT)) AS TIMESTAMP) AS d,
+           'FIPNUM' AS fipname,
+           CAST(r + 1 AS INT) AS region,
+           'CURRENTLY IN PLACE' AS datatype,
+           CAST(NULL AS INT) AS to_region,
+           CAST(c + 0.5 AS DOUBLE) AS stoiip_oil,
+           CAST(c * 2.0 AS DOUBLE) AS associatedoil_gas,
+           CAST(c + 0.5 + c * 2.0 AS DOUBLE) AS stoiip_total,
+           CAST(c * 3.0 AS DOUBLE) AS wiip_total,
+           CAST(c * 4.0 AS DOUBLE) AS giip_gas,
+           CAST(c + 0.25 AS DOUBLE) AS associatedgas_oil,
+           CAST(c * 4.0 + c + 0.25 AS DOUBLE) AS giip_total
+    FROM cnt ORDER BY region
+"""
+
+
+@_q("fipreports_prt", _FIPREPORTS_SQL)
+def fipreports_prt(spark, sf_dir):
+    """S7 generate -> parse fixed point on the PRT balance-sheet layer
+    (reference fipreports.py:34-190): one REPORT-dated FIPNUM region
+    block per region with a positional colon-sectioned CURRENTLY IN
+    PLACE line (3-token oil, 1-token water, 3-token gas layouts) is
+    written from per-region customer counts and parsed back by the
+    distributed scanner.  The oracle recomputes date stamping, region
+    context, layout dispatch and every float from the same join in
+    SQL."""
+    import os
+    import tempfile
+
+    cat = Catalog(spark, sf_dir)
+    counts = (
+        cat.customer.join(
+            cat.nation, F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("n_regionkey")
+        .collect()  # ≤5 rows — driver-side writer boundary
+    )
+    lines = [" NOISE"]
+    for row in counts:
+        r, c = int(row.n_regionkey), float(row.cnt)
+        liquid, vapour = c + 0.5, c * 2.0
+        water, free, diss = c * 3.0, c * 4.0, c + 0.25
+        lines.append(f"  REPORT   {r}     {r + 1} JAN 2020   *  RUN")
+        lines.append(
+            f"                     : FIPNUM  REPORT REGION{r + 1:5d}    :"
+        )
+        lines.append(
+            " :CURRENTLY IN PLACE       :"
+            f"{liquid:>15.2f}{vapour:>12.2f}{liquid + vapour:>10.2f} :"
+            f"{water:>10.2f} :"
+            f"{free:>10.2f}{diss:>11.2f}{free + diss:>11.2f}:"
+        )
+    d = tempfile.mkdtemp(prefix="fipreports_prt_")
+    path = os.path.join(d, "CASE.PRT")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    from res2df_spark.modules import fipreports
+
+    out = fipreports.df(spark, path)
+    return out.select(
+        F.col("DATE").cast("timestamp").alias("d"),
+        F.col("FIPNAME").alias("fipname"),
+        F.col("REGION").alias("region"),
+        F.col("DATATYPE").alias("datatype"),
+        F.col("TO_REGION").alias("to_region"),
+        F.col("STOIIP_OIL").alias("stoiip_oil"),
+        F.col("ASSOCIATEDOIL_GAS").alias("associatedoil_gas"),
+        F.col("STOIIP_TOTAL").alias("stoiip_total"),
+        F.col("WIIP_TOTAL").alias("wiip_total"),
+        F.col("GIIP_GAS").alias("giip_gas"),
+        F.col("ASSOCIATEDGAS_OIL").alias("associatedgas_oil"),
+        F.col("GIIP_TOTAL").alias("giip_total"),
+    ).orderBy("region")
+
+
+# ---------------------------------------------------------------------------
+# lyr zonemap parse + broadcast attach (sources/aux.py: S8 + J4) —
+# zone NAMES come from the region parquet so the oracle can recompute
+# the reference's span arithmetic (range, span-after-range, color drop)
+# as a constant k-list join in SQL.
+# ---------------------------------------------------------------------------
+
+_ZONEMAP_SQL = """
+    WITH ks AS (
+        SELECT 0 AS rk, unnest(generate_series(1, 3)) AS k
+        UNION ALL SELECT 1, unnest(generate_series(4, 6))
+        UNION ALL SELECT 2, unnest(generate_series(7, 8)))
+    SELECT CAST(ks.k AS INT) AS k, r.r_name AS zone
+    FROM ks JOIN region r ON r.r_regionkey = ks.rk
+    ORDER BY k
+"""
+
+
+@_q("zonemap_spans", _ZONEMAP_SQL)
+def zonemap_spans(spark, sf_dir):
+    """S8 lyr parse fixed point (reference common.py:859-952
+    parse_lyrfile + convert_lyrlist_to_zonemap): a lyr file whose zone
+    names are the first three region names exercises an absolute range,
+    a span entry resolved against the previous end layer
+    (to = from + span), a spaced range with a trailing color token and
+    a '--' comment; the oracle recomputes the layer assignment as a
+    constant k-list joined back to region."""
+    from res2df_spark.sources.aux import zonemap_df
+
+    names = {
+        int(r.r_regionkey): str(r.r_name)
+        for r in Catalog(spark, sf_dir)
+        .region.select("r_regionkey", "r_name")
+        .filter(F.col("r_regionkey") <= 2)
+        .collect()  # 3 rows — dim-table scale
+    }
+    lyr = (
+        "-- zones from region names\n"
+        f"'{names[0]}' 1-3\n"
+        f"'{names[1]}' 2\n"          # span: layers 4 .. 4+2 = 6
+        f"'{names[2]}' 7 - 8  #FF0000\n"
+    )
+    return zonemap_df(spark, lyr).select(
+        F.col("K").alias("k"), F.col("ZONE").alias("zone")
+    ).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# parameters discovery + attach (sources/aux.py: S9 + J12) — key-value
+# files are written from parquet aggregates, so the oracle recomputes
+# the discovery precedence (nearest dir first, json > yml > txt) and
+# the broadcast-literal attach as scalar subqueries.
+# ---------------------------------------------------------------------------
+
+_PARAMS_SQL = """
+    SELECT r_regionkey, r_name,
+           CAST((SELECT count(*) FROM region) AS BIGINT) AS nregions,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS nnations,
+           'json' AS src
+    FROM region ORDER BY r_regionkey
+"""
+
+
+@_q("params_attach", _PARAMS_SQL)
+def params_attach(spark, sf_dir):
+    """S9 + J12 (reference parameters.py:18-115 find/load_all +
+    summary.py:529-564 attach): parameters.txt one directory up carries
+    a numeric key (column-level int inference) and a SRC marker;
+    parameters.yml and parameters.json in the case directory both
+    redefine SRC — json must win (first occurrence in the reference's
+    json > yml > txt lookup order).  The merged dict is attached as
+    literal columns; the oracle recomputes every value as a scalar
+    subquery."""
+    import json as _json
+    import os
+    import tempfile
+
+    from res2df_spark.sources.aux import attach_parameters, load_parameters
+
+    cat = Catalog(spark, sf_dir)
+    nreg = cat.region.count()
+    nnat = cat.nation.count()
+    root = tempfile.mkdtemp(prefix="params_attach_")
+    case = os.path.join(root, "model")
+    os.makedirs(case)
+    with open(os.path.join(root, "parameters.txt"), "w") as f:
+        f.write(f"NREGIONS {nreg}\n")
+    with open(os.path.join(case, "parameters.yml"), "w") as f:
+        f.write("SRC: yml\n")
+    with open(os.path.join(case, "parameters.json"), "w") as f:
+        f.write(_json.dumps({"NNATIONS": int(nnat), "SRC": "json"}))
+
+    params = load_parameters(os.path.join(case, "CASE.DATA"))
+    out = attach_parameters(
+        cat.region.select("r_regionkey", "r_name"), params
+    )
+    return out.select(
+        "r_regionkey", "r_name",
+        F.col("NREGIONS").cast("long").alias("nregions"),
+        F.col("NNATIONS").cast("long").alias("nnations"),
+        F.col("SRC").alias("src"),
+    ).orderBy("r_regionkey")
+
+
+# ---------------------------------------------------------------------------
+# CSV sink -> scan round-trip (sinks/writers.py: K1 + S11) — the
+# single-file CSV writer (the reference's to_csv convention) re-read
+# with an explicit schema must be the identity, which the oracle
+# expresses as the original projection.
+# ---------------------------------------------------------------------------
+
+_CSV_RT_SQL = """
+    SELECT n_nationkey, n_regionkey, n_name
+    FROM nation ORDER BY n_nationkey
+"""
+
+
+@_q("csv_roundtrip", _CSV_RT_SQL)
+def csv_roundtrip(spark, sf_dir):
+    """K1 write -> S11 read fixed point (reference common.py:116-152
+    write_dframe_stdout_file + csv2res's read path): nation is written
+    through the single-file CSV sink and re-read with an explicit
+    schema; green means the CSV text round-trip preserves keys, ints
+    and strings exactly."""
+    import os
+    import tempfile
+
+    from res2df_spark.sinks.writers import write_dataframe
+
+    src = (
+        Catalog(spark, sf_dir)
+        .nation.select("n_nationkey", "n_regionkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+    d = tempfile.mkdtemp(prefix="csv_rt_")
+    path = os.path.join(d, "nation.csv")
+    write_dataframe(src, path)
+    out = spark.read.csv(
+        path, header=True,
+        schema="n_nationkey long, n_regionkey long, n_name string",
+    )
+    return out.orderBy("n_nationkey")
