@@ -5314,3 +5314,126 @@ def csv_roundtrip(spark, sf_dir):
         schema="n_nationkey long, n_regionkey long, n_name string",
     )
     return out.orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Satfunc table writer -> deck parser fixed point (sinks/df2res.py: K8
+# + R10): a two-region SWOF frame built from lineitem floats is
+# rendered as include text (repr floats — shortest round-tripping
+# form) and re-parsed through the record reshaper; the oracle
+# recomputes the frame, so green means the text round-trip is the
+# identity on every float.
+# ---------------------------------------------------------------------------
+
+_SATFUNC_RT_SQL = """
+    WITH src AS (
+        SELECT l_discount AS krw, l_tax AS krow, l_quantity AS pc,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS rn
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 6)
+    SELECT 'SWOF' AS keyword,
+           CAST(CASE WHEN rn <= 3 THEN 1 ELSE 2 END AS BIGINT) AS satnum,
+           CAST((rn - 1) % 3 AS BIGINT) AS row_idx,
+           CAST(rn AS DOUBLE) / CAST(10.0 AS DOUBLE) AS sw,
+           krw, krow,
+           CAST(pc AS DOUBLE) AS pc
+    FROM src ORDER BY satnum, row_idx
+"""
+
+
+@_q("satfunc_writer_roundtrip", _SATFUNC_RT_SQL)
+def satfunc_writer_roundtrip(spark, sf_dir):
+    """K8 df -> include text -> df fixed point (reference
+    satfunc.py:272-383 df2res renderer + :107-157 parser): a SWOF
+    frame with two SATNUM regions is rendered via df2res_satfunc and
+    re-parsed via satfunc_df (interpolation on, a no-op with no
+    defaults); the oracle recomputes the same frame from lineitem.
+    repr() float formatting makes the text round-trip bit-exact."""
+    from res2df_spark.modules.tables import satfunc_df
+    from res2df_spark.sinks.df2res import df2res_satfunc
+
+    rows = (
+        Catalog(spark, sf_dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_discount", "l_tax", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(6)
+        .collect()  # 6 rows — driver-side writer boundary
+    )
+    data = []
+    for n, r in enumerate(rows, 1):
+        satnum, idx = (1, n - 1) if n <= 3 else (2, n - 4)
+        data.append(
+            ("SWOF", satnum, idx, n / 10.0,
+             float(r.l_discount), float(r.l_tax), float(r.l_quantity))
+        )
+    src = spark.createDataFrame(
+        data,
+        "KEYWORD string, SATNUM int, ROW_IDX int, "
+        "SW double, KRW double, KROW double, PC double",
+    )
+    text = df2res_satfunc(src)
+    out = satfunc_df(spark, text)
+    return out.select(
+        F.col("KEYWORD").alias("keyword"),
+        F.col("SATNUM").cast("long").alias("satnum"),
+        F.col("ROW_IDX").cast("long").alias("row_idx"),
+        F.col("SW").alias("sw"), F.col("KRW").alias("krw"),
+        F.col("KROW").alias("krow"), F.col("PC").alias("pc"),
+    ).orderBy("satnum", "row_idx")
+
+
+# ---------------------------------------------------------------------------
+# Distributed RLE (sinks/writers.py rle_encode_distributed: K5/F) —
+# the grid-property writer's collapse step, oracled by the classic
+# gaps-and-islands recompute in SQL.  The input is a dense sequence
+# derived from lineitem with genuine repeats (floor(quantity) % 5).
+# ---------------------------------------------------------------------------
+
+_RLE_SQL = """
+    WITH src AS (
+        SELECT CAST(floor(l_quantity) AS BIGINT) % 5 AS v,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS rn
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 200),
+    isl AS (
+        SELECT v, rn,
+               rn - row_number() OVER (PARTITION BY v ORDER BY rn) AS grp
+        FROM src)
+    SELECT CAST(min(rn) AS BIGINT) AS start_idx,
+           CAST(count(*) AS BIGINT) AS run_length,
+           CAST(v AS BIGINT) AS value
+    FROM isl GROUP BY v, grp ORDER BY start_idx
+"""
+
+
+@_q("rle_runs", _RLE_SQL)
+def rle_runs(spark, sf_dir):
+    """K5's distributed run-length collapse (reference grid.py:623-760
+    scatters into a driver-side numpy vector; here only the collapsed
+    runs reach the driver): consecutive equal values in strict cell
+    order become (start_idx, run_length, value) rows via the two-window
+    one-groupBy plan.  The oracle recomputes the runs with the
+    gaps-and-islands identity (rn - row_number within value) in SQL."""
+    from pyspark.sql import Window
+
+    from res2df_spark.sinks.writers import rle_encode_distributed
+
+    src = (
+        Catalog(spark, sf_dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(200)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+            ),
+        )
+        .withColumn("v", F.floor("l_quantity").cast("long") % 5)
+        .select("rn", "v")
+    )
+    out = rle_encode_distributed(src, "rn", "v")
+    return out.select(
+        F.col("start_idx").cast("long").alias("start_idx"),
+        F.col("run_length").alias("run_length"),
+        F.col("value").cast("long").alias("value"),
+    ).orderBy("start_idx")
