@@ -5437,3 +5437,130 @@ def rle_runs(spark, sf_dir):
         F.col("run_length").alias("run_length"),
         F.col("value").cast("long").alias("value"),
     ).orderBy("start_idx")
+
+
+# ---------------------------------------------------------------------------
+# EDITNNC writer -> deck parser fixed point (sinks/df2res.py: K6) — the
+# NNC edit keyword rendered from lineitem-derived pairs and re-parsed
+# through the schema-registry deck layer.
+# ---------------------------------------------------------------------------
+
+_EDITNNC_RT_SQL = """
+    WITH src AS (
+        SELECT l_extendedprice AS tranm,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1 AS e
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 6)
+    SELECT CAST(e % 2 + 1 AS INT) AS i1, CAST((e // 2) % 2 + 1 AS INT) AS j1,
+           CAST(e // 4 + 1 AS INT) AS k1,
+           CAST((5 - e) % 2 + 1 AS INT) AS i2, CAST(((5 - e) // 2) % 2 + 1 AS INT) AS j2,
+           CAST((5 - e) // 4 + 1 AS INT) AS k2,
+           tranm
+    FROM src ORDER BY i1, j1, k1, i2, j2, k2
+"""
+
+
+@_q("editnnc_writer_roundtrip", _EDITNNC_RT_SQL)
+def editnnc_writer_roundtrip(spark, sf_dir):
+    """K6 df -> EDITNNC text -> df fixed point (reference
+    nnc.py:206-260): six connection records with float transmissibility
+    multipliers render through df2res_editnnc and re-parse through the
+    deck schema registry; the oracle recomputes the pair arithmetic and
+    the repr-float round-trip from the same lineitem rows."""
+    from res2df_spark.sinks.df2res import df2res_editnnc
+    from res2df_spark.sources.deck import deck_records
+
+    rows = (
+        Catalog(spark, sf_dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(6)
+        .collect()  # 6 rows — driver-side writer boundary
+    )
+    data = []
+    for e, r in enumerate(rows):
+        f = 5 - e
+        data.append(
+            (e % 2 + 1, (e // 2) % 2 + 1, e // 4 + 1,
+             f % 2 + 1, (f // 2) % 2 + 1, f // 4 + 1,
+             float(r.l_extendedprice))
+        )
+    src = spark.createDataFrame(
+        data, "I1 int, J1 int, K1 int, I2 int, J2 int, K2 int, TRANM double"
+    )
+    text = df2res_editnnc(src)
+    out = deck_records(spark, text, "EDITNNC")
+    return out.select(
+        F.col("I1").alias("i1"), F.col("J1").alias("j1"),
+        F.col("K1").alias("k1"),
+        F.col("I2").alias("i2"), F.col("J2").alias("j2"),
+        F.col("K2").alias("k2"),
+        F.col("TRANM").alias("tranm"),
+    ).orderBy("i1", "j1", "k1", "i2", "j2", "k2")
+
+
+# ---------------------------------------------------------------------------
+# Generic include writer -> deck parser fixed point (sinks/writers.py
+# df_to_include: K3/K4) — mid-record NULLs must render as '1*' (slot
+# preserved), trailing NULLs must be dropped entirely, and both must
+# re-parse to the same NULLs.
+# ---------------------------------------------------------------------------
+
+_INCLUDE_RT_SQL = """
+    WITH src AS (
+        SELECT n_nationkey, n_regionkey,
+               row_number() OVER (ORDER BY n_nationkey) - 1 AS idx
+        FROM nation ORDER BY n_nationkey LIMIT 3)
+    SELECT 'W' || CAST(n_nationkey AS VARCHAR) AS well,
+           'G' || CAST(n_regionkey AS VARCHAR) AS grp,
+           CAST(n_nationkey + 1 AS INT) AS i,
+           CAST(CASE WHEN idx = 1 THEN NULL ELSE n_regionkey + 1 END AS INT) AS j,
+           CAST(CASE WHEN idx >= 1 THEN NULL
+                     ELSE CAST(n_nationkey AS DOUBLE) * 100.0 + 0.5
+                END AS DOUBLE) AS ref_depth,
+           CASE WHEN idx = 2 THEN NULL ELSE 'OIL' END AS phase
+    FROM src ORDER BY well
+"""
+
+
+@_q("include_writer_roundtrip", _INCLUDE_RT_SQL)
+def include_writer_roundtrip(spark, sf_dir):
+    """K3/K4 df -> include text -> df fixed point (reference
+    common.py:628-750 df2res + the '1*'/trailing-default rules): a
+    WELSPECS frame where one record defaults J mid-record (must render
+    '1*' so later slots don't shift) and another defaults its trailing
+    REF_DEPTH+PHASE (must be dropped entirely) renders through
+    df_to_include and re-parses through the deck schema registry to the
+    same NULLs.  The oracle recomputes the frame from nation."""
+    from res2df_spark.sinks.writers import df_to_include
+    from res2df_spark.sources.deck import deck_records
+
+    rows = (
+        Catalog(spark, sf_dir).nation
+        .select("n_nationkey", "n_regionkey")
+        .orderBy("n_nationkey")
+        .limit(3)
+        .collect()  # 3 rows — driver-side writer boundary
+    )
+    data = []
+    for idx, r in enumerate(rows):
+        nk, rk = int(r.n_nationkey), int(r.n_regionkey)
+        data.append((
+            f"W{nk}", f"G{rk}", nk + 1,
+            None if idx == 1 else rk + 1,
+            None if idx >= 1 else float(nk) * 100.0 + 0.5,
+            None if idx == 2 else "OIL",
+        ))
+    src = spark.createDataFrame(
+        data,
+        "WELL string, GROUP string, I int, J int, REF_DEPTH double, PHASE string",
+    )
+    text = df_to_include(
+        src.orderBy("WELL"), "WELSPECS",
+        ["WELL", "GROUP", "I", "J", "REF_DEPTH", "PHASE"],
+    )
+    out = deck_records(spark, text, "WELSPECS")
+    return out.select(
+        F.col("WELL").alias("well"), F.col("GROUP").alias("grp"),
+        F.col("I").alias("i"), F.col("J").alias("j"),
+        F.col("REF_DEPTH").alias("ref_depth"), F.col("PHASE").alias("phase"),
+    ).orderBy("well")
