@@ -5564,3 +5564,138 @@ def include_writer_roundtrip(spark, sf_dir):
         F.col("I").alias("i"), F.col("J").alias("j"),
         F.col("REF_DEPTH").alias("ref_depth"), F.col("PHASE").alias("phase"),
     ).orderBy("well")
+
+
+# ---------------------------------------------------------------------------
+# WLIST running list algebra (modules/wlist.py: W6 + R11) — the
+# documented driver-side fold (NEW/ADD/DEL, recursive '*LIST'
+# expansion, per-date snapshots) with well names from the nation
+# parquet; the oracle enumerates the expected membership per snapshot.
+# ---------------------------------------------------------------------------
+
+_WLIST_SQL = """
+    WITH w AS (
+        SELECT n_name AS well, row_number() OVER (ORDER BY n_nationkey) - 1 AS i
+        FROM nation ORDER BY n_nationkey LIMIT 5),
+    snaps AS (
+        SELECT CAST('2020-01-01' AS TIMESTAMP) AS d, 'OPS' AS name, well
+        FROM w WHERE i IN (0, 1)
+        UNION ALL
+        SELECT CAST('2020-01-01' AS TIMESTAMP), 'GAS', well FROM w WHERE i = 2
+        UNION ALL
+        SELECT CAST('2020-02-01' AS TIMESTAMP), 'OPS', well
+        FROM w WHERE i IN (0, 1, 2, 3)
+        UNION ALL
+        SELECT CAST('2020-02-01' AS TIMESTAMP), 'ALL', well
+        FROM w WHERE i IN (0, 1, 2, 3, 4))
+    SELECT d, name, well FROM snaps ORDER BY d, name, well
+"""
+
+
+@_q("wlist_fold", _WLIST_SQL)
+def wlist_fold(spark, sf_dir):
+    """W6 + R11 (reference compdat.py:556-653): NEW seeds two lists at
+    the START date; a second dated block ADDs two wells, DELs one (the
+    R11 set difference — GAS empties and emits nothing) and NEWs a list
+    through a recursive '*OPS' reference resolved at definition time.
+    One snapshot of full list state per date with changes; list names
+    lose the Eclipse asterisk.  The oracle enumerates the same
+    membership from nation."""
+    from res2df_spark.modules import wlist
+
+    names = [
+        str(r.n_name)
+        for r in Catalog(spark, sf_dir).nation
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+        .limit(5)
+        .collect()  # 5 rows — dim-table scale
+    ]
+    w = [f"'{n}'" for n in names]
+    deck = f"""
+START
+  1 JAN 2020 /
+WLIST
+  '*OPS' 'NEW' {w[0]} {w[1]} /
+  '*GAS' 'NEW' {w[2]} /
+/
+DATES
+  1 FEB 2020 /
+/
+WLIST
+  '*OPS' 'ADD' {w[2]} {w[3]} /
+  '*GAS' 'DEL' {w[2]} /
+  '*ALL' 'NEW' '*OPS' {w[4]} /
+/
+"""
+    out = wlist.df(spark, deck)
+    return out.select(
+        F.col("DATE").cast("timestamp").alias("d"),
+        F.col("NAME").alias("name"),
+        F.col("WELL").alias("well"),
+    ).orderBy("d", "name", "well")
+
+
+# ---------------------------------------------------------------------------
+# Directional transmissibility filter (modules/grid.py trans_df: P7) —
+# the direction want-list ("IJ" excludes K faces) and the
+# sealing-fault/NULL row drops, oracled as filtered projections in SQL.
+# ---------------------------------------------------------------------------
+
+_TRANS_DIR_SQL = """
+    WITH src AS (
+        SELECT CAST(e % 2 + 1 AS INT) AS i, CAST((e // 2) % 2 + 1 AS INT) AS j,
+               CAST(e // 4 + 1 AS INT) AS k,
+               CASE WHEN e % 3 = 0 THEN NULL ELSE price END AS tranx,
+               CASE WHEN e = 1 THEN 0.0 ELSE disc END AS trany
+        FROM (
+            SELECT l_extendedprice AS price, l_discount AS disc,
+                   row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1 AS e
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 8))
+    SELECT i AS i1, j AS j1, k AS k1, CAST(i + 1 AS INT) AS i2, j AS j2, k AS k2,
+           'I' AS dir, CAST(tranx AS DOUBLE) AS tran
+    FROM src WHERE tranx > 0
+    UNION ALL
+    SELECT i, j, k, i, CAST(j + 1 AS INT), k, 'J', CAST(trany AS DOUBLE)
+    FROM src WHERE trany > 0
+    ORDER BY dir, i1, j1, k1
+"""
+
+
+@_q("trans_directional", _TRANS_DIR_SQL)
+def trans_directional(spark, sf_dir):
+    """P7 direction want-list (reference trans.py:106-135): a 2x2x2
+    grid frame with TRANX (NULL every third cell), TRANY (one sealing
+    0.0 face) and TRANZ runs through trans_df(directions='IJ') — K
+    faces excluded by the filter, NULL and zero faces dropped, the +I/
+    +J neighbour addresses synthesized map-only.  The oracle recomputes
+    the filtered projections in SQL."""
+    from res2df_spark.modules.grid import trans_df
+
+    rows = (
+        Catalog(spark, sf_dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_discount", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(8)
+        .collect()  # 8 cells — fixture-grid scale
+    )
+    data = []
+    for e, r in enumerate(rows):
+        data.append((
+            e % 2 + 1, (e // 2) % 2 + 1, e // 4 + 1,
+            None if e % 3 == 0 else float(r.l_extendedprice),
+            0.0 if e == 1 else float(r.l_discount),
+            float(r.l_quantity),  # TRANZ present but excluded by 'IJ'
+        ))
+    grid = spark.createDataFrame(
+        data, "I int, J int, K int, TRANX double, TRANY double, TRANZ double"
+    )
+    out = trans_df(grid, directions="IJ")
+    return out.select(
+        F.col("I1").alias("i1"), F.col("J1").alias("j1"),
+        F.col("K1").alias("k1"),
+        F.col("I2").alias("i2"), F.col("J2").alias("j2"),
+        F.col("K2").alias("k2"),
+        F.col("DIR").alias("dir"), F.col("TRAN").alias("tran"),
+    ).orderBy("dir", "i1", "j1", "k1")
