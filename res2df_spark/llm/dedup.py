@@ -321,34 +321,40 @@ def simhash_signatures(
         raise ValueError("md5-backed simhash supports up to 64 bits; use 64")
     toks = doc_tokens_long(spread(docs), id_col, text_col, distinct=True)
     # Wide-column evaluation: NO row fan-out — each (doc, token) row
-    # carries its 16 hex nibbles as int columns (converted once each)
-    # and the 64 bit-votes are 64 sum-aggregates in ONE groupBy(doc).
-    # Signature bit b lives at nibble p = b//4 + 1, position j = b%4
-    # (big-endian within the nibble).  vs the earlier nibble-exploded
-    # formulation this is 16× fewer rows through the vote stage and one
-    # shuffle instead of two (measured ~6% at sf0.1, where md5
-    # dominates; the row/shuffle reduction is the 100 TB lever).
-    nibbles = toks.select(id_col, F.md5(F.col("token")).alias("h")).select(
+    # converts its first 16 md5 hex chars into TWO 32-bit integers (one
+    # conv each; 8 hex chars always fit a bigint, so the cast never
+    # overflows under ANSI) and the 64 bit-votes are 64 sum-aggregates
+    # over integer shifts in ONE groupBy(doc).  Signature bit b lives
+    # at hex char p = b//4 + 1, position j = b%4 (big-endian within the
+    # nibble), i.e. bit (8-p)*4 + 3-j of c1 for p ≤ 8 and bit
+    # (16-p)*4 + 3-j of c2 otherwise — bit-identical to the earlier
+    # one-conv-per-nibble form but ~2× cheaper through the extraction
+    # (2 string convs per row instead of 16; measured md5+convs
+    # 1.19s → 0.65s on the sf0.1 token set).
+    halves = toks.select(id_col, F.md5(F.col("token")).alias("h")).select(
         id_col,
-        *[
-            F.expr(f"cast(conv(substring(h, {p}, 1), 16, 10) as int)").alias(f"nv{p}")
-            for p in range(1, bits // 4 + 1)
-        ],
+        F.expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)").alias("c1"),
+        F.expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)").alias("c2"),
     )
-    vote_aggs = []
+    # branch-free votes: sum the raw bit per position plus one token
+    # count; the ±1 vote sum is 2·set_bits − n, so "votes > 0" is
+    # "2·s_b > n" — 64 unconditional integer sums beat 64 CASE
+    # aggregates through the partial-agg hot loop
+    vote_aggs = [F.count(F.lit(1)).alias("n")]
     for b in range(bits):
         p, j = b // 4 + 1, b % 4
+        src = "c1" if p <= 8 else "c2"
+        shift = ((8 - p) * 4 if p <= 8 else (16 - p) * 4) + (3 - j)
         vote_aggs.append(
-            F.sum(
-                F.when(F.expr(f"(shiftright(nv{p}, {3 - j}) & 1) = 1"), 1).otherwise(-1)
-            ).alias(f"s{b}")
+            F.sum(F.expr(f"shiftright({src}, {shift}) & 1")).alias(f"s{b}")
         )
-    per_doc = nibbles.groupBy(id_col).agg(*vote_aggs)
+    per_doc = halves.groupBy(id_col).agg(*vote_aggs)
     return per_doc.select(
         id_col,
         sum(
             F.when(
-                F.col(f"s{b}") > 0, F.expr(f"shiftleft(cast(1 as bigint), {b})")
+                F.col(f"s{b}") * 2 > F.col("n"),
+                F.expr(f"shiftleft(cast(1 as bigint), {b})"),
             ).otherwise(F.lit(0).cast("bigint"))
             for b in range(bits)
         ).alias("simhash"),
