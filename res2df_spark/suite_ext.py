@@ -5699,3 +5699,58 @@ def trans_directional(spark, sf_dir):
         F.col("K2").alias("k2"),
         F.col("DIR").alias("dir"), F.col("TRAN").alias("tran"),
     ).orderBy("dir", "i1", "j1", "k1")
+
+
+# ---------------------------------------------------------------------------
+# VFPINJ writer -> parser fixed point (sinks/df2res.py df2res_vfpinj +
+# modules/vfp.df_inj: K8 + R7) — the melted long form re-assembled
+# into axis records and re-melted; BHP values come from lineitem so
+# the oracle can recompute the whole grid.
+# ---------------------------------------------------------------------------
+
+_VFPINJ_RT_SQL = """
+    WITH src AS (
+        SELECT l_extendedprice AS bhp,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1 AS e
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 6)
+    SELECT CAST(1 AS INT) AS tab, CAST(2500.0 AS DOUBLE) AS datum,
+           CAST(100.0 * (e // 3 + 1) AS DOUBLE) AS thp,
+           CAST(1000.0 * (e % 3 + 1) AS DOUBLE) AS rate,
+           bhp
+    FROM src ORDER BY thp, rate
+"""
+
+
+@_q("vfpinj_writer_roundtrip", _VFPINJ_RT_SQL)
+def vfpinj_writer_roundtrip(spark, sf_dir):
+    """K8 df -> VFPINJ text -> df fixed point (reference
+    vfp/_vfpinj.py df2res + basic_data parse): a 2-THP x 3-RATE grid
+    with lineitem BHP values renders through df2res_vfpinj (axis
+    extraction, per-THP value records) and re-parses through df_inj
+    (axis zip + melt).  The oracle recomputes the grid; repr floats
+    keep the text round-trip bit-exact."""
+    from res2df_spark.modules.vfp import df_inj
+    from res2df_spark.sinks.df2res import df2res_vfpinj
+
+    rows = (
+        Catalog(spark, sf_dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(6)
+        .collect()  # 6 rows — driver-side writer boundary
+    )
+    data = [
+        (1, 2500.0, 100.0 * (e // 3 + 1), 1000.0 * (e % 3 + 1),
+         float(r.l_extendedprice))
+        for e, r in enumerate(rows)
+    ]
+    src = spark.createDataFrame(
+        data, "TABLE int, DATUM double, THP double, RATE double, BHP double"
+    )
+    text = df2res_vfpinj(src)
+    out = df_inj(spark, text)
+    return out.select(
+        F.col("TABLE").alias("tab"), F.col("DATUM").alias("datum"),
+        F.col("THP").alias("thp"), F.col("RATE").alias("rate"),
+        F.col("BHP").alias("bhp"),
+    ).orderBy("thp", "rate")
