@@ -5754,3 +5754,65 @@ def vfpinj_writer_roundtrip(spark, sf_dir):
         F.col("THP").alias("thp"), F.col("RATE").alias("rate"),
         F.col("BHP").alias("bhp"),
     ).orderBy("thp", "rate")
+
+
+# ---------------------------------------------------------------------------
+# Nested PVTO writer -> parser fixed point (sinks/df2res.py df2res_pvt
+# + modules/tables.pvt_df: K8 + R10) — the hardest include renderer:
+# one record per outer RS value holding its undersaturated inner rows,
+# a lone '/' closing the PVTNUM.
+# ---------------------------------------------------------------------------
+
+_PVTO_RT_SQL = """
+    WITH src AS (
+        SELECT l_discount AS vf, l_tax AS visc,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1 AS e
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 4)
+    SELECT 'PVTO' AS keyword, CAST(1 AS INT) AS pvtnum,
+           CAST(e % 2 AS INT) AS row_idx,
+           CAST(100.0 * (e // 2 + 1) AS DOUBLE) AS rs,
+           CAST(1000.0 * (e % 2 + 1) + 2000.0 * (e // 2) AS DOUBLE) AS pressure,
+           vf AS volumefactor, visc AS viscosity
+    FROM src ORDER BY rs, row_idx
+"""
+
+
+@_q("pvto_writer_roundtrip", _PVTO_RT_SQL)
+def pvto_writer_roundtrip(spark, sf_dir):
+    """K8 nested df -> PVTO text -> df fixed point (reference
+    pvt.py:329-645 _pvto_pvtnum nesting + the R10 arbitrary-length
+    record unroll): two RS records of two undersaturated rows each
+    render through df2res_pvt and re-parse through pvt_df to the same
+    (PVTNUM, ROW_IDX, RS, PRESSURE, VOLUMEFACTOR, VISCOSITY) rows; the
+    oracle recomputes the grid with lineitem floats."""
+    from res2df_spark.modules.tables import pvt_df
+    from res2df_spark.sinks.df2res import df2res_pvt
+
+    rows = (
+        Catalog(spark, sf_dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_discount", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(4)
+        .collect()  # 4 rows — driver-side writer boundary
+    )
+    data = [
+        ("PVTO", 1, e % 2, 100.0 * (e // 2 + 1),
+         1000.0 * (e % 2 + 1) + 2000.0 * (e // 2),
+         float(r.l_discount), float(r.l_tax))
+        for e, r in enumerate(rows)
+    ]
+    src = spark.createDataFrame(
+        data,
+        "KEYWORD string, PVTNUM int, ROW_IDX int, RS double, "
+        "PRESSURE double, VOLUMEFACTOR double, VISCOSITY double",
+    )
+    text = df2res_pvt(src)
+    out = pvt_df(spark, text)
+    return out.select(
+        F.col("KEYWORD").alias("keyword"), F.col("PVTNUM").alias("pvtnum"),
+        F.col("ROW_IDX").alias("row_idx"), F.col("RS").alias("rs"),
+        F.col("PRESSURE").alias("pressure"),
+        F.col("VOLUMEFACTOR").alias("volumefactor"),
+        F.col("VISCOSITY").alias("viscosity"),
+    ).orderBy("rs", "row_idx")
