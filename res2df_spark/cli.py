@@ -533,21 +533,23 @@ def curate_main(argv: list[str] | None = None) -> int:
                 "alpha_ratio", "reject_mask", "keep",
             )
     elif args.op == "dedup-exact":
-        from pyspark.sql import functions as F
+        from pyspark.sql import Window, functions as F
 
-        from res2df_spark.llm.dedup import exact_duplicates
-
-        # Reuse the library operator (min-id keeper per md5 group, NULL
-        # texts exempt) instead of a parallel window implementation: the
-        # groupBy keeper set partial-aggregates map-side, and the
-        # left-semi join against it broadcasts when small.  NULL-text
-        # rows pass through untouched.
-        keepers = exact_duplicates(df, id_col=idc, text_col=txt).select(
-            F.col("keeper_id").alias(idc)
-        )
+        # One row per md5(text) group via a partitioned window — ONE
+        # shuffle, and correct where a keeper-id semi-join against
+        # llm.dedup.exact_duplicates is not: a NULL-id row never
+        # equi-joins (min(id) also skips NULLs, so an all-NULL-id group
+        # has no keeper), and duplicate ids across groups make the id
+        # column ambiguous as a join key.  NULL texts are exempt from
+        # the window: md5(NULL) is NULL, so partitionBy(md5(text))
+        # would pool every null-text document into one phantom group
+        # and keep exactly one of them (same reason exact_duplicates
+        # filters them).
+        nonnull = df.filter(F.col(txt).isNotNull())
+        w = Window.partitionBy(F.md5(F.col(txt))).orderBy(idc)
         out = (
-            df.filter(F.col(txt).isNotNull())
-            .join(keepers, on=idc, how="left_semi")
+            nonnull.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1").drop("__rn")
             .unionByName(df.filter(F.col(txt).isNull()))
         )
     elif args.op == "near-dup":

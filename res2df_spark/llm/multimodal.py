@@ -97,9 +97,10 @@ def extract_features(
             feats = [None if p is None else dec(p) for p in payloads]
             yield pd.DataFrame(
                 {
-                    # nullable Int64: ids arrive as float64-with-NaN when
-                    # the batch has NULL ids, and astype("int64") would
-                    # abort the whole featurization job on the first one
+                    # ids travel as strings (see the select below) and
+                    # convert object->Int64 exactly: a NULL-bearing
+                    # batch of raw longs would arrive float64-with-NaN,
+                    # where astype silently corrupts ids above 2^53
                     "doc_id": pdf[id_col].astype("Int64"),
                     "n_bytes": [None if p is None else len(p) for p in payloads],
                     "content_md5": [
@@ -111,7 +112,9 @@ def extract_features(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+    return df.select(
+        F.col(id_col).cast("string").alias(id_col), payload_col
+    ).mapInPandas(run, FEATURE_SCHEMA)
 
 
 #: Schema of a sampled frame record: one row per kept frame.
@@ -176,7 +179,9 @@ def sample_frames(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 # skip NULL payloads AND NULL ids: a frame row without an
                 # owning doc id is unjoinable downstream, and int(None)
-                # would crash the worker mid-corpus
+                # would crash the worker mid-corpus.  ids travel as
+                # strings (see the select below), so int() stays exact
+                # above 2^53 even in NULL-bearing batches.
                 if payload is None or pd.isna(doc_id):
                     continue
                 frames = split(bytes(payload))
@@ -188,7 +193,9 @@ def sample_frames(
                     out["frame_md5"].append(hashlib.md5(frames[idx]).hexdigest())
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+    return df.select(
+        F.col(id_col).cast("string").alias(id_col), payload_col
+    ).mapInPandas(run, FRAME_SCHEMA)
 
 
 def export_tar_shards(

@@ -16,15 +16,45 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+#: the W3C/CSS SVG color keyword set (public spec,
+#: https://www.w3.org/TR/css-color-3/#svg-color) — the same list the
+#: reference checks against, so a stray non-color token makes the line
+#: FAIL its number parse (reference rejects such files) instead of
+#: being silently swallowed as a color.
+_SVG_COLOR_NAMES = frozenset("""
+aliceblue antiquewhite aqua aquamarine azure beige bisque black
+blanchedalmond blue blueviolet brown burlywood cadetblue chartreuse
+chocolate coral cornflowerblue cornsilk crimson cyan darkblue darkcyan
+darkgoldenrod darkgray darkgreen darkgrey darkkhaki darkmagenta
+darkolivegreen darkorange darkorchid darkred darksalmon darkseagreen
+darkslateblue darkslategray darkslategrey darkturquoise darkviolet
+deeppink deepskyblue dimgray dimgrey dodgerblue firebrick floralwhite
+forestgreen fuchsia gainsboro ghostwhite gold goldenrod gray grey green
+greenyellow honeydew hotpink indianred indigo ivory khaki lavender
+lavenderblush lawngreen lemonchiffon lightblue lightcoral lightcyan
+lightgoldenrodyellow lightgray lightgreen lightgrey lightpink
+lightsalmon lightseagreen lightskyblue lightslategray lightslategrey
+lightsteelblue lightyellow lime limegreen linen magenta maroon
+mediumaquamarine mediumblue mediumorchid mediumpurple mediumseagreen
+mediumslateblue mediumspringgreen mediumturquoise mediumvioletred
+midnightblue mintcream mistyrose moccasin navajowhite navy oldlace
+olive olivedrab orange orangered orchid palegoldenrod palegreen
+paleturquoise palevioletred papayawhip peachpuff peru pink plum
+powderblue purple red rosybrown royalblue saddlebrown salmon sandybrown
+seagreen seashell sienna silver skyblue slateblue slategray slategrey
+snow springgreen steelblue tan teal thistle tomato turquoise violet
+wheat white whitesmoke yellow yellowgreen
+""".split())
+
+
 def _is_color(token: str) -> bool:
-    """Reference ``is_color`` approximation (common.py:847-856):
-    '#RRGGBB' / '#RGB' hex, or a purely alphabetic token (SVG color
-    keywords are alphabetic; layer numbers never are, so '8' is NOT a
-    color and a malformed ``'Z' 5 8`` line fails the number parse
-    instead of silently losing the 8)."""
+    """Reference ``is_color`` (common.py:847-856): '#RRGGBB' / '#RGB'
+    hex, or an SVG color keyword (exact list — a merely-alphabetic
+    non-color token must NOT be swallowed; the reference fails such
+    lines at the number parse and rejects the file)."""
     return (
         bool(re.fullmatch(r"#([0-9a-fA-F]{6}|[0-9a-fA-F]{3})", token))
-        or token.isalpha()
+        or token.lower() in _SVG_COLOR_NAMES
     )
 
 
@@ -110,9 +140,12 @@ def _parse_parameterstxt(content: str) -> dict:
     comments, keys stay strings, and values get pandas-read_csv-style
     COLUMN-level inference — the whole value column becomes int if every
     value parses as int, else float if every value parses as float, else
-    all values stay strings.  One permissive divergence: a value may
-    contain whitespace (the reference's single-whitespace sep raises on
-    such lines)."""
+    all values stay strings; an all-True/False column becomes bool.
+    Documented divergences from the pandas loader: a value may contain
+    whitespace (the reference's single-whitespace sep raises on such
+    lines), and NA tokens ('NULL', 'NaN', empty) stay literal strings
+    instead of becoming NaN values, which keeps attach_parameters
+    literals well-typed."""
     pairs: list[tuple[str, str]] = []
     for line in content.splitlines():
         line = line.split("#", 1)[0]
@@ -124,6 +157,10 @@ def _parse_parameterstxt(content: str) -> dict:
             return {k: cast(v) for k, v in pairs}
         except ValueError:
             continue
+    if pairs and all(v in ("True", "False") for _, v in pairs):
+        # pandas bool-column inference: an all-True/False value column
+        # reads as bool dtype in the reference's load_parameterstxt
+        return {k: v == "True" for k, v in pairs}
     return dict(pairs)
 
 

@@ -96,3 +96,14 @@ def test_null_ids_survive(spark):
     frames = sample_frames(df, frame_size=4, every_n=1).collect()
     assert {r.doc_id for r in frames} == {7}
     assert len(frames) == 2
+
+
+def test_large_ids_stay_exact_with_nulls(spark):
+    """A NULL-bearing batch must not float-degrade ids above 2^53."""
+    big = (1 << 53) + 1
+    rows = [(None, bytearray(b"abcd")), (big, bytearray(b"abcd"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = {r.doc_id for r in extract_features(df).collect()}
+    assert big in feats
+    frames = {r.doc_id for r in sample_frames(df, frame_size=4).collect()}
+    assert frames == {big}
