@@ -146,16 +146,36 @@ def _run_deck_module(name: str, spark, deck_text: str, **kwargs):
     raise SystemExit(f"unknown module {name}")
 
 
-def _run_wellcompletiondata(spark, deck_text: str, zonemap_path: str,
-                            excl_well_prefix: str | None):
+def _run_wellcompletiondata(spark, deck_text: str, zonemap_path: str | None,
+                            excl_well_prefix: str | None,
+                            deck_dir: str = "."):
     """Forward wellcompletiondata flow (reference
     wellcompletiondata.py:129-215): compdat pipeline ⋈ lyr zonemap →
-    per-zone OPEN/KH aggregation."""
+    per-zone OPEN/KH aggregation.
+
+    Zonemap discovery follows the reference's get_zonemap
+    (resdatafiles.py:207-247): ``--zonemap`` omitted → ``zones.lyr``
+    next to the deck, silently empty when absent; an EXPLICIT missing
+    path warns and yields the empty map.  An empty map means no
+    connection can be zoned, so the aggregate is empty — the
+    reference's "ZONE column not generated" empty-frame path."""
+    import os
+    import sys
+
     from res2df_spark.modules import compdat, wellcompletiondata
     from res2df_spark.sources.aux import zonemap_df
 
-    with open(zonemap_path) as f:
-        zmap = zonemap_df(spark, f.read())  # already unrolled to (K, ZONE)
+    defaulted = zonemap_path is None
+    path = zonemap_path or os.path.join(deck_dir, "zones.lyr")
+    if not os.path.isabs(path):
+        path = os.path.join(deck_dir, path)
+    if os.path.isfile(path):
+        with open(path) as f:
+            zmap = zonemap_df(spark, f.read())  # already unrolled to (K, ZONE)
+    else:
+        if not defaulted:
+            print(f"Zonefile {path} not found, ignoring", file=sys.stderr)
+        zmap = spark.createDataFrame([], "K int, ZONE string")
     conns = compdat.df(spark, deck_text)
     return wellcompletiondata.df(
         conns, zmap.select("K", "ZONE"), excl_well_prefix=excl_well_prefix
@@ -223,7 +243,11 @@ def get_parser() -> argparse.ArgumentParser:
     for name, help_ in _DECK_MODULES_EXTRA.items():
         s = sub.add_parser(name, help=help_)
         s.add_argument("deckfile", help="input .DATA / include file")
-        s.add_argument("--zonemap", required=True, help="lyr zonemap file")
+        s.add_argument(
+            "--zonemap", default=None,
+            help="lyr zonemap file (default: zones.lyr next to the deck, "
+                 "silently empty when absent — reference get_zonemap)",
+        )
         s.add_argument(
             "--excl_well_startswith", default=None,
             help="exclude wells with this name prefix (P8)",
@@ -248,8 +272,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.module in _DECK_MODULES_EXTRA:
         with open(args.deckfile) as f:
             deck_text = f.read()
+        import os as _os
+
         df = _run_wellcompletiondata(
-            spark, deck_text, args.zonemap, args.excl_well_startswith
+            spark, deck_text, args.zonemap, args.excl_well_startswith,
+            deck_dir=_os.path.dirname(_os.path.abspath(args.deckfile)),
         )
     else:
         with open(args.deckfile) as f:

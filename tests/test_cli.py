@@ -509,3 +509,30 @@ def test_curate_cli_pagerank_and_anomalies(spark, tmp_path):
     ) == 0
     got = duckdb.sql(f"SELECT event_id, value FROM '{an}/*.parquet'").fetchall()
     assert got == [(0, 999.0)]
+
+
+def test_cli_wellcompletiondata_default_zonemap(tmp_path, capsys):
+    """Reference get_zonemap parity (resdatafiles.py:207-247): with no
+    --zonemap, zones.lyr next to the deck is used; when absent the
+    aggregate is empty (no warning for the defaulted name)."""
+    deck = tmp_path / "CASE.DATA"
+    deck.write_text(
+        """
+START
+  1 JAN 2020 /
+WELSPECS
+  'OP1' 'G1' 1 1 1000.0 'OIL' /
+/
+COMPDAT
+  'OP1' 1 1 1 2 'OPEN' 1* 1* 1* 100.0 /
+/
+"""
+    )
+    # no zones.lyr → empty result, rc 0
+    assert cli.main(["wellcompletiondata", str(deck), "-o", "-"]) == 0
+    out = capsys.readouterr().out
+    assert "UPPER" not in out
+    # default zones.lyr discovered next to the deck
+    (tmp_path / "zones.lyr").write_text("'UPPER' 1-2\n")
+    assert cli.main(["wellcompletiondata", str(deck), "-o", "-"]) == 0
+    assert "UPPER" in capsys.readouterr().out
