@@ -259,7 +259,11 @@ NESTED_TABLE_KEYWORDS: dict[str, tuple[str, list[str], str]] = {
 }
 
 #: keywords whose payload is exactly one record (no terminating lone /).
-SINGLE_RECORD = {"START", "TSTEP"}
+#: The RUNSPEC dimension keywords belong here: without the single-record
+#: stop they would consume the NEXT (unregistered) keyword's tokens as a
+#: phantom second record — real decks put e.g. REGDIMS right after
+#: EQLDIMS and crashed the parse.
+SINGLE_RECORD = {"START", "TSTEP", "EQLDIMS", "TABDIMS"}
 
 #: schedule keywords that advance the date cursor (W1).
 DATE_KEYWORDS = {"START", "DATES", "TSTEP"}
@@ -371,15 +375,25 @@ def parse_deck(text: str) -> list[dict]:
 
     def _skip_block(j: int) -> int:
         """Skip an unhandled keyword's payload: resume at a known keyword
-        that is either the IMMEDIATE next token (zero-payload section
-        headers like SCHEDULE) or follows a '/' record terminator — a
-        data token that merely equals a keyword name mid-record cannot
-        mis-resume the parse."""
+        in record-boundary position — a data token that merely equals a
+        keyword name mid-record cannot mis-resume the parse.
+
+        Boundary position means: the immediate next token, any token
+        after a '/' record terminator, or after an unbroken run of
+        keyword-shaped tokens from such a point — zero-payload flag
+        keywords (OIL, WATER, METRIC, UNIFOUT, NEWTRAN …) chain without
+        terminators, and without the run rule a RUNSPEC like
+        ``DIMENS … / OIL WATER START …`` would swallow START (and with
+        it the whole date cursor) inside the DIMENS skip."""
         at_boundary = True
         while j < len(toks):
-            if toks[j] in known and at_boundary:
+            t = toks[j]
+            if t in known and at_boundary:
                 return j
-            at_boundary = toks[j] == "/"
+            if t == "/":
+                at_boundary = True
+            elif not (at_boundary and re.fullmatch(r"[A-Z][A-Z0-9_]{0,7}", t)):
+                at_boundary = False
             j += 1
         return j
 
@@ -603,3 +617,68 @@ def schedule_events(spark: SparkSession, text: str, records=None) -> DataFrame:
     return spark.createDataFrame(
         rows, "KEYWORD_IDX long, KEYWORD string, RECORD_IDX long, DATE date"
     )
+
+
+def read_deck(path: str, max_depth: int = 16) -> str:
+    """Read deck text with INCLUDE files spliced in recursively — the
+    reference relies on opm's parser doing this natively
+    (resdatafiles.py get_deck); here it is a text-level preprocessor so
+    every downstream deck consumer (parse_deck and the module layer)
+    sees one flat deck.
+
+    Semantics: an ``INCLUDE`` keyword line is followed by one record
+    holding the (optionally quoted) filename, terminated by ``/``;
+    relative paths resolve against the INCLUDING file's directory (so
+    nested includes in sibling dirs work like Eclipse).  ``--``
+    comments are honoured when locating the filename but the
+    surrounding deck text is passed through untouched.  A missing file
+    or nesting beyond ``max_depth`` raises — silently dropping an
+    include would parse a structurally valid but WRONG deck.
+    """
+    import os
+
+    def _read(p: str, depth: int) -> str:
+        if depth > max_depth:
+            raise ValueError(
+                f"INCLUDE nesting deeper than {max_depth} at {p!r} "
+                "(include cycle?)"
+            )
+        with open(p) as f:
+            lines = f.read().splitlines()
+        base = os.path.dirname(os.path.abspath(p))
+        out: list[str] = []
+        i = 0
+        while i < len(lines):
+            stripped = lines[i].split("--", 1)[0].strip()
+            if stripped.upper() != "INCLUDE":
+                out.append(lines[i])
+                i += 1
+                continue
+            # find the filename record on the following non-blank lines
+            j, fname = i + 1, None
+            while j < len(lines):
+                rec = lines[j].split("--", 1)[0].strip()
+                if rec:
+                    m = re.match(r"'([^']+)'|\"([^\"]+)\"|([^\s/]+)", rec)
+                    if not m:
+                        raise ValueError(
+                            f"malformed INCLUDE record in {p!r}: {lines[j]!r}"
+                        )
+                    fname = next(g for g in m.groups() if g)
+                    break
+                j += 1
+            if fname is None:
+                raise ValueError(f"INCLUDE at end of {p!r} has no filename")
+            inc = fname if os.path.isabs(fname) else os.path.join(base, fname)
+            if not os.path.isfile(inc):
+                raise FileNotFoundError(
+                    f"INCLUDE file {fname!r} (from {p!r}) not found at {inc!r}"
+                )
+            out.append(_read(inc, depth + 1))
+            # skip forward past the record terminator
+            while j < len(lines) and "/" not in lines[j].split("--", 1)[0]:
+                j += 1
+            i = j + 1
+        return "\n".join(out)
+
+    return _read(path, 0)

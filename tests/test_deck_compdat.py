@@ -836,3 +836,72 @@ COMPDAT
         compdat.df(spark, base + "COMPLUMP\n  'OP1' -1 1 1 2 1 /\n/\n")
     with _pytest.raises(ValueError, match="K2 must be"):
         compdat.df(spark, base + "COMPLUMP\n  'OP1' 1 1 2 1 1 /\n/\n")
+
+
+def test_runspec_dims_single_record_and_flag_chain():
+    """RUNSPEC parity: EQLDIMS/TABDIMS are single-record (REGDIMS right
+    after must not be swallowed as a phantom record), and a chain of
+    zero-payload flag keywords (OIL WATER ...) must not hide the
+    following START from the skip logic."""
+    from res2df_spark.sources.deck import parse_deck
+
+    recs = parse_deck(
+        """RUNSPEC
+DIMENS
+  2 2 2 /
+OIL
+WATER
+UNIFOUT
+START
+  1 JAN 2020 /
+TABDIMS
+  1 1 50 24 6 20 /
+EQLDIMS
+  2 100 20 /
+REGDIMS
+  6 1 0 3 /
+WELSPECS
+  'OP1' 'G1' 1 1 1000.0 'OIL' /
+/
+"""
+    )
+    kws = [r["KEYWORD"] for r in recs]
+    assert "START" in kws and "WELSPECS" in kws
+    eqldims = [r for r in recs if r["KEYWORD"] == "EQLDIMS"]
+    assert len(eqldims) == 1 and eqldims[0]["NTEQUL"] == 2
+    import datetime
+
+    assert [r for r in recs if r["KEYWORD"] == "START"][0]["DATE"] == (
+        datetime.date(2020, 1, 1)
+    )
+
+
+def test_read_deck_include_splicing(tmp_path):
+    """read_deck splices INCLUDE files recursively, resolving relative
+    paths against the INCLUDING file's directory; missing files raise."""
+    import pytest
+
+    from res2df_spark.sources.deck import parse_deck, read_deck
+
+    inc_dir = tmp_path / "include"
+    inc_dir.mkdir()
+    (inc_dir / "wells.inc").write_text(
+        "WELSPECS\n  'OP1' 'G1' 1 1 1000.0 'OIL' /\n/\n"
+        "INCLUDE\n  'nested.inc' /\n"
+    )
+    (inc_dir / "nested.inc").write_text(
+        "COMPDAT\n  'OP1' 1 1 1 1 'OPEN' /\n/\n"
+    )
+    deck = tmp_path / "CASE.DATA"
+    deck.write_text(
+        "START\n  1 JAN 2020 /\n"
+        "INCLUDE\n  'include/wells.inc' /  -- comment after\n"
+    )
+    text = read_deck(str(deck))
+    kws = {r["KEYWORD"] for r in parse_deck(text)}
+    assert kws == {"START", "WELSPECS", "COMPDAT"}
+
+    bad = tmp_path / "BAD.DATA"
+    bad.write_text("INCLUDE\n  'missing.inc' /\n")
+    with pytest.raises(FileNotFoundError, match="missing.inc"):
+        read_deck(str(bad))
