@@ -24,3 +24,4 @@ __version__ = "0.1.0"
 
 from res2df_spark.session import get_spark  # noqa: F401
 from res2df_spark.catalog import Catalog, TABLES  # noqa: F401
+from res2df_spark.case import ResdataCase  # noqa: F401

@@ -1,0 +1,240 @@
+"""Case-level user API — the engine's ``ResdataFiles``.
+
+The reference's primary user surface is one object per simulation case
+from which every datatype frame derives
+(/root/reference/src/res2df/resdatafiles.py:40-247 +
+tests/test_userapi.py)::
+
+    case = ResdataCase(spark, "MYCASE.DATA")
+    compdat = case.compdat()
+    grid = case.grid(rstdates="last")
+    smry = case.summary(time_index="monthly")
+
+Everything is lazy: the deck text (INCLUDE-spliced), each binary scan
+and the zonemap are read on first use and memoized.  Paths derive from
+the ``.DATA`` stem exactly like the reference (CASE.SMSPEC, CASE.EGRID,
+CASE.INIT, CASE.UNRST, CASE.RFT, CASE.PRT, zones.lyr, parameters.*).
+Every method returns a Spark DataFrame; the heavy lifting lives in the
+module layer, so this file is a thin, stable façade.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ResdataCase:
+    """Lazy, memoizing façade over one simulation case."""
+
+    def __init__(self, spark: SparkSession, data_path: str):
+        self.spark = spark
+        p = str(data_path)
+        if p.upper().endswith(".DATA"):
+            p = p[: -len(".DATA")]
+        self.root = os.path.abspath(p)
+        self._deck_text: str | None = None
+
+    # -- paths ---------------------------------------------------------
+
+    def path(self, ext: str) -> str:
+        """Sibling file path for an extension (``'SMSPEC'`` →
+        ``<root>.SMSPEC``)."""
+        return f"{self.root}.{ext}"
+
+    def _existing(self, ext: str) -> str | None:
+        p = self.path(ext)
+        return p if os.path.isfile(p) else None
+
+    # -- deck ----------------------------------------------------------
+
+    @property
+    def deck_text(self) -> str:
+        """INCLUDE-spliced deck text (sources/deck.read_deck),
+        memoized."""
+        if self._deck_text is None:
+            from res2df_spark.sources.deck import read_deck
+
+            self._deck_text = read_deck(self.path("DATA"))
+        return self._deck_text
+
+    def compdat(self) -> DataFrame:
+        """Unrolled connection table in the reference's column shape
+        (compdat.py df: one row per K layer, presented as K1 == K2,
+        ``OP/SH`` status).  The engine-internal module keeps its
+        single-K form for the downstream joins."""
+        from pyspark.sql import functions as F
+
+        from res2df_spark.modules import compdat
+
+        out = compdat.df(self.spark, self.deck_text)
+        return out.select(
+            *[c for c in out.columns if c not in ("K", "OP_SH")],
+            F.col("K").alias("K1"),
+            F.col("K").alias("K2"),
+            F.col("OP_SH").alias("OP/SH"),
+        )
+
+    def gruptree(self, startdate=None) -> DataFrame:
+        from res2df_spark.modules import gruptree
+
+        return gruptree.df(self.spark, self.deck_text, startdate=startdate)
+
+    def satfunc(self) -> DataFrame | None:
+        from res2df_spark.modules import tables
+
+        return tables.satfunc_df(self.spark, self.deck_text)
+
+    def pvt(self) -> DataFrame | None:
+        from res2df_spark.modules import tables
+
+        return tables.pvt_df(self.spark, self.deck_text)
+
+    def equil(self) -> DataFrame | None:
+        from res2df_spark.modules import tables
+
+        return tables.equil_df(self.spark, self.deck_text)
+
+    def faults(self) -> DataFrame:
+        from res2df_spark.modules import faults
+
+        return faults.df(self.spark, self.deck_text)
+
+    def wcon(self) -> DataFrame:
+        from res2df_spark.modules import wcon
+
+        return wcon.df(self.spark, self.deck_text)
+
+    def wlist(self) -> DataFrame:
+        from res2df_spark.modules import wlist
+
+        return wlist.df(self.spark, self.deck_text)
+
+    def vfpprod(self) -> DataFrame | None:
+        from res2df_spark.modules import vfp
+
+        return vfp.df_prod(self.spark, self.deck_text)
+
+    def vfpinj(self) -> DataFrame | None:
+        from res2df_spark.modules import vfp
+
+        return vfp.df_inj(self.spark, self.deck_text)
+
+    # -- binary scans --------------------------------------------------
+
+    def summary(self, time_index=None, column_keys=None,
+                start_date=None, end_date=None) -> DataFrame:
+        """Wide summary frame (S2 + W8), the reference's
+        ``summary.df``."""
+        from pyspark.sql import functions as F
+
+        from res2df_spark.modules import summary as summary_mod
+        from res2df_spark.sources import eclbin
+
+        long = eclbin.summary_long(self.spark, self.path("SMSPEC"))
+        if start_date:
+            long = long.filter(
+                F.col("DATE") >= F.lit(str(start_date)).cast("timestamp")
+            )
+        if end_date:
+            long = long.filter(
+                F.col("DATE")
+                < F.date_add(F.lit(str(end_date)).cast("date"), 1)
+            )
+        return summary_mod.df(
+            long, eclbin.summary_meta(self.spark, self.path("SMSPEC")),
+            time_index=time_index or "raw",
+            column_keys=list(column_keys or []),
+        )
+
+    def grid(self, rstdates=None) -> DataFrame:
+        """Geometry ⋈ INIT (⋈ UNRST when ``rstdates`` given) — the
+        reference's ``grid.df``."""
+        from res2df_spark.sources import eclbin
+
+        unrst = self._existing("UNRST") if rstdates is not None else None
+        return eclbin.grid_table(
+            self.spark, self.path("EGRID"), self._existing("INIT"),
+            unrst, rstdates=rstdates if unrst else None,
+        )
+
+    def rft(self) -> DataFrame:
+        from res2df_spark.modules.rft import add_extras
+        from res2df_spark.sources import eclbin
+
+        return add_extras(eclbin.rft_table(self.spark, self.path("RFT")))
+
+    def nnc(self) -> DataFrame:
+        from res2df_spark.sources import eclbin
+
+        return eclbin.nnc_table(
+            self.spark, self.path("EGRID"), self._existing("INIT")
+        )
+
+    def trans(self, directions: str = "IJK") -> DataFrame:
+        from res2df_spark.modules.grid import trans_df
+
+        return trans_df(self.grid(), directions=directions)
+
+    def pillars(self, region_col: str | None = None) -> DataFrame:
+        from res2df_spark.modules.grid import pillar_stats
+
+        return pillar_stats(self.grid(rstdates="last"), region_col=region_col)
+
+    def fipreports(self, fipname: str = "FIPNUM") -> DataFrame:
+        from res2df_spark.modules import fipreports
+
+        return fipreports.df(self.spark, self.path("PRT"), fipname=fipname)
+
+    def wellconnstatus(self) -> DataFrame:
+        from res2df_spark.modules.wellconnstatus import from_summary
+        from res2df_spark.sources import eclbin
+
+        return from_summary(
+            eclbin.summary_long(self.spark, self.path("SMSPEC"))
+        )
+
+    # -- auxiliary -----------------------------------------------------
+
+    def get_zonemap(self, filename: str | None = None) -> DataFrame:
+        """(K, ZONE) dim table from a lyr file — the reference's
+        ``get_zonemap`` (resdatafiles.py:207-247): default
+        ``zones.lyr`` next to the deck, silently empty when the
+        DEFAULT name is absent; an explicit missing filename raises
+        (a Spark engine should fail loudly on a named input)."""
+        from res2df_spark.sources.aux import zonemap_df
+
+        defaulted = filename is None
+        name = filename or "zones.lyr"
+        path = (
+            name
+            if os.path.isabs(name)
+            else os.path.join(os.path.dirname(self.root), name)
+        )
+        if not os.path.isfile(path):
+            if defaulted:
+                return self.spark.createDataFrame([], "K int, ZONE string")
+            raise FileNotFoundError(path)
+        with open(path) as f:
+            return zonemap_df(self.spark, f.read())
+
+    def parameters(self) -> dict:
+        """Merged parameters.* discovery (S9) rooted at the case."""
+        from res2df_spark.sources.aux import load_parameters
+
+        return load_parameters(self.path("DATA"))
+
+    def wellcompletiondata(self, zonemap: DataFrame | None = None,
+                           excl_well_startswith: str | None = None
+                           ) -> DataFrame:
+        """compdat ⋈ zonemap → per-zone OPEN/KH aggregate (J11)."""
+        from res2df_spark.modules import compdat, wellcompletiondata
+
+        zmap = zonemap if zonemap is not None else self.get_zonemap()
+        # the aggregate consumes the engine-internal single-K shape
+        conns = compdat.df(self.spark, self.deck_text)
+        return wellcompletiondata.df(
+            conns, zmap.select("K", "ZONE"),
+            excl_well_prefix=excl_well_startswith,
+        )

@@ -1,0 +1,70 @@
+"""User API: ResdataCase — the reference's test_userapi.py pattern
+(one case object, every datatype frame derives from it) against the
+EIGHTCELLS fixture case."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from res2df_spark.case import ResdataCase
+
+_EIGHT = "/root/reference/tests/data/eightcells"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(_EIGHT), reason="fixtures not present"
+)
+
+
+@pytest.fixture(scope="module")
+def case(spark):
+    return ResdataCase(spark, f"{_EIGHT}/EIGHTCELLS.DATA")
+
+
+def test_userapi_deck_frames(case):
+    compdat = case.compdat()
+    assert compdat.count() > 0
+    assert {"WELL", "I", "J", "K1", "K2", "OP/SH"} <= set(compdat.columns)
+    sat = case.satfunc()
+    assert sat is not None and sat.count() > 0
+    pvt = case.pvt()
+    assert pvt is not None and pvt.count() > 0
+    eq = case.equil()
+    assert eq is not None and eq.count() > 0
+
+
+def test_userapi_binary_frames(case):
+    grid = case.grid()
+    assert grid.count() == 8  # 2x2x2, all active
+    assert "PORO" in grid.columns
+    grst = case.grid(rstdates="last")
+    # restart vectors stacked on (the eightcells UNRST carries SWAT/SGAS)
+    assert grst.count() >= 8
+    smry = case.summary()
+    assert smry.count() > 0 and "DATE" in smry.columns
+    rft = case.rft()
+    assert rft.count() > 0
+
+
+def test_userapi_zonemap_and_aggregate(case):
+    zmap = case.get_zonemap()  # zones.lyr ships with the fixture
+    assert zmap.count() > 0
+    wcd = case.wellcompletiondata()
+    assert {"WELL", "ZONE", "DATE", "OP/SH", "KH"} <= set(wcd.columns)
+    with pytest.raises(FileNotFoundError):
+        case.get_zonemap("no_such.lyr")
+
+
+def test_userapi_hcpv_pattern(case):
+    """The reference's showcase calculation: per-region pore-volume
+    arithmetic straight on the frame (test_userapi.py:42-47)."""
+    from pyspark.sql import functions as F
+
+    grst = case.grid(rstdates="last")
+    if "SWAT" not in grst.columns or "PORV" not in grst.columns:
+        pytest.skip("fixture lacks SWAT/PORV")
+    hcpv = grst.withColumn(
+        "HCPV", (1 - F.col("SWAT")) * F.col("PORV")
+    ).agg(F.sum("HCPV").alias("t")).first()["t"]
+    assert hcpv is not None and hcpv > 0
