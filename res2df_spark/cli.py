@@ -270,8 +270,9 @@ def main(argv: list[str] | None = None) -> int:
             with_params=getattr(args, "params", False),
         )
     elif args.module in _DECK_MODULES_EXTRA:
-        with open(args.deckfile) as f:
-            deck_text = f.read()
+        from res2df_spark.sources.deck import read_deck
+
+        deck_text = read_deck(args.deckfile)
         import os as _os
 
         df = _run_wellcompletiondata(
@@ -279,8 +280,9 @@ def main(argv: list[str] | None = None) -> int:
             deck_dir=_os.path.dirname(_os.path.abspath(args.deckfile)),
         )
     else:
-        with open(args.deckfile) as f:
-            deck_text = f.read()
+        from res2df_spark.sources.deck import read_deck
+
+        deck_text = read_deck(args.deckfile)
         startdate = getattr(args, "startdate", None)
         if startdate:
             from datetime import date as _date
