@@ -68,3 +68,22 @@ def test_userapi_hcpv_pattern(case):
         "HCPV", (1 - F.col("SWAT")) * F.col("PORV")
     ).agg(F.sum("HCPV").alias("t")).first()["t"]
     assert hcpv is not None and hcpv > 0
+
+
+_REEK = "/root/reference/tests/data/reek/eclipse/model/2_R001_REEK-0.DATA"
+
+
+@pytest.mark.skipif(not os.path.isfile(_REEK), reason="fixtures not present")
+def test_userapi_reek_parity(spark):
+    """Full-field case through the facade, pinned to the reference's
+    own reek expectations: grid.df == 35817 active cells
+    (test_grid.py:364), satfunc.df == 76 rows (test_satfunc.py:42);
+    the deck resolves through five INCLUDE files."""
+    case = ResdataCase(spark, _REEK)
+    assert case.grid().count() == 35817
+    sat = case.satfunc()
+    assert sat is not None and sat.count() == 76
+    assert case.compdat().count() > 0
+    assert case.gruptree().count() > 0
+    zmap = case.get_zonemap()  # zones.lyr ships with the reek model
+    assert zmap.count() > 0
