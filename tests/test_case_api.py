@@ -87,3 +87,34 @@ def test_userapi_reek_parity(spark):
     assert case.gruptree().count() > 0
     zmap = case.get_zonemap()  # zones.lyr ships with the reek model
     assert zmap.count() > 0
+
+
+@pytest.mark.skipif(not os.path.isfile(_REEK), reason="fixtures not present")
+def test_userapi_reek_prt_parity(spark):
+    """The real Eclipse and OPM flow PRT files, pinned to the
+    reference's own expectations (test_fipreports.py:18-40): Eclipse
+    PRT → 6 regions, 1 date, 5 datatypes; the OPM file → 530 rows over
+    38 dates and regions {1..6}."""
+    from res2df_spark.modules import fipreports
+
+    case = ResdataCase(spark, _REEK)
+    fip = case.fipreports()
+    assert fip.select("REGION").distinct().count() == 6
+    assert fip.select("DATE").distinct().count() == 1
+    assert fip.select("DATATYPE").distinct().count() == 5
+    opm = fipreports.df(
+        spark, os.path.join(os.path.dirname(_REEK), "2_R001_REEK-0-OPMFLOW.PRT")
+    )
+    assert opm.count() == 530
+    assert opm.select("DATE").distinct().count() == 38
+    assert {r[0] for r in opm.select("REGION").distinct().collect()} == set(
+        range(1, 7)
+    )
+
+
+@pytest.mark.skipif(not os.path.isfile(_REEK), reason="fixtures not present")
+def test_userapi_reek_pillars_parity(spark):
+    """Pillar statistics over the 40x64 reek grid: 2560 pillars, the
+    reference's exact count (test_pillars.py:30)."""
+    case = ResdataCase(spark, _REEK)
+    assert case.pillars().count() == 2560
