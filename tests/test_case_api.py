@@ -118,3 +118,20 @@ def test_userapi_reek_pillars_parity(spark):
     reference's exact count (test_pillars.py:30)."""
     case = ResdataCase(spark, _REEK)
     assert case.pillars().count() == 2560
+
+
+def test_userapi_porv_invariant(case):
+    """The reference's PORV sanity invariant (test_grid.py:191-197):
+    our 6-tetrahedron cell VOLUME times INIT PORO must reproduce the
+    simulator's own PORV within 1e-5 relative — an independent check
+    of the corner-point geometry decode."""
+    from pyspark.sql import functions as F
+
+    g = case.grid()
+    rel = g.agg(
+        (
+            F.abs(F.sum(F.col("PORO") * F.col("VOLUME") - F.col("PORV")))
+            / F.sum("PORV")
+        ).alias("rel")
+    ).first()["rel"]
+    assert rel < 1e-5
