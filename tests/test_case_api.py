@@ -135,3 +135,19 @@ def test_userapi_porv_invariant(case):
         ).alias("rel")
     ).first()["rel"]
     assert rel < 1e-5
+
+
+@pytest.mark.skipif(not os.path.isfile(_REEK), reason="fixtures not present")
+def test_userapi_reek_gruptree_parity(spark):
+    """Reference test_gruptree.py:36-50 on reek: 5 snapshot dates,
+    11 distinct children, 3 distinct parents."""
+    from pyspark.sql import functions as F
+
+    case = ResdataCase(spark, _REEK)
+    g = case.gruptree()
+    assert g.select("DATE").distinct().count() == 5
+    assert g.select("CHILD").distinct().count() == 11
+    assert (
+        g.filter(F.col("PARENT").isNotNull())
+        .select("PARENT").distinct().count() == 3
+    )
