@@ -35,6 +35,11 @@ class ResdataCase:
             p = p[: -len(".DATA")]
         self.root = os.path.abspath(p)
         self._deck_text: str | None = None
+        #: memo for binary-scan frames keyed by (method, params).
+        #: grid_table/summary_long read the binaries eagerly at plan
+        #: BUILD time, so re-calling without a memo would re-parse the
+        #: files — the cache holds the (lazy) DataFrame plan objects.
+        self._frames: dict[tuple, DataFrame] = {}
 
     # -- paths ---------------------------------------------------------
 
@@ -132,7 +137,12 @@ class ResdataCase:
         from res2df_spark.modules import summary as summary_mod
         from res2df_spark.sources import eclbin
 
-        long = eclbin.summary_long(self.spark, self.path("SMSPEC"))
+        key = ("summary_long",)
+        if key not in self._frames:
+            self._frames[key] = eclbin.summary_long(
+                self.spark, self.path("SMSPEC")
+            )
+        long = self._frames[key]
         if start_date:
             long = long.filter(
                 F.col("DATE") >= F.lit(str(start_date)).cast("timestamp")
@@ -142,6 +152,11 @@ class ResdataCase:
                 F.col("DATE")
                 < F.date_add(F.lit(str(end_date)).cast("date"), 1)
             )
+        # a bare string is ONE wildcard pattern, not an iterable of
+        # characters (the reference accepts both str and list — its
+        # column_keys handling in summary.py df())
+        if isinstance(column_keys, str):
+            column_keys = [column_keys]
         return summary_mod.df(
             long, eclbin.summary_meta(self.spark, self.path("SMSPEC")),
             time_index=time_index or "raw",
@@ -154,10 +169,21 @@ class ResdataCase:
         from res2df_spark.sources import eclbin
 
         unrst = self._existing("UNRST") if rstdates is not None else None
-        return eclbin.grid_table(
-            self.spark, self.path("EGRID"), self._existing("INIT"),
-            unrst, rstdates=rstdates if unrst else None,
-        )
+        if rstdates is not None and unrst is None:
+            # asked-for restart data with no UNRST must be LOUD — a
+            # silently restart-less frame would flow into downstream
+            # joins as a structurally valid but wrong answer
+            raise FileNotFoundError(
+                f"rstdates={rstdates!r} requested but {self.path('UNRST')} "
+                "does not exist"
+            )
+        key = ("grid", str(rstdates))  # str(): rstdates may be a list
+        if key not in self._frames:
+            self._frames[key] = eclbin.grid_table(
+                self.spark, self.path("EGRID"), self._existing("INIT"),
+                unrst, rstdates=rstdates,
+            )
+        return self._frames[key]
 
     def rft(self) -> DataFrame:
         from res2df_spark.modules.rft import add_extras
@@ -177,10 +203,15 @@ class ResdataCase:
 
         return trans_df(self.grid(), directions=directions)
 
-    def pillars(self, region_col: str | None = None) -> DataFrame:
+    def pillars(self, region_col: str | None = None,
+                rstdates=None) -> DataFrame:
+        """Per-pillar stats (A1/J13).  ``rstdates`` defaults to None —
+        static-only pillars work on cases without a UNRST; pass
+        ``"last"`` for contact estimation on dynamic saturations."""
         from res2df_spark.modules.grid import pillar_stats
 
-        return pillar_stats(self.grid(rstdates="last"), region_col=region_col)
+        return pillar_stats(self.grid(rstdates=rstdates),
+                            region_col=region_col)
 
     def fipreports(self, fipname: str = "FIPNUM") -> DataFrame:
         from res2df_spark.modules import fipreports

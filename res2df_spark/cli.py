@@ -166,7 +166,7 @@ def _run_wellcompletiondata(spark, deck_text: str, zonemap_path: str | None,
     from res2df_spark.sources.aux import zonemap_df
 
     defaulted = zonemap_path is None
-    path = zonemap_path or os.path.join(deck_dir, "zones.lyr")
+    path = zonemap_path or "zones.lyr"
     if not os.path.isabs(path):
         path = os.path.join(deck_dir, path)
     if os.path.isfile(path):

@@ -265,6 +265,31 @@ NESTED_TABLE_KEYWORDS: dict[str, tuple[str, list[str], str]] = {
 #: EQLDIMS and crashed the parse.
 SINGLE_RECORD = {"START", "TSTEP", "EQLDIMS", "TABDIMS"}
 
+#: zero-payload "flag" keywords (public Eclipse/OPM manuals: RUNSPEC
+#: phase/unit/io switches and section headers).  Only these preserve
+#: record-boundary position through the unknown-keyword skip — an
+#: ARBITRARY keyword-shaped token must not, because skipped keywords
+#: like RPTSCHED carry mnemonic payloads (FIP, WELSPECS, CPU ...) whose
+#: names can collide with registered keywords and would otherwise
+#: resume the parse mid-payload as a phantom record.
+FLAG_KEYWORDS = frozenset({
+    # phases / fluids
+    "OIL", "WATER", "GAS", "DISGAS", "VAPOIL", "VAPWAT", "BRINE",
+    "POLYMER", "SOLVENT", "THERMAL", "TEMP", "CO2STORE", "H2STORE",
+    # unit systems
+    "METRIC", "FIELD", "LAB", "PVT-M", "PVTM",
+    # io / format switches
+    "UNIFIN", "UNIFOUT", "FMTIN", "FMTOUT", "MULTIN", "MULTOUT",
+    "NOSIM", "NOECHO", "ECHO", "SKIPREST", "SKIP", "SKIP100", "SKIP300",
+    "NOINSPEC", "NORSSPEC",
+    # numerics / grid / output switches
+    "IMPES", "NOGRAV", "NEWTRAN", "OLDTRAN", "NONNC", "NUMRES",
+    "INIT", "NOGGF", "RPTONLY", "ENDBOX",
+    # section headers (zero payload themselves)
+    "RUNSPEC", "GRID", "EDIT", "PROPS", "REGIONS", "SOLUTION",
+    "SUMMARY", "SCHEDULE", "OPTIMIZE",
+})
+
 #: schedule keywords that advance the date cursor (W1).
 DATE_KEYWORDS = {"START", "DATES", "TSTEP"}
 
@@ -380,11 +405,15 @@ def parse_deck(text: str) -> list[dict]:
 
         Boundary position means: the immediate next token, any token
         after a '/' record terminator, or after an unbroken run of
-        keyword-shaped tokens from such a point — zero-payload flag
-        keywords (OIL, WATER, METRIC, UNIFOUT, NEWTRAN …) chain without
-        terminators, and without the run rule a RUNSPEC like
-        ``DIMENS … / OIL WATER START …`` would swallow START (and with
-        it the whole date cursor) inside the DIMENS skip."""
+        KNOWN zero-payload flag keywords (FLAG_KEYWORDS) from such a
+        point — flags chain without terminators, and without the run
+        rule a RUNSPEC like ``DIMENS … / OIL WATER START …`` would
+        swallow START (and with it the whole date cursor) inside the
+        DIMENS skip.  The run is restricted to the curated flag set:
+        an arbitrary keyword-shaped token must NOT hold the boundary,
+        or a skipped mnemonic keyword like ``RPTSCHED FIP WELSPECS
+        CPU /`` would resume the parse at its WELSPECS mnemonic and
+        emit a phantom record."""
         at_boundary = True
         while j < len(toks):
             t = toks[j]
@@ -392,7 +421,7 @@ def parse_deck(text: str) -> list[dict]:
                 return j
             if t == "/":
                 at_boundary = True
-            elif not (at_boundary and re.fullmatch(r"[A-Z][A-Z0-9_]{0,7}", t)):
+            elif not (at_boundary and t in FLAG_KEYWORDS):
                 at_boundary = False
             j += 1
         return j
@@ -626,14 +655,18 @@ def read_deck(path: str, max_depth: int = 16) -> str:
     every downstream deck consumer (parse_deck and the module layer)
     sees one flat deck.
 
-    Semantics: an ``INCLUDE`` keyword line is followed by one record
-    holding the (optionally quoted) filename, terminated by ``/``;
-    relative paths resolve against the INCLUDING file's directory (so
-    nested includes in sibling dirs work like Eclipse).  ``--``
-    comments are honoured when locating the filename but the
-    surrounding deck text is passed through untouched.  A missing file
-    or nesting beyond ``max_depth`` raises — silently dropping an
-    include would parse a structurally valid but WRONG deck.
+    Semantics: the ``INCLUDE`` keyword is followed by one record
+    holding the (optionally quoted) filename — on the SAME line or the
+    next non-blank line — terminated by ``/`` (spaced, glued, or alone
+    on a following line); unquoted paths may contain slashes; relative
+    paths resolve against the INCLUDING file's directory (so nested
+    includes in sibling dirs work like Eclipse).  ``--`` comments are
+    stripped quote-aware when locating the filename (a path like
+    ``'A--12.inc'`` survives) but the surrounding deck text is passed
+    through untouched.  A missing file, a missing terminator, or
+    nesting beyond ``max_depth`` raises — silently dropping an include
+    (or swallowing the deck lines after it) would parse a structurally
+    valid but WRONG deck.
     """
     import os
 
@@ -649,35 +682,58 @@ def read_deck(path: str, max_depth: int = 16) -> str:
         out: list[str] = []
         i = 0
         while i < len(lines):
-            stripped = lines[i].split("--", 1)[0].strip()
-            if stripped.upper() != "INCLUDE":
+            stripped = _strip_comment(lines[i]).strip()
+            up = stripped.upper()
+            if up != "INCLUDE" and not up.startswith("INCLUDE "):
                 out.append(lines[i])
                 i += 1
                 continue
-            # find the filename record on the following non-blank lines
-            j, fname = i + 1, None
-            while j < len(lines):
-                rec = lines[j].split("--", 1)[0].strip()
-                if rec:
-                    m = re.match(r"'([^']+)'|\"([^\"]+)\"|([^\s/]+)", rec)
-                    if not m:
-                        raise ValueError(
-                            f"malformed INCLUDE record in {p!r}: {lines[j]!r}"
-                        )
-                    fname = next(g for g in m.groups() if g)
-                    break
+            # the filename record: rest of the keyword line, else the
+            # following non-blank line(s)
+            rec, j = stripped[len("INCLUDE"):].strip(), i
+            while not rec:
                 j += 1
-            if fname is None:
-                raise ValueError(f"INCLUDE at end of {p!r} has no filename")
+                if j >= len(lines):
+                    raise ValueError(f"INCLUDE at end of {p!r} has no filename")
+                rec = _strip_comment(lines[j]).strip()
+            m = re.match(r"'([^']+)'|\"([^\"]+)\"|(\S+)", rec)
+            fname = next(g for g in m.groups() if g is not None)
+            rest = rec[m.end():].strip()
+            if m.group(3):
+                # unquoted: slashes are path chars, but a GLUED trailing
+                # '/' is the record terminator
+                if len(fname) > 1 and fname.endswith("/"):
+                    fname, rest = fname[:-1], "/"
+                if fname == "/":
+                    raise ValueError(
+                        f"malformed INCLUDE record in {p!r}: {rec!r}"
+                    )
+            # the terminator must be on the record line or ALONE on a
+            # following line — scanning past arbitrary deck text to the
+            # next '/' would silently swallow whole keywords
+            terminated = rest.startswith("/")
+            while not terminated:
+                j += 1
+                if j >= len(lines):
+                    raise ValueError(
+                        f"INCLUDE record in {p!r} is missing its '/' terminator"
+                    )
+                nxt = _strip_comment(lines[j]).strip()
+                if not nxt:
+                    continue
+                if nxt.startswith("/"):
+                    terminated = True
+                else:
+                    raise ValueError(
+                        f"INCLUDE record in {p!r} is missing its '/' "
+                        f"terminator (found {lines[j]!r} instead)"
+                    )
             inc = fname if os.path.isabs(fname) else os.path.join(base, fname)
             if not os.path.isfile(inc):
                 raise FileNotFoundError(
                     f"INCLUDE file {fname!r} (from {p!r}) not found at {inc!r}"
                 )
             out.append(_read(inc, depth + 1))
-            # skip forward past the record terminator
-            while j < len(lines) and "/" not in lines[j].split("--", 1)[0]:
-                j += 1
             i = j + 1
         return "\n".join(out)
 

@@ -232,3 +232,116 @@ def test_quantize_and_truncate_plans_materialize_aggregates(spark):
         .toString()
     )
     assert tplan.lower().count("aggregate(") <= 2  # norm computed once
+
+
+# --- deck parser: INCLUDE record semantics + flag-run restriction --------
+
+
+def _write(p, text):
+    p.write_text(text)
+    return str(p)
+
+
+def test_include_on_keyword_line(tmp_path):
+    """``INCLUDE 'file' /`` on ONE line is legal Eclipse and must
+    splice (finding: the line-based scan only looked at FOLLOWING
+    lines)."""
+    from res2df_spark.sources.deck import read_deck
+
+    _write(tmp_path / "inc.inc", "WELSPECS\n 'W1' 'G' 1 1 100 OIL /\n/\n")
+    deck = _write(tmp_path / "D.DATA", "INCLUDE 'inc.inc' /\nEND\n")
+    assert "WELSPECS" in read_deck(deck)
+
+
+def test_include_glued_terminator_and_slash_path(tmp_path):
+    """Unquoted paths keep interior slashes; a GLUED trailing '/' is
+    the record terminator, not part of the path."""
+    from res2df_spark.sources.deck import read_deck
+
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    _write(sub / "w.inc", "-- spliced\n")
+    deck = _write(tmp_path / "D.DATA", "INCLUDE\n sub/w.inc/\nEND\n")
+    assert "spliced" in read_deck(deck)
+
+
+def test_include_missing_terminator_raises(tmp_path):
+    """Deck text after an unterminated INCLUDE must not be silently
+    swallowed while scanning for '/'."""
+    from res2df_spark.sources.deck import read_deck
+
+    _write(tmp_path / "inc.inc", "--x\n")
+    deck = _write(
+        tmp_path / "D.DATA", "INCLUDE\n 'inc.inc'\nWELSPECS\n 'W' G 1 1 /\n/\n"
+    )
+    with pytest.raises(ValueError, match="terminator"):
+        read_deck(deck)
+
+
+def test_include_comment_in_quoted_path(tmp_path):
+    """'--' inside a QUOTED filename is path text, not a comment."""
+    from res2df_spark.sources.deck import read_deck
+
+    _write(tmp_path / "A--12.inc", "-- ok\n")
+    deck = _write(tmp_path / "D.DATA", "INCLUDE\n 'A--12.inc' /\nEND\n")
+    assert "ok" in read_deck(deck)
+
+
+def test_skipped_mnemonics_do_not_resume_parse():
+    """A skipped keyword whose PAYLOAD mnemonics collide with
+    registered keyword names (RPTSCHED ... WELSPECS ...) must not
+    resume the parse mid-payload as a phantom record; a genuine flag
+    chain (OIL WATER METRIC) must still hold the boundary so the
+    keyword after it is seen."""
+    from res2df_spark.sources.deck import parse_deck
+
+    recs = parse_deck(
+        "RPTSCHED\n FIP WELSPECS CPU /\n"
+        "OIL\nWATER\nMETRIC\n"
+        "START\n 1 JAN 2020 /\n"
+    )
+    kws = [r["KEYWORD"] for r in recs]
+    assert kws == ["START"]
+
+
+# --- case facade: column_keys string, loud missing UNRST -----------------
+
+
+def test_case_summary_string_column_keys():
+    """A bare string is one wildcard pattern, not an iterable of
+    single-character patterns."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from res2df_spark.case import ResdataCase
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    root = "/root/reference/tests/data/eightcells/EIGHTCELLS"
+    if not os.path.isfile(root + ".SMSPEC"):
+        pytest.skip("eightcells SMSPEC not present")
+    case = ResdataCase(spark, root + ".DATA")
+    wide = case.summary(column_keys="FOPR*")
+    data_cols = [c for c in wide.columns if c != "DATE"]
+    assert data_cols and all(c.startswith("FOPR") for c in data_cols)
+
+
+def test_case_grid_missing_unrst_raises(tmp_path):
+    """rstdates on a case without UNRST must fail loudly, not return a
+    silently restart-less frame."""
+    import shutil
+
+    from pyspark.sql import SparkSession
+
+    from res2df_spark.case import ResdataCase
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    src = "/root/reference/tests/data/eightcells/EIGHTCELLS"
+    for ext in (".DATA", ".EGRID", ".INIT"):
+        shutil.copy(src + ext, tmp_path / ("CASE" + ext))
+    case = ResdataCase(spark, str(tmp_path / "CASE.DATA"))
+    with pytest.raises(FileNotFoundError, match="UNRST"):
+        case.grid(rstdates="last")
+    assert case.grid() is not None  # static-only path still fine
