@@ -48,75 +48,51 @@ def _run_binary_module(
     name: str, spark, root: str, rstdates, time_index=None, column_keys=None,
     start_date=None, end_date=None, with_params=False,
 ):
-    import os
+    """Thin dispatch over :class:`res2df_spark.case.ResdataCase` — the
+    CLI and the user API share ONE composition of the module layer, so
+    they cannot drift (reference res2csv.py delegates to the same
+    per-module ``df(ResdataFiles, ...)`` entry points).
 
-    from res2df_spark.sources import eclbin
+    ``rstdates`` follows the reference CLI contract (grid.py:556-562,
+    pillars.py:339-346): empty string/None → no restart data; an
+    explicit value with no UNRST present raises (facade behavior)."""
+    from res2df_spark.case import ResdataCase
 
-    if root.upper().endswith(".DATA"):
-        root = root[: -len(".DATA")]
+    rstdates = rstdates or None
+    if name == "fipreports" and root.upper().endswith(".PRT"):
+        # reference fipreports accepts a bare PRT file as the "case"
+        from res2df_spark.modules import fipreports
+
+        return fipreports.df(spark, root)
+    case = ResdataCase(spark, root)
     if name == "summary":
-        from res2df_spark.modules import summary as summary_mod
-
-        from pyspark.sql import functions as F
-
-        long = eclbin.summary_long(spark, root + ".SMSPEC")
-        # date crop (reference res2csv summary --start_date/--end_date)
-        if start_date:
-            long = long.filter(F.col("DATE") >= F.lit(start_date).cast("timestamp"))
-        if end_date:
-            long = long.filter(
-                F.col("DATE") < F.date_add(F.lit(end_date).cast("date"), 1)
-            )
         keys = [k for k in (column_keys or "").split(",") if k]
-        # ALWAYS pivot to the reference's wide shape — the output schema
-        # must not silently flip between long and wide depending on
-        # which flags happen to be present
-        long = summary_mod.df(
-            long, eclbin.summary_meta(spark, root + ".SMSPEC"),
-            time_index=time_index or "raw", column_keys=keys,
+        # ALWAYS the reference's wide shape — the output schema must
+        # not silently flip between long and wide depending on which
+        # flags happen to be present (summary_mod.df pivots)
+        out = case.summary(
+            time_index=time_index, column_keys=keys,
+            start_date=start_date or None, end_date=end_date or None,
         )
         if with_params:
             from res2df_spark.sources.aux import attach_parameters, load_parameters
 
-            long = attach_parameters(long, load_parameters(root))
-        return long
+            out = attach_parameters(out, load_parameters(case.root))
+        return out
     if name == "grid":
-        init = root + ".INIT" if os.path.exists(root + ".INIT") else None
-        unrst = root + ".UNRST" if os.path.exists(root + ".UNRST") else None
-        return eclbin.grid_table(
-            spark, root + ".EGRID", init, unrst,
-            rstdates=rstdates if unrst else None,
-        )
+        return case.grid(rstdates=rstdates)
     if name == "rft":
-        from res2df_spark.modules.rft import add_extras
-
-        return add_extras(eclbin.rft_table(spark, root + ".RFT"))
-    init = root + ".INIT" if os.path.exists(root + ".INIT") else None
+        return case.rft()
     if name == "nnc":
-        return eclbin.nnc_table(spark, root + ".EGRID", init)
+        return case.nnc()
     if name == "trans":
-        from res2df_spark.modules.grid import trans_df
-
-        return trans_df(eclbin.grid_table(spark, root + ".EGRID", init))
+        return case.trans()
     if name == "pillars":
-        from res2df_spark.modules.grid import pillar_stats
-
-        unrst = root + ".UNRST" if os.path.exists(root + ".UNRST") else None
-        return pillar_stats(
-            eclbin.grid_table(
-                spark, root + ".EGRID", init, unrst,
-                rstdates=rstdates if unrst else None,
-            )
-        )
+        return case.pillars(rstdates=rstdates)
     if name == "fipreports":
-        from res2df_spark.modules import fipreports
-
-        prt = root if root.upper().endswith(".PRT") else root + ".PRT"
-        return fipreports.df(spark, prt)
+        return case.fipreports()
     if name == "wellconnstatus":
-        from res2df_spark.modules.wellconnstatus import from_summary
-
-        return from_summary(eclbin.summary_long(spark, root + ".SMSPEC"))
+        return case.wellconnstatus()
     raise SystemExit(f"unknown module {name}")
 
 
@@ -208,8 +184,10 @@ def get_parser() -> argparse.ArgumentParser:
         s.add_argument("case", help="case root (path with or without .DATA)")
         s.add_argument("-o", "--output", default="-", help="CSV path, '-' = stdout")
         s.add_argument(
-            "--rstdates", default="first",
-            help="grid: restart dates to stack (first/last/all/ISO date)",
+            "--rstdates", default="",
+            help="grid/pillars: restart dates to stack "
+                 "(first/last/all/ISO date; default: none — the "
+                 "reference res2csv default)",
         )
         if name == "summary":
             s.add_argument(
