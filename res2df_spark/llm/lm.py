@@ -85,9 +85,16 @@ def lm_quality_score(
     per-doc mean is a left-fold ``aggregate`` over the n-gram array
     (deterministic summation order).  The lookup has two compilations:
 
-    * **dense path** (n=2, byte-alphabet model): counts become a 65536-
-      slot array literal indexed by ``ascii(c0)·256 + ascii(c1)`` —
-      a true O(1) indexed load per gram.
+    * **dense path** (n=2, byte-alphabet model): the text is split ONCE
+      into a materialized code-point array (`split('') → ascii`, O(L)),
+      and each gram is an O(1) indexed load from a 65536-slot table at
+      ``codes[i]·256 + codes[i+1]``.  Two things here are load-bearing:
+      the code array must be a real projected column (a lambda that
+      captures an unmaterialized expression re-evaluates it per access
+      — a measured 25× blowup), and grams must NOT be built with
+      ``substring(t, i, n)`` (char-position seeks on UTF8 strings are
+      O(i), making the scan O(L²) per doc — the substring form measured
+      3.8× slower on the sf0.1 corpus).
     * **map-literal fallback** (n≠2 or wider alphabets): ``element_at``
       on a literal map.  Spark's literal maps are array-backed, so each
       lookup is a LINEAR scan of the vocabulary — correct but ~|V|×
@@ -95,8 +102,6 @@ def lm_quality_score(
       scan dominated the benchmark (6.8 s → sub-second at sf0.1).
     """
     denom = float(model["total"] + model["vocab"] + 1)
-    grams = char_ngrams(F.col(text_col), n)
-    k = F.size(grams)
     import math
 
     floor_logp = math.log(1.0 / denom)
@@ -115,17 +120,39 @@ def lm_quality_score(
         # to executors once and the plan stays a handful of nodes.
         spark = docs.sparkSession
         lut_df = spark.createDataFrame([(dense,)], "__lm_vals: array<double>")
-        docs = docs.crossJoin(F.broadcast(lut_df))
+        docs = docs.crossJoin(F.broadcast(lut_df)).withColumn(
+            "__lm_codes",
+            F.transform(F.split(F.lower(F.col(text_col)), ""), F.ascii),
+        )
+        codes = F.col("__lm_codes")
         vals = F.col("__lm_vals")
+        # size(codes) is the char count; NULL text → NULL size, which
+        # greatest() skips → k = 0 → NULL score, matching the gram path
+        k = F.greatest(F.size(codes) - 1, F.lit(0))
 
-        def logp_of(g):
-            a0 = F.ascii(F.substring(g, 1, 1))
-            a1 = F.ascii(F.substring(g, 2, 1))
+        def lk(a0, a1):
             return F.when(
                 (a0 < 256) & (a1 < 256),
                 F.element_at(vals, a0 * 256 + a1 + 1),
             ).otherwise(F.lit(floor_logp))
 
+        # sequence(1, 0) DESCENDS ([1, 0]) and element_at(_, 0) is an
+        # ANSI error — short/empty/NULL texts need the empty-array arm
+        idx = F.when(k > 0, F.sequence(F.lit(1), k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        logp = F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + lk(F.element_at(codes, i), F.element_at(codes, i + 1)),
+        )
+        return docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in passthrough],
+            k.cast("long").alias("n_grams"),
+            F.when(k > 0, F.round(logp / k, 4)).alias("lm_score"),
+        )
     else:
         flat = []
         for g, c in sorted(model["counts"].items()):
