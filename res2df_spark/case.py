@@ -137,12 +137,7 @@ class ResdataCase:
         from res2df_spark.modules import summary as summary_mod
         from res2df_spark.sources import eclbin
 
-        key = ("summary_long",)
-        if key not in self._frames:
-            self._frames[key] = eclbin.summary_long(
-                self.spark, self.path("SMSPEC")
-            )
-        long = self._frames[key]
+        long = self._summary_long()
         if start_date:
             long = long.filter(
                 F.col("DATE") >= F.lit(str(start_date)).cast("timestamp")
@@ -157,11 +152,29 @@ class ResdataCase:
         # column_keys handling in summary.py df())
         if isinstance(column_keys, str):
             column_keys = [column_keys]
+        meta_key = ("summary_meta",)
+        if meta_key not in self._frames:
+            self._frames[meta_key] = eclbin.summary_meta(
+                self.spark, self.path("SMSPEC")
+            )
         return summary_mod.df(
-            long, eclbin.summary_meta(self.spark, self.path("SMSPEC")),
+            long, self._frames[meta_key],
             time_index=time_index or "raw",
             column_keys=list(column_keys or []),
         )
+
+    def _summary_long(self) -> DataFrame:
+        """Memoized long-form summary scan — SMSPEC/UNSMRY are parsed
+        eagerly at plan build, so every consumer must share one
+        frame."""
+        from res2df_spark.sources import eclbin
+
+        key = ("summary_long",)
+        if key not in self._frames:
+            self._frames[key] = eclbin.summary_long(
+                self.spark, self.path("SMSPEC")
+            )
+        return self._frames[key]
 
     def grid(self, rstdates=None) -> DataFrame:
         """Geometry ⋈ INIT (⋈ UNRST when ``rstdates`` given) — the
@@ -220,11 +233,8 @@ class ResdataCase:
 
     def wellconnstatus(self) -> DataFrame:
         from res2df_spark.modules.wellconnstatus import from_summary
-        from res2df_spark.sources import eclbin
 
-        return from_summary(
-            eclbin.summary_long(self.spark, self.path("SMSPEC"))
-        )
+        return from_summary(self._summary_long())
 
     # -- auxiliary -----------------------------------------------------
 

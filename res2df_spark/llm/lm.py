@@ -167,6 +167,8 @@ def lm_quality_score(
         def logp_of(g):
             return F.coalesce(F.element_at(lut, g), F.lit(floor_logp))
 
+    grams = char_ngrams(F.col(text_col), n)
+    k = F.size(grams)
     logp = F.aggregate(grams, F.lit(0.0), lambda acc, g: acc + logp_of(g))
     return docs.select(
         F.col(id_col),

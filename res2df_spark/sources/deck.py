@@ -271,7 +271,11 @@ SINGLE_RECORD = {"START", "TSTEP", "EQLDIMS", "TABDIMS"}
 #: ARBITRARY keyword-shaped token must not, because skipped keywords
 #: like RPTSCHED carry mnemonic payloads (FIP, WELSPECS, CPU ...) whose
 #: names can collide with registered keywords and would otherwise
-#: resume the parse mid-payload as a phantom record.
+#: resume the parse mid-payload as a phantom record.  The tradeoff:
+#: a zero-payload flag NOT in this set that follows a skipped keyword
+#: breaks the boundary run, and the next registered keyword is
+#: swallowed with it — when a deck loses records here, extend the set
+#: rather than widening the rule back to arbitrary keyword shapes.
 FLAG_KEYWORDS = frozenset({
     # phases / fluids
     "OIL", "WATER", "GAS", "DISGAS", "VAPOIL", "VAPWAT", "BRINE",
@@ -282,6 +286,9 @@ FLAG_KEYWORDS = frozenset({
     "UNIFIN", "UNIFOUT", "FMTIN", "FMTOUT", "MULTIN", "MULTOUT",
     "NOSIM", "NOECHO", "ECHO", "SKIPREST", "SKIP", "SKIP100", "SKIP300",
     "NOINSPEC", "NORSSPEC",
+    # model-option switches
+    "DUALPORO", "DUALPERM", "API", "DIFFUSE", "SURFACT", "FOAM",
+    "GASWAT", "NOWARN",
     # numerics / grid / output switches
     "IMPES", "NOGRAV", "NEWTRAN", "OLDTRAN", "NONNC", "NUMRES",
     "INIT", "NOGGF", "RPTONLY", "ENDBOX",
@@ -304,19 +311,22 @@ _TOKEN_RE = re.compile(r"'[^']*'|[^\s/]+|/")
 
 
 def _strip_comment(line: str) -> str:
-    """Cut a '--' comment, but only OUTSIDE quotes — a plain
-    ``split('--')`` would truncate a quoted item like ``'A--12'`` and
-    desynchronize the whole record stream."""
+    """Cut a '--' comment, but only OUTSIDE quotes (single OR double —
+    INCLUDE filenames accept both styles) — a plain ``split('--')``
+    would truncate a quoted item like ``'A--12'`` and desynchronize
+    the whole record stream."""
     if "--" not in line:
         return line
-    if "'" not in line:
+    if "'" not in line and '"' not in line:
         return line.split("--", 1)[0]
-    in_quote = False
+    quote: str | None = None
     for i in range(len(line) - 1):
         c = line[i]
-        if c == "'":
-            in_quote = not in_quote
-        elif not in_quote and c == "-" and line[i + 1] == "-":
+        if quote is None and c in "'\"":
+            quote = c
+        elif c == quote:
+            quote = None
+        elif quote is None and c == "-" and line[i + 1] == "-":
             return line[:i]
     return line
 
@@ -683,14 +693,16 @@ def read_deck(path: str, max_depth: int = 16) -> str:
         i = 0
         while i < len(lines):
             stripped = _strip_comment(lines[i]).strip()
-            up = stripped.upper()
-            if up != "INCLUDE" and not up.startswith("INCLUDE "):
+            # split, don't prefix-match: "INCLUDE\t'f' /" (tab) must
+            # match and a keyword like INCLUDEX must not
+            head = stripped.split(None, 1)
+            if not head or head[0].upper() != "INCLUDE":
                 out.append(lines[i])
                 i += 1
                 continue
             # the filename record: rest of the keyword line, else the
             # following non-blank line(s)
-            rec, j = stripped[len("INCLUDE"):].strip(), i
+            rec, j = (head[1].strip() if len(head) > 1 else ""), i
             while not rec:
                 j += 1
                 if j >= len(lines):

@@ -339,9 +339,71 @@ def test_case_grid_missing_unrst_raises(tmp_path):
     spark = SparkSession.getActiveSession() or SparkSession.builder.master(
         "local[4]").config("spark.ui.enabled", "false").getOrCreate()
     src = "/root/reference/tests/data/eightcells/EIGHTCELLS"
+    import os
+
+    if not os.path.isfile(src + ".EGRID"):
+        pytest.skip("eightcells fixtures not present")
     for ext in (".DATA", ".EGRID", ".INIT"):
         shutil.copy(src + ext, tmp_path / ("CASE" + ext))
     case = ResdataCase(spark, str(tmp_path / "CASE.DATA"))
     with pytest.raises(FileNotFoundError, match="UNRST"):
         case.grid(rstdates="last")
     assert case.grid() is not None  # static-only path still fine
+
+
+def test_include_tab_and_double_quoted_comment_path(tmp_path):
+    """INCLUDE followed by a TAB must splice; a DOUBLE-quoted filename
+    containing '--' must survive comment stripping."""
+    from res2df_spark.sources.deck import read_deck
+
+    (tmp_path / "A--12.inc").write_text("-- dq ok\n")
+    (tmp_path / "t.inc").write_text("-- tab ok\n")
+    deck = tmp_path / "D.DATA"
+    deck.write_text('INCLUDE\t\'t.inc\' /\nINCLUDE\n "A--12.inc" /\nEND\n')
+    text = read_deck(str(deck))
+    assert "tab ok" in text and "dq ok" in text
+
+
+def test_includex_is_not_include(tmp_path):
+    """A keyword merely PREFIXED with INCLUDE is not an include."""
+    from res2df_spark.sources.deck import read_deck
+
+    deck = tmp_path / "D.DATA"
+    deck.write_text("INCLUDEX\n 1 /\nEND\n")
+    assert "INCLUDEX" in read_deck(str(deck))
+
+
+def test_lm_map_literal_fallback_path(spark):
+    """n != 2 (and non-latin1 models) take the map-literal path — it
+    must still run after the dense-path rework (regression: NameError
+    on the deleted grams/k bindings)."""
+    from res2df_spark.llm.lm import lm_quality_score, train_char_lm
+
+    docs = spark.createDataFrame(
+        [(1, "hello hello"), (2, None), (3, "h")],
+        "doc_id int, text string",
+    )
+    model = train_char_lm(docs.filter("doc_id = 1"), n=3)
+    out = {r["doc_id"]: r for r in
+           lm_quality_score(docs, model, n=3).collect()}
+    assert out[1]["lm_score"] is not None and out[1]["n_grams"] == 9
+    assert out[2]["lm_score"] is None and out[3]["lm_score"] is None
+
+    # CJK text forces dense_ok=False even at n=2
+    cjk = spark.createDataFrame(
+        [(1, "你好你好"), (2, "你好")], "doc_id int, text string")
+    m2 = train_char_lm(cjk.filter("doc_id = 1"))
+    got = {r["doc_id"]: r["lm_score"]
+           for r in lm_quality_score(cjk, m2).collect()}
+    assert got[1] is not None and got[2] is not None
+
+
+def test_flag_keywords_dualporo_boundary():
+    """Model-option flags (DUALPORO etc.) after a skipped keyword must
+    keep the boundary so the next registered keyword is seen."""
+    from res2df_spark.sources.deck import parse_deck
+
+    recs = parse_deck(
+        "WELLDIMS\n 10 20 /\nDUALPORO\nAPI\nSTART\n 1 JAN 2020 /\n"
+    )
+    assert [r["KEYWORD"] for r in recs] == ["START"]
