@@ -198,8 +198,13 @@ def with_repetition_stats(
     allocation).  Still map-only: two stacked projections, zero
     shuffles.
     """
-    toks = tokens(F.col(text_col))
-    step1 = df.withColumn(dup_name, dup_shingle_fraction(toks, dup_k)).withColumn(
+    # bind the token array BEFORE it is captured by the shingle
+    # lambdas — the raw tokens() expression would re-tokenize per
+    # element access (the plan embedded 15 copies of the split chain
+    # before this bind)
+    step0 = df.withColumn("__toks", tokens(F.col(text_col)))
+    toks = F.col("__toks")
+    step1 = step0.withColumn(dup_name, dup_shingle_fraction(toks, dup_k)).withColumn(
         "__sh_sorted", F.array_sort(shingles(toks, top_k))
     )
     sh = F.col("__sh_sorted")
@@ -221,4 +226,6 @@ def with_repetition_stats(
     top = F.when(
         F.col("__n") > 0, best.cast("double") / F.col("__n")
     ).otherwise(F.lit(0.0))
-    return step2.withColumn(top_name, top).drop("__sh_sorted", "__n", "__starts")
+    return step2.withColumn(top_name, top).drop(
+        "__toks", "__sh_sorted", "__n", "__starts"
+    )

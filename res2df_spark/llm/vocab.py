@@ -76,7 +76,10 @@ def tfidf_topk(
     """
     tf = _doc_terms(docs, id_col, text_col)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.select(
+    # N counts documents that CONTRIBUTE terms — NULL-text/zero-token
+    # rows have no postings, and counting them into N would inflate
+    # every idf (a term in every real document must get idf 0)
+    n_docs = tf.select(
         F.count_distinct(F.col(id_col)).alias("__n")
     )
     scored = (
@@ -165,7 +168,13 @@ def bpe_pair_counts(
     (left, right) so the top-``top_k`` boundary is deterministic on any
     engine.
     """
-    toks = tokens(text_col)
+    # bind the token array first — captured inside the transform
+    # lambda, the raw tokens() expression would re-tokenize the
+    # document per pair element (~2(n-1) times per doc)
+    base = docs.filter(F.size(tokens(text_col)) >= 2).withColumn(
+        "__toks", tokens(text_col)
+    )
+    toks = F.col("__toks")
     pairs = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda i: F.struct(
@@ -174,8 +183,7 @@ def bpe_pair_counts(
         ),
     )
     return (
-        docs.filter(F.size(tokens(text_col)) >= 2)
-        .select(F.explode(pairs).alias("p"))
+        base.select(F.explode(pairs).alias("p"))
         .select(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
         .groupBy("left", "right")
         .agg(F.count(F.lit(1)).alias("pair_count"))
@@ -401,8 +409,18 @@ def heavy_hitters_mg(
 
         acc = pd.Series(dtype="int64")
         for pdf in batches:
+            # dropna BEFORE astype: astype(str) renders missing text as
+            # the literal tokens 'None'/'nan', which would then outrank
+            # real tokens on a NULL-heavy shard
             vc = (
-                pdf[text_col].astype(str).str.lower().str.split().explode().value_counts()
+                pdf[text_col]
+                .dropna()
+                .astype(str)
+                .str.lower()
+                .str.split()
+                .explode()
+                .dropna()
+                .value_counts()
             )
             acc = acc.add(vc, fill_value=0).astype("int64")
             if len(acc) > k:
@@ -459,7 +477,11 @@ def bm25_topk(
     curate CLI does).
     """
     tf = _doc_terms(docs, id_col, text_col)
-    dl = docs.select(
+    # N and avgdl describe the SCOREABLE corpus: NULL-text rows have no
+    # postings and a NULL token-size, so counting them into N while
+    # avg() skips their NULL __dl would inflate every idf against the
+    # average that normalizes tf
+    dl = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.size(tokens(text_col)).cast("double").alias("__dl")
     )
     stats = dl.agg(

@@ -268,18 +268,39 @@ def nb_quality_score(
         .localCheckpoint(eager=True)
     )
     doc_tok = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("n"))
-    scalars = cls.agg(
-        F.sum("c_pos").alias("__np"),
-        F.sum("c_neg").alias("__nn"),
-        F.count(F.lit(1)).alias("__v"),
-    ).crossJoin(
-        broadcast(
-            base.agg(
-                F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("__dp"),
-                F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("__dn"),
+    # Materialized like cls: scalars feeds BOTH the ratio table and the
+    # zero-token prior row, and the two consumers prune to canonically
+    # different plans (no exchange reuse) — without the checkpoint the
+    # corpus-wide document-prior scan would run once per consumer.
+    # Eager materialization also makes the degenerate-slice validation
+    # below free.
+    scalars = (
+        cls.agg(
+            F.sum("c_pos").alias("__np"),
+            F.sum("c_neg").alias("__nn"),
+            F.count(F.lit(1)).alias("__v"),
+        )
+        .crossJoin(
+            broadcast(
+                base.agg(
+                    F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("__dp"),
+                    F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("__dn"),
+                )
             )
         )
+        .localCheckpoint(eager=True)
     )
+    counts = scalars.select("__dp", "__dn").first()
+    if counts is None or not counts["__dp"] or not counts["__dn"]:
+        # an empty class makes ln(D_pos/D_neg) a DIVIDE_BY_ZERO (ANSI)
+        # or ln(0) = NULL-everything — fail loudly like the lm-score
+        # CLI's empty-train-slice guard
+        raise ValueError(
+            "nb_quality_score: positive_filter matches "
+            f"{0 if counts is None else counts['__dp']} positive and "
+            f"{0 if counts is None else counts['__dn']} negative "
+            "documents — both classes need at least one document"
+        )
     ratio = cls.crossJoin(broadcast(scalars)).select(
         "token",
         (

@@ -34,12 +34,21 @@ def blocked_fuzzy_pairs(
     joined rows.  ``max_block_size`` drops over-cap blocks BEFORE the
     join via a window count that reuses the block shuffle — the same
     guard as the LSH ``max_bucket_size``, because a degenerate blocking
-    key (e.g. a NULL-heavy column) otherwise yields a quadratic block.
+    value shared by many records otherwise yields a quadratic block.
+
+    NULL-block contract: a record with NULL in ANY blocking column can
+    never equi-join, so such records are dropped up front — explicitly,
+    not as a join side effect, and before the cap window (they would
+    otherwise pool into one giant NULL partition that serves only to
+    trip the cap).  Callers wanting NULL-tolerant blocking should
+    coalesce to a sentinel in ``block_cols`` expressions first.
     """
     blocks = [F.col(c) for c in block_cols]
     side = df.select(
         F.col(id_col), F.col(name_col), *blocks
     )
+    for c in block_cols:
+        side = side.filter(F.col(c).isNotNull())
     if max_block_size is not None:
         w = Window.partitionBy(*block_cols)
         side = (

@@ -2604,7 +2604,7 @@ _TF_SQL = f"""
                 FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
                 GROUP BY 1, 2),
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
 """
 
 
@@ -3822,7 +3822,8 @@ _BM25_SQL = f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
     tf AS (SELECT doc_id, term, count(*) AS tf
            FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
-    dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+    dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks
+           WHERE t IS NOT NULL),
     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
     dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
     q AS (SELECT 'q0' AS query_id, term FROM (

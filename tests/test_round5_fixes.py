@@ -407,3 +407,75 @@ def test_flag_keywords_dualporo_boundary():
         "WELLDIMS\n 10 20 /\nDUALPORO\nAPI\nSTART\n 1 JAN 2020 /\n"
     )
     assert [r["KEYWORD"] for r in recs] == ["START"]
+
+
+# ---------------------------------------------------------------------------
+# Third round-5 review pass (weights / vocab / linkage / textan)
+
+
+def test_nb_quality_degenerate_slices(spark):
+    """An all-positive or all-negative filter must raise, not
+    DIVIDE_BY_ZERO (ANSI) or return all-NULL scores."""
+    from pyspark.sql import functions as F
+
+    from res2df_spark.llm.weights import nb_quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "good text", "en"), (2, "more text", "en")],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="negative"):
+        nb_quality_score(docs, F.col("lang") == "en").collect()
+    with pytest.raises(ValueError, match="positive"):
+        nb_quality_score(docs, F.col("lang") == "xx").collect()
+
+
+def test_heavy_hitters_ignores_null_text(spark):
+    """NULL-text rows must not surface as the literal token 'none'."""
+    from res2df_spark.llm.vocab import heavy_hitters_mg
+
+    docs = spark.createDataFrame(
+        [(i, None) for i in range(5)] + [(9, "real token real")],
+        "doc_id long, text string",
+    )
+    got = {r["token"]: r["mg_count"] for r in heavy_hitters_mg(docs, k=8).collect()}
+    assert "none" not in got and "nan" not in got
+    assert got.get("real", 0) >= 1
+
+
+def test_linkage_null_blocks_do_not_eat_cap(spark):
+    """NULL blocking values never join — they must be dropped before
+    the cap window instead of pooling into one phantom block."""
+    from res2df_spark.operators.linkage import blocked_fuzzy_pairs
+
+    rows = [(i, "smith", None) for i in range(50)] + [
+        (100, "jones", "z1"), (101, "jones", "z1")]
+    df = spark.createDataFrame(rows, "rid long, name string, zip string")
+    got = blocked_fuzzy_pairs(
+        df, "rid", "name", ["zip"], max_edit_distance=1, max_block_size=10
+    ).collect()
+    # the real z1 pair survives; the 50 NULL-zip rows produce nothing
+    assert [(r["id1"], r["id2"]) for r in got] == [(100, 101)]
+
+
+def test_bm25_tfidf_null_text_corpus_stats(spark):
+    """N/avgdl (bm25) and N (tfidf) describe the scoreable corpus —
+    NULL-text rows must not inflate idf."""
+    import math
+
+    from res2df_spark.llm.vocab import bm25_topk, tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    # 'alpha' is in EVERY scoreable doc -> idf must be 0 -> tfidf 0
+    out = {(r["doc_id"], r["term"]): r["tfidf"]
+           for r in tfidf_topk(docs, k=5).collect()}
+    assert out[(1, "alpha")] == 0.0
+    q = spark.createDataFrame([("q0", "alpha")], "query_id string, term string")
+    got = bm25_topk(docs, q, k=5).collect()
+    # idf = ln(1 + (2 - 2 + .5)/(2 + .5)) with N = 2 scoreable docs
+    idf = math.log(1 + 0.5 / 2.5)
+    tfp = 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1.0))
+    assert got and abs(got[0]["bm25"] - round(idf * tfp, 6)) < 1e-6
