@@ -58,6 +58,15 @@ def hash_split(
     → 'train', < val → 'val', else 'test' (defaults ≈ 90/5/5 of 256).
     Deterministic per id: re-running, re-partitioning, or growing the
     corpus never moves an existing document across splits."""
+    if not 0 <= train <= val <= 256:
+        # train/val are CUMULATIVE bucket bounds, not per-split sizes —
+        # e.g. train=230, val=243 means 13 val buckets; reject the
+        # per-split misreading (train=230, val=13) that would silently
+        # empty the val split
+        raise ValueError(
+            f"need 0 <= train ({train}) <= val ({val}) <= 256 — the "
+            "bounds are cumulative bucket thresholds"
+        )
     b = md5_bucket256(F.col(id_col), salt)
     return df.withColumn(
         "split",
@@ -337,22 +346,35 @@ def temperature_mix(
     """
     if alpha <= 0:
         raise ValueError("alpha must be positive")
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    # materialized: scale and the rates projection are two consumers of
+    # this kilobyte table, and column pruning would otherwise re-run
+    # the corpus-wide count aggregate once per consumer
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
     ratio = F.pow(F.col("__n").cast("double"), F.lit(alpha - 1.0))
     scale = counts.select(F.max(ratio).alias("__max_ratio"))
     rates = (
         counts.crossJoin(F.broadcast(scale))
         .select(
-            source_col,
+            F.col(source_col).alias("__mix_src"),
             F.round(F.lit(256) * ratio / F.col("__max_ratio"))
             .cast("long")
             .alias("__threshold"),
         )
     )
+    # null-safe join: a NULL source is a legitimate group (counts
+    # aggregates it like any other); a plain equi-join would silently
+    # drop those rows even at alpha=1, the documented no-op
     return (
-        df.join(F.broadcast(rates), source_col)
+        df.join(
+            F.broadcast(rates),
+            F.col(source_col).eqNullSafe(F.col("__mix_src")),
+        )
         .filter(md5_bucket256(F.col(id_col), salt) < F.col("__threshold"))
-        .drop("__threshold")
+        .drop("__mix_src", "__threshold")
     )
 
 
@@ -371,9 +393,13 @@ def split_leakage(
     One hash-aggregation on md5(text) (the exact-dedup shuffle shape):
     returns one row per leaking text — (text_md5, n_docs, n_splits,
     splits as a sorted csv) for every text seen in ≥ 2 splits.
+    NULL texts are exempt: md5(NULL) is NULL and groupBy pools NULL
+    keys, so without the filter every NULL-text document would fuse
+    into one phantom "leak" (the exact_duplicates pitfall).
     """
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("text_md5"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count_distinct(F.col(split_col)).alias("n_splits"),
@@ -408,9 +434,16 @@ def mixture_plan(
     toks = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
         token_count(F.col(text_col))
     )
-    per_src = df.groupBy(source_col).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(toks).alias("n_tokens"),
+    # materialized: totals, wsum and the final select are three
+    # consumers of this few-row table — without the checkpoint the
+    # corpus-wide token aggregate would run once per consumer
+    per_src = (
+        df.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
     )
     share = F.when(
         F.col("__total") > 0, F.col("n_tokens") / F.col("__total")
@@ -527,7 +560,11 @@ def quality_filter(
     corpus size; empty documents fail rules 0 and 3 with NULL metrics
     where undefined.
     """
-    toks = tokens(F.col(text_col))
+    # bind the token array once — tokens() is a filter(split(...)) HOF
+    # that gets no common-subexpression elimination, and it feeds three
+    # metrics below
+    docs = docs.withColumn("__qf_toks", tokens(F.col(text_col)))
+    toks = F.col("__qf_toks")
     # NULL text => size() is NULL under ANSI; a NULL document has ZERO
     # tokens, so it must trip the length rule (bit 0) like any short doc
     n = F.coalesce(F.size(toks), F.lit(0))
@@ -651,7 +688,8 @@ def weighted_sample(
     non-uniform weights — e.g. sample documents proportional to token
     count so the SAMPLE's token mass mirrors the corpus).
 
-    Non-positive/NULL weights never win (key = +inf).  Scale shape: the
+    Non-positive/NULL weights are filtered out (never sampled, even
+    when ``k`` exceeds the positive-weight row count).  Scale shape: the
     key is map-side arithmetic; selection is a global top-k, which Spark
     executes as per-partition top-k + a k-row driver merge
     (TakeOrderedAndProject) — no full sort, no shuffle of the corpus.
@@ -662,9 +700,12 @@ def weighted_sample(
         + F.lit(0.5)
     ) / F.lit(float(2**32))
     w = F.col(weight_col).cast("double")
-    key = F.when(w > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
+    # filtered OUT, not just sorted last: when k exceeds the number of
+    # positive-weight rows, +inf-key rows would otherwise fill the
+    # remaining slots with probability-zero selections
     return (
-        df.withColumn("__es_key", key)
+        df.filter(w > 0)
+        .withColumn("__es_key", -F.log(u) / w)
         .orderBy(F.col("__es_key").asc(), F.col(id_col).asc())
         .limit(k)
         .drop("__es_key")

@@ -136,7 +136,13 @@ def _minhash_bands(
 ) -> DataFrame:
     """(id, band_idx, band_key) long form — the shared LSH front half of
     ``minhash_lsh_candidates`` and ``minhash_lsh_bucket_stats``."""
-    assert num_hashes % band_size == 0
+    if num_hashes % band_size:
+        # a ValueError, not an assert: asserts vanish under -O and the
+        # truncated trailing hashes would silently change recall
+        raise ValueError(
+            f"band_size ({band_size}) must divide num_hashes "
+            f"({num_hashes})"
+        )
     # signature hashing is CPU-bound per row — make sure the scan isn't a
     # single small-file partition pinning the stage to one core
     docs = spread(docs).withColumn("__toks", tokens(text_col))
@@ -546,8 +552,15 @@ def _simhash_chunks(
     :func:`simhash_bucket_stats` (observability)."""
     bits = 64
     n_chunks = max_hamming + 1
-    if bits % n_chunks:
-        raise ValueError("max_hamming + 1 must divide 64 (1, 3, 7 or 15)")
+    if max_hamming < 1 or bits % n_chunks:
+        # max_hamming=0 passes the divisibility test but needs a
+        # 64-bit all-ones mask that overflows the long literal — and
+        # hamming-0 "near"-dup is exact dup; route those to exact_
+        # duplicates instead
+        raise ValueError(
+            "max_hamming + 1 must divide 64 with max_hamming >= 1 "
+            "(1, 3, 7 or 15); for hamming distance 0 use exact dedup"
+        )
     cb = bits // n_chunks
     mask = (1 << cb) - 1
     sig = simhash_signatures(docs, id_col, text_col)
@@ -785,7 +798,10 @@ def cross_doc_segment_dedup(
     map-side segment explode, one md5 hash-aggregate for segment df
     (uniform 128-bit key), one join back on the hash, one per-doc
     ordered rebuild whose state is the document itself (bounded by doc
-    length, never by corpus size).  NULL texts are excluded.
+    length, never by corpus size).  Documents with no tokens — NULL,
+    empty or whitespace-only text — have no segments and are excluded
+    from the output (filter them beforehand if a verdict row per doc
+    is needed, as :func:`minhash_novelty` does).
     """
     # materialize the token array BEFORE the higher-order transform:
     # a lambda-captured expression is re-evaluated per array element

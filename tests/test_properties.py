@@ -326,7 +326,9 @@ def test_tfidf_matches_pandas_reference(spark, docs, k):
     sdf = spark.createDataFrame(rows_in, "doc_id int, text string")
     got = rows(tfidf_topk(sdf, k=k), "doc_id", "term", "tf", "df", "tfidf", "rnk")
 
-    n_docs = len(docs)
+    # N counts documents contributing >= 1 term (zero-token docs have
+    # no postings and must not inflate idf)
+    n_docs = sum(1 for toks in docs if toks)
     tf: dict[tuple[int, str], int] = {}
     for i, toks in enumerate(docs):
         for t in toks:
@@ -335,7 +337,7 @@ def test_tfidf_matches_pandas_reference(spark, docs, k):
     for (_i, t) in tf:
         df[t] = df.get(t, 0) + 1
     expected = []
-    for i in range(n_docs):
+    for i in range(len(docs)):
         terms = [(t, c) for (d, t), c in tf.items() if d == i]
         scored = sorted(
             (

@@ -479,3 +479,67 @@ def test_bm25_tfidf_null_text_corpus_stats(spark):
     idf = math.log(1 + 0.5 / 2.5)
     tfp = 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1.0))
     assert got and abs(got[0]["bm25"] - round(idf * tfp, 6)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Fourth round-5 review pass (curation + dedup)
+
+
+def test_weighted_sample_never_returns_nonpositive_weights(spark):
+    from res2df_spark.llm.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 1.0), (3, 0.0), (4, None), (5, -1.0)],
+        "doc_id long, w double",
+    )
+    got = sorted(r["doc_id"] for r in weighted_sample(df, "w", k=5).collect())
+    assert got == [1, 2]  # zero/NULL/negative weights never fill slots
+
+
+def test_split_leakage_ignores_null_texts(spark):
+    from res2df_spark.llm.curation import hash_split, split_leakage
+
+    df = hash_split(spark.createDataFrame(
+        [(i, None) for i in range(40)] + [(100, "dup"), (101, "dup")],
+        "doc_id long, text string",
+    ))
+    got = split_leakage(df).collect()
+    # no phantom NULL-md5 leak row; the real dup pair may or may not
+    # split across buckets but any reported row must have a real hash
+    assert all(r["text_md5"] is not None for r in got)
+
+
+def test_temperature_mix_keeps_null_source_group(spark):
+    from res2df_spark.llm.curation import temperature_mix
+
+    rows = [(i, "t", None) for i in range(20)] + [
+        (100 + i, "t", "web") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = temperature_mix(df, alpha=1.0)
+    # alpha=1 is the documented no-op: every row survives, NULL source
+    # included
+    assert out.count() == 40
+
+
+def test_hash_split_validates_cumulative_bounds(spark):
+    from res2df_spark.llm.curation import hash_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="cumulative"):
+        hash_split(df, train=230, val=13)
+
+
+def test_simhash_pairs_rejects_hamming_zero(spark):
+    from res2df_spark.llm.dedup import simhash_near_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exact"):
+        simhash_near_pairs(docs, max_hamming=0)
+
+
+def test_minhash_band_size_valueerror(spark):
+    from res2df_spark.llm.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_candidates(docs, num_hashes=30, band_size=4).collect()
