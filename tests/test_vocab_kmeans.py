@@ -40,9 +40,9 @@ def test_tfidf_scores_and_ranking(spark):
         for r in rows(out, "doc_id", "term", "tf", "df", "tfidf", "rnk")
     }
     # doc 1: 'spark' tf=3 df=2 → 3·ln(4/2); 'catalyst' tf=1 df=2 → ln(2)
-    n = 4  # doc 5 is empty → no terms, N = count_distinct over docs = 5?
-    # N counts all docs including the empty one (it is a document).
-    n = 5
+    # N counts documents CONTRIBUTING terms — the empty doc 5 has no
+    # postings and must not inflate idf
+    n = 4
     assert got[(1, "spark")][0] == 3 and got[(1, "spark")][1] == 2
     assert got[(1, "spark")][2] == pytest.approx(
         round(3 * math.log(n / 2), 6)
