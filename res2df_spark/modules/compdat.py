@@ -32,7 +32,6 @@ from res2df_spark.sources.deck import (
     deck_records,
     fill_dates,
     parse_deck,
-    schedule_events,
 )
 
 _logger = logging.getLogger(__name__)
@@ -116,9 +115,27 @@ def df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
         if (r["C1"] is None) != (r["C2"] is None):
             # reference compdat.py expand_complump_in_welopen_df
             raise ValueError(
-                "Both or none of the completion numbers G1/C2 in WELOPEN "
+                "Both or none of the completion numbers C1/C2 in WELOPEN "
                 f"must be defined (well {r['WELL']!r})"
             )
+        if r["C1"] is not None and r["C2"] is not None:
+            # reference expand_complump_in_welopen_df:710-717: zero and
+            # negative completion numbers are rejected, not wildcards —
+            # C1=0 would otherwise silently match every lump
+            if r["C1"] < 0 or r["C2"] < 0:
+                raise ValueError(
+                    "Negative values for C1/C2 is not allowed "
+                    f"(well {r['WELL']!r})"
+                )
+            if r["C1"] == 0 or r["C2"] == 0:
+                raise ValueError(
+                    f"Zeros for C1/C2 is not implemented (well {r['WELL']!r})"
+                )
+            if r["C2"] < r["C1"]:
+                raise ValueError(
+                    "C2 must be equal or greater than C1 "
+                    f"(well {r['WELL']!r})"
+                )
         if r["STATUS"] not in ("OPEN", "SHUT", "STOP", "AUTO", "POPN"):
             # reference compdat.py:180-188 coerces invalid statuses to
             # SHUT with a warning instead of emitting an unknown OP/SH
@@ -253,12 +270,18 @@ def df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
             <= F.coalesce(F.col("a.A_DATE"), F.lit("2999-12-31").cast("date"))
         )
         # explicit coordinates on a lump-addressed action further
-        # RESTRICT the selection (reference ANDs both filters)
-        & (
-            (F.col("a.I").isNull() | (F.col("a.I") <= 0) | (F.col("a.I") == F.col("c.I")))
-            & (F.col("a.J").isNull() | (F.col("a.J") <= 0) | (F.col("a.J") == F.col("c.J")))
-            & (F.col("a.K").isNull() | (F.col("a.K") <= 0) | (F.col("a.K") == F.col("c.K")))
-        )
+        # RESTRICT the selection only when I, J and K are ALL set
+        # (reference :728-744 gates the i,j,k filter on
+        # `row["I"] and row["J"] and row["K"]` — a partially-defaulted
+        # coordinate set is ignored entirely, not applied per-axis)
+        & F.when(
+            F.col("a.I").isNotNull() & (F.col("a.I") > 0)
+            & F.col("a.J").isNotNull() & (F.col("a.J") > 0)
+            & F.col("a.K").isNotNull() & (F.col("a.K") > 0),
+            (F.col("a.I") == F.col("c.I"))
+            & (F.col("a.J") == F.col("c.J"))
+            & (F.col("a.K") == F.col("c.K")),
+        ).otherwise(F.lit(True))
     )
     matched = conns.alias("c").join(
         a.alias("a"),
@@ -270,13 +293,18 @@ def df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
     # connection (typo'd well, wrong coords) — a silent no-op would leave
     # the well OPEN with no signal.  One tiny distinct-pairs job; decks
     # are driver-side text, so the extra pass is bounded by deck size.
+    # keyed on (idx, ridx, WELL): WLIST-expanded members share one
+    # (KEYWORD_IDX, RECORD_IDX), so a pair-level key would let one
+    # matching member mask a typo'd sibling with zero connections
     hit_pairs = {
-        (r["A_IDX"], r["A_RIDX"])
-        for r in matched.select("A_IDX", "A_RIDX").distinct().collect()
+        (r["A_IDX"], r["A_RIDX"], r["TEMPLATE"])
+        for r in matched.select(
+            "A_IDX", "A_RIDX", F.col("a.TEMPLATE").alias("TEMPLATE")
+        ).distinct().collect()
     }
     unmatched = [
         r for r in wo_recs
-        if (r["KEYWORD_IDX"], r["RECORD_IDX"]) not in hit_pairs
+        if (r["KEYWORD_IDX"], r["RECORD_IDX"], r["WELL"]) not in hit_pairs
     ]
     if unmatched:
         u = unmatched[0]
@@ -434,15 +462,30 @@ def icd_chain(spark: SparkSession, deck_text: str) -> DataFrame:
         "WELL", "I", "J", "K", "BRANCH", "DISTANCE_START", "DISTANCE_END",
         "SEGMENT_NUMBER", "DATE",
     )
-    seg = welsegs_df(spark, deck_text, records=recs).select(
+    # each lookup side dedups to the LATEST declaration per segment:
+    # WELSEGS/WSEGVALV/WSEGSICD re-specified under a later DATE would
+    # otherwise fan every connection row out once per declaration
+    # (half of them with stale geometry)
+    seg = dedup_keep(
+        welsegs_df(spark, deck_text, records=recs),
+        keys=["WELL", "SEGMENT1"], order_by=["DATE"], keep="last",
+    ).select(
         F.col("WELL").alias("S_WELL"), F.col("SEGMENT1").alias("SEGMENT"),
         "SEGMENT_LENGTH", "DEPTH_CHANGE", "DIAMETER", "SEGMENT_MD",
     )
-    valv = wsegvalv_df(spark, deck_text, records=recs).select(
+    valv = dedup_keep(
+        wsegvalv_df(spark, deck_text, records=recs),
+        keys=["WELL", "SEGMENT_NUMBER"],
+        order_by=["DATE"], keep="last",
+    ).select(
         F.col("WELL").alias("V_WELL"), F.col("SEGMENT_NUMBER").alias("V_SEG"),
         F.col("CV").alias("VALVE_CV"), F.col("AREA").alias("VALVE_AREA"),
     )
-    sicd = wsegsicd_df(spark, deck_text, records=recs).select(
+    sicd = dedup_keep(
+        wsegsicd_df(spark, deck_text, records=recs),
+        keys=["WELL", "SEGMENT1"],
+        order_by=["DATE"], keep="last",
+    ).select(
         F.col("WELL").alias("D_WELL"), F.col("SEGMENT1").alias("D_SEG"),
         F.col("STRENGTH").alias("ICD_STRENGTH"),
     )

@@ -139,6 +139,13 @@ def pillar_stats(
         for c, how in aggregators.items()
         if c in grid.columns
     ]
+    if not aggs:
+        # agg() with zero expressions is a generic PySpark assertion —
+        # name the actual problem instead
+        raise ValueError(
+            "pillar_stats: the grid frame has none of the aggregatable "
+            f"columns {sorted(aggregators)} (got {sorted(grid.columns)})"
+        )
     out = grid.groupBy(*keys).agg(*aggs)
     if "PORV_SUM" in out.columns and "VOLUME_SUM" in out.columns:
         out = out.withColumn(

@@ -57,7 +57,14 @@ def seg_topology(
     return (
         out.withColumn("LEAF", F.col("__n_in") == 0)
         .withColumn("JUNCTION", F.col("__n_in") > 1)
-        .withColumn("LONELY", (F.col("__n_in") == 0) & F.col("SEGNXT").isNull())
+        .withColumn(
+            "LONELY",
+            (F.col("__n_in") == 0)
+            # 0 is the common RFT encoding for "no next segment" (the
+            # reference reader maps None to 0; seg2dicttree below skips
+            # nxt <= 0 the same way)
+            & (F.col("SEGNXT").isNull() | (F.col("SEGNXT") <= 0)),
+        )
         .drop("__n_in")
     )
 
@@ -171,7 +178,13 @@ def split_seg_icd(
         .select(*keys, "__icd_present")
     )
     flagged = flagged.join(F.broadcast(per_group), keys, "left")
-    is_icd = F.col("__icd_present") & F.col("LEAF") & F.col("LONELYSEG")
+    # null-safe: a row with a NULL key column gets NULL __icd_present
+    # from the left join, and without the coalesce it would fail BOTH
+    # filters below and silently vanish from tubing AND icd
+    is_icd = F.coalesce(
+        F.col("__icd_present") & F.col("LEAF") & F.col("LONELYSEG"),
+        F.lit(False),
+    )
     tubing = flagged.filter(~is_icd).drop("__icd_present")
     icd = flagged.filter(is_icd).drop("__icd_present")
     icd = icd.select(

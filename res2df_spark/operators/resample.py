@@ -41,6 +41,11 @@ def date_spine(
     put (advancing it would fabricate an extrapolated row past the end
     of the run).
     """
+    if freq not in _FREQ_INTERVAL:
+        raise ValueError(
+            f"unsupported frequency {freq!r}: expected one of "
+            f"{sorted(_FREQ_INTERVAL)}"
+        )
     interval = _FREQ_INTERVAL[freq]
     trunc_unit = {"daily": "day", "weekly": "week", "monthly": "month", "yearly": "year"}[freq]
     one = spark.range(1)
@@ -67,6 +72,11 @@ def spine_from_observations(
     Computed without collecting to the driver: a single-row aggregate
     cross-joined (broadcast, 1 row) with the generated sequence.
     """
+    if freq not in _FREQ_INTERVAL:
+        raise ValueError(
+            f"unsupported frequency {freq!r}: expected one of "
+            f"{sorted(_FREQ_INTERVAL)}"
+        )
     interval = _FREQ_INTERVAL[freq]
     trunc_unit = {"daily": "day", "weekly": "week", "monthly": "month", "yearly": "year"}[freq]
     bounds = obs.agg(

@@ -543,3 +543,121 @@ def test_minhash_band_size_valueerror(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="divide"):
         minhash_lsh_candidates(docs, num_hashes=30, band_size=4).collect()
+
+
+# ---------------------------------------------------------------------------
+# Fifth round-5 review pass (module layer: compdat / rft / grid / resample)
+
+
+_LUMP_DECK = """
+DATES
+ 1 JAN 2020 /
+/
+WELSPECS
+ 'OP1' 'G' 1 1 1000 OIL /
+/
+COMPDAT
+ 'OP1' 1 1 1 1 'OPEN' /
+ 'OP1' 1 2 1 1 'OPEN' /
+/
+COMPLUMP
+ 'OP1' 1 1 1 1 1 /
+ 'OP1' 1 2 1 1 1 /
+/
+"""
+
+
+def test_welopen_partial_coords_ignored_on_lump(spark):
+    """Reference gates the I/J/K restriction on ALL THREE being set —
+    a partially-defaulted coordinate set is ignored entirely."""
+    from res2df_spark.modules import compdat
+
+    deck = _LUMP_DECK + "WELOPEN\n 'OP1' 'SHUT' 1 2* 1 1 /\n/\n"
+    out = compdat.df(spark, deck).collect()
+    last = {(r["I"], r["J"]): r["OP_SH"] for r in out}
+    # J/K defaulted -> coordinate filter ignored -> BOTH lump-1 conns shut
+    assert last == {(1, 1): "SHUT", (1, 2): "SHUT"}
+
+
+def test_welopen_lump_zero_and_negative_rejected(spark):
+    from res2df_spark.modules import compdat
+
+    for c1c2 in ("0 1", "-1 1"):
+        deck = _LUMP_DECK + f"WELOPEN\n 'OP1' 'SHUT' 3* {c1c2} /\n/\n"
+        with pytest.raises(ValueError, match="C1"):
+            compdat.df(spark, deck)
+
+
+def test_welopen_wlist_member_without_connections_raises(spark):
+    """A WLIST member with zero connections must be reported even when
+    a sibling member of the same expanded record matches."""
+    from res2df_spark.modules import compdat
+
+    deck = """
+DATES
+ 1 JAN 2020 /
+/
+WELSPECS
+ 'OP1' 'G' 1 1 1000 OIL /
+ 'OP9' 'G' 2 2 1000 OIL /
+/
+COMPDAT
+ 'OP1' 1 1 1 1 'OPEN' /
+/
+WLIST
+ '*OP' NEW OP1 OP9 /
+/
+WELOPEN
+ '*OP' 'SHUT' /
+/
+"""
+    with pytest.raises(ValueError, match="not acting"):
+        compdat.df(spark, deck)
+
+
+def test_icd_chain_latest_welsegs_wins(spark):
+    """Re-specified WELSEGS under a later DATE must not fan out the
+    connection rows — the latest declaration wins."""
+    from res2df_spark.modules.compdat import icd_chain
+
+    deck = """
+DATES
+ 1 JAN 2020 /
+/
+WELSEGS
+ 'OP1' 2000 2000 1* ABS /
+ 2 2 1 1 2050 2000 0.15 /
+/
+COMPSEGS
+ 'OP1' /
+ 1 1 1 1 0 100 1* 1* 1* 1* 2 /
+/
+DATES
+ 1 FEB 2020 /
+/
+WELSEGS
+ 'OP1' 2000 2000 1* ABS /
+ 2 2 1 1 2060 2000 0.15 /
+/
+"""
+    rows_ = icd_chain(spark, deck).collect()
+    assert len(rows_) == 1
+    assert rows_[0]["SEGMENT_MD"] == 2060.0  # latest geometry
+
+
+def test_resample_invalid_freq_is_valueerror(spark):
+    from res2df_spark.operators.resample import spine_from_observations
+
+    obs = spark.createDataFrame([("2020-01-01",)], "d string").select(
+        F_col("d").cast("date").alias("DATE")
+    ) if False else spark.sql("SELECT DATE '2020-01-01' AS DATE")
+    with pytest.raises(ValueError, match="quarterly"):
+        spine_from_observations(obs, "DATE", freq="quarterly")
+
+
+def test_pillar_stats_no_aggregatable_columns(spark):
+    from res2df_spark.modules.grid import pillar_stats
+
+    grid = spark.createDataFrame([(1, 1, 1)], "I int, J int, K int")
+    with pytest.raises(ValueError, match="aggregatable"):
+        pillar_stats(grid)
