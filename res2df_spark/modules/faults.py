@@ -31,6 +31,15 @@ def df(spark: SparkSession, deck_text: str) -> DataFrame:
     are concatenated (the record stream already is the concatenation).
     """
     recs = deck_records(spark, deck_text, "FAULTS")
+    # inverted index boxes contribute ZERO cells in the reference
+    # (faults.py:52-57 builds range(X1, X2+1) — empty when X2 < X1);
+    # box_explode deliberately raises on inverted bounds (a grid-box
+    # user error), so filter the empty-range records out first
+    recs = recs.filter(
+        (F.col("IX2") >= F.col("IX1"))
+        & (F.col("IY2") >= F.col("IY1"))
+        & (F.col("IZ2") >= F.col("IZ1"))
+    )
     cells = box_explode(
         recs,
         {"I": ("IX1", "IX2"), "J": ("IY1", "IY2"), "K": ("IZ1", "IZ2")},

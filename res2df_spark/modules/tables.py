@@ -89,18 +89,72 @@ def pvt_df(spark: SparkSession, deck_text: str) -> DataFrame | None:
     return _family_df(spark, deck_text, PVT_KEYWORDS)
 
 
+def phases_from_deck(deck_text: str) -> str:
+    """Phase configuration from the RUNSPEC flag keywords — the
+    reference's ``phases_from_deck`` (equil.py:207-227): plain
+    substring membership on the deck text, '' when inconclusive."""
+    oil = "OIL" in deck_text
+    gas = "GAS" in deck_text
+    water = "WATER" in deck_text
+    if oil and gas and water:
+        return "oil-water-gas"
+    if not oil and gas and water:
+        return "gas-water"
+    if oil and not gas and water:
+        return "oil-water"
+    if oil and gas and not water:
+        return "oil-gas"
+    return ""
+
+
+#: how the fixed EQUIL item slots read under each phase configuration
+#: (reference equil.py PHASE_RENAMERS:37-78).  Keys = the raw slot
+#: names from TABLE_KEYWORDS["EQUIL"]; absent = keep; None = drop
+#: (the reference's IGNORE* columns).
+_EQUIL_PHASE_RENAMES: dict[str, dict[str, str | None]] = {
+    "oil-water-gas": {},
+    "gas-water": {"OWC": "GWC", "PCOWC": "PCGWC", "GOC": None,
+                  "PCGOC": None, "INITRS": None, "INITRV": None},
+    "oil-water": {"GOC": None, "PCGOC": None, "INITRS": None,
+                  "INITRV": None},
+    "oil-gas": {"OWC": None, "PCOWC": None, "INITRS": None,
+                "INITRV": None},
+}
+
+
 def equil_df(
     spark: SparkSession, deck_text: str, solution_tables: bool = True
 ) -> DataFrame | None:
     """EQUIL initial-condition records (one row per EQLNUM region),
     plus the RSVD/RVVD/PBVD/PDVD solution depth tables as a tagged
     union (KEYWORD column) the way the reference's ``equil.df`` folds
-    all five keywords into one frame (equil.py:86-136)."""
-    f = deck_records(spark, deck_text, "EQUIL")
-    eq = f.drop("KEYWORD_IDX", "RECORD_IDX", "DATE", "ROW_IDX") if f.take(1) else None
+    all five keywords into one frame (equil.py:86-136).
+
+    How the fixed EQUIL item slots are NAMED depends on the deck's
+    phase configuration (reference equil.py:269-276 + PHASE_RENAMERS):
+    a gas-water deck's contact is GWC/PCGWC, and the slots the
+    configuration does not use are dropped.  An inconclusive phase set
+    falls back to the full oil-water-gas naming rather than raising —
+    EQUIL is often extracted from schedule-section fragments that carry
+    no RUNSPEC at all."""
+    from res2df_spark.sources.deck import fill_dates, parse_deck
+
+    # ONE driver-side parse shared by the EQUIL frame and the solution
+    # tables (presence comes from the record list — no eager take(1))
+    recs = fill_dates(parse_deck(deck_text))
+    eq = None
+    if any(r["KEYWORD"] == "EQUIL" for r in recs):
+        eq = deck_records(spark, deck_text, "EQUIL", records=recs).drop(
+            "KEYWORD_IDX", "RECORD_IDX", "DATE", "ROW_IDX"
+        )
+        phases = phases_from_deck(deck_text)
+        for raw, new in _EQUIL_PHASE_RENAMES.get(phases, {}).items():
+            if raw not in eq.columns:
+                continue
+            eq = eq.drop(raw) if new is None else eq.withColumnRenamed(raw, new)
     if not solution_tables:
         return eq
-    sol = _family_df(spark, deck_text, EQUIL_SOLUTION_KEYWORDS)
+    sol = _family_df(spark, deck_text, EQUIL_SOLUTION_KEYWORDS, records=recs)
     if sol is None:
         return eq
     sol = sol.drop("ROW_IDX")

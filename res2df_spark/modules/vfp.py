@@ -39,15 +39,13 @@ def _parse_blocks(text: str, keyword: str) -> list[dict]:
         # UNKNOWN keyword-shaped token also terminates the block — the
         # axis/value records are purely numeric, so a bare word there
         # can only be the next (unregistered) keyword; without this a
-        # following WELLDIMS/UDQ crashes the float coercion (same guard
-        # as sources/deck.py's table-keyword boundary).
-        import re as _re
-
-        def _looks_like_keyword(t: str) -> bool:
-            return bool(_re.fullmatch(r"[A-Z][A-Z0-9_]{0,7}", t))
+        # following WELLDIMS/UDQ crashes the float coercion (the SAME
+        # boundary rule as the deck parser's table keywords — shared
+        # helper so the two scanners cannot drift)
+        from res2df_spark.sources.deck import looks_like_keyword
 
         while i < len(toks) and toks[i] not in stop and not (
-            recs and _looks_like_keyword(toks[i])
+            recs and looks_like_keyword(toks[i])
         ):
             rec = []
             while i < len(toks) and toks[i] != "/":
@@ -108,6 +106,15 @@ def df_prod(spark: SparkSession, deck_text: str) -> DataFrame | None:
                         f"VFPPROD table {b['table']}: {axn} index {idx} "
                         f"outside the {len(axv)}-value axis"
                     )
+            # same invariant for the value vector: arrays_zip would
+            # silently NULL-pad a length mismatch into phantom rows
+            if len(vals) != len(flow):
+                raise ValueError(
+                    f"VFPPROD table {b['table']}: value record at "
+                    f"(THP={ithp}, WFR={iwfr}, GFR={igfr}, ALQ={ialq}) "
+                    f"has {len(vals)} BHP values for a {len(flow)}-value "
+                    "FLOW axis"
+                )
             rows.append((bi, b["table"], b["datum"], ithp, iwfr, igfr, ialq, flow, vals))
         for name, ax in (("THP", thp), ("WFR", wfr), ("GFR", gfr), ("ALQ", alq)):
             axis_rows.extend((bi, b["table"], name, i + 1, v) for i, v in enumerate(ax))
@@ -155,6 +162,12 @@ def df_inj(spark: SparkSession, deck_text: str) -> DataFrame | None:
                 raise ValueError(
                     f"VFPINJ table {b['table']}: THP index {ithp} outside "
                     f"the {len(thp)}-value THP axis"
+                )
+            if len(vals) != len(flow):
+                raise ValueError(
+                    f"VFPINJ table {b['table']}: value record at THP="
+                    f"{ithp} has {len(vals)} BHP values for a "
+                    f"{len(flow)}-value FLOW axis"
                 )
             rows.append((b["table"], b["datum"], thp[ithp - 1], flow, vals))
     recs = spark.createDataFrame(

@@ -47,7 +47,12 @@ def from_summary(summary_long: DataFrame) -> DataFrame:
     ``CPI:WELL:I,J,K`` vectors (the reference's wellconnstatus.df over
     the CPI summary data, wellconnstatus.py:22-68): split the vector
     name, then run the W3 status-change scan per connection."""
-    cpi = summary_long.filter(F.col("VECTOR").startswith("CPI:"))
+    # the reference's strict pattern (wellconnstatus.py:38-42): a bare
+    # prefix test would let malformed vectors (CPI:OP1, CPI:OP1:14,26)
+    # through as phantom (WELL, NULL, NULL, NULL) connections
+    cpi = summary_long.filter(
+        F.col("VECTOR").rlike(r"^CPI:[A-Z0-9_\-]{1,8}:[0-9]+,[0-9]+,[0-9]+$")
+    )
     parts = F.split(F.col("VECTOR"), ":")
     ijk = F.split(parts.getItem(2), ",")
     staged = cpi.select(

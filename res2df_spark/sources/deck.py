@@ -214,17 +214,37 @@ KEYWORD_DEFAULTS: dict[str, dict[str, object]] = {
                 "TOP_X": 0.0, "TOP_Y": 0.0,
                 "LENGTH_X": 0.0, "LENGTH_Y": 0.0},
     "COMPSEGS": {"CENTER_DEPTH": 0.0},
+    # opmkeywords/WCON*: the reference relies on opm filling these, so
+    # defaulted control items must come out as VALUES, not NULLs
+    # (items with no schema default — CMODE, TYPE, RATE… — stay NULL)
+    "WCONPROD": {"STATUS": "OPEN", "ORAT": 0.0, "WRAT": 0.0, "GRAT": 0.0,
+                 "LRAT": 0.0, "RESV": 0.0, "BHP": 1.01325, "THP": 0.0,
+                 "VFP_TABLE": 0, "ALQ": 0.0},
+    "WCONHIST": {"STATUS": "OPEN", "ORAT": 0.0, "WRAT": 0.0, "GRAT": 0.0,
+                 "VFP_TABLE": 0, "ALQ": 0.0, "THP": 0.0, "BHP": 0.0,
+                 "NGLRAT": 0.0},
+    "WCONINJE": {"STATUS": "OPEN", "BHP": 6895.0, "VFP_TABLE": 0,
+                 "VAPOIL_C": 0.0, "GAS_STEAM_RATIO": 0.0,
+                 "SURFACE_OIL_FRACTION": 0.0, "SURFACE_WATER_FRACTION": 0.0,
+                 "SURFACE_GAS_FRACTION": 0.0, "OIL_STEAM_RATIO": 0.0},
+    "WCONINJH": {"STATUS": "OPEN", "VFP_TABLE": 0, "VAPOIL_C": 0.0,
+                 "SURFACE_OIL_FRACTION": 0.0, "SURFACE_WATER_FRACTION": 0.0,
+                 "SURFACE_GAS_FRACTION": 0.0, "CMODE": "RATE"},
 }
 
 #: Table keywords (R10, common.py:187-266): each record is a flat float
 #: list reshaped to rows of ``len(columns)`` items; the record counter
 #: is the region number (SATNUM/PVTNUM/EQLNUM).
 TABLE_KEYWORDS: dict[str, tuple[list[str], str]] = {
-    "SWOF": (["SW", "KRW", "KROW", "PC"], "SATNUM"),
-    "SGOF": (["SG", "KRG", "KROG", "PC"], "SATNUM"),
-    "SLGOF": (["SL", "KRG", "KRO", "PC"], "SATNUM"),
-    "SWFN": (["SW", "KRW", "PC"], "SATNUM"),
-    "SGFN": (["SG", "KRG", "PC"], "SATNUM"),
+    # capillary-pressure naming follows the reference RENAMERS
+    # (satfunc.py:53-60): water-oil tables carry PCOW, gas-oil tables
+    # PCOG — the tagged union keeps them as SEPARATE columns, not one
+    # shared PC
+    "SWOF": (["SW", "KRW", "KROW", "PCOW"], "SATNUM"),
+    "SGOF": (["SG", "KRG", "KROG", "PCOG"], "SATNUM"),
+    "SLGOF": (["SL", "KRG", "KRO", "PCOG"], "SATNUM"),
+    "SWFN": (["SW", "KRW", "PCOW"], "SATNUM"),
+    "SGFN": (["SG", "KRG", "PCOG"], "SATNUM"),
     "SOF2": (["SO", "KRO"], "SATNUM"),
     "SOF3": (["SO", "KROW", "KROG"], "SATNUM"),
     "SGWFN": (["SG", "KRG", "KRW", "PCGW"], "SATNUM"),
@@ -255,7 +275,9 @@ TABLE_KEYWORDS: dict[str, tuple[list[str], str]] = {
 #: reference uses, common.py:230-254).
 NESTED_TABLE_KEYWORDS: dict[str, tuple[str, list[str], str]] = {
     "PVTO": ("RS", ["PRESSURE", "VOLUMEFACTOR", "VISCOSITY"], "PVTNUM"),
-    "PVTG": ("PRESSURE", ["RV", "VOLUMEFACTOR", "VISCOSITY"], "PVTNUM"),
+    # inner first item is the vaporized oil-gas ratio — the reference
+    # names it OGR (pvt.py:53-60), not RV
+    "PVTG": ("PRESSURE", ["OGR", "VOLUMEFACTOR", "VISCOSITY"], "PVTNUM"),
 }
 
 #: keywords whose payload is exactly one record (no terminating lone /).
@@ -308,6 +330,14 @@ _MONTHS = {
 #: '/' is a token of its own even glued to the previous item
 #: (``1 JAN 1999/`` is valid deck text — reference test decks use it)
 _TOKEN_RE = re.compile(r"'[^']*'|[^\s/]+|/")
+
+
+def looks_like_keyword(tok: str) -> bool:
+    """Keyword-shaped token test (1-8 chars, leading letter) — the ONE
+    shared boundary rule for 'a bare word inside numeric table payload
+    can only be the next keyword' (used here for table keywords and by
+    the VFP block scanner; widen it in one place)."""
+    return bool(re.fullmatch(r"[A-Z][A-Z0-9_]{0,7}", tok))
 
 
 def _strip_comment(line: str) -> str:
@@ -466,7 +496,7 @@ def parse_deck(text: str) -> list[dict]:
             # with well names that look exactly like keywords.
             if (
                 kw in TABLE_KEYWORDS or kw in NESTED_TABLE_KEYWORDS
-            ) and re.fullmatch(r"[A-Z][A-Z0-9_]{0,7}", toks[i]):
+            ) and looks_like_keyword(toks[i]):
                 break
             rec: list[str] = []
             while i < len(toks) and toks[i] != "/":

@@ -781,7 +781,7 @@ def satfunc_pipeline(spark, sf_dir):
         sat.alias("sat"),
         kr.alias("krw"),
         kro.alias("kro"),
-        F.col("PC").alias("pc"),
+        F.coalesce(F.col("PCOW"), F.col("PCOG")).alias("pc"),
     )
 
 
@@ -1283,14 +1283,17 @@ WCONINJH
 @_q(
     "wcon_pipeline",
     """
+    -- defaulted control items carry the opm schema defaults
+    -- (WCONPROD BHP 1.01325, WCONHIST BHP 0, WCONINJE BHP 6895,
+    -- WCONINJH CMODE 'RATE'), exactly like the reference via opm
     WITH expected(d, keyword, well, status, cmode, orat, rate, bhp) AS (VALUES
         (DATE '2020-01-01', 'WCONPROD', 'OP1', 'OPEN', 'ORAT',
-         1000.0, NULL, NULL),
+         1000.0, NULL, 1.01325),
         (DATE '2020-02-01', 'WCONHIST', 'OP1', 'OPEN', 'ORAT',
-         1200.0, NULL, NULL),
+         1200.0, NULL, 0.0),
         (DATE '2020-02-01', 'WCONINJE', 'WI1', 'OPEN', 'RATE',
-         NULL, 3000.0, NULL),
-        (DATE '2020-02-29', 'WCONINJH', 'WI2', 'OPEN', NULL,
+         NULL, 3000.0, 6895.0),
+        (DATE '2020-02-29', 'WCONINJH', 'WI2', 'OPEN', 'RATE',
          NULL, 2500.0, 250.0))
     SELECT CAST(d AS TIMESTAMP) AS d, keyword, well, status, cmode,
            CAST(orat AS DOUBLE) AS orat, CAST(rate AS DOUBLE) AS rate,
@@ -5370,7 +5373,7 @@ def satfunc_writer_roundtrip(spark, sf_dir):
     src = spark.createDataFrame(
         data,
         "KEYWORD string, SATNUM int, ROW_IDX int, "
-        "SW double, KRW double, KROW double, PC double",
+        "SW double, KRW double, KROW double, PCOW double",
     )
     text = df2res_satfunc(src)
     out = satfunc_df(spark, text)
@@ -5379,7 +5382,7 @@ def satfunc_writer_roundtrip(spark, sf_dir):
         F.col("SATNUM").cast("long").alias("satnum"),
         F.col("ROW_IDX").cast("long").alias("row_idx"),
         F.col("SW").alias("sw"), F.col("KRW").alias("krw"),
-        F.col("KROW").alias("krow"), F.col("PC").alias("pc"),
+        F.col("KROW").alias("krow"), F.col("PCOW").alias("pc"),
     ).orderBy("satnum", "row_idx")
 
 

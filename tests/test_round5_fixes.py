@@ -661,3 +661,139 @@ def test_pillar_stats_no_aggregatable_columns(spark):
     grid = spark.createDataFrame([(1, 1, 1)], "I int, J int, K int")
     with pytest.raises(ValueError, match="aggregatable"):
         pillar_stats(grid)
+
+
+# ---------------------------------------------------------------------------
+# Sixth round-5 review pass (wcon defaults, table naming, equil phases,
+# faults/vfp/wellconnstatus edge behavior)
+
+
+def test_wcon_defaults_fill_like_opm(spark):
+    """Defaulted WCON* items carry the opm schema defaults the
+    reference emits, not NULLs."""
+    from res2df_spark.modules import wcon
+
+    deck = """
+START
+  1 JAN 2020 /
+WCONPROD
+  'OP1' 1* 'ORAT' 100.0 /
+/
+WCONINJH
+  'WI1' 'WATER' 'OPEN' 2500.0 /
+/
+"""
+    out = {r["KEYWORD"]: r for r in wcon.df(spark, deck).collect()}
+    prod = out["WCONPROD"]
+    assert prod["STATUS"] == "OPEN" and prod["WRAT"] == 0.0
+    assert prod["BHP"] == 1.01325 and prod["VFP_TABLE"] == 0
+    inj = out["WCONINJH"]
+    assert inj["CMODE"] == "RATE" and inj["VFP_TABLE"] == 0
+
+
+def test_satfunc_pc_naming_matches_reference(spark):
+    """Water-oil tables carry PCOW, gas-oil tables PCOG — separate
+    columns like the reference RENAMERS, not one shared PC."""
+    from res2df_spark.modules.tables import satfunc_df
+
+    deck = """
+SWOF
+ 0.1 0.0 1.0 3.0
+ 0.9 1.0 0.0 0.5 /
+/
+SGOF
+ 0.0 0.0 1.0 0.0
+ 1.0 1.0 0.0 1.5 /
+/
+"""
+    out = satfunc_df(spark, deck)
+    assert "PCOW" in out.columns and "PCOG" in out.columns
+    assert "PC" not in out.columns
+    swof = out.filter("KEYWORD = 'SWOF' AND ROW_IDX = 0").first()
+    assert swof["PCOW"] == 3.0 and swof["PCOG"] is None
+
+
+def test_pvtg_ogr_naming(spark):
+    from res2df_spark.modules.tables import pvt_df
+
+    deck = """
+PVTG
+ 50.0 0.0001 0.024 0.0125
+      0.0   0.023 0.0120 /
+ 100.0 0.0002 0.021 0.0135
+       0.0   0.020 0.0130 /
+/
+"""
+    out = pvt_df(spark, deck)
+    assert "OGR" in out.columns and "RV" not in out.columns
+    first = out.filter("PRESSURE = 50.0 AND ROW_IDX = 0").first()
+    assert first["OGR"] == 0.0001
+
+
+def test_equil_gas_water_phase_naming(spark):
+    """A gas-water deck's EQUIL contact is GWC/PCGWC and the unused
+    oil-pair slots are dropped (reference PHASE_RENAMERS)."""
+    from res2df_spark.modules.tables import equil_df
+
+    deck = """
+WATER
+GAS
+EQUIL
+ 2000.0 200.0 2200.0 0.5 1* 1* /
+/
+"""
+    out = equil_df(spark, deck)
+    assert "GWC" in out.columns and "PCGWC" in out.columns
+    assert "OWC" not in out.columns and "GOC" not in out.columns
+    r = out.first()
+    assert r["GWC"] == 2200.0 and r["PCGWC"] == 0.5
+
+
+def test_faults_inverted_box_yields_zero_rows(spark):
+    """Reference range() semantics: an inverted index box contributes
+    no cells and extraction continues."""
+    from res2df_spark.modules import faults
+
+    deck = """
+FAULTS
+ 'F1' 5 4 1 1 1 1 'X' /
+ 'F2' 1 2 1 1 1 1 'Y' /
+/
+"""
+    got = faults.df(spark, deck).collect()
+    assert {r["NAME"] for r in got} == {"F2"}
+    assert len(got) == 2
+
+
+def test_vfp_value_length_mismatch_raises(spark):
+    from res2df_spark.modules.vfp import df_inj
+
+    deck = """
+VFPINJ
+ 1 2000.0 /
+ 100.0 200.0 /
+ 50.0 /
+ 1 10.0 20.0 30.0 /
+"""
+    with pytest.raises(ValueError, match="BHP values"):
+        df_inj(spark, deck)
+
+
+def test_wellconnstatus_rejects_malformed_cpi(spark):
+    from res2df_spark.modules.wellconnstatus import from_summary
+
+    long = spark.createDataFrame(
+        [("CPI:OP1:1,1,1", "2020-01-01", 1.0),
+         ("CPI:OP1", "2020-01-01", 1.0),          # no ijk part
+         ("CPI:OP1:14,26", "2020-01-01", 1.0)],   # 2-tuple
+        "VECTOR string, DATE string, VALUE double",
+    ).withColumn("DATE", F_col("DATE").cast("date")) if False else (
+        spark.sql("""
+            SELECT * FROM VALUES
+             ('CPI:OP1:1,1,1', DATE '2020-01-01', 1.0),
+             ('CPI:OP1',       DATE '2020-01-01', 1.0),
+             ('CPI:OP1:14,26', DATE '2020-01-01', 1.0)
+            AS t(VECTOR, DATE, VALUE)
+        """))
+    got = from_summary(long).collect()
+    assert all(r["I"] == 1 and r["J"] == 1 and r["K"] == 1 for r in got)

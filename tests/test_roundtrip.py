@@ -50,7 +50,7 @@ def test_satfunc_roundtrip(spark):
     df1 = satfunc_df(spark, SATFUNC_DECK, interpolate_defaults=False)
     text = df2res_satfunc(df1)
     df2 = satfunc_df(spark, text, interpolate_defaults=False)
-    key = ["KEYWORD", "SATNUM", "ROW_IDX", "SW", "KRW", "KROW", "SG", "KRG", "KROG", "PC"]
+    key = ["KEYWORD", "SATNUM", "ROW_IDX", "SW", "KRW", "KROW", "SG", "KRG", "KROG", "PCOW", "PCOG"]
     assert rows(df1, *key) == rows(df2, *key)
 
 
