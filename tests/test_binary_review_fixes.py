@@ -81,7 +81,8 @@ def test_df2res_satfunc_absent_column_keeps_slot(spark):
 
     df = spark.createDataFrame(
         [("SWOF", 1, 0, 0.1, 0.0, 3.5), ("SWOF", 1, 1, 0.9, 0.8, 0.1)],
-        "KEYWORD string, SATNUM int, ROW_IDX int, SW double, KRW double, PC double",
+        "KEYWORD string, SATNUM int, ROW_IDX int, SW double, KRW double, "
+        "PCOW double",
     )
     text = df2res_satfunc(df)
     data = [ln.split() for ln in text.splitlines() if ln.startswith("  ")]
