@@ -60,7 +60,13 @@ def df(spark: SparkSession, prt_path: str, fipname: str = "FIPNUM") -> DataFrame
     if len(fipname) > 8:
         raise ValueError("fipname can be at most 8 characters")
 
-    lines = numbered_lines(spark, prt_path, keep_splits=True)
+    # persisted: three stacked with_block_context calls each carry a
+    # lasts-aggregate self-join, and without the cache the text file's
+    # whole numbering plan (itself a counts-aggregate self-join) would
+    # re-scan the multi-GB PRT once per stacked call per side
+    lines = numbered_lines(spark, prt_path, keep_splits=True).localCheckpoint(
+        eager=False
+    )
     lines = with_block_context(
         lines, _DATE_START, {"__D": 1, "__MON": 2, "__Y": 3},
         line_no_as="__D_LN",

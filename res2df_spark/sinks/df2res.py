@@ -23,7 +23,11 @@ from res2df_spark.sources.deck import (
 def df2res_compdat(df: DataFrame) -> str:
     """Connection rows → COMPDAT keyword text.  Unrolled K rows are
     re-emitted as K1=K2=K (the reference does the same after unrolldf)."""
-    rows = df.orderBy("WELL", "I", "J", "K").collect()
+    # DATE joins the sort so multi-date histories render in date
+    # order (deterministic; on re-parse the LATEST record for a cell
+    # wins, which is the simulator's own within-keyword override rule)
+    order = ["WELL", "I", "J", "K"] + (["DATE"] if "DATE" in df.columns else [])
+    rows = df.orderBy(*order).collect()
     lines = ["COMPDAT"]
     for r in rows:
         items = [
@@ -36,7 +40,10 @@ def df2res_compdat(df: DataFrame) -> str:
         # the trailing-default trim below then drops unneeded tails
         for opt in ("SATN", "TRAN", "WBDIA", "KH", "SKIN"):
             items.append(_fmt(r[opt]) if opt in df.columns else "1*")
-        while items and items[-1] == "1*":
+        # keep at least one item: a fully-defaulted row must render
+        # as '1* /', never as a bare '/' (which TERMINATES the keyword
+        # and silently re-parses every later row as the next keyword)
+        while len(items) > 1 and items[-1] == "1*":
             items.pop()
         lines.append("  " + " ".join(items) + " /")
     lines.append("/")
@@ -79,19 +86,26 @@ def df2res_equil(df: DataFrame) -> str:
     has_kw = "KEYWORD" in df.columns
     pdf = df.toPandas()
     eq = pdf[pdf["KEYWORD"] == "EQUIL"] if has_kw else pdf
+    # phase-configuration frames rename the contact slots
+    # (modules/tables._EQUIL_PHASE_RENAMES: gas-water → GWC/PCGWC) —
+    # resolve each raw slot to whichever column the frame actually
+    # carries, the reference's phases_from_columns round trip
+    slot_src = {"OWC": ("OWC", "GWC"), "PCOWC": ("PCOWC", "PCGWC")}
     lines = []
     if len(eq):
         lines.append("EQUIL")
-        for _, r in eq.sort_values("EQLNUM").iterrows():
-            items = [
-                _fmt(
-                    None
-                    if c not in eq.columns or r[c] is None or r[c] != r[c]
-                    else float(r[c])
-                )
-                for c in cols
-            ]
-            while items and items[-1] == "1*":
+        if "EQLNUM" in eq.columns:
+            eq = eq.sort_values("EQLNUM")
+
+        def _slot(r, c):
+            for src in slot_src.get(c, (c,)):
+                if src in eq.columns and r[src] is not None and r[src] == r[src]:
+                    return float(r[src])
+            return None
+
+        for _, r in eq.iterrows():
+            items = [_fmt(_slot(r, c)) for c in cols]
+            while len(items) > 1 and items[-1] == "1*":
                 items.pop()
             lines.append("  " + " ".join(items) + " /")
     if has_kw:
@@ -114,12 +128,13 @@ def df2res_equil(df: DataFrame) -> str:
 
 
 def df2res_welspecs(df: DataFrame) -> str:
-    rows = df.orderBy("WELL").collect()
+    order = ["WELL"] + (["DATE"] if "DATE" in df.columns else [])
+    rows = df.orderBy(*order).collect()
     lines = ["WELSPECS"]
     for r in rows:
         items = [_fmt(r[name] if name in df.columns else None)
                  for name, _ in KEYWORD_ITEMS["WELSPECS"]]
-        while items and items[-1] == "1*":
+        while len(items) > 1 and items[-1] == "1*":
             items.pop()
         lines.append("  " + " ".join(items) + " /")
     lines.append("/")
@@ -247,7 +262,27 @@ def df2res_vfpprod(df: DataFrame) -> str:
             ),
             key=lambda x: x[:4],
         )
+        # completeness invariant (the parser enforces it on read): one
+        # BHP per flow point per combo.  A redefined TABLE number
+        # melted into one frame, or a partially-covered axis grid,
+        # would otherwise render silently corrupt records (duplicate
+        # rate rows / short BHP vectors).
+        n_combos = 1
+        for name in ("THP", "WFR", "GFR", "ALQ"):
+            n_combos *= len(axes[name])
+        if len(recs) != n_combos:
+            raise ValueError(
+                f"VFPPROD table {table}: {len(recs)} value records for "
+                f"{n_combos} axis combinations — incomplete or merged "
+                "(redefined table number?) frame"
+            )
         for it, iw, ig, ia, grp in recs:
+            if len(grp) != len(flow):
+                raise ValueError(
+                    f"VFPPROD table {table}: combo (THP={it}, WFR={iw}, "
+                    f"GFR={ig}, ALQ={ia}) has {len(grp)} BHP values for "
+                    f"a {len(flow)}-point flow axis"
+                )
             bhps = " ".join(_fmt(float(v)) for v in grp["BHP"])
             out.append(f"  {it} {iw} {ig} {ia} {bhps} /")
     return "\n".join(out) + "\n"

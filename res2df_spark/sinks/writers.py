@@ -134,9 +134,19 @@ def write_dataframe(df: DataFrame, path: str, fmt: str = "csv", mode: str = "ove
     result tables, small by contract; any other path is a distributed
     ``df.write`` directory for cluster-scale sinks."""
     if path == "-":
+        if fmt != "csv":
+            raise ValueError(f"stdout output only supports csv, not {fmt!r}")
         to_pandas_datesafe(df).to_csv(sys.stdout, index=False)
         return
     if fmt == "csv" and path.endswith(".csv"):
+        # honour df.write.mode semantics on the single-file path too
+        import os
+
+        if os.path.exists(path):
+            if mode in ("error", "errorifexists"):
+                raise FileExistsError(path)
+            if mode == "ignore":
+                return
         to_pandas_datesafe(df).to_csv(path, index=False)
         return
     writer = df.write.mode(mode)
@@ -169,6 +179,10 @@ def _fmt_value(v, float_fmt: str | None = None) -> str:
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, float):
+        if v != v:
+            # float NaN would render as the invalid deck token 'nan';
+            # it means the same thing as a missing value here
+            return "1*"
         return float_fmt % v if float_fmt else repr(v)
     if isinstance(v, str):
         return f"'{v}'"
@@ -202,7 +216,9 @@ def df_to_include(
     for r in rows:
         items = [_fmt_value(r[c]) for c in cols]
         if drop_trailing_defaults:
-            while items and items[-1] == "1*":
+            # keep at least one item — a bare '/' record TERMINATES the
+            # keyword and re-parses every later row as the next keyword
+            while len(items) > 1 and items[-1] == "1*":
                 items.pop()
         lines.append("  " + " ".join(items) + " /")
     lines.append("/")

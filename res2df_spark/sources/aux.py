@@ -152,11 +152,16 @@ def _parse_parameterstxt(content: str) -> dict:
         parts = line.split(None, 1)
         if len(parts) == 2:
             pairs.append((parts[0], parts[1].strip()))
-    for cast in (int, float):
-        try:
-            return {k: cast(v) for k, v in pairs}
-        except ValueError:
-            continue
+    # NA/inf tokens stay literal strings (the documented contract): a
+    # successful float('NaN')/float('inf') would smuggle non-finite
+    # literals into attach_parameters
+    _na_like = {"nan", "inf", "-inf", "infinity", "-infinity", "+inf"}
+    if not any(v.lower() in _na_like for _, v in pairs):
+        for cast in (int, float):
+            try:
+                return {k: cast(v) for k, v in pairs}
+            except ValueError:
+                continue
     if pairs and all(v in ("True", "False") for _, v in pairs):
         # pandas bool-column inference: an all-True/False value column
         # reads as bool dtype in the reference's load_parameterstxt

@@ -797,3 +797,90 @@ def test_wellconnstatus_rejects_malformed_cpi(spark):
         """))
     got = from_summary(long).collect()
     assert all(r["I"] == 1 and r["J"] == 1 and r["K"] == 1 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Seventh round-5 review pass (writers / aux sources)
+
+
+def test_fmt_value_nan_is_default_token(spark):
+    from res2df_spark.sinks.writers import df_to_include
+
+    df = spark.createDataFrame(
+        [("OP1", float("nan"), 2.0)], "WELL string, KH double, SKIN double"
+    )
+    text = df_to_include(df, "COMPDAT")
+    assert "nan" not in text
+    assert "1*" in text
+
+
+def test_empty_record_never_emitted(spark):
+    """A fully-defaulted row renders '1* /', never a bare '/' (which
+    would terminate the keyword and swallow later rows)."""
+    from res2df_spark.sinks.writers import df_to_include
+
+    df = spark.createDataFrame(
+        [(None, None), ("OP2", 5.0)], "WELL string, KH double"
+    )
+    text = df_to_include(df, "TESTKW")
+    recs = [ln.strip() for ln in text.splitlines() if ln.startswith("  ")]
+    assert recs[0] == "1* /"
+    assert recs[1].startswith("'OP2'")
+
+
+def test_write_dataframe_mode_on_single_csv(spark, tmp_path):
+    from res2df_spark.sinks.writers import write_dataframe
+
+    p = str(tmp_path / "out.csv")
+    df = spark.createDataFrame([(1,)], "a int")
+    write_dataframe(df, p)
+    with pytest.raises(FileExistsError):
+        write_dataframe(df, p, mode="error")
+    write_dataframe(df, p, mode="ignore")  # no-op, no raise
+    with pytest.raises(ValueError, match="stdout"):
+        write_dataframe(df, "-", fmt="parquet")
+
+
+def test_df2res_equil_gas_water_roundtrip(spark):
+    """A phase-renamed (GWC/PCGWC) equil frame writes its contact into
+    the correct EQUIL slots and round-trips."""
+    from res2df_spark.modules.tables import equil_df
+    from res2df_spark.sinks.df2res import df2res_equil
+
+    deck = """
+WATER
+GAS
+EQUIL
+ 2000.0 200.0 2200.0 0.5 /
+/
+"""
+    out = equil_df(spark, deck)
+    text = df2res_equil(out)
+    again = equil_df(spark, "WATER\nGAS\n" + text)
+    a, b = out.first(), again.first()
+    assert b["GWC"] == a["GWC"] == 2200.0
+    assert b["PCGWC"] == a["PCGWC"] == 0.5
+
+
+def test_df2res_vfpprod_rejects_incomplete_frame(spark):
+    from res2df_spark.sinks.df2res import df2res_vfpprod
+
+    # 2 THP values but only one (THP,...) combo present
+    df = spark.createDataFrame(
+        [(1, 100.0, 10.0, 0.0, 0.0, 0.0, 1.0, 50.0),
+         (1, 100.0, 10.0, 0.0, 0.0, 0.0, 2.0, 60.0),
+         (1, 100.0, 20.0, 0.0, 0.0, 0.0, 1.0, 55.0)],
+        "TABLE int, DATUM double, THP double, WFR double, GFR double, "
+        "ALQ double, RATE double, BHP double",
+    )
+    with pytest.raises(ValueError, match="axis combinations|flow axis"):
+        df2res_vfpprod(df)
+
+
+def test_parameterstxt_nan_token_stays_string():
+    from res2df_spark.sources.aux import _parse_parameterstxt
+
+    got = _parse_parameterstxt("A 1.5\nB NaN\n")
+    assert got["B"] == "NaN" and got["A"] == "1.5"
+    got2 = _parse_parameterstxt("A 1.5\nB 2.5\n")
+    assert got2["A"] == 1.5 and got2["B"] == 2.5
