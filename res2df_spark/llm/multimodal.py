@@ -86,6 +86,20 @@ def extract_features(
         df = df.withColumn(payload_col, F.col(payload_col).cast("binary"))
     dec = decoder or _fake_features
 
+    def _checked(p: bytes):
+        f = dec(p)
+        # FEATURE_SCHEMA carries exactly two feature slots; a decoder
+        # returning fewer would IndexError mid-corpus in a worker and
+        # one returning more would silently lose features — fail fast
+        # with the actual contract instead
+        if len(f) != 2:
+            raise ValueError(
+                f"decoder returned {len(f)} features; FEATURE_SCHEMA "
+                "carries exactly 2 (feat_0, feat_1) — adapt the decoder "
+                "or extend the schema"
+            )
+        return f
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
@@ -94,7 +108,7 @@ def extract_features(
             # with NULL features — a missing binary must not abort the
             # corpus-wide featurization job
             payloads = [None if p is None else bytes(p) for p in pdf[payload_col]]
-            feats = [None if p is None else dec(p) for p in payloads]
+            feats = [None if p is None else _checked(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     # ids travel as strings (see the select below) and
@@ -161,6 +175,10 @@ def sample_frames(
     the output is a fixed relational schema.  NULL/empty payloads yield
     no rows.
     """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    if splitter is None and frame_size < 1:
+        raise ValueError(f"frame_size must be >= 1, got {frame_size}")
     if not isinstance(df.schema[payload_col].dataType, BinaryType):
         df = df.withColumn(payload_col, F.col(payload_col).cast("binary"))
     split = splitter or (lambda p: chunk_bytes(p, frame_size))
@@ -240,7 +258,11 @@ def export_tar_shards(
         10,
     ).cast("long")
     keyed = (
-        df.select(
+        # NULL ids are unshardable (md5(NULL) is NULL → int(NaN) would
+        # crash mid-export) and their tar members would be unnamable —
+        # drop them up front, like sample_frames
+        df.filter(F.col(id_col).isNotNull())
+        .select(
             F.col(id_col).cast("string").alias("__id"),
             F.col(payload_col).alias("__payload"),
             *[F.col(c) for c in meta_cols],
@@ -275,7 +297,14 @@ def export_tar_shards(
                         counts[sh] = [0, 0]
                     payload = bytes(payload or b"")
                     meta = {"id": rid}
-                    meta.update(zip(meta_names, meta_vals))
+                    # numpy scalars (np.int64/np.float64) are not JSON
+                    # serializable and default=str would silently turn
+                    # every numeric sidecar field into a string —
+                    # unwrap to native Python first
+                    meta.update(
+                        (k, v.item() if hasattr(v, "item") else v)
+                        for k, v in zip(meta_names, meta_vals)
+                    )
                     mbytes = _json.dumps(meta, default=str).encode()
                     for suffix, data in ((".bin", payload), (".json", mbytes)):
                         info = tarfile.TarInfo(name=f"{rid}{suffix}")

@@ -29,35 +29,42 @@ def profile_table(
     engines render integers/strings identically; avoid float columns in
     oracle-checked profiles, their string forms differ)."""
     cols = list(cols or df.columns)
+
+    # backtick-quoted references + positional aliases: a column name
+    # containing a dot would otherwise parse as a struct-field path
+    # and fail resolution
+    def _qcol(c: str):
+        return F.col("`" + c.replace("`", "``") + "`")
+
     distinct = (
-        (lambda c: F.count_distinct(F.col(c)))
+        (lambda c: F.count_distinct(_qcol(c)))
         if exact_distinct
-        else (lambda c: F.approx_count_distinct(F.col(c)))
+        else (lambda c: F.approx_count_distinct(_qcol(c)))
     )
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
-            distinct(c).alias(f"__nd_{c}"),
+            F.count(F.lit(1)).alias(f"__n_{i}"),
+            F.sum(F.when(_qcol(c).isNull(), 1).otherwise(0)).alias(f"__nn_{i}"),
+            distinct(c).alias(f"__nd_{i}"),
             # min/max on the NATIVE type, rendered to string afterwards —
             # casting first would make numeric extremes lexicographic
             # (min of [9, 10] = '10')
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            F.min(_qcol(c)).cast("string").alias(f"__mn_{i}"),
+            F.max(_qcol(c)).cast("string").alias(f"__mx_{i}"),
         ]
     one = df.agg(*aggs)
     rows = F.array(
         *[
             F.struct(
                 F.lit(c).alias("column"),
-                F.col(f"__n_{c}").cast("long").alias("n_rows"),
-                F.col(f"__nn_{c}").cast("long").alias("n_nulls"),
-                F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
-                F.col(f"__mn_{c}").alias("min_str"),
-                F.col(f"__mx_{c}").alias("max_str"),
+                F.col(f"__n_{i}").cast("long").alias("n_rows"),
+                F.col(f"__nn_{i}").cast("long").alias("n_nulls"),
+                F.col(f"__nd_{i}").cast("long").alias("n_distinct"),
+                F.col(f"__mn_{i}").alias("min_str"),
+                F.col(f"__mx_{i}").alias("max_str"),
             )
-            for c in cols
+            for i, c in enumerate(cols)
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")

@@ -78,6 +78,10 @@ def session_stats(
     generic operator must not silently truncate small aggregates).
     Single-shuffle plan (see module docstring)."""
     s = sessionize(df, ts_col, keys, gap_seconds, tiebreak=tiebreak)
+    # sessionize keeps NULL-timestamp rows off the time axis (NULL
+    # session_id); rolling them up would report a phantom "session"
+    # whose n_events/total_value read as real activity
+    s = s.filter(F.col("session_id").isNotNull())
     aggs = [
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),

@@ -133,14 +133,23 @@ def spread(df, min_partitions: int | None = None):
             for f in files:
                 p = urlparse(f)
                 if p.scheme not in ("", "file"):
-                    total = None  # remote FS: trust the file count
-                    break
+                    # remote FS: size via the Hadoop FileSystem API —
+                    # "trust the file count" here would re-create the
+                    # exact pathology above (one 10 GB s3 object
+                    # shuffled and its natural splits collapsed to n)
+                    jvm = df.sparkSession._jvm
+                    jsc = df.sparkSession._jsc
+                    hpath = jvm.org.apache.hadoop.fs.Path(f)
+                    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+                    total += fs.getFileStatus(hpath).getLen()
+                    continue
                 total += os.path.getsize(unquote(p.path) if p.scheme else f)
-            if total is not None:
-                n_splits = max(n_splits, -(-total // max_bytes))
-        except (OSError, ValueError):
-            # unreadable file sizes or an unparseable conf value: fall
-            # back to the raw file count rather than crash the caller
+            n_splits = max(n_splits, -(-total // max_bytes))
+        except Exception:
+            # unreadable file sizes (local OSError or a Hadoop/Py4J
+            # failure on remote FS) or an unparseable conf value: fall
+            # back to the raw file count rather than crash the caller —
+            # this whole block is a best-effort split ESTIMATE
             pass
     if n_splits < n:
         return df.repartition(n)

@@ -884,3 +884,77 @@ def test_parameterstxt_nan_token_stays_string():
     assert got["B"] == "NaN" and got["A"] == "1.5"
     got2 = _parse_parameterstxt("A 1.5\nB 2.5\n")
     assert got2["A"] == 1.5 and got2["B"] == 2.5
+
+
+# ---------------------------------------------------------------------------
+# Eighth round-5 review pass (multimodal / profile / sessionize / spread)
+
+
+def test_export_tar_shards_skips_null_ids(spark, tmp_path):
+    from res2df_spark.llm.multimodal import export_tar_shards
+
+    df = spark.createDataFrame(
+        [(1, b"abc"), (None, b"xyz"), (2, b"def")],
+        "doc_id long, payload binary",
+    )
+    manifest = export_tar_shards(df, str(tmp_path / "shards"), n_shards=2)
+    assert sum(r["n_samples"] for r in manifest.collect()) == 2
+
+
+def test_export_tar_shards_numeric_meta_stays_numeric(spark, tmp_path):
+    import glob
+    import json as _json
+    import tarfile
+
+    from res2df_spark.llm.multimodal import export_tar_shards
+
+    df = spark.createDataFrame(
+        [(1, b"abc", 512)], "doc_id long, payload binary, n_tokens long"
+    )
+    export_tar_shards(
+        df, str(tmp_path / "s"), n_shards=1, meta_cols=("n_tokens",)
+    ).collect()
+    tar = glob.glob(str(tmp_path / "s" / "*.tar"))[0]
+    with tarfile.open(tar) as t:
+        meta = _json.load(t.extractfile("1.json"))
+    assert meta["n_tokens"] == 512  # int, not "512"
+
+
+def test_extract_features_decoder_arity_checked(spark):
+    from res2df_spark.llm.multimodal import extract_features
+
+    df = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="exactly 2"):
+        extract_features(df, decoder=lambda b: (1.0,)).collect()
+
+
+def test_sample_frames_validates_args(spark):
+    from res2df_spark.llm.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="every_n"):
+        sample_frames(df, every_n=0)
+    with pytest.raises(ValueError, match="frame_size"):
+        sample_frames(df, frame_size=0)
+
+
+def test_profile_table_dotted_column(spark):
+    from res2df_spark.operators.profile import profile_table
+
+    df = spark.range(3).selectExpr("id AS `a.b`")
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["a.b"]["n_rows"] == 3 and got["a.b"]["n_distinct"] == 3
+
+
+def test_session_stats_drops_null_ts_phantom_session(spark):
+    from res2df_spark.operators.sessionize import session_stats
+
+    df = spark.sql("""
+        SELECT * FROM VALUES
+         ('u1', TIMESTAMP '2020-01-01 00:00:00', 1.0),
+         ('u1', CAST(NULL AS TIMESTAMP), 2.0)
+        AS t(user_id, ts, v)
+    """)
+    got = session_stats(df, "ts", ["user_id"], 60, value_col="v").collect()
+    assert len(got) == 1
+    assert got[0]["n_events"] == 1 and got[0]["total_value"] == 1.0
