@@ -815,11 +815,15 @@ def curate_main(argv: list[str] | None = None) -> int:
                     f"(columns: {', '.join(df.columns)}); pass --weight-col"
                 )
             w = F.col(args.weight_col).cast("double")
-            if df.filter(w.isNull() | (w <= 0)).limit(1).count() > 0:
+            from pyspark.sql import functions as _F
+
+            bad = w.isNull() | (w <= 0) | _F.isnan(w) | (w == float("inf"))
+            if df.filter(bad).limit(1).count() > 0:
                 raise SystemExit(
-                    f"pagerank: {args.weight_col!r} contains NULL or "
-                    "non-positive weights — a zero/NULL weight silently "
-                    "deletes its source's mass; clean the edge table first"
+                    f"pagerank: {args.weight_col!r} contains NULL, NaN, "
+                    "infinite or non-positive weights — any of these "
+                    "silently corrupts its source's mass share; clean "
+                    "the edge table first"
                 )
         out = pagerank(
             df, src_col=args.src_col, dst_col=args.dst_col,

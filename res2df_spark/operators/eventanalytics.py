@@ -184,7 +184,11 @@ def user_value_stats(
     Returns (key, __mean, __var, __n) with ``__mean = anchor + E[v−a]``
     and ``__var = E[(v−a)²] − E[v−a]²``.
     """
-    v = F.col(value_col).cast("double")
+    # nanvl: a NaN reading behaves like a missing one — otherwise a
+    # single NaN poisons both moments and (NaN > 0 in Spark's total
+    # order) sails through the downstream variance gate, flagging the
+    # key's ENTIRE history as anomalous
+    v = F.nanvl(F.col(value_col).cast("double"), F.lit(None).cast("double"))
     anchor = events.groupBy(user_col).agg(F.min(v).alias("__a"))
     return (
         events.join(anchor, user_col)
@@ -193,7 +197,9 @@ def user_value_stats(
             F.avg(v - F.col("__a")).alias("__m1"),
             F.avg((v - F.col("__a")) * (v - F.col("__a"))).alias("__m2s"),
             F.min(F.col("__a")).alias("__a"),
-            F.count(F.lit(1)).alias("__n"),
+            # non-NULL count: the min_events robustness gate must see
+            # the number of values the moments were computed FROM
+            F.count(v).alias("__n"),
         )
         .select(
             user_col,
@@ -223,7 +229,9 @@ def score_value_anomalies(
     place.  Stateless: one equi-join on the key plus map-side
     filters, which is why the same code runs under Structured
     Streaming unchanged."""
-    v = F.col(value_col).cast("double")
+    # nanvl: a NaN event value would give z = NaN, and NaN >= threshold
+    # is TRUE in Spark's total order — the row must drop, not flag
+    v = F.nanvl(F.col(value_col).cast("double"), F.lit(None).cast("double"))
     z = (v - F.col("__mean")) / F.sqrt(F.col("__var"))
     return (
         events.join(stats, user_col)

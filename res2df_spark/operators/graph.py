@@ -67,12 +67,26 @@ def pagerank(
         if weight_col is not None
         else F.lit(1.0)
     )
-    e = edges.select(
-        F.col(src_col).alias("__src"),
-        F.col(dst_col).alias("__dst"),
-        w.alias("__w"),
-    ).filter(F.col("__w").isNotNull() & (F.col("__w") > 0)).localCheckpoint(
-        eager=True
+    e = (
+        edges.select(
+            F.col(src_col).alias("__src"),
+            F.col(dst_col).alias("__dst"),
+            w.alias("__w"),
+        )
+        # NULL endpoints never equi-join — kept, they become phantom
+        # nodes that inflate N (deflating every rank) and leak a NULL
+        # output row
+        .filter(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
+        # NaN > 0 and Infinity > 0 are both TRUE in Spark's total
+        # order; either poisons the out-degree sum and spreads through
+        # the whole rank vector — only FINITE positive weights count
+        .filter(
+            F.col("__w").isNotNull()
+            & ~F.isnan(F.col("__w"))
+            & (F.col("__w") > 0)
+            & (F.col("__w") != float("inf"))
+        )
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("__src").alias("node"))

@@ -958,3 +958,35 @@ def test_session_stats_drops_null_ts_phantom_session(spark):
     got = session_stats(df, "ts", ["user_id"], 60, value_col="v").collect()
     assert len(got) == 1
     assert got[0]["n_events"] == 1 and got[0]["total_value"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Ninth round-5 review pass (anomaly NaN, pagerank edge hygiene)
+
+
+def test_value_anomalies_nan_value_does_not_flood(spark):
+    """One NaN reading must not flag the key's entire history (NaN
+    variance passes `> 0` in Spark's total order)."""
+    from res2df_spark.operators.eventanalytics import value_anomalies
+
+    rows_ = [(i, "u1", 10.0) for i in range(9)] + [(99, "u1", float("nan"))]
+    df = spark.createDataFrame(rows_, "event_id long, user_id string, value double")
+    assert value_anomalies(df).count() == 0
+    # and a genuine outlier still flags
+    rows_ = [(i, "u1", 10.0 + (i % 3) * 0.1) for i in range(9)] + [(99, "u1", 1000.0)]
+    df = spark.createDataFrame(rows_, "event_id long, user_id string, value double")
+    got = value_anomalies(df).collect()
+    assert [r["event_id"] for r in got] == [99]
+
+
+def test_pagerank_nan_weight_and_null_endpoint(spark):
+    from res2df_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", float("nan")), ("b", "c", 1.0), (None, "b", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r["node"]: r["rank"] for r in
+           pagerank(edges, weight_col="w", iterations=3).collect()}
+    assert None not in got
+    assert all(v == v for v in got.values())  # no NaN ranks
