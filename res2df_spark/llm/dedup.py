@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from res2df_spark.session import spread
+from res2df_spark.session import spread, truncate_lineage
 from res2df_spark.functions.textan import (
     doc_tokens_long,
     shingles,
@@ -383,25 +383,25 @@ def connected_components(
     converges in O(log D) rounds instead of O(D).  The loop stops at
     fixpoint (no label changed).
 
-    Every round ends in ``localCheckpoint(eager=True)`` — iterative
+    Every round ends in ``session.truncate_lineage`` — iterative
     plans MUST truncate lineage, otherwise each round's logical plan
     embeds the whole history and Catalyst analysis time grows
     exponentially (observed: 1s/round → 8s/round by round 6 on a
-    12-node chain).  On a real cluster with unreliable executors,
-    swap for ``checkpoint()`` with a checkpoint dir; the plan shape
-    (two key-partitioned shuffles per round) is unchanged.
+    12-node chain).  On a real cluster with unreliable executors set
+    ``spark.res2df.checkpointDir`` to make each truncation a RELIABLE
+    ``checkpoint()``; the plan shape (two key-partitioned shuffles per
+    round) is unchanged.
 
     ``edges``: (d1, d2) undirected pairs; ``nodes``: one row per id
     (singletons label themselves).
     """
-    bidir = (
+    bidir = truncate_lineage(
         edges.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
         .unionByName(edges.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
-        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    labels = truncate_lineage(
+        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    )
     for _ in range(max_iterations):
         nbr = (
             bidir.join(labels, bidir["b"] == labels["node"])
@@ -420,7 +420,7 @@ def connected_components(
         # pointer jumping: follow the label one hop (labels are node
         # ids, so the hop is a self-join node==label)
         parents = mid.select(F.col("node").alias("__p"), F.col("__mid").alias("__plabel"))
-        new_labels = (
+        new_labels = truncate_lineage(
             mid.join(parents, mid["__mid"] == parents["__p"], "left")
             .select(
                 "node",
@@ -429,7 +429,6 @@ def connected_components(
                 ),
                 (F.col("__mid") < F.col("__old")).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
 from res2df_spark.functions.vectors import cosine_similarity
+from res2df_spark.session import truncate_lineage
 
 
 def brute_force_topk(
@@ -559,9 +560,11 @@ def kmeans_fit(
     per-task aggregation state is at most k·dim pre-summed rows (the
     model size), NEVER a whole cluster's membership: clusters are ≈N/k
     vectors and :func:`cluster_mean` was chosen over :func:`mean_pool`
-    precisely so no buffer ever holds one.  ``localCheckpoint``
+    precisely so no buffer ever holds one.  ``session.truncate_lineage``
     truncates the lineage each round so the plan stays O(1) deep across
-    iterations; k·dim doubles (the model) is all that persists.  Empty
+    iterations (reliable ``checkpoint()`` when
+    ``spark.res2df.checkpointDir`` is set — k·dim doubles, so the write
+    is model-sized); the model is all that persists.  Empty
     clusters keep their previous centroid.  Determinism: runs on the
     same partitioning reproduce exactly; across different partitionings
     the per-dimension double sums can wobble in the last ulp (see
@@ -582,8 +585,8 @@ def kmeans_fit(
             F.transform(vec_col, lambda x: x.cast("double")).alias("centroid"),
         )
         .withColumn("n_members", F.lit(0).cast("long"))
-        .localCheckpoint()
     )
+    centroids = truncate_lineage(centroids)
     for _ in range(iters):
         assigned = assign_nearest(
             vecs, centroids, id_col=id_col, vec_col=vec_col
@@ -596,7 +599,7 @@ def kmeans_fit(
             "centroid_id", F.col("pooled").alias("centroid"), "n_vecs"
         )
         # empty clusters keep their previous centroid
-        centroids = (
+        centroids = truncate_lineage(
             centroids.select("centroid_id", F.col("centroid").alias("__old"))
             .join(pooled, "centroid_id", "left")
             .select(
@@ -604,7 +607,6 @@ def kmeans_fit(
                 F.coalesce("centroid", "__old").alias("centroid"),
                 F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_members"),
             )
-            .localCheckpoint()
         )
     return centroids
 

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
 from res2df_spark.functions.textan import shingles, tokens
+from res2df_spark.session import truncate_lineage
 
 
 def _doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -316,9 +317,11 @@ def bpe_train(
     arg-max pair pulled to the driver (a 1-row TakeOrdered — ties break
     by (left, right) so training is deterministic on any engine /
     partitioning), then a leftmost-greedy in-array merge applied
-    map-side.  ``localCheckpoint`` truncates the lineage per iteration,
-    the same guard as ``kmeans_fit``.  Training stops early when the
-    best pair drops below ``min_pair_count``.
+    map-side.  ``session.truncate_lineage`` truncates the lineage per
+    iteration, the same guard as ``kmeans_fit`` (reliable
+    ``checkpoint()`` when ``spark.res2df.checkpointDir`` is set).
+    Training stops early when the best pair drops below
+    ``min_pair_count``.
 
     Scale: iterations cost O(|vocab|) each, independent of corpus size
     (see ``_word_table``); the driver only ever holds the merge list.
@@ -326,7 +329,7 @@ def bpe_train(
     words = _word_table(docs, text_col).withColumn(
         "syms", _chars_with_eow(F.col("word"), end_of_word)
     )
-    words = words.localCheckpoint()
+    words = truncate_lineage(words)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (
@@ -341,9 +344,9 @@ def bpe_train(
             break
         left, right = top[0]["left"], top[0]["right"]
         merges.append((left, right))
-        words = words.withColumn(
-            "syms", _merge_pair(F.col("syms"), left, right)
-        ).localCheckpoint()
+        words = truncate_lineage(
+            words.withColumn("syms", _merge_pair(F.col("syms"), left, right))
+        )
     return merges, words
 
 

@@ -36,6 +36,50 @@ RUNTIME_CONF = {
 }
 
 
+#: Session conf naming a RELIABLE checkpoint directory (HDFS/S3/local
+#: path) for iterative operators.  Unset (the default) → iterative ops
+#: truncate lineage with ``localCheckpoint`` (executor-memory-resident,
+#: fine on local mode and short jobs); set → they use ``checkpoint()``
+#: so a mid-job executor loss replays from durable storage instead of
+#: failing the job.  The ``RES2DF_SPARK_CHECKPOINT_DIR`` env var is an
+#: equivalent launcher-side switch.
+CHECKPOINT_DIR_CONF = "spark.res2df.checkpointDir"
+
+
+def truncate_lineage(df, eager: bool = True):
+    """Truncate a DataFrame's lineage — the per-round guard every
+    iterative operator (pagerank, kmeans_fit, connected_components,
+    bpe_train) MUST apply so the logical plan stays O(1) deep across
+    rounds.
+
+    Durability switch: with :data:`CHECKPOINT_DIR_CONF` (or the
+    ``RES2DF_SPARK_CHECKPOINT_DIR`` env var) set, this is a RELIABLE
+    ``checkpoint()`` to that directory — on a 1000-executor cluster,
+    where failure-free multi-round iteration is not an assumption, an
+    executor loss replays the round from durable storage.  Unset, it
+    falls back to ``localCheckpoint`` (blocks cached on executors —
+    cheaper, but lineage is GONE on executor failure, so a lost block
+    fails the job).  One shared helper so the switch lands in every
+    iterative operator at once."""
+    spark = df.sparkSession
+    ckdir = spark.conf.get(CHECKPOINT_DIR_CONF, None) or os.environ.get(
+        "RES2DF_SPARK_CHECKPOINT_DIR"
+    )
+    if ckdir:
+        sc = spark.sparkContext
+        # keep the context's checkpoint dir in sync with the conf: the
+        # dir sticks to the SparkContext, so a conf change mid-session
+        # must re-point it (getCheckpointDir returns a scheme-qualified
+        # URI, hence the suffix match rather than equality)
+        current = sc.getCheckpointDir()
+        if current is None or not current.rstrip("/").endswith(
+            ckdir.rstrip("/").lstrip("file:")
+        ):
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def _parse_byte_conf(value) -> int:
     """Parse a Spark byte-size conf value.  Spark accepts bare integers
     (bytes) or unit-suffixed strings ('128m', '1g', '512kb' — JavaUtils

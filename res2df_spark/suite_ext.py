@@ -4574,6 +4574,66 @@ def pagerank_entities(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pagerank"))
 
 
+_PAGERANK_DANGLING_SQL = """
+    WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                               's' || CAST(l_suppkey AS VARCHAR) AS dst
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+    od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    dang AS (SELECT node FROM n WHERE node NOT IN (SELECT src FROM e)),
+    r0 AS (SELECT node, 1.0 / nn AS r FROM n CROSS JOIN cnt),
+    d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0 JOIN dang USING (node)),
+    c1 AS (SELECT e.dst, sum(r0.r / od.deg) AS m
+           FROM e JOIN od USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+    r1 AS (SELECT node, (1 - 0.85) / nn + 0.85 * (coalesce(m, 0) + dm / nn) AS r
+           FROM n CROSS JOIN cnt CROSS JOIN d1 LEFT JOIN c1 ON c1.dst = node),
+    d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1 JOIN dang USING (node)),
+    c2 AS (SELECT e.dst, sum(r1.r / od.deg) AS m
+           FROM e JOIN od USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+    r2 AS (SELECT node, (1 - 0.85) / nn + 0.85 * (coalesce(m, 0) + dm / nn) AS r
+           FROM n CROSS JOIN cnt CROSS JOIN d2 LEFT JOIN c2 ON c2.dst = node),
+    d3 AS (SELECT coalesce(sum(r), 0) AS dm FROM r2 JOIN dang USING (node)),
+    c3 AS (SELECT e.dst, sum(r2.r / od.deg) AS m
+           FROM e JOIN od USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+    r3 AS (SELECT node, (1 - 0.85) / nn + 0.85 * (coalesce(m, 0) + dm / nn) AS r
+           FROM n CROSS JOIN cnt CROSS JOIN d3 LEFT JOIN c3 ON c3.dst = node)
+    SELECT node, CAST(round(r, 6) AS DOUBLE) AS pagerank FROM r3
+"""
+
+
+@_q("pagerank_dangling", _PAGERANK_DANGLING_SQL)
+def pagerank_dangling(spark, sf_dir):
+    """Full PageRank with dangling-mass redistribution
+    (operators/graph.pagerank redistribute_dangling=True) over the same
+    customer→supplier graph as pagerank_entities.  Suppliers have no
+    out-edges, so on this graph — like real link graphs where sinks are
+    a large node fraction — the simplified variant systematically
+    deflates every rank; redistribution conserves total mass at 1.  The
+    extra cost is ONE one-row scalar aggregate per round riding as a
+    broadcast cross join (no driver action); the oracle unrolls the
+    same three rounds with a dangling-mass CTE each."""
+    from res2df_spark.operators.graph import pagerank
+
+    cat = Catalog(spark, sf_dir)
+    edges = (
+        cat.lineitem.join(
+            cat.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    out = pagerank(edges, damping=0.85, iterations=3, redistribute_dangling=True)
+    return out.select("node", F.col("rank").alias("pagerank"))
+
+
 _ANOMALY_SQL = """
     WITH a AS (SELECT user_id, min(value) AS av FROM events GROUP BY 1),
     s AS (SELECT e.user_id,

@@ -190,6 +190,129 @@ def test_anomaly_large_mean_no_cancellation(spark):
     assert out[0]["z"] > 2.5
 
 
+def test_pagerank_reliable_checkpoint_switch(spark, tmp_path):
+    """With spark.res2df.checkpointDir set, every per-round truncation
+    is a RELIABLE checkpoint(): files land in the directory (so an
+    executor loss replays from durable storage) and results are
+    bit-identical to the localCheckpoint fallback."""
+    import os
+
+    from res2df_spark.session import CHECKPOINT_DIR_CONF
+
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")])
+    baseline = sorted(pagerank(edges, iterations=3).collect())
+    ckdir = str(tmp_path / "ck")
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckdir)
+    try:
+        got = pagerank(edges, iterations=3)
+        rows = sorted(got.collect())
+        # the reliable path really ran: checkpoint files exist on disk
+        found = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(ckdir)
+            for f in files
+        ]
+        assert found, "no checkpoint files written despite conf set"
+        # and the plan carries no lineage above the checkpoint scans
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan
+        assert plan.count("Scan ExistingRDD") <= 3
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    assert rows == baseline
+
+
+def test_iterative_ops_respect_checkpoint_dir(spark, tmp_path):
+    """The shared truncate_lineage switch reaches all four iterative
+    operators: each writes reliable checkpoints when the conf is set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from res2df_spark.llm.dedup import connected_components
+    from res2df_spark.llm.similarity import kmeans_fit
+    from res2df_spark.llm.vocab import bpe_train
+    from res2df_spark.session import CHECKPOINT_DIR_CONF
+
+    def n_files(d):
+        return sum(len(fs) for _, _, fs in os.walk(d))
+
+    ckdir = str(tmp_path / "ck_all")
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckdir)
+    try:
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "d1 long, d2 long")
+        nodes = spark.range(5).select(F.col("id").alias("doc_id"))
+        cc = connected_components(edges, nodes)
+        assert cc.count() == 5
+        before = n_files(ckdir)
+        assert before > 0
+
+        vecs = spark.createDataFrame(
+            [(i, [float(i), float(i % 3)]) for i in range(12)],
+            "vec_id long, embedding array<double>",
+        )
+        assert kmeans_fit(vecs, k=2, iters=2).count() == 2
+        after_kmeans = n_files(ckdir)
+        assert after_kmeans > before
+
+        docs = spark.createDataFrame(
+            [(1, "low low lower"), (2, "low lowest")], "doc_id long, text string"
+        )
+        merges, _ = bpe_train(docs, n_merges=2)
+        assert merges
+        assert n_files(ckdir) > after_kmeans
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    # a -> b, 1 iteration, N=2, dangling={b}, dm=0.5:
+    #   r1[a] = 0.15/2 + 0.85*(0   + 0.5/2) = 0.2875
+    #   r1[b] = 0.15/2 + 0.85*(0.5 + 0.5/2) = 0.7125
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            _edges(spark, [("a", "b")]),
+            iterations=1,
+            redistribute_dangling=True,
+        ).collect()
+    }
+    assert got["a"] == pytest.approx(0.2875, abs=1e-6)
+    assert got["b"] == pytest.approx(0.7125, abs=1e-6)
+    # total mass conserved (the defect redistribution exists to fix)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+    # and stays conserved after more rounds
+    more = pagerank(
+        _edges(spark, [("a", "b"), ("c", "b")]),
+        iterations=4,
+        redistribute_dangling=True,
+    ).collect()
+    assert sum(r["rank"] for r in more) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_convergence_deltas(spark):
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")])
+    ranks, deltas = pagerank(
+        edges, iterations=6, redistribute_dangling=True, return_deltas=True
+    )
+    assert len(deltas) == 6
+    # power iteration on a strongly-connected graph: monotone-ish decay;
+    # assert the robust property (later rounds move less than round 1)
+    assert deltas[-1] < deltas[0]
+    assert all(d >= 0 for d in deltas)
+    # tol stops early once the L1 delta falls under it
+    ranks2, deltas2 = pagerank(
+        edges,
+        iterations=50,
+        redistribute_dangling=True,
+        return_deltas=True,
+        tol=1e-3,
+    )
+    assert len(deltas2) < 50
+    assert deltas2[-1] < 1e-3
+    assert ranks2.count() == 3
+
+
 def test_pagerank_drops_null_and_nonpositive_weights(spark):
     from res2df_spark.operators.graph import pagerank
 
