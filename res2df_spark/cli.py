@@ -497,7 +497,10 @@ def get_curate_parser() -> argparse.ArgumentParser:
         elif name == "containment":
             s.add_argument("--threshold", type=float, default=0.8)
             s.add_argument("--shingle-k", type=int, default=3)
-            s.add_argument("--max-token-df", type=int, default=None)
+            s.add_argument("--max-token-df", type=int, default=1000,
+                           help="stop-shingle cap (default 1000, the "
+                                "engine default); 0 disables the cap — "
+                                "uncapped hot shingles cost O(df^2)")
         elif name == "pagerank":
             s.add_argument("--src-col", default="src")
             s.add_argument("--dst-col", default="dst")
@@ -505,6 +508,9 @@ def get_curate_parser() -> argparse.ArgumentParser:
             s.add_argument("--iterations", type=int, default=10)
             s.add_argument("--weight-col", default=None,
                            help="positive edge-weight column (weighted PR)")
+            s.add_argument("--redistribute-dangling", action="store_true",
+                           help="share sink-node mass uniformly each round "
+                                "(conserves total rank mass)")
         elif name == "anomalies":
             s.add_argument("--key-col", default="user_id")
             s.add_argument("--value-col", default="value")
@@ -794,7 +800,7 @@ def curate_main(argv: list[str] | None = None) -> int:
 
         out = containment_pairs(
             df, id_col=idc, text_col=txt, threshold=args.threshold,
-            max_token_df=args.max_token_df, shingle_k=args.shingle_k,
+            max_token_df=args.max_token_df or None, shingle_k=args.shingle_k,
         )
     elif args.op == "pagerank":
         from res2df_spark.operators.graph import pagerank
@@ -829,6 +835,7 @@ def curate_main(argv: list[str] | None = None) -> int:
             df, src_col=args.src_col, dst_col=args.dst_col,
             damping=args.damping, iterations=args.iterations,
             weight_col=args.weight_col,
+            redistribute_dangling=args.redistribute_dangling,
         )
     elif args.op == "anomalies":
         from res2df_spark.operators.eventanalytics import value_anomalies

@@ -6,6 +6,7 @@ from res2df_spark.llm.dedup import (  # noqa: F401
     exact_duplicates,
     ngram_jaccard_pairs,
     minhash_lsh_candidates,
+    shingle_df_stats,
     simhash_signatures,
 )
 from res2df_spark.llm.similarity import (  # noqa: F401

@@ -100,12 +100,23 @@ def _pair_overlap(toks: DataFrame, id_col: str) -> DataFrame:
     return shared.join(s1, "d1").join(s2, "d2")
 
 
+#: Default stop-shingle cap for the inverted-index pairing family.  A
+#: token/shingle shared by d documents fans out d² candidate rows in the
+#: pair join; 1000 bounds any single key's contribution to ≤10⁶ rows (a
+#: task-sized unit) while in natural corpora only boilerplate shingles
+#: ever reach that document frequency — and a shingle in >1000 documents
+#: carries ~no similarity signal anyway (the classic stop-word argument,
+#: applied to shingles).  Pass ``max_token_df=None`` to opt out
+#: explicitly (exact-truth calibration paths do).
+DEFAULT_MAX_TOKEN_DF = 1000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    max_token_df: int | None = None,
+    max_token_df: int | None = DEFAULT_MAX_TOKEN_DF,
     shingle_k: int | None = None,
 ) -> DataFrame:
     """Pairs of docs with token-set Jaccard ≥ threshold.
@@ -113,6 +124,18 @@ def ngram_jaccard_pairs(
     Candidate pairs come from the shared inverted-index block
     (:func:`_pair_overlap`); the Jaccard is |∩| / (|A|+|B|−|∩|) from
     the shared-token count and per-doc set sizes.
+
+    The stop-shingle cap is ON by default (``max_token_df`` =
+    :data:`DEFAULT_MAX_TOKEN_DF`): without it one boilerplate shingle
+    shared by d documents costs O(d²) in the pair join — the quadratic
+    blowup a naive caller must not get from the defaults.  Capped
+    tokens leave the index BEFORE sizes are counted, so both |∩| and
+    the set sizes are consistently "rare-shingle" quantities.  Drop
+    accounting: :func:`shingle_df_stats` reports, for the same
+    (``shingle_k``, ``max_token_df``), how many distinct shingles and
+    index postings the cap removes.  ``max_token_df=None`` opts out
+    explicitly (exact-truth calibration — :func:`minhash_recall` —
+    does; production corpora should not).
     """
     toks = _doc_token_sets(docs, id_col, text_col, max_token_df, shingle_k)
     out = (
@@ -747,7 +770,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
-    max_token_df: int | None = None,
+    max_token_df: int | None = DEFAULT_MAX_TOKEN_DF,
     shingle_k: int | None = 3,
 ) -> DataFrame:
     """Asymmetric near-dup pairs by shingle-set CONTAINMENT
@@ -760,7 +783,9 @@ def containment_pairs(
     Pairs where ``max(c1, c2) ≥ threshold``, from the same inverted-
     index candidate join as :func:`ngram_jaccard_pairs` (shared-token
     equality join — never all-pairs), with the same ``max_token_df``
-    stop-shingle cap bounding hot-token fan-in at corpus scale.
+    stop-shingle cap bounding hot-token fan-in at corpus scale — ON by
+    default (:data:`DEFAULT_MAX_TOKEN_DF`; ``None`` opts out
+    explicitly; drop accounting via :func:`shingle_df_stats`).
     Returns (d1, d2, n_shared, size1, size2, c1, c2) with d1 < d2.
     """
     toks = _doc_token_sets(docs, id_col, text_col, max_token_df, shingle_k)
@@ -773,6 +798,48 @@ def containment_pairs(
     return out.select(
         "d1", "d2", "n_shared", "size1", "size2",
         F.round("c1", 6).alias("c1"), F.round("c2", 6).alias("c2"),
+    )
+
+
+def shingle_df_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_token_df: int | None = DEFAULT_MAX_TOKEN_DF,
+    shingle_k: int | None = 3,
+) -> DataFrame:
+    """Drop accounting for the inverted-index stop-shingle cap: ONE row
+    describing what ``max_token_df`` removes from the index that
+    :func:`ngram_jaccard_pairs` / :func:`containment_pairs` join on —
+    (n_tokens, n_dropped_tokens, n_postings, n_dropped_postings,
+    max_df).  Run it with the SAME (``shingle_k``, ``max_token_df``) as
+    the pairing call: a capped production run should ship this row next
+    to its output, the same observability contract as
+    ``minhash_lsh_bucket_stats`` for the banding family.
+
+    Scale shape: the per-token document frequency is one
+    partial-aggregated groupBy on the (uniform) token key; the summary
+    is a second full aggregate over the vocabulary-sized df table —
+    never touches pairs.  ``max_token_df=None`` reports the uncapped
+    index (all drop counts zero).
+    """
+    toks = _doc_token_sets(docs, id_col, text_col, None, shingle_k)
+    df_tbl = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    hot = (
+        F.col("__df") > F.lit(max_token_df)
+        if max_token_df is not None
+        else F.lit(False)
+    )
+    return df_tbl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.coalesce(F.sum(F.when(hot, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_dropped_tokens"),
+        F.coalesce(F.sum("__df"), F.lit(0)).cast("long").alias("n_postings"),
+        F.coalesce(F.sum(F.when(hot, F.col("__df")).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_dropped_postings"),
+        F.max("__df").cast("long").alias("max_df"),
     )
 
 
@@ -956,7 +1023,14 @@ def minhash_recall(
     capped production run (:func:`minhash_verified_pairs`).
     """
     truth = ngram_jaccard_pairs(
-        docs, id_col, text_col, threshold=threshold, shingle_k=shingle_k
+        docs,
+        id_col,
+        text_col,
+        threshold=threshold,
+        # calibration wants the EXACT truth: explicit cap opt-out (the
+        # sample/validation-slice sizing above is what bounds this)
+        max_token_df=None,
+        shingle_k=shingle_k,
     ).select("d1", "d2")
     cand = (
         minhash_lsh_candidates(

@@ -77,6 +77,47 @@ def dedup_keep(
     )
 
 
+def dedup_keep_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+    keep: str = "last",
+) -> DataFrame:
+    """Skew-immune keep-first/keep-last dedup: the same contract as
+    :func:`dedup_keep`, expressed as one ``max_by``/``min_by``
+    aggregate instead of a ``row_number`` window.
+
+    Why it exists: a window over ``PARTITION BY keys`` puts a key's
+    ENTIRE row set in one task — a hot key owning half the corpus makes
+    that task the job, and AQE's skew-join splitting cannot split a
+    window partition.  An aggregate is partial-aggregatable: every map
+    task reduces its slice of the hot key to ONE candidate row before
+    the exchange, so the reducer sees one row per (key, map task)
+    regardless of skew.  Use this variant when the key distribution is
+    unknown or skewed and only the surviving row is needed; use
+    ``dedup_keep`` when the window is fused with other per-row window
+    computations anyway.
+
+    Ties on ``order_by`` pick an arbitrary winner (same as the window
+    form, where partition order decides) — pass a unique tie-breaker
+    (the engine-wide convention) for determinism.
+    """
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+    ordering = F.struct(
+        *[F.col(c) if isinstance(c, str) else c for c in order_by]
+    )
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    pick = F.max_by(payload, ordering) if keep == "last" else F.min_by(
+        payload, ordering
+    )
+    return (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(pick.alias("__row"))
+        .select(*[F.col("__row").getField(c).alias(c) for c in df.columns])
+    )
+
+
 def snapshot_latest(
     log: DataFrame,
     grid: DataFrame,

@@ -223,6 +223,31 @@ def a5_dedup_keep_last(spark, sf_dir):
     ).select("user_id", "event_type", "event_id", "ts", "value")
 
 
+@_q(
+    "a5_dedup_keep_agg",
+    """
+    SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+)
+def a5_dedup_keep_agg(spark, sf_dir):
+    """Keep-last dedup as a partial-aggregatable max_by (A5, skew-safe
+    form — operators/windows.dedup_keep_agg, round 6): identical output
+    to a5_dedup_keep_last on a totally-ordered key, but a hot key
+    collapses map-side to one candidate per task instead of pinning one
+    window task — the documented mitigation for window-partition skew
+    AQE cannot split."""
+    from res2df_spark.operators.windows import dedup_keep_agg
+
+    ev = Catalog(spark, sf_dir).events
+    return dedup_keep_agg(
+        ev, keys=["user_id", "event_type"], order_by=["ts", "event_id"], keep="last"
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
 # ---------------------------------------------------------------------------
 # §2.3 Projections / filters
 # ---------------------------------------------------------------------------
@@ -878,7 +903,9 @@ def dedup_exact(spark, sf_dir):
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
-    sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM idx),
+    sh0 AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM idx),
+    rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     shared AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS n_shared
                FROM sh s1 JOIN sh s2 USING (shingle)
@@ -892,7 +919,9 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup detection by 3-gram shingle Jaccard ≥ 0.6 via
-    inverted-index candidate join (llm/dedup.py)."""
+    inverted-index candidate join (llm/dedup.py) with the DEFAULT
+    stop-shingle cap on (max_token_df=1000, round 6) — the oracle
+    replicates the cap as a HAVING on shingle document frequency."""
     docs = Catalog(spark, sf_dir).documents
     out = ngram_jaccard_pairs(docs, threshold=0.6, shingle_k=3)
     return out.select(

@@ -1126,8 +1126,10 @@ _TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''
     t AS (SELECT doc_id, {_TOKS} AS toks FROM kept),
     idx AS (SELECT doc_id, toks,
                    unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
-    sh AS (SELECT DISTINCT doc_id,
+    sh0 AS (SELECT DISTINCT doc_id,
                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM idx),
+    rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     shared AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS n_shared
                FROM sh s1 JOIN sh s2 USING (shingle)
@@ -1175,8 +1177,10 @@ def curation_pipeline(spark, sf_dir):
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     idx AS (SELECT doc_id, toks,
                    unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
-    sh AS (SELECT DISTINCT doc_id,
+    sh0 AS (SELECT DISTINCT doc_id,
                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM idx),
+    rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     shared AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS n_shared
                FROM sh s1 JOIN sh s2 USING (shingle)
@@ -4445,9 +4449,11 @@ _CONTAINMENT_SQL = f"""
     idx AS (SELECT doc_id, toks,
                    unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
             FROM t),
-    sh AS (SELECT DISTINCT doc_id,
+    sh0 AS (SELECT DISTINCT doc_id,
                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
            FROM idx),
+    rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     shared AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS n_shared
                FROM sh s1 JOIN sh s2 USING (shingle)
@@ -4475,6 +4481,42 @@ def dedup_containment(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return containment_pairs(docs, threshold=0.8, shingle_k=3)
+
+
+_SHINGLE_DF_STATS_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks
+               FROM documents WHERE text IS NOT NULL),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+            FROM t),
+    sh AS (SELECT DISTINCT doc_id,
+                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+           FROM idx),
+    dfs AS (SELECT shingle, count(*) AS dfc FROM sh GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(CASE WHEN dfc > 5 THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_dropped_tokens,
+           CAST(coalesce(sum(dfc), 0) AS BIGINT) AS n_postings,
+           CAST(coalesce(sum(CASE WHEN dfc > 5 THEN dfc ELSE 0 END), 0) AS BIGINT)
+               AS n_dropped_postings,
+           CAST(max(dfc) AS BIGINT) AS max_df
+    FROM dfs
+"""
+
+
+@_q("dedup_shingle_df_stats", _SHINGLE_DF_STATS_SQL)
+def dedup_shingle_df_stats(spark, sf_dir):
+    """Drop accounting for the stop-shingle cap
+    (llm/dedup.shingle_df_stats): how many distinct 3-gram shingles and
+    index postings a given max_token_df removes before the
+    Jaccard/containment pair join — the observability half of the
+    default-on cap (round 6), same contract as the LSH bucket stats.
+    max_token_df=5 here so the drop counters are EXERCISED at sf0.01,
+    not trivially zero."""
+    from res2df_spark.llm.dedup import shingle_df_stats
+
+    docs = Catalog(spark, sf_dir).documents
+    return shingle_df_stats(docs, max_token_df=5, shingle_k=3)
 
 
 _LINE_DEDUP_SQL = f"""

@@ -265,6 +265,24 @@ def probe_adversarial(spark) -> dict:
         containment_pairs(docs, threshold=0.5, shingle_k=3, max_token_df=64),
         int(ct_dropped),
     )
+    # the DEFAULT path (round 6: max_token_df defaults to 1000): a naive
+    # caller taking the defaults on the degenerate corpus must also stay
+    # bounded — every shingle here has df = n >> 1000, so the whole
+    # index empties; drop accounting from the operator's own
+    # shingle_df_stats with the SAME parameters
+    from res2df_spark.llm.dedup import ngram_jaccard_pairs, shingle_df_stats
+
+    stats_row = shingle_df_stats(docs, shingle_k=3).collect()[0]
+    rec(
+        "dedup_containment_default",
+        containment_pairs(docs, threshold=0.5, shingle_k=3),
+        int(stats_row["n_dropped_postings"]),
+    )
+    rec(
+        "dedup_ngram_jaccard_default",
+        ngram_jaccard_pairs(docs, threshold=0.5, shingle_k=3),
+        int(stats_row["n_dropped_postings"]),
+    )
     # the candidates→verify pipeline: with the bucket cap on, the
     # verification join's input is empty, so the full pipeline stays
     # bounded even though verification cost is ∝ candidate density.
@@ -288,10 +306,101 @@ def probe_adversarial(spark) -> dict:
     return out
 
 
+def probe_skewed_keys(spark) -> dict:
+    """Hot-KEY fixture for the window-over-partition family — the skew
+    shape AQE's skew-join splitting CANNOT help with (a window
+    partition is one task by construction, and sessionize/rolling
+    semantics genuinely require the key's whole ordered timeline).
+
+    Two corpora of identical size: uniform (2000 keys × 200 events)
+    and skewed (ONE key owns 50% of all events, the rest uniform).
+    Each operator runs on both; the artifact records the skew ratio.
+    Expected outcomes, by design:
+
+    * ``dedup_keep_agg`` (the round-6 mitigation): ~1× — partial
+      aggregation collapses the hot key map-side, one candidate per
+      task reaches the reducer.
+    * ``dedup_keep`` (window form): bounded here but single-task on
+      the hot key — the measured gap vs the agg form is the documented
+      reason the skew-safe variant exists.
+    * ``sessionize`` / ``rolling_agg``: per-key sequential semantics —
+      the hot key IS one long task; the mitigation is upstream (split
+      the timeline at session boundaries via a coarse pre-pass, or
+      accept the straggler and size keys accordingly).  Recorded so
+      the straggler cost is measured, not guessed.
+    """
+    from res2df_spark.operators.eventanalytics import rolling_agg
+    from res2df_spark.operators.sessionize import sessionize
+    from res2df_spark.operators.windows import dedup_keep, dedup_keep_agg
+
+    n = 400_000
+    n_keys = 2_000
+    base_us = 1_700_000_000 * 1_000_000
+
+    def corpus(skewed: bool):
+        key = (
+            F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(
+                F.col("id") % n_keys
+            )
+            if skewed
+            else F.col("id") % n_keys
+        )
+        return spark.range(n).select(
+            key.cast("long").alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(base_us) + F.col("id") * F.lit(7_000_000)
+            ).alias("ts"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        ).localCheckpoint()
+
+    uniform, skewed = corpus(False), corpus(True)
+
+    ops = {
+        "sessionize_hotkey": lambda df: sessionize(
+            df, "ts", ["user_id"], gap_seconds=3600, tiebreak=["event_id"]
+        ),
+        "rolling_agg_hotkey": lambda df: rolling_agg(
+            df, "ts", ["user_id"], "value", window_seconds=86_400
+        ),
+        "dedup_keep_window_hotkey": lambda df: dedup_keep(
+            df, ["user_id"], ["ts", "event_id"], keep="last"
+        ),
+        "dedup_keep_agg_hotkey": lambda df: dedup_keep_agg(
+            df, ["user_id"], ["ts", "event_id"], keep="last"
+        ),
+    }
+    out = {}
+    for name, op in ops.items():
+        times = {}
+        for label, df in (("uniform", uniform), ("skewed", skewed)):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                op(df).write.mode("overwrite").format("noop").save()
+                best = min(best, time.time() - t0)
+            times[label] = round(best, 3)
+        out[name] = {
+            "n": n,
+            "hot_key_share": 0.5,
+            "uniform": times["uniform"],
+            "skewed": times["skewed"],
+            "skew_ratio": round(times["skewed"] / times["uniform"], 2)
+            if times["uniform"] > 0
+            else None,
+        }
+        print(
+            f"  skewed-key {name}: uniform {times['uniform']}s -> "
+            f"skewed {times['skewed']}s (x{out[name]['skew_ratio']})",
+            file=sys.stderr,
+        )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--out", default="SCALEPROBE_r05.json")
+    ap.add_argument("--out", default="SCALEPROBE_r06.json")
     ap.add_argument("--keep", action="store_true", help="keep the big dataset")
     ap.add_argument(
         "--only",
@@ -318,12 +427,14 @@ def main() -> None:
         spark = get_spark("res2df-spark-scale-probe")
         spark.sparkContext.setLogLevel("ERROR")
         adversarial = probe_adversarial(spark)
+        skewed = probe_skewed_keys(spark)
         with open(args.out) as f:
             record = json.load(f)
         record["adversarial"] = adversarial
+        record["skewed_keys"] = skewed
         with open(args.out, "w") as f:
             json.dump(record, f, indent=1)
-        print(json.dumps({"adversarial": adversarial}))
+        print(json.dumps({"adversarial": adversarial, "skewed_keys": skewed}))
         return
 
     spark = get_spark("res2df-spark-scale-probe")
@@ -381,6 +492,8 @@ def main() -> None:
 
     print("adversarial capped-operator probe ...", file=sys.stderr)
     adversarial = probe_adversarial(spark)
+    print("skewed-key window-family probe ...", file=sys.stderr)
+    skewed_keys = probe_skewed_keys(spark)
 
     # heavy-build queries contribute their build scaling to the
     # headline ratios too — a superlinear checkpoint loop must not
@@ -399,6 +512,7 @@ def main() -> None:
         "median_ratio": sorted(ratios)[len(ratios) // 2] if ratios else None,
         "queries": out,
         "adversarial": adversarial,
+        "skewed_keys": skewed_keys,
     }
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)
