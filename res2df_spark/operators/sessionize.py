@@ -64,6 +64,118 @@ def sessionize(
     )
 
 
+def sessionize_chunked(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    gap_seconds: int,
+    session_col: str = "session_id",
+    chunk_seconds: int | None = None,
+    tiebreak: Sequence[str | Column] = (),
+) -> DataFrame:
+    """Skew-safe :func:`sessionize`: identical 1-based ordinal session
+    ids, computed without putting a hot key's whole timeline in one
+    window task.
+
+    Sessionization looks inherently sequential (every id is a running
+    count over the key's ordered history), but the recurrence
+    decomposes: cut the timeline into ``chunk_seconds`` chunks and
+
+    1. carry a one-row HALO (the previous chunk's last event time) into
+       each chunk, so the chunk's first ``is_new`` decision sees its
+       true predecessor;
+    2. compute ``is_new`` and the WITHIN-chunk running count under a
+       window on (keys, chunk) — the hot key now spreads over
+       timeline/chunk tasks;
+    3. aggregate per-chunk session-start counts (partial-aggregatable,
+       chunk-grain — thousands of rows per key, not billions) and
+       prefix-sum them with a window on the chunk-grain table;
+    4. add the chunk's offset to the within-chunk count.
+
+    A chunk with no events needs no special case: the halo hops one
+    chunk, and an empty predecessor means the time gap already exceeds
+    ``chunk_seconds >= gap_seconds``, so "no halo row" and "new
+    session" coincide — which is why ``chunk_seconds`` (default
+    1024 × gap) must be ≥ ``gap_seconds``.  NULL-timestamp rows get a
+    NULL session id, exactly like :func:`sessionize`.
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+    chunk_us = (
+        int(chunk_seconds) * 1_000_000 if chunk_seconds is not None
+        else 1024 * gap_us
+    )
+    if chunk_us < gap_us:
+        raise ValueError(
+            f"chunk_seconds ({chunk_us // 1_000_000}) must be >= "
+            f"gap_seconds ({gap_seconds}): the halo carries exactly one "
+            "chunk of history"
+        )
+    tb = [F.col(c) if isinstance(c, str) else c for c in tiebreak]
+    us = F.unix_micros(F.col(ts_col))
+    with_us = df.withColumn("__us", us)
+    chunk = (
+        (F.col("__us") - F.pmod(F.col("__us"), F.lit(chunk_us)))
+        / F.lit(chunk_us)
+    ).cast("long")
+    real = (
+        with_us.filter(F.col("__us").isNotNull())
+        .withColumn("__chunk", chunk)
+        .withColumn("__halo", F.lit(False))
+    )
+    # the halo is ONE row per (key, chunk): only its timestamp matters
+    # (it sorts strictly before every real row of the next chunk, so
+    # tiebreak columns are irrelevant), and it never emits output
+    halo = (
+        real.groupBy(*keys, "__chunk")
+        .agg(F.max("__us").alias("__us"))
+        .withColumn("__chunk", F.col("__chunk") + 1)
+        .withColumn("__halo", F.lit(True))
+    )
+    both = real.unionByName(halo, allowMissingColumns=True)
+    w = Window.partitionBy(*keys, "__chunk").orderBy(F.col("__us"), *tb)
+    prev_us = F.lag("__us").over(w)
+    is_new = (
+        F.when(F.col("__halo"), F.lit(0))
+        .when(
+            prev_us.isNull() | (F.col("__us") - prev_us >= F.lit(gap_us)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    within = both.withColumn("__new", is_new).withColumn(
+        "__within",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    # chunk-grain offsets: starts per (key, chunk), prefix-summed over
+    # the key's chunks — the only per-key-global pass, and it runs on
+    # #chunks rows, not #events
+    cnt = within.groupBy(*keys, "__chunk").agg(
+        F.sum("__new").alias("__starts")
+    )
+    off_w = (
+        Window.partitionBy(*keys)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = cnt.withColumn(
+        "__off", F.coalesce(F.sum("__starts").over(off_w), F.lit(0))
+    ).select(*keys, "__chunk", "__off")
+    out_cols = [*df.columns, (F.col("__off") + F.col("__within")).cast(
+        "long"
+    ).alias(session_col)]
+    scored = (
+        within.filter(~F.col("__halo"))
+        .join(offsets, [*keys, "__chunk"])
+        .select(*out_cols)
+    )
+    nulls = (
+        with_us.filter(F.col("__us").isNull())
+        .select(*df.columns)
+        .withColumn(session_col, F.lit(None).cast("long"))
+    )
+    return scored.unionByName(nulls)
+
+
 def session_stats(
     df: DataFrame,
     ts_col: str,

@@ -3050,6 +3050,43 @@ def sessionize_events(spark, sf_dir):
     )
 
 
+_SESSIONIZE_CHUNKED_SQL = f"""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            >= {_SESSION_GAP_S * 1_000_000}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+    FROM e
+"""
+
+
+@_q("sessionize_chunked", _SESSIONIZE_CHUNKED_SQL)
+def sessionize_chunked_q(spark, sf_dir):
+    """Skew-safe chunked sessionization (operators/sessionize.
+    sessionize_chunked, round 6): the per-key running session count
+    decomposed into (key, time-chunk) windows + a one-row halo + a
+    chunk-grain prefix sum, so one hot key spreads over timeline/chunk
+    tasks instead of pinning one window task.  chunk_seconds=12h (2×
+    the 6h gap) forces MANY chunks and live halos at sf0.01; the oracle
+    is the plain single-window recurrence — identical ids prove the
+    decomposition exact."""
+    from res2df_spark.operators.sessionize import sessionize_chunked
+
+    ev = Catalog(spark, sf_dir).events
+    return sessionize_chunked(
+        ev, "ts", ["user_id"], _SESSION_GAP_S,
+        chunk_seconds=12 * 3600, tiebreak=["event_id"],
+    ).select("user_id", "event_id", "ts", "session_id")
+
+
 _STREAM_SESSIONS_SQL = f"""
     WITH e AS (
         SELECT user_id, ts, event_id, value,
@@ -3302,6 +3339,27 @@ def rolling_window(spark, sf_dir):
     ev = Catalog(spark, sf_dir).events
     return rolling_agg(
         ev, "ts", ["user_id"], "value", 3600, round_digits=2
+    ).select(
+        "event_id", "user_id", "ts", "n_window", "sum_window"
+    )
+
+
+@_q("rolling_chunked", _ROLLING_SQL)
+def rolling_chunked_q(spark, sf_dir):
+    """Skew-safe chunked trailing window (operators/eventanalytics.
+    rolling_agg_chunked, round 6): same RANGE-frame semantics as
+    rolling_window, partitioned on (user, 2h time chunk) with a
+    window-width halo duplicated across chunk boundaries — the hot-key
+    mitigation the skew probe measures (~50× straggler on the plain
+    window at a 50% hot key, ~1× chunked).  Same oracle SQL as
+    rolling_window: identical output proves the halo decomposition
+    exact."""
+    from res2df_spark.operators.eventanalytics import rolling_agg_chunked
+
+    ev = Catalog(spark, sf_dir).events
+    return rolling_agg_chunked(
+        ev, "ts", ["user_id"], "value", 3600,
+        chunk_seconds=7200, round_digits=2,
     ).select(
         "event_id", "user_id", "ts", "n_window", "sum_window"
     )

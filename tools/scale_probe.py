@@ -323,14 +323,19 @@ def probe_skewed_keys(spark) -> dict:
     * ``dedup_keep`` (window form): bounded here but single-task on
       the hot key — the measured gap vs the agg form is the documented
       reason the skew-safe variant exists.
-    * ``sessionize`` / ``rolling_agg``: per-key sequential semantics —
-      the hot key IS one long task; the mitigation is upstream (split
-      the timeline at session boundaries via a coarse pre-pass, or
-      accept the straggler and size keys accordingly).  Recorded so
-      the straggler cost is measured, not guessed.
+    * ``sessionize`` / ``rolling_agg`` (plain window forms): the hot
+      key IS one long task — measured here so the straggler cost is a
+      number, not a guess.
+    * ``sessionize_chunked`` / ``rolling_agg_chunked`` (the round-6
+      mitigations): identical semantics decomposed over (key,
+      time-chunk) partitions with halo rows — the skew ratio must
+      collapse vs the plain forms.
     """
-    from res2df_spark.operators.eventanalytics import rolling_agg
-    from res2df_spark.operators.sessionize import sessionize
+    from res2df_spark.operators.eventanalytics import (
+        rolling_agg,
+        rolling_agg_chunked,
+    )
+    from res2df_spark.operators.sessionize import sessionize, sessionize_chunked
     from res2df_spark.operators.windows import dedup_keep, dedup_keep_agg
 
     n = 400_000
@@ -360,8 +365,20 @@ def probe_skewed_keys(spark) -> dict:
         "sessionize_hotkey": lambda df: sessionize(
             df, "ts", ["user_id"], gap_seconds=3600, tiebreak=["event_id"]
         ),
+        "sessionize_chunked_hotkey": lambda df: sessionize_chunked(
+            df, "ts", ["user_id"], gap_seconds=3600,
+            chunk_seconds=6 * 3600, tiebreak=["event_id"],
+        ),
         "rolling_agg_hotkey": lambda df: rolling_agg(
             df, "ts", ["user_id"], "value", window_seconds=86_400
+        ),
+        "rolling_chunked_hotkey": lambda df: rolling_agg_chunked(
+            df, "ts", ["user_id"], "value", window_seconds=86_400,
+            # 2x window: ~50% halo duplication buys ~16-way parallelism
+            # on this fixture's short timeline — at production timelines
+            # (window << history) the default 64x keeps duplication at
+            # 1.6% with thousands-way parallelism
+            chunk_seconds=2 * 86_400,
         ),
         "dedup_keep_window_hotkey": lambda df: dedup_keep(
             df, ["user_id"], ["ts", "event_id"], keep="last"
