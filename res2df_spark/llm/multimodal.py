@@ -24,6 +24,7 @@ from collections.abc import Callable, Iterator, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     LongType,
@@ -32,16 +33,26 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: Schema of the extracted feature record (fixed → relational downstream).
-FEATURE_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("n_bytes", LongType()),
-        StructField("content_md5", StringType()),
-        StructField("feat_0", DoubleType()),
-        StructField("feat_1", DoubleType()),
-    ]
-)
+
+def feature_schema(id_type=LongType()) -> StructType:
+    """Schema of an extracted feature record: typed metadata plus one
+    ``features array<double>`` column — arity-independent, so a real
+    embedder emitting hundreds of dims plugs in without editing the
+    module (the feature COUNT travels as data in ``n_features``, and
+    the schema never changes with it)."""
+    return StructType(
+        [
+            StructField("doc_id", id_type),
+            StructField("n_bytes", LongType()),
+            StructField("content_md5", StringType()),
+            StructField("features", ArrayType(DoubleType())),
+            StructField("n_features", LongType()),
+        ]
+    )
+
+
+#: Default feature-record schema (long ids).
+FEATURE_SCHEMA = feature_schema()
 
 
 def attach_binary_metadata(
@@ -58,15 +69,26 @@ def attach_binary_metadata(
     )
 
 
-def _fake_features(payload: bytes) -> tuple[float, float]:
-    """Deterministic stand-in for a decode→embed step: two doubles
-    derived from the md5 digest.  Replace with a real decoder in
-    production; the Spark plumbing is identical."""
-    h = hashlib.md5(payload).digest()
-    return (
-        int.from_bytes(h[0:4], "big") / 2**32,
-        int.from_bytes(h[4:8], "big") / 2**32,
-    )
+def _fake_features(payload: bytes, n_features: int = 2) -> tuple[float, ...]:
+    """Deterministic stand-in for a decode→embed step: ``n_features``
+    doubles in [0, 1) from chained md5 digests.  Block 0 is
+    md5(payload); block b > 0 is md5(hexdigest₀ + str(b)) — HEX-STRING
+    chaining so an ANSI-SQL oracle reproduces every block; each block's
+    32 hex chars yield four 8-nibble doubles.  Replace with a real
+    decoder in production; the Spark plumbing is identical."""
+    h0 = hashlib.md5(payload).hexdigest()
+    feats: list[float] = []
+    block = 0
+    h = h0
+    while len(feats) < n_features:
+        if block > 0:
+            h = hashlib.md5((h0 + str(block)).encode()).hexdigest()
+        for j in range(4):
+            if len(feats) == n_features:
+                break
+            feats.append(int(h[8 * j : 8 * j + 8], 16) / 2**32)
+        block += 1
+    return tuple(feats)
 
 
 def extract_features(
@@ -74,31 +96,36 @@ def extract_features(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     decoder: Callable[[bytes], tuple[float, ...]] | None = None,
+    n_features: int = 2,
 ) -> DataFrame:
     """Decode/feature-extract binary payloads via ``mapInPandas``.
 
     Arrow streams record batches through the Python worker; each batch
-    yields one feature frame.  ``decoder`` maps payload bytes → feature
-    tuple; the default is the deterministic fake (see module docstring).
-    A real image/audio decoder plugs in without touching the Spark side.
+    yields one feature frame.  ``decoder`` maps payload bytes → a
+    feature tuple of EXACTLY ``n_features`` values (validated per call
+    — a short tuple would otherwise IndexError mid-corpus in a worker
+    and a long one would silently lose features); the default is the
+    deterministic fake (see module docstring) at that arity.  Because
+    the output schema is ``features array<double>`` + ``n_features``
+    (not per-feature columns), a real 512-dim embedder plugs in by
+    passing ``decoder=..., n_features=512`` without touching the Spark
+    side.
     """
+    if n_features < 1:
+        raise ValueError(f"n_features must be >= 1, got {n_features}")
     if not isinstance(df.schema[payload_col].dataType, BinaryType):
         df = df.withColumn(payload_col, F.col(payload_col).cast("binary"))
-    dec = decoder or _fake_features
+    dec = decoder or (lambda p: _fake_features(p, n_features))
 
     def _checked(p: bytes):
         f = dec(p)
-        # FEATURE_SCHEMA carries exactly two feature slots; a decoder
-        # returning fewer would IndexError mid-corpus in a worker and
-        # one returning more would silently lose features — fail fast
-        # with the actual contract instead
-        if len(f) != 2:
+        if len(f) != n_features:
             raise ValueError(
-                f"decoder returned {len(f)} features; FEATURE_SCHEMA "
-                "carries exactly 2 (feat_0, feat_1) — adapt the decoder "
-                "or extend the schema"
+                f"decoder returned {len(f)} features but n_features="
+                f"{n_features} was declared — fix the decoder or the "
+                "declaration"
             )
-        return f
+        return [float(v) for v in f]
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -121,8 +148,10 @@ def extract_features(
                         None if p is None else hashlib.md5(p).hexdigest()
                         for p in payloads
                     ],
-                    "feat_0": [None if f is None else f[0] for f in feats],
-                    "feat_1": [None if f is None else f[1] for f in feats],
+                    "features": feats,
+                    "n_features": [
+                        None if f is None else len(f) for f in feats
+                    ],
                 }
             )
 

@@ -509,6 +509,24 @@ def w8_resample_linear(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _mm_feats_csv(out):
+    """Engine-side features → rounded CSV for engine-neutral compare
+    (the same convention as emb_truncate)."""
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "content_md5",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda x: F.round(x, 6).cast("decimal(20,6)").cast("string"),
+            ),
+            ",",
+        ).alias("feats_csv"),
+        "n_features",
+    )
+
+
 @_q(
     "mm_extract_features",
     """
@@ -522,8 +540,12 @@ def w8_resample_linear(spark, sf_dir):
                           * power(16.0, 16 - i) ELSE 0 END) AS w1
           FROM u GROUP BY 1, 2, 3)
     SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, h AS content_md5,
-           CAST(round(w0 / 4294967296.0, 6) AS DOUBLE) AS feat_0,
-           CAST(round(w1 / 4294967296.0, 6) AS DOUBLE) AS feat_1
+           CAST(CAST(round(w0 / 4294967296.0, 6) AS DECIMAL(20, 6)) AS VARCHAR)
+               || ',' ||
+           CAST(CAST(round(w1 / 4294967296.0, 6) AS DECIMAL(20, 6)) AS VARCHAR)
+               AS feats_csv,
+           CASE WHEN h IS NULL THEN NULL
+                ELSE CAST(2 AS BIGINT) END AS n_features
     FROM v
     """,
 )
@@ -532,7 +554,9 @@ def mm_extract_features(spark, sf_dir):
     payloads stream through the Python worker as Arrow batches; the
     deterministic fake decoder (md5-derived doubles) stands in for a
     real image/audio codec, so the WHOLE path — binary cast, batch
-    iteration, fixed feature schema — is oracle-verified."""
+    iteration, arity-parametric feature schema (round 6:
+    features array<double>, not hardcoded columns) — is
+    oracle-verified."""
     from res2df_spark.llm.multimodal import extract_features
 
     docs = Catalog(spark, sf_dir).documents
@@ -540,13 +564,50 @@ def mm_extract_features(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("text").cast("binary").alias("payload"),
     )
-    out = extract_features(src)
-    return out.select(
-        "doc_id",
-        "n_bytes",
-        "content_md5",
-        F.round("feat_0", 6).alias("feat_0"),
-        F.round("feat_1", 6).alias("feat_1"),
+    return _mm_feats_csv(extract_features(src))
+
+
+@_q(
+    "mm_features_arity",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS h0 FROM documents),
+    b AS (SELECT doc_id, h0, md5(h0 || '1') AS h1 FROM m),
+    f AS (SELECT doc_id, h0, h1, unnest(generate_series(0, 5)) AS j FROM b),
+    hx AS (SELECT doc_id, j,
+                  CASE WHEN j < 4 THEN h0 ELSE h1 END AS h,
+                  (j % 4) * 8 AS off FROM f),
+    nib AS (SELECT doc_id, j,
+                   sum((strpos('0123456789abcdef',
+                               substr(h, CAST(off + i AS INT), 1)) - 1)
+                       * power(16.0, 8 - i)) AS w
+            FROM (SELECT doc_id, j, h, off,
+                         unnest(generate_series(1, 8)) AS i FROM hx)
+            GROUP BY doc_id, j)
+    SELECT doc_id,
+           string_agg(CAST(CAST(round(w / 4294967296.0, 6)
+                                AS DECIMAL(20, 6)) AS VARCHAR),
+                      ',' ORDER BY j) AS feats_csv,
+           CASE WHEN max(w) IS NULL THEN NULL
+                ELSE CAST(6 AS BIGINT) END AS n_features
+    FROM nib GROUP BY doc_id
+    """,
+)
+def mm_features_arity(spark, sf_dir):
+    """Parametric feature arity (round 6): the SAME extract_features
+    path at n_features=6 — features 4 and 5 come from the CHAINED
+    second md5 block (md5(hexdigest + '1')), so this row proves the
+    arity plumbing AND the block chaining, nibble-by-nibble in SQL.  A
+    real embedder swaps in via decoder=/n_features= with no schema
+    edit."""
+    from res2df_spark.llm.multimodal import extract_features
+
+    docs = Catalog(spark, sf_dir).documents
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return _mm_feats_csv(extract_features(src, n_features=6)).drop(
+        "n_bytes", "content_md5"
     )
 
 

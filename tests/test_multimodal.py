@@ -39,14 +39,46 @@ def test_extract_features_deterministic(spark):
     assert got[2].content_md5 == hashlib.md5(b"RIFF fake wav").hexdigest()
     # fake features are md5-derived → reproducible across runs
     h = hashlib.md5(b"RIFF fake wav").digest()
-    assert got[2].feat_0 == pytest.approx(int.from_bytes(h[0:4], "big") / 2**32)
-    assert 0.0 <= got[2].feat_1 < 1.0
+    assert got[2].n_features == 2
+    assert got[2].features[0] == pytest.approx(int.from_bytes(h[0:4], "big") / 2**32)
+    assert got[2].features[1] == pytest.approx(int.from_bytes(h[4:8], "big") / 2**32)
 
 
 def test_extract_features_custom_decoder(spark):
     out = extract_features(_payloads(spark), decoder=lambda b: (float(len(b)), 0.5))
-    got = {r.doc_id: r.feat_0 for r in out.collect()}
+    got = {r.doc_id: r.features[0] for r in out.collect()}
     assert got[1] == 21.0 and got[3] == 0.0
+
+
+def test_extract_features_16dim_decoder(spark):
+    """A 16-dim fake embedder plugs in via decoder=/n_features= with no
+    schema edit — the arity travels as data."""
+    def embed(b: bytes):
+        return tuple(float((len(b) * (i + 1)) % 7) for i in range(16))
+
+    out = extract_features(_payloads(spark), decoder=embed, n_features=16)
+    assert out.schema == FEATURE_SCHEMA  # schema is arity-independent
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].n_features == 16
+    assert got[1].features == [float((21 * (i + 1)) % 7) for i in range(16)]
+    # default fake decoder honours the requested arity too (chained
+    # md5 blocks past feature 4)
+    fake = {r.doc_id: r for r in extract_features(_payloads(spark), n_features=6).collect()}
+    assert fake[1].n_features == 6
+    assert all(0.0 <= v < 1.0 for v in fake[1].features)
+    h0 = hashlib.md5(b"\x89PNG fake image bytes").hexdigest()
+    h1 = hashlib.md5((h0 + "1").encode()).hexdigest()
+    assert fake[1].features[4] == pytest.approx(int(h1[0:8], 16) / 2**32)
+
+
+def test_extract_features_arity_mismatch_raises(spark):
+    from py4j.protocol import Py4JJavaError
+
+    out = extract_features(
+        _payloads(spark), decoder=lambda b: (1.0, 2.0, 3.0), n_features=2
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="decoder returned 3"):
+        out.collect()
 
 
 def test_chunk_bytes():
