@@ -81,6 +81,12 @@ HEADLINE = [
     "dedup_minhash_verified",  # candidates -> exact-Jaccard verify (round 5)
     "minhash_recall",          # LSH recall vs exact-Jaccard truth (round 5)
     "curation_pipeline3",      # dedup -> soft weights -> top-k chain (round 5)
+    "pagerank_dangling",       # mass-conserving PR, per-round scalar (round 6)
+    "sessionize_chunked",      # skew-safe chunked sessionization (round 6)
+    "rolling_chunked",         # skew-safe halo'd trailing window (round 6)
+    "a5_dedup_keep_agg",       # partial-agg max_by keep-last (round 6)
+    "dedup_shingle_df_stats",  # stop-shingle-cap drop accounting (round 6)
+    "mm_features_arity",       # parametric-arity feature extract (round 6)
 ]
 
 
@@ -112,16 +118,22 @@ def run_one(spark, name: str, repeats: int = 5) -> float:
     regression against earlier rounds' exec-only numbers.  So
     ``queries`` stays exec-only best-of-N (round-comparable) and
     ``build`` carries each query's one-shot construction cost; read
-    BOTH for operators whose docstrings note eager materialization."""
+    BOTH for operators whose docstrings note eager materialization.
+
+    Returns ``(build_secs, samples)`` — ALL repeat timings, so the
+    artifact can carry median/stdev next to the best: three sub-second
+    queries drifted 1.2-1.4× between rounds 4 and 5 on identical code,
+    and without per-query variance the artifact could not show that was
+    host noise rather than a regression."""
     t0 = time.time()
     df = suite.QUERIES[name](spark, SF_DIR)
     build = time.time() - t0
-    best = float("inf")
+    samples = []
     for _ in range(repeats):
         t0 = time.time()
         df.write.mode("overwrite").format("noop").save()
-        best = min(best, time.time() - t0)
-    return build, best
+        samples.append(time.time() - t0)
+    return build, samples
 
 
 def main() -> None:
@@ -138,11 +150,25 @@ def main() -> None:
     # whole artifact — record its error string and keep timing the rest.
     timings: dict[str, object] = {}
     builds: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         try:
-            build, best = run_one(spark, name)
+            build, samples = run_one(spark, name)
+            best = min(samples)
+            srt = sorted(samples)
+            n = len(srt)
+            median = (
+                srt[n // 2] if n % 2 else (srt[n // 2 - 1] + srt[n // 2]) / 2
+            )
+            mean = sum(samples) / n
+            stdev = (sum((s - mean) ** 2 for s in samples) / n) ** 0.5
             timings[name] = round(best, 3)
             builds[name] = round(build, 3)
+            stats[name] = {
+                "best": round(best, 3),
+                "median": round(median, 3),
+                "stdev": round(stdev, 3),
+            }
         except Exception as exc:  # noqa: BLE001
             timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
     errors = [n for n, t in timings.items() if not isinstance(t, float)]
@@ -158,6 +184,10 @@ def main() -> None:
         # collects) shows up — see run_one's docstring
         "build": builds,
         "build_total": round(sum(builds.values()), 3),
+        # per-query {best, median, stdev} over the N repeats: a future
+        # drift in `queries` is distinguishable from host noise by
+        # whether the medians moved beyond their own stdev bands
+        "stats": stats,
         "sf": infer_sf(SF_DIR),
     }
     if errors:

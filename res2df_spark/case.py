@@ -69,17 +69,9 @@ class ResdataCase:
         (compdat.py df: one row per K layer, presented as K1 == K2,
         ``OP/SH`` status).  The engine-internal module keeps its
         single-K form for the downstream joins."""
-        from pyspark.sql import functions as F
-
         from res2df_spark.modules import compdat
 
-        out = compdat.df(self.spark, self.deck_text)
-        return out.select(
-            *[c for c in out.columns if c not in ("K", "OP_SH")],
-            F.col("K").alias("K1"),
-            F.col("K").alias("K2"),
-            F.col("OP_SH").alias("OP/SH"),
-        )
+        return compdat.to_reference_shape(compdat.df(self.spark, self.deck_text))
 
     def gruptree(self, startdate=None) -> DataFrame:
         from res2df_spark.modules import gruptree

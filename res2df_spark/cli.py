@@ -100,7 +100,10 @@ def _run_deck_module(name: str, spark, deck_text: str, **kwargs):
     from res2df_spark.modules import compdat, faults, gruptree, tables, vfp, wcon, wlist
 
     if name == "compdat":
-        return compdat.df(spark, deck_text)
+        # the reference shape (K1 == K2, 'OP/SH'), matching the res2csv
+        # contract AND ResdataCase.compdat() — the engine-internal
+        # single-K form is for downstream joins only
+        return compdat.to_reference_shape(compdat.df(spark, deck_text))
     if name == "gruptree":
         return gruptree.df(spark, deck_text, startdate=kwargs.get("startdate"))
     if name == "satfunc":

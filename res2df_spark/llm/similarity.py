@@ -453,6 +453,12 @@ def cluster_mean(
     on a cluster (consumers compare rounded values; k-means assignment
     flips only for points exactly equidistant to two centroids).
     NULL vectors are excluded; groups with none left produce no row.
+    Ragged input (vectors of unequal length in one group) matches
+    ``mean_pool``'s contract: a dimension some vectors lack is NULLed
+    (a short vector contributes no rows for its missing dims, so a
+    silent mean-over-a-subset would otherwise differ from the zip_with
+    fold, and k-means would drift on malformed input instead of
+    surfacing it).  ``n_vecs`` is the full group size either way.
     Returns (group, pooled array<double>, n_vecs) like ``mean_pool``.
     """
     dims = (
@@ -474,16 +480,28 @@ def cluster_mean(
     mean = F.when(
         F.col("__nn") == F.col("__n"), F.col("__s") / F.col("__n")
     )
-    return dims.groupBy(group_col).agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("__pos").alias("p"), mean.alias("m"))
+    agged = dims.groupBy(group_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__pos").alias("p"),
+                    mean.alias("m"),
+                    F.col("__n").alias("n"),
                 )
-            ),
-            lambda s: s["m"],
-        ).alias("pooled"),
+            )
+        ).alias("__dims"),
         F.max("__n").cast("long").alias("n_vecs"),
+    )
+    # ragged guard: a dim whose row count is below the group size was
+    # missing from some vectors — NULL it (mean_pool parity), never
+    # average over the subset that happened to carry it
+    return agged.select(
+        group_col,
+        F.transform(
+            "__dims",
+            lambda s: F.when(s["n"] == F.col("n_vecs"), s["m"]),
+        ).alias("pooled"),
+        "n_vecs",
     )
 
 

@@ -361,6 +361,22 @@ def df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def to_reference_shape(out: DataFrame) -> DataFrame:
+    """Engine-internal connection shape → the reference's compdat CSV
+    contract (compdat.py df: unrolled K rows presented as K1 == K2,
+    status column named ``OP/SH``).  Shared by ResdataCase.compdat()
+    and the res2csv CLI so both user surfaces emit the SAME shape; the
+    single-K internal form stays for the downstream joins."""
+    from pyspark.sql import functions as F
+
+    return out.select(
+        *[c for c in out.columns if c not in ("K", "OP_SH")],
+        F.col("K").alias("K1"),
+        F.col("K").alias("K2"),
+        F.col("OP_SH").alias("OP/SH"),
+    )
+
+
 def _dated(
     spark: SparkSession, deck_text: str, keyword: str, records=None
 ) -> DataFrame:

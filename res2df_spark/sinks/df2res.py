@@ -22,17 +22,25 @@ from res2df_spark.sources.deck import (
 
 def df2res_compdat(df: DataFrame) -> str:
     """Connection rows → COMPDAT keyword text.  Unrolled K rows are
-    re-emitted as K1=K2=K (the reference does the same after unrolldf)."""
+    re-emitted as K1=K2=K (the reference does the same after unrolldf).
+
+    Accepts BOTH connection shapes: the engine-internal one (single K,
+    OP_SH) and the reference/CLI one (K1 == K2, ``OP/SH``) — the CLI
+    now emits the latter (round 6), so the csv2res round-trip must
+    read its own res2csv output."""
+    ref_shape = "K1" in df.columns and "K" not in df.columns
+    k_lo, k_hi = ("K1", "K2") if ref_shape else ("K", "K")
+    status = "OP/SH" if "OP/SH" in df.columns else "OP_SH"
     # DATE joins the sort so multi-date histories render in date
     # order (deterministic; on re-parse the LATEST record for a cell
     # wins, which is the simulator's own within-keyword override rule)
-    order = ["WELL", "I", "J", "K"] + (["DATE"] if "DATE" in df.columns else [])
+    order = ["WELL", "I", "J", k_lo] + (["DATE"] if "DATE" in df.columns else [])
     rows = df.orderBy(*order).collect()
     lines = ["COMPDAT"]
     for r in rows:
         items = [
             _fmt(r["WELL"]), _fmt(r["I"]), _fmt(r["J"]),
-            _fmt(r["K"]), _fmt(r["K"]), _fmt(r["OP_SH"]),
+            _fmt(r[k_lo]), _fmt(r[k_hi]), _fmt(r[status]),
         ]
         # absent optional columns MUST still occupy their positional
         # slot as '1*' — skipping them would shift later values (a

@@ -156,16 +156,19 @@ def _parse_parameterstxt(content: str) -> dict:
     # successful float('NaN')/float('inf') would smuggle non-finite
     # literals into attach_parameters
     _na_like = {"nan", "inf", "-inf", "infinity", "-infinity", "+inf"}
+    _BOOL_TOKENS = {"TRUE", "True", "true", "FALSE", "False", "false"}
     if not any(v.lower() in _na_like for _, v in pairs):
         for cast in (int, float):
             try:
                 return {k: cast(v) for k, v in pairs}
             except ValueError:
                 continue
-    if pairs and all(v in ("True", "False") for _, v in pairs):
-        # pandas bool-column inference: an all-True/False value column
-        # reads as bool dtype in the reference's load_parameterstxt
-        return {k: v == "True" for k, v in pairs}
+    if pairs and all(v in _BOOL_TOKENS for _, v in pairs):
+        # pandas bool-column inference: an all-boolean value column
+        # reads as bool dtype in the reference's load_parameterstxt;
+        # pandas' parser recognizes the TRUE/True/true spellings (not
+        # arbitrary case-folds like tRuE), so match that token set
+        return {k: v in ("TRUE", "True", "true") for k, v in pairs}
     return dict(pairs)
 
 

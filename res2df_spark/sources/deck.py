@@ -707,8 +707,21 @@ def read_deck(path: str, max_depth: int = 16) -> str:
     nesting beyond ``max_depth`` raises — silently dropping an include
     (or swallowing the deck lines after it) would parse a structurally
     valid but WRONG deck.
+
+    An ``INCLUDE`` token only counts as the directive at a RECORD-
+    BOUNDARY position (the same rule as ``_skip_block``): after a ``/``
+    record terminator, after keyword-shaped single-token lines
+    (sections, flags, unregistered keyword heads), or at file start.  A
+    line whose first token merely equals INCLUDE inside an open record
+    (an unregistered keyword's multi-line payload) passes through as
+    data instead of raising.  The one irresolvable-at-text-level case —
+    a ``/``-terminated data record whose FIRST token is INCLUDE sitting
+    exactly at a boundary — still resolves as a directive and fails
+    LOUDLY on the missing file, never silently mis-splices.
     """
     import os
+
+    kw_shaped = re.compile(r"[A-Za-z][A-Za-z0-9_\-]{0,11}$")
 
     def _read(p: str, depth: int) -> str:
         if depth > max_depth:
@@ -721,13 +734,26 @@ def read_deck(path: str, max_depth: int = 16) -> str:
         base = os.path.dirname(os.path.abspath(p))
         out: list[str] = []
         i = 0
+        at_boundary = True
         while i < len(lines):
             stripped = _strip_comment(lines[i]).strip()
             # split, don't prefix-match: "INCLUDE\t'f' /" (tab) must
             # match and a keyword like INCLUDEX must not
             head = stripped.split(None, 1)
-            if not head or head[0].upper() != "INCLUDE":
+            if not head or head[0].upper() != "INCLUDE" or not at_boundary:
                 out.append(lines[i])
+                toks = stripped.split()
+                if toks and not (
+                    at_boundary and len(toks) == 1 and kw_shaped.fullmatch(toks[0])
+                ):
+                    # record data opens a record; a '/' terminator
+                    # (bare or glued to an unquoted value) closes it
+                    for t in toks:
+                        at_boundary = t == "/" or (
+                            len(t) > 1
+                            and t[0] not in "'\""
+                            and t.endswith("/")
+                        )
                 i += 1
                 continue
             # the filename record: rest of the keyword line, else the

@@ -25,8 +25,10 @@ def test_cli_compdat_stdout(spark, tmp_path, capsys):
     deck.write_text(DECK)
     assert cli.main(["compdat", str(deck), "-o", "-"]) == 0
     out = capsys.readouterr().out
-    assert "WELL,I,J,K,OP_SH" in out
-    assert "OP1,3,4,1,OPEN,2020-01-01" in out
+    # reference shape (round 6): K1 == K2, 'OP/SH' — same contract as
+    # ResdataCase.compdat() and the reference's res2csv
+    assert "WELL,I,J,DATE,SATN,KH,SKIN,K1,K2,OP/SH" in out
+    assert "OP1,3,4,2020-01-01,0,-1.0,0.0,1,1,OPEN" in out
 
 
 def test_cli_satfunc(spark, tmp_path, capsys):

@@ -924,7 +924,7 @@ def test_extract_features_decoder_arity_checked(spark):
     from res2df_spark.llm.multimodal import extract_features
 
     df = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
-    with pytest.raises(Exception, match="exactly 2"):
+    with pytest.raises(Exception, match="n_features=2"):
         extract_features(df, decoder=lambda b: (1.0,)).collect()
 
 
