@@ -87,6 +87,7 @@ HEADLINE = [
     "a5_dedup_keep_agg",       # partial-agg max_by keep-last (round 6)
     "dedup_shingle_df_stats",  # stop-shingle-cap drop accounting (round 6)
     "mm_features_arity",       # parametric-arity feature extract (round 6)
+    "value_histogram",         # exact equal-width histogram (round 6)
 ]
 
 

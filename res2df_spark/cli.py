@@ -410,6 +410,7 @@ _CURATE_MODULES = {
     "containment": "asymmetric shingle-containment near-dup pairs",
     "pagerank": "PageRank over an edge parquet (--src-col/--dst-col)",
     "anomalies": "per-key z-score value outliers (--key-col/--value-col)",
+    "histogram": "exact equal-width histogram of a numeric column (--value-col)",
 }
 
 
@@ -519,6 +520,11 @@ def get_curate_parser() -> argparse.ArgumentParser:
             s.add_argument("--value-col", default="value")
             s.add_argument("--min-events", type=int, default=5)
             s.add_argument("--z-threshold", type=float, default=2.5)
+        elif name == "histogram":
+            s.add_argument("--value-col", default="value")
+            s.add_argument("--n-bins", type=int, default=20)
+            s.add_argument("--lo", type=float, default=None)
+            s.add_argument("--hi", type=float, default=None)
         elif name == "export-tar":
             s.add_argument("--n-shards", type=int, default=8)
             s.add_argument("--payload-col", default=None,
@@ -839,6 +845,17 @@ def curate_main(argv: list[str] | None = None) -> int:
             damping=args.damping, iterations=args.iterations,
             weight_col=args.weight_col,
             redistribute_dangling=args.redistribute_dangling,
+        )
+    elif args.op == "histogram":
+        from res2df_spark.operators.profile import value_histogram
+
+        if args.value_col not in df.columns:
+            raise SystemExit(
+                f"histogram: column {args.value_col!r} not in input "
+                f"(columns: {', '.join(df.columns)}); pass --value-col"
+            )
+        out = value_histogram(
+            df, args.value_col, n_bins=args.n_bins, lo=args.lo, hi=args.hi
         )
     elif args.op == "anomalies":
         from res2df_spark.operators.eventanalytics import value_anomalies

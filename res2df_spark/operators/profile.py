@@ -68,3 +68,73 @@ def profile_table(
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Exact equal-width histogram of a numeric column — the
+    threshold-calibration surface for quality/similarity scores (pick a
+    quality-gate cutoff from the score distribution, document a dataset
+    card) without collecting values to the driver.
+
+    Returns one row per OCCUPIED bin: (bin, bin_lo, bin_hi, n), with
+    ``bin`` 0-based and values equal to ``hi`` counted into the last
+    bin (half-open bins elsewhere, the numpy/matplotlib convention).
+    Explicit ``lo``/``hi`` bound the plan to one aggregate; when
+    omitted, the bounds come from a min/max aggregate riding as a
+    one-row broadcast cross join — still in-plan, no driver action.
+    NULL and NaN values are excluded (they have no bin); values outside
+    explicit bounds are clamped into the edge bins so the histogram
+    accounts for every finite value.
+
+    Scale shape: one partial-aggregated groupBy on the bin id — at most
+    ``n_bins`` rows reach the reducer per map task regardless of data
+    size; with bounds given, the whole plan is one map-side expression
+    plus that aggregate.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    x = F.col(col).cast("double")
+    vals = df.filter(x.isNotNull() & ~F.isnan(x)).select(x.alias("__x"))
+    if lo is None or hi is None:
+        bounds = vals.agg(
+            F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
+        )
+        vals = vals.crossJoin(F.broadcast(bounds))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    else:
+        if not float(hi) >= float(lo):
+            raise ValueError(f"hi ({hi}) must be >= lo ({lo})")
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+        # clamp, don't filter: out-of-range values land in the edge
+        # bins so the histogram accounts for every finite value
+        vals = vals.withColumn(
+            "__x", F.least(F.greatest(F.col("__x"), lo_c), hi_c)
+        )
+    width = (hi_c - lo_c) / F.lit(float(n_bins))
+    # degenerate lo == hi (constant column): everything lands in bin 0
+    bin_ = F.when(width > 0, F.least(
+        F.floor((F.col("__x") - lo_c) / width), F.lit(n_bins - 1)
+    )).otherwise(F.lit(0)).cast("long")
+    return (
+        vals.withColumn("__bin", bin_)
+        .withColumn("__lo2", lo_c)
+        .withColumn("__w", width)
+        .groupBy("__bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__lo2").alias("__l"),
+            F.min("__w").alias("__ww"),
+        )
+        .select(
+            F.col("__bin").alias("bin"),
+            F.round(F.col("__l") + F.col("__bin") * F.col("__ww"), 6).alias("bin_lo"),
+            F.round(F.col("__l") + (F.col("__bin") + 1) * F.col("__ww"), 6).alias("bin_hi"),
+            "n",
+        )
+    )

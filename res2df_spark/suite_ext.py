@@ -3747,6 +3747,37 @@ def table_profile(spark, sf_dir):
     return profile_table(docs, ["doc_id", "source", "lang"])
 
 
+_HISTOGRAM_SQL = """
+    WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+               WHERE value IS NOT NULL AND NOT isnan(value)),
+    b AS (SELECT min(x) AS lo, max(x) AS hi FROM v),
+    binned AS (SELECT CASE WHEN hi > lo
+                           THEN least(CAST(floor((x - lo) / ((hi - lo) / 20.0))
+                                           AS BIGINT), 19)
+                           ELSE 0 END AS bin, lo, hi
+               FROM v CROSS JOIN b)
+    SELECT bin,
+           CAST(round(lo + bin * (hi - lo) / 20.0, 6) AS DOUBLE) AS bin_lo,
+           CAST(round(lo + (bin + 1) * (hi - lo) / 20.0, 6) AS DOUBLE) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin, lo, hi
+"""
+
+
+@_q("value_histogram", _HISTOGRAM_SQL)
+def value_histogram_q(spark, sf_dir):
+    """Exact equal-width histogram (operators/profile.value_histogram,
+    round 6): the threshold-calibration surface for quality/similarity
+    scores — one partial-aggregated groupBy on the bin id (≤ n_bins
+    rows per map task reach the reducer), bounds from a one-row
+    broadcast min/max when not given.  The oracle replicates the IEEE
+    bin arithmetic term by term."""
+    from res2df_spark.operators.profile import value_histogram
+
+    ev = Catalog(spark, sf_dir).events
+    return value_histogram(ev, "value", n_bins=20)
+
+
 _LINKAGE_SQL = """
     WITH s AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
                       c_custkey // 512 AS c_kblock

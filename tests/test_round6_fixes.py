@@ -149,3 +149,69 @@ def test_df2res_compdat_accepts_both_shapes(spark):
     b = df2res_compdat(ref)
     assert a == b
     assert "'OP1' 1 2 3 3 'OPEN'" in a
+
+
+# ---------------------------------------------------------------------------
+# value_histogram (round-6 threshold-calibration surface)
+
+
+def test_value_histogram_counts_and_edges(spark):
+    from res2df_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 3, 4, 5, 5, 5, 10]] + [(None,), (float("nan"),)],
+        "x double",
+    )
+    rows = {r["bin"]: r for r in value_histogram(df, "x", n_bins=5).collect()}
+    # lo=0, hi=10, width=2: bins [0,2) [2,4) [4,6) [6,8) [8,10]
+    assert sum(r["n"] for r in rows.values()) == 9  # NULL/NaN excluded
+    assert rows[0]["n"] == 2 and rows[1]["n"] == 2 and rows[2]["n"] == 4
+    assert 3 not in rows  # empty bin emits no row
+    assert rows[4]["n"] == 1  # hi value lands in the LAST bin
+    assert rows[0]["bin_lo"] == 0.0 and rows[0]["bin_hi"] == 2.0
+    assert rows[4]["bin_hi"] == 10.0
+
+
+def test_value_histogram_explicit_bounds_clamp(spark):
+    from res2df_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (99.0,)], "x double"
+    )
+    rows = {r["bin"]: r["n"] for r in value_histogram(df, "x", 2, lo=0.0, hi=1.0).collect()}
+    # out-of-range values clamp into edge bins, never dropped: -5 → bin
+    # 0, 99 → bin 1; 0.5 sits ON the bin-1 boundary (half-open bins)
+    assert rows == {0: 1, 1: 2}
+
+
+def test_value_histogram_degenerate_and_validation(spark):
+    import pytest as _pytest
+
+    from res2df_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame([(7.0,), (7.0,)], "x double")
+    rows = value_histogram(df, "x", 4).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["n"] == 2
+    with _pytest.raises(ValueError, match="n_bins"):
+        value_histogram(df, "x", 0)
+    with _pytest.raises(ValueError, match="hi"):
+        value_histogram(df, "x", 4, lo=1.0, hi=0.0)
+
+
+def test_curate_cli_histogram(spark, tmp_path):
+    from res2df_spark.cli import curate_main
+
+    src = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(100)], "event_id long, value double"
+    ).write.parquet(src)
+    out = str(tmp_path / "hist.parquet")
+    assert curate_main(
+        ["histogram", src, "-o", out, "--value-col", "value", "--n-bins", "5"]
+    ) == 0
+    rows = {r["bin"]: r["n"] for r in spark.read.parquet(out).collect()}
+    assert sum(rows.values()) == 100
+    # validation: missing column exits loudly
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="value-col"):
+        curate_main(["histogram", src, "-o", out, "--value-col", "nope"])
