@@ -66,10 +66,13 @@ def tfidf_topk(
     term-level groupBy for df (vocabulary-sized output), the tf⋈df join
     on the term key, and a per-document ranking window.  The document
     count ``N`` rides along as a broadcast single-row cross join — no
-    driver-side ``.count()`` in the plan.  Ties rank deterministically
-    by term so the result is a pure function of the corpus on any
-    engine (ln is IEEE-double on both sides; the score is rounded to
-    6 dp for display/compare).
+    driver-side ``.count()`` in the plan.  Ranking happens on the
+    score ROUNDED to 6 dp with ties broken by term: ``ln`` is only
+    1-ulp-reproducible across math libraries (JVM vs libm disagree on
+    e.g. ln(9) in the last bit, observed via hypothesis), so ranking
+    unrounded doubles would flip exact-tie ranks between engines —
+    rounded-score ranking makes the result a pure function of the
+    corpus on any engine.
 
     Reference analogue: the reference engine has no IR scoring; this is
     north-star scope (training-data curation needs per-doc keywords for
@@ -87,7 +90,8 @@ def tfidf_topk(
         tf.join(df, "term")
         .crossJoin(broadcast(n_docs))
         .withColumn(
-            "tfidf", F.col("tf") * F.log(F.col("__n") / F.col("df"))
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6),
         )
     )
     w = Window.partitionBy(id_col).orderBy(
@@ -101,7 +105,7 @@ def tfidf_topk(
             "term",
             F.col("tf").cast("long").alias("tf"),
             F.col("df").cast("long").alias("df"),
-            F.round("tfidf", 6).alias("tfidf"),
+            "tfidf",
             F.col("rnk").cast("int").alias("rnk"),
         )
     )

@@ -2681,14 +2681,14 @@ _TF_SQL = f"""
     _TF_SQL
     + """
     , scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
-                        tf.tf * ln(n.n_docs / df.df) AS tfidf
+                        round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
                  FROM tf JOIN df USING (term) CROSS JOIN n),
     ranked AS (SELECT doc_id, term, tf, df, tfidf,
                       row_number() OVER (PARTITION BY doc_id
                                          ORDER BY tfidf DESC, term) AS rnk
                FROM scored)
     SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-           CAST(round(tfidf, 6) AS DOUBLE) AS tfidf, CAST(rnk AS INT) AS rnk
+           CAST(tfidf AS DOUBLE) AS tfidf, CAST(rnk AS INT) AS rnk
     FROM ranked WHERE rnk <= 3
     """,
 )

@@ -317,7 +317,10 @@ def test_quantize_matches_numpy_reference(spark, vecs):
 @_slow
 def test_tfidf_matches_pandas_reference(spark, docs, k):
     """tfidf_topk ≡ a direct pandas tf·ln(N/df) computation with the
-    same (score desc, term asc) tie-break."""
+    same (ROUNDED score desc, term asc) tie-break.  Ranking must use
+    the 6dp-rounded score on both sides: ln is only 1-ulp-reproducible
+    across math libraries, so unrounded ranking flips exact ties (e.g.
+    2·ln(9/3) vs 1·ln(9/1)) between the JVM and libm."""
     import math
 
     from res2df_spark.llm.vocab import tfidf_topk
@@ -341,12 +344,12 @@ def test_tfidf_matches_pandas_reference(spark, docs, k):
         terms = [(t, c) for (d, t), c in tf.items() if d == i]
         scored = sorted(
             (
-                (-c * math.log(n_docs / df[t]), t, c)
+                (-round(c * math.log(n_docs / df[t]), 6), t, c)
                 for t, c in terms
             )
         )
         for rnk, (neg, t, c) in enumerate(scored[:k], start=1):
-            expected.append((i, t, c, df[t], round(-neg, 6), rnk))
+            expected.append((i, t, c, df[t], -neg, rnk))
     assert sorted(got) == sorted(expected)
 
 
