@@ -349,6 +349,25 @@ def test_sessionize_events_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_dedup_keep_agg_is_aggregate_not_window(spark):
+    # the skew-safe form must plan as a partial-aggregatable max_by —
+    # no Window operator (whose partition AQE cannot split), exactly
+    # one hash exchange on the dedup keys
+    plan = _plan(spark, "a5_dedup_keep_agg")
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial" in plan.lower(), plan  # map-side combine present
+
+
+def test_rolling_chunked_partitions_on_time_chunk(spark):
+    # the chunked window must partition on (user, chunk) — the hot-key
+    # mitigation — with ONE data exchange (the union of main + halo
+    # reuses the same partitioning)
+    plan = _plan(spark, "rolling_chunked")
+    assert "__chunk" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_plan_audit_extraction(spark):
     """tools/plan_audit.py's regexes must keep parsing Spark's formatted
     explain (operator headers, Exchange Arguments lines, parquet scan
