@@ -72,9 +72,9 @@ def truncate_lineage(df, eager: bool = True):
         # must re-point it (getCheckpointDir returns a scheme-qualified
         # URI, hence the suffix match rather than equality)
         current = sc.getCheckpointDir()
-        if current is None or not current.rstrip("/").endswith(
-            ckdir.rstrip("/").lstrip("file:")
-        ):
+        want = ckdir.rstrip("/")
+        want = want.removeprefix("file:") or "/"
+        if current is None or not current.rstrip("/").endswith(want):
             sc.setCheckpointDir(ckdir)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
