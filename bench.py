@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_shingle_df_stats",  # stop-shingle-cap drop accounting (round 6)
     "mm_features_arity",       # parametric-arity feature extract (round 6)
     "value_histogram",         # exact equal-width histogram (round 6)
+    "hybrid_rrf",              # reciprocal-rank retrieval fusion (round 6)
 ]
 
 

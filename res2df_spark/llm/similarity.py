@@ -53,6 +53,67 @@ def brute_force_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    query_col: str = "q_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke 2009) of N retrieval
+    rankings — the standard hybrid-search combiner (lexical BM25 +
+    embedding ANN, or multi-vector ensembles): a document's fused score
+    is ``Σ_systems 1/(k + rank)``, which rewards agreement between
+    systems without needing their scores to be commensurable.
+
+    Inputs are (query, doc, rank) frames — exactly the output shape of
+    :func:`brute_force_topk` / ``lsh_bucketed_topk`` / ``bm25_topk``
+    (after aliasing).  A document absent from a system simply
+    contributes no term (the standard convention).  Returns (query,
+    doc, rrf_score, n_systems, fused_rank) with the fused ranking
+    deterministic on any engine: the score is rounded to 6 dp before
+    ranking (the sum of ≥3 doubles is partition-order-sensitive in the
+    last ulp) and ties break by doc id.
+
+    Scale shape: one union, one partial-aggregated groupBy on (query,
+    doc) — per-group size is bounded by the SYSTEM count, and the
+    per-query top-k window sees at most systems×k rows per query
+    because the inputs are already top-k'd upstream.  Nothing here
+    touches the corpus.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(id_col),
+            F.col(rank_col).cast("double").alias("__r"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(query_col, id_col).agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("__r"))), 6).alias(
+            "rrf_score"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_systems"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
+    out = fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    )
+    if topk is not None:
+        out = out.filter(F.col("fused_rank") <= topk)
+    return out
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 — no RNG
     state, reproducible across engines and runs."""

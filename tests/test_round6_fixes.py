@@ -215,3 +215,30 @@ def test_curate_cli_histogram(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(SystemExit, match="value-col"):
         curate_main(["histogram", src, "-o", out, "--value-col", "nope"])
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from res2df_spark.llm.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "q_id int, vec_id int, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (1, 13, 3)], "q_id int, vec_id int, rank int"
+    )
+    got = {r["vec_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+    # doc 10: 1/61 + 1/62; doc 11: 1/62 + 1/61 (tie); 12: 1/63; 13: 1/63
+    assert got[10]["rrf_score"] == got[11]["rrf_score"] == round(1/61 + 1/62, 6)
+    assert got[10]["n_systems"] == 2
+    assert got[12]["rrf_score"] == got[13]["rrf_score"] == round(1/63, 6)
+    assert got[12]["n_systems"] == 1  # absent from system A contributes nothing
+    # tie-break by doc id: 10 before 11, 12 before 13
+    assert got[10]["fused_rank"] == 1 and got[11]["fused_rank"] == 2
+    assert got[12]["fused_rank"] == 3 and got[13]["fused_rank"] == 4
+    # topk cut
+    assert rrf_fuse([a, b], k=60, topk=2).count() == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with _pytest.raises(ValueError, match="k must"):
+        rrf_fuse([a], k=0)

@@ -75,6 +75,7 @@ BNLJ_INTENTIONAL = {
     "mix_plan": "broadcast one-row plan table",
     "decayed_user_value": "broadcast one-row reference-time table",
     "value_histogram": "broadcast one-row min/max bounds table",
+    "hybrid_rrf": "broadcast query set x corpus: exact retrieval inputs by design",
     "r3_wildcard_expand": "non-equi rlike join; broadcast side = pattern list",
     "w7_tree_snapshot": "non-equi date-range join; broadcast side = snapshot dates",
     "w8_resample_linear": "non-equi bracketing join; broadcast side = date spine",
