@@ -223,31 +223,6 @@ def a5_dedup_keep_last(spark, sf_dir):
     ).select("user_id", "event_type", "event_id", "ts", "value")
 
 
-@_q(
-    "a5_dedup_keep_agg",
-    """
-    SELECT user_id, event_type, event_id, ts, value FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events) t
-    WHERE rn = 1
-    """,
-)
-def a5_dedup_keep_agg(spark, sf_dir):
-    """Keep-last dedup as a partial-aggregatable max_by (A5, skew-safe
-    form — operators/windows.dedup_keep_agg, round 6): identical output
-    to a5_dedup_keep_last on a totally-ordered key, but a hot key
-    collapses map-side to one candidate per task instead of pinning one
-    window task — the documented mitigation for window-partition skew
-    AQE cannot split."""
-    from res2df_spark.operators.windows import dedup_keep_agg
-
-    ev = Catalog(spark, sf_dir).events
-    return dedup_keep_agg(
-        ev, keys=["user_id", "event_type"], order_by=["ts", "event_id"], keep="last"
-    ).select("user_id", "event_type", "event_id", "ts", "value")
-
-
 # ---------------------------------------------------------------------------
 # §2.3 Projections / filters
 # ---------------------------------------------------------------------------
@@ -1077,65 +1052,6 @@ def ann_cosine_topk(spark, sf_dir):
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rnk"),
     )
-
-
-@_q(
-    "hybrid_rrf",
-    """
-    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
-    pairs AS (SELECT q.q_id, e.vec_id, q.qv, e.embedding AS ev
-              FROM q, embeddings e WHERE e.vec_id <> q.q_id),
-    d64 AS (SELECT q_id, vec_id,
-                   sum(CAST(qv[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS dot,
-                   sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS nq,
-                   sum(CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS ne
-            FROM (SELECT q_id, vec_id, qv, ev,
-                         unnest(generate_series(1, 64)) AS i FROM pairs)
-            GROUP BY 1, 2),
-    d8 AS (SELECT q_id, vec_id,
-                  sum(CAST(qv[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS dot,
-                  sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS nq,
-                  sum(CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS ne
-           FROM (SELECT q_id, vec_id, qv, ev,
-                        unnest(generate_series(1, 8)) AS i FROM pairs)
-           GROUP BY 1, 2),
-    r64 AS (SELECT q_id, vec_id,
-                   row_number() OVER (PARTITION BY q_id
-                       ORDER BY dot / (sqrt(nq) * sqrt(ne)) DESC, vec_id) AS rnk
-            FROM d64),
-    r8 AS (SELECT q_id, vec_id,
-                  row_number() OVER (PARTITION BY q_id
-                      ORDER BY dot / (sqrt(nq) * sqrt(ne)) DESC, vec_id) AS rnk
-           FROM d8),
-    u AS (SELECT q_id, vec_id, rnk FROM r64 WHERE rnk <= 10
-          UNION ALL SELECT q_id, vec_id, rnk FROM r8 WHERE rnk <= 10),
-    f AS (SELECT q_id, vec_id, round(sum(1.0 / (60 + rnk)), 6) AS rrf_score,
-                 count(*) AS n_systems
-          FROM u GROUP BY 1, 2)
-    SELECT q_id, vec_id, CAST(rrf_score AS DOUBLE) AS rrf_score,
-           CAST(n_systems AS BIGINT) AS n_systems,
-           CAST(row_number() OVER (PARTITION BY q_id
-               ORDER BY rrf_score DESC, vec_id) AS BIGINT) AS fused_rank
-    FROM f
-    """,
-)
-def hybrid_rrf(spark, sf_dir):
-    """Reciprocal-rank fusion (llm/similarity.rrf_fuse, round 6) of two
-    exact retrievals: full 64-dim cosine top-10 and the 8-dim
-    matryoshka-prefix cosine top-10 — the multi-vector ensemble /
-    hybrid-search combiner (Σ 1/(60+rank)).  One union + one
-    partial-agg groupBy on (query, doc) + a per-query window over at
-    most systems×k rows; fused ranking on the 6dp-rounded score with
-    doc-id tie-break so ranks are engine-portable.  The oracle
-    recomputes both rankings and the fusion arithmetic."""
-    from res2df_spark.llm.similarity import brute_force_topk, rrf_fuse
-
-    emb = Catalog(spark, sf_dir).embeddings
-    q = emb.filter(F.col("vec_id") < 8)
-    full = brute_force_topk(emb, q, k=10)
-    emb8 = emb.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
-    pre8 = brute_force_topk(emb8, emb8.filter(F.col("vec_id") < 8), k=10)
-    return rrf_fuse([full, pre8], k=60)
 
 
 @_q(

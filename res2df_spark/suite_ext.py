@@ -567,48 +567,6 @@ def mm_extract_features(spark, sf_dir):
     return _mm_feats_csv(extract_features(src))
 
 
-@_q(
-    "mm_features_arity",
-    """
-    WITH m AS (SELECT doc_id, md5(text) AS h0 FROM documents),
-    b AS (SELECT doc_id, h0, md5(h0 || '1') AS h1 FROM m),
-    f AS (SELECT doc_id, h0, h1, unnest(generate_series(0, 5)) AS j FROM b),
-    hx AS (SELECT doc_id, j,
-                  CASE WHEN j < 4 THEN h0 ELSE h1 END AS h,
-                  (j % 4) * 8 AS off FROM f),
-    nib AS (SELECT doc_id, j,
-                   sum((strpos('0123456789abcdef',
-                               substr(h, CAST(off + i AS INT), 1)) - 1)
-                       * power(16.0, 8 - i)) AS w
-            FROM (SELECT doc_id, j, h, off,
-                         unnest(generate_series(1, 8)) AS i FROM hx)
-            GROUP BY doc_id, j)
-    SELECT doc_id,
-           string_agg(CAST(CAST(round(w / 4294967296.0, 6)
-                                AS DECIMAL(20, 6)) AS VARCHAR),
-                      ',' ORDER BY j) AS feats_csv,
-           CASE WHEN max(w) IS NULL THEN NULL
-                ELSE CAST(6 AS BIGINT) END AS n_features
-    FROM nib GROUP BY doc_id
-    """,
-)
-def mm_features_arity(spark, sf_dir):
-    """Parametric feature arity (round 6): the SAME extract_features
-    path at n_features=6 — features 4 and 5 come from the CHAINED
-    second md5 block (md5(hexdigest + '1')), so this row proves the
-    arity plumbing AND the block chaining, nibble-by-nibble in SQL.  A
-    real embedder swaps in via decoder=/n_features= with no schema
-    edit."""
-    from res2df_spark.llm.multimodal import extract_features
-
-    docs = Catalog(spark, sf_dir).documents
-    src = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("text").cast("binary").alias("payload"),
-    )
-    return _mm_feats_csv(extract_features(src, n_features=6)).drop(
-        "n_bytes", "content_md5"
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -6072,3 +6030,131 @@ def pvto_writer_roundtrip(spark, sf_dir):
         F.col("VOLUMEFACTOR").alias("volumefactor"),
         F.col("VISCOSITY").alias("viscosity"),
     ).orderBy("rs", "row_idx")
+
+
+@_q(
+    "a5_dedup_keep_agg",
+    """
+    SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+)
+def a5_dedup_keep_agg(spark, sf_dir):
+    """Keep-last dedup as a partial-aggregatable max_by (A5, skew-safe
+    form — operators/windows.dedup_keep_agg, round 6): identical output
+    to a5_dedup_keep_last on a totally-ordered key, but a hot key
+    collapses map-side to one candidate per task instead of pinning one
+    window task — the documented mitigation for window-partition skew
+    AQE cannot split."""
+    from res2df_spark.operators.windows import dedup_keep_agg
+
+    ev = Catalog(spark, sf_dir).events
+    return dedup_keep_agg(
+        ev, keys=["user_id", "event_type"], order_by=["ts", "event_id"], keep="last"
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
+@_q(
+    "hybrid_rrf",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    pairs AS (SELECT q.q_id, e.vec_id, q.qv, e.embedding AS ev
+              FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+    d64 AS (SELECT q_id, vec_id,
+                   sum(CAST(qv[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS dot,
+                   sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS nq,
+                   sum(CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS ne
+            FROM (SELECT q_id, vec_id, qv, ev,
+                         unnest(generate_series(1, 64)) AS i FROM pairs)
+            GROUP BY 1, 2),
+    d8 AS (SELECT q_id, vec_id,
+                  sum(CAST(qv[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS dot,
+                  sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS nq,
+                  sum(CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS ne
+           FROM (SELECT q_id, vec_id, qv, ev,
+                        unnest(generate_series(1, 8)) AS i FROM pairs)
+           GROUP BY 1, 2),
+    r64 AS (SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY dot / (sqrt(nq) * sqrt(ne)) DESC, vec_id) AS rnk
+            FROM d64),
+    r8 AS (SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id
+                      ORDER BY dot / (sqrt(nq) * sqrt(ne)) DESC, vec_id) AS rnk
+           FROM d8),
+    u AS (SELECT q_id, vec_id, rnk FROM r64 WHERE rnk <= 10
+          UNION ALL SELECT q_id, vec_id, rnk FROM r8 WHERE rnk <= 10),
+    f AS (SELECT q_id, vec_id, round(sum(1.0 / (60 + rnk)), 6) AS rrf_score,
+                 count(*) AS n_systems
+          FROM u GROUP BY 1, 2)
+    SELECT q_id, vec_id, CAST(rrf_score AS DOUBLE) AS rrf_score,
+           CAST(n_systems AS BIGINT) AS n_systems,
+           CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY rrf_score DESC, vec_id) AS BIGINT) AS fused_rank
+    FROM f
+    """,
+)
+def hybrid_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion (llm/similarity.rrf_fuse, round 6) of two
+    exact retrievals: full 64-dim cosine top-10 and the 8-dim
+    matryoshka-prefix cosine top-10 — the multi-vector ensemble /
+    hybrid-search combiner (Σ 1/(60+rank)).  One union + one
+    partial-agg groupBy on (query, doc) + a per-query window over at
+    most systems×k rows; fused ranking on the 6dp-rounded score with
+    doc-id tie-break so ranks are engine-portable.  The oracle
+    recomputes both rankings and the fusion arithmetic."""
+    from res2df_spark.llm.similarity import brute_force_topk, rrf_fuse
+
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") < 8)
+    full = brute_force_topk(emb, q, k=10)
+    emb8 = emb.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
+    pre8 = brute_force_topk(emb8, emb8.filter(F.col("vec_id") < 8), k=10)
+    return rrf_fuse([full, pre8], k=60)
+
+
+@_q(
+    "mm_features_arity",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS h0 FROM documents),
+    b AS (SELECT doc_id, h0, md5(h0 || '1') AS h1 FROM m),
+    f AS (SELECT doc_id, h0, h1, unnest(generate_series(0, 5)) AS j FROM b),
+    hx AS (SELECT doc_id, j,
+                  CASE WHEN j < 4 THEN h0 ELSE h1 END AS h,
+                  (j % 4) * 8 AS off FROM f),
+    nib AS (SELECT doc_id, j,
+                   sum((strpos('0123456789abcdef',
+                               substr(h, CAST(off + i AS INT), 1)) - 1)
+                       * power(16.0, 8 - i)) AS w
+            FROM (SELECT doc_id, j, h, off,
+                         unnest(generate_series(1, 8)) AS i FROM hx)
+            GROUP BY doc_id, j)
+    SELECT doc_id,
+           string_agg(CAST(CAST(round(w / 4294967296.0, 6)
+                                AS DECIMAL(20, 6)) AS VARCHAR),
+                      ',' ORDER BY j) AS feats_csv,
+           CASE WHEN max(w) IS NULL THEN NULL
+                ELSE CAST(6 AS BIGINT) END AS n_features
+    FROM nib GROUP BY doc_id
+    """,
+)
+def mm_features_arity(spark, sf_dir):
+    """Parametric feature arity (round 6): the SAME extract_features
+    path at n_features=6 — features 4 and 5 come from the CHAINED
+    second md5 block (md5(hexdigest + '1')), so this row proves the
+    arity plumbing AND the block chaining, nibble-by-nibble in SQL.  A
+    real embedder swaps in via decoder=/n_features= with no schema
+    edit."""
+    from res2df_spark.llm.multimodal import extract_features
+
+    docs = Catalog(spark, sf_dir).documents
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return _mm_feats_csv(extract_features(src, n_features=6)).drop(
+        "n_bytes", "content_md5"
+    )
