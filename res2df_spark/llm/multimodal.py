@@ -39,7 +39,9 @@ def feature_schema(id_type=LongType()) -> StructType:
     ``features array<double>`` column — arity-independent, so a real
     embedder emitting hundreds of dims plugs in without editing the
     module (the feature COUNT travels as data in ``n_features``, and
-    the schema never changes with it)."""
+    the schema never changes with it).  ``id_type`` follows the input
+    id column: integral ids come back as longs, anything else as
+    strings (:func:`extract_features` resolves this from its input)."""
     return StructType(
         [
             StructField("doc_id", id_type),
@@ -116,6 +118,17 @@ def extract_features(
     if not isinstance(df.schema[payload_col].dataType, BinaryType):
         df = df.withColumn(payload_col, F.col(payload_col).cast("binary"))
     dec = decoder or (lambda p: _fake_features(p, n_features))
+    # id dtype follows the input: integral ids come back as longs (the
+    # string transport below reconverts exactly), anything else (uuid
+    # strings, composite keys) stays a string — feature_schema(id_type)
+    # is how the output schema tracks it
+    from pyspark.sql.types import ByteType, IntegerType, ShortType
+
+    integral = isinstance(
+        df.schema[id_col].dataType,
+        (LongType, IntegerType, ShortType, ByteType),
+    )
+    schema = feature_schema(LongType() if integral else StringType())
 
     def _checked(p: bytes):
         f = dec(p)
@@ -138,11 +151,14 @@ def extract_features(
             feats = [None if p is None else _checked(p) for p in payloads]
             yield pd.DataFrame(
                 {
-                    # ids travel as strings (see the select below) and
-                    # convert object->Int64 exactly: a NULL-bearing
-                    # batch of raw longs would arrive float64-with-NaN,
-                    # where astype silently corrupts ids above 2^53
-                    "doc_id": pdf[id_col].astype("Int64"),
+                    # ids travel as strings (see the select below); for
+                    # integral inputs convert object->Int64 exactly (a
+                    # NULL-bearing batch of raw longs would arrive
+                    # float64-with-NaN, where astype silently corrupts
+                    # ids above 2^53); non-integral ids stay strings
+                    "doc_id": (
+                        pdf[id_col].astype("Int64") if integral else pdf[id_col]
+                    ),
                     "n_bytes": [None if p is None else len(p) for p in payloads],
                     "content_md5": [
                         None if p is None else hashlib.md5(p).hexdigest()
@@ -157,7 +173,7 @@ def extract_features(
 
     return df.select(
         F.col(id_col).cast("string").alias(id_col), payload_col
-    ).mapInPandas(run, FEATURE_SCHEMA)
+    ).mapInPandas(run, schema)
 
 
 #: Schema of a sampled frame record: one row per kept frame.

@@ -86,9 +86,11 @@ def rolling_agg_chunked(
     halo duplication at ~1.6% of rows; it must be ≥ ``window_seconds``
     (a frame may never need rows two chunks back).
 
-    Rows with NULL ``ts_col`` get NULL aggregates (they have no place
-    on the time axis — same convention as ``sessionize``).  Chunk ids
-    come from exact integer floor-division of microseconds, so chunk
+    Rows with NULL ``ts_col`` aggregate over the key's NULL-timestamp
+    PEER GROUP (count/sum of that key's NULL-ts rows) — exactly what
+    :func:`rolling_agg`'s RANGE window does with NULL ordering values,
+    so the two forms stay row-identical on any input.  Chunk ids come
+    from exact integer floor-division of microseconds, so chunk
     assignment — like frame membership — is engine-portable.
     """
     window_us = int(window_seconds) * 1_000_000
@@ -137,11 +139,18 @@ def rolling_agg_chunked(
         .filter(~F.col("__halo"))
         .drop("__us", "__chunk", "__halo")
     )
+    # NULL-ts rows: the plain form's RANGE frame puts them in the key's
+    # NULL peer group (count/sum over the key's NULL-ts rows) — match
+    # it with one window over the (small) NULL subset only
+    null_w = Window.partitionBy(*keys)
+    null_total = F.sum(value_col).over(null_w)
+    if round_digits is not None:
+        null_total = F.round(null_total, round_digits)
     nulls = (
         with_us.filter(F.col("__us").isNull())
         .drop("__us")
-        .withColumn(count_name, F.lit(None).cast("long"))
-        .withColumn(sum_name, F.lit(None).cast(dict(scored.dtypes)[sum_name]))
+        .withColumn(count_name, F.count(F.lit(1)).over(null_w).cast("long"))
+        .withColumn(sum_name, null_total)
     )
     return scored.unionByName(nulls)
 

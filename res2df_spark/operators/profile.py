@@ -85,12 +85,15 @@ def value_histogram(
     Returns one row per OCCUPIED bin: (bin, bin_lo, bin_hi, n), with
     ``bin`` 0-based and values equal to ``hi`` counted into the last
     bin (half-open bins elsewhere, the numpy/matplotlib convention).
-    Explicit ``lo``/``hi`` bound the plan to one aggregate; when
-    omitted, the bounds come from a min/max aggregate riding as a
-    one-row broadcast cross join — still in-plan, no driver action.
-    NULL and NaN values are excluded (they have no bin); values outside
-    explicit bounds are clamped into the edge bins so the histogram
-    accounts for every finite value.
+    Explicit ``lo``/``hi`` bound the plan to one aggregate; a missing
+    bound (either or both) is derived from the data via a min/max
+    aggregate riding as a one-row broadcast cross join — still
+    in-plan, no driver action.  NULL, NaN and ±Infinity values are
+    excluded (they have no bin — one unfiltered infinity would
+    otherwise make the derived width infinite and collapse every
+    finite value's bin to NaN); values outside explicit bounds are
+    clamped into the edge bins so the histogram accounts for every
+    finite value.
 
     Scale shape: one partial-aggregated groupBy on the bin id — at most
     ``n_bins`` rows reach the reducer per map task regardless of data
@@ -99,23 +102,32 @@ def value_histogram(
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if lo is not None and hi is not None and not float(hi) >= float(lo):
+        raise ValueError(f"hi ({hi}) must be >= lo ({lo})")
     x = F.col(col).cast("double")
-    vals = df.filter(x.isNotNull() & ~F.isnan(x)).select(x.alias("__x"))
+    vals = df.filter(
+        x.isNotNull()
+        & ~F.isnan(x)
+        & (x != float("inf"))
+        & (x != float("-inf"))
+    ).select(x.alias("__x"))
     if lo is None or hi is None:
+        # derive only the MISSING bound(s) — a half-specified range
+        # keeps the caller's explicit anchor
         bounds = vals.agg(
             F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
         )
         vals = vals.crossJoin(F.broadcast(bounds))
-        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+        lo_c = F.lit(float(lo)) if lo is not None else F.col("__lo")
+        hi_c = F.lit(float(hi)) if hi is not None else F.col("__hi")
     else:
-        if not float(hi) >= float(lo):
-            raise ValueError(f"hi ({hi}) must be >= lo ({lo})")
         lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
-        # clamp, don't filter: out-of-range values land in the edge
-        # bins so the histogram accounts for every finite value
-        vals = vals.withColumn(
-            "__x", F.least(F.greatest(F.col("__x"), lo_c), hi_c)
-        )
+    # clamp, don't filter: out-of-range values land in the edge bins so
+    # the histogram accounts for every finite value (a no-op for
+    # data-derived bounds)
+    vals = vals.withColumn(
+        "__x", F.least(F.greatest(F.col("__x"), lo_c), hi_c)
+    )
     width = (hi_c - lo_c) / F.lit(float(n_bins))
     # degenerate lo == hi (constant column): everything lands in bin 0
     bin_ = F.when(width > 0, F.least(

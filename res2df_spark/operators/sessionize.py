@@ -157,17 +157,23 @@ def sessionize_chunked(
         .orderBy("__chunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # NULL keys are real groups to every window/groupBy above (and to
+    # the plain sessionize) — the offsets join must be NULL-SAFE or
+    # NULL-key rows silently vanish from the output
     offsets = cnt.withColumn(
         "__off", F.coalesce(F.sum("__starts").over(off_w), F.lit(0))
-    ).select(*keys, "__chunk", "__off")
+    ).select(
+        *[F.col(k).alias(f"__ok{i}") for i, k in enumerate(keys)],
+        F.col("__chunk").alias("__oc"),
+        "__off",
+    )
+    body = within.filter(~F.col("__halo"))
+    cond = [body[k].eqNullSafe(offsets[f"__ok{i}"]) for i, k in enumerate(keys)]
+    cond.append(body["__chunk"] == offsets["__oc"])
     out_cols = [*df.columns, (F.col("__off") + F.col("__within")).cast(
         "long"
     ).alias(session_col)]
-    scored = (
-        within.filter(~F.col("__halo"))
-        .join(offsets, [*keys, "__chunk"])
-        .select(*out_cols)
-    )
+    scored = body.join(offsets, cond).select(*out_cols)
     nulls = (
         with_us.filter(F.col("__us").isNull())
         .select(*df.columns)

@@ -74,7 +74,14 @@ def truncate_lineage(df, eager: bool = True):
         current = sc.getCheckpointDir()
         want = ckdir.rstrip("/")
         want = want.removeprefix("file:") or "/"
-        if current is None or not current.rstrip("/").endswith(want):
+        # getCheckpointDir returns <dir>/<random-uuid> (Spark appends a
+        # per-setCheckpointDir uuid segment), so compare the PARENT —
+        # matching against the full value would re-point the dir (a
+        # mkdirs RPC + a fresh uuid directory) on EVERY truncation
+        parent = (
+            current.rstrip("/").rsplit("/", 1)[0] if current else None
+        )
+        if parent is None or not parent.endswith(want):
             sc.setCheckpointDir(ckdir)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

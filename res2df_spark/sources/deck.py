@@ -747,13 +747,20 @@ def read_deck(path: str, max_depth: int = 16) -> str:
                     at_boundary and len(toks) == 1 and kw_shaped.fullmatch(toks[0])
                 ):
                     # record data opens a record; a '/' terminator
-                    # (bare or glued to an unquoted value) closes it
+                    # (bare or glued to an unquoted value) closes it —
+                    # and everything AFTER the terminator on the same
+                    # line is Eclipse comment text ("0 1 / output
+                    # control"), so the first terminator DECIDES the
+                    # line's boundary state
                     for t in toks:
-                        at_boundary = t == "/" or (
+                        if t == "/" or (
                             len(t) > 1
                             and t[0] not in "'\""
                             and t.endswith("/")
-                        )
+                        ):
+                            at_boundary = True
+                            break
+                        at_boundary = False
                 i += 1
                 continue
             # the filename record: rest of the keyword line, else the

@@ -3707,7 +3707,7 @@ def table_profile(spark, sf_dir):
 
 _HISTOGRAM_SQL = """
     WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events
-               WHERE value IS NOT NULL AND NOT isnan(value)),
+               WHERE value IS NOT NULL AND isfinite(value)),
     b AS (SELECT min(x) AS lo, max(x) AS hi FROM v),
     binned AS (SELECT CASE WHEN hi > lo
                            THEN least(CAST(floor((x - lo) / ((hi - lo) / 20.0))

@@ -81,11 +81,15 @@ def test_rolling_chunked_null_ts_and_validation(spark):
     out = rolling_agg_chunked(
         ev, "ts", ["user_id"], "value", 1800, chunk_seconds=3600
     )
+    # NULL-ts rows aggregate over the key's NULL peer group — the plain
+    # form's RANGE-window semantics (row-identical, see
+    # test_round6_review.test_rolling_chunked_null_ts_matches_plain)
     nulls = out.filter(F.col("ts").isNull()).collect()
-    assert nulls and all(
-        r["n_window"] is None and r["sum_window"] is None for r in nulls
-    )
+    assert nulls and all(r["n_window"] >= 1 for r in nulls)
     assert out.count() == ev.count()
+    plain = rolling_agg(ev, "ts", ["user_id"], "value", 1800)
+    cols = ["event_id", "n_window", "sum_window"]
+    assert _collect(out, cols) == _collect(plain, cols)
     with pytest.raises(ValueError, match="chunk_seconds"):
         rolling_agg_chunked(ev, "ts", ["user_id"], "value", 3600, chunk_seconds=60)
 

@@ -1,0 +1,153 @@
+"""Regression tests for the round-6 code-review findings (all verified
+live before fixing): NULL-key sessionize_chunked, comment-after-slash
+INCLUDE boundary, histogram infinities + half-specified bounds,
+checkpoint-dir uuid churn, NULL-ts rolling parity, string-id feature
+extraction."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_sessionize_chunked_keeps_null_key_rows(spark):
+    from res2df_spark.operators.sessionize import sessionize, sessionize_chunked
+
+    rows = [
+        (0, None, datetime(2024, 1, 1, 0, 0), 1.0),
+        (1, None, datetime(2024, 1, 1, 3, 0), 1.0),
+        (2, 7, datetime(2024, 1, 1, 0, 0), 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    plain = sorted(
+        (r["event_id"], r["session_id"])
+        for r in sessionize(ev, "ts", ["user_id"], 3600, tiebreak=["event_id"]).collect()
+    )
+    chunked = sorted(
+        (r["event_id"], r["session_id"])
+        for r in sessionize_chunked(
+            ev, "ts", ["user_id"], 3600, chunk_seconds=7200, tiebreak=["event_id"]
+        ).collect()
+    )
+    assert chunked == plain
+    assert len(chunked) == 3  # NULL-key rows present
+    # NULL keys form their own partition: two sessions 3h apart
+    assert dict(chunked)[0] == 1 and dict(chunked)[1] == 2
+
+
+def test_include_after_slash_comment_still_splices(tmp_path):
+    """'0 1 / output control' closes the record — the trailing text is
+    Eclipse comment, so a following INCLUDE is a directive."""
+    from res2df_spark.sources.deck import read_deck
+
+    inc = tmp_path / "grid.inc"
+    inc.write_text("WATER\n")
+    deck = tmp_path / "T.DATA"
+    deck.write_text(
+        "GRIDFILE\n 0 1 / output control\nINCLUDE\n 'grid.inc' /\n"
+    )
+    text = read_deck(str(deck))
+    assert "WATER" in text and "INCLUDE" not in text
+
+
+def test_histogram_excludes_infinities(spark):
+    from res2df_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (float("inf"),), (float("-inf"),), (5.0,)], "x double"
+    )
+    rows = {r["bin"]: r for r in value_histogram(df, "x", n_bins=4).collect()}
+    assert sum(r["n"] for r in rows.values()) == 3  # infinities excluded
+    assert rows[0]["bin_lo"] == 1.0  # bounds derived from FINITE values
+    assert max(r["bin_hi"] for r in rows.values()) == 5.0
+
+
+def test_histogram_half_specified_bounds_honoured(spark):
+    from res2df_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (5.0,)], "x double")
+    rows = sorted(
+        value_histogram(df, "x", n_bins=5, lo=0.0).collect(),
+        key=lambda r: r["bin"],
+    )
+    # explicit lo anchors at 0.0, hi derived from data (5.0): width 1.0
+    # — value 1.0 lands in bin 1 = [1,2) (with data-derived lo=1 it
+    # would land in bin 0), and empty bin 0 emits no row
+    assert rows[0]["bin"] == 1 and rows[0]["bin_lo"] == 1.0
+    assert rows[-1]["bin_hi"] == 5.0
+    # explicit hi=9 with derived lo=1: width (9-1)/4 = 2, so value 5
+    # lands in bin 2 = [5,7) — with data-derived hi=5 the width would
+    # be 1 and 5 would land in the last bin
+    rows_hi = {r["bin"]: r for r in value_histogram(df, "x", n_bins=4, hi=9.0).collect()}
+    assert rows_hi[2]["bin_lo"] == 5.0 and rows_hi[2]["bin_hi"] == 7.0
+
+
+def test_checkpoint_dir_not_repointed_per_call(spark, tmp_path):
+    """getCheckpointDir returns <dir>/<uuid>; the sync check must
+    compare the parent, or every truncation mkdirs a fresh uuid dir."""
+    import os
+
+    from res2df_spark.session import CHECKPOINT_DIR_CONF, truncate_lineage
+
+    ckdir = str(tmp_path / "ck")
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckdir)
+    try:
+        df = spark.range(3)
+        truncate_lineage(df)
+        first = spark.sparkContext.getCheckpointDir()
+        truncate_lineage(df)
+        truncate_lineage(df)
+        assert spark.sparkContext.getCheckpointDir() == first
+        # exactly one uuid subdirectory was created
+        assert len(os.listdir(ckdir)) == 1
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+
+
+def test_rolling_chunked_null_ts_matches_plain(spark):
+    from res2df_spark.operators.eventanalytics import rolling_agg, rolling_agg_chunked
+
+    rows = [
+        (0, 1, datetime(2024, 1, 1, 0, 0), 10.0),
+        (1, 1, None, 3.0),
+        (2, 1, None, 4.0),
+        (3, 2, None, 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    cols = ["event_id", "n_window", "sum_window"]
+    plain = sorted(
+        tuple(r) for r in rolling_agg(ev, "ts", ["user_id"], "value", 3600)
+        .select(*cols).collect()
+    )
+    chunked = sorted(
+        tuple(r)
+        for r in rolling_agg_chunked(
+            ev, "ts", ["user_id"], "value", 3600, chunk_seconds=7200
+        ).select(*cols).collect()
+    )
+    assert chunked == plain
+    # and the NULL peer group is per key: user 1's null rows see n=2
+    got = {r[0]: r for r in chunked}
+    assert got[1][1] == 2 and got[1][2] == 7.0
+    assert got[3][1] == 1 and got[3][2] == 7.0
+
+
+def test_extract_features_string_ids(spark):
+    from res2df_spark.llm.multimodal import extract_features, feature_schema
+    from pyspark.sql.types import StringType
+
+    df = spark.createDataFrame(
+        [("doc-a", bytearray(b"xy")), ("doc-b", None)],
+        "doc_id string, payload binary",
+    )
+    out = extract_features(df)
+    assert out.schema == feature_schema(StringType())
+    got = {r.doc_id: r for r in out.collect()}
+    assert got["doc-a"].n_bytes == 2
+    assert got["doc-b"].features is None
