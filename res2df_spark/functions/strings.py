@@ -57,7 +57,16 @@ def matches_template(col: Column | str, template: str) -> Column:
 def pair_key(a: Column | str, b: Column | str, sep: str = "-") -> Column:
     """Unordered pair key ``min-max`` (A3:
     /root/reference/src/res2df/trans.py:195-200) via least/greatest —
-    makes (a,b) and (b,a) group together."""
+    makes (a,b) and (b,a) group together.
+
+    A NULL endpoint yields a NULL key: least/greatest skip NULLs and
+    concat_ws drops them, so without the guard ``(NULL, 'B')`` would
+    silently collapse to ``'B-B'`` and corrupt the genuine (B, B)
+    group's aggregates — NULL-endpoint rows group under NULL instead,
+    where a consumer can see (and filter or investigate) them."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    return F.concat_ws(sep, F.least(ca, cb), F.greatest(ca, cb))
+    return F.when(
+        ca.isNotNull() & cb.isNotNull(),
+        F.concat_ws(sep, F.least(ca, cb), F.greatest(ca, cb)),
+    )

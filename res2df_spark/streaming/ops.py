@@ -35,15 +35,21 @@ def status_change_stream(
 ) -> DataFrame:
     """Emit one row per state *change* per key from a streaming DataFrame.
 
-    Within a micro-batch, rows are processed in ``ts_col`` order; the
-    last seen state per key is carried across batches as group state.
-    Output schema: key columns + (ts, new_status).
+    Within a micro-batch, rows are processed in ``ts_col`` order with
+    NULL timestamps FIRST (matching the batch W3 lag() window's default
+    ``ASC NULLS FIRST`` ordering — pandas would otherwise put NaT last
+    and scan the same data in the opposite order); the last seen state
+    per key is carried across batches as group state.  The state column
+    is compared as a STRING (cast on entry, so non-string state columns
+    work instead of dying in Arrow conversion).  Output schema: key
+    columns + (ts, new_status).
 
     Note: cross-batch ordering relies on the watermark bounding
     out-of-order arrival, the same contract as any stateful streaming
     op.
     """
     key_cols = list(key_cols)
+    events = events.withColumn(state_col, F.col(state_col).cast("string"))
     out_fields = [events.schema[c] for c in key_cols] + [
         StructField("ts", TimestampType()),
         StructField("new_status", StringType()),
@@ -61,7 +67,7 @@ def status_change_stream(
         chunks = [pdf for pdf in pdfs]
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                ts_col, kind="mergesort"
+                ts_col, kind="mergesort", na_position="first"
             )
             for ts, st in zip(pdf[ts_col], pdf[state_col]):
                 if st != last:
@@ -212,6 +218,18 @@ def dedup_stream(
     try:
         return wm.dropDuplicatesWithinWatermark(list(key_cols))
     except AttributeError:  # pragma: no cover - older Spark
+        import warnings
+
+        # dropDuplicates without the event-time column in the keys
+        # NEVER evicts state — the docstring's bounded-state contract
+        # does not hold on this fallback path
+        warnings.warn(
+            "dropDuplicatesWithinWatermark unavailable on this Spark; "
+            "falling back to dropDuplicates, whose dedup state grows "
+            "UNBOUNDED (one entry per distinct key, never evicted)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return wm.dropDuplicates([*key_cols])
 
 
@@ -240,8 +258,6 @@ def summary_ingest_stream(spark, watch_dir: str):
     import os
     import re
 
-    import pandas as pd
-
     from res2df_spark.sources.eclbin import summary_long_pandas
 
     files = (
@@ -266,10 +282,23 @@ def summary_ingest_stream(spark, watch_dir: str):
                 # on perfectly valid paths with a wrong diagnosis
                 from urllib.parse import unquote, urlparse
 
+                scheme = urlparse(path).scheme
                 if path.startswith("file:"):
                     local = unquote(urlparse(path).path)
-                else:
+                elif scheme in ("", None):
                     local = path
+                else:
+                    # the SMSPEC sibling is read through the LOCAL
+                    # filesystem inside this Python worker; probing an
+                    # hdfs://s3a:// URI with os.path would misdiagnose
+                    # a present sibling as missing — fail with the real
+                    # limitation instead of the wrong diagnosis
+                    raise NotImplementedError(
+                        f"summary_ingest_stream reads the SMSPEC sibling "
+                        f"worker-locally; {scheme}:// paths need a "
+                        "mounted filesystem or the batch "
+                        "summary_long_many path"
+                    )
                 smspec = os.path.splitext(local)[0] + ".SMSPEC"
                 if not os.path.exists(smspec):
                     raise FileNotFoundError(
@@ -278,13 +307,23 @@ def summary_ingest_stream(spark, watch_dir: str):
                 with open(smspec, "rb") as f:
                     sbuf = f.read()
                 out = summary_long_pandas(sbuf, bytes(unsmry_buf))
-                m = re.search(r"real(?:ization)?-?(\d+)", local)
+                # the realization tag must match a WHOLE path component
+                # (ERT's realization-N directories, any case) — a bare
+                # re.search would match inside 'montreal-2' and
+                # mislabel every row
+                real = None
+                for part in local.replace("\\", "/").split("/"):
+                    pm = re.fullmatch(
+                        r"real(?:ization)?[-_]?(\d+)", part, re.IGNORECASE
+                    )
+                    if pm:
+                        real = pm.group(1)
                 out["REAL"] = (
-                    m.group(1) if m else os.path.splitext(os.path.basename(local))[0]
+                    real
+                    if real is not None
+                    else os.path.splitext(os.path.basename(local))[0]
                 )
                 yield out
-            if len(pdf) == 0:
-                yield pd.DataFrame({"DATE": [], "VECTOR": [], "VALUE": [], "REAL": []})
 
     return files.mapInPandas(
         parse, schema="DATE timestamp, VECTOR string, VALUE double, REAL string"
@@ -305,8 +344,13 @@ def near_dedup_stream(
     Entirely stateless per row up to the state store: the signature is
     the array-expression MinHash (functions/textan.minhash_signature —
     no shuffle, no Python), banded into ``num_hashes/band_size`` keys;
-    ``dropDuplicatesWithinWatermark`` on the band key then lets only the
-    FIRST document claim each band.  Output rows are the surviving
+    ``dropDuplicatesWithinWatermark`` on the band key then lets one
+    document claim each band.  ACROSS micro-batches the earlier batch's
+    claim wins; WITHIN a micro-batch the winner is the first row
+    encountered in task/partition order — NOT necessarily the earliest
+    timestamp or lowest id (the same contract as Spark's streaming
+    dedup itself; batch ``minhash_lsh_candidates`` is the
+    order-deterministic form).  Output rows are the surviving
     (band_idx, band_key, doc) claims — a document that appears in NO
     output row had every band already claimed by earlier traffic, i.e.
     it is a near-duplicate candidate of something already ingested
@@ -337,34 +381,16 @@ def near_dedup_stream(
             f"({band_size})"
         )
     n_bands = num_hashes // band_size
-    # The per-token digest array is MATERIALIZED as a column before the
-    # num_hashes substring-min transforms: the array-expression
-    # minhash_signature captures its digest transform inside each
-    # element's lambda, re-running every token's md5 once per signature
-    # position (~num_hashes× the necessary hashing — the cost
-    # llm/dedup._minhash_bands documents and avoids in batch).  Same
-    # seeded-digest arithmetic, so band keys stay byte-identical with
-    # the batch form and any batch-built index.
-    n_md5 = -(-num_hashes // 4)
-    digests = F.transform(
-        F.col("__toks"),
-        lambda t: F.concat(
-            *[F.md5(F.concat(F.lit(f"{s}:"), t)) for s in range(n_md5)]
-        ),
-    )
-    sig = F.array_compact(
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("__digests"),
-                        lambda h: F.substring(h, 1 + 8 * i, 8),
-                    )
-                )
-                for i in range(num_hashes)
-            ]
-        )
-    )
+    # SHARED signature builder (functions/textan.minhash_signature):
+    # identical seeded-digest arithmetic as the batch _minhash_bands, so
+    # band keys stay byte-identical with any batch-built index — and one
+    # md5 evaluation per (token, digest chunk) via its let-bound digest
+    # (the HOF-recapture cost an earlier inline copy existed to avoid
+    # is now avoided INSIDE the shared builder; two copies of
+    # band-key-critical arithmetic would drift).
+    from res2df_spark.functions.textan import minhash_signature
+
+    sig = minhash_signature(F.col("__toks"), num_hashes)
     bands = F.array(
         *[
             F.struct(
@@ -378,9 +404,9 @@ def near_dedup_stream(
     )
     claimed = (
         docs.withColumn("__toks", tokens(F.col(text_col)))
-        .withColumn("__digests", digests)
         .withColumn("__sig", sig)
-        .filter(F.size("__sig") == num_hashes)  # empty docs: no claims
+        # empty docs: the fold yields an all-NULL signature → no claims
+        .filter(F.size(F.array_compact("__sig")) == num_hashes)
         .select(id_col, ts_col, F.explode(bands).alias("band"))
         .select(id_col, ts_col, "band.band_idx", "band.band_key")
         .withWatermark(ts_col, watermark)
@@ -499,6 +525,14 @@ def funnel_stream(
             for ts, typ in zip(pdf[ts_col], pdf[type_col]):
                 if depth >= len(steps):
                     break
+                # a NULL event time has no place on the funnel's time
+                # axis: the batch form's min() skips NULLs, and a NaT
+                # recorded at depth 0 would block every later 'ts >
+                # times[0]' comparison for the whole batch AND
+                # round-trip through state as None (step re-emitted
+                # next batch)
+                if pd.isna(ts):
+                    continue
                 if typ != steps[depth]:
                     continue
                 if depth > 0 and not ts > times[depth - 1]:

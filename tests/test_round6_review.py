@@ -151,3 +151,107 @@ def test_extract_features_string_ids(spark):
     got = {r.doc_id: r for r in out.collect()}
     assert got["doc-a"].n_bytes == 2
     assert got["doc-b"].features is None
+
+
+def test_pair_key_null_endpoint_yields_null(spark):
+    from res2df_spark.functions.strings import pair_key
+
+    df = spark.createDataFrame(
+        [(5, None), (None, None), (5, 5), (7, 3)], "a int, b int"
+    )
+    got = [r[0] for r in df.select(pair_key("a", "b")).collect()]
+    # (5, NULL) must NOT collapse into the genuine '5-5' group
+    assert got == [None, None, "5-5", "3-7"]
+
+
+def test_funnel_stream_skips_null_ts(spark, tmp_path):
+    from datetime import datetime as dt
+
+    from res2df_spark.streaming.ops import funnel_stream, run_available_now
+
+    rows = [
+        ("u1", None, "view"),            # NaT must not record step 1
+        ("u1", dt(2024, 1, 1, 1), "view"),
+        ("u1", dt(2024, 1, 1, 2), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+    path = str(tmp_path / "ev")
+    ev.write.parquet(path)
+    src = spark.readStream.schema(ev.schema).parquet(path)
+    out = run_available_now(
+        funnel_stream(src, "ts", "user_id", "event_type", ["view", "click"]),
+        name="t_funnel_nat",
+        output_mode="append",
+    ).collect()
+    got = {(r["step"]): r["ts"] for r in out}
+    assert got == {1: dt(2024, 1, 1, 1), 2: dt(2024, 1, 1, 2)}
+    assert all(r["ts"] is not None for r in out)
+
+
+def test_status_change_stream_null_ts_orders_first(spark, tmp_path):
+    from datetime import datetime as dt
+
+    from res2df_spark.operators.windows import status_changes
+    from res2df_spark.streaming.ops import run_available_now, status_change_stream
+
+    rows = [
+        ("w1", dt(2024, 1, 1, 1), "SHUT"),
+        ("w1", None, "OPEN"),  # NULL ts: batch lag orders it FIRST
+    ]
+    ev = spark.createDataFrame(rows, "well string, ts timestamp, st string")
+    path = str(tmp_path / "ev")
+    ev.write.parquet(path)
+    static = spark.read.parquet(path)
+    batch = sorted(
+        ((r["well"], r["ts"], r["st"]) for r in
+         status_changes(static, "st", order_by=["ts"],
+                        partition_by=["well"]).collect()),
+        key=str,
+    )
+    src = spark.readStream.schema(static.schema).parquet(path)
+    stream = sorted(
+        ((r["well"], r["ts"], r["new_status"]) for r in run_available_now(
+            status_change_stream(src, ["well"], "st", "ts"),
+            name="t_status_nat",
+            output_mode="append",
+        ).collect()),
+        key=str,
+    )
+    assert stream == batch
+
+
+def test_status_change_stream_int_state_col(spark, tmp_path):
+    from datetime import datetime as dt
+
+    from res2df_spark.streaming.ops import run_available_now, status_change_stream
+
+    rows = [("w1", dt(2024, 1, 1, 1), 1), ("w1", dt(2024, 1, 1, 2), 2)]
+    ev = spark.createDataFrame(rows, "well string, ts timestamp, code int")
+    path = str(tmp_path / "ev")
+    ev.write.parquet(path)
+    src = spark.readStream.schema(ev.schema).parquet(path)
+    out = run_available_now(
+        status_change_stream(src, ["well"], "code", "ts"),
+        name="t_status_int",
+        output_mode="append",
+    ).collect()
+    assert [(r["new_status"]) for r in sorted(out, key=lambda r: r["ts"])] == ["1", "2"]
+
+
+def test_realization_tag_component_anchored(spark, tmp_path):
+    """'montreal-2' must not hijack the realization tag and
+    'Realization-5' (capitalized) must match."""
+    import re
+
+    def tag(local):
+        real = None
+        for part in local.replace("\\", "/").split("/"):
+            pm = re.fullmatch(r"real(?:ization)?[-_]?(\d+)", part, re.IGNORECASE)
+            if pm:
+                real = pm.group(1)
+        return real
+
+    assert tag("/data/montreal-2/realization-7/CASE.UNSMRY") == "7"
+    assert tag("/ens/Realization-5/CASE.UNSMRY") == "5"
+    assert tag("/ens/real-3/CASE.UNSMRY") == "3"
+    assert tag("/plain/CASE.UNSMRY") is None
