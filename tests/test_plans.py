@@ -361,11 +361,14 @@ def test_dedup_keep_agg_is_aggregate_not_window(spark):
 
 def test_rolling_chunked_partitions_on_time_chunk(spark):
     # the chunked window must partition on (user, chunk) — the hot-key
-    # mitigation — with ONE data exchange (the union of main + halo
-    # reuses the same partitioning)
+    # mitigation — with ONE data exchange for the main path (the union
+    # of main + halo reuses the same partitioning) plus one exchange on
+    # the NULL-ts branch (keys-only window over the isnull() subset,
+    # the plain form's NULL-peer-group parity)
     plan = _plan(spark, "rolling_chunked")
     assert "__chunk" in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "isnull" in plan, plan  # the second exchange is the null branch
 
 
 def test_plan_audit_extraction(spark):
