@@ -54,7 +54,9 @@ def asof_join(
 
     Matching is row-wise, exactly as ``merge_asof``: the latest visible
     right row is taken whole — a NULL field in it stays NULL rather than
-    falling back to an older observation.
+    falling back to an older observation.  Right rows with a NULL
+    ``right_time`` are EXCLUDED (``merge_asof`` raises on NaT keys; a
+    timeless observation cannot be "as of" anything).
     """
     on = list(on)
     if value_cols is None:
@@ -80,7 +82,15 @@ def asof_join(
         *[F.col(c) for c in left_cols if c not in on],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
     )
-    r_tagged = right.select(
+    r_tagged = right.filter(
+        # a NULL observation time has no place on the as-of axis: it
+        # would sort FIRST (ASC NULLS FIRST) with a non-null payload
+        # struct and become a phantom match for every left row before
+        # the first real observation.  pandas merge_asof REJECTS NaT
+        # keys; excluding the rows is the streaming-friendly equivalent
+        # (same gate as resample.py / interpolate.py).
+        F.col(right_time).isNotNull()
+    ).select(
         *on,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
@@ -111,12 +121,11 @@ def asof_join(
         F.col("__is_left").asc() if not strict else F.col("__is_left").desc(),
         payload.asc_nulls_first(),
     ]
+    # (strict mode needs no post-fill fixup: with right rows ordered
+    # AFTER left rows at equal __t, the frame already excludes
+    # equal-time observations.)
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     filled = unioned.withColumn("__m", F.last(payload, ignorenulls=True).over(w))
-    if strict:
-        # with right rows ordered after left rows at equal __t, the window
-        # frame already excludes equal-time observations.
-        pass
 
     out = filled.filter(F.col("__is_left") == 1)
     matched = F.col("__m").isNotNull()

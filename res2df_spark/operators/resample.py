@@ -23,6 +23,29 @@ _FREQ_INTERVAL = {
     "monthly": "interval 1 month",
     "yearly": "interval 1 year",
 }
+_FREQ_TRUNC = {"daily": "day", "weekly": "week", "monthly": "month", "yearly": "year"}
+
+
+def _spine_sql(freq: str, start_expr: str, end_expr: str) -> str:
+    """The shared spine generator: ``sequence(rollback(start),
+    rollforward(end), interval)`` with the reference's rollforward rule
+    (an end already ON a period boundary stays put — advancing it would
+    fabricate an extrapolated row past the end of the run).  ONE home
+    for the boundary-equality test so date_spine and
+    spine_from_observations can never drift."""
+    if freq not in _FREQ_INTERVAL:
+        raise ValueError(
+            f"unsupported frequency {freq!r}: expected one of "
+            f"{sorted(_FREQ_INTERVAL)}"
+        )
+    interval, unit = _FREQ_INTERVAL[freq], _FREQ_TRUNC[freq]
+    # start_expr/end_expr must already be timestamp-typed expressions
+    roll_end = (
+        f"CASE WHEN date_trunc('{unit}', {end_expr}) = {end_expr} "
+        f"THEN {end_expr} "
+        f"ELSE date_trunc('{unit}', {end_expr}) + {interval} END"
+    )
+    return f"sequence(date_trunc('{unit}', {start_expr}), {roll_end}, {interval})"
 
 
 def date_spine(
@@ -41,27 +64,19 @@ def date_spine(
     put (advancing it would fabricate an extrapolated row past the end
     of the run).
     """
-    if freq not in _FREQ_INTERVAL:
-        raise ValueError(
-            f"unsupported frequency {freq!r}: expected one of "
-            f"{sorted(_FREQ_INTERVAL)}"
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.expr(
+                    _spine_sql(
+                        freq, f"to_timestamp('{start}')", f"to_timestamp('{end}')"
+                    )
+                )
+            ).alias(date_col)
         )
-    interval = _FREQ_INTERVAL[freq]
-    trunc_unit = {"daily": "day", "weekly": "week", "monthly": "month", "yearly": "year"}[freq]
-    one = spark.range(1)
-    roll_end = (
-        f"CASE WHEN date_trunc('{trunc_unit}', to_timestamp('{end}')) = to_timestamp('{end}') "
-        f"THEN to_timestamp('{end}') "
-        f"ELSE date_trunc('{trunc_unit}', to_timestamp('{end}')) + {interval} END"
+        .select(F.col(date_col).cast("date").alias(date_col))
     )
-    return one.select(
-        F.explode(
-            F.expr(
-                f"sequence(date_trunc('{trunc_unit}', to_timestamp('{start}')), "
-                f"{roll_end}, {interval})"
-            )
-        ).alias(date_col)
-    ).select(F.col(date_col).cast("date").alias(date_col))
 
 
 def spine_from_observations(
@@ -72,29 +87,12 @@ def spine_from_observations(
     Computed without collecting to the driver: a single-row aggregate
     cross-joined (broadcast, 1 row) with the generated sequence.
     """
-    if freq not in _FREQ_INTERVAL:
-        raise ValueError(
-            f"unsupported frequency {freq!r}: expected one of "
-            f"{sorted(_FREQ_INTERVAL)}"
-        )
-    interval = _FREQ_INTERVAL[freq]
-    trunc_unit = {"daily": "day", "weekly": "week", "monthly": "month", "yearly": "year"}[freq]
     bounds = obs.agg(
         F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
     )
-    # rollforward semantics: an end already on a boundary stays put
-    # (same contract as date_spine above)
-    roll_end = (
-        f"CASE WHEN date_trunc('{trunc_unit}', __hi) = to_timestamp(__hi) "
-        f"THEN to_timestamp(__hi) "
-        f"ELSE date_trunc('{trunc_unit}', __hi) + {interval} END"
-    )
     return bounds.select(
         F.explode(
-            F.expr(
-                f"sequence(date_trunc('{trunc_unit}', __lo), "
-                f"{roll_end}, {interval})"
-            )
+            F.expr(_spine_sql(freq, "to_timestamp(__lo)", "to_timestamp(__hi)"))
         ).alias(date_col)
     ).select(F.col(date_col).cast("date").alias(date_col))
 
@@ -132,7 +130,13 @@ def resample_asof(
         F.lit(1).alias("__is_spine"),
     )
     u = tagged_obs.unionByName(tagged_spine)
-    x = F.col("__t").cast("double")
+    # integer microseconds, never float seconds: double epoch-seconds
+    # lose sub-second exactness at large epochs (ULP > 1µs past ~2100 —
+    # the engine-wide unix_micros boundary convention), which would
+    # collapse or wildly extrapolate the frac below for close
+    # observations; the frac RATIO itself is unchanged (µs numerator
+    # and denominator are the second-based ones scaled exactly by 1e6)
+    x = F.unix_micros(F.col("__t"))
     # a NULL-date observation must contribute NEITHER its value nor an
     # x: gating only y_x would desynchronize the (prev_y, prev_x) pair
     # and emit the phantom value verbatim at spine dates

@@ -8,6 +8,7 @@ input, so a 100 TB input explodes partition-locally.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -84,6 +85,16 @@ def melt(
         # the names are interpolated into generated SQL below; a quote
         # or backtick would break the stack() expression mid-parse
         raise ValueError(f"melt cannot handle quotes/backticks in column names: {bad}")
+    # var_name/value_name land inside backticks and value_type lands
+    # bare in the same generated SQL — validate them like value_cols so
+    # a stray backtick/paren surfaces as a clear driver-side error
+    bad_out = [c for c in (var_name, value_name) if "'" in c or "`" in c]
+    if bad_out:
+        raise ValueError(
+            f"melt cannot handle quotes/backticks in output names: {bad_out}"
+        )
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_()\s,]*", value_type):
+        raise ValueError(f"melt value_type is not a type name: {value_type!r}")
     pairs = ", ".join(f"'{c}', cast(`{c}` as {value_type})" for c in value_cols)
     stacked = df.select(
         *id_cols, F.expr(f"stack({n}, {pairs}) as (`{var_name}`, `{value_name}`)")

@@ -343,6 +343,20 @@ def summary_long_many(spark, root_glob: str):
                 local = unquote(parsed.path) if parsed.scheme else path
                 unsmry = os.path.splitext(local)[0] + ".UNSMRY"
                 if not os.path.exists(unsmry):
+                    # LOUDLY skip: a crashed run's SMSPEC without its
+                    # UNSMRY must not silently shrink the ensemble —
+                    # downstream statistics would look complete while
+                    # missing a realization (case.py raises in the
+                    # single-case analogue; an ensemble reader warns
+                    # and carries on with the runs that finished)
+                    import warnings
+
+                    warnings.warn(
+                        f"skipping realization with no UNSMRY sibling: "
+                        f"{local}",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                     continue
                 with open(unsmry, "rb") as f:
                     ubuf = f.read()
@@ -381,15 +395,23 @@ def write_summary(smspec_path: str, start: datetime.datetime, wide) -> None:
         # parts[1] is a NUMS payload only when it is ALL digits (region/
         # aquifer number) or an i,j,k triple (block address); a merely
         # digit-LEADING token is a legal well name ('1AH') and must
-        # round-trip as the WGNAME
+        # round-trip as the WGNAME.  Well/group families (W*/G*/S*)
+        # NEVER carry a bare-number payload in slot 1 — their vectors
+        # are named — so an all-digit token there is a well literally
+        # named '12' and must stay a WGNAME, not become NUMS.
+        fam = parts[0][:1].upper() if parts[0] else ""
         wg = parts[1] if len(parts) > 1 else ""
-        wg_is_num = wg.isdigit() or bool(re.fullmatch(r"\d+,\d+,\d+", wg))
+        wg_is_num = (
+            wg.isdigit() and fam not in ("W", "G", "S")
+        ) or bool(re.fullmatch(r"\d+,\d+,\d+", wg))
         wgnames.append(wg if wg and not wg_is_num else ":+:+:+:+")
         last = parts[-1]
         if re.fullmatch(r"\d+,\d+,\d+", last):
             i, j, k = (int(x) for x in last.split(","))
             nums.append((i - 1) + nx * (j - 1) + nx * ny * (k - 1) + 1)
-        elif len(parts) > 1 and last.isdigit():
+        elif last.isdigit() and (len(parts) > 2 or wg_is_num):
+            # a digit LAST token is NUMS only when it wasn't already
+            # consumed as the well/group name (WOPR:12 for well '12')
             nums.append(int(last))
         else:
             nums.append(0)
@@ -432,8 +454,18 @@ def grid_geometry_pandas(egrid_buf: bytes):
     (exact for planar-faced cells)."""
     import pandas as pd
 
+    # GLOBAL section only: LGR-bearing EGRIDs repeat GRIDHEAD/COORD/
+    # ZCORN/ACTNUM per local grid and the global grid always comes
+    # first — stop at the second GRIDHEAD (the same guard as grid_table
+    # / nnc_table) so a fully-active global grid that omits ACTNUM
+    # cannot pick up an LGR section's wrong-length mask
     kws = {}
+    seen_gridhead = False
     for k, _t, v in iter_keywords(egrid_buf):
+        if k == "GRIDHEAD":
+            if seen_gridhead:
+                break
+            seen_gridhead = True
         kws.setdefault(k, v)
     gh = kws["GRIDHEAD"]
     nx, ny, nz = int(gh[1]), int(gh[2]), int(gh[3])
@@ -572,12 +604,21 @@ def unrst_vectors_pandas(unrst_buf: bytes, nactive: int, dates="all", vectors=No
     steps = [s for s in steps if "date" in s]
     if not steps:
         return pd.DataFrame()
+    def _as_date(d):
+        return d if isinstance(d, datetime.date) else datetime.date.fromisoformat(str(d))
+
     if dates == "first":
         steps = steps[:1]
     elif dates == "last":
         steps = steps[-1:]
+    elif isinstance(dates, (list, tuple, set)):
+        # case.grid(rstdates=[...]) passes a list of dates — select all
+        # matching steps (str(list) would otherwise hit fromisoformat
+        # with an unparseable repr)
+        wanted = {_as_date(d) for d in dates}
+        steps = [s for s in steps if s.get("date") in wanted]
     elif dates != "all":
-        want = dates if isinstance(dates, datetime.date) else datetime.date.fromisoformat(str(dates))
+        want = _as_date(dates)
         steps = [s for s in steps if s.get("date") == want]
     frames = []
     for s in steps:

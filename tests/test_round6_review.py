@@ -255,3 +255,80 @@ def test_realization_tag_component_anchored(spark, tmp_path):
     assert tag("/ens/Realization-5/CASE.UNSMRY") == "5"
     assert tag("/ens/real-3/CASE.UNSMRY") == "3"
     assert tag("/plain/CASE.UNSMRY") is None
+
+
+def test_asof_null_right_time_excluded(spark):
+    """A NULL observation time must not become a phantom match for
+    early left rows (merge_asof raises on NaT; we exclude)."""
+    from datetime import datetime as dt
+
+    from res2df_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", dt(2024, 1, 1)), ("k", dt(2024, 1, 5))], "k string, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", None, 99.0), ("k", dt(2024, 1, 3), 1.0)],
+        "k string, rt timestamp, v double",
+    )
+    got = {
+        r["lt"]: r["v"]
+        for r in asof_join(left, right, on=["k"], left_time="lt",
+                           right_time="rt").collect()
+    }
+    assert got[dt(2024, 1, 1)] is None  # no phantom 99.0
+    assert got[dt(2024, 1, 5)] == 1.0
+
+
+def test_write_summary_all_digit_well_roundtrips(tmp_path):
+    """A well literally named '12' must round-trip as a WGNAME, not be
+    eaten as a NUMS payload."""
+    import pandas as pd
+
+    from res2df_spark.sources.eclbin import summary_long_pandas, write_summary
+
+    wide = pd.DataFrame(
+        {"WOPR:12": [1.0, 2.0], "RPR:3": [7.0, 8.0]},
+        index=pd.to_datetime(["2020-01-01", "2020-02-01"]),
+    )
+    p = tmp_path / "T.SMSPEC"
+    write_summary(str(p), wide.index[0].to_pydatetime(), wide)
+    with open(p, "rb") as f:
+        sbuf = f.read()
+    with open(tmp_path / "T.UNSMRY", "rb") as f:
+        ubuf = f.read()
+    out = summary_long_pandas(sbuf, ubuf)
+    vecs = set(out["VECTOR"])
+    assert "WOPR:12" in vecs      # well name survived
+    assert "RPR:3" in vecs        # region NUMS still works
+
+
+def test_unrst_rstdates_list(tmp_path):
+    """case.grid(rstdates=[...]) reaches unrst_vectors_pandas as a list
+    and selects all matching steps."""
+    import io
+
+    from res2df_spark.sources.eclbin import unrst_vectors_pandas, write_keyword
+
+    buf = io.BytesIO()
+    for seq, (d, m, y) in enumerate([(1, 1, 2020), (1, 2, 2020), (1, 3, 2020)]):
+        write_keyword(buf, "SEQNUM", "INTE", [seq])
+        ih = [0] * 67
+        ih[64], ih[65], ih[66] = d, m, y
+        write_keyword(buf, "INTEHEAD", "INTE", ih)
+        write_keyword(buf, "PRESSURE", "REAL", [float(seq), float(seq)])
+    raw = buf.getvalue()
+    out = unrst_vectors_pandas(raw, 2, dates=["2020-01-01", "2020-03-01"])
+    assert sorted(out["DATE"].dt.month.unique()) == [1, 3]
+    one = unrst_vectors_pandas(raw, 2, dates="2020-02-01")
+    assert list(one["DATE"].dt.month.unique()) == [2]
+
+
+def test_melt_validates_output_names(spark):
+    from res2df_spark.operators.reshape import melt
+
+    df = spark.createDataFrame([(1, 2.0)], "id int, a double")
+    with pytest.raises(ValueError, match="output names"):
+        melt(df, ["id"], ["a"], var_name="x`y")
+    with pytest.raises(ValueError, match="value_type"):
+        melt(df, ["id"], ["a"], value_type="double) as x --")
