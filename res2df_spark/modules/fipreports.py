@@ -21,20 +21,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from res2df_spark.sources.deck import _MONTHS
-from res2df_spark.sources.textreport import numbered_lines, with_block_context
+from res2df_spark.sources.textreport import numbered_lines, with_block_contexts
 
-#: running report date, e.g. ``  REPORT   0     1 JAN 2000``
-_DATE_START = r"\s\sREPORT\s+\d+\s+(\d+)\s+(\w+)\s+(\d+)"
+#: running report date, e.g. ``  REPORT   0     1 JAN 2000`` — ANCHORED
+#: at line start like the reference's ``re.match`` (fipreports.py:144):
+#: unanchored, a PRT's echoed deck text containing 'REPORT  1  1 JAN
+#: 2000' mid-line would forward-fill a bogus date onto every following
+#: balance row
+_DATE_START = r"^\s\sREPORT\s+\d+\s+(\d+)\s+(\w+)\s+(\d+)"
 #: OPM flow writes dates as ``Starting time step .. date = 01-Jan-2000``
-_OPM_DATE_START = r"Starting time step.*? date = (\d+)-(\w+)-(\d+)"
+#: (also re.match-anchored in the reference)
+_OPM_DATE_START = r"^Starting time step.*? date = (\d+)-(\w+)-(\d+)"
 #: region block context: a block HEADER opens it (group 1 = region
 #: number), the ``====…`` terminator line CLOSES it (matches with group
 #: 1 unset → regexp_extract yields '' → "not in a block", replicating
 #: the reference's ``in_report_block = False`` reset at
 #: fipreports.py:164-166 — without it every balance sheet after the
-#: first region block inherits a stale region).  Case-insensitive
-#: header like the reference; Eclipse100 and OPM both match.
-_REGION_START = r"(?i)(?:.+{fipname}\s+REPORT\s+REGION\s+(\d+))|(?:^ =============)"
+#: first region block inherits a stale region).  The terminator is the
+#: reference's full ``' ' + 28*'='`` prefix — a shorter run of '='
+#: (a narrow table rule inside the block) must NOT close it.
+#: Case-insensitive header like the reference; Eclipse100 and OPM both
+#: match.
+_REGION_START = r"(?i)(?:.+{fipname}\s+REPORT\s+REGION\s+(\d+))|(?:^ ={{28}})"
 #: the four data-line families the reference accepts
 _ROW_STARTS = ("CURRENTLY", "OUTFLOW", "MATERIAL", "ORIGINALLY")
 
@@ -60,23 +68,25 @@ def df(spark: SparkSession, prt_path: str, fipname: str = "FIPNUM") -> DataFrame
     if len(fipname) > 8:
         raise ValueError("fipname can be at most 8 characters")
 
-    # persisted: three stacked with_block_context calls each carry a
-    # lasts-aggregate self-join, and without the cache the text file's
-    # whole numbering plan (itself a counts-aggregate self-join) would
-    # re-scan the multi-GB PRT once per stacked call per side
+    # persisted: the context scan carries a lasts-aggregate self-join,
+    # and without the cache the text file's whole numbering plan
+    # (itself a counts-aggregate self-join) would re-scan the multi-GB
+    # PRT on both sides
     lines = numbered_lines(spark, prt_path, keep_splits=True).localCheckpoint(
         eager=False
     )
-    lines = with_block_context(
-        lines, _DATE_START, {"__D": 1, "__MON": 2, "__Y": 3},
-        line_no_as="__D_LN",
-    )
-    lines = with_block_context(
-        lines, _OPM_DATE_START, {"__OD": 1, "__OMON": 2, "__OY": 3},
-        line_no_as="__OD_LN",
-    )
-    lines = with_block_context(
-        lines, _REGION_START.format(fipname=fipname), {"__REGION": 1}
+    # ONE multi-family pass: all three contexts share a single
+    # within-split window sort, one split-summary aggregate and one
+    # carry join (stacked single-family calls cost three full sorts of
+    # the multi-GB PRT — the interleaved aggregates block Catalyst's
+    # same-spec window fusion)
+    lines = with_block_contexts(
+        lines,
+        [
+            (_DATE_START, {"__D": 1, "__MON": 2, "__Y": 3}, "__D_LN"),
+            (_OPM_DATE_START, {"__OD": 1, "__OMON": 2, "__OY": 3}, "__OD_LN"),
+            (_REGION_START.format(fipname=fipname), {"__REGION": 1}, None),
+        ],
     )
 
     # The reference's colon repair (fipreports.py:176-186): colons are
@@ -110,7 +120,9 @@ def df(spark: SparkSession, prt_path: str, fipname: str = "FIPNUM") -> DataFrame
         )
         .withColumn("__secs", F.split(F.col("__rep"), ":"))
         .filter(F.size("__secs") >= 5)
-        .filter(F.trim(F.expr("element_at(__secs, 1)")) == "")
+        # (no first-section-empty filter: the ':'-prepend repair above
+        # guarantees every row starts with ':', so section 1 is
+        # provably '' — the predicate could never fire)
         .withColumn("__name_sec", F.trim(F.expr("element_at(__secs, 2)")))
         .filter(first_word.rlike("^(" + "|".join(_ROW_STARTS) + ")"))
         # '' = after a block terminator (outside any region block)

@@ -24,7 +24,9 @@ def _resolve(wells: list[str], state: dict[str, list[str]]) -> list[str]:
     """Expand recursive ``*NAME`` references against current state.
     An undefined reference raises (reference compdat.py:600-604) —
     resolving it to the empty list would make a later WELOPEN on the
-    list silently act on nothing."""
+    list silently act on nothing.  Raw expansion only: dedup/ordering
+    is each action branch's business (the reference sorts every list
+    alphabetically and dedups via set() for ADD/DEL/MOV but not NEW)."""
     out: list[str] = []
     for w in wells:
         if w.startswith("*"):
@@ -36,9 +38,7 @@ def _resolve(wells: list[str], state: dict[str, list[str]]) -> list[str]:
             out.extend(state[w])
         else:
             out.append(w)
-    # dedup, keep first occurrence (reference keeps insertion order)
-    seen: set[str] = set()
-    return [w for w in out if not (w in seen or seen.add(w))]
+    return out
 
 
 def fold_wlist(records: list[dict]) -> list[tuple[_date | None, str, str]]:
@@ -88,25 +88,31 @@ def _apply_action(state: dict[str, list[str]], r: dict) -> None:
         wells = _resolve(r["WELLS"], state)
     else:
         wells = list(r["WELLS"])
+    # the reference keeps every list ALPHABETICALLY SORTED
+    # (compdat.py:603-645: every branch stores ' '.join(sorted(...)))
     if action == "NEW":
-        state[name] = wells
+        # sorted but NOT deduped — the one branch the reference leaves
+        # duplicates in (sorted(wells.split()), no set())
+        state[name] = sorted(wells)
     elif action == "ADD":
         if name not in state:
             # reference compdat.py:608-613: ADD/DEL require the list
             raise ValueError(f"Well list {name!r} does not exist; cannot ADD")
-        state[name] = _resolve(state[name] + wells, state)
+        # merge the RESOLVED incoming wells with the stored members
+        # AS-IS: a literal '*X' token that MOV stored stays literal
+        # (the reference only resolves the incoming WELLS string) —
+        # re-resolving stored members would expand or raise on it
+        state[name] = sorted(set(state[name] + wells))
     elif action == "DEL":
         if name not in state:
             raise ValueError(f"Well list {name!r} does not exist; cannot DEL")
         # R11 set difference
-        state[name] = [w for w in state[name] if w not in set(wells)]
+        state[name] = sorted(set(state[name]) - set(wells))
     elif action == "MOV":
         for other in state:
             if other != name:
-                state[other] = [w for w in state[other] if w not in set(wells)]
-        state[name] = state.get(name, []) + [
-            w for w in wells if w not in set(state.get(name, []))
-        ]
+                state[other] = sorted(set(state[other]) - set(wells))
+        state[name] = sorted(set(state.get(name, [])) | set(wells))
     else:
         raise ValueError(f"unknown WLIST action {action!r}")
 

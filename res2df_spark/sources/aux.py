@@ -146,23 +146,26 @@ def _parse_parameterstxt(content: str) -> dict:
     lines), and NA tokens ('NULL', 'NaN', empty) stay literal strings
     instead of becoming NaN values, which keeps attach_parameters
     literals well-typed."""
+    import re
+
     pairs: list[tuple[str, str]] = []
     for line in content.splitlines():
         line = line.split("#", 1)[0]
         parts = line.split(None, 1)
         if len(parts) == 2:
             pairs.append((parts[0], parts[1].strip()))
-    # NA/inf tokens stay literal strings (the documented contract): a
-    # successful float('NaN')/float('inf') would smuggle non-finite
-    # literals into attach_parameters
-    _na_like = {"nan", "inf", "-inf", "infinity", "-infinity", "+inf"}
+    # STRICT numeric formats, not python casts: float('-nan') /
+    # float('+infinity') succeed and would smuggle non-finite literals
+    # into attach_parameters, and int('1_000') / unicode digits parse
+    # values pandas' reader keeps as strings — the regexes accept
+    # exactly the decimal forms read_csv infers
+    _int_re = re.compile(r"[+-]?\d+")
+    _float_re = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
     _BOOL_TOKENS = {"TRUE", "True", "true", "FALSE", "False", "false"}
-    if not any(v.lower() in _na_like for _, v in pairs):
-        for cast in (int, float):
-            try:
-                return {k: cast(v) for k, v in pairs}
-            except ValueError:
-                continue
+    if pairs and all(_int_re.fullmatch(v) and v.isascii() for _, v in pairs):
+        return {k: int(v) for k, v in pairs}
+    if pairs and all(_float_re.fullmatch(v) and v.isascii() for _, v in pairs):
+        return {k: float(v) for k, v in pairs}
     if pairs and all(v in _BOOL_TOKENS for _, v in pairs):
         # pandas bool-column inference: an all-boolean value column
         # reads as bool dtype in the reference's load_parameterstxt;
@@ -192,22 +195,44 @@ def load_parameters(path: str, search_parents: int = 2) -> dict:
     # Iterate lowest-precedence first so dict.update leaves the
     # highest-precedence (nearest dir, json-first) value standing.
     for d in reversed(dirs):
-        for fname, loader in (
-            ("parameters", None),
-            ("parameters.txt", None),
-            ("parameters.yml", _load_yaml),
-            ("parameters.json", lambda s: json.loads(s)),
+        for fname in (
+            "parameters",
+            "parameters.txt",
+            "parameters.yml",
+            "parameters.json",
         ):
             p = os.path.join(d, fname)
             if not os.path.isfile(p):
                 continue
             with open(p) as f:
                 content = f.read()
-            loaded = loader(content) if loader else _parse_parameterstxt(content)
             merged.update(
-                {k: v for k, v in loaded.items() if not isinstance(v, dict)}
+                {k: v for k, v in _load_any(content).items() if not isinstance(v, dict)}
             )
     return merged
+
+
+def _load_any(content: str) -> dict:
+    """Content-sniffing parameter loader, matching the reference's
+    load() (parameters.py:118-160): try yaml first (json is a yaml
+    subset, so a bare 'parameters' file holding json parses here), then
+    explicit json (covers a yaml-less environment), then the txt
+    key-value format.  Binding the format to the FILENAME — the earlier
+    scheme — fed a json-bearing bare 'parameters' file to the txt
+    parser and attached junk keys like '{"key":' to every row."""
+    try:
+        data = _load_yaml(content)
+        if data:
+            return data
+    except ValueError:
+        pass
+    try:
+        data = json.loads(content)
+        if isinstance(data, dict):
+            return data
+    except ValueError:
+        pass
+    return _parse_parameterstxt(content)
 
 
 def attach_parameters(df: DataFrame, params: dict) -> DataFrame:

@@ -125,18 +125,47 @@ def with_block_context(
     ``line_no_as`` additionally forward-fills the start line's global
     ``line_no`` under that column name — consumers stacking several
     context families (e.g. two date formats) can then resolve which
-    family appeared LAST before a given row."""
+    family appeared LAST before a given row.  Consumers that need
+    SEVERAL families should call :func:`with_block_contexts` once
+    instead of stacking this call: the multi-family form shares one
+    window pass, one per-split aggregate and one carry join across all
+    families (stacked calls interleave aggregates, so Catalyst cannot
+    collapse their identical window specs — measured 3 full sorts of a
+    multi-GB PRT for fipreports' 3 families)."""
+    return with_block_contexts(
+        lines, [(start_pattern, context_fields, line_no_as)]
+    )
+
+
+def with_block_contexts(
+    lines: DataFrame,
+    families: list[tuple[str, Mapping[str, int], str | None]],
+) -> DataFrame:
+    """Forward-fill SEVERAL context families in one distributed pass:
+    each family is (start_pattern, {column: regex group}, line_no_as or
+    None).  All families share the same two-pass scan — one
+    within-split window (Catalyst fuses same-spec window functions into
+    one physical Window/sort), one split-summary aggregate, one
+    broadcast carry join — so adding a family costs expression work,
+    never another sort of the data."""
     has_splits = "__fp" in lines.columns and "__blk" in lines.columns
     part = ["__fp", "__blk"] if has_splits else []
-    is_start = F.col("line").rlike(start_pattern)
-    context_fields = dict(context_fields)
-    start_values = {
-        name: F.when(is_start, F.regexp_extract("line", start_pattern, g))
-        for name, g in context_fields.items()
-    }
-    if line_no_as is not None:
-        start_values[line_no_as] = F.when(is_start, F.col("line_no"))
-        context_fields[line_no_as] = -1  # ffilled like the rest below
+    context_fields: dict[str, int] = {}
+    start_values: dict = {}
+    for start_pattern, fields, line_no_as in families:
+        is_start = F.col("line").rlike(start_pattern)
+        for name, g in fields.items():
+            if name in start_values:
+                raise ValueError(f"duplicate context column {name!r}")
+            context_fields[name] = g
+            start_values[name] = F.when(
+                is_start, F.regexp_extract("line", start_pattern, g)
+            )
+        if line_no_as is not None:
+            if line_no_as in start_values:
+                raise ValueError(f"duplicate context column {line_no_as!r}")
+            start_values[line_no_as] = F.when(is_start, F.col("line_no"))
+            context_fields[line_no_as] = -1  # ffilled like the rest below
     # preserve EVERY input column (stacked with_block_context calls add
     # one context family at a time)
     ctx = lines.select(

@@ -332,3 +332,89 @@ def test_melt_validates_output_names(spark):
         melt(df, ["id"], ["a"], var_name="x`y")
     with pytest.raises(ValueError, match="value_type"):
         melt(df, ["id"], ["a"], value_type="double) as x --")
+
+
+def test_wlist_reference_parity_sorted_and_literal_add(spark):
+    """Reference expand_wlist semantics: every list stays alphabetically
+    sorted; ADD resolves only the INCOMING wells, so a literal '*X'
+    token stored by MOV stays literal."""
+    from res2df_spark.modules.wlist import _apply_action
+
+    st = {}
+    _apply_action(st, {"NAME": "*A", "ACTION": "NEW", "WELLS": ["OP2", "OP1"]})
+    assert st["*A"] == ["OP1", "OP2"]  # sorted like the reference
+    # MOV stores the literal token '*A' (reference resolves only ADD/NEW)
+    _apply_action(st, {"NAME": "*B", "ACTION": "MOV", "WELLS": ["*A", "OP9"]})
+    assert st["*B"] == ["*A", "OP9"]
+    # ADD must NOT re-resolve the stored '*A'
+    _apply_action(st, {"NAME": "*B", "ACTION": "ADD", "WELLS": ["OP3"]})
+    assert st["*B"] == ["*A", "OP3", "OP9"]
+    # and incoming recursion still expands
+    _apply_action(st, {"NAME": "*C", "ACTION": "NEW", "WELLS": ["*A"]})
+    assert st["*C"] == ["OP1", "OP2"]
+
+
+def test_fipreports_date_lines_anchored(spark, tmp_path):
+    """An echoed-deck line merely CONTAINING the date text must not
+    forward-fill a bogus report date (reference uses re.match)."""
+    from res2df_spark.modules import fipreports
+
+    prt = tmp_path / "CASE.PRT"
+    prt.write_text(
+        "--echo  REPORT   1     1 JAN 1990 from the input deck\n"
+        "  REPORT   0     1 JAN 2000\n"
+        " FIPNUM  REPORT REGION    1\n"
+        " ============================\n"  # 28 '=' closes the block
+        " :CURRENTLY IN PLACE : 1.0 2.0 3.0 : 4.0 : 5.0 6.0 7.0 :\n"
+        " FIPNUM  REPORT REGION    2\n"
+        " :CURRENTLY IN PLACE : 1.0 2.0 3.0 : 4.0 : 5.0 6.0 7.0 :\n"
+    )
+    rows = fipreports.df(spark, str(prt)).collect()
+    # the row after the terminator but before region 2's header is
+    # dropped; region 2's row keeps the REAL date, not 1990
+    assert len(rows) == 1
+    assert rows[0]["REGION"] == 2
+    assert str(rows[0]["DATE"]) == "2000-01-01"
+
+
+def test_fipreports_short_separator_keeps_block(spark, tmp_path):
+    """A narrower '=' rule (under 28) inside a region block must NOT
+    close it (reference requires the full 28-char terminator)."""
+    from res2df_spark.modules import fipreports
+
+    prt = tmp_path / "CASE.PRT"
+    prt.write_text(
+        "  REPORT   0     1 JAN 2000\n"
+        " FIPNUM  REPORT REGION    3\n"
+        " =============\n"  # only 13 '=': a table rule, not a terminator
+        " :CURRENTLY IN PLACE : 1.0 2.0 3.0 : 4.0 : 5.0 6.0 7.0 :\n"
+    )
+    rows = fipreports.df(spark, str(prt)).collect()
+    assert len(rows) == 1 and rows[0]["REGION"] == 3
+
+
+def test_load_parameters_content_sniffs(tmp_path):
+    """A bare 'parameters' file holding JSON parses as JSON (reference
+    load() sniffs yaml->json->txt), and a YAML mapping in
+    parameters.txt parses as YAML — never junk txt pairs."""
+    from res2df_spark.sources.aux import load_parameters
+
+    (tmp_path / "parameters").write_text('{"RMS_SEED": 42, "CASE": "a"}')
+    got = load_parameters(str(tmp_path), search_parents=0)
+    assert got == {"RMS_SEED": 42, "CASE": "a"}
+    (tmp_path / "parameters").unlink()
+    (tmp_path / "parameters.txt").write_text("A: 1\nB: two\n")
+    got = load_parameters(str(tmp_path), search_parents=0)
+    assert got == {"A": 1, "B": "two"}
+
+
+def test_parameterstxt_strict_numeric_forms():
+    from res2df_spark.sources.aux import _parse_parameterstxt
+
+    # python-only literals stay strings (pandas would not infer them)
+    assert _parse_parameterstxt("A -nan\nB 1\n") == {"A": "-nan", "B": "1"}
+    assert _parse_parameterstxt("A +infinity\n") == {"A": "+infinity"}
+    assert _parse_parameterstxt("A 1_000\n") == {"A": "1_000"}
+    # normal numerics still infer
+    assert _parse_parameterstxt("A 1\nB -2\n") == {"A": 1, "B": -2}
+    assert _parse_parameterstxt("A 1.5\nB 2e3\n") == {"A": 1.5, "B": 2000.0}
