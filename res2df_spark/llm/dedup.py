@@ -149,6 +149,47 @@ def ngram_jaccard_pairs(
     return out.select("d1", "d2", "n_shared", "size1", "size2", "jaccard")
 
 
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Window-count bucket cap shared by the MinHash and SimHash
+    pairing families: drop singleton and over-cap rows BEFORE any
+    membership array materializes.  The window's shuffle partitions on
+    the bucket keys and the following groupBy on the SAME keys reuses
+    that exchange — the cap adds no extra shuffle (a count-aggregate +
+    semi-join formulation is NOT exchange-reusable: partial aggregation
+    changes the canonical child plan, and the signature pipeline would
+    evaluate twice; verified via executedPlan).  ONE home for the
+    formulation so the families cannot drift."""
+    if max_bucket_size is None:
+        return df
+    from pyspark.sql import Window
+
+    wincount = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    return (
+        df.withColumn("__bsz", wincount)
+        .filter((F.col("__bsz") > 1) & (F.col("__bsz") <= max_bucket_size))
+        .drop("__bsz")
+    )
+
+
+def _bucket_pairs(members_col: str):
+    """(i < j) pair enumeration over a sorted per-bucket membership
+    array — the no-self-join combinatorics the MinHash and SimHash
+    families share (a self-join would evaluate the whole signature
+    pipeline twice and add a shuffle).  Yields structs (a, b) with the
+    original member payloads."""
+    return F.explode(
+        F.flatten(
+            F.transform(
+                F.col(members_col),
+                lambda x, i: F.transform(
+                    F.slice(F.col(members_col), i + 2, F.size(members_col)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
+
+
 def _minhash_bands(
     docs: DataFrame,
     id_col: str,
@@ -289,45 +330,18 @@ def minhash_lsh_candidates(
     # pathological corpus (boilerplate band keys shared by huge crowds)
     # is bounded by ``max_bucket_size``.
     #
-    # The cap is enforced BEFORE materializing the membership array, via
-    # a window count over the band key: the window's shuffle partitions
-    # bands on (band_idx, band_key), the filter drops singleton and
-    # over-cap rows, and the following groupBy on the SAME keys needs no
-    # further exchange — one scan, one signature evaluation, one
-    # shuffle, and a hot bucket never builds its (possibly
-    # multi-million-element) id array at all.  (A count-aggregate +
-    # semi-join formulation is NOT exchange-reusable — partial
-    # aggregation changes the canonical child plan — and would evaluate
-    # the md5 signature pipeline twice; verified via executedPlan.)
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        wincount = F.count(F.lit(1)).over(
-            Window.partitionBy("band_idx", "band_key")
-        )
-        bands = (
-            bands.withColumn("__bsz", wincount)
-            .filter((F.col("__bsz") > 1) & (F.col("__bsz") <= max_bucket_size))
-            .drop("__bsz")
-        )
+    # The cap is enforced BEFORE materializing the membership array
+    # (shared _cap_buckets: window count on the band key, exchange
+    # reused by the groupBy below — a hot bucket never builds its
+    # possibly multi-million-element id array at all).
+    bands = _cap_buckets(bands, ["band_idx", "band_key"], max_bucket_size)
     buckets = bands.groupBy("band_idx", "band_key").agg(
         F.sort_array(F.collect_set(id_col)).alias("ids")
     )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + 2, F.size("ids")),
-                    lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-                ),
-            )
-        )
-    )
     return (
         buckets.filter(F.size("ids") > 1)
-        .select(pair.alias("p"))
-        .select("p.d1", "p.d2")
+        .select(_bucket_pairs("ids").alias("p"))
+        .select(F.col("p.a").alias("d1"), F.col("p.b").alias("d2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
@@ -581,7 +595,9 @@ def _simhash_chunks(
         # duplicates instead
         raise ValueError(
             "max_hamming + 1 must divide 64 with max_hamming >= 1 "
-            "(1, 3, 7 or 15); for hamming distance 0 use exact dedup"
+            "(1, 3, 7, 15, 31 or 63 — above 15 the chunks are so short "
+            "that buckets stop being selective); for hamming distance 0 "
+            "use exact dedup"
         )
     cb = bits // n_chunks
     mask = (1 << cb) - 1
@@ -652,7 +668,9 @@ def simhash_near_pairs(
     least one whole chunk, so candidates come from equality joins on
     (chunk_idx, chunk_value) — never an all-pairs comparison.  Exact
     Hamming distance (``bit_count(xor)``) then verifies each candidate.
-    ``max_hamming + 1`` must divide 64 (budgets 1, 3, 7, 15).
+    ``max_hamming + 1`` must divide 64 (budgets 1, 3, 7, 15, and the
+    technically-valid 31/63, whose 2-/1-bit chunks are so unselective
+    that buckets approach all-pairs — stay ≤ 15 in practice).
 
     Same bucket mechanics as the MinHash path: pair enumeration is
     per-bucket array combinatorics (no self-join — the signature
@@ -662,41 +680,21 @@ def simhash_near_pairs(
     Returns (d1, d2, hamming) with d1 < d2.
     """
     chunks = _simhash_chunks(docs, id_col, text_col, max_hamming)
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        wincount = F.count(F.lit(1)).over(
-            Window.partitionBy("chunk_idx", "chunk_val")
-        )
-        chunks = (
-            chunks.withColumn("__bsz", wincount)
-            .filter((F.col("__bsz") > 1) & (F.col("__bsz") <= max_bucket_size))
-            .drop("__bsz")
-        )
+    chunks = _cap_buckets(chunks, ["chunk_idx", "chunk_val"], max_bucket_size)
     buckets = chunks.groupBy("chunk_idx", "chunk_val").agg(
         F.sort_array(
             F.collect_set(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))
         ).alias("ms")
     )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ms"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ms"), i + 2, F.size("ms")),
-                    lambda y: F.struct(
-                        x["i"].alias("d1"), y["i"].alias("d2"),
-                        x["s"].alias("s1"), y["s"].alias("s2"),
-                    ),
-                ),
-            )
-        )
-    )
-    hamming = F.bit_count(F.col("p.s1").bitwiseXOR(F.col("p.s2")))
+    hamming = F.bit_count(F.col("p.a.s").bitwiseXOR(F.col("p.b.s")))
     return (
         buckets.filter(F.size("ms") > 1)
-        .select(pair.alias("p"))
-        .select("p.d1", "p.d2", hamming.alias("hamming"))
+        .select(_bucket_pairs("ms").alias("p"))
+        .select(
+            F.col("p.a.i").alias("d1"),
+            F.col("p.b.i").alias("d2"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .groupBy("d1", "d2")
         .agg(F.min("hamming").cast("long").alias("hamming"))

@@ -34,10 +34,17 @@ def brute_force_topk(
     query_id_col: str = "q_id",
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k most similar
-    corpus vectors (excluding itself when ids collide)."""
-    q = queries.select(
+    corpus vectors (excluding itself when ids collide).
+
+    NULL-embedding rows are excluded on BOTH sides: cosine_similarity
+    maps a NULL/zero norm to 0.0, so an unfiltered NULL query would be
+    handed k arbitrary ids all "scoring" 0.0 as if they were real
+    neighbors, and NULL corpus rows could occupy top-k slots whenever
+    a query has fewer than k positive-similarity candidates."""
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
     )
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     scored = corpus.crossJoin(broadcast(q)).filter(
         F.col(query_id_col) != F.col(id_col)
     ).select(
@@ -223,7 +230,13 @@ def lsh_bucketed_topk(
                 F.concat(prefix, *qbits[:j], flip(qbits[j]), *qbits[j + 1:])
             )
 
-    c = corpus.crossJoin(F.broadcast(planes_df)).withColumn(
+    # NULL vectors never bucket or score: cosine maps a NULL norm to
+    # 0.0, so an unfiltered NULL would land in the all-'0' bucket and
+    # surface as a fake 0.0-similarity neighbor (same contract as
+    # brute_force_topk)
+    c = corpus.filter(F.col(vec_col).isNotNull()).crossJoin(
+        F.broadcast(planes_df)
+    ).withColumn(
         "__bucket", F.explode(F.array(*c_buckets))
     ).drop("__planes")
     if max_bucket_size is not None:
@@ -232,7 +245,8 @@ def lsh_bucketed_topk(
             F.col("__bsz") <= max_bucket_size
         ).drop("__bsz")
     q = (
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col).alias(query_id_col),
             F.col(vec_col).alias("__qv"),
         )
@@ -324,11 +338,17 @@ def ivf_topk(
         ])
         return F.slice(F.array_sort(pairs), 1, n)
 
-    c = corpus.crossJoin(F.broadcast(cent_df)).withColumn(
+    # NULL vectors never list or score (NULL distances would sort
+    # arbitrarily into list 0 and fake 0.0-cosine neighbors downstream
+    # — same contract as brute_force_topk)
+    c = corpus.filter(F.col(vec_col).isNotNull()).crossJoin(
+        F.broadcast(cent_df)
+    ).withColumn(
         "__list", nearest_lists(F.col(vec_col), 1).getItem(0).getField("i")
     ).drop("__cents")
     q = (
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
         )
         .crossJoin(F.broadcast(cent_df))
@@ -401,6 +421,9 @@ def quantize_embeddings(
     Map-only built-ins (array_min/array_max/transform) — no shuffle,
     no Python; at 100 TB this runs as a pure scan-rewrite alongside
     ingest.  Codes return as array<int> plus (lo, hi) doubles.
+    Non-finite elements (NaN/±Inf — and every element of a vector whose
+    min/max they poison) code as NULL rather than ANSI-aborting the
+    whole scan.
     """
     x = F.col(vec_col)
     # lo/hi/span materialize as columns BEFORE the transform: a
@@ -413,13 +436,27 @@ def quantize_embeddings(
         F.array_min(F.col("__x")).cast("double").alias("__lo"),
         F.array_max(F.col("__x")).cast("double").alias("__hi"),
     ).withColumn("__span", F.col("__hi") - F.col("__lo"))
+
+    def _finite(c):
+        return (
+            c.isNotNull()
+            & ~F.isnan(c)
+            & (c != float("inf"))
+            & (c != float("-inf"))
+        )
+
+    # non-finite elements (or a span poisoned by one — array_max
+    # propagates NaN/Inf) yield NULL codes instead of an ANSI abort:
+    # floor(NaN).cast(int) would otherwise kill the corpus-scale
+    # scan-rewrite on one bad telemetry row
     code = lambda v: F.when(  # noqa: E731
         F.col("__span") == 0, F.lit(0)
-    ).otherwise(
+    ).when(
+        _finite(v.cast("double")) & _finite(F.col("__span")),
         F.floor(
             (v.cast("double") - F.col("__lo")) * F.lit(255.0) / F.col("__span")
             + F.lit(0.5)
-        )
+        ),
     ).cast("int")
     return base.select(
         F.col(id_col),
@@ -522,9 +559,17 @@ def cluster_mean(
     surfacing it).  ``n_vecs`` is the full group size either way.
     Returns (group, pooled array<double>, n_vecs) like ``mean_pool``.
     """
+    nonnull = df.filter(F.col(vec_col).isNotNull())
+    # the TRUE group size comes from the input rows, never from per-dim
+    # explode counts: an empty-array vector emits no (dim, value) rows,
+    # so max(per-dim count) would undercount the group, let the ragged
+    # guard below pass, and silently average over the subset — where
+    # mean_pool's zip_with pads the short vector and NULLs the dims
+    sizes = nonnull.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
     dims = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(
+        nonnull.select(
             F.col(group_col),
             F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
         )
@@ -551,16 +596,20 @@ def cluster_mean(
                 )
             )
         ).alias("__dims"),
-        F.max("__n").cast("long").alias("n_vecs"),
     )
     # ragged guard: a dim whose row count is below the group size was
     # missing from some vectors — NULL it (mean_pool parity), never
-    # average over the subset that happened to carry it
-    return agged.select(
+    # average over the subset that happened to carry it.  A group of
+    # only empty arrays has no dims rows at all → pooled [] (mean_pool's
+    # empty fold yields [] too).
+    return sizes.join(agged, group_col, "left").select(
         group_col,
-        F.transform(
-            "__dims",
-            lambda s: F.when(s["n"] == F.col("n_vecs"), s["m"]),
+        F.coalesce(
+            F.transform(
+                "__dims",
+                lambda s: F.when(s["n"] == F.col("n_vecs"), s["m"]),
+            ),
+            F.array().cast("array<double>"),
         ).alias("pooled"),
         "n_vecs",
     )
@@ -607,7 +656,12 @@ def assign_nearest(
     d = _sq_dist(F.col(vec_col), F.col("__cv"))
     best = F.min(F.struct(F.col("__d").alias("d"), F.col("__cid").alias("c")))
     return (
-        df.crossJoin(c)
+        # a NULL vector has NULL distance to every centroid; the
+        # min(struct) would then "assign" it to centroid 0 (NULL struct
+        # fields sort first) and downstream indexes would carry a
+        # phantom member — exclude it like every other scorer
+        df.filter(F.col(vec_col).isNotNull())
+        .crossJoin(c)
         .withColumn("__d", d)
         .groupBy(id_col)
         .agg(best.alias("__best"))
@@ -917,12 +971,17 @@ def semantic_novelty(
 
     Each new vector is assigned with the SAME two-level rule as the
     index was, then compared (cosine) against indexed vectors in its
-    cluster only.  Returns one row per new vector: (id, is_novel,
-    match_id, cos_sim) where match is the best indexed candidate
-    (highest cosine, tie → lower id; NULL when the cluster has no
-    indexed members) and ``is_novel`` = no candidate reaches
-    ``threshold``.  Like all cluster-scoped dedup, a near-dup whose
-    twin landed in a different cluster is missed — the SemDeDup trade.
+    cluster only.  Returns one row per new ROW — including rows whose
+    embedding is NULL (unassignable: is_novel/match_id/cos_sim all
+    NULL, the same honest vanish-proof contract as
+    ``dedup.minhash_novelty`` gives token-less docs; silently dropping
+    them would lose documents from an ingest keyed on this verdict
+    table).  For assignable vectors: (id, is_novel, match_id, cos_sim)
+    where match is the best indexed candidate (highest cosine, tie →
+    lower id; NULL when the cluster has no indexed members) and
+    ``is_novel`` = no candidate reaches ``threshold``.  Like all
+    cluster-scoped dedup, a near-dup whose twin landed in a different
+    cluster is missed — the SemDeDup trade.
     """
     from res2df_spark.functions.vectors import dot, l2_norm
 
@@ -966,7 +1025,19 @@ def semantic_novelty(
             F.round(-F.col("__b.nc"), 6).alias("cos_sim"),
         )
     )
-    return scored
+    # NULL-embedding rows never reach two_level_assign (it filters
+    # them); re-join so they surface with a NULL verdict instead of
+    # vanishing from the output
+    return (
+        new.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            "is_novel",
+            "match_id",
+            "cos_sim",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1050,6 +1121,13 @@ def pq_encode(
     m = len(codebooks)
     k = len(codebooks[0])
     dsub = len(codebooks[0][0])
+    # NULL or too-short vectors cannot be encoded: the argmin fold
+    # reads element_at(sub, 1..dsub), which ANSI-aborts the whole
+    # corpus job on one truncated row — exclude them instead (the same
+    # skip-corrupt-rows contract as functions/vectors.dot's NULL pad)
+    df = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= m * dsub)
+    )
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     subs = F.array(*[F.slice(vecd, j * dsub + 1, dsub) for j in range(m)])
     base = df.select(F.col(id_col), subs.alias("__subs"))
@@ -1193,12 +1271,17 @@ def pq_topk_rerank(
     qv = queries.select(
         F.col(query_id), F.col(query_vec).alias("__qv")
     )
+    dim = len(codebooks) * len(codebooks[0][0])
     joined = (
-        vectors.select(F.col(id_col), F.col(vec_col))
+        # a NULL/short shortlisted vector would ANSI-abort the exact-L2
+        # fold's element_at(1..dim) — exclude, like pq_encode
+        vectors.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= dim)
+        )
+        .select(F.col(id_col), F.col(vec_col))
         .join(F.broadcast(cand), id_col)
         .join(F.broadcast(qv), query_id)
     )
-    dim = len(codebooks) * len(codebooks[0][0])
     dist = F.aggregate(
         F.sequence(F.lit(1), F.lit(dim)),
         F.lit(0.0),

@@ -418,3 +418,80 @@ def test_parameterstxt_strict_numeric_forms():
     # normal numerics still infer
     assert _parse_parameterstxt("A 1\nB -2\n") == {"A": 1, "B": -2}
     assert _parse_parameterstxt("A 1.5\nB 2e3\n") == {"A": 1.5, "B": 2000.0}
+
+
+def test_quantize_nonfinite_codes_null_not_abort(spark):
+    from res2df_spark.llm.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0]), (2, [0.0, float("nan"), 2.0]),
+         (3, [0.0, float("inf"), 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert got[1]["codes"] == [0, 128, 255]           # clean vector unchanged
+    assert got[2]["codes"][1] is None                  # NaN element -> NULL code
+    assert all(c is None for c in got[3]["codes"])     # inf poisons min/max span
+
+
+def test_topk_operators_exclude_null_vectors(spark):
+    from res2df_spark.llm.similarity import brute_force_topk, lsh_bucketed_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, None)], "vec_id long, embedding array<double>"
+    )
+    bf = brute_force_topk(corpus, queries, k=5)
+    assert {r["q_id"] for r in bf.collect()} == {10}       # NULL query gone
+    assert {r["vec_id"] for r in bf.collect()} == {1, 2}    # NULL corpus row gone
+    lsh = lsh_bucketed_topk(corpus, queries, k=5, n_planes=2)
+    assert 11 not in {r["q_id"] for r in lsh.collect()}
+    assert 3 not in {r["vec_id"] for r in lsh.collect()}
+
+
+def test_pq_encode_skips_short_and_null_vectors(spark):
+    from res2df_spark.llm.similarity import pq_encode
+
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]  # m=2, dsub=2
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0, 0.0, 0.0]), (2, [1.0, 1.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = pq_encode(df, books).collect()   # must not ANSI-abort
+    assert {r["vec_id"] for r in got} == {1}
+    assert got[0]["codes"] == [1, 0]
+
+
+def test_semantic_novelty_null_embedding_gets_verdict_row(spark):
+    from res2df_spark.llm.similarity import semantic_novelty
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    index = spark.createDataFrame(
+        [(100, 0, [0.1, 0.1])],
+        "vec_id long, centroid_id int, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [(200, [0.1, 0.1]), (201, None)], "vec_id long, embedding array<double>"
+    )
+    got = {r["vec_id"]: r for r in semantic_novelty(new, index, cents).collect()}
+    assert set(got) == {200, 201}            # NULL-embedding row not dropped
+    assert got[201]["is_novel"] is None and got[201]["match_id"] is None
+    assert got[200]["is_novel"] is False and got[200]["match_id"] == 100
+
+
+def test_cluster_mean_empty_vector_counts_and_nulls(spark):
+    from res2df_spark.llm.similarity import cluster_mean, mean_pool
+
+    df = spark.createDataFrame(
+        [(0, []), (0, [3.0, 5.0])], "centroid_id int, embedding array<double>"
+    )
+    cm = cluster_mean(df).collect()[0]
+    mp = mean_pool(df, group_col="centroid_id", vec_col="embedding").collect()[0]
+    assert cm["n_vecs"] == 2 == mp["n_vecs"]   # empty vector still counts
+    assert cm["pooled"] == [None, None] == mp["pooled"]
