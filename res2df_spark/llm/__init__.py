@@ -16,6 +16,7 @@ from res2df_spark.llm.similarity import (  # noqa: F401
     pq_topk,
     pq_topk_rerank,
     pq_train,
+    rrf_fuse,
 )
 from res2df_spark.llm.lm import lm_quality_score, train_char_lm  # noqa: F401
 from res2df_spark.llm.weights import (  # noqa: F401
