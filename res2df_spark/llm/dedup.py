@@ -44,15 +44,39 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _check_hash_fn(hash_fn: str) -> None:
+    """The pairing/signature builders accept two element-hash backends:
+    ``"md5"`` (default — hex strings, reproducible in ANSI SQL so every
+    oracle row can recompute it) and ``"xxhash64"`` (Spark's built-in
+    non-cryptographic 64-bit hash — an integer key, no hex-string
+    materialization, measured several× cheaper through the signature
+    hot loops; the production choice at 100 TB where hash CPU is real
+    money and cross-engine reproducibility is not needed)."""
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}"
+        )
+
+
 def _doc_token_sets(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     max_token_df: int | None,
     shingle_k: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, token) long form; ``shingle_k`` switches the set elements from
-    words to k-word shingles (much more selective — the scale path)."""
+    words to k-word shingles (much more selective — the scale path).
+
+    ``hash_fn="xxhash64"`` replaces each raw token/shingle STRING with
+    its 64-bit hash before the distinct: the inverted-index join then
+    shuffles 8-byte longs instead of multi-word shingle strings, and
+    set sizes / overlaps — hence Jaccard and containment — are
+    IDENTICAL up to 64-bit collisions (``"md5"`` keeps raw strings; the
+    oracle rows use that form so DuckDB can rebuild the same index).
+    """
+    _check_hash_fn(hash_fn)
     docs = spread(docs)
     if shingle_k:
         # materialize the token array before the shingle transform: a
@@ -68,6 +92,10 @@ def _doc_token_sets(
         )
     else:
         toks = doc_tokens_long(docs, id_col, text_col, distinct=True)
+    if hash_fn == "xxhash64":
+        # injective-up-to-collision map: distinctness, set sizes and
+        # intersections are preserved; the join key shrinks to a long
+        toks = toks.select(id_col, F.xxhash64("token").alias("token"))
     if max_token_df is not None:
         hot = (
             toks.groupBy("token")
@@ -118,6 +146,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_token_df: int | None = DEFAULT_MAX_TOKEN_DF,
     shingle_k: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Pairs of docs with token-set Jaccard ≥ threshold.
 
@@ -137,7 +166,7 @@ def ngram_jaccard_pairs(
     explicitly (exact-truth calibration — :func:`minhash_recall` —
     does; production corpora should not).
     """
-    toks = _doc_token_sets(docs, id_col, text_col, max_token_df, shingle_k)
+    toks = _doc_token_sets(docs, id_col, text_col, max_token_df, shingle_k, hash_fn)
     out = (
         _pair_overlap(toks, id_col)
         .withColumn(
@@ -197,9 +226,20 @@ def _minhash_bands(
     num_hashes: int,
     band_size: int,
     shingle_k: int | None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, band_idx, band_key) long form — the shared LSH front half of
-    ``minhash_lsh_candidates`` and ``minhash_lsh_bucket_stats``."""
+    ``minhash_lsh_candidates`` and ``minhash_lsh_bucket_stats``.
+
+    ``hash_fn="xxhash64"`` swaps the seeded md5 digests for seeded
+    ``xxhash64`` calls (two 32-bit signature lanes per 64-bit hash, vs
+    four per md5): no cryptographic rounds, no hex-string
+    materialization, integer mins instead of substring mins — the
+    production hash for corpora where signature CPU dominates.  The
+    hash families are different, so signatures (and hence candidate
+    pairs near the similarity threshold) differ between backends; both
+    are valid MinHash estimators with the same collision theory."""
+    _check_hash_fn(hash_fn)
     if num_hashes % band_size:
         # a ValueError, not an assert: asserts vanish under -O and the
         # truncated trailing hashes would silently change recall
@@ -223,23 +263,45 @@ def _minhash_bands(
     # higher-order lambdas get no common-subexpression elimination — so
     # this explode+agg form is ~num_hashes× cheaper, at the cost of one
     # narrow shuffle on the (uniform) doc id.
-    n_md5 = -(-num_hashes // 4)
     # distinct elements only: min() is idempotent under repetition, so
-    # hashing 'the' 500 times per document is pure wasted md5 CPU —
+    # hashing 'the' 500 times per document is pure wasted digest CPU —
     # array_distinct is map-side and free relative to the digests
     exploded = docs.select(
         F.col(id_col), F.explode(F.array_distinct(elems)).alias("__tok")
-    ).select(
-        id_col,
-        F.concat(
-            *[F.md5(F.concat(F.lit(f"{s}:"), F.col("__tok"))) for s in range(n_md5)]
-        ).alias("__h"),
     )
-    sig = exploded.groupBy(id_col).agg(
-        F.array(
-            *[F.min(F.substring("__h", 1 + 8 * i, 8)) for i in range(num_hashes)]
-        ).alias("sig")
-    )
+    if hash_fn == "xxhash64":
+        # two independent 32-bit lanes per seeded 64-bit hash; integer
+        # min-aggregation, no strings anywhere in the signature path
+        n_xx = -(-num_hashes // 2)
+        lanes: list = []
+        for s in range(n_xx):
+            h = F.xxhash64(F.lit(s), F.col("__tok"))
+            lanes.append(F.shiftrightunsigned(h, 32).alias(f"__h{2 * s}"))
+            lanes.append(
+                h.bitwiseAND(F.lit(0xFFFFFFFF)).alias(f"__h{2 * s + 1}")
+            )
+        exploded = exploded.select(id_col, *lanes[:num_hashes])
+        sig = exploded.groupBy(id_col).agg(
+            F.array(
+                *[F.min(f"__h{i}") for i in range(num_hashes)]
+            ).alias("sig")
+        )
+    else:
+        n_md5 = -(-num_hashes // 4)
+        exploded = exploded.select(
+            id_col,
+            F.concat(
+                *[
+                    F.md5(F.concat(F.lit(f"{s}:"), F.col("__tok")))
+                    for s in range(n_md5)
+                ]
+            ).alias("__h"),
+        )
+        sig = exploded.groupBy(id_col).agg(
+            F.array(
+                *[F.min(F.substring("__h", 1 + 8 * i, 8)) for i in range(num_hashes)]
+            ).alias("sig")
+        )
     n_bands = num_hashes // band_size
     return sig.select(
         id_col,
@@ -267,6 +329,7 @@ def minhash_lsh_bucket_stats(
     band_size: int = 4,
     shingle_k: int | None = None,
     max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-bucket accounting for the LSH cap: (band_idx, band_key,
     bucket_size, dropped) for every multi-member bucket.  ``dropped``
@@ -274,7 +337,9 @@ def minhash_lsh_bucket_stats(
     same ``max_bucket_size`` — run this alongside a capped dedup job to
     log how much pairing signal the cap discards (the observability
     half of the hot-bucket cap; one count aggregation, no arrays)."""
-    bands = _minhash_bands(docs, id_col, text_col, num_hashes, band_size, shingle_k)
+    bands = _minhash_bands(
+        docs, id_col, text_col, num_hashes, band_size, shingle_k, hash_fn
+    )
     sizes = (
         bands.groupBy("band_idx", "band_key")
         .agg(F.count(F.lit(1)).alias("bucket_size"))
@@ -296,6 +361,7 @@ def minhash_lsh_candidates(
     band_size: int = 4,
     shingle_k: int | None = None,
     max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash + LSH banding: candidate near-duplicate pairs.
 
@@ -320,7 +386,9 @@ def minhash_lsh_candidates(
     Docs with an empty element set are excluded (their signature would be
     all-NULL and would spuriously collide).
     """
-    bands = _minhash_bands(docs, id_col, text_col, num_hashes, band_size, shingle_k)
+    bands = _minhash_bands(
+        docs, id_col, text_col, num_hashes, band_size, shingle_k, hash_fn
+    )
     # Candidate pairs per bucket WITHOUT a self-join: a self-join would
     # evaluate the whole signature pipeline twice (no cross-branch plan
     # reuse) and add a shuffle.  Instead, group docs per (band_idx,
@@ -352,6 +420,7 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """SimHash signature per document as a bigint.
 
@@ -360,37 +429,47 @@ def simhash_signatures(
     hex-nibble arithmetic → per-(doc, bit) vote sum → recombine.  All
     built-ins; the same arithmetic is expressible in the SQL oracle.
     """
+    _check_hash_fn(hash_fn)
     if bits != 64:
-        raise ValueError("md5-backed simhash supports up to 64 bits; use 64")
+        raise ValueError("64-bit-hash-backed simhash supports up to 64 bits; use 64")
     toks = doc_tokens_long(spread(docs), id_col, text_col, distinct=True)
     # Wide-column evaluation: NO row fan-out — each (doc, token) row
-    # converts its first 16 md5 hex chars into TWO 32-bit integers (one
-    # conv each; 8 hex chars always fit a bigint, so the cast never
-    # overflows under ANSI) and the 64 bit-votes are 64 sum-aggregates
-    # over integer shifts in ONE groupBy(doc).  Signature bit b lives
-    # at hex char p = b//4 + 1, position j = b%4 (big-endian within the
+    # yields 64 integer bit-votes summed in ONE groupBy(doc).
+    #
+    # md5 backend: the first 16 md5 hex chars convert into TWO 32-bit
+    # integers (one conv each; 8 hex chars always fit a bigint, so the
+    # cast never overflows under ANSI).  Signature bit b lives at hex
+    # char p = b//4 + 1, position j = b%4 (big-endian within the
     # nibble), i.e. bit (8-p)*4 + 3-j of c1 for p ≤ 8 and bit
     # (16-p)*4 + 3-j of c2 otherwise — bit-identical to the earlier
     # one-conv-per-nibble form but ~2× cheaper through the extraction
     # (2 string convs per row instead of 16; measured md5+convs
     # 1.19s → 0.65s on the sf0.1 token set).
-    halves = toks.select(id_col, F.md5(F.col("token")).alias("h")).select(
-        id_col,
-        F.expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)").alias("c1"),
-        F.expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)").alias("c2"),
-    )
+    #
+    # xxhash64 backend (round 7): ONE 64-bit integer hash per token —
+    # no hex strings, no conv; bit b is shiftright(h, b) & 1 directly.
+    if hash_fn == "xxhash64":
+        halves = toks.select(id_col, F.xxhash64("token").alias("c1"))
+        bit_expr = {b: f"shiftright(c1, {b}) & 1" for b in range(bits)}
+    else:
+        halves = toks.select(id_col, F.md5(F.col("token")).alias("h")).select(
+            id_col,
+            F.expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)").alias("c1"),
+            F.expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)").alias("c2"),
+        )
+        bit_expr = {}
+        for b in range(bits):
+            p, j = b // 4 + 1, b % 4
+            src = "c1" if p <= 8 else "c2"
+            shift = ((8 - p) * 4 if p <= 8 else (16 - p) * 4) + (3 - j)
+            bit_expr[b] = f"shiftright({src}, {shift}) & 1"
     # branch-free votes: sum the raw bit per position plus one token
     # count; the ±1 vote sum is 2·set_bits − n, so "votes > 0" is
     # "2·s_b > n" — 64 unconditional integer sums beat 64 CASE
     # aggregates through the partial-agg hot loop
     vote_aggs = [F.count(F.lit(1)).alias("n")]
     for b in range(bits):
-        p, j = b // 4 + 1, b % 4
-        src = "c1" if p <= 8 else "c2"
-        shift = ((8 - p) * 4 if p <= 8 else (16 - p) * 4) + (3 - j)
-        vote_aggs.append(
-            F.sum(F.expr(f"shiftright({src}, {shift}) & 1")).alias(f"s{b}")
-        )
+        vote_aggs.append(F.sum(F.expr(bit_expr[b])).alias(f"s{b}"))
     per_doc = halves.groupBy(id_col).agg(*vote_aggs)
     return per_doc.select(
         id_col,
@@ -581,7 +660,8 @@ def minhash_novelty(
 
 
 def _simhash_chunks(
-    docs: DataFrame, id_col: str, text_col: str, max_hamming: int
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, simhash, chunk_idx, chunk_val) — the pigeonhole bucket keys
     shared by :func:`simhash_near_pairs` (pairing) and
@@ -601,7 +681,7 @@ def _simhash_chunks(
         )
     cb = bits // n_chunks
     mask = (1 << cb) - 1
-    sig = simhash_signatures(docs, id_col, text_col)
+    sig = simhash_signatures(docs, id_col, text_col, hash_fn=hash_fn)
     return sig.select(
         id_col,
         "simhash",
@@ -628,6 +708,7 @@ def simhash_bucket_stats(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Pigeonhole chunk-bucket size distribution — the observability
     twin of :func:`minhash_lsh_bucket_stats` for the SimHash family:
@@ -637,7 +718,7 @@ def simhash_bucket_stats(
     a capped pairing job so the drop accounting is MEASURED, not
     assumed."""
     sizes = (
-        _simhash_chunks(docs, id_col, text_col, max_hamming)
+        _simhash_chunks(docs, id_col, text_col, max_hamming, hash_fn)
         .groupBy("chunk_idx", "chunk_val")
         .agg(F.count(F.lit(1)).alias("bucket_size"))
         .filter(F.col("bucket_size") > 1)
@@ -658,6 +739,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """SimHash near-duplicate pairs: documents whose 64-bit signatures
     differ in ≤ ``max_hamming`` bits — the candidate-generation half
@@ -679,7 +761,7 @@ def simhash_near_pairs(
     with the same window-count formulation that adds no exchange.
     Returns (d1, d2, hamming) with d1 < d2.
     """
-    chunks = _simhash_chunks(docs, id_col, text_col, max_hamming)
+    chunks = _simhash_chunks(docs, id_col, text_col, max_hamming, hash_fn)
     chunks = _cap_buckets(chunks, ["chunk_idx", "chunk_val"], max_bucket_size)
     buckets = chunks.groupBy("chunk_idx", "chunk_val").agg(
         F.sort_array(
@@ -708,6 +790,7 @@ def duplicate_ngram_spans(
     text_col: str = "text",
     min_count: int = 2,
     max_gram_df: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Cross-corpus duplicate-span accounting, the aggregate form of
     exact-substring deduplication (Lee et al. 2021, "Deduplicating
@@ -731,13 +814,15 @@ def duplicate_ngram_spans(
     ``max_token_df`` above — with it, the join fan-in per gram is
     bounded and the whole pipeline is linear in corpus size.
     """
+    _check_hash_fn(hash_fn)
     base = spread(docs).withColumn("__toks", tokens(F.col(text_col))).select(
         F.col(id_col), shingles(F.col("__toks"), k).alias("__sh")
     )
+    gram_h = F.md5 if hash_fn == "md5" else F.xxhash64
     grams = base.select(
         F.col(id_col),
         F.size("__sh").alias("__n"),
-        F.explode_outer(F.transform("__sh", F.md5)).alias("__g"),
+        F.explode_outer(F.transform("__sh", gram_h)).alias("__g"),
     )
     counts = grams.filter(F.col("__g").isNotNull()).groupBy("__g").agg(
         F.count(F.lit(1)).alias("__c")
@@ -770,6 +855,7 @@ def containment_pairs(
     threshold: float = 0.8,
     max_token_df: int | None = DEFAULT_MAX_TOKEN_DF,
     shingle_k: int | None = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Asymmetric near-dup pairs by shingle-set CONTAINMENT
     (Broder 1997): ``c1 = |A∩B| / |A|`` and ``c2 = |A∩B| / |B|`` —
@@ -786,7 +872,7 @@ def containment_pairs(
     explicitly; drop accounting via :func:`shingle_df_stats`).
     Returns (d1, d2, n_shared, size1, size2, c1, c2) with d1 < d2.
     """
-    toks = _doc_token_sets(docs, id_col, text_col, max_token_df, shingle_k)
+    toks = _doc_token_sets(docs, id_col, text_col, max_token_df, shingle_k, hash_fn)
     out = (
         _pair_overlap(toks, id_col)
         .withColumn("c1", F.col("n_shared") / F.col("size1"))
@@ -805,6 +891,7 @@ def shingle_df_stats(
     text_col: str = "text",
     max_token_df: int | None = DEFAULT_MAX_TOKEN_DF,
     shingle_k: int | None = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Drop accounting for the inverted-index stop-shingle cap: ONE row
     describing what ``max_token_df`` removes from the index that
@@ -821,7 +908,7 @@ def shingle_df_stats(
     never touches pairs.  ``max_token_df=None`` reports the uncapped
     index (all drop counts zero).
     """
-    toks = _doc_token_sets(docs, id_col, text_col, None, shingle_k)
+    toks = _doc_token_sets(docs, id_col, text_col, None, shingle_k, hash_fn)
     df_tbl = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
     hot = (
         F.col("__df") > F.lit(max_token_df)

@@ -31,6 +31,9 @@ def rolling_agg(
     count_name: str = "n_window",
     sum_name: str = "sum_window",
     round_digits: int | None = None,
+    skew_safe: bool = True,
+    chunk_seconds: int | None = None,
+    target_chunks: int | None = None,
 ) -> DataFrame:
     """Trailing time-window aggregates per key: for every event, the
     count and value-sum of the key's events in ``[ts - window, ts]``
@@ -38,12 +41,45 @@ def rolling_agg(
 
     The frame is a RANGE window over ``unix_micros`` — integer
     microsecond bounds, so window membership is exact on any engine.
-    One shuffle on the keys; the running frame needs no buffering
-    beyond the window span.  ``round_digits`` optionally rounds the sum
-    (for cross-engine comparison); by default the aggregate is emitted
-    at full precision — a generic operator must not silently truncate
-    small-magnitude values.
+    ``round_digits`` optionally rounds the sum (for cross-engine
+    comparison); by default the aggregate is emitted at full precision
+    — a generic operator must not silently truncate small-magnitude
+    values.
+
+    SKEW-SAFE BY DEFAULT (round 7): a plain ``PARTITION BY keys``
+    window puts a key's whole timeline in ONE task — the scale probe
+    measured a 50%-hot key at ~78× the uniform runtime, and AQE cannot
+    split a window partition.  So by default this delegates to
+    :func:`rolling_agg_chunked` (identical output, oracle-verified)
+    with ``chunk_seconds`` derived from the observed timeline span via
+    :func:`~res2df_spark.operators.timechunk.derive_chunk_seconds`
+    (span / ``target_chunks``, floored at ``window_seconds``) — one
+    extra min/max scan at plan-build time buys a plan no hot key can
+    straggle.  ``skew_safe=False`` opts into the single-window form
+    (no extra scan, one exchange — fine when keys are known-uniform);
+    an explicit ``chunk_seconds`` skips the derivation scan.  A corpus
+    with no non-NULL timestamps also falls back to the single-window
+    form (every row is in the NULL peer group; there is no timeline to
+    chunk).
     """
+    if skew_safe:
+        cs = chunk_seconds
+        if cs is None:
+            from res2df_spark.operators.timechunk import derive_chunk_seconds
+
+            cs = derive_chunk_seconds(df, ts_col, window_seconds, target_chunks)
+        if cs is not None:
+            return rolling_agg_chunked(
+                df,
+                ts_col,
+                keys,
+                value_col,
+                window_seconds,
+                chunk_seconds=cs,
+                count_name=count_name,
+                sum_name=sum_name,
+                round_digits=round_digits,
+            )
     us = F.unix_micros(F.col(ts_col))
     w = (
         Window.partitionBy(*keys)
@@ -58,6 +94,97 @@ def rolling_agg(
     ).withColumn(sum_name, total)
 
 
+def _prefix_frame_aggs(df, part_cols, us_col, value_col, window_us):
+    """Trailing-frame ``(count, sum)`` over ``[t − window, t]`` as
+    DIFFERENCES of two add-only prefix frames — ``agg OVER (UNBOUNDED
+    PRECEDING, CURRENT ROW)`` minus ``agg OVER (UNBOUNDED PRECEDING,
+    window+1µs PRECEDING)`` — sharing one sort on ``part_cols``.
+
+    Why: Spark's bounded-lower-bound RANGE frame re-aggregates its whole
+    buffer every time a row EXITS the frame (SlidingWindowFunctionFrame
+    has no retract path), making a dense hot key O(rows × frame-size);
+    unbounded-preceding frames only ever ADD rows — O(rows).  The two
+    prefixes differ by exactly the frame ``[t − window, t]`` (the upper
+    bound ``−window−1`` µs excludes the frame's inclusive left edge;
+    timestamps are integer µs so off-by-one is exact).
+
+    Exactness bookkeeping, matching direct IEEE frame summation:
+
+    * count: integer prefix difference — exact.
+    * integer sums: prefixes in ``decimal(38,0)`` (a 64-bit prefix could
+      overflow where the frame sum would not), difference cast back to
+      Spark's native sum type.
+    * float/double sums: NaN / +Inf / −Inf occurrences are COUNTED in
+      separate integer prefixes (an Inf or NaN entering a plain running
+      sum would poison every later frame, even after it leaves), and the
+      frame result is rebuilt by IEEE rules: any NaN or (+Inf and −Inf)
+      → NaN; +Inf → +Inf; −Inf → −Inf; else the finite-part difference,
+      which may differ from direct frame summation only by FP
+      REORDERING error (bounded by the partition's span — callers chunk
+      the timeline, so prefixes never cross a chunk).
+    * all-NULL (or empty) frames yield NULL, like ``sum`` over a frame
+      with no non-NULL input.
+    """
+    order = F.col(us_col)
+    w_le = (
+        Window.partitionBy(*part_cols)
+        .orderBy(order)
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_lt = (
+        Window.partitionBy(*part_cols)
+        .orderBy(order)
+        .rangeBetween(Window.unboundedPreceding, -int(window_us) - 1)
+    )
+    v = F.col(value_col)
+    # Spark's result type for sum(value) — match it exactly so the
+    # prefix engine is schema-identical to the recompute engine
+    sum_type = df.select(F.sum(v).alias("_s")).schema[0].dataType.simpleString()
+
+    def pdiff(agg, zero):
+        # agg over the w_lt frame is NULL when the frame is empty (or
+        # all-NULL); the subtrahend must then be the typed zero
+        return agg.over(w_le) - F.coalesce(agg.over(w_lt), zero)
+
+    n_expr = F.count(F.lit(1)).over(w_le) - F.count(F.lit(1)).over(w_lt)
+    n_vals = F.count(v).over(w_le) - F.count(v).over(w_lt)
+    vt = dict(df.dtypes)[value_col]
+    if vt in ("double", "float"):
+        pinf, ninf = F.lit(float("inf")), F.lit(float("-inf"))
+        fin = F.when(~F.isnan(v) & (v != pinf) & (v != ninf), v)
+        fin_sum = pdiff(F.sum(fin), F.lit(0.0))
+        n_nan = pdiff(F.sum(F.when(F.isnan(v), 1).otherwise(0)), F.lit(0))
+        n_pinf = pdiff(F.sum(F.when(v == pinf, 1).otherwise(0)), F.lit(0))
+        n_ninf = pdiff(F.sum(F.when(v == ninf, 1).otherwise(0)), F.lit(0))
+        s_expr = (
+            F.when(n_vals == 0, F.lit(None))
+            .when(
+                (n_nan > 0) | ((n_pinf > 0) & (n_ninf > 0)),
+                F.lit(float("nan")),
+            )
+            .when(n_pinf > 0, pinf)
+            .when(n_ninf > 0, ninf)
+            .otherwise(F.coalesce(fin_sum, F.lit(0.0)))
+        ).cast(sum_type)
+    elif vt in ("bigint", "int", "smallint", "tinyint"):
+        sv = F.sum(v.cast("decimal(38,0)"))
+        s_expr = (
+            F.when(n_vals == 0, F.lit(None)).otherwise(
+                pdiff(sv, F.lit(0).cast("decimal(38,0)"))
+            )
+        ).cast(sum_type)
+    else:
+        # decimals: native decimal prefixes — exact arithmetic; a
+        # prefix overflowing decimal(38) errors loudly under ANSI
+        # rather than returning a wrong frame sum
+        s_expr = (
+            F.when(n_vals == 0, F.lit(None)).otherwise(
+                pdiff(F.sum(v), F.lit(0))
+            )
+        ).cast(sum_type)
+    return n_expr, s_expr
+
+
 def rolling_agg_chunked(
     df: DataFrame,
     ts_col: str,
@@ -68,6 +195,7 @@ def rolling_agg_chunked(
     count_name: str = "n_window",
     sum_name: str = "sum_window",
     round_digits: int | None = None,
+    method: str = "prefix",
 ) -> DataFrame:
     """Skew-safe :func:`rolling_agg`: identical trailing-window
     semantics, but the hot key no longer becomes one straggler task.
@@ -82,9 +210,33 @@ def rolling_agg_chunked(
     ``window_seconds`` of a chunk is duplicated into the next chunk
     (flagged, contributing to frames but emitting no output row), which
     is precisely the set of rows a frame near a chunk start can reach
-    back to.  ``chunk_seconds`` defaults to 64× the window, bounding
-    halo duplication at ~1.6% of rows; it must be ≥ ``window_seconds``
-    (a frame may never need rows two chunks back).
+    back to.  ``chunk_seconds`` defaults (round 7) to the
+    timeline-span derivation of :func:`~res2df_spark.operators.
+    timechunk.derive_chunk_seconds` — span / 8×parallelism, floored at
+    the window, one extra min/max scan — so short-timeline corpora
+    split maximally while long timelines keep halo duplication
+    negligible; a corpus with no real timestamps falls back to 64× the
+    window (~1.6% duplication).  It must be ≥ ``window_seconds`` (a
+    frame may never need rows two chunks back).
+
+    ``method`` picks the frame engine (round 7):
+
+    * ``"prefix"`` (default): each trailing aggregate is the DIFFERENCE
+      of two ADD-ONLY prefix frames — ``agg OVER (UNBOUNDED PRECEDING,
+      CURRENT ROW)`` minus ``agg OVER (UNBOUNDED PRECEDING, window+1µs
+      PRECEDING)``.  Spark evaluates unbounded-preceding frames
+      incrementally (one add per row), but a BOUNDED lower bound makes
+      it re-aggregate the whole buffer every time a row leaves the
+      frame — O(rows × frame) per task, which the skew probe measured
+      at 33 s for a single hot key whose frames hold ~6 k rows.  The
+      prefix difference is O(rows) per task.  Count results are exact
+      (integer / overflow-proof decimal prefixes); float sums carry
+      explicit NaN / ±Inf / all-NULL bookkeeping so IEEE frame
+      semantics are preserved, and the finite part may differ from
+      direct frame summation only by floating-point REORDERING error,
+      bounded by the chunk span (prefixes never cross a chunk).
+    * ``"recompute"``: the plain bounded RANGE frame (Spark's sliding
+      buffer) — direct frame summation, kept as the A/B reference.
 
     Rows with NULL ``ts_col`` aggregate over the key's NULL-timestamp
     PEER GROUP (count/sum of that key's NULL-ts rows) — exactly what
@@ -93,7 +245,13 @@ def rolling_agg_chunked(
     from exact integer floor-division of microseconds, so chunk
     assignment — like frame membership — is engine-portable.
     """
+    if method not in ("prefix", "recompute"):
+        raise ValueError(f"method must be 'prefix' or 'recompute', got {method!r}")
     window_us = int(window_seconds) * 1_000_000
+    if chunk_seconds is None:
+        from res2df_spark.operators.timechunk import derive_chunk_seconds
+
+        chunk_seconds = derive_chunk_seconds(df, ts_col, window_seconds)
     chunk_us = (
         int(chunk_seconds) * 1_000_000 if chunk_seconds is not None
         else 64 * window_us
@@ -125,17 +283,22 @@ def rolling_agg_chunked(
         .withColumn("__halo", F.lit(True))
     )
     both = main.unionByName(halo)
-    w = (
-        Window.partitionBy(*keys, "__chunk")
-        .orderBy("__us")
-        .rangeBetween(-window_us, 0)
-    )
-    total = F.sum(value_col).over(w)
+    if method == "prefix":
+        n_col, s_col = _prefix_frame_aggs(
+            both, [*keys, "__chunk"], "__us", value_col, window_us
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys, "__chunk")
+            .orderBy("__us")
+            .rangeBetween(-window_us, 0)
+        )
+        n_col, s_col = F.count(F.lit(1)).over(w), F.sum(value_col).over(w)
     if round_digits is not None:
-        total = F.round(total, round_digits)
+        s_col = F.round(s_col, round_digits)
     scored = (
-        both.withColumn(count_name, F.count(F.lit(1)).over(w).cast("long"))
-        .withColumn(sum_name, total)
+        both.withColumn(count_name, n_col.cast("long"))
+        .withColumn(sum_name, s_col)
         .filter(~F.col("__halo"))
         .drop("__us", "__chunk", "__halo")
     )

@@ -95,11 +95,21 @@ def sessionize_chunked(
     A chunk with no events needs no special case: the halo hops one
     chunk, and an empty predecessor means the time gap already exceeds
     ``chunk_seconds >= gap_seconds``, so "no halo row" and "new
-    session" coincide — which is why ``chunk_seconds`` (default
-    1024 × gap) must be ≥ ``gap_seconds``.  NULL-timestamp rows get a
-    NULL session id, exactly like :func:`sessionize`.
+    session" coincide — which is why ``chunk_seconds`` must be
+    ≥ ``gap_seconds``.  ``chunk_seconds`` defaults (round 7) to the
+    timeline-span derivation of :func:`~res2df_spark.operators.
+    timechunk.derive_chunk_seconds` — span / 8×parallelism, floored at
+    the gap, one extra min/max scan — so the skew-safe form is
+    zero-config on short fixtures and long production timelines alike;
+    a corpus with no real timestamps falls back to 1024 × gap.
+    NULL-timestamp rows get a NULL session id, exactly like
+    :func:`sessionize`.
     """
     gap_us = int(gap_seconds) * 1_000_000
+    if chunk_seconds is None:
+        from res2df_spark.operators.timechunk import derive_chunk_seconds
+
+        chunk_seconds = derive_chunk_seconds(df, ts_col, gap_seconds)
     chunk_us = (
         int(chunk_seconds) * 1_000_000 if chunk_seconds is not None
         else 1024 * gap_us

@@ -46,6 +46,32 @@ RUNTIME_CONF = {
 CHECKPOINT_DIR_CONF = "spark.res2df.checkpointDir"
 
 
+def _normalize_ck_path(p: str | None) -> str | None:
+    """Normalize a checkpoint-directory path/URI for EQUALITY comparison.
+
+    ``getCheckpointDir`` returns a scheme-qualified URI (``file:/x/y``,
+    ``hdfs://nn/x/y``); user conf may be a bare path, ``file:`` form, or
+    a full URI.  Local forms (no scheme / ``file:`` with any number of
+    slashes) normalize to a plain absolute path; remote URIs keep
+    ``scheme://authority`` and normalize only the path part.  Equality
+    of the normalized forms — never ``endswith`` — decides whether the
+    context already points at the conf's directory: a suffix match
+    would skip the re-point when the conf CHANGES to a directory whose
+    path is a suffix of the old one (``/data/ck`` → ``/ck``)."""
+    if not p:
+        return None
+    import posixpath
+    from urllib.parse import urlparse
+
+    u = urlparse(str(p))
+    if u.scheme in ("", "file"):
+        path = u.path or "/"
+        return posixpath.normpath("/" + path.lstrip("/"))
+    return f"{u.scheme}://{u.netloc}" + posixpath.normpath(
+        "/" + (u.path or "/").lstrip("/")
+    )
+
+
 def truncate_lineage(df, eager: bool = True):
     """Truncate a DataFrame's lineage — the per-round guard every
     iterative operator (pagerank, kmeans_fit, connected_components,
@@ -69,19 +95,19 @@ def truncate_lineage(df, eager: bool = True):
         sc = spark.sparkContext
         # keep the context's checkpoint dir in sync with the conf: the
         # dir sticks to the SparkContext, so a conf change mid-session
-        # must re-point it (getCheckpointDir returns a scheme-qualified
-        # URI, hence the suffix match rather than equality)
+        # must re-point it (both sides normalize through
+        # _normalize_ck_path so scheme-qualified and bare forms compare
+        # as paths)
         current = sc.getCheckpointDir()
-        want = ckdir.rstrip("/")
-        want = want.removeprefix("file:") or "/"
+        want = _normalize_ck_path(ckdir)
         # getCheckpointDir returns <dir>/<random-uuid> (Spark appends a
         # per-setCheckpointDir uuid segment), so compare the PARENT —
         # matching against the full value would re-point the dir (a
         # mkdirs RPC + a fresh uuid directory) on EVERY truncation
-        parent = (
+        parent = _normalize_ck_path(
             current.rstrip("/").rsplit("/", 1)[0] if current else None
         )
-        if parent is None or not parent.endswith(want):
+        if parent is None or parent != want:
             sc.setCheckpointDir(ckdir)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

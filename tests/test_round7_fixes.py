@@ -1,0 +1,268 @@
+"""Round-7 fixes from the round-6 verdict brief:
+
+* the ``truncate_lineage`` checkpoint-dir sync must use normalized-path
+  EQUALITY of the parent, not ``endswith`` (a conf change to a directory
+  whose path is a suffix of the old one was silently skipped);
+* ``rolling_agg`` is skew-safe by default (delegates to the chunked
+  decomposition with a timeline-span-derived ``chunk_seconds``);
+* ``sessionize_chunked``'s ``chunk_seconds`` defaults to the same
+  span derivation (zero-config skew safety).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from res2df_spark.operators.eventanalytics import rolling_agg
+from res2df_spark.operators.sessionize import sessionize, sessionize_chunked
+from res2df_spark.operators.timechunk import derive_chunk_seconds
+from res2df_spark.session import _normalize_ck_path
+
+
+def test_normalize_ck_path_forms():
+    # local forms collapse to one plain absolute path
+    assert _normalize_ck_path("/a/b") == "/a/b"
+    assert _normalize_ck_path("/a/b/") == "/a/b"
+    assert _normalize_ck_path("file:/a/b") == "/a/b"
+    assert _normalize_ck_path("file:///a/b") == "/a/b"
+    assert _normalize_ck_path("/a//b/./c") == "/a/b/c"
+    # remote URIs keep scheme://authority, normalize the path
+    assert _normalize_ck_path("hdfs://nn:8020/a/b/") == "hdfs://nn:8020/a/b"
+    assert _normalize_ck_path("s3a://bkt/a//b") == "s3a://bkt/a/b"
+    assert _normalize_ck_path(None) is None
+    assert _normalize_ck_path("") is None
+    # a bare path and a remote URI with the same path SUFFIX are
+    # different directories — they must not compare equal
+    assert _normalize_ck_path("/data/ck") != _normalize_ck_path(
+        "hdfs://nn/data/ck"
+    )
+
+
+def test_checkpoint_dir_repointed_on_suffix_conf_change(spark, tmp_path):
+    """Flip the conf between two dirs where the new one's path is a
+    string SUFFIX of the old parent: the round-6 ``endswith`` check
+    skipped the re-point and silently kept checkpointing to the old
+    directory."""
+    from res2df_spark.session import CHECKPOINT_DIR_CONF, truncate_lineage
+
+    short = str(tmp_path / "ck")
+    # a directory whose absolute path ENDS WITH `short`'s path
+    long = str(tmp_path / "outer") + short
+    spark.conf.set(CHECKPOINT_DIR_CONF, long)
+    try:
+        truncate_lineage(spark.range(3))
+        cur = spark.sparkContext.getCheckpointDir()
+        assert _normalize_ck_path(cur.rsplit("/", 1)[0]) == long
+        # conf change to the suffix dir: must RE-POINT
+        spark.conf.set(CHECKPOINT_DIR_CONF, short)
+        truncate_lineage(spark.range(3))
+        cur = spark.sparkContext.getCheckpointDir()
+        assert _normalize_ck_path(cur.rsplit("/", 1)[0]) == short
+        # and stays pinned (no fresh uuid dir per truncation)
+        truncate_lineage(spark.range(3))
+        assert spark.sparkContext.getCheckpointDir() == cur
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def _fixture(spark, n=600, n_keys=7, step_s=311):
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, i % n_keys, base + timedelta(seconds=i * step_s), float(i % 13))
+        for i in range(n)
+    ]
+    rows.append((n, 1, None, 5.0))  # NULL-ts row exercises the peer group
+    return _events(spark, rows)
+
+
+def test_derive_chunk_seconds_span_and_floor(spark):
+    ev = _fixture(spark, n=600, step_s=311)
+    # span = 599*311 s; target 10 chunks -> ceil(span/10), above floor
+    span = 599 * 311
+    got = derive_chunk_seconds(ev, "ts", 60, target_chunks=10)
+    assert got == -(-span // 10)
+    # floor wins when span/target < floor
+    assert derive_chunk_seconds(ev, "ts", 10**9, target_chunks=10) == 10**9
+    # all-NULL timestamps -> None (nothing to chunk)
+    nulls = _events(spark, [(0, 1, None, 1.0)])
+    assert derive_chunk_seconds(nulls, "ts", 60) is None
+    # default target = 8x parallelism
+    dflt = derive_chunk_seconds(ev, "ts", 1)
+    par = spark.sparkContext.defaultParallelism
+    assert dflt == max(1, -(-span // (8 * par)))
+
+
+def test_rolling_agg_default_is_skew_safe_and_exact(spark):
+    ev = _fixture(spark)
+    cols = ["event_id", "n_window", "sum_window"]
+    plain = sorted(
+        tuple(r)
+        for r in rolling_agg(
+            ev, "ts", ["user_id"], "value", 3600, skew_safe=False
+        ).select(*cols).collect()
+    )
+    dflt = rolling_agg(ev, "ts", ["user_id"], "value", 3600)
+    assert sorted(tuple(r) for r in dflt.select(*cols).collect()) == plain
+    # the default plan is the chunked decomposition (partitions carry
+    # the derived __chunk key), not one window per key
+    plan = dflt._jdf.queryExecution().executedPlan().toString()
+    assert "__chunk" in plan
+    # explicit opt-out is the single-window plan
+    off = rolling_agg(ev, "ts", ["user_id"], "value", 3600, skew_safe=False)
+    assert "__chunk" not in off._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rolling_agg_all_null_ts_falls_back_to_plain(spark):
+    ev = _events(spark, [(0, 1, None, 1.0), (1, 1, None, 2.0), (2, 2, None, 3.0)])
+    got = {
+        r.event_id: (r.n_window, r.sum_window)
+        for r in rolling_agg(ev, "ts", ["user_id"], "value", 3600).collect()
+    }
+    # NULL peer group per key, same as the plain window's semantics
+    assert got[0] == (2, 3.0) and got[1] == (2, 3.0) and got[2] == (1, 3.0)
+
+
+def test_rolling_agg_explicit_chunk_skips_derivation(spark):
+    ev = _fixture(spark, n=50)
+    cols = ["event_id", "n_window", "sum_window"]
+    a = sorted(
+        tuple(r)
+        for r in rolling_agg(
+            ev, "ts", ["user_id"], "value", 3600, chunk_seconds=7200
+        ).select(*cols).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in rolling_agg(
+            ev, "ts", ["user_id"], "value", 3600, skew_safe=False
+        ).select(*cols).collect()
+    )
+    assert a == b
+
+
+def test_sessionize_chunked_default_chunk_is_derived_and_exact(spark):
+    ev = _fixture(spark, n=400, step_s=977)
+    plain = sorted(
+        tuple(r)
+        for r in sessionize(
+            ev, "ts", ["user_id"], 3600, tiebreak=["event_id"]
+        ).select("event_id", "session_id").collect()
+    )
+    dflt = sorted(
+        tuple(r)
+        for r in sessionize_chunked(
+            ev, "ts", ["user_id"], 3600, tiebreak=["event_id"]
+        ).select("event_id", "session_id").collect()
+    )
+    assert dflt == plain
+
+
+def _cmp_methods(spark, ev, window_s, chunk_s):
+    from res2df_spark.operators.eventanalytics import rolling_agg_chunked
+
+    cols = ["event_id", "n_window", "sum_window"]
+    outs = {}
+    for m in ("prefix", "recompute"):
+        outs[m] = sorted(
+            tuple(r)
+            for r in rolling_agg_chunked(
+                ev, "ts", ["user_id"], "value", window_s,
+                chunk_seconds=chunk_s, method=m,
+            ).select(*cols).collect()
+        )
+    return outs
+
+
+def test_prefix_engine_matches_recompute_on_dense_fixture(spark):
+    ev = _fixture(spark, n=500, n_keys=3, step_s=97)
+    outs = _cmp_methods(spark, ev, window_s=3600, chunk_s=7200)
+    # float sums: compare with a tolerance for FP reordering, counts exact
+    for (ea, na, sa), (eb, nb, sb) in zip(outs["prefix"], outs["recompute"]):
+        assert (ea, na) == (eb, nb)
+        if sa is None or sb is None:
+            assert sa == sb
+        else:
+            assert abs(sa - sb) < 1e-9
+
+
+def test_prefix_engine_ieee_semantics(spark):
+    """NaN/±Inf must poison only frames they are IN — a plain running
+    sum would stay NaN forever after the value leaves the window."""
+    base = datetime(2024, 1, 1)
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        # user 1: a NaN at t=0 leaves the 1h frame by t=2h
+        (0, 1, base, nan),
+        (1, 1, base + timedelta(minutes=30), 1.0),
+        (2, 1, base + timedelta(hours=3), 2.0),
+        # user 2: +inf then -inf in one frame -> NaN; later frames clean
+        (3, 2, base, inf),
+        (4, 2, base + timedelta(minutes=10), -inf),
+        (5, 2, base + timedelta(hours=5), 7.0),
+        # user 3: inf alone -> inf while in frame
+        (6, 3, base, inf),
+        (7, 3, base + timedelta(minutes=5), 3.0),
+        (8, 3, base + timedelta(hours=6), 4.0),
+        # user 4: all-NULL values -> NULL sums, exact counts
+        (9, 4, base, None),
+        (10, 4, base + timedelta(minutes=1), None),
+    ]
+    ev = _events(spark, rows)
+    outs = _cmp_methods(spark, ev, window_s=3600, chunk_s=3600)
+
+    def norm(t):
+        e, n, s = t
+        if s is not None and s != s:
+            s = "nan"
+        return (e, n, s)
+
+    assert [norm(t) for t in outs["prefix"]] == [
+        norm(t) for t in outs["recompute"]
+    ]
+    got = {e: (n, s) for e, n, s in outs["prefix"]}
+    assert got[1][1] != got[1][1]  # NaN still in frame
+    assert got[2] == (1, 2.0)  # NaN left the frame
+    assert got[4][1] != got[4][1]  # +inf + -inf = NaN
+    assert got[5] == (1, 7.0)
+    assert got[7] == (2, inf)
+    assert got[8] == (1, 4.0)
+    assert got[9] == (1, None) and got[10] == (2, None)
+
+
+def test_prefix_engine_integer_sums_exact(spark):
+    ev = spark.createDataFrame(
+        [
+            (i, i % 2, datetime(2024, 1, 1) + timedelta(seconds=i * 171), (i % 11) - 5)
+            for i in range(300)
+        ],
+        "event_id long, user_id long, ts timestamp, value long",
+    )
+    outs = _cmp_methods(spark, ev, window_s=1800, chunk_s=3600)
+    assert outs["prefix"] == outs["recompute"]
+    # schema parity: sum of bigint stays bigint under the prefix engine
+    from res2df_spark.operators.eventanalytics import rolling_agg_chunked
+
+    t = dict(
+        rolling_agg_chunked(
+            ev, "ts", ["user_id"], "value", 1800, chunk_seconds=3600
+        ).dtypes
+    )
+    assert t["sum_window"] == "bigint" and t["n_window"] == "bigint"
+
+
+def test_rolling_agg_chunked_validation_still_applies(spark):
+    from res2df_spark.operators.eventanalytics import rolling_agg_chunked
+
+    ev = _fixture(spark, n=20)
+    with pytest.raises(ValueError, match="chunk_seconds"):
+        rolling_agg_chunked(
+            ev, "ts", ["user_id"], "value", 3600, chunk_seconds=60
+        )

@@ -369,16 +369,33 @@ def probe_skewed_keys(spark) -> dict:
             df, "ts", ["user_id"], gap_seconds=3600,
             chunk_seconds=6 * 3600, tiebreak=["event_id"],
         ),
+        # the DEFAULT path (round 7): rolling_agg is skew-safe by
+        # default — it delegates to the chunked decomposition with
+        # chunk_seconds derived from the observed timeline span
+        # (span / 8x parallelism, floored at the window), so this entry
+        # measures what a NAIVE caller now gets on a hot key
         "rolling_agg_hotkey": lambda df: rolling_agg(
             df, "ts", ["user_id"], "value", window_seconds=86_400
+        ),
+        # the plain single-window form (explicit opt-out) — the
+        # documented straggler, kept measured so the default's win is a
+        # number, not a claim
+        "rolling_plain_hotkey": lambda df: rolling_agg(
+            df, "ts", ["user_id"], "value", window_seconds=86_400,
+            skew_safe=False,
         ),
         "rolling_chunked_hotkey": lambda df: rolling_agg_chunked(
             df, "ts", ["user_id"], "value", window_seconds=86_400,
             # 2x window: ~50% halo duplication buys ~16-way parallelism
-            # on this fixture's short timeline — at production timelines
-            # (window << history) the default 64x keeps duplication at
-            # 1.6% with thousands-way parallelism
+            # on this fixture's short timeline; the derived default
+            # (rolling_agg_hotkey above) floors at 1x window for even
+            # more splits — at production timelines (window << history)
+            # the derivation lands at span/8P with negligible halo
             chunk_seconds=2 * 86_400,
+        ),
+        # sessionize_chunked with the round-7 derived chunk default
+        "sessionize_chunked_default_hotkey": lambda df: sessionize_chunked(
+            df, "ts", ["user_id"], gap_seconds=3600, tiebreak=["event_id"]
         ),
         "dedup_keep_window_hotkey": lambda df: dedup_keep(
             df, ["user_id"], ["ts", "event_id"], keep="last"
