@@ -89,6 +89,8 @@ HEADLINE = [
     "mm_features_arity",       # parametric-arity feature extract (round 6)
     "value_histogram",         # exact equal-width histogram (round 6)
     "hybrid_rrf",              # reciprocal-rank retrieval fusion (round 6)
+    "dedup_simhash_pairs_xx",  # simhash pairing on xxhash64 (round 7)
+    "dedup_containment_xx",    # integer-keyed inverted index (round 7)
 ]
 
 

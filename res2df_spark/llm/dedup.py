@@ -818,7 +818,9 @@ def duplicate_ngram_spans(
     base = spread(docs).withColumn("__toks", tokens(F.col(text_col))).select(
         F.col(id_col), shingles(F.col("__toks"), k).alias("__sh")
     )
-    gram_h = F.md5 if hash_fn == "md5" else F.xxhash64
+    # xxhash64 is *cols-variadic, which the HOF wrapper rejects as a
+    # bare callable - wrap it to a unary lambda
+    gram_h = F.md5 if hash_fn == "md5" else (lambda x: F.xxhash64(x))
     grams = base.select(
         F.col(id_col),
         F.size("__sh").alias("__n"),

@@ -6158,3 +6158,46 @@ def mm_features_arity(spark, sf_dir):
     return _mm_feats_csv(extract_features(src, n_features=6)).drop(
         "n_bytes", "content_md5"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 — xxhash64 hash backend for the dedup hot paths
+# ---------------------------------------------------------------------------
+
+
+@_q("dedup_containment_xx", _CONTAINMENT_SQL)
+def dedup_containment_xx(spark, sf_dir):
+    """Containment pairs with the xxhash64 element-hash backend
+    (llm/dedup.containment_pairs hash_fn='xxhash64', round 7): shingle
+    strings are replaced by 64-bit integer hashes before the inverted
+    index, so the pair join shuffles 8-byte longs instead of multi-word
+    strings.  Set sizes and intersections — hence c1/c2 and the
+    surviving pairs — are invariant under the injective hash map, so
+    this row shares dedup_containment's raw-shingle ORACLE verbatim:
+    a hash-green match here PROVES the integer-keyed index computes
+    the same pairs."""
+    from res2df_spark.llm.dedup import containment_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    return containment_pairs(
+        docs, threshold=0.8, shingle_k=3, hash_fn="xxhash64"
+    )
+
+
+@_q("dedup_simhash_pairs_xx")
+def dedup_simhash_pairs_xx(spark, sf_dir):
+    """SimHash near-dup pairing on the xxhash64 backend
+    (llm/dedup.simhash_near_pairs hash_fn='xxhash64', round 7): one
+    64-bit integer hash per token replaces md5 + two hex conv()s — the
+    production hash for signature CPU at 100 TB.  Signature BITS differ
+    from the md5 family (both are valid SimHash instances), so pairs
+    near the Hamming threshold legitimately differ and no DuckDB oracle
+    can replay Spark's seed-42 XXH64 over its internal encoding: this
+    row is registered WITHOUT oracle SQL (driver records the weaker
+    rows-only check); tests/test_hashfn.py pins the invariants that do
+    hold (exact-duplicate texts collide at Hamming 0 under any
+    backend, schema parity with the md5 row)."""
+    from res2df_spark.llm.dedup import simhash_near_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    return simhash_near_pairs(docs, max_hamming=3, hash_fn="xxhash64")
