@@ -258,6 +258,67 @@ def test_prefix_engine_integer_sums_exact(spark):
     assert t["sum_window"] == "bigint" and t["n_window"] == "bigint"
 
 
+def test_prefix_engine_matches_bruteforce_randomized(spark):
+    """Property check: the prefix-difference chunked engine equals a
+    per-row brute-force frame computation on randomized timelines —
+    duplicate timestamps (peers), clustered bursts, negative values,
+    NULL values, several chunk widths."""
+    from hypothesis import given, settings, strategies as st
+
+    from res2df_spark.operators.eventanalytics import rolling_agg_chunked
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1),          # key
+                st.integers(min_value=0, max_value=20_000),     # seconds
+                st.one_of(
+                    st.none(),
+                    st.floats(
+                        min_value=-50, max_value=50,
+                        allow_nan=False, allow_infinity=False,
+                    ),
+                ),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        window_s=st.sampled_from([60, 900, 3600]),
+        chunk_mult=st.sampled_from([1, 2, 7]),
+    )
+    def check(rows, window_s, chunk_mult):
+        data = [
+            (i, k, datetime(2024, 1, 1) + timedelta(seconds=s), v)
+            for i, (k, s, v) in enumerate(rows)
+        ]
+        ev = _events(spark, data)
+        got = {
+            r.event_id: (r.n_window, r.sum_window)
+            for r in rolling_agg_chunked(
+                ev, "ts", ["user_id"], "value", window_s,
+                chunk_seconds=chunk_mult * window_s,
+            ).collect()
+        }
+        for i, (k, s, _v) in enumerate(rows):
+            frame = [
+                (k2, s2, v2)
+                for (k2, s2, v2) in rows
+                if k2 == k and s - window_s <= s2 <= s
+            ]
+            vals = [v for (_, _, v) in frame if v is not None]
+            want_n = len(frame)
+            want_s = sum(vals) if vals else None
+            n, sm = got[i]
+            assert n == want_n, (i, rows, window_s, chunk_mult)
+            if want_s is None:
+                assert sm is None, (i, rows)
+            else:
+                assert sm is not None and abs(sm - want_s) < 1e-9, (i, rows)
+
+    check()
+
+
 def test_rolling_agg_chunked_validation_still_applies(spark):
     from res2df_spark.operators.eventanalytics import rolling_agg_chunked
 

@@ -58,16 +58,16 @@ OFFSET_KEYS = {
 COPY_ONLY = ["region", "nation"]
 
 
-def build_big(spark) -> None:
-    if os.path.isdir(BIG_DIR):
-        shutil.rmtree(BIG_DIR)
-    os.makedirs(BIG_DIR, exist_ok=True)
+def build_big(spark, out_dir: str = BIG_DIR, replicas: int = REPLICAS) -> None:
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
     for t in COPY_ONLY:
-        shutil.copy(f"{SMALL_DIR}/{t}.parquet", f"{BIG_DIR}/{t}.parquet")
+        shutil.copy(f"{SMALL_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
     for t, keys in OFFSET_KEYS.items():
         src = spark.read.parquet(f"{SMALL_DIR}/{t}.parquet")
         parts = []
-        for i in range(REPLICAS):
+        for i in range(replicas):
             rep = src
             for k in keys:
                 rep = rep.withColumn(k, F.col(k) + F.lit(i * OFF))
@@ -116,11 +116,11 @@ def build_big(spark) -> None:
         for p in parts[1:]:
             big = big.unionByName(p)
         # one flat parquet per table, like the driver's testdata layout
-        big.coalesce(8).write.mode("overwrite").parquet(f"{BIG_DIR}/__{t}")
+        big.coalesce(8).write.mode("overwrite").parquet(f"{out_dir}/__{t}")
         # the suite's Catalog reads <dir>/<table>.parquet — a directory
         # with that name works for Spark and keeps the same contract
-        os.rename(f"{BIG_DIR}/__{t}", f"{BIG_DIR}/{t}.parquet")
-        n = spark.read.parquet(f"{BIG_DIR}/{t}.parquet").count()
+        os.rename(f"{out_dir}/__{t}", f"{out_dir}/{t}.parquet")
+        n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
         print(f"  built {t}: {n} rows", file=sys.stderr)
 
 
@@ -140,6 +140,64 @@ def run_one(spark, name: str, sf_dir: str, repeats: int) -> tuple[float, float]:
         df.write.mode("overwrite").format("noop").save()
         best = min(best, time.time() - t0)
     return build, best
+
+
+#: Queries whose sf0.1→sf1.0 ratio sat in the 4–8× band — where a single
+#: decade cannot distinguish linear-with-fixed-overhead (ratio falls
+#: toward data growth at the next decade) from mildly super-linear
+#: (ratio rises above it).  The second-decade probe re-runs exactly
+#: these at sf1.0→sf3.0 (3× data) and records the ratio; an entry is
+#: healthy at ≤ ~3×+noise, super-linear growth must get a named cause.
+SECOND_DECADE = [
+    "rep_ngram_stats",
+    "text_fingerprint",
+    "tfidf_topk",
+    "dedup_simhash_pairs",
+    "pagerank_dangling",
+]
+BIG3_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE3_DIR", "/tmp/sparkgraft_scale/sf3.0"
+)
+
+
+def probe_second_decade(spark, repeats: int) -> dict:
+    """sf1.0 → sf3.0 (30 replicas) for the :data:`SECOND_DECADE`
+    queries.  Assumes BIG_DIR exists (main() builds it first); builds
+    the 30-replica set with the same replica-local key/token scheme so
+    the workload grows linearly by construction and any super-linear
+    ratio is the ENGINE, not cross-replica pairing."""
+    print("building 30x dataset ...", file=sys.stderr)
+    t0 = time.time()
+    build_big(spark, out_dir=BIG3_DIR, replicas=3 * REPLICAS)
+    build_secs = round(time.time() - t0, 1)
+    print(f"built in {build_secs}s", file=sys.stderr)
+    out: dict[str, object] = {"data_growth": 3.0, "build_secs": build_secs}
+    qs: dict[str, object] = {}
+    for name in SECOND_DECADE:
+        try:
+            b_mid, mid = run_one(spark, name, BIG_DIR, repeats)
+            b_big, big = run_one(spark, name, BIG3_DIR, repeats)
+            entry: dict[str, object] = {
+                "sf1": round(mid, 3),
+                "sf3": round(big, 3),
+                "ratio": round(big / mid, 2) if mid > 0 else None,
+            }
+            if b_big > 1.0:
+                entry["build_sf1"] = round(b_mid, 3)
+                entry["build_sf3"] = round(b_big, 3)
+                entry["build_ratio"] = (
+                    round(b_big / b_mid, 2) if b_mid > 0 else None
+                )
+            qs[name] = entry
+            print(
+                f"  second-decade {name}: {mid:.2f}s -> {big:.2f}s "
+                f"(x{big / mid:.2f}; build {b_mid:.2f}s -> {b_big:.2f}s)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            qs[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+    out["queries"] = qs
+    return out
 
 
 def probe_adversarial(spark) -> dict:
@@ -434,7 +492,7 @@ def probe_skewed_keys(spark) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--out", default="SCALEPROBE_r06.json")
+    ap.add_argument("--out", default="SCALEPROBE_r07.json")
     ap.add_argument("--keep", action="store_true", help="keep the big dataset")
     ap.add_argument(
         "--only",
@@ -524,6 +582,8 @@ def main() -> None:
             shutil.rmtree(os.path.dirname(BIG_DIR), ignore_errors=True)
         return
 
+    print("second-decade probe (sf1.0 -> sf3.0) ...", file=sys.stderr)
+    second_decade = probe_second_decade(spark, args.repeats)
     print("adversarial capped-operator probe ...", file=sys.stderr)
     adversarial = probe_adversarial(spark)
     print("skewed-key window-family probe ...", file=sys.stderr)
@@ -545,6 +605,7 @@ def main() -> None:
         "max_ratio": max(ratios) if ratios else None,
         "median_ratio": sorted(ratios)[len(ratios) // 2] if ratios else None,
         "queries": out,
+        "second_decade": second_decade,
         "adversarial": adversarial,
         "skewed_keys": skewed_keys,
     }
