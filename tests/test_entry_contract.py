@@ -12,13 +12,26 @@ import __spark_entry__ as E
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+#: Queries registered WITHOUT oracle SQL — the driver then records the
+#: weaker rows-only check, so additions here need a reason the oracle
+#: is IMPOSSIBLE, not merely inconvenient:
+#: - dedup_simhash_pairs_xx: pairs depend on Spark's seed-42 XXH64 over
+#:   its internal binary encoding, which DuckDB cannot replay; the
+#:   hash-INVARIANT twin (dedup_containment_xx) is fully oracled, and
+#:   tests/test_hashfn.py pins the xx invariants that do hold.
+ROWS_ONLY_QUERIES = {"dedup_simhash_pairs_xx"}
+
+
 def test_queries_oracle_keys_align():
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs), "every oracle key must have a query"
     missing = set(qs) - set(os_)
     # every query, including the binary round-trip (oracled via the
-    # source-parquet aggregate it derives from), must have an oracle
-    assert not missing, f"queries without oracle: {missing}"
+    # source-parquet aggregate it derives from), must have an oracle —
+    # except the justified rows-only allowlist above
+    assert missing <= ROWS_ONLY_QUERIES, (
+        f"queries without oracle: {missing - ROWS_ONLY_QUERIES}"
+    )
 
 
 def test_entry_smoke(spark):
