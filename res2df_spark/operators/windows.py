@@ -55,15 +55,36 @@ def dedup_keep(
     keys: Sequence[str],
     order_by: Sequence[str | Column],
     keep: str = "last",
+    skew_safe: bool = True,
 ) -> DataFrame:
     """Keep-first/keep-last deduplication over explicit ordering.
 
     pandas ``drop_duplicates(subset, keep="last")`` after a stable sort
     (A5: /root/reference/src/res2df/compdat.py:917-922, gruptree.py:181,
-    wellcompletiondata.py:207) becomes
-    ``row_number() OVER (PARTITION BY keys ORDER BY ord DESC) = 1`` —
-    one shuffle on the dedup keys, map-side combinable by AQE.
+    wellcompletiondata.py:207).
+
+    SKEW-SAFE BY DEFAULT (round 7, same policy as ``rolling_agg``): by
+    default this delegates to :func:`dedup_keep_agg` — one
+    partial-aggregatable ``max_by``/``min_by``, so a hot key collapses
+    map-side to one candidate per task (and an EMPTY ``keys`` becomes a
+    global aggregate rather than a single-partition window).  The two
+    forms pick the same winner row for row (both use Spark's total
+    order on the ordering columns; ties are arbitrary in both — pass a
+    unique tie-breaker, the engine-wide convention).
+
+    ``skew_safe=False`` keeps the ``row_number() OVER (PARTITION BY
+    keys ORDER BY ord DESC) = 1`` window form — use it when the dedup
+    shares its sort/exchange with adjacent per-row window computations
+    (the one case where the window plan is cheaper).
+
+    A DataFrame with DUPLICATE column names (a join that kept both
+    sides of a key) routes to the window form automatically: the agg
+    form must rebuild the payload struct by column NAME, which is
+    ambiguous there, while ``row_number`` + filter never names payload
+    columns.
     """
+    if skew_safe and len(set(df.columns)) == len(df.columns):
+        return dedup_keep_agg(df, keys, order_by, keep=keep)
     ordering = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if keep == "last":
         ordering = [c.desc() for c in ordering]

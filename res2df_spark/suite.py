@@ -216,10 +216,14 @@ def a7_distinct_probe(spark, sf_dir):
 def a5_dedup_keep_last(spark, sf_dir):
     """Keep-last dedup over explicit ordering (A5 — pandas
     drop_duplicates(keep='last') after stable sort,
-    compdat.py:917-922) as row_number window."""
+    compdat.py:917-922) as row_number window — skew_safe=False pins the
+    WINDOW form so both engines stay oracle-covered (dedup_keep's r7
+    default delegates to the agg form, which a5_dedup_keep_agg
+    exercises against this same oracle)."""
     ev = Catalog(spark, sf_dir).events
     return dedup_keep(
-        ev, keys=["user_id", "event_type"], order_by=["ts", "event_id"], keep="last"
+        ev, keys=["user_id", "event_type"], order_by=["ts", "event_id"],
+        keep="last", skew_safe=False,
     ).select("user_id", "event_type", "event_id", "ts", "value")
 
 

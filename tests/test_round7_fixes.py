@@ -319,6 +319,44 @@ def test_prefix_engine_matches_bruteforce_randomized(spark):
     check()
 
 
+def test_dedup_keep_default_is_agg_and_equal(spark):
+    """dedup_keep now delegates to the partial-agg form by default
+    (same policy as rolling_agg); skew_safe=False pins the window."""
+    from res2df_spark.operators.windows import dedup_keep
+
+    rows = [
+        (0, "w1", 1, 10.0),
+        (1, "w1", 3, 11.0),
+        (2, "w1", 2, 12.0),
+        (3, "w2", 1, 13.0),
+        (4, None, 2, 14.0),   # NULL key is a real group in both forms
+        (5, None, 1, 15.0),
+    ]
+    df = spark.createDataFrame(rows, "rid long, well string, idx long, v double")
+    for keep in ("first", "last"):
+        agg = sorted(
+            tuple(r)
+            for r in dedup_keep(df, ["well"], ["idx", "rid"], keep=keep).collect()
+        )
+        win = sorted(
+            tuple(r)
+            for r in dedup_keep(
+                df, ["well"], ["idx", "rid"], keep=keep, skew_safe=False
+            ).collect()
+        )
+        assert agg == win and len(agg) == 3
+    # the default plans as an aggregate, not a window
+    plan = (
+        dedup_keep(df, ["well"], ["idx"], keep="last")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    # empty keys: global keep-last — one row, via a global aggregate
+    # (the window form would be a single-partition global window)
+    top = dedup_keep(df, [], ["idx", "rid"], keep="last").collect()
+    assert len(top) == 1 and top[0].rid == 1
+
+
 def test_rolling_agg_chunked_validation_still_applies(spark):
     from res2df_spark.operators.eventanalytics import rolling_agg_chunked
 

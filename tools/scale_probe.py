@@ -456,7 +456,9 @@ def probe_skewed_keys(spark) -> dict:
             df, "ts", ["user_id"], gap_seconds=3600, tiebreak=["event_id"]
         ),
         "dedup_keep_window_hotkey": lambda df: dedup_keep(
-            df, ["user_id"], ["ts", "event_id"], keep="last"
+            df, ["user_id"], ["ts", "event_id"], keep="last",
+            skew_safe=False,  # pin the window form; the default now
+            # delegates to the agg form measured below
         ),
         "dedup_keep_agg_hotkey": lambda df: dedup_keep_agg(
             df, ["user_id"], ["ts", "event_id"], keep="last"
