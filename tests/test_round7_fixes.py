@@ -357,6 +357,44 @@ def test_dedup_keep_default_is_agg_and_equal(spark):
     assert len(top) == 1 and top[0].rid == 1
 
 
+def test_prefix_engine_float_and_decimal_types(spark):
+    """Schema + value parity for the remaining numeric dtypes: FLOAT
+    sums widen to double (Spark's rule) and DECIMAL sums stay exact
+    decimal under the native-decimal prefix path."""
+    from pyspark.sql import functions as F
+
+    from res2df_spark.operators.eventanalytics import rolling_agg_chunked
+
+    base = spark.createDataFrame(
+        [
+            (i, i % 2, datetime(2024, 1, 1) + timedelta(seconds=i * 313), f"{(i % 7) - 3}.25")
+            for i in range(120)
+        ],
+        "event_id long, user_id long, ts timestamp, raw string",
+    )
+    for typ in ("float", "decimal(10,2)"):
+        ev = base.withColumn("value", F.col("raw").cast(typ)).drop("raw")
+        outs = {}
+        for m in ("prefix", "recompute"):
+            df = rolling_agg_chunked(
+                ev, "ts", ["user_id"], "value", 1800,
+                chunk_seconds=3600, method=m,
+            )
+            outs[m] = sorted(
+                tuple(r) for r in df.select("event_id", "n_window", "sum_window").collect()
+            )
+            outs[m + "_t"] = dict(df.dtypes)["sum_window"]
+        assert outs["prefix_t"] == outs["recompute_t"], typ
+        for (ea, na, sa), (eb, nb, sb) in zip(outs["prefix"], outs["recompute"]):
+            assert (ea, na) == (eb, nb), typ
+            if typ.startswith("decimal"):
+                assert sa == sb, (typ, ea)
+            else:
+                assert (sa is None) == (sb is None) and (
+                    sa is None or abs(sa - sb) < 1e-6
+                ), (typ, ea)
+
+
 def test_rolling_agg_chunked_validation_still_applies(spark):
     from res2df_spark.operators.eventanalytics import rolling_agg_chunked
 
