@@ -62,6 +62,12 @@ def rolling_agg(
     form (every row is in the NULL peer group; there is no timeline to
     chunk).
     """
+    if not skew_safe and (chunk_seconds is not None or target_chunks is not None):
+        raise ValueError(
+            "chunk_seconds/target_chunks request the chunked decomposition "
+            "but skew_safe=False pins the single-window form - drop one of "
+            "the two"
+        )
     if skew_safe:
         cs = chunk_seconds
         if cs is None:

@@ -78,12 +78,18 @@ def dedup_keep(
     (the one case where the window plan is cheaper).
 
     A DataFrame with DUPLICATE column names (a join that kept both
-    sides of a key) routes to the window form automatically: the agg
-    form must rebuild the payload struct by column NAME, which is
+    sides of a key — compared case-insensitively, matching Spark's
+    default resolution) routes to the window form automatically: the
+    agg form must rebuild the payload struct by column NAME, which is
     ambiguous there, while ``row_number`` + filter never names payload
-    columns.
+    columns.  Two agg-form caveats for qualifier-sensitive callers:
+    the rebuilt columns lose their alias QUALIFIERS (a downstream
+    ``select("c.WELL")`` against the output will not resolve — select
+    unqualified names, or pass ``skew_safe=False``), and every output
+    column is nullable (struct ``getField`` erases non-null flags).
     """
-    if skew_safe and len(set(df.columns)) == len(df.columns):
+    names = [c.lower() for c in df.columns]
+    if skew_safe and len(set(names)) == len(names):
         return dedup_keep_agg(df, keys, order_by, keep=keep)
     ordering = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if keep == "last":

@@ -46,30 +46,42 @@ RUNTIME_CONF = {
 CHECKPOINT_DIR_CONF = "spark.res2df.checkpointDir"
 
 
-def _normalize_ck_path(p: str | None) -> str | None:
-    """Normalize a checkpoint-directory path/URI for EQUALITY comparison.
-
-    ``getCheckpointDir`` returns a scheme-qualified URI (``file:/x/y``,
-    ``hdfs://nn/x/y``); user conf may be a bare path, ``file:`` form, or
-    a full URI.  Local forms (no scheme / ``file:`` with any number of
-    slashes) normalize to a plain absolute path; remote URIs keep
-    ``scheme://authority`` and normalize only the path part.  Equality
-    of the normalized forms — never ``endswith`` — decides whether the
-    context already points at the conf's directory: a suffix match
-    would skip the re-point when the conf CHANGES to a directory whose
-    path is a suffix of the old one (``/data/ck`` → ``/ck``)."""
+def _ck_parts(p: str | None) -> tuple[str, str] | None:
+    """Split a checkpoint-directory path/URI into (authority, path) for
+    comparison.  ``authority`` is ``scheme://netloc`` for remote URIs
+    and ``""`` for local forms (bare path, or ``file:`` with any number
+    of slashes — Spark and users write both); ``path`` is
+    slash-normalized."""
     if not p:
         return None
     import posixpath
     from urllib.parse import urlparse
 
     u = urlparse(str(p))
+    path = posixpath.normpath("/" + (u.path or "/").lstrip("/"))
     if u.scheme in ("", "file"):
-        path = u.path or "/"
-        return posixpath.normpath("/" + path.lstrip("/"))
-    return f"{u.scheme}://{u.netloc}" + posixpath.normpath(
-        "/" + (u.path or "/").lstrip("/")
-    )
+        return ("", path)
+    return (f"{u.scheme}://{u.netloc}", path)
+
+
+def _same_ck_dir(want: str | None, have: str | None) -> bool:
+    """Whether conf value ``want`` and context parent ``have`` name the
+    same checkpoint directory.  Paths compare by normalized EQUALITY —
+    never ``endswith``, which skipped the re-point when the conf
+    CHANGED to a directory whose path is a suffix of the old one
+    (``/data/ck`` → ``/ck``).  Authorities compare equal when both name
+    one, and a SCHEME-LESS ``want`` matches any authority: on a cluster
+    whose default FS is HDFS/S3, conf ``/ckpt`` comes back from
+    ``getCheckpointDir`` as ``hdfs://nn:8020/ckpt/<uuid>`` — demanding
+    authority equality there would re-point (a mkdirs RPC + a fresh
+    uuid dir) on EVERY truncation, the exact churn the parent
+    comparison exists to prevent."""
+    w, h = _ck_parts(want), _ck_parts(have)
+    if w is None or h is None:
+        return False
+    if w[1] != h[1]:
+        return False
+    return w[0] == "" or w[0] == h[0]
 
 
 def truncate_lineage(df, eager: bool = True):
@@ -95,19 +107,15 @@ def truncate_lineage(df, eager: bool = True):
         sc = spark.sparkContext
         # keep the context's checkpoint dir in sync with the conf: the
         # dir sticks to the SparkContext, so a conf change mid-session
-        # must re-point it (both sides normalize through
-        # _normalize_ck_path so scheme-qualified and bare forms compare
-        # as paths)
+        # must re-point it (see _same_ck_dir for the comparison rules —
+        # normalized-path equality plus scheme-less-conf tolerance)
         current = sc.getCheckpointDir()
-        want = _normalize_ck_path(ckdir)
         # getCheckpointDir returns <dir>/<random-uuid> (Spark appends a
         # per-setCheckpointDir uuid segment), so compare the PARENT —
         # matching against the full value would re-point the dir (a
         # mkdirs RPC + a fresh uuid directory) on EVERY truncation
-        parent = _normalize_ck_path(
-            current.rstrip("/").rsplit("/", 1)[0] if current else None
-        )
-        if parent is None or parent != want:
+        parent = current.rstrip("/").rsplit("/", 1)[0] if current else None
+        if not _same_ck_dir(ckdir, parent):
             sc.setCheckpointDir(ckdir)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

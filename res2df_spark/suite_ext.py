@@ -3350,9 +3350,12 @@ _ROLLING_SQL = """
 
 @_q("rolling_window", _ROLLING_SQL)
 def rolling_window(spark, sf_dir):
-    """Trailing 1-hour per-user count/sum for every event: RANGE frame
-    over integer microseconds — exact boundaries, one exchange on
-    user_id, frame evaluated streamingly inside the sort."""
+    """Trailing 1-hour per-user count/sum for every event, integer-µs
+    exact boundaries.  Round 7: rolling_agg is skew-safe by default —
+    this plans as the chunked decomposition (partition keys carry the
+    derived __chunk, main+halo union) with the O(n) prefix-difference
+    frame engine; the oracle SQL stays the plain RANGE window, proving
+    the decomposition row-identical."""
     from res2df_spark.operators.eventanalytics import rolling_agg
 
     ev = Catalog(spark, sf_dir).events

@@ -18,26 +18,34 @@ import pytest
 from res2df_spark.operators.eventanalytics import rolling_agg
 from res2df_spark.operators.sessionize import sessionize, sessionize_chunked
 from res2df_spark.operators.timechunk import derive_chunk_seconds
-from res2df_spark.session import _normalize_ck_path
+from res2df_spark.session import _ck_parts, _same_ck_dir
 
 
-def test_normalize_ck_path_forms():
+def test_ck_dir_comparison_rules():
     # local forms collapse to one plain absolute path
-    assert _normalize_ck_path("/a/b") == "/a/b"
-    assert _normalize_ck_path("/a/b/") == "/a/b"
-    assert _normalize_ck_path("file:/a/b") == "/a/b"
-    assert _normalize_ck_path("file:///a/b") == "/a/b"
-    assert _normalize_ck_path("/a//b/./c") == "/a/b/c"
+    assert _ck_parts("/a/b") == ("", "/a/b")
+    assert _ck_parts("/a/b/") == ("", "/a/b")
+    assert _ck_parts("file:/a/b") == ("", "/a/b")
+    assert _ck_parts("file:///a/b") == ("", "/a/b")
+    assert _ck_parts("/a//b/./c") == ("", "/a/b/c")
     # remote URIs keep scheme://authority, normalize the path
-    assert _normalize_ck_path("hdfs://nn:8020/a/b/") == "hdfs://nn:8020/a/b"
-    assert _normalize_ck_path("s3a://bkt/a//b") == "s3a://bkt/a/b"
-    assert _normalize_ck_path(None) is None
-    assert _normalize_ck_path("") is None
-    # a bare path and a remote URI with the same path SUFFIX are
-    # different directories — they must not compare equal
-    assert _normalize_ck_path("/data/ck") != _normalize_ck_path(
-        "hdfs://nn/data/ck"
-    )
+    assert _ck_parts("hdfs://nn:8020/a/b/") == ("hdfs://nn:8020", "/a/b")
+    assert _ck_parts("s3a://bkt/a//b") == ("s3a://bkt", "/a/b")
+    assert _ck_parts(None) is None and _ck_parts("") is None
+    # equality: never a suffix match
+    assert _same_ck_dir("/a/ck", "/a/ck")
+    assert not _same_ck_dir("/ck", "/data/ck")
+    assert not _same_ck_dir("/data/ck", "/ck")
+    # a SCHEME-LESS conf must match the default-FS-qualified form
+    # getCheckpointDir returns on an HDFS/S3 cluster — demanding
+    # authority equality would re-point every truncation
+    assert _same_ck_dir("/ckpt", "hdfs://nn:8020/ckpt")
+    assert _same_ck_dir("file:/ckpt", "file:///ckpt")
+    # but DIFFERENT paths, or an explicit conf authority that does not
+    # match, are different directories
+    assert not _same_ck_dir("/other", "hdfs://nn:8020/ckpt")
+    assert not _same_ck_dir("hdfs://nn2/ckpt", "hdfs://nn:8020/ckpt")
+    assert not _same_ck_dir("hdfs://nn/ckpt", "/ckpt")
 
 
 def test_checkpoint_dir_repointed_on_suffix_conf_change(spark, tmp_path):
@@ -54,12 +62,12 @@ def test_checkpoint_dir_repointed_on_suffix_conf_change(spark, tmp_path):
     try:
         truncate_lineage(spark.range(3))
         cur = spark.sparkContext.getCheckpointDir()
-        assert _normalize_ck_path(cur.rsplit("/", 1)[0]) == long
+        assert _ck_parts(cur.rsplit("/", 1)[0]) == _ck_parts(long)
         # conf change to the suffix dir: must RE-POINT
         spark.conf.set(CHECKPOINT_DIR_CONF, short)
         truncate_lineage(spark.range(3))
         cur = spark.sparkContext.getCheckpointDir()
-        assert _normalize_ck_path(cur.rsplit("/", 1)[0]) == short
+        assert _ck_parts(cur.rsplit("/", 1)[0]) == _ck_parts(short)
         # and stays pinned (no fresh uuid dir per truncation)
         truncate_lineage(spark.range(3))
         assert spark.sparkContext.getCheckpointDir() == cur

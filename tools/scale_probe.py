@@ -582,6 +582,10 @@ def main() -> None:
         print(json.dumps({"only": list(out)}))
         if not args.keep:
             shutil.rmtree(os.path.dirname(BIG_DIR), ignore_errors=True)
+        # BIG3_DIR defaults next to BIG_DIR but is an independent env
+        # knob - remove it explicitly or a customized SCALE_DIR leaks
+        # the 30-replica set under the default /tmp location
+        shutil.rmtree(BIG3_DIR, ignore_errors=True)
         return
 
     print("second-decade probe (sf1.0 -> sf3.0) ...", file=sys.stderr)
@@ -617,6 +621,10 @@ def main() -> None:
                       ("metric", "max_ratio", "median_ratio", "data_growth")}))
     if not args.keep:
         shutil.rmtree(os.path.dirname(BIG_DIR), ignore_errors=True)
+        # BIG3_DIR defaults next to BIG_DIR but is an independent env
+        # knob - remove it explicitly or a customized SCALE_DIR leaks
+        # the 30-replica set under the default /tmp location
+        shutil.rmtree(BIG3_DIR, ignore_errors=True)
 
 
 if __name__ == "__main__":
