@@ -936,6 +936,7 @@ def cross_doc_segment_dedup(
     text_col: str = "text",
     window: int = 8,
     max_df: int = 1,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """CCNet-style cross-document line dedup (Wenzek et al. 2020 §3.1)
     generalized to unlined corpora: text splits into NON-overlapping
@@ -955,7 +956,13 @@ def cross_doc_segment_dedup(
     empty or whitespace-only text — have no segments and are excluded
     from the output (filter them beforehand if a verdict row per doc
     is needed, as :func:`minhash_novelty` does).
+
+    ``hash_fn="xxhash64"`` keys the segment-df aggregate and join on a
+    64-bit integer instead of an md5 hex string; df counts — hence
+    keep/drop verdicts and the rebuilt text — are invariant under the
+    injective map, so the output is identical up to collisions.
     """
+    _check_hash_fn(hash_fn)
     # materialize the token array BEFORE the higher-order transform:
     # a lambda-captured expression is re-evaluated per array element
     # (the split would run n_segments times per row otherwise)
@@ -978,7 +985,10 @@ def cross_doc_segment_dedup(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("seg_idx", "seg"),
-    ).withColumn("seg_h", F.md5(F.col("seg")))
+    ).withColumn(
+        "seg_h",
+        F.md5(F.col("seg")) if hash_fn == "md5" else F.xxhash64(F.col("seg")),
+    )
     seg_df = (
         segs.select(id_col, "seg_h")
         .distinct()
@@ -1020,6 +1030,7 @@ def minhash_verified_pairs(
     shingle_k: int | None = 3,
     threshold: float = 0.7,
     max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The full production near-dup pipeline in one operator:
     MinHash-LSH candidate generation followed by EXACT shingle-Jaccard
@@ -1054,8 +1065,9 @@ def minhash_verified_pairs(
         band_size=band_size,
         shingle_k=shingle_k,
         max_bucket_size=max_bucket_size,
+        hash_fn=hash_fn,
     ).localCheckpoint(eager=True)
-    toks = _doc_token_sets(docs, id_col, text_col, None, shingle_k)
+    toks = _doc_token_sets(docs, id_col, text_col, None, shingle_k, hash_fn)
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     t1 = toks.select(F.col(id_col).alias("d1"), "token")
     t2 = toks.select(F.col(id_col).alias("d2"), "token")

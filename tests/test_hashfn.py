@@ -113,6 +113,30 @@ def test_minhash_xx_bands_and_candidates(docs):
     assert (0, 3) not in got
 
 
+def test_segment_dedup_hash_invariant(docs):
+    from res2df_spark.llm.dedup import cross_doc_segment_dedup
+
+    a = _rows(cross_doc_segment_dedup(docs, window=4))
+    b = _rows(cross_doc_segment_dedup(docs, window=4, hash_fn="xxhash64"))
+    assert a == b and a
+
+
+def test_verified_pairs_xx_runs_with_exact_jaccard(docs):
+    """Bands differ between hash families, but the verification half is
+    the exact shingle Jaccard — an exact duplicate pair must come out
+    verified with jaccard 1.0 under either backend."""
+    from res2df_spark.llm.dedup import minhash_verified_pairs
+
+    out = {
+        (r.d1, r.d2): r
+        for r in minhash_verified_pairs(
+            docs, num_hashes=16, band_size=4, shingle_k=2, hash_fn="xxhash64"
+        ).collect()
+    }
+    r = out[(0, 1)]
+    assert r.is_dup and abs(r.jaccard - 1.0) < 1e-9 and r.n_bands == 4
+
+
 def test_bad_hash_fn_rejected(docs):
     with pytest.raises(ValueError, match="hash_fn"):
         ngram_jaccard_pairs(docs, hash_fn="sha1")
