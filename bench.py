@@ -91,6 +91,7 @@ HEADLINE = [
     "hybrid_rrf",              # reciprocal-rank retrieval fusion (round 6)
     "dedup_simhash_pairs_xx",  # simhash pairing on xxhash64 (round 7)
     "dedup_containment_xx",    # integer-keyed inverted index (round 7)
+    "j9_asof_chunked",         # skew-safe chunk-carried as-of join (round 7)
 ]
 
 

@@ -145,3 +145,145 @@ def asof_join(
         *[F.col(src).alias(dst) for src, dst in renames.items()],
     )
     return out
+
+
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str] | None = None,
+    tolerance_expr: str | None = None,
+    suffix: str = "",
+    strict: bool = False,
+    chunk_seconds: int | None = None,
+    target_chunks: int | None = None,
+) -> DataFrame:
+    """Skew-safe :func:`asof_join`: identical point-in-time semantics,
+    partitioned on (keys, time-chunk) instead of the keys alone, so a
+    hot join key (one well/user owning half the rows) spreads over
+    timeline/chunk tasks instead of becoming one straggler sort.
+
+    Unlike the rolling window, an as-of lookback is UNBOUNDED — a left
+    row at a chunk start may match an observation arbitrarily far back
+    — so a fixed-width halo cannot work.  Instead the carry is computed
+    at CHUNK GRAIN: per (keys, chunk) the latest observation (same
+    time-then-payload tiebreak as the window form), forward-filled
+    across each key's chunk sequence (a window over #chunks rows per
+    key — thousands, never billions), and injected into each chunk as
+    ONE synthetic observation row carrying its TRUE time.  Carried
+    observations are strictly older than the chunk start, so they can
+    never tie an in-chunk row, ``strict`` needs no special case, and
+    ``tolerance_expr`` sees the real observation age.  Per left row the
+    visible candidate set is exactly the window form's: in-chunk
+    observations at-or-before (or strictly-before) it, plus the one
+    pre-chunk observation that could win.
+
+    ``chunk_seconds`` defaults to the timeline-span derivation of
+    :func:`~res2df_spark.operators.timechunk.derive_chunk_seconds`
+    (span / 8×parallelism over the LEFT time column; one extra min/max
+    scan); the time axis must be a timestamp type (the plain
+    :func:`asof_join` also supports numeric axes).  Left rows with a
+    NULL time keep their row with NULL payload, exactly like the plain
+    form.
+    """
+    on = list(on)
+    lt_type = left.schema[left_time].dataType.typeName()
+    if lt_type not in ("timestamp", "timestamp_ntz", "date"):
+        raise ValueError(
+            f"asof_join_chunked needs a timestamp/date axis, got {lt_type}; "
+            "use asof_join for numeric axes"
+        )
+    if chunk_seconds is None:
+        from res2df_spark.operators.timechunk import derive_chunk_seconds
+
+        chunk_seconds = derive_chunk_seconds(left, left_time, 1, target_chunks)
+    if chunk_seconds is None:
+        # no real left timestamps: every left row gets NULL payload and
+        # the plain form handles that shape in one cheap pass
+        return asof_join(
+            left, right, on, left_time, right_time,
+            value_cols=value_cols, tolerance_expr=tolerance_expr,
+            suffix=suffix, strict=strict,
+        )
+    chunk_us = int(chunk_seconds) * 1_000_000
+
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in on and c != right_time]
+    value_cols = list(value_cols)
+
+    def chunk_of(col):
+        us = F.unix_micros(F.col(col).cast("timestamp"))
+        return ((us - F.pmod(us, F.lit(chunk_us))) / F.lit(chunk_us)).cast("long")
+
+    # --- chunk-grain carry: latest observation per (keys, chunk),
+    # forward-filled across the key's chunk sequence -------------------
+    r_real = right.filter(F.col(right_time).isNotNull())
+    # the same time-then-payload tiebreak as the window form: at equal
+    # times the payload struct sorting LAST wins
+    obs_struct = F.struct(
+        F.col(right_time).alias("__rt"),
+        *[F.col(c).alias(f"v_{c}") for c in value_cols],
+    )
+    obs_last = (
+        r_real.withColumn("__chunk", chunk_of(right_time))
+        .groupBy(*on, "__chunk")
+        .agg(F.max(obs_struct).alias("__obs"))
+    )
+    l_real = left.filter(F.col(left_time).isNotNull())
+    left_chunks = (
+        l_real.withColumn("__chunk", chunk_of(left_time))
+        .select(*on, "__chunk")
+        .distinct()
+    )
+    grid = (
+        left_chunks.join(
+            obs_last.select(*on, "__chunk"), [*on, "__chunk"], "full"
+        )
+        .join(obs_last, [*on, "__chunk"], "left")
+    )
+    carry_w = (
+        Window.partitionBy(*on)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = (
+        grid.withColumn("__carry", F.last("__obs", ignorenulls=True).over(carry_w))
+        .filter(F.col("__carry").isNotNull())
+        # only chunks that have left rows need a halo; obs-only chunks
+        # would synthesize rows no one reads
+        .join(left_chunks, [*on, "__chunk"], "left_semi")
+        .select(
+            *on,
+            "__chunk",
+            F.col("__carry.__rt").alias(right_time),
+            *[F.col(f"__carry.v_{c}").alias(c) for c in value_cols],
+        )
+    )
+
+    # --- the plain union-window construction, with (keys, chunk) as the
+    # partition key and the carries unioned in as observations ---------
+    out = asof_join(
+        l_real.withColumn("__chunk", chunk_of(left_time)),
+        r_real.select(*on, right_time, *value_cols)
+        .withColumn("__chunk", chunk_of(right_time))
+        .unionByName(carries),
+        [*on, "__chunk"],
+        left_time,
+        right_time,
+        value_cols=value_cols,
+        tolerance_expr=tolerance_expr,
+        suffix=suffix,
+        strict=strict,
+    ).drop("__chunk")
+    # NULL-time left rows: no place on the axis, NULL payload (plain
+    # form's semantics — they sort before every observation)
+    nulls = left.filter(F.col(left_time).isNull()).select(
+        *out.columns[: len(out.columns) - len(value_cols)],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
+            for c in value_cols
+        ],
+    )
+    return out.unionByName(nulls)

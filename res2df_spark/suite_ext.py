@@ -6204,3 +6204,40 @@ def dedup_simhash_pairs_xx(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     return simhash_near_pairs(docs, max_hamming=3, hash_fn="xxhash64")
+
+
+from res2df_spark.suite import ORACLES as _ORACLES  # noqa: E402
+
+
+@_q("j9_asof_chunked", _ORACLES["j9_asof_join"])
+def j9_asof_chunked(spark, sf_dir):
+    """Skew-safe chunked as-of join (operators/asof.asof_join_chunked,
+    round 7): identical point-in-time semantics partitioned on
+    (user, time-chunk) — the unbounded lookback is preserved by a
+    CHUNK-GRAIN carry (latest observation per (key, chunk),
+    forward-filled over the key's chunk sequence, injected as one
+    synthetic observation per chunk at its true time).  Shares
+    j9_asof_join's LATERAL oracle verbatim: a hash-green row proves the
+    decomposition exact, ties and all."""
+    from res2df_spark.operators.asof import asof_join_chunked
+
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("view_value"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    return asof_join_chunked(
+        purchases,
+        views,
+        on=["user_id"],
+        left_time="purchase_ts",
+        right_time="ts",
+        value_cols=["view_value", "view_event_id"],
+        chunk_seconds=7 * 86_400,
+    ).select("user_id", "purchase_ts", "purchase_id", "view_value", "view_event_id")

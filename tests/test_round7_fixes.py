@@ -403,6 +403,87 @@ def test_prefix_engine_float_and_decimal_types(spark):
                 ), (typ, ea)
 
 
+def _asof_fixture(spark, n_left=120, n_right=90, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    base = datetime(2024, 1, 1)
+    left = [
+        (i, i % 5, base + timedelta(seconds=rng.randrange(0, 500_000)))
+        for i in range(n_left)
+    ]
+    left += [(n_left, 1, None), (n_left + 1, 99, base)]  # NULL time; keyless-match
+    right = [
+        (
+            j,
+            j % 5,
+            base + timedelta(seconds=rng.randrange(0, 500_000)),
+            float(j % 13),
+        )
+        for j in range(n_right)
+    ]
+    # duplicate observation timestamps on one key (tiebreak coverage)
+    right += [(n_right, 2, right[0][2], 77.0), (n_right + 1, 2, right[0][2], 88.0)]
+    ldf = spark.createDataFrame(left, "lid long, user_id long, lts timestamp")
+    rdf = spark.createDataFrame(
+        right, "rid long, user_id long, rts timestamp, obs double"
+    )
+    return ldf, rdf
+
+
+@pytest.mark.parametrize(
+    "strict,tol", [(False, None), (True, None), (False, "INTERVAL '1' DAY")]
+)
+def test_asof_chunked_equals_plain(spark, strict, tol):
+    from res2df_spark.operators.asof import asof_join, asof_join_chunked
+
+    ldf, rdf = _asof_fixture(spark)
+    kwargs = dict(
+        on=["user_id"], left_time="lts", right_time="rts",
+        value_cols=["obs", "rid"], tolerance_expr=tol, strict=strict,
+        suffix="_m",
+    )
+    plain = sorted(repr(tuple(r)) for r in asof_join(ldf, rdf, **kwargs).collect())
+    for chunk_s in (3600, 50_000, None):  # None = derived default
+        chunked = sorted(
+            repr(tuple(r))
+            for r in asof_join_chunked(
+                ldf, rdf, chunk_seconds=chunk_s, **kwargs
+            ).collect()
+        )
+        assert chunked == plain, (strict, tol, chunk_s)
+
+
+def test_asof_chunked_carry_crosses_empty_chunks(spark):
+    """A left row whose nearest observation is many chunks back must
+    still match it — the chunk-grain carry ffills across gaps."""
+    from res2df_spark.operators.asof import asof_join_chunked
+
+    base = datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(0, 1, base + timedelta(days=30))], "lid long, user_id long, lts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(0, 1, base, 42.0)], "rid long, user_id long, rts timestamp, obs double"
+    )
+    got = asof_join_chunked(
+        ldf, rdf, on=["user_id"], left_time="lts", right_time="rts",
+        value_cols=["obs"], chunk_seconds=3600,
+    ).collect()
+    assert len(got) == 1 and got[0].obs == 42.0
+
+
+def test_asof_chunked_rejects_numeric_axis(spark):
+    from res2df_spark.operators.asof import asof_join_chunked
+
+    ldf = spark.createDataFrame([(1, 1.0)], "user_id long, lts double")
+    rdf = spark.createDataFrame([(1, 0.5, 9.0)], "user_id long, rts double, obs double")
+    with pytest.raises(ValueError, match="timestamp"):
+        asof_join_chunked(
+            ldf, rdf, on=["user_id"], left_time="lts", right_time="rts"
+        )
+
+
 def test_rolling_agg_chunked_validation_still_applies(spark):
     from res2df_spark.operators.eventanalytics import rolling_agg_chunked
 

@@ -389,6 +389,7 @@ def probe_skewed_keys(spark) -> dict:
       time-chunk) partitions with halo rows — the skew ratio must
       collapse vs the plain forms.
     """
+    from res2df_spark.operators.asof import asof_join, asof_join_chunked
     from res2df_spark.operators.eventanalytics import (
         rolling_agg,
         rolling_agg_chunked,
@@ -418,6 +419,15 @@ def probe_skewed_keys(spark) -> dict:
         ).localCheckpoint()
 
     uniform, skewed = corpus(False), corpus(True)
+
+    def obs_for(df):
+        # observation table sharing the corpus's key distribution: every
+        # 20th event, shifted back 1h so matches are non-trivial
+        return df.filter(F.col("event_id") % 20 == 0).select(
+            F.col("user_id"),
+            (F.col("ts") - F.expr("INTERVAL '1' HOUR")).alias("ots"),
+            F.col("value").alias("obs"),
+        )
 
     ops = {
         "sessionize_hotkey": lambda df: sessionize(
@@ -454,6 +464,17 @@ def probe_skewed_keys(spark) -> dict:
         # sessionize_chunked with the round-7 derived chunk default
         "sessionize_chunked_default_hotkey": lambda df: sessionize_chunked(
             df, "ts", ["user_id"], gap_seconds=3600, tiebreak=["event_id"]
+        ),
+        # as-of join: the left is the corpus, the right a 20k-row
+        # observation table sharing the key distribution — plain form
+        # sorts each key in ONE task, chunked carries observations at
+        # chunk grain (round 7)
+        "asof_plain_hotkey": lambda df: asof_join(
+            df, obs_for(df), ["user_id"], "ts", "ots", value_cols=["obs"]
+        ),
+        "asof_chunked_hotkey": lambda df: asof_join_chunked(
+            df, obs_for(df), ["user_id"], "ts", "ots", value_cols=["obs"],
+            chunk_seconds=6 * 3600,
         ),
         "dedup_keep_window_hotkey": lambda df: dedup_keep(
             df, ["user_id"], ["ts", "event_id"], keep="last",
