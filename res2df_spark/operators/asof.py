@@ -159,6 +159,7 @@ def asof_join_chunked(
     strict: bool = False,
     chunk_seconds: int | None = None,
     target_chunks: int | None = None,
+    span_hint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Skew-safe :func:`asof_join`: identical point-in-time semantics,
     partitioned on (keys, time-chunk) instead of the keys alone, so a
@@ -182,11 +183,16 @@ def asof_join_chunked(
 
     ``chunk_seconds`` defaults to the timeline-span derivation of
     :func:`~res2df_spark.operators.timechunk.derive_chunk_seconds`
-    (span / 8×parallelism over the LEFT time column; one extra min/max
-    scan); the time axis must be a timestamp type (the plain
+    over the LEFT time column — NOTE that runs one EAGER min/max Spark
+    job at plan-construction time (re-executes the left lineage; fails
+    on streaming inputs): pass ``chunk_seconds`` explicitly, or share
+    one :func:`~res2df_spark.operators.timechunk.timeline_span` result
+    via ``span_hint`` when composing several skew-safe operators over
+    the same frame.  The time axis must be a timestamp type (the plain
     :func:`asof_join` also supports numeric axes).  Left rows with a
     NULL time keep their row with NULL payload, exactly like the plain
-    form.
+    form.  NULL join KEYS are one group, exactly like the plain form's
+    window partitioning — the carry grid joins null-safe.
     """
     on = list(on)
     lt_type = left.schema[left_time].dataType.typeName()
@@ -198,7 +204,9 @@ def asof_join_chunked(
     if chunk_seconds is None:
         from res2df_spark.operators.timechunk import derive_chunk_seconds
 
-        chunk_seconds = derive_chunk_seconds(left, left_time, 1, target_chunks)
+        chunk_seconds = derive_chunk_seconds(
+            left, left_time, 1, target_chunks, span_hint=span_hint
+        )
     if chunk_seconds is None:
         # no real left timestamps: every left row gets NULL payload and
         # the plain form handles that shape in one cheap pass
@@ -237,11 +245,25 @@ def asof_join_chunked(
         .select(*on, "__chunk")
         .distinct()
     )
-    grid = (
-        left_chunks.join(
-            obs_last.select(*on, "__chunk"), [*on, "__chunk"], "full"
-        )
-        .join(obs_last, [*on, "__chunk"], "left")
+    # NULL join keys are real groups to the window form (partitionBy
+    # groups NULLs like groupBy), so the carry grid MUST join null-safe
+    # — a plain equi-join never matches NULL keys and would silently
+    # drop cross-chunk matches for NULL-key rows.  eqNullSafe (<=>) is
+    # still equi-join-extractable, so the plan stays a hash join.
+    # One full-outer join replaces the former full+left+left_semi trio:
+    # __has_left records whether the (keys, chunk) cell holds left rows
+    # (obs-only chunks would synthesize carry rows no one reads).
+    lc, ob = left_chunks.alias("__lc"), obs_last.alias("__ob")
+    cond = F.col("__lc.__chunk") == F.col("__ob.__chunk")
+    for k in on:
+        cond = cond & F.col(f"__lc.{k}").eqNullSafe(F.col(f"__ob.{k}"))
+    grid = lc.join(ob, cond, "full").select(
+        # matched rows have null-safely EQUAL keys (coalesce is only
+        # deciding which side is populated, never mixing values)
+        *[F.coalesce(F.col(f"__lc.{k}"), F.col(f"__ob.{k}")).alias(k) for k in on],
+        F.coalesce(F.col("__lc.__chunk"), F.col("__ob.__chunk")).alias("__chunk"),
+        F.col("__obs"),
+        F.col("__lc.__chunk").isNotNull().alias("__has_left"),
     )
     carry_w = (
         Window.partitionBy(*on)
@@ -250,10 +272,7 @@ def asof_join_chunked(
     )
     carries = (
         grid.withColumn("__carry", F.last("__obs", ignorenulls=True).over(carry_w))
-        .filter(F.col("__carry").isNotNull())
-        # only chunks that have left rows need a halo; obs-only chunks
-        # would synthesize rows no one reads
-        .join(left_chunks, [*on, "__chunk"], "left_semi")
+        .filter(F.col("__carry").isNotNull() & F.col("__has_left"))
         .select(
             *on,
             "__chunk",

@@ -34,6 +34,7 @@ def rolling_agg(
     skew_safe: bool = True,
     chunk_seconds: int | None = None,
     target_chunks: int | None = None,
+    span_hint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Trailing time-window aggregates per key: for every event, the
     count and value-sum of the key's events in ``[ts - window, ts]``
@@ -50,30 +51,46 @@ def rolling_agg(
     window puts a key's whole timeline in ONE task — the scale probe
     measured a 50%-hot key at ~78× the uniform runtime, and AQE cannot
     split a window partition.  So by default this delegates to
-    :func:`rolling_agg_chunked` (identical output, oracle-verified)
-    with ``chunk_seconds`` derived from the observed timeline span via
+    :func:`rolling_agg_chunked` with ``chunk_seconds`` derived from the
+    observed timeline span via
     :func:`~res2df_spark.operators.timechunk.derive_chunk_seconds`
-    (span / ``target_chunks``, floored at ``window_seconds``) — one
-    extra min/max scan at plan-build time buys a plan no hot key can
-    straggle.  ``skew_safe=False`` opts into the single-window form
-    (no extra scan, one exchange — fine when keys are known-uniform);
-    an explicit ``chunk_seconds`` skips the derivation scan.  A corpus
+    (span / ``target_chunks``, floored at ``window_seconds``).  NOTE
+    the derivation runs ONE EAGER min/max Spark job at plan-BUILD time
+    (it re-executes the input lineage and cannot run on a streaming
+    DataFrame) — pass an explicit ``chunk_seconds`` (or a ``span_hint``
+    from :func:`~res2df_spark.operators.timechunk.timeline_span`,
+    computed once and shared across operators) for streaming or
+    plan-latency-sensitive callers.  Output parity with the plain
+    window form: row counts, frame COUNTS, and integer/decimal sums
+    are exact; FLOAT/DOUBLE sums are computed by the prefix-difference
+    engine and may differ from direct frame summation by
+    floating-point REORDERING error (bounded by the chunk span — see
+    :func:`_prefix_frame_aggs`), so a hashed/exact comparison on a
+    rounding boundary can flip.  For bit-exact float parity with the
+    plain form use ``skew_safe=False`` or delegate explicitly to
+    :func:`rolling_agg_chunked` with ``method="recompute"``.
+    ``skew_safe=False`` opts into the single-window form (no extra
+    scan, one exchange — fine when keys are known-uniform).  A corpus
     with no non-NULL timestamps also falls back to the single-window
     form (every row is in the NULL peer group; there is no timeline to
     chunk).
     """
-    if not skew_safe and (chunk_seconds is not None or target_chunks is not None):
+    if not skew_safe and (
+        chunk_seconds is not None or target_chunks is not None or span_hint is not None
+    ):
         raise ValueError(
-            "chunk_seconds/target_chunks request the chunked decomposition "
-            "but skew_safe=False pins the single-window form - drop one of "
-            "the two"
+            "chunk_seconds/target_chunks/span_hint request the chunked "
+            "decomposition but skew_safe=False pins the single-window form "
+            "- drop one of the two"
         )
     if skew_safe:
         cs = chunk_seconds
         if cs is None:
             from res2df_spark.operators.timechunk import derive_chunk_seconds
 
-            cs = derive_chunk_seconds(df, ts_col, window_seconds, target_chunks)
+            cs = derive_chunk_seconds(
+                df, ts_col, window_seconds, target_chunks, span_hint=span_hint
+            )
         if cs is not None:
             return rolling_agg_chunked(
                 df,
@@ -202,6 +219,7 @@ def rolling_agg_chunked(
     sum_name: str = "sum_window",
     round_digits: int | None = None,
     method: str = "prefix",
+    span_hint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Skew-safe :func:`rolling_agg`: identical trailing-window
     semantics, but the hot key no longer becomes one straggler task.
@@ -257,7 +275,9 @@ def rolling_agg_chunked(
     if chunk_seconds is None:
         from res2df_spark.operators.timechunk import derive_chunk_seconds
 
-        chunk_seconds = derive_chunk_seconds(df, ts_col, window_seconds)
+        chunk_seconds = derive_chunk_seconds(
+            df, ts_col, window_seconds, span_hint=span_hint
+        )
     chunk_us = (
         int(chunk_seconds) * 1_000_000 if chunk_seconds is not None
         else 64 * window_us

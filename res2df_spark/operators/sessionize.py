@@ -72,6 +72,7 @@ def sessionize_chunked(
     session_col: str = "session_id",
     chunk_seconds: int | None = None,
     tiebreak: Sequence[str | Column] = (),
+    span_hint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Skew-safe :func:`sessionize`: identical 1-based ordinal session
     ids, computed without putting a hot key's whole timeline in one
@@ -99,9 +100,14 @@ def sessionize_chunked(
     ≥ ``gap_seconds``.  ``chunk_seconds`` defaults (round 7) to the
     timeline-span derivation of :func:`~res2df_spark.operators.
     timechunk.derive_chunk_seconds` — span / 8×parallelism, floored at
-    the gap, one extra min/max scan — so the skew-safe form is
-    zero-config on short fixtures and long production timelines alike;
-    a corpus with no real timestamps falls back to 1024 × gap.
+    the gap — so the skew-safe form is zero-config on short fixtures
+    and long production timelines alike.  NOTE the derivation runs one
+    EAGER min/max Spark job at plan-construction time (re-executes the
+    input lineage; fails on streaming inputs) — pass ``chunk_seconds``
+    explicitly, or share one :func:`~res2df_spark.operators.timechunk.
+    timeline_span` result via ``span_hint`` when composing several
+    skew-safe operators over the same frame.  A corpus with no real
+    timestamps falls back to 1024 × gap.
     NULL-timestamp rows get a NULL session id, exactly like
     :func:`sessionize`.
     """
@@ -109,7 +115,9 @@ def sessionize_chunked(
     if chunk_seconds is None:
         from res2df_spark.operators.timechunk import derive_chunk_seconds
 
-        chunk_seconds = derive_chunk_seconds(df, ts_col, gap_seconds)
+        chunk_seconds = derive_chunk_seconds(
+            df, ts_col, gap_seconds, span_hint=span_hint
+        )
     chunk_us = (
         int(chunk_seconds) * 1_000_000 if chunk_seconds is not None
         else 1024 * gap_us

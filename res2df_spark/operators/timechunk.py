@@ -16,11 +16,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def timeline_span(df: DataFrame, ts_col: str) -> tuple[int, int] | None:
+    """(min, max) of ``ts_col`` in unix MICROSECONDS — the one eager
+    scan behind :func:`derive_chunk_seconds`, exposed so a pipeline
+    composing several skew-safe operators over the SAME frame computes
+    it once and passes it to each as ``span_hint`` instead of paying a
+    min/max job per operator call.  Returns None when the column has no
+    non-NULL timestamps.
+
+    This runs ONE Spark job eagerly (map-side partial min/max, one row
+    per partition) — it re-executes the input lineage, so cache or
+    checkpoint upstream heavy work first, and it cannot run on a
+    streaming DataFrame (pass an explicit ``chunk_seconds`` there)."""
+    us = F.unix_micros(F.col(ts_col))
+    lo, hi = df.agg(F.min(us), F.max(us)).first()
+    if lo is None or hi is None:
+        return None
+    return int(lo), int(hi)
+
+
 def derive_chunk_seconds(
     df: DataFrame,
     ts_col: str,
     floor_seconds: int,
     target_chunks: int | None = None,
+    span_hint: tuple[int, int] | None = None,
 ) -> int | None:
     """Pick ``chunk_seconds`` from the OBSERVED timeline span:
     ``ceil(span / target_chunks)``, floored at ``floor_seconds`` (a
@@ -37,18 +57,23 @@ def derive_chunk_seconds(
     exactly the short-timeline corpora where maximal splitting is the
     right trade (the duplication is bounded; the straggler is not).
 
-    Cost: ONE eager min/max aggregation over ``ts_col`` — map-side
-    partial agg emitting one row per partition, a tiny fraction of the
-    window shuffle that follows.  Callers that cannot afford the extra
-    scan (or want plan-identical reruns regardless of data) pass an
-    explicit ``chunk_seconds`` instead.
+    Cost: ONE eager min/max aggregation over ``ts_col`` at CALL time
+    (i.e. at plan-construction time for the operators that default to
+    this) — map-side partial agg emitting one row per partition, a tiny
+    fraction of the window shuffle that follows, but it re-executes the
+    input lineage and fails on streaming inputs.  A pipeline composing
+    several skew-safe operators over the same frame passes
+    ``span_hint`` (one :func:`timeline_span` call, shared) so the scan
+    runs once; callers that cannot afford any extra scan (or want
+    plan-identical reruns regardless of data) pass an explicit
+    ``chunk_seconds`` instead.
     """
     spark = df.sparkSession
     if target_chunks is None:
         target_chunks = 8 * spark.sparkContext.defaultParallelism
-    us = F.unix_micros(F.col(ts_col))
-    lo, hi = df.agg(F.min(us), F.max(us)).first()
-    if lo is None or hi is None:
+    span = span_hint if span_hint is not None else timeline_span(df, ts_col)
+    if span is None:
         return None
+    lo, hi = span
     span_s = (int(hi) - int(lo)) // 1_000_000
     return max(int(floor_seconds), 1, -(-span_s // max(int(target_chunks), 1)))

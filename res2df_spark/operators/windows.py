@@ -138,11 +138,15 @@ def dedup_keep_agg(
     pick = F.max_by(payload, ordering) if keep == "last" else F.min_by(
         payload, ordering
     )
-    return (
-        df.groupBy(*[F.col(k) for k in keys])
-        .agg(pick.alias("__row"))
-        .select(*[F.col("__row").getField(c).alias(c) for c in df.columns])
-    )
+    agged = df.groupBy(*[F.col(k) for k in keys]).agg(pick.alias("__row"))
+    if not keys:
+        # a GLOBAL aggregate over zero rows still emits one row with a
+        # NULL aggregate; the window form (and dedup on any non-empty
+        # key list) returns zero rows there — drop the phantom.  The
+        # payload struct is never NULL for a real row, so the filter
+        # only fires on the empty-input case.
+        agged = agged.filter(F.col("__row").isNotNull())
+    return agged.select(*[F.col("__row").getField(c).alias(c) for c in df.columns])
 
 
 def snapshot_latest(

@@ -64,24 +64,37 @@ def _ck_parts(p: str | None) -> tuple[str, str] | None:
     return (f"{u.scheme}://{u.netloc}", path)
 
 
-def _same_ck_dir(want: str | None, have: str | None) -> bool:
+def _same_ck_dir(
+    want: str | None, have: str | None, default_fs: str | None = None
+) -> bool:
     """Whether conf value ``want`` and context parent ``have`` name the
     same checkpoint directory.  Paths compare by normalized EQUALITY —
     never ``endswith``, which skipped the re-point when the conf
     CHANGED to a directory whose path is a suffix of the old one
     (``/data/ck`` → ``/ck``).  Authorities compare equal when both name
-    one, and a SCHEME-LESS ``want`` matches any authority: on a cluster
-    whose default FS is HDFS/S3, conf ``/ckpt`` comes back from
-    ``getCheckpointDir`` as ``hdfs://nn:8020/ckpt/<uuid>`` — demanding
-    authority equality there would re-point (a mkdirs RPC + a fresh
-    uuid dir) on EVERY truncation, the exact churn the parent
-    comparison exists to prevent."""
+    one.  A SCHEME-LESS ``want`` qualifies to the context's DEFAULT
+    filesystem: on a cluster whose default FS is HDFS/S3, conf
+    ``/ckpt`` comes back from ``getCheckpointDir`` as
+    ``hdfs://nn:8020/ckpt/<uuid>`` — demanding authority equality there
+    would re-point (a mkdirs RPC + a fresh uuid dir) on EVERY
+    truncation — so it matches a local ``have`` or one on
+    ``default_fs``'s authority, but NOT an unrelated remote authority
+    (conf changed from ``s3a://bkt/ckpt`` to ``/ckpt`` must re-point to
+    the default FS, not silently keep landing on the bucket).  With
+    ``default_fs`` unknown (None — e.g. no JVM gateway under Spark
+    Connect), the scheme-less form keeps the tolerant any-authority
+    behavior: per-call re-point churn is the worse failure mode there."""
     w, h = _ck_parts(want), _ck_parts(have)
     if w is None or h is None:
         return False
     if w[1] != h[1]:
         return False
-    return w[0] == "" or w[0] == h[0]
+    if w[0] != "":
+        return w[0] == h[0]
+    if h[0] == "":
+        return True
+    d = _ck_parts(default_fs) if default_fs else None
+    return True if d is None else h[0] == d[0]
 
 
 def truncate_lineage(df, eager: bool = True):
@@ -115,7 +128,14 @@ def truncate_lineage(df, eager: bool = True):
         # matching against the full value would re-point the dir (a
         # mkdirs RPC + a fresh uuid directory) on EVERY truncation
         parent = current.rstrip("/").rsplit("/", 1)[0] if current else None
-        if not _same_ck_dir(ckdir, parent):
+        try:
+            # a scheme-less conf value qualifies to fs.defaultFS, so the
+            # authority comparison needs it (no JVM gateway → None and
+            # _same_ck_dir keeps the tolerant behavior)
+            default_fs = sc._jsc.hadoopConfiguration().get("fs.defaultFS")
+        except Exception:
+            default_fs = None
+        if not _same_ck_dir(ckdir, parent, default_fs):
             sc.setCheckpointDir(ckdir)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

@@ -413,6 +413,15 @@ def _asof_fixture(spark, n_left=120, n_right=90, seed=7):
         for i in range(n_left)
     ]
     left += [(n_left, 1, None), (n_left + 1, 99, base)]  # NULL time; keyless-match
+    # NULL join keys are one group to the window form (r8 ADVICE: the
+    # chunked carry must join null-safe or cross-chunk NULL-key matches
+    # vanish) — one obs early, one left row a day later, one left row
+    # far later (cross-chunk carry), one left row before any obs
+    left += [
+        (n_left + 2, None, base + timedelta(days=1)),
+        (n_left + 3, None, base + timedelta(days=30)),
+        (n_left + 4, None, base - timedelta(days=1)),
+    ]
     right = [
         (
             j,
@@ -424,6 +433,7 @@ def _asof_fixture(spark, n_left=120, n_right=90, seed=7):
     ]
     # duplicate observation timestamps on one key (tiebreak coverage)
     right += [(n_right, 2, right[0][2], 77.0), (n_right + 1, 2, right[0][2], 88.0)]
+    right += [(n_right + 2, None, base, 42.0)]  # NULL-key observation
     ldf = spark.createDataFrame(left, "lid long, user_id long, lts timestamp")
     rdf = spark.createDataFrame(
         right, "rid long, user_id long, rts timestamp, obs double"

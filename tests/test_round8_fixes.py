@@ -1,0 +1,185 @@
+"""Round-8 fixes, each pinned by the r7 ADVICE/VERDICT item it closes:
+
+* asof_join_chunked must carry NULL-key observations across chunks
+  (ADVICE medium — equi-joins in the carry grid never matched NULL keys
+  while the plain form's window partitioning groups them);
+* dedup_keep with keys=[] on an EMPTY DataFrame returns zero rows on
+  both engines (the agg form's global aggregate used to emit one
+  all-NULL phantom row);
+* _same_ck_dir's scheme-less tolerance is bounded by fs.defaultFS
+  (conf flipping from s3a://bkt/ckpt to /ckpt must re-point);
+* span_hint threads one timeline_span scan through every skew-safe
+  default instead of one eager min/max job per operator call.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from res2df_spark.operators import timechunk
+from res2df_spark.operators.asof import asof_join, asof_join_chunked
+from res2df_spark.operators.eventanalytics import rolling_agg
+from res2df_spark.operators.sessionize import sessionize_chunked
+from res2df_spark.operators.windows import dedup_keep, dedup_keep_agg
+from res2df_spark.session import _same_ck_dir
+
+
+BASE = datetime(2024, 1, 1)
+
+
+def test_asof_chunked_null_key_carry(spark):
+    """The ADVICE repro: a NULL-key left row 30 days after a NULL-key
+    observation must match it (plain form semantics), which requires
+    the chunk-grain carry to join null-safe."""
+    ldf = spark.createDataFrame(
+        [(0, None, BASE + timedelta(days=30)), (1, 7, BASE + timedelta(days=30))],
+        "lid long, user_id long, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(0, None, BASE, 42.0), (1, 7, BASE, 9.0)],
+        "rid long, user_id long, rts timestamp, obs double",
+    )
+    kwargs = dict(on=["user_id"], left_time="lts", right_time="rts",
+                  value_cols=["obs"])
+    plain = {r["lid"]: r["obs"] for r in asof_join(ldf, rdf, **kwargs).collect()}
+    chunked = {
+        r["lid"]: r["obs"]
+        for r in asof_join_chunked(ldf, rdf, chunk_seconds=3600, **kwargs).collect()
+    }
+    assert plain == {0: 42.0, 1: 9.0}
+    assert chunked == plain
+
+
+def test_asof_chunked_null_composite_key(spark):
+    """Null-safe carry must hold per-column on multi-key joins (a row
+    with one NULL and one real key component is its own group)."""
+    ldf = spark.createDataFrame(
+        [(0, None, "a", BASE + timedelta(days=30)),
+         (1, 5, None, BASE + timedelta(days=30))],
+        "lid long, k1 long, k2 string, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(0, None, "a", BASE, 1.5), (1, 5, None, BASE, 2.5)],
+        "rid long, k1 long, k2 string, rts timestamp, obs double",
+    )
+    kwargs = dict(on=["k1", "k2"], left_time="lts", right_time="rts",
+                  value_cols=["obs"])
+    plain = sorted(
+        (r["lid"], r["obs"]) for r in asof_join(ldf, rdf, **kwargs).collect()
+    )
+    chunked = sorted(
+        (r["lid"], r["obs"])
+        for r in asof_join_chunked(ldf, rdf, chunk_seconds=3600, **kwargs).collect()
+    )
+    assert plain == [(0, 1.5), (1, 2.5)]
+    assert chunked == plain
+
+
+def test_dedup_keep_empty_keys_empty_df(spark):
+    """keys=[] on an empty DataFrame: zero rows from BOTH engines (the
+    agg form's groupBy().agg() emits one all-NULL row that must be
+    filtered, the window form never had the phantom)."""
+    empty = spark.createDataFrame([], "a long, b string")
+    assert dedup_keep(empty, [], ["a"]).count() == 0                       # default agg
+    assert dedup_keep_agg(empty, [], ["a"]).count() == 0
+    assert dedup_keep(empty, [], ["a"], skew_safe=False).count() == 0      # window
+    # non-empty global dedup still picks exactly one row
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a long, b string")
+    got = dedup_keep(df, [], ["a"], keep="last").collect()
+    assert [(r["a"], r["b"]) for r in got] == [(2, "y")]
+    # and empty input with real keys stays empty too
+    assert dedup_keep(empty, ["a"], ["b"]).count() == 0
+
+
+def test_same_ck_dir_scheme_less_bounded_by_default_fs():
+    # scheme-less conf qualifies to the default FS: matches it...
+    assert _same_ck_dir("/ckpt", "hdfs://nn:8020/ckpt", "hdfs://nn:8020")
+    # ...and local forms...
+    assert _same_ck_dir("/ckpt", "file:///ckpt", "hdfs://nn:8020")
+    assert _same_ck_dir("/ckpt", "/ckpt", "hdfs://nn:8020")
+    # ...but NOT an unrelated remote authority (the s3a→local flip from
+    # the r7 ADVICE: checkpoints must re-point, not keep landing on the
+    # bucket)
+    assert not _same_ck_dir("/ckpt", "s3a://bkt/ckpt", "hdfs://nn:8020")
+    assert not _same_ck_dir("/ckpt", "s3a://bkt/ckpt", "file:///")
+    # default FS unknown → tolerant (avoid per-call re-point churn)
+    assert not _same_ck_dir("/ckpt", "s3a://bkt/other", None)  # path differs
+    assert _same_ck_dir("/ckpt", "s3a://bkt/ckpt", None)
+    # explicit schemes still demand authority equality
+    assert not _same_ck_dir("s3a://bkt/ckpt", "hdfs://nn:8020/ckpt", "hdfs://nn:8020")
+    assert _same_ck_dir("s3a://bkt/ckpt", "s3a://bkt/ckpt", "hdfs://nn:8020")
+
+
+def _spans_scanned(monkeypatch):
+    calls = []
+    real = timechunk.timeline_span
+
+    def counting(df, ts_col):
+        calls.append(ts_col)
+        return real(df, ts_col)
+
+    monkeypatch.setattr(timechunk, "timeline_span", counting)
+    return calls
+
+
+def test_span_hint_skips_the_derivation_scan(spark, monkeypatch):
+    rows = [
+        (i, i % 3, BASE + timedelta(seconds=37 * i), float(i % 11))
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    span = timechunk.timeline_span(ev, "ts")  # the ONE shared scan
+    assert span is not None and span[0] < span[1]
+    calls = _spans_scanned(monkeypatch)
+    # two skew-safe operators over the same frame, one hint: no rescans
+    r = rolling_agg(ev, "ts", ["user_id"], "value", 600, span_hint=span)
+    s = sessionize_chunked(ev, "ts", ["user_id"], 600, span_hint=span,
+                           tiebreak=["event_id"])
+    assert r.count() == 400 and s.count() == 400
+    assert calls == []
+    # without the hint each default-path call scans once
+    rolling_agg(ev, "ts", ["user_id"], "value", 600).count()
+    sessionize_chunked(ev, "ts", ["user_id"], 600, tiebreak=["event_id"]).count()
+    assert len(calls) == 2
+    # hinted output is identical to the derived-default output
+    cols = ["event_id", "n_window", "sum_window"]
+    hinted = sorted(tuple(x) for x in r.select(*cols).collect())
+    derived = sorted(
+        tuple(x)
+        for x in rolling_agg(ev, "ts", ["user_id"], "value", 600)
+        .select(*cols).collect()
+    )
+    assert hinted == derived
+
+
+def test_span_hint_asof_chunked(spark, monkeypatch):
+    ldf = spark.createDataFrame(
+        [(i, i % 2, BASE + timedelta(hours=i)) for i in range(50)],
+        "lid long, user_id long, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(j, j % 2, BASE + timedelta(hours=j, minutes=7), float(j)) for j in range(20)],
+        "rid long, user_id long, rts timestamp, obs double",
+    )
+    span = timechunk.timeline_span(ldf, "lts")
+    calls = _spans_scanned(monkeypatch)
+    out = asof_join_chunked(
+        ldf, rdf, on=["user_id"], left_time="lts", right_time="rts",
+        value_cols=["obs"], span_hint=span,
+    )
+    assert out.count() == 50
+    assert calls == []
+
+
+def test_rolling_agg_span_hint_conflicts_with_skew_safe_false(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, BASE, 1.0)], "event_id long, user_id long, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="span_hint"):
+        rolling_agg(ev, "ts", ["user_id"], "value", 60,
+                    skew_safe=False, span_hint=(0, 10))
