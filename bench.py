@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_simhash_pairs_xx",  # simhash pairing on xxhash64 (round 7)
     "dedup_containment_xx",    # integer-keyed inverted index (round 7)
     "j9_asof_chunked",         # skew-safe chunk-carried as-of join (round 7)
+    "curation_pipeline3_xx",   # composed pipeline, xxhash64 profile (round 8)
 ]
 
 

@@ -27,16 +27,34 @@ from res2df_spark.functions.textan import (
 )
 
 
-def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Group identical texts by md5; returns one row per text group
-    (singletons included) with the keeper (min id) and the group size.
-    NULL texts are EXCLUDED — md5(NULL) is NULL and groupBy would pool
-    every null-text document into one phantom "duplicate" group whose
-    keeper-join consumers would then delete all but one of them."""
+def exact_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Group identical texts by content hash; returns one row per text
+    group (singletons included) with the keeper (min id) and the group
+    size.  NULL texts are EXCLUDED — hash(NULL) is NULL and groupBy
+    would pool every null-text document into one phantom "duplicate"
+    group whose keeper-join consumers would then delete all but one of
+    them.
+
+    ``hash_fn="xxhash64"`` (see :func:`_check_hash_fn`) groups on the
+    64-bit integer hash instead of the md5 hex string — an 8-byte
+    shuffle key, no crypto rounds; group membership (hence keeper and
+    size) is identical up to 64-bit collisions.  The group-key column
+    is named ``text_md5``/``text_xx64`` accordingly."""
+    _check_hash_fn(hash_fn)
+    key = (
+        F.md5(F.col(text_col)).alias("text_md5")
+        if hash_fn == "md5"
+        else F.xxhash64(F.col(text_col)).alias("text_xx64")
+    )
     return (
         docs.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
-        .groupBy("text_md5")
+        .select(F.col(id_col), key)
+        .groupBy("text_md5" if hash_fn == "md5" else "text_xx64")
         .agg(
             F.min(id_col).alias("keeper_id"),
             F.count(F.lit(1)).alias("n_docs"),

@@ -65,6 +65,7 @@ def soft_dedup_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """SoftDeDup-style sampling weights: down-weight repeated content
     instead of deleting it (He et al. 2024, "SoftDedup"; the soft
@@ -88,15 +89,32 @@ def soft_dedup_weights(
     mean.  No driver scalars, no windows over unbounded groups.
     NULL texts are excluded for the same phantom-group reason as
     ``exact_duplicates``.
+
+    ``hash_fn="xxhash64"`` (the production backend — see
+    ``llm.dedup._check_hash_fn``) replaces the md5 group key and the
+    multi-word shingle STRING join key with 64-bit integer hashes: the
+    df groupBy and the df join then shuffle 8-byte longs.  Group sizes
+    and shingle document frequencies — hence every output weight — are
+    IDENTICAL up to 64-bit collisions, so both backends share one
+    oracle; ``"md5"`` stays the default for cross-engine replay.
     """
+    from res2df_spark.llm.dedup import _check_hash_fn
+
+    _check_hash_fn(hash_fn)
     base = spread(docs.filter(F.col(text_col).isNotNull()))
-    grp = (
-        base.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+    grp_key = (
+        F.md5(F.col(text_col)) if hash_fn == "md5"
+        else F.xxhash64(F.col(text_col))
     )
+    grp = base.select(F.col(id_col), grp_key.alias("__h"))
     sizes = grp.groupBy("__h").agg(F.count(F.lit(1)).alias("group_size"))
     by_doc = grp.join(sizes, "__h").select(id_col, "group_size")
 
     sh = _grams_long(docs, id_col, text_col, shingle_k, distinct=True)
+    if hash_fn == "xxhash64":
+        # injective-up-to-collision: df counts and the per-doc mean are
+        # preserved while the join key shrinks to a long
+        sh = sh.select(id_col, F.xxhash64("gram").alias("gram"))
     df = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
     commonness = (
         sh.join(df, "gram")

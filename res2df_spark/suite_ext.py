@@ -6241,3 +6241,105 @@ def j9_asof_chunked(spark, sf_dir):
         value_cols=["view_value", "view_event_id"],
         chunk_seconds=7 * 86_400,
     ).select("user_id", "purchase_ts", "purchase_id", "view_value", "view_event_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 8 — A/B completeness oracle for the simhash hash backends; the
+# xxhash64 production profile for the composed reweighting pipeline
+# ---------------------------------------------------------------------------
+
+_SIMHASH_XX_EXACT_SQL = """
+    WITH t AS (SELECT doc_id,
+                      list_sort(list_distinct(list_filter(
+                          string_split_regex(lower(trim(text)), '\\s+'),
+                          x -> x <> ''))) AS ts
+               FROM documents WHERE text IS NOT NULL),
+    p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM t a JOIN t b ON a.ts = b.ts AND a.doc_id < b.doc_id
+          WHERE len(a.ts) > 0)
+    SELECT d1, d2, CAST(0 AS BIGINT) AS ham_xx, CAST(0 AS BIGINT) AS ham_md5
+    FROM p
+"""
+
+
+@_q("dedup_simhash_xx_exact_pairs", _SIMHASH_XX_EXACT_SQL)
+def dedup_simhash_xx_exact_pairs(spark, sf_dir):
+    """A/B completeness gate for the simhash hash backends (round 8,
+    shrinking dedup_simhash_pairs_xx's non-oracled surface): documents
+    with IDENTICAL distinct-token sets — exact duplicates as simhash
+    sees them, a hash-independent ground truth DuckDB rebuilds from raw
+    text — must appear at Hamming distance 0 under BOTH backends.  The
+    ground-truth pair set inner-joins each backend's Hamming-0 pair set
+    (simhash_near_pairs, the registered max_hamming=3 pigeonhole
+    config), so a backend that misses even one true-duplicate pair
+    drops rows and the hash goes red.  Hamming-0 COLLISIONS of
+    non-identical token sets (vote coincidences — a handful exist at
+    some SFs, under either backend) are legitimately engine-specific
+    and excluded by the join; only the full near-threshold pair set of
+    the xx row (dedup_simhash_pairs_xx) remains rows-only.
+
+    Plan: the truth side is one groupBy on the sorted-distinct token
+    array (group payload = tiny id lists, pair enumeration is in-array
+    combinatorics — no self-join); each backend side is the shared
+    signature pipeline + one equality-bucket pass.  Three exchanges,
+    all on bounded keys."""
+    from res2df_spark.functions.textan import tokens
+    from res2df_spark.llm.dedup import _bucket_pairs, simhash_near_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    ts = F.array_sort(F.array_distinct(tokens(F.col("text"))))
+    truth = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.col("doc_id"), ts.alias("__ts"))
+        .filter(F.size("__ts") > 0)
+        .groupBy("__ts")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(_bucket_pairs("ids").alias("p"))
+        .select(F.col("p.a").alias("d1"), F.col("p.b").alias("d2"))
+    )
+
+    def ham0(hash_fn: str, out: str):
+        return (
+            simhash_near_pairs(docs, max_hamming=3, hash_fn=hash_fn)
+            .filter(F.col("hamming") == 0)
+            .select("d1", "d2", F.col("hamming").alias(out))
+        )
+
+    return (
+        truth.join(ham0("xxhash64", "ham_xx"), ["d1", "d2"])
+        .join(ham0("md5", "ham_md5"), ["d1", "d2"])
+    )
+
+
+@_q("curation_pipeline3_xx", _PIPELINE3_SQL)
+def curation_pipeline3_xx(spark, sf_dir):
+    """curation_pipeline3 on the xxhash64 production profile (round 8):
+    the SAME dedup→reweight→rank chain with hash_fn='xxhash64' threaded
+    through both composed builders — exact_duplicates groups on one
+    64-bit integer instead of an md5 hex string, and soft_dedup_weights
+    hashes its shingle-df join key to a long (8-byte shuffle keys
+    through the two hottest exchanges).  Group membership and shingle
+    document frequencies are invariant under the injective hash map, so
+    this row shares curation_pipeline3's md5 ORACLE verbatim: a
+    hash-green match proves the production profile computes identical
+    weights end-to-end."""
+    from res2df_spark.llm.dedup import exact_duplicates
+    from res2df_spark.llm.weights import soft_dedup_weights
+
+    docs = Catalog(spark, sf_dir).documents
+    keepers = exact_duplicates(docs, hash_fn="xxhash64").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    surv = docs.join(keepers, "doc_id", "left_semi")
+    w = soft_dedup_weights(surv, hash_fn="xxhash64")
+    top = w.orderBy(F.col("w_soft").desc(), F.col("doc_id")).limit(50)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("w_soft").desc(), F.col("doc_id"))
+        ),
+    )
+    return ranked.select(
+        "doc_id", "w_soft", F.col("rnk").cast("int").alias("rnk")
+    )

@@ -158,3 +158,56 @@ def test_xx_suite_rows_match_md5_semantics(spark):
     xx_df = suite.QUERIES["dedup_simhash_pairs_xx"](spark, sf_dir)
     assert dict(md5_df.dtypes) == dict(xx_df.dtypes)
     assert xx_df.count() >= 0
+
+
+def test_exact_duplicates_hash_invariant(docs):
+    """Round 8: the pipeline passthrough — keeper/size identical under
+    both backends (group-key column renames to stay honest)."""
+    from res2df_spark.llm.dedup import exact_duplicates
+
+    a = _rows(exact_duplicates(docs).select("keeper_id", "n_docs"))
+    b = _rows(
+        exact_duplicates(docs, hash_fn="xxhash64").select("keeper_id", "n_docs")
+    )
+    assert a == b
+    assert "text_md5" in exact_duplicates(docs).columns
+    assert "text_xx64" in exact_duplicates(docs, hash_fn="xxhash64").columns
+    with pytest.raises(ValueError, match="hash_fn"):
+        exact_duplicates(docs, hash_fn="sha1")
+
+
+def test_soft_dedup_weights_hash_invariant(docs):
+    """Round 8: group sizes and shingle document frequencies — hence
+    every weight — survive the injective hash map."""
+    from res2df_spark.llm.weights import soft_dedup_weights
+
+    a = _rows(soft_dedup_weights(docs, shingle_k=2))
+    b = _rows(soft_dedup_weights(docs, shingle_k=2, hash_fn="xxhash64"))
+    assert a == b and a
+    with pytest.raises(ValueError, match="hash_fn"):
+        soft_dedup_weights(docs, hash_fn="blake3")
+
+
+def test_simhash_xx_exact_pairs_suite_row(spark):
+    """The round-8 A/B completeness row: every identical-token-set pair
+    appears at Hamming 0 under BOTH backends, and the row count equals
+    the hash-free ground truth (the containment property the oracle
+    pins)."""
+    from res2df_spark import suite
+    from res2df_spark.functions.textan import tokens
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = suite.QUERIES["dedup_simhash_xx_exact_pairs"](spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r.ham_xx == 0 and r.ham_md5 == 0 for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ts = F.array_sort(F.array_distinct(tokens(F.col("text"))))
+    truth_n = (
+        docs.filter(F.col("text").isNotNull())
+        .select(ts.alias("t")).filter(F.size("t") > 0)
+        .groupBy("t").count().filter(F.col("count") > 1)
+        .select(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert len(rows) == int(truth_n)

@@ -364,16 +364,22 @@ def probe_adversarial(spark) -> dict:
     return out
 
 
-def probe_skewed_keys(spark) -> dict:
+def probe_skewed_keys(spark, n: int = 400_000, only: set[str] | None = None,
+                      repeats: int = 3) -> dict:
     """Hot-KEY fixture for the window-over-partition family — the skew
     shape AQE's skew-join splitting CANNOT help with (a window
     partition is one task by construction, and sessionize/rolling
     semantics genuinely require the key's whole ordered timeline).
 
-    Two corpora of identical size: uniform (2000 keys × 200 events)
-    and skewed (ONE key owns 50% of all events, the rest uniform).
-    Each operator runs on both; the artifact records the skew ratio.
-    Expected outcomes, by design:
+    Two corpora of identical size: uniform (2000 keys, n/2000 events
+    each) and skewed (ONE key owns 50% of all events, the rest
+    uniform).  Each operator runs on both; the artifact records the
+    skew ratio.  ``n`` sizes the fixture: the default 400k battery
+    covers the whole family cheaply; the 8M battery (``only`` the
+    sessionize/asof forms) exists because their plain windows are
+    cheap streaming passes whose hot-key cost is the per-task SORT —
+    n·log n, invisible at 400k by construction (the round-7 VERDICT's
+    open defaults question).  Expected outcomes, by design:
 
     * ``dedup_keep_agg`` (the round-6 mitigation): ~1× — partial
       aggregation collapses the hot key map-side, one candidate per
@@ -397,7 +403,6 @@ def probe_skewed_keys(spark) -> dict:
     from res2df_spark.operators.sessionize import sessionize, sessionize_chunked
     from res2df_spark.operators.windows import dedup_keep, dedup_keep_agg
 
-    n = 400_000
     n_keys = 2_000
     base_us = 1_700_000_000 * 1_000_000
 
@@ -476,6 +481,11 @@ def probe_skewed_keys(spark) -> dict:
             df, obs_for(df), ["user_id"], "ts", "ots", value_cols=["obs"],
             chunk_seconds=6 * 3600,
         ),
+        # derived-default chunk sizing (span / 8x parallelism), the
+        # zero-config path a naive caller would reach for
+        "asof_chunked_default_hotkey": lambda df: asof_join_chunked(
+            df, obs_for(df), ["user_id"], "ts", "ots", value_cols=["obs"],
+        ),
         "dedup_keep_window_hotkey": lambda df: dedup_keep(
             df, ["user_id"], ["ts", "event_id"], keep="last",
             skew_safe=False,  # pin the window form; the default now
@@ -487,10 +497,12 @@ def probe_skewed_keys(spark) -> dict:
     }
     out = {}
     for name, op in ops.items():
+        if only is not None and name not in only:
+            continue
         times = {}
         for label, df in (("uniform", uniform), ("skewed", skewed)):
             best = float("inf")
-            for _ in range(3):
+            for _ in range(repeats):
                 t0 = time.time()
                 op(df).write.mode("overwrite").format("noop").save()
                 best = min(best, time.time() - t0)
