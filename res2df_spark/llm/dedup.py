@@ -46,10 +46,8 @@ def exact_duplicates(
     size) is identical up to 64-bit collisions.  The group-key column
     is named ``text_md5``/``text_xx64`` accordingly."""
     _check_hash_fn(hash_fn)
-    key = (
-        F.md5(F.col(text_col)).alias("text_md5")
-        if hash_fn == "md5"
-        else F.xxhash64(F.col(text_col)).alias("text_xx64")
+    key = _hash_col(hash_fn, text_col).alias(
+        "text_md5" if hash_fn == "md5" else "text_xx64"
     )
     return (
         docs.filter(F.col(text_col).isNotNull())
@@ -74,6 +72,18 @@ def _check_hash_fn(hash_fn: str) -> None:
         raise ValueError(
             f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}"
         )
+
+
+def _hash_col(hash_fn: str, col):
+    """The two-backend element hash as ONE shared expression builder —
+    every two-branch backend selection in the dedup/weights family goes
+    through here so a backend change (seeding, casting, a third
+    backend) lands everywhere at once instead of desynchronizing the
+    sites the round-8 invariance oracles compare.  Accepts a Column or
+    a column name; see :func:`_check_hash_fn` for the backend
+    contract."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c) if hash_fn == "md5" else F.xxhash64(c)
 
 
 def _doc_token_sets(
@@ -836,9 +846,10 @@ def duplicate_ngram_spans(
     base = spread(docs).withColumn("__toks", tokens(F.col(text_col))).select(
         F.col(id_col), shingles(F.col("__toks"), k).alias("__sh")
     )
-    # xxhash64 is *cols-variadic, which the HOF wrapper rejects as a
-    # bare callable - wrap it to a unary lambda
-    gram_h = F.md5 if hash_fn == "md5" else (lambda x: F.xxhash64(x))
+    # the HOF wrapper rejects *cols-variadic builtins as bare
+    # callables - bind the backend through the shared helper
+    def gram_h(x):
+        return _hash_col(hash_fn, x)
     grams = base.select(
         F.col(id_col),
         F.size("__sh").alias("__n"),
@@ -1003,10 +1014,7 @@ def cross_doc_segment_dedup(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("seg_idx", "seg"),
-    ).withColumn(
-        "seg_h",
-        F.md5(F.col("seg")) if hash_fn == "md5" else F.xxhash64(F.col("seg")),
-    )
+    ).withColumn("seg_h", _hash_col(hash_fn, "seg"))
     seg_df = (
         segs.select(id_col, "seg_h")
         .distinct()

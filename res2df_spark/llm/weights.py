@@ -98,15 +98,11 @@ def soft_dedup_weights(
     IDENTICAL up to 64-bit collisions, so both backends share one
     oracle; ``"md5"`` stays the default for cross-engine replay.
     """
-    from res2df_spark.llm.dedup import _check_hash_fn
+    from res2df_spark.llm.dedup import _check_hash_fn, _hash_col
 
     _check_hash_fn(hash_fn)
     base = spread(docs.filter(F.col(text_col).isNotNull()))
-    grp_key = (
-        F.md5(F.col(text_col)) if hash_fn == "md5"
-        else F.xxhash64(F.col(text_col))
-    )
-    grp = base.select(F.col(id_col), grp_key.alias("__h"))
+    grp = base.select(F.col(id_col), _hash_col(hash_fn, text_col).alias("__h"))
     sizes = grp.groupBy("__h").agg(F.count(F.lit(1)).alias("group_size"))
     by_doc = grp.join(sizes, "__h").select(id_col, "group_size")
 

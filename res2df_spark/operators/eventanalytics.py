@@ -81,7 +81,7 @@ def rolling_agg(
         raise ValueError(
             "chunk_seconds/target_chunks/span_hint request the chunked "
             "decomposition but skew_safe=False pins the single-window form "
-            "- drop one of the two"
+            "- drop one side of the conflict"
         )
     if skew_safe:
         cs = chunk_seconds

@@ -41,6 +41,20 @@ def sessionize(
     ``tiebreak`` disambiguates equal timestamps so the running count is
     deterministic (convention: every window ordering carries a unique
     tie-breaker).
+
+    DEFAULT STAYS THE PLAIN WINDOW (round-8 decision, measured): unlike
+    ``rolling_agg``/``dedup_keep``/``asof_join``, whose hot-key
+    stragglers measured 78×/3.8× and rising, sessionize's window is a
+    lag + running-sum STREAMING pass — the 50%-hot-key battery measured
+    the plain form at 1.15×/2.64×/1.82× (400k/8M/32M rows) while
+    :func:`sessionize_chunked`'s three extra exchanges (halo union,
+    chunk-grain offsets, null-safe offsets join) cost ~2× the UNIFORM
+    runtime and only matched the plain form's absolute time even on the
+    adversarial corpus (14.0s vs 14.9s at 32M).  The decomposition
+    overhead exceeds the straggler at every measured size, so the
+    skew-safe twin stays opt-in for corpora with a dominant key AND a
+    long per-key timeline where the single-task n·log n sort finally
+    wins (SCALEPROBE ``skewed_keys_big`` re-measures this per round).
     """
     order = [F.col(ts_col), *[F.col(c) if isinstance(c, str) else c for c in tiebreak]]
     w = Window.partitionBy(*keys).orderBy(*order)

@@ -48,10 +48,12 @@ CHECKPOINT_DIR_CONF = "spark.res2df.checkpointDir"
 
 def _ck_parts(p: str | None) -> tuple[str, str] | None:
     """Split a checkpoint-directory path/URI into (authority, path) for
-    comparison.  ``authority`` is ``scheme://netloc`` for remote URIs
-    and ``""`` for local forms (bare path, or ``file:`` with any number
-    of slashes — Spark and users write both); ``path`` is
-    slash-normalized."""
+    comparison.  ``authority`` is ``scheme://netloc`` for remote URIs,
+    ``"file:"`` for explicitly-local URIs (any number of slashes —
+    Spark and users write both), and ``""`` for a bare path — the
+    scheme-LESS form is kept distinct from ``file:`` because it
+    qualifies to whatever ``fs.defaultFS`` is, which need not be local;
+    ``path`` is slash-normalized."""
     if not p:
         return None
     import posixpath
@@ -59,8 +61,10 @@ def _ck_parts(p: str | None) -> tuple[str, str] | None:
 
     u = urlparse(str(p))
     path = posixpath.normpath("/" + (u.path or "/").lstrip("/"))
-    if u.scheme in ("", "file"):
+    if u.scheme == "":
         return ("", path)
+    if u.scheme == "file":
+        return ("file:", path)
     return (f"{u.scheme}://{u.netloc}", path)
 
 
@@ -77,24 +81,37 @@ def _same_ck_dir(
     ``/ckpt`` comes back from ``getCheckpointDir`` as
     ``hdfs://nn:8020/ckpt/<uuid>`` — demanding authority equality there
     would re-point (a mkdirs RPC + a fresh uuid dir) on EVERY
-    truncation — so it matches a local ``have`` or one on
-    ``default_fs``'s authority, but NOT an unrelated remote authority
-    (conf changed from ``s3a://bkt/ckpt`` to ``/ckpt`` must re-point to
-    the default FS, not silently keep landing on the bucket).  With
-    ``default_fs`` unknown (None — e.g. no JVM gateway under Spark
-    Connect), the scheme-less form keeps the tolerant any-authority
-    behavior: per-call re-point churn is the worse failure mode there."""
+    truncation — so it matches a ``have`` that is also scheme-less
+    (both qualify to the same filesystem, whatever it is) or one on
+    exactly the authority the default FS names (``file:`` when
+    ``fs.defaultFS`` is local, that filesystem otherwise), and nothing
+    else: conf changed from ``s3a://bkt/ckpt`` to ``/ckpt`` must
+    re-point to the default FS rather than silently keep landing on the
+    bucket, and symmetrically a LOCAL ``have`` left over from an old
+    ``file:///ckpt`` conf must re-point to HDFS when the default FS is
+    remote.  With ``default_fs`` unknown (None — e.g. no JVM gateway
+    under Spark Connect), the scheme-less form keeps the tolerant
+    any-authority behavior: per-call re-point churn is the worse
+    failure mode there.  An EXPLICIT ``want`` scheme (``file:`` or
+    remote) always demands authority equality.  ``default_fs`` may be
+    a callable (lazy: the JVM round-trip is only paid when a
+    scheme-less conf actually needs the authority)."""
     w, h = _ck_parts(want), _ck_parts(have)
     if w is None or h is None:
         return False
     if w[1] != h[1]:
         return False
-    if w[0] != "":
-        return w[0] == h[0]
-    if h[0] == "":
+    if w[0] == h[0]:
         return True
+    if w[0] != "":
+        return False
+    if callable(default_fs):
+        default_fs = default_fs()
     d = _ck_parts(default_fs) if default_fs else None
-    return True if d is None else h[0] == d[0]
+    if d is None:
+        return True
+    # a bare-path default FS is local; its effective authority is file:
+    return h[0] == (d[0] or "file:")
 
 
 def truncate_lineage(df, eager: bool = True):
@@ -128,13 +145,18 @@ def truncate_lineage(df, eager: bool = True):
         # matching against the full value would re-point the dir (a
         # mkdirs RPC + a fresh uuid directory) on EVERY truncation
         parent = current.rstrip("/").rsplit("/", 1)[0] if current else None
-        try:
+
+        def default_fs():
             # a scheme-less conf value qualifies to fs.defaultFS, so the
-            # authority comparison needs it (no JVM gateway → None and
-            # _same_ck_dir keeps the tolerant behavior)
-            default_fs = sc._jsc.hadoopConfiguration().get("fs.defaultFS")
-        except Exception:
-            default_fs = None
+            # authority comparison needs it — fetched LAZILY because the
+            # py4j round-trip only matters on the scheme-less path, and
+            # iterative operators truncate every round (no JVM gateway →
+            # None and _same_ck_dir keeps the tolerant behavior)
+            try:
+                return sc._jsc.hadoopConfiguration().get("fs.defaultFS")
+            except Exception:
+                return None
+
         if not _same_ck_dir(ckdir, parent, default_fs):
             sc.setCheckpointDir(ckdir)
         return df.checkpoint(eager=eager)

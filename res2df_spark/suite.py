@@ -447,7 +447,11 @@ def j7_onehop_topology(spark, sf_dir):
 def j9_asof_join(spark, sf_dir):
     """As-of / point-in-time join (J9 — WELOPEN matches compdat state at
     DATE<=action date, compdat.py:326-345).  Union-window construction:
-    ONE shuffle on the key, no range-join explosion (operators/asof.py)."""
+    ONE shuffle on the key, no range-join explosion (operators/asof.py).
+    Pinned ``skew_safe=False`` (round 8: the default now delegates to
+    the chunked decomposition) so BOTH engines stay oracled — the
+    chunked default is covered by j9_asof_chunked, which shares this
+    row's LATERAL oracle verbatim."""
     ev = Catalog(spark, sf_dir).events
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
@@ -465,6 +469,7 @@ def j9_asof_join(spark, sf_dir):
         left_time="purchase_ts",
         right_time="ts",
         value_cols=["view_value", "view_event_id"],
+        skew_safe=False,
     ).select("user_id", "purchase_ts", "purchase_id", "view_value", "view_event_id")
 
 
@@ -487,7 +492,9 @@ def j9_asof_tolerance(spark, sf_dir):
     a matched observation older than the bound is dropped to NULL while
     the left row survives.  Same single-shuffle union-window plan as J9 —
     the bound is one extra forward-filled column plus a predicate, no
-    extra exchange (operators/asof.py)."""
+    extra exchange (operators/asof.py).  Pinned ``skew_safe=False``
+    like j9_asof_join (the chunked tolerance path is equivalence-tested
+    in tests/test_round7_fixes.py's strict/tolerance matrix)."""
     ev = Catalog(spark, sf_dir).events
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
@@ -506,6 +513,7 @@ def j9_asof_tolerance(spark, sf_dir):
         right_time="ts",
         value_cols=["view_value", "view_event_id"],
         tolerance_expr="INTERVAL '7' DAY",
+        skew_safe=False,
     ).select("user_id", "purchase_ts", "purchase_id", "view_value", "view_event_id")
 
 

@@ -22,11 +22,13 @@ from res2df_spark.session import _ck_parts, _same_ck_dir
 
 
 def test_ck_dir_comparison_rules():
-    # local forms collapse to one plain absolute path
+    # local forms: one plain absolute path; bare (scheme-less) and
+    # explicit file: stay DISTINGUISHABLE (r8 — a bare conf qualifies
+    # to fs.defaultFS, which need not be local)
     assert _ck_parts("/a/b") == ("", "/a/b")
     assert _ck_parts("/a/b/") == ("", "/a/b")
-    assert _ck_parts("file:/a/b") == ("", "/a/b")
-    assert _ck_parts("file:///a/b") == ("", "/a/b")
+    assert _ck_parts("file:/a/b") == ("file:", "/a/b")
+    assert _ck_parts("file:///a/b") == ("file:", "/a/b")
     assert _ck_parts("/a//b/./c") == ("", "/a/b/c")
     # remote URIs keep scheme://authority, normalize the path
     assert _ck_parts("hdfs://nn:8020/a/b/") == ("hdfs://nn:8020", "/a/b")
@@ -62,12 +64,13 @@ def test_checkpoint_dir_repointed_on_suffix_conf_change(spark, tmp_path):
     try:
         truncate_lineage(spark.range(3))
         cur = spark.sparkContext.getCheckpointDir()
-        assert _ck_parts(cur.rsplit("/", 1)[0]) == _ck_parts(long)
+        # compare PATHS (the context qualifies the dir with file:)
+        assert _ck_parts(cur.rsplit("/", 1)[0])[1] == _ck_parts(long)[1]
         # conf change to the suffix dir: must RE-POINT
         spark.conf.set(CHECKPOINT_DIR_CONF, short)
         truncate_lineage(spark.range(3))
         cur = spark.sparkContext.getCheckpointDir()
-        assert _ck_parts(cur.rsplit("/", 1)[0]) == _ck_parts(short)
+        assert _ck_parts(cur.rsplit("/", 1)[0])[1] == _ck_parts(short)[1]
         # and stays pinned (no fresh uuid dir per truncation)
         truncate_lineage(spark.range(3))
         assert spark.sparkContext.getCheckpointDir() == cur

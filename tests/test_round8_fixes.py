@@ -17,7 +17,6 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 import pytest
-from pyspark.sql import functions as F
 
 from res2df_spark.operators import timechunk
 from res2df_spark.operators.asof import asof_join, asof_join_chunked
@@ -97,10 +96,15 @@ def test_dedup_keep_empty_keys_empty_df(spark):
 def test_same_ck_dir_scheme_less_bounded_by_default_fs():
     # scheme-less conf qualifies to the default FS: matches it...
     assert _same_ck_dir("/ckpt", "hdfs://nn:8020/ckpt", "hdfs://nn:8020")
-    # ...and local forms...
-    assert _same_ck_dir("/ckpt", "file:///ckpt", "hdfs://nn:8020")
+    # ...and a scheme-less have (both qualify the same way)...
     assert _same_ck_dir("/ckpt", "/ckpt", "hdfs://nn:8020")
-    # ...but NOT an unrelated remote authority (the s3a→local flip from
+    # ...and explicit-local have exactly when the default FS is local...
+    assert _same_ck_dir("/ckpt", "file:///ckpt", "file:///")
+    assert _same_ck_dir("/ckpt", "file:/ckpt", None)  # unknown → tolerant
+    # ...but NOT a local have when the default FS is remote (the conf
+    # would qualify to HDFS: stale local checkpoints must re-point)...
+    assert not _same_ck_dir("/ckpt", "file:///ckpt", "hdfs://nn:8020")
+    # ...and NOT an unrelated remote authority (the s3a→local flip from
     # the r7 ADVICE: checkpoints must re-point, not keep landing on the
     # bucket)
     assert not _same_ck_dir("/ckpt", "s3a://bkt/ckpt", "hdfs://nn:8020")
@@ -108,9 +112,14 @@ def test_same_ck_dir_scheme_less_bounded_by_default_fs():
     # default FS unknown → tolerant (avoid per-call re-point churn)
     assert not _same_ck_dir("/ckpt", "s3a://bkt/other", None)  # path differs
     assert _same_ck_dir("/ckpt", "s3a://bkt/ckpt", None)
+    # lazy callable form resolves only when needed
+    assert _same_ck_dir("/ckpt", "hdfs://nn:8020/ckpt", lambda: "hdfs://nn:8020")
+    assert not _same_ck_dir("/ckpt", "s3a://bkt/ckpt", lambda: "hdfs://nn:8020")
     # explicit schemes still demand authority equality
     assert not _same_ck_dir("s3a://bkt/ckpt", "hdfs://nn:8020/ckpt", "hdfs://nn:8020")
     assert _same_ck_dir("s3a://bkt/ckpt", "s3a://bkt/ckpt", "hdfs://nn:8020")
+    assert _same_ck_dir("file:/ckpt", "file:///ckpt", "hdfs://nn:8020")
+    assert not _same_ck_dir("file:/ckpt", "hdfs://nn:8020/ckpt", "hdfs://nn:8020")
 
 
 def _spans_scanned(monkeypatch):

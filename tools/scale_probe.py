@@ -142,6 +142,24 @@ def run_one(spark, name: str, sf_dir: str, repeats: int) -> tuple[float, float]:
     return build, best
 
 
+#: The 32M-row hot-key battery (round-8 brief #1): the sessionize/asof
+#: family's plain windows are cheap streaming passes whose hot-key cost
+#: is the per-task SORT — n·log n, invisible on the 400k fixture by
+#: construction.  These five entries re-measure the defaults decision
+#: at a size where the sort dominates (measured at 32M: plain asof
+#: 3.82× and rising → default flipped to the chunked form; plain
+#: sessionize 1.82× with the chunked twin ~2× slower on uniform →
+#: plain stays the default).
+SKEW_BIG_N = 32_000_000
+SKEW_BIG_OPS = {
+    "sessionize_hotkey",
+    "sessionize_chunked_default_hotkey",
+    "asof_plain_hotkey",
+    "asof_default_hotkey",
+    "asof_chunked_default_hotkey",
+}
+
+
 #: Queries whose sf0.1→sf1.0 ratio sat in the 4–8× band — where a single
 #: decade cannot distinguish linear-with-fixed-overhead (ratio falls
 #: toward data growth at the next decade) from mildly super-linear
@@ -154,6 +172,13 @@ SECOND_DECADE = [
     "tfidf_topk",
     "dedup_simhash_pairs",
     "pagerank_dangling",
+    # round-7 additions (round-8 brief #6): the xx-backend pair so its
+    # scaling claim is measured rather than inferred from the md5 twin,
+    # and the chunk-carried as-of join (carry table grows with
+    # keys x chunks, worth watching across a decade boundary)
+    "dedup_containment_xx",
+    "dedup_simhash_pairs_xx",
+    "j9_asof_chunked",
 ]
 BIG3_DIR = os.environ.get(
     "SPARK_GRAFT_SCALE3_DIR", "/tmp/sparkgraft_scale/sf3.0"
@@ -375,11 +400,12 @@ def probe_skewed_keys(spark, n: int = 400_000, only: set[str] | None = None,
     each) and skewed (ONE key owns 50% of all events, the rest
     uniform).  Each operator runs on both; the artifact records the
     skew ratio.  ``n`` sizes the fixture: the default 400k battery
-    covers the whole family cheaply; the 8M battery (``only`` the
-    sessionize/asof forms) exists because their plain windows are
-    cheap streaming passes whose hot-key cost is the per-task SORT —
-    n·log n, invisible at 400k by construction (the round-7 VERDICT's
-    open defaults question).  Expected outcomes, by design:
+    covers the whole family cheaply; the :data:`SKEW_BIG_N` battery
+    (``only`` = :data:`SKEW_BIG_OPS`) re-measures the sessionize/asof
+    forms at a size where the per-task SORT dominates — n·log n,
+    invisible at 400k by construction (the round-7 VERDICT's defaults
+    question, settled in round 8: asof flipped, sessionize documented).
+    Expected outcomes, by design:
 
     * ``dedup_keep_agg`` (the round-6 mitigation): ~1× — partial
       aggregation collapses the hot key map-side, one candidate per
@@ -470,11 +496,18 @@ def probe_skewed_keys(spark, n: int = 400_000, only: set[str] | None = None,
         "sessionize_chunked_default_hotkey": lambda df: sessionize_chunked(
             df, "ts", ["user_id"], gap_seconds=3600, tiebreak=["event_id"]
         ),
-        # as-of join: the left is the corpus, the right a 20k-row
-        # observation table sharing the key distribution — plain form
-        # sorts each key in ONE task, chunked carries observations at
-        # chunk grain (round 7)
+        # as-of join: the left is the corpus, the right an observation
+        # table sharing the key distribution (every 20th event).  The
+        # PLAIN form (round-8: now the explicit skew_safe=False opt-out)
+        # sorts each key's merged timeline in ONE task — kept measured
+        # so the default flip's win stays a number; the DEFAULT now
+        # delegates to the chunked decomposition with a span-derived
+        # chunk
         "asof_plain_hotkey": lambda df: asof_join(
+            df, obs_for(df), ["user_id"], "ts", "ots", value_cols=["obs"],
+            skew_safe=False,
+        ),
+        "asof_default_hotkey": lambda df: asof_join(
             df, obs_for(df), ["user_id"], "ts", "ots", value_cols=["obs"]
         ),
         "asof_chunked_hotkey": lambda df: asof_join_chunked(
@@ -498,6 +531,11 @@ def probe_skewed_keys(spark, n: int = 400_000, only: set[str] | None = None,
     out = {}
     for name, op in ops.items():
         if only is not None and name not in only:
+            continue
+        if n > 1_000_000 and "rolling" in name:
+            # the plain rolling form is O(rows x frame) on the hot key
+            # (the round-6 78x entry) - at 32M it would run for hours;
+            # the big battery exists for the sort-bound family only
             continue
         times = {}
         for label, df in (("uniform", uniform), ("skewed", skewed)):
@@ -555,13 +593,18 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         adversarial = probe_adversarial(spark)
         skewed = probe_skewed_keys(spark)
+        skewed_big = probe_skewed_keys(
+            spark, n=SKEW_BIG_N, only=SKEW_BIG_OPS, repeats=2
+        )
         with open(args.out) as f:
             record = json.load(f)
         record["adversarial"] = adversarial
         record["skewed_keys"] = skewed
+        record["skewed_keys_big"] = skewed_big
         with open(args.out, "w") as f:
             json.dump(record, f, indent=1)
-        print(json.dumps({"adversarial": adversarial, "skewed_keys": skewed}))
+        print(json.dumps({"adversarial": adversarial, "skewed_keys": skewed,
+                          "skewed_keys_big": skewed_big}))
         return
 
     spark = get_spark("res2df-spark-scale-probe")
@@ -627,6 +670,10 @@ def main() -> None:
     adversarial = probe_adversarial(spark)
     print("skewed-key window-family probe ...", file=sys.stderr)
     skewed_keys = probe_skewed_keys(spark)
+    print("skewed-key BIG battery (32M, sessionize/asof) ...", file=sys.stderr)
+    skewed_keys_big = probe_skewed_keys(
+        spark, n=SKEW_BIG_N, only=SKEW_BIG_OPS, repeats=2
+    )
 
     # heavy-build queries contribute their build scaling to the
     # headline ratios too — a superlinear checkpoint loop must not
@@ -647,6 +694,7 @@ def main() -> None:
         "second_decade": second_decade,
         "adversarial": adversarial,
         "skewed_keys": skewed_keys,
+        "skewed_keys_big": skewed_keys_big,
     }
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)
