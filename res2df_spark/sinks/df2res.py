@@ -13,11 +13,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from res2df_spark.sinks.writers import _fmt_value as _fmt
+from res2df_spark.sinks.writers import trim_trailing_defaults
 from res2df_spark.sources.deck import (
     KEYWORD_ITEMS,
     NESTED_TABLE_KEYWORDS,
     TABLE_KEYWORDS,
 )
+
+
+def _require_consecutive(values, region_col: str, kw: str) -> list:
+    """The reference's region-number contract (common.py:546-559,
+    ``consecutive=``): SATNUM/PVTNUM/EQLNUM must be exactly 1..N in the
+    frame being written, because the written blocks are POSITIONAL —
+    the parser re-assigns region = block counter, so writing a frame
+    filtered to SATNUM==2 would silently re-parse as SATNUM 1 (relperm
+    applied to the wrong region), and a NaN region row would just
+    vanish via dropna().  Raise instead, exactly like the reference.
+    Returns the sorted region list."""
+    import math
+
+    vals = sorted({v for v in values})
+    if any(v is None or (isinstance(v, float) and math.isnan(v)) for v in vals):
+        raise ValueError(f"{kw}: NaN/NULL {region_col} rows cannot be written")
+    if not vals or vals[0] != 1 or len(vals) != int(vals[-1]):
+        raise ValueError(
+            f"{kw}: {region_col} must be consecutive from 1, got {vals} — "
+            "the written blocks are positional, so a gap would silently "
+            "renumber every later region on re-parse"
+        )
+    return vals
 
 
 def df2res_compdat(df: DataFrame) -> str:
@@ -45,14 +69,13 @@ def df2res_compdat(df: DataFrame) -> str:
         # absent optional columns MUST still occupy their positional
         # slot as '1*' — skipping them would shift later values (a
         # KH-only frame would land KH in the TRAN slot on re-parse);
-        # the trailing-default trim below then drops unneeded tails
-        for opt in ("SATN", "TRAN", "WBDIA", "KH", "SKIN"):
+        # the trailing-default trim below then drops unneeded tails.
+        # The slot list is DERIVED from the parser's item schema, so a
+        # frame carrying DFACT/DIR/PEQVR (the reference CSV shape) is
+        # written whole instead of silently re-defaulting those items.
+        for opt, _typ in KEYWORD_ITEMS["COMPDAT"][6:]:
             items.append(_fmt(r[opt]) if opt in df.columns else "1*")
-        # keep at least one item: a fully-defaulted row must render
-        # as '1* /', never as a bare '/' (which TERMINATES the keyword
-        # and silently re-parses every later row as the next keyword)
-        while len(items) > 1 and items[-1] == "1*":
-            items.pop()
+        trim_trailing_defaults(items)
         lines.append("  " + " ".join(items) + " /")
     lines.append("/")
     return "\n".join(lines) + "\n"
@@ -67,7 +90,10 @@ def df2res_satfunc(df: DataFrame) -> str:
         cols, region_col = TABLE_KEYWORDS[kw]
         sub = pdf[pdf["KEYWORD"] == kw]
         out.append(kw)
-        for region in sorted(sub[region_col].dropna().unique()):
+        # reference parity (common.py consecutive="SATNUM"): positional
+        # blocks demand consecutive region numbers — raise, never
+        # renumber or drop NaN-region rows
+        for region in _require_consecutive(sub[region_col], region_col, kw):
             tbl = sub[sub[region_col] == region].sort_values("ROW_IDX")
             for _, r in tbl.iterrows():
                 # absent optional columns keep their positional slot as
@@ -103,6 +129,9 @@ def df2res_equil(df: DataFrame) -> str:
     if len(eq):
         lines.append("EQUIL")
         if "EQLNUM" in eq.columns:
+            # EQUIL records are positional per EQLNUM too (reference
+            # equil.py df2res, consecutive="EQLNUM")
+            _require_consecutive(eq["EQLNUM"], "EQLNUM", "EQUIL")
             eq = eq.sort_values("EQLNUM")
 
         def _slot(r, c):
@@ -113,8 +142,7 @@ def df2res_equil(df: DataFrame) -> str:
 
         for _, r in eq.iterrows():
             items = [_fmt(_slot(r, c)) for c in cols]
-            while len(items) > 1 and items[-1] == "1*":
-                items.pop()
+            trim_trailing_defaults(items)
             lines.append("  " + " ".join(items) + " /")
     if has_kw:
         for kw in _SOLUTION_KEYWORDS:
@@ -123,7 +151,8 @@ def df2res_equil(df: DataFrame) -> str:
                 continue
             tcols, region_col = TABLE_KEYWORDS[kw]
             lines.append(kw)
-            for region in sorted(sub[region_col].dropna().unique()):
+            # reference parity (equil.py df2res, consecutive="EQLNUM")
+            for region in _require_consecutive(sub[region_col], region_col, kw):
                 tbl = sub[sub[region_col] == region].sort_values("Z")
                 for _, r in tbl.iterrows():
                     lines.append(
@@ -142,8 +171,7 @@ def df2res_welspecs(df: DataFrame) -> str:
     for r in rows:
         items = [_fmt(r[name] if name in df.columns else None)
                  for name, _ in KEYWORD_ITEMS["WELSPECS"]]
-        while len(items) > 1 and items[-1] == "1*":
-            items.pop()
+        trim_trailing_defaults(items)
         lines.append("  " + " ".join(items) + " /")
     lines.append("/")
     return "\n".join(lines) + "\n"
@@ -191,7 +219,8 @@ def df2res_pvt(df: DataFrame) -> str:
         out.append(kw)
         if kw in _NESTED_PVT:
             outer_col, inner_cols = _NESTED_PVT[kw]
-            for region in sorted(sub["PVTNUM"].dropna().unique()):
+            # reference parity (pvt.py df2res, consecutive="PVTNUM")
+            for region in _require_consecutive(sub["PVTNUM"], "PVTNUM", kw):
                 tbl = sub[sub["PVTNUM"] == region]
                 for outer in sorted(tbl[outer_col].dropna().unique()):
                     recs = tbl[tbl[outer_col] == outer].sort_values("ROW_IDX")
@@ -205,7 +234,7 @@ def df2res_pvt(df: DataFrame) -> str:
                 out.append("/")
         else:
             cols, region_col = TABLE_KEYWORDS[kw]
-            for region in sorted(sub[region_col].dropna().unique()):
+            for region in _require_consecutive(sub[region_col], region_col, kw):
                 tbl = sub[sub[region_col] == region].sort_values("ROW_IDX")
                 for _, r in tbl.iterrows():
                     # absent columns keep their positional slot as '1*'
@@ -285,11 +314,15 @@ def df2res_vfpprod(df: DataFrame) -> str:
                 "(redefined table number?) frame"
             )
         for it, iw, ig, ia, grp in recs:
-            if len(grp) != len(flow):
+            # compare the RATE LIST, not just its length: a duplicated
+            # rate plus a missing one has the right count but would
+            # write BHPs positionally misaligned against the flow axis
+            if list(grp["RATE"]) != flow:
                 raise ValueError(
                     f"VFPPROD table {table}: combo (THP={it}, WFR={iw}, "
-                    f"GFR={ig}, ALQ={ia}) has {len(grp)} BHP values for "
-                    f"a {len(flow)}-point flow axis"
+                    f"GFR={ig}, ALQ={ia}) covers rates "
+                    f"{sorted(set(grp['RATE']))} but the flow axis is "
+                    f"{flow} — duplicate or missing flow points"
                 )
             bhps = " ".join(_fmt(float(v)) for v in grp["BHP"])
             out.append(f"  {it} {iw} {ig} {ia} {bhps} /")
@@ -330,6 +363,21 @@ def df2res_grid_property(
                 "render an all-fill keyword block"
             )
         global_size = max_idx + 1
+        # grid frames carry ACTIVE cells only, so max(GLOBAL_INDEX)+1
+        # UNDERCOUNTS whenever the grid's trailing global cells are
+        # inactive (edge/corner cells — common) and the keyword block
+        # comes out shorter than the NX*NY*NZ the simulator requires.
+        # The full size is not derivable from an active-only frame;
+        # warn so the caller passes the grid's real dimensions.
+        import warnings
+
+        warnings.warn(
+            f"df2res_grid_property({keyword}): global_size inferred as "
+            f"max(GLOBAL_INDEX)+1 = {global_size}; if the grid's trailing "
+            "global cells are inactive this UNDERCOUNTS — pass "
+            "global_size=NX*NY*NZ explicitly",
+            stacklevel=2,
+        )
     spine = spark.range(global_size).withColumnRenamed("id", "GLOBAL_INDEX")
     cast_t = "long" if int_dtype else "double"
     dense = spine.join(
@@ -345,6 +393,17 @@ def df2res_grid_property(
     runs = rle_encode_distributed(dense, "GLOBAL_INDEX", "__v").collect()
     parts = []
     for r in runs:
+        if not int_dtype and r["value"] != r["value"]:
+            # repr(nan) is 'nan' — an invalid deck token the simulator
+            # rejects (coalesce above replaces NULL, never NaN, and
+            # Spark's NaN=NaN groups NaN cells into one run).  A NaN
+            # ACTIVE cell is corrupt input for a grid array: raise with
+            # guidance rather than write a broken block.
+            raise ValueError(
+                f"df2res_grid_property({keyword}): NaN property values "
+                "in the active cells — fill or drop them before writing "
+                "(nan is not a valid deck token)"
+            )
         # repr: shortest round-tripping form — '%g' (6 sig figs) would
         # silently truncate PERMX/TRAN values (same rule as _fmt above)
         v = int(r["value"]) if int_dtype else repr(float(r["value"]))
@@ -380,6 +439,18 @@ def df2res_vfpinj(df: DataFrame) -> str:
         out.append("  " + " ".join(_fmt(float(v)) for v in thps) + " /")
         for i, t in enumerate(thps, start=1):
             grp = tbl[tbl["THP"] == t].sort_values("RATE")
+            # the same completeness invariant df2res_vfpprod enforces:
+            # every THP record must cover the flow axis exactly, or the
+            # BHPs render positionally misaligned (a redefined TABLE
+            # number melted into one frame collapses here too — VFPINJ
+            # has no BI column to keep the definitions apart)
+            if list(grp["RATE"]) != flow:
+                raise ValueError(
+                    f"VFPINJ table {table}: THP={t} covers rates "
+                    f"{sorted(set(grp['RATE']))} but the flow axis is "
+                    f"{flow} — incomplete, duplicated, or merged "
+                    "(redefined table number?) frame"
+                )
             bhps = " ".join(_fmt(float(v)) for v in grp["BHP"])
             out.append(f"  {i} {bhps} /")
     return "\n".join(out) + "\n"

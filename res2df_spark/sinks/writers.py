@@ -142,12 +142,21 @@ def write_dataframe(df: DataFrame, path: str, fmt: str = "csv", mode: str = "ove
         # honour df.write.mode semantics on the single-file path too
         import os
 
-        if os.path.exists(path):
+        exists = os.path.exists(path)
+        if exists:
             if mode in ("error", "errorifexists"):
                 raise FileExistsError(path)
             if mode == "ignore":
                 return
-        to_pandas_datesafe(df).to_csv(path, index=False)
+        if mode == "append":
+            # pandas to_csv(path) TRUNCATES by default — an append-mode
+            # caller would silently lose the existing rows; append the
+            # file and repeat the header only when creating it
+            to_pandas_datesafe(df).to_csv(
+                path, index=False, mode="a", header=not exists
+            )
+        else:
+            to_pandas_datesafe(df).to_csv(path, index=False)
         return
     writer = df.write.mode(mode)
     if fmt == "csv":
@@ -189,6 +198,19 @@ def _fmt_value(v, float_fmt: str | None = None) -> str:
     return str(v)
 
 
+def trim_trailing_defaults(items: list[str]) -> list[str]:
+    """Drop trailing ``1*`` items IN PLACE (the reference's
+    trailing-default rule, common.py:628-750), keeping at least one
+    item — a fully-defaulted record must render as ``1* /``, never as a
+    bare ``/``, which TERMINATES the keyword and silently re-parses
+    every later row as the next keyword.  One shared helper so the
+    trim rule cannot drift between the four record writers that apply
+    it."""
+    while len(items) > 1 and items[-1] == "1*":
+        items.pop()
+    return items
+
+
 def df_to_include(
     df: DataFrame,
     keyword: str,
@@ -216,10 +238,7 @@ def df_to_include(
     for r in rows:
         items = [_fmt_value(r[c]) for c in cols]
         if drop_trailing_defaults:
-            # keep at least one item — a bare '/' record TERMINATES the
-            # keyword and re-parses every later row as the next keyword
-            while len(items) > 1 and items[-1] == "1*":
-                items.pop()
+            trim_trailing_defaults(items)
         lines.append("  " + " ".join(items) + " /")
     lines.append("/")
     return "\n".join(lines) + "\n"

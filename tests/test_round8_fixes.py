@@ -192,3 +192,102 @@ def test_rolling_agg_span_hint_conflicts_with_skew_safe_false(spark):
     with pytest.raises(ValueError, match="span_hint"):
         rolling_agg(ev, "ts", ["user_id"], "value", 60,
                     skew_safe=False, span_hint=(0, 10))
+
+
+# ---------------------------------------------------------------------------
+# Round-8 writer-layer review fixes (sinks/ re-review, first since r5)
+# ---------------------------------------------------------------------------
+
+
+def test_write_dataframe_single_file_append(spark, tmp_path):
+    from res2df_spark.sinks.writers import write_dataframe
+
+    p = str(tmp_path / "out.csv")
+    df1 = spark.createDataFrame([(1, "a")], "i long, s string")
+    df2 = spark.createDataFrame([(2, "b")], "i long, s string")
+    write_dataframe(df1, p)
+    write_dataframe(df2, p, mode="append")
+    with open(p) as fh:
+        lines = [ln.strip() for ln in fh if ln.strip()]
+    assert lines == ["i,s", "1,a", "2,b"]  # one header, both rows
+
+
+def test_df2res_satfunc_rejects_nonconsecutive_regions(spark):
+    from res2df_spark.sinks.df2res import df2res_satfunc
+
+    df = spark.createDataFrame(
+        [("SWOF", 2, 1, 0.1, 0.0, 1.0, 0.0)],
+        "KEYWORD string, SATNUM long, ROW_IDX long, SW double, "
+        "KRW double, KROW double, PCOW double",
+    )
+    with pytest.raises(ValueError, match="consecutive"):
+        df2res_satfunc(df)
+
+
+def test_df2res_compdat_writes_dfact_dir_peqvr(spark):
+    from res2df_spark.sinks.df2res import df2res_compdat
+
+    df = spark.createDataFrame(
+        [("OP1", 1, 2, 3, 3, "OPEN", 0.02, "X", 1.5)],
+        "WELL string, I long, J long, K1 long, K2 long, `OP/SH` string, "
+        "DFACT double, DIR string, PEQVR double",
+    )
+    text = df2res_compdat(df)
+    # DFACT/DIR/PEQVR land in their positional slots (SATN..SKIN pad 1*)
+    assert "0.02 'X' 1.5" in text and "1* 1* 1* 1* 1* 0.02" in text
+
+
+def test_df2res_vfpinj_rejects_incomplete_thp_record(spark):
+    from res2df_spark.sinks.df2res import df2res_vfpinj
+
+    rows = [
+        (1, 100.0, 10.0, 50.0, 200.0),
+        (1, 100.0, 10.0, 60.0, 210.0),
+        (1, 100.0, 20.0, 50.0, 300.0),  # THP=20 misses RATE=60
+    ]
+    df = spark.createDataFrame(
+        rows, "TABLE long, DATUM double, THP double, RATE double, BHP double"
+    )
+    with pytest.raises(ValueError, match="flow axis"):
+        df2res_vfpinj(df)
+
+
+def test_df2res_vfpprod_rejects_duplicate_plus_missing_rate(spark):
+    from res2df_spark.sinks.df2res import df2res_vfpprod
+
+    # combo rates [50, 50, 70] vs flow axis [50, 60, 70]: counts match,
+    # the values do not — the old len() check let this through
+    base = dict(TABLE=1, DATUM=100.0, THP=10.0, WFR=0.0, GFR=0.0, ALQ=0.0)
+    rows = [
+        {**base, "RATE": 50.0, "BHP": 1.0},
+        {**base, "RATE": 50.0, "BHP": 2.0},
+        {**base, "RATE": 70.0, "BHP": 3.0},
+        # second THP covers the axis properly so the flow axis is [50,60,70]
+        {**base, "THP": 20.0, "RATE": 50.0, "BHP": 4.0},
+        {**base, "THP": 20.0, "RATE": 60.0, "BHP": 5.0},
+        {**base, "THP": 20.0, "RATE": 70.0, "BHP": 6.0},
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    with pytest.raises(ValueError):
+        df2res_vfpprod(df)
+
+
+def test_df2res_grid_property_nan_and_inference_warning(spark):
+    import warnings
+
+    from res2df_spark.sinks.df2res import df2res_grid_property
+
+    g = spark.createDataFrame(
+        [(0, 1.0), (1, float("nan")), (2, 3.0)],
+        "GLOBAL_INDEX long, PERMX double",
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        df2res_grid_property(g, "PERMX", global_size=4)
+    ok = spark.createDataFrame([(0, 1.0), (1, 2.0)], "GLOBAL_INDEX long, PERMX double")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        text = df2res_grid_property(ok, "PERMX")  # inferred size
+    assert any("UNDERCOUNTS" in str(x.message) for x in w)
+    assert "PERMX" in text
