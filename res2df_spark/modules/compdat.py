@@ -37,26 +37,6 @@ from res2df_spark.sources.deck import (
 _logger = logging.getLogger(__name__)
 
 
-def _with_dates(df: DataFrame, events: DataFrame) -> DataFrame:
-    """Stamp every record with the date cursor: union the date events,
-    forward-fill DATE over KEYWORD_IDX, keep the data records (W1)."""
-    cols = df.columns
-    dated = events.filter(F.col("DATE").isNotNull()).select(
-        "KEYWORD_IDX", "KEYWORD", "RECORD_IDX", "DATE",
-        *[F.lit(None).cast(df.schema[c].dataType).alias(c)
-          for c in cols if c not in ("KEYWORD_IDX", "KEYWORD", "RECORD_IDX", "DATE")],
-    )
-    u = df.unionByName(dated)
-    filled = ffill(
-        u, cols=["DATE"], order_by=["KEYWORD_IDX", "RECORD_IDX"], out_names=["DATE_EFF"]
-    )
-    return (
-        filled.filter(~F.col("KEYWORD").isin("DATES", "START", "TSTEP"))
-        .drop("DATE")
-        .withColumnRenamed("DATE_EFF", "DATE")
-    )
-
-
 def df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
     """Deck text → connection table
     (WELL, I, J, K, OP_SH, DATE, SATN, KH, SKIN).
@@ -302,9 +282,16 @@ def df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
             "A_IDX", "A_RIDX", F.col("a.TEMPLATE").alias("TEMPLATE")
         ).distinct().collect()
     }
+    # ...but ONLY for coordinate/whole-well actions: the reference's
+    # expand_complump_in_welopen_df (compdat.py:699-752) expands a
+    # lump-addressed record (C1/C2 set) to zero rows when no COMPLUMP
+    # row is in range — applywelopen never sees it, so the deck is
+    # accepted and the action silently ignored; raising there would
+    # hard-fail decks the reference processes.
     unmatched = [
         r for r in wo_recs
         if (r["KEYWORD_IDX"], r["RECORD_IDX"], r["WELL"]) not in hit_pairs
+        and not (r["C1"] is not None and r["C2"] is not None)
     ]
     if unmatched:
         u = unmatched[0]
@@ -401,19 +388,21 @@ def _unroll_segments(df: DataFrame) -> DataFrame:
 
 
 def welsegs_df(
-    spark: SparkSession, deck_text: str, unroll: bool = True, records=None
+    spark: SparkSession, deck_text: str, unroll: bool = True, records=None,
+    keep_idx: bool = False,
 ) -> DataFrame:
     """WELSEGS → one row per segment, well-header items inherited;
     INFO_TYPE == 'ABS' adds SEGMENT_MD = SEGMENT_LENGTH (reference
-    compdat.py:190-212)."""
+    compdat.py:190-212).  ``keep_idx`` keeps KEYWORD_IDX/RECORD_IDX for
+    callers that need a total declaration order (same-date
+    re-specifications tie on DATE alone)."""
     ws = _dated(spark, deck_text, "WELSEGS", records)
     ws = ws.withColumn(
         "SEGMENT_MD",
         F.when(F.col("INFO_TYPE") == "ABS", F.col("SEGMENT_LENGTH")),
     )
-    return (_unroll_segments(ws) if unroll else ws).drop(
-        "KEYWORD", "KEYWORD_IDX", "RECORD_IDX"
-    )
+    out = (_unroll_segments(ws) if unroll else ws).drop("KEYWORD")
+    return out if keep_idx else out.drop("KEYWORD_IDX", "RECORD_IDX")
 
 
 def compsegs_df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
@@ -426,13 +415,13 @@ def compsegs_df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
 
 
 def wsegsicd_df(
-    spark: SparkSession, deck_text: str, unroll: bool = True, records=None
+    spark: SparkSession, deck_text: str, unroll: bool = True, records=None,
+    keep_idx: bool = False,
 ) -> DataFrame:
     """WSEGSICD spiral-ICD device rows (reference compdat.py:145-151)."""
     d = _dated(spark, deck_text, "WSEGSICD", records)
-    return (_unroll_segments(d) if unroll else d).drop(
-        "KEYWORD", "KEYWORD_IDX", "RECORD_IDX"
-    )
+    out = (_unroll_segments(d) if unroll else d).drop("KEYWORD")
+    return out if keep_idx else out.drop("KEYWORD_IDX", "RECORD_IDX")
 
 
 def wsegaicd_df(
@@ -445,11 +434,12 @@ def wsegaicd_df(
     )
 
 
-def wsegvalv_df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
+def wsegvalv_df(
+    spark: SparkSession, deck_text: str, records=None, keep_idx: bool = False
+) -> DataFrame:
     """WSEGVALV valve device rows (reference compdat.py:158-163)."""
-    return _dated(spark, deck_text, "WSEGVALV", records).drop(
-        "KEYWORD", "KEYWORD_IDX", "RECORD_IDX"
-    )
+    out = _dated(spark, deck_text, "WSEGVALV", records).drop("KEYWORD")
+    return out if keep_idx else out.drop("KEYWORD_IDX", "RECORD_IDX")
 
 
 def dfs(spark: SparkSession, deck_text: str, unroll: bool = True) -> dict[str, DataFrame]:
@@ -481,26 +471,31 @@ def icd_chain(spark: SparkSession, deck_text: str) -> DataFrame:
     # each lookup side dedups to the LATEST declaration per segment:
     # WELSEGS/WSEGVALV/WSEGSICD re-specified under a later DATE would
     # otherwise fan every connection row out once per declaration
-    # (half of them with stale geometry)
+    # (half of them with stale geometry).  KEYWORD_IDX/RECORD_IDX join
+    # the ordering (engine-wide unique-tie-breaker convention): two
+    # declarations under ONE date — or a schedule fragment with no
+    # DATES at all — tie on DATE alone, and the reference
+    # deterministically keeps the LAST declaration.
+    _decl_order = ["DATE", "KEYWORD_IDX", "RECORD_IDX"]
     seg = dedup_keep(
-        welsegs_df(spark, deck_text, records=recs),
-        keys=["WELL", "SEGMENT1"], order_by=["DATE"], keep="last",
+        welsegs_df(spark, deck_text, records=recs, keep_idx=True),
+        keys=["WELL", "SEGMENT1"], order_by=_decl_order, keep="last",
     ).select(
         F.col("WELL").alias("S_WELL"), F.col("SEGMENT1").alias("SEGMENT"),
         "SEGMENT_LENGTH", "DEPTH_CHANGE", "DIAMETER", "SEGMENT_MD",
     )
     valv = dedup_keep(
-        wsegvalv_df(spark, deck_text, records=recs),
+        wsegvalv_df(spark, deck_text, records=recs, keep_idx=True),
         keys=["WELL", "SEGMENT_NUMBER"],
-        order_by=["DATE"], keep="last",
+        order_by=_decl_order, keep="last",
     ).select(
         F.col("WELL").alias("V_WELL"), F.col("SEGMENT_NUMBER").alias("V_SEG"),
         F.col("CV").alias("VALVE_CV"), F.col("AREA").alias("VALVE_AREA"),
     )
     sicd = dedup_keep(
-        wsegsicd_df(spark, deck_text, records=recs),
+        wsegsicd_df(spark, deck_text, records=recs, keep_idx=True),
         keys=["WELL", "SEGMENT1"],
-        order_by=["DATE"], keep="last",
+        order_by=_decl_order, keep="last",
     ).select(
         F.col("WELL").alias("D_WELL"), F.col("SEGMENT1").alias("D_SEG"),
         F.col("STRENGTH").alias("ICD_STRENGTH"),

@@ -138,8 +138,18 @@ def df(
     if {"BRANPROP", "NODEPROP"} & present:
         fams.append((1, "BRANPROP"))
     if not fams:
+        # the SAME schema the populated path returns — output columns
+        # must not depend on deck content, or downstream selects crash
+        # with AnalysisException on tree-less decks
         return spark.createDataFrame(
-            [], "DATE date, CHILD string, PARENT string, KEYWORD string",
+            [],
+            "DATE date, CHILD string, PARENT string, KEYWORD string, "
+            "TERMINAL_PRESSURE double, VFP_TABLE int, ALQ double, "
+            "SUB_SEA_MANIFOLD string, LIFT_GAS_FLOW_THROUGH string, "
+            "ALQ_SURFACE_EQV string, AS_CHOKE string, "
+            "ADD_GAS_LIFT_GAS string, CHOKE_GROUP string, "
+            "SOURCE_SINK_GROUP string, NETWORK_VALUE_TYPE string, "
+            "ALQ_SURFACE_DENSITY string",
         )
     treetype_col = F.when(F.col("FAM") == 0, "GRUPTREE").otherwise("BRANPROP")
 

@@ -267,17 +267,26 @@ def seg2dicttree(seg) -> dict:
     )
     if not rows:
         return {}
+    ids = {int(r["SEGIDX"]) for r in rows if r.get("SEGIDX") is not None}
     kids: dict[int, dict[int, None]] = {}
     has_parent: set[int] = set()
     for r in rows:
         nxt = r.get("SEGNXT")
         if nxt is None or (isinstance(nxt, float) and nxt != nxt) or nxt <= 0:
             continue
+        if int(nxt) not in ids:
+            # dangling pointer: the reference's self-merge on
+            # SEGIDX == SEGNXT (rft.py:247-253) produces no upstream row
+            # for a SEGNXT with no SEGIDX row, so the edge vanishes —
+            # fabricating the missing node here would render a phantom
+            # root segment
+            continue
         kids.setdefault(int(nxt), {})[int(r["SEGIDX"])] = None
         has_parent.add(int(r["SEGIDX"]))
     if not kids:
-        # no edges: every segment is its own root
-        return {int(r["SEGIDX"]): {} for r in rows}
+        # no edges: ONE root, the lowest SEGIDX (reference
+        # rft.py:300-302 returns {sorted seg_data's first SEGIDX: {}})
+        return {min(ids): {}}
 
     def grow(node: int) -> dict:
         return {k: grow(k) for k in kids.get(node, ())}

@@ -25,12 +25,25 @@ def unroll_range(
     ``unrolldf`` for COMPDAT K1–K2 / WELSEGS SEGMENT1–SEGMENT2 ranges,
     /root/reference/src/res2df/compdat.py:415-470).
 
-    Rows with NULL or inverted bounds are passed through with ``out`` =
-    ``lo`` (matching the reference, which leaves non-range rows alone).
+    Rows with a NULL bound are passed through with ``out`` = ``lo``
+    (the reference's start==end passthrough generalized — required
+    items are never NULL in a valid deck).  INVERTED bounds
+    (``hi < lo``) emit NO row, exactly like the reference's
+    ``range(K1, K2+1)`` over an empty range (compdat.py:460-463) — an
+    ``out = lo`` fallback here would fabricate a connection the
+    reference never emits.  ``F.sequence`` alone would be worse still:
+    it DESCENDS on ``hi < lo``, fanning a corrupt row out to phantom
+    rows.
     """
     seq = F.sequence(F.col(lo).cast("int"), F.col(hi).cast("int"))
-    valid = F.col(lo).isNotNull() & F.col(hi).isNotNull() & (F.col(hi) >= F.col(lo))
-    df = df.withColumn("__seq", F.when(valid, seq).otherwise(F.array(F.col(lo).cast("int"))))
+    null_bound = F.col(lo).isNull() | F.col(hi).isNull()
+    df = df.withColumn(
+        "__seq",
+        F.when(null_bound, F.array(F.col(lo).cast("int")))
+        .when(F.col(hi) >= F.col(lo), seq)
+        # inverted: empty array — explode drops the row
+        .otherwise(F.array().cast("array<int>")),
+    )
     df = df.withColumn(out, F.explode("__seq")).drop("__seq")
     if not keep_bounds:
         df = df.drop(lo, hi)

@@ -642,12 +642,16 @@ def test_seg_topology_upstream_orientation(spark):
 
 
 def test_seg2dicttree_multiple_edgeless_roots(spark):
+    """r8 parity fix: with NO edges the reference returns ONE root —
+    the lowest SEGIDX (rft.py:300-302, sorted seg_data's first row) —
+    not one root per segment (the pre-r8 behavior this test used to
+    pin)."""
     from res2df_spark.modules import rft
 
     rows_ = [{"SEGIDX": 1, "SEGNXT": None}, {"SEGIDX": 2, "SEGNXT": None}]
     import pandas as pd
 
-    assert rft.seg2dicttree(pd.DataFrame(rows_)) == {1: {}, 2: {}}
+    assert rft.seg2dicttree(pd.DataFrame(rows_)) == {1: {}}
 
 
 def test_gruptree_reparent_keeps_abandoned_parent_as_root(spark):

@@ -291,3 +291,164 @@ def test_df2res_grid_property_nan_and_inference_warning(spark):
         text = df2res_grid_property(ok, "PERMX")  # inferred size
     assert any("UNDERCOUNTS" in str(x.message) for x in w)
     assert "PERMX" in text
+
+
+# ---------------------------------------------------------------------------
+# Round-8 module-layer review fixes (modules/ re-review, first since r5)
+# ---------------------------------------------------------------------------
+
+
+def test_unroll_range_drops_inverted_bounds(spark):
+    """Reference unrolldf (compdat.py:455-465): start==end passes
+    through, start<end unrolls, start>end iterates an EMPTY range — the
+    row is dropped, never emitted as a phantom single-K row."""
+    from res2df_spark.operators.reshape import unroll_range
+
+    df = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 5), (3, 7, 6), (4, None, 9)],
+        "rid long, k1 int, k2 int",
+    )
+    got = sorted(
+        (r["rid"], r["k"]) for r in unroll_range(df, "k1", "k2", "k").collect()
+    )
+    assert got == [(1, 2), (2, 3), (2, 4), (2, 5), (4, None)]
+
+
+def test_compdat_inverted_k_range_emits_no_connection(spark):
+    from res2df_spark.modules import compdat
+
+    deck = """
+DATES
+ 1 JAN 2020 /
+/
+COMPDAT
+ 'OP1' 33 44 11 10 'OPEN' /
+ 'OP2' 1 1 1 1 'OPEN' /
+/
+"""
+    out = compdat.df(spark, deck).collect()
+    wells = {r["WELL"] for r in out}
+    assert wells == {"OP2"}  # the inverted-range row vanishes
+
+
+def test_welopen_lump_no_match_is_silently_dropped(spark):
+    """Reference expand_complump_in_welopen_df (compdat.py:699-752): a
+    lump-addressed WELOPEN matching no COMPLUMP rows expands to zero
+    rows — the deck is accepted, the action ignored.  Coordinate
+    actions that match nothing still raise."""
+    from res2df_spark.modules import compdat
+
+    deck = """
+DATES
+ 1 JAN 2020 /
+/
+COMPDAT
+ 'OP1' 1 1 1 1 'OPEN' /
+/
+COMPLUMP
+ 'OP1' 1 1 1 1 1 /
+/
+WELOPEN
+ 'OP1' 'SHUT' 3* 2 2 /
+/
+"""
+    out = compdat.df(spark, deck).collect()
+    assert [(r["WELL"], r["OP_SH"]) for r in out] == [("OP1", "OPEN")]
+    bad_coords = deck.replace("'OP1' 'SHUT' 3* 2 2 /", "'OP1' 'SHUT' 9 9 9 /")
+    with pytest.raises(ValueError, match="not acting"):
+        compdat.df(spark, bad_coords).collect()
+
+
+def test_icd_chain_same_date_redeclaration_keeps_last(spark):
+    """Two WELSEGS declarations of one segment under ONE date: the
+    LAST declaration wins deterministically (declaration-order
+    tie-breakers, the engine-wide convention)."""
+    from res2df_spark.modules.compdat import icd_chain
+
+    deck = """
+DATES
+ 1 JAN 2020 /
+/
+WELSEGS
+ 'OP1' 100.0 50.0 1* 'ABS' /
+ 2 2 1 1 110.0 60.0 0.1 /
+/
+WELSEGS
+ 'OP1' 100.0 50.0 1* 'ABS' /
+ 2 2 1 1 120.0 70.0 0.2 /
+/
+COMPSEGS
+ 'OP1' /
+ 1 1 1 1 100.0 110.0 4* 2 /
+/
+"""
+    for _ in range(3):  # nondeterminism would flip across runs
+        rows = icd_chain(spark, deck).collect()
+        assert len(rows) == 1 and rows[0]["DIAMETER"] == 0.2
+
+
+def test_seg2dicttree_dangling_and_no_edge(spark):
+    """Dangling SEGNXT edges vanish (the reference's self-merge finds
+    no upstream row); the no-edge fallback is ONE root, the lowest
+    SEGIDX (reference rft.py:300-302)."""
+    import pandas as pd
+
+    from res2df_spark.modules.rft import seg2dicttree
+
+    assert seg2dicttree(pd.DataFrame(columns=["SEGIDX", "SEGNXT"])) == {}
+    dangling = pd.DataFrame([{"SEGIDX": 2, "SEGNXT": 1}])
+    assert seg2dicttree(dangling) == {2: {}}
+    no_edges = pd.DataFrame(
+        [{"SEGIDX": 1, "SEGNXT": 0}, {"SEGIDX": 2, "SEGNXT": 0}]
+    )
+    assert seg2dicttree(no_edges) == {1: {}}
+    real = pd.DataFrame(
+        [
+            {"SEGIDX": 1, "SEGNXT": None},
+            {"SEGIDX": 2, "SEGNXT": 1},
+            {"SEGIDX": 3, "SEGNXT": 2},
+        ]
+    )
+    assert seg2dicttree(real) == {1: {2: {3: {}}}}
+
+
+def test_gruptree_schema_stable_without_tree_keywords(spark):
+    from res2df_spark.modules import gruptree
+
+    deck = """
+DATES
+ 1 JAN 2020 /
+/
+GRUPTREE
+ 'G1' 'FIELD' /
+/
+"""
+    full = gruptree.df(spark, deck)
+    empty = gruptree.df(spark, "RUNSPEC\nTITLE\nfoo\n")
+    assert empty.dtypes == full.dtypes
+    assert empty.count() == 0
+
+
+def test_wcon_dates_without_global_window(spark):
+    from res2df_spark.modules import wcon
+
+    deck = """
+DATES
+ 2 FEB 2021 /
+/
+WCONHIST
+ 'OP1' 'OPEN' 'ORAT' 100.0 10.0 1000.0 /
+/
+DATES
+ 3 FEB 2021 /
+/
+WCONPROD
+ 'OP1' 'OPEN' 'ORAT' 90.0 /
+/
+"""
+    rows = {r["KEYWORD"]: r for r in wcon.df(spark, deck).collect()}
+    assert str(rows["WCONHIST"]["DATE"]) == "2021-02-02"
+    assert str(rows["WCONPROD"]["DATE"]) == "2021-02-03"
+    # and the plan carries no unpartitioned window (the old ffill route)
+    plan = wcon.df(spark, deck)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
