@@ -93,6 +93,7 @@ HEADLINE = [
     "dedup_containment_xx",    # integer-keyed inverted index (round 7)
     "j9_asof_chunked",         # skew-safe chunk-carried as-of join (round 7)
     "curation_pipeline3_xx",   # composed pipeline, xxhash64 profile (round 8)
+    "j9_asof_nearest",         # nearest-direction chunked as-of join (round 8)
 ]
 
 

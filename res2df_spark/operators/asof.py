@@ -39,9 +39,29 @@ def asof_join(
     chunk_seconds: int | None = None,
     target_chunks: int | None = None,
     span_hint: tuple[int, int] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the latest right row with
     ``right_time <= left_time`` (``<`` if ``strict``) and equal keys.
+
+    ``direction`` — the full ``pandas.merge_asof`` family (round 8):
+
+    * ``"backward"`` (default) — latest observation at-or-before the
+      left time; duplicate observations at the matched time resolve to
+      the one whose (time, *value_cols) payload struct sorts LAST.
+    * ``"forward"`` — earliest observation at-or-after (strictly-after
+      if ``strict``) the left time; equal-time duplicates resolve to
+      the payload struct sorting FIRST (the mirror tiebreak — pandas
+      keeps the first positional duplicate going forward, the last
+      going backward).
+    * ``"nearest"`` — whichever of the two is closer in time;
+      equidistant candidates resolve BACKWARD (pandas semantics).
+      ``tolerance_expr`` bounds each side's gap independently, so a
+      left row whose backward match is too old can still take a
+      forward match within the bound.
+
+    ``strict`` (pandas ``allow_exact_matches=False``) excludes
+    equal-time observations in every direction.
 
     ``value_cols`` — right columns to carry (default: all non-key,
     non-time columns).  Ties on ``right_time`` resolve to the right row
@@ -88,6 +108,11 @@ def asof_join(
     measured size; see ``sessionize_chunked`` for the opt-in.)
     """
     on = list(on)
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', "
+            f"got {direction!r}"
+        )
     if not skew_safe and (
         chunk_seconds is not None or target_chunks is not None or span_hint is not None
     ):
@@ -104,6 +129,7 @@ def asof_join(
                 value_cols=value_cols, tolerance_expr=tolerance_expr,
                 suffix=suffix, strict=strict, chunk_seconds=chunk_seconds,
                 target_chunks=target_chunks, span_hint=span_hint,
+                direction=direction,
             )
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in on and c != right_time]
@@ -156,31 +182,79 @@ def asof_join(
             *[F.col(f"__v_{c}").alias(f"v_{c}") for c in value_cols],
         ),
     )
-    # Right rows sort before left rows at equal time unless strict, in
-    # which case they sort after (so an equal-time observation is NOT
-    # visible to the left row).  The payload struct is the FINAL sort
-    # key, making the documented tiebreak real: duplicate right rows at
-    # equal (keys, right_time) resolve to the one sorting last under
-    # the right row's remaining columns, not to partition layout.
-    order = [
-        lt.asc(),
-        F.col("__is_left").asc() if not strict else F.col("__is_left").desc(),
-        payload.asc_nulls_first(),
-    ]
-    # (strict mode needs no post-fill fixup: with right rows ordered
-    # AFTER left rows at equal __t, the frame already excludes
-    # equal-time observations.)
-    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    filled = unioned.withColumn("__m", F.last(payload, ignorenulls=True).over(w))
-
-    out = filled.filter(F.col("__is_left") == 1)
-    matched = F.col("__m").isNotNull()
-    if tolerance_expr is not None:
-        # merge_asof(tolerance=...): a match older than the bound is
-        # dropped (payload → NULL), the left row itself is kept.
-        matched = matched & (
-            (F.col("__t") - F.col("__m.__rt")) <= F.expr(tolerance_expr)
+    # Ordering at equal time decides VISIBILITY of equal-time
+    # observations.  Backward fills from a preceding frame, so a right
+    # row is visible iff it sorts BEFORE the left row (non-strict);
+    # forward fills from a following frame, so visibility flips: the
+    # right row must sort AFTER the left row (non-strict).  The payload
+    # struct is the FINAL sort key, making the documented tiebreak
+    # real: duplicate right rows at equal (keys, right_time) resolve by
+    # the right row's remaining columns (LAST under backward's
+    # last()-fill, FIRST under forward's first()-fill), not by
+    # partition layout.
+    def _order(right_first_at_tie: bool):
+        tie = (
+            F.col("__is_left").asc()
+            if right_first_at_tie
+            else F.col("__is_left").desc()
         )
+        return [lt.asc(), tie, payload.asc_nulls_first()]
+
+    # (strict mode needs no post-fill fixup in either direction: the
+    # tie ordering alone puts equal-time observations outside the
+    # frame.)
+    def _fill(dir_):
+        if dir_ == "backward":
+            w = (
+                Window.partitionBy(*on)
+                .orderBy(*_order(not strict))
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            return F.last(payload, ignorenulls=True).over(w)
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*_order(strict))
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        # a NULL left time sorts NULLS FIRST, so its FOLLOWING frame
+        # would contain every observation — gate it to the backward
+        # form's semantics (timeless rows get NULL payload)
+        return F.when(lt.isNotNull(), F.first(payload, ignorenulls=True).over(w))
+
+    if direction == "nearest":
+        filled = unioned.withColumn("__mb", _fill("backward")).withColumn(
+            "__mf", _fill("forward")
+        )
+        out = filled.filter(F.col("__is_left") == 1)
+        b_gap = F.col("__t") - F.col("__mb.__rt")
+        f_gap = F.col("__mf.__rt") - F.col("__t")
+        b_ok = F.col("__mb").isNotNull()
+        f_ok = F.col("__mf").isNotNull()
+        if tolerance_expr is not None:
+            tol = F.expr(tolerance_expr)
+            b_ok = b_ok & (b_gap <= tol)
+            f_ok = f_ok & (f_gap <= tol)
+        # equidistant candidates resolve backward (pandas nearest);
+        # interval/numeric subtraction is exact (µs-integer intervals on
+        # time axes), so the tie test cannot wobble
+        pick_b = b_ok & (~f_ok | (b_gap <= f_gap))
+        out = out.withColumn(
+            "__m", F.when(pick_b, F.col("__mb")).when(f_ok, F.col("__mf"))
+        )
+        matched = F.col("__m").isNotNull()
+    else:
+        filled = unioned.withColumn("__m", _fill(direction))
+        out = filled.filter(F.col("__is_left") == 1)
+        matched = F.col("__m").isNotNull()
+        if tolerance_expr is not None:
+            # merge_asof(tolerance=...): a match farther than the bound
+            # is dropped (payload → NULL), the left row itself is kept.
+            gap = (
+                F.col("__t") - F.col("__m.__rt")
+                if direction == "backward"
+                else F.col("__m.__rt") - F.col("__t")
+            )
+            matched = matched & (gap <= F.expr(tolerance_expr))
     for c in value_cols:
         out = out.withColumn(f"__v_{c}", F.when(matched, F.col(f"__m.v_{c}")))
     renames = {f"__v_{c}": (c + suffix) for c in value_cols}
@@ -206,6 +280,7 @@ def asof_join_chunked(
     chunk_seconds: int | None = None,
     target_chunks: int | None = None,
     span_hint: tuple[int, int] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Skew-safe :func:`asof_join`: identical point-in-time semantics,
     partitioned on (keys, time-chunk) instead of the keys alone, so a
@@ -239,8 +314,21 @@ def asof_join_chunked(
     NULL time keep their row with NULL payload, exactly like the plain
     form.  NULL join KEYS are one group, exactly like the plain form's
     window partitioning — the carry grid joins null-safe.
+
+    ``direction`` mirrors the plain form.  ``"forward"`` carries the
+    EARLIEST observation per (keys, chunk) BACKWARD across the chunk
+    sequence (the exact mirror of the backward carry); ``"nearest"``
+    injects both carries, so per left row the candidate set is the
+    in-chunk observations plus the one pre-chunk and one post-chunk
+    observation that could win — exactly the candidates the plain
+    nearest evaluates.
     """
     on = list(on)
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', "
+            f"got {direction!r}"
+        )
     lt_type = left.schema[left_time].dataType.typeName()
     if lt_type not in ("timestamp", "timestamp_ntz", "date"):
         raise ValueError(
@@ -261,6 +349,7 @@ def asof_join_chunked(
             left, right, on, left_time, right_time,
             value_cols=value_cols, tolerance_expr=tolerance_expr,
             suffix=suffix, strict=strict, skew_safe=False,
+            direction=direction,
         )
     chunk_us = int(chunk_seconds) * 1_000_000
 
@@ -272,19 +361,29 @@ def asof_join_chunked(
         us = F.unix_micros(F.col(col).cast("timestamp"))
         return ((us - F.pmod(us, F.lit(chunk_us))) / F.lit(chunk_us)).cast("long")
 
-    # --- chunk-grain carry: latest observation per (keys, chunk),
-    # forward-filled across the key's chunk sequence -------------------
+    # --- chunk-grain carry: the boundary observation per (keys, chunk),
+    # filled across the key's chunk sequence.  Backward carries the
+    # LATEST observation forward; forward carries the EARLIEST backward;
+    # nearest needs both ------------------------------------------------
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
     r_real = right.filter(F.col(right_time).isNotNull())
     # the same time-then-payload tiebreak as the window form: at equal
-    # times the payload struct sorting LAST wins
+    # times the payload struct sorting LAST wins going backward, the
+    # one sorting FIRST going forward — max/min of the same struct
     obs_struct = F.struct(
         F.col(right_time).alias("__rt"),
         *[F.col(c).alias(f"v_{c}") for c in value_cols],
     )
+    aggs = []
+    if need_b:
+        aggs.append(F.max(obs_struct).alias("__obs_b"))
+    if need_f:
+        aggs.append(F.min(obs_struct).alias("__obs_f"))
     obs_last = (
         r_real.withColumn("__chunk", chunk_of(right_time))
         .groupBy(*on, "__chunk")
-        .agg(F.max(obs_struct).alias("__obs"))
+        .agg(*aggs)
     )
     l_real = left.filter(F.col(left_time).isNotNull())
     left_chunks = (
@@ -309,24 +408,39 @@ def asof_join_chunked(
         # deciding which side is populated, never mixing values)
         *[F.coalesce(F.col(f"__lc.{k}"), F.col(f"__ob.{k}")).alias(k) for k in on],
         F.coalesce(F.col("__lc.__chunk"), F.col("__ob.__chunk")).alias("__chunk"),
-        F.col("__obs"),
+        *(["__obs_b"] if need_b else []),
+        *(["__obs_f"] if need_f else []),
         F.col("__lc.__chunk").isNotNull().alias("__has_left"),
     )
-    carry_w = (
-        Window.partitionBy(*on)
-        .orderBy("__chunk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carries = (
-        grid.withColumn("__carry", F.last("__obs", ignorenulls=True).over(carry_w))
-        .filter(F.col("__carry").isNotNull() & F.col("__has_left"))
-        .select(
-            *on,
-            "__chunk",
-            F.col("__carry.__rt").alias(right_time),
-            *[F.col(f"__carry.v_{c}").alias(c) for c in value_cols],
+
+    def _carry_rows(obs_col: str, frame) -> DataFrame:
+        w = Window.partitionBy(*on).orderBy("__chunk").rowsBetween(*frame)
+        fill = (
+            F.last(obs_col, ignorenulls=True)
+            if frame[1] == -1
+            else F.first(obs_col, ignorenulls=True)
         )
-    )
+        return (
+            grid.withColumn("__carry", fill.over(w))
+            .filter(F.col("__carry").isNotNull() & F.col("__has_left"))
+            .select(
+                *on,
+                "__chunk",
+                F.col("__carry.__rt").alias(right_time),
+                *[F.col(f"__carry.v_{c}").alias(c) for c in value_cols],
+            )
+        )
+
+    # both carry windows share the grid's (keys, chunk-asc) sort — two
+    # frames over one exchange+sort when nearest needs both
+    parts = []
+    if need_b:
+        parts.append(_carry_rows("__obs_b", (Window.unboundedPreceding, -1)))
+    if need_f:
+        parts.append(_carry_rows("__obs_f", (1, Window.unboundedFollowing)))
+    carries = parts[0]
+    for p in parts[1:]:
+        carries = carries.unionByName(p)
 
     # --- the plain union-window construction, with (keys, chunk) as the
     # partition key and the carries unioned in as observations
@@ -345,6 +459,7 @@ def asof_join_chunked(
         suffix=suffix,
         strict=strict,
         skew_safe=False,
+        direction=direction,
     ).drop("__chunk")
     # NULL-time left rows: no place on the axis, NULL payload (plain
     # form's semantics — they sort before every observation)

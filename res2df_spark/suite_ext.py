@@ -6343,3 +6343,115 @@ def curation_pipeline3_xx(spark, sf_dir):
     return ranked.select(
         "doc_id", "w_soft", F.col("rnk").cast("int").alias("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 — merge_asof direction family (forward / nearest)
+# ---------------------------------------------------------------------------
+
+_ASOF_FORWARD_SQL = """
+    SELECT p.user_id, p.ts AS purchase_ts, p.event_id AS purchase_id,
+           v.value AS view_value, v.event_id AS view_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+        SELECT value, event_id FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts >= p.ts
+        ORDER BY v.ts ASC, v.value ASC NULLS FIRST, v.event_id ASC
+        LIMIT 1
+    ) v ON TRUE
+"""
+
+
+@_q("j9_asof_forward", _ASOF_FORWARD_SQL)
+def j9_asof_forward(spark, sf_dir):
+    """Forward as-of join (pandas merge_asof(direction='forward'),
+    round 8): every purchase takes the EARLIEST view at-or-after it —
+    the mirror of J9's latest-at-or-before, same single-shuffle
+    union-window plan with the frame flipped to [current, following]
+    (operators/asof.py).  Equal-time duplicates resolve to the payload
+    struct sorting FIRST (the oracle's ASC NULLS FIRST mirrors Spark's
+    struct ordering, where a NULL field sorts smallest).  Pinned
+    ``skew_safe=False`` like j9_asof_join so the single-window form
+    stays oracled; the chunked forward path is covered by
+    j9_asof_nearest (whose carry machinery includes the forward
+    mirror) and the chunked-equals-plain direction matrix in
+    tests/test_asof_direction.py."""
+    from res2df_spark.operators.asof import asof_join
+
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("view_value"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_time="purchase_ts",
+        right_time="ts",
+        value_cols=["view_value", "view_event_id"],
+        direction="forward",
+        skew_safe=False,
+    ).select("user_id", "purchase_ts", "purchase_id", "view_value", "view_event_id")
+
+
+_ASOF_NEAREST_SQL = """
+    SELECT p.user_id, p.ts AS purchase_ts, p.event_id AS purchase_id,
+           v.value AS view_value, v.event_id AS view_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+        SELECT value, event_id FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)) ASC,
+                 (v.ts > p.ts) ASC,
+                 CASE WHEN v.ts <= p.ts THEN v.value END DESC NULLS LAST,
+                 CASE WHEN v.ts >  p.ts THEN v.value END ASC NULLS FIRST,
+                 CASE WHEN v.ts <= p.ts THEN v.event_id END DESC NULLS LAST,
+                 CASE WHEN v.ts >  p.ts THEN v.event_id END ASC NULLS FIRST
+        LIMIT 1
+    ) v ON TRUE
+"""
+
+
+@_q("j9_asof_nearest", _ASOF_NEAREST_SQL)
+def j9_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (pandas merge_asof(direction='nearest'),
+    round 8) on the DEFAULT skew-safe chunked path: every purchase
+    takes whichever view is closer in time, equidistant candidates
+    resolving BACKWARD (pandas semantics — the oracle's ``(v.ts >
+    p.ts) ASC`` tiebreak after the exact µs-integer distance).  The
+    chunked decomposition injects BOTH boundary carries per (user,
+    chunk) — latest-before forward-filled and earliest-after
+    backward-filled — so the per-chunk candidate set is exactly the
+    plain form's; the two fills share one exchange+sort.
+    ``chunk_seconds`` pinned (like j9_asof_chunked) so plan
+    construction stays scan-free."""
+    from res2df_spark.operators.asof import asof_join
+
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("view_value"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_time="purchase_ts",
+        right_time="ts",
+        value_cols=["view_value", "view_event_id"],
+        direction="nearest",
+        chunk_seconds=7 * 86_400,
+    ).select("user_id", "purchase_ts", "purchase_id", "view_value", "view_event_id")

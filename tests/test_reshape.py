@@ -24,7 +24,8 @@ def test_unroll_range(spark):
         ("OP1", 2),
         ("OP1", 3),
         ("OP2", 2),
-        ("OP3", 5),   # inverted bounds → pass-through with k = k1
+        # OP3 (5, 4): inverted bounds emit NO row, like the reference's
+        # empty range(K1, K2+1) (compdat.py:460-463)
         ("OP4", None),  # null bound → pass-through
     ]
 
