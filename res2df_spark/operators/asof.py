@@ -131,6 +131,22 @@ def asof_join(
                 target_chunks=target_chunks, span_hint=span_hint,
                 direction=direction,
             )
+        if (
+            chunk_seconds is not None
+            or target_chunks is not None
+            or span_hint is not None
+        ):
+            # the chunk grid needs a timestamp axis; silently running
+            # the single-window form would drop the caller's explicit
+            # skew treatment with no signal (the skew_safe=False
+            # conflict above raises for the same reason)
+            raise ValueError(
+                "chunk_seconds/target_chunks/span_hint request the chunked "
+                f"decomposition but the time axis is {lt_type} - the chunk "
+                "grid needs a timestamp/date axis, so only the "
+                "single-window form can run here; drop the chunk "
+                "parameters (or convert the axis)"
+            )
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in on and c != right_time]
     value_cols = list(value_cols)

@@ -28,7 +28,10 @@ def timeline_span(df: DataFrame, ts_col: str) -> tuple[int, int] | None:
     per partition) — it re-executes the input lineage, so cache or
     checkpoint upstream heavy work first, and it cannot run on a
     streaming DataFrame (pass an explicit ``chunk_seconds`` there)."""
-    us = F.unix_micros(F.col(ts_col))
+    # cast first: the skew-safe operators accept DATE axes (their chunk
+    # expressions cast the same way), and unix_micros on a raw DATE
+    # column is an AnalysisException
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     lo, hi = df.agg(F.min(us), F.max(us)).first()
     if lo is None or hi is None:
         return None

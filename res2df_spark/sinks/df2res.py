@@ -32,9 +32,14 @@ def _require_consecutive(values, region_col: str, kw: str) -> list:
     Returns the sorted region list."""
     import math
 
-    vals = sorted({v for v in values})
-    if any(v is None or (isinstance(v, float) and math.isnan(v)) for v in vals):
+    # None check BEFORE the sort: sorted({None, 1}) is a TypeError, which
+    # would preempt the crafted message for object-dtype frames
+    uniq = set(values)
+    if any(
+        v is None or (isinstance(v, float) and math.isnan(v)) for v in uniq
+    ):
         raise ValueError(f"{kw}: NaN/NULL {region_col} rows cannot be written")
+    vals = sorted(uniq)
     if not vals or vals[0] != 1 or len(vals) != int(vals[-1]):
         raise ValueError(
             f"{kw}: {region_col} must be consecutive from 1, got {vals} — "

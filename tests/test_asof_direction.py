@@ -197,3 +197,33 @@ def test_forward_null_left_time_gets_null_payload(spark):
             ).collect()
         }
         assert got == {0: None, 1: 42.0}
+
+
+def test_asof_date_axis_skew_safe_default(spark):
+    """DATE-typed axes must survive the skew-safe default: timeline_span
+    casts to timestamp before unix_micros (code-review regression — the
+    pre-flip plain form handled dates, so the default must too)."""
+    ldf = spark.createDataFrame(
+        [("k", dt.date(2024, 1, 10), 0), ("k", dt.date(2024, 2, 1), 1)],
+        "k string, t date, qid long",
+    )
+    rdf = spark.createDataFrame(
+        [("k", dt.date(2024, 1, 5), 7.0)], "k string, t date, v double"
+    )
+    got = {
+        r["qid"]: r["v"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_time="t", right_time="t", value_cols=["v"]
+        ).collect()
+    }
+    assert got == {0: 7.0, 1: 7.0}
+
+
+def test_asof_numeric_axis_rejects_chunk_params(spark):
+    """Explicit chunk parameters on a numeric axis raise loudly instead
+    of silently running the single-window form (mirror of the
+    skew_safe=False conflict error)."""
+    ldf = spark.createDataFrame([("k", 1, 0)], "k string, t long, qid long")
+    with pytest.raises(ValueError, match="time axis is long"):
+        asof_join(ldf, ldf, on=["k"], left_time="t", right_time="t",
+                  value_cols=[], chunk_seconds=3600)

@@ -452,3 +452,13 @@ WCONPROD
     # and the plan carries no unpartitioned window (the old ffill route)
     plan = wcon.df(spark, deck)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_require_consecutive_none_region_gets_value_error():
+    """A Python None region value must hit the crafted NaN/NULL
+    ValueError, not a TypeError from sorted() comparing None to int
+    (code-review: the None guard ran after the sort)."""
+    from res2df_spark.sinks.df2res import _require_consecutive
+
+    with pytest.raises(ValueError, match="NaN/NULL"):
+        _require_consecutive([1, None, 2], "SATNUM", "SWOF")
