@@ -64,6 +64,17 @@ def train_char_lm(train: DataFrame, text_col: str = "text", n: int = 2) -> dict:
             "use a broadcast-join scorer for unbounded vocabularies"
         )
     model = {r["g"]: r["c"] for r in rows}
+    if not model:
+        # an empty model is silently "perfect": floor_logp = ln(1/1) = 0
+        # would score EVERY document 0.0 (probability 1) and a quality
+        # gate thresholding on lm_score keeps/rejects everything
+        # uniformly with no signal — fail at training time instead
+        raise ValueError(
+            f"char-{n}-gram training produced an EMPTY model (every "
+            f"train row NULL or shorter than {n} chars) - fix the "
+            "train slice; scoring against it would rate all text "
+            "probability 1"
+        )
     return {"counts": model, "total": sum(model.values()), "vocab": len(model)}
 
 

@@ -34,17 +34,19 @@ from pyspark.sql.types import (
 )
 
 
-def feature_schema(id_type=LongType()) -> StructType:
+def feature_schema(id_type=LongType(), id_name: str = "doc_id") -> StructType:
     """Schema of an extracted feature record: typed metadata plus one
     ``features array<double>`` column — arity-independent, so a real
     embedder emitting hundreds of dims plugs in without editing the
     module (the feature COUNT travels as data in ``n_features``, and
-    the schema never changes with it).  ``id_type`` follows the input
-    id column: integral ids come back as longs, anything else as
-    strings (:func:`extract_features` resolves this from its input)."""
+    the schema never changes with it).  ``id_type``/``id_name`` follow
+    the input id column: integral ids come back as longs, anything
+    else as strings, and the field keeps the CALLER'S column name so
+    downstream joins on the original key resolve
+    (:func:`extract_features` passes both through from its input)."""
     return StructType(
         [
-            StructField("doc_id", id_type),
+            StructField(id_name, id_type),
             StructField("n_bytes", LongType()),
             StructField("content_md5", StringType()),
             StructField("features", ArrayType(DoubleType())),
@@ -128,7 +130,9 @@ def extract_features(
         df.schema[id_col].dataType,
         (LongType, IntegerType, ShortType, ByteType),
     )
-    schema = feature_schema(LongType() if integral else StringType())
+    schema = feature_schema(
+        LongType() if integral else StringType(), id_name=id_col
+    )
 
     def _checked(p: bytes):
         f = dec(p)
@@ -156,7 +160,7 @@ def extract_features(
                     # NULL-bearing batch of raw longs would arrive
                     # float64-with-NaN, where astype silently corrupts
                     # ids above 2^53); non-integral ids stay strings
-                    "doc_id": (
+                    id_col: (
                         pdf[id_col].astype("Int64") if integral else pdf[id_col]
                     ),
                     "n_bytes": [None if p is None else len(p) for p in payloads],
@@ -176,16 +180,23 @@ def extract_features(
     ).mapInPandas(run, schema)
 
 
-#: Schema of a sampled frame record: one row per kept frame.
-FRAME_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("frame_idx", LongType()),
-        StructField("n_frames", LongType()),
-        StructField("frame_bytes", LongType()),
-        StructField("frame_md5", StringType()),
-    ]
-)
+def frame_schema(id_type=LongType(), id_name: str = "doc_id") -> StructType:
+    """Schema of a sampled frame record (one row per kept frame) —
+    ``id_type``/``id_name`` follow the input id column exactly like
+    :func:`feature_schema`."""
+    return StructType(
+        [
+            StructField(id_name, id_type),
+            StructField("frame_idx", LongType()),
+            StructField("n_frames", LongType()),
+            StructField("frame_bytes", LongType()),
+            StructField("frame_md5", StringType()),
+        ]
+    )
+
+
+#: Default frame-record schema (long ids).
+FRAME_SCHEMA = frame_schema()
 
 
 def chunk_bytes(payload: bytes, frame_size: int) -> list[bytes]:
@@ -227,13 +238,26 @@ def sample_frames(
     if not isinstance(df.schema[payload_col].dataType, BinaryType):
         df = df.withColumn(payload_col, F.col(payload_col).cast("binary"))
     split = splitter or (lambda p: chunk_bytes(p, frame_size))
+    # id dtype/name follow the input, exactly like extract_features:
+    # integral ids come back as longs (exact string round-trip),
+    # anything else (uuids, 'img-001') stays a string instead of dying
+    # in int() mid-corpus
+    from pyspark.sql.types import ByteType, IntegerType, ShortType
+
+    integral = isinstance(
+        df.schema[id_col].dataType,
+        (LongType, IntegerType, ShortType, ByteType),
+    )
+    schema = frame_schema(
+        LongType() if integral else StringType(), id_name=id_col
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
             out: dict[str, list] = {
-                "doc_id": [],
+                id_col: [],
                 "frame_idx": [],
                 "n_frames": [],
                 "frame_bytes": [],
@@ -249,7 +273,7 @@ def sample_frames(
                     continue
                 frames = split(bytes(payload))
                 for idx in range(0, len(frames), every_n):
-                    out["doc_id"].append(int(doc_id))
+                    out[id_col].append(int(doc_id) if integral else doc_id)
                     out["frame_idx"].append(idx)
                     out["n_frames"].append(len(frames))
                     out["frame_bytes"].append(len(frames[idx]))
@@ -258,7 +282,7 @@ def sample_frames(
 
     return df.select(
         F.col(id_col).cast("string").alias(id_col), payload_col
-    ).mapInPandas(run, FRAME_SCHEMA)
+    ).mapInPandas(run, schema)
 
 
 def export_tar_shards(
@@ -321,14 +345,25 @@ def export_tar_shards(
     def write_shards(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import os
         import tarfile
+        import uuid
 
         import pandas as pd
 
         tars: dict[int, tarfile.TarFile] = {}
+        tmp_paths: dict[int, str] = {}
         counts: dict[int, list[int]] = {}
         os.makedirs(out_dir, exist_ok=True)
         import io as _io
 
+        # write-temp-then-rename: each ATTEMPT streams into its own
+        # uniquely-named temp file and commits with an atomic replace
+        # only after a clean close.  Two concurrent attempts of the same
+        # task (speculation, a zombie task surviving a stage retry)
+        # would otherwise interleave writes into one shard-NNNNN.tar and
+        # corrupt it invisibly; with the rename protocol each attempt's
+        # file is self-consistent and identical (the partition is
+        # deterministic and sorted), so whichever replace lands last
+        # leaves a valid shard.
         try:
             for pdf in batches:
                 cols = [pdf["__shard"], pdf["__id"], pdf["__payload"]]
@@ -336,9 +371,11 @@ def export_tar_shards(
                 for sh, rid, payload, *meta_vals in zip(*cols):
                     sh = int(sh)
                     if sh not in tars:
-                        tars[sh] = tarfile.open(
-                            os.path.join(out_dir, f"shard-{sh:05d}.tar"), "w"
+                        tmp_paths[sh] = os.path.join(
+                            out_dir,
+                            f".shard-{sh:05d}.tar.tmp-{uuid.uuid4().hex}",
                         )
+                        tars[sh] = tarfile.open(tmp_paths[sh], "w")
                         counts[sh] = [0, 0]
                     payload = bytes(payload or b"")
                     meta = {"id": rid}
@@ -357,9 +394,21 @@ def export_tar_shards(
                         tars[sh].addfile(info, _io.BytesIO(data))
                     counts[sh][0] += 1
                     counts[sh][1] += len(payload)
-        finally:
-            for t in tars.values():
+        except BaseException:
+            # failed attempt: close and remove its temps — never commit
+            # a half-written tar over a (possibly valid) earlier one
+            for sh, t in tars.items():
                 t.close()
+                try:
+                    os.remove(tmp_paths[sh])
+                except OSError:
+                    pass
+            raise
+        for sh, t in tars.items():
+            t.close()
+            os.replace(
+                tmp_paths[sh], os.path.join(out_dir, f"shard-{sh:05d}.tar")
+            )
         yield pd.DataFrame(
             {
                 "shard": list(counts),

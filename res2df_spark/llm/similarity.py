@@ -448,11 +448,16 @@ def quantize_embeddings(
     # non-finite elements (or a span poisoned by one — array_max
     # propagates NaN/Inf) yield NULL codes instead of an ANSI abort:
     # floor(NaN).cast(int) would otherwise kill the corpus-scale
-    # scan-rewrite on one bad telemetry row
+    # scan-rewrite on one bad telemetry row.  The per-element check
+    # runs FIRST: a NULL element in a constant vector (array_min/max
+    # skip NULLs, so lo = hi and span = 0) must still code NULL, not
+    # fabricate a 0 that dequantizes to lo
     code = lambda v: F.when(  # noqa: E731
+        ~_finite(v.cast("double")), F.lit(None)
+    ).when(
         F.col("__span") == 0, F.lit(0)
     ).when(
-        _finite(v.cast("double")) & _finite(F.col("__span")),
+        _finite(F.col("__span")),
         F.floor(
             (v.cast("double") - F.col("__lo")) * F.lit(255.0) / F.col("__span")
             + F.lit(0.5)
@@ -1184,9 +1189,16 @@ def pq_topk(
     d floats (the memory win that lets 100 TB of vectors fit a
     cluster's RAM).
     """
-    q_rows = queries.select(query_id, query_vec).collect()
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    # NULL query embeddings are excluded like every other scorer in the
+    # module (brute_force/lsh/ivf): one bad row must not TypeError the
+    # whole ANN search on the driver
+    q_rows = (
+        queries.filter(F.col(query_vec).isNotNull())
+        .select(query_id, query_vec)
+        .collect()
+    )
     spark = codes.sparkSession
     qid_type = queries.schema[query_id].dataType.simpleString()
     if not q_rows:
@@ -1200,6 +1212,14 @@ def pq_topk(
     tables = []
     for r in q_rows:
         qv = [float(x) for x in r[1]]
+        if len(qv) < m * dsub:
+            # a short query would zip-truncate into silently WRONG
+            # distance tables (and an empty subvector folds to Python
+            # int 0, crashing createDataFrame with an unrelated error)
+            raise ValueError(
+                f"query {r[0]!r} has {len(qv)} dims but the codebooks "
+                f"encode {m}x{dsub} = {m * dsub} - pad or re-train"
+            )
         t_j = []
         for j in range(m):
             sub = qv[j * dsub : (j + 1) * dsub]
@@ -1385,12 +1405,24 @@ def ivfpq_topk(
     broadcast equality join on list_id plus map-side lookups — never
     shuffled.
     """
-    q_rows = queries.select(query_id, query_vec).collect()
+    # NULL query embeddings excluded, short queries rejected — the same
+    # driver-side contract as pq_topk (one bad row must not crash or
+    # silently mis-rank the whole search)
+    q_rows = (
+        queries.filter(F.col(query_vec).isNotNull())
+        .select(query_id, query_vec)
+        .collect()
+    )
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     pair_rows = []
     for r in q_rows:
         qv = [float(x) for x in r[1]]
+        if len(qv) < m * dsub:
+            raise ValueError(
+                f"query {r[0]!r} has {len(qv)} dims but the codebooks "
+                f"encode {m}x{dsub} = {m * dsub} - pad or re-train"
+            )
         d_coarse = [
             sum((a - b) ** 2 for a, b in zip(qv, cent)) for cent in coarse
         ]

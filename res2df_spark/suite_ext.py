@@ -2253,7 +2253,10 @@ def dedup_segments(spark, sf_dir):
     SELECT vec_id,
            array_to_string(
                list_transform(embedding,
-                   x -> CASE WHEN hi = lo THEN 0
+                   x -> CASE WHEN x IS NULL
+                               OR NOT isfinite(CAST(x AS DOUBLE)) THEN NULL
+                             WHEN hi = lo THEN 0
+                             WHEN NOT isfinite(hi - lo) THEN NULL
                              ELSE CAST(floor((CAST(x AS DOUBLE) - lo) * 255.0
                                              / (hi - lo) + 0.5) AS INT) END),
                ',') AS codes_csv,
