@@ -31,7 +31,13 @@ class ResdataCase:
     def __init__(self, spark: SparkSession, data_path: str):
         self.spark = spark
         p = str(data_path)
+        # remember the deck file AS GIVEN: the extension check is
+        # case-insensitive ('mycase.data' is accepted), so rebuilding
+        # the path as '<root>.DATA' would lose the original spelling
+        # and never read the deck back on a case-sensitive filesystem
+        self._data_file: str | None = None
         if p.upper().endswith(".DATA"):
+            self._data_file = os.path.abspath(p)
             p = p[: -len(".DATA")]
         self.root = os.path.abspath(p)
         self._deck_text: str | None = None
@@ -45,7 +51,11 @@ class ResdataCase:
 
     def path(self, ext: str) -> str:
         """Sibling file path for an extension (``'SMSPEC'`` →
-        ``<root>.SMSPEC``)."""
+        ``<root>.SMSPEC``).  The deck itself resolves to the path the
+        case was CONSTRUCTED with when that carried a non-uppercase
+        ``.data`` spelling."""
+        if ext.upper() == "DATA" and self._data_file is not None:
+            return self._data_file
         return f"{self.root}.{ext}"
 
     def _existing(self, ext: str) -> str | None:

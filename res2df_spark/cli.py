@@ -66,7 +66,7 @@ def _run_binary_module(
         return fipreports.df(spark, root)
     case = ResdataCase(spark, root)
     if name == "summary":
-        keys = [k for k in (column_keys or "").split(",") if k]
+        keys = [k.strip() for k in (column_keys or "").split(",") if k.strip()]
         # ALWAYS the reference's wide shape — the output schema must
         # not silently flip between long and wide depending on which
         # flags happen to be present (summary_mod.df pivots)
@@ -337,18 +337,23 @@ def csv2res_main(argv: list[str] | None = None) -> int:
     df = spark.read.csv(args.csvfile, header=True, inferSchema=True)
 
     if args.module == "summary":
-        import datetime
-
         import pandas as pd
 
         from res2df_spark.sources.eclbin import write_summary
 
+        # validate the output target BEFORE paying the CSV read +
+        # toPandas — the binary writer can never stream to stdout
+        if args.output == "-":
+            raise SystemExit("summary writes binaries; -o SMSPEC path required")
         pdf = df.toPandas()
+        if pdf.empty:
+            raise SystemExit(
+                f"summary: {args.csvfile} has no data rows — nothing to "
+                "write (a binary summary needs at least one report step)"
+            )
         pdf["DATE"] = pd.to_datetime(pdf["DATE"])
         wide = pdf.set_index("DATE").sort_index()
         start = wide.index[0].to_pydatetime()
-        if args.output == "-":
-            raise SystemExit("summary writes binaries; -o SMSPEC path required")
         write_summary(args.output, start, wide)
         return 0
 
@@ -568,7 +573,11 @@ def curate_main(argv: list[str] | None = None) -> int:
         # and keep exactly one of them (same reason exact_duplicates
         # filters them).
         nonnull = df.filter(F.col(txt).isNotNull())
-        w = Window.partitionBy(F.md5(F.col(txt))).orderBy(idc)
+        # asc_nulls_last: a NULL-id row must never win keeper over a
+        # real id (ascending default is NULLS FIRST)
+        w = Window.partitionBy(F.md5(F.col(txt))).orderBy(
+            F.col(idc).asc_nulls_last()
+        )
         out = (
             nonnull.withColumn("__rn", F.row_number().over(w))
             .filter("__rn = 1").drop("__rn")
@@ -645,7 +654,7 @@ def curate_main(argv: list[str] | None = None) -> int:
             payload = "__payload"
         else:
             payload = args.payload_col
-        meta = [c for c in args.meta_cols.split(",") if c]
+        meta = [c.strip() for c in args.meta_cols.split(",") if c.strip()]
         out = export_tar_shards(
             df, args.output, n_shards=args.n_shards,
             id_col=idc, payload_col=payload, meta_cols=meta,
@@ -713,10 +722,13 @@ def curate_main(argv: list[str] | None = None) -> int:
             id_col=idc, vec_col=args.vec_col,
         )
     elif args.op == "semantic-dedup":
-        from pyspark.sql import Window, functions as F
+        from pyspark.sql import functions as F
 
         from res2df_spark.llm.dedup import connected_components
-        from res2df_spark.llm.similarity import semantic_dedup_pairs
+        from res2df_spark.llm.similarity import (
+            seed_centroids,
+            semantic_dedup_pairs,
+        )
 
         if args.vec_col not in df.columns:
             raise SystemExit(
@@ -724,16 +736,7 @@ def curate_main(argv: list[str] | None = None) -> int:
                 f"(columns: {', '.join(df.columns)}); pass --vec-col"
             )
         k = max(df.count() // args.target_cluster, 8)
-        centroids = (
-            df.orderBy(idc)
-            .limit(int(k))
-            .select(
-                (F.row_number().over(Window.orderBy(idc)) - 1).alias(
-                    "centroid_id"
-                ),
-                F.col(args.vec_col).alias("centroid"),
-            )
-        )
+        centroids = seed_centroids(df, k, id_col=idc, vec_col=args.vec_col)
         pairs = semantic_dedup_pairs(
             df, centroids, threshold=args.threshold,
             id_col=idc, vec_col=args.vec_col,
@@ -786,7 +789,7 @@ def curate_main(argv: list[str] | None = None) -> int:
                 f"nb-score: column {args.pos_col!r} not in input "
                 f"(columns: {', '.join(df.columns)}); pass --pos-col"
             )
-        vals = [v for v in args.pos_values.split(",") if v]
+        vals = [v.strip() for v in args.pos_values.split(",") if v.strip()]
         pos = F.col(args.pos_col).isin(vals)
         pos_n = df.filter(pos).limit(1).count()
         neg_n = df.filter(~pos).limit(1).count()
@@ -830,9 +833,7 @@ def curate_main(argv: list[str] | None = None) -> int:
                     f"(columns: {', '.join(df.columns)}); pass --weight-col"
                 )
             w = F.col(args.weight_col).cast("double")
-            from pyspark.sql import functions as _F
-
-            bad = w.isNull() | (w <= 0) | _F.isnan(w) | (w == float("inf"))
+            bad = w.isNull() | (w <= 0) | F.isnan(w) | (w == float("inf"))
             if df.filter(bad).limit(1).count() > 0:
                 raise SystemExit(
                     f"pagerank: {args.weight_col!r} contains NULL, NaN, "

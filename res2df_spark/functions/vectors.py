@@ -38,6 +38,14 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     (all-zero) vector has similarity 0.0 to everything — without the
     guard, ANSI mode (this session's default) ABORTS the whole job on
     the division by zero, so one empty-document embedding would kill a
-    corpus-scale ANN/dedup run."""
+    corpus-scale ANN/dedup run.
+
+    A NULL vector yields NULL (the same skip-corrupt-rows contract as
+    :func:`dot` for length mismatches) — a missing embedding must read
+    as "unknown", not as "dissimilar to everything", or a novelty scan
+    would rate every corrupt row maximally novel.  The top-k scorers
+    additionally filter NULL embeddings up front."""
     denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+    return F.when(denom > 0, dot(a, b) / denom).when(
+        a.isNotNull() & b.isNotNull(), F.lit(0.0)
+    )

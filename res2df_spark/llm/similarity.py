@@ -678,6 +678,38 @@ def assign_nearest(
     )
 
 
+def seed_centroids(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cast_double: bool = False,
+) -> DataFrame:
+    """Deterministic first-``k``-by-id centroid seeding: the ``k``
+    lowest-id vectors become ``(centroid_id 0..k-1, centroid)`` — the
+    ONE shared seeding rule for k-means/SemDeDup/IVF initialization (a
+    DuckDB oracle re-derives it with ``ORDER BY id LIMIT k``), kept in
+    one place so the rule cannot drift between the suite, the CLI and
+    :func:`kmeans_fit`.  The global ranking Window runs AFTER
+    ``limit(k)``, so its single partition holds ``k`` rows, never the
+    corpus."""
+    vec = (
+        F.transform(vec_col, lambda x: x.cast("double"))
+        if cast_double
+        else F.col(vec_col)
+    )
+    return (
+        df.orderBy(id_col)
+        .limit(int(k))
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias(
+                "centroid_id"
+            ),
+            vec.alias("centroid"),
+        )
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -713,17 +745,9 @@ def kmeans_fit(
     vecs = df.select(F.col(id_col), F.col(vec_col)).filter(
         F.col(vec_col).isNotNull()
     )
-    centroids = (
-        vecs.orderBy(id_col)
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias(
-                "centroid_id"
-            ),
-            F.transform(vec_col, lambda x: x.cast("double")).alias("centroid"),
-        )
-        .withColumn("n_members", F.lit(0).cast("long"))
-    )
+    centroids = seed_centroids(
+        vecs, k, id_col=id_col, vec_col=vec_col, cast_double=True
+    ).withColumn("n_members", F.lit(0).cast("long"))
     centroids = truncate_lineage(centroids)
     for _ in range(iters):
         assigned = assign_nearest(

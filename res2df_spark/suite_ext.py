@@ -17,6 +17,7 @@ from pyspark.sql.functions import broadcast
 
 from res2df_spark.catalog import Catalog
 from res2df_spark.functions.strings import well_template_to_regex
+from res2df_spark.llm.similarity import seed_centroids
 from res2df_spark.operators.resample import resample_asof, spine_from_observations
 from res2df_spark.operators.reshape import melt
 from res2df_spark.operators.windows import dedup_keep, ffill
@@ -2803,16 +2804,7 @@ def kmeans_assign(spark, sf_dir):
     from res2df_spark.llm.similarity import assign_nearest
 
     emb = Catalog(spark, sf_dir).embeddings
-    centroids = (
-        emb.orderBy("vec_id")
-        .limit(8)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
-                "centroid_id"
-            ),
-            F.col("embedding").alias("centroid"),
-        )
-    )
+    centroids = seed_centroids(emb, 8)
     out = assign_nearest(emb, centroids)
     return out.select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -2909,16 +2901,7 @@ def semantic_dedup(spark, sf_dir):
 
     emb = Catalog(spark, sf_dir).embeddings
     k = max(emb.count() // 64, 8)
-    centroids = (
-        emb.orderBy("vec_id")
-        .limit(int(k))
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
-                "centroid_id"
-            ),
-            F.col("embedding").alias("centroid"),
-        )
-    )
+    centroids = seed_centroids(emb, k)
     out = semantic_dedup_pairs(emb, centroids, threshold=0.35)
     return out.select(
         F.col("id_1").cast("long").alias("id_1"),
@@ -4136,16 +4119,7 @@ def semantic_keepers(spark, sf_dir):
 
     emb = Catalog(spark, sf_dir).embeddings
     k = max(emb.count() // 64, 8)
-    centroids = (
-        emb.orderBy("vec_id")
-        .limit(int(k))
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
-                "centroid_id"
-            ),
-            F.col("embedding").alias("centroid"),
-        )
-    )
+    centroids = seed_centroids(emb, k)
     pairs = semantic_dedup_pairs(emb, centroids, threshold=0.35).select(
         F.col("id_1").alias("d1"), F.col("id_2").alias("d2")
     )
@@ -4324,16 +4298,7 @@ def semantic_novelty(spark, sf_dir):
     old = emb.filter(F.col("vec_id") % 7 != 0)
     new = emb.filter(F.col("vec_id") % 7 == 0)
     k = max(old.count() // 64, 8)
-    centroids = (
-        old.orderBy("vec_id")
-        .limit(int(k))
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
-                "centroid_id"
-            ),
-            F.col("embedding").alias("centroid"),
-        )
-    )
+    centroids = seed_centroids(old, k)
     index = two_level_assign(old, centroids).select(
         "vec_id", "centroid_id", F.col("__v").alias("embedding")
     )
@@ -4390,16 +4355,7 @@ def stream_semantic_claims(spark, sf_dir):
     emb = Catalog(spark, sf_dir).embeddings
     old = emb.filter(F.col("vec_id") % 7 != 0)
     k = max(old.count() // 64, 8)
-    centroids = (
-        old.orderBy("vec_id")
-        .limit(int(k))
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
-                "centroid_id"
-            ),
-            F.col("embedding").alias("centroid"),
-        )
-    )
+    centroids = seed_centroids(old, k)
     index = two_level_assign(old, centroids).select(
         "vec_id", "centroid_id", F.col("__v").alias("embedding")
     )
