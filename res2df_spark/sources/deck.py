@@ -190,6 +190,23 @@ KEYWORD_DEFAULTS: dict[str, dict[str, object]] = {
     },
     # opmkeywords/WELOPEN: STATUS 'OPEN'
     "WELOPEN": {"STATUS": "OPEN"},
+    # opmkeywords/WELSPECS: the reference's parse_opmio_deckrecord
+    # emits these for defaulted items (D_RADIUS 0, INFLOW_EQ STD,
+    # AUTO_SHUTIN SHUT, CROSSFLOW YES, P_TABLE 0, DENSITY_CALC SEG,
+    # FIP_REGION 0, well_model STD, POLYMER_TABLE 0); required items
+    # (WELL..PHASE) and FRONTSIM1/2 have no schema default and stay NULL
+    "WELSPECS": {
+        "DRAIN_RADIUS": 0.0, "INFLOW_EQ": "STD", "AUTO_SHUTIN": "SHUT",
+        "CROSSFLOW": "YES", "P_TABLE": 0, "DENSITY_CALC": "SEG",
+        "FIP_REGION": 0, "WELL_MODEL": "STD", "POLYMER_TABLE": 0,
+    },
+    # opmkeywords/EQLDIMS + TABDIMS: the RUNSPEC sizing counts the
+    # table modules read (NTEQUL/NTSFUN/NTPVT...) default to the opm
+    # schema values — 'TABDIMS\n 1* 2 /' must yield NTSFUN 1, not NULL
+    "EQLDIMS": {"NTEQUL": 1, "DEPTH_NODES_P": 100, "DEPTH_NODES_TAB": 20,
+                "NTTRVD": 1, "NSTRVD": 20},
+    "TABDIMS": {"NTSFUN": 1, "NTPVT": 1, "NSSFUN": 20, "NPPVT": 20,
+                "NTFIP": 1, "NRPVT": 20, "MAX_RV_NODES": 20, "NTENDP": 1},
     "WSEGSICD": {
         "LENGTH": 12.0, "DENSITY_CALI": 1000.25, "VISCOSITY_CALI": 1.45,
         "CRITICAL_VALUE": 0.5, "WIDTH_TRANS": 0.05, "MAX_VISC_RATIO": 5.0,
@@ -507,6 +524,16 @@ def parse_deck(text: str) -> list[dict]:
                 if kw in NESTED_TABLE_KEYWORDS:
                     region += 1  # empty record = next region, not EOK
                     continue
+                if kw in SINGLE_RECORD and kw in KEYWORD_ITEMS and rec_idx == 0:
+                    # 'EQLDIMS\n/' is a fully-DEFAULTED single record
+                    # (opm emits one record of schema defaults), not an
+                    # empty keyword
+                    row = {"KEYWORD_IDX": kw_idx, "KEYWORD": kw,
+                           "RECORD_IDX": 0, "DATE": None}
+                    defaults = KEYWORD_DEFAULTS.get(kw, {})
+                    for name, _ in KEYWORD_ITEMS[kw]:
+                        row[name] = defaults.get(name)
+                    records.append(row)
                 break  # lone '/' terminates a multi-record keyword
             if kw == "START" or kw == "DATES":
                 cursor = _parse_date(rec)
@@ -552,10 +579,18 @@ def parse_deck(text: str) -> list[dict]:
                 vals = [_coerce(v, "float") for v in _expand(rec)]
                 k = len(cols)
                 # EQUIL-style fixed single-row tables may come shorter
-                # than the item list — pad; true tables come in full
-                # multiples of k.
-                if len(vals) % k and len(vals) < k:
-                    vals = vals + [None] * (k - len(vals))
+                # than the item list — the chunk loop NULL-pads them;
+                # a MULTI-row payload that is not a multiple of k is a
+                # corrupt table (a dropped value shifts every later
+                # column) — opm rejects it, and silently emitting a
+                # short phantom last row would hand satfunc/pvt
+                # consumers misaligned data
+                if len(vals) > k and len(vals) % k:
+                    raise ValueError(
+                        f"{kw} record {rec_idx} has {len(vals)} values, "
+                        f"not a multiple of its {k} columns "
+                        f"({', '.join(cols)}) — corrupt table payload"
+                    )
                 for ri in range(0, len(vals), k):
                     chunk = vals[ri : ri + k]
                     row = {"KEYWORD_IDX": kw_idx, "KEYWORD": kw,
@@ -747,17 +782,21 @@ def read_deck(path: str, max_depth: int = 16) -> str:
                     at_boundary and len(toks) == 1 and kw_shaped.fullmatch(toks[0])
                 ):
                     # record data opens a record; a '/' terminator
-                    # (bare or glued to an unquoted value) closes it —
-                    # and everything AFTER the terminator on the same
-                    # line is Eclipse comment text ("0 1 / output
-                    # control"), so the first terminator DECIDES the
-                    # line's boundary state
+                    # (bare, glued to an unquoted value, or glued to a
+                    # CLOSED quoted value — ``'OIL'/`` is item +
+                    # terminator to the tokenizer) closes it — and
+                    # everything AFTER the terminator on the same line
+                    # is Eclipse comment text ("0 1 / output control"),
+                    # so the first terminator DECIDES the line's
+                    # boundary state.  A quoted token whose quote is
+                    # still open at the '/' (``'/path/x'`` path chars)
+                    # is NOT a terminator.
                     for t in toks:
-                        if t == "/" or (
-                            len(t) > 1
-                            and t[0] not in "'\""
-                            and t.endswith("/")
-                        ):
+                        glued = len(t) > 1 and t.endswith("/") and (
+                            t[0] not in "'\""
+                            or (len(t) > 2 and t[-2] == t[0])
+                        )
+                        if t == "/" or glued:
                             at_boundary = True
                             break
                         at_boundary = False

@@ -323,6 +323,35 @@ def summary_long_many(spark, root_glob: str):
 
     files = spark.read.format("binaryFile").load(root_glob)
     files = files.filter(files["path"].endswith(".SMSPEC")).select("path", "content")
+    # Missing-UNSMRY check on the DRIVER, over the (ensemble-sized,
+    # tiny) path list: a warnings.warn inside mapInPandas fires on the
+    # executor Python worker and never reaches the user, so a crashed
+    # run would silently shrink the ensemble — exactly what the skip
+    # exists to surface.  The reader is local-filesystem-by-contract
+    # (the scheme guard below), so the driver sees the same files.
+    from urllib.parse import unquote, urlparse
+
+    missing = []
+    for (path,) in files.select("path").collect():
+        parsed = urlparse(path)
+        if len(parsed.scheme) == 1:  # Windows drive, not a URI
+            parsed = parsed._replace(scheme="", path=path)
+        if parsed.scheme not in ("", "file"):
+            continue  # the worker raises NotImplementedError for these
+        local = unquote(parsed.path) if parsed.scheme else path
+        if not os.path.exists(os.path.splitext(local)[0] + ".UNSMRY"):
+            missing.append(path)
+    if missing:
+        import warnings
+
+        warnings.warn(
+            f"skipping {len(missing)} realization(s) with no UNSMRY "
+            f"sibling (crashed runs?): {sorted(missing)[:5]}"
+            + (" ..." if len(missing) > 5 else ""),
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        files = files.filter(~files["path"].isin(missing))
 
     def parse(batches):
         for pdf in batches:
@@ -441,6 +470,11 @@ def write_summary(smspec_path: str, start: datetime.datetime, wide) -> None:
 # ---------------------------------------------------------------------------
 
 
+#: Cell budget per geometry K-slab (~1 KB transient per cell inside a
+#: slab) — module-level so tests can force the multi-slab path.
+_GEOM_SLAB_CELLS = 2_000_000
+
+
 def grid_geometry_pandas(egrid_buf: bytes):
     """Corner-point geometry → per-active-cell frame with the
     reference's grid columns (grid.py:287-345): 1-based I,J,K, center
@@ -477,69 +511,90 @@ def grid_geometry_pandas(egrid_buf: bytes):
         else np.ones(nx * ny * nz, dtype=np.int64)
     )
 
-    k_i, j_i, i_i = np.meshgrid(
-        np.arange(nz), np.arange(ny), np.arange(nx), indexing="ij"
-    )
-    # corner c = cx + 2*cy + 4*cz ; arrays shaped (nz,ny,nx,8)
+    # K-SLAB processing: the fully-vectorized form materializes ~10
+    # (cells, 8[, 6]) float64 intermediates at once (~1 KB/cell — a
+    # 10M-cell full-field EGRID would transient ~10 GB on the driver);
+    # looping over bounded K-slabs runs the IDENTICAL per-cell
+    # arithmetic with the transient capped at ~slab_cells KB while the
+    # persistent output stays ~80 B/cell.
+    slab_layers = max(1, int(_GEOM_SLAB_CELLS // max(nx * ny, 1)))
+    tets = [(0, 1, 3, 7), (0, 3, 2, 7), (0, 2, 6, 7), (0, 6, 4, 7), (0, 4, 5, 7), (0, 5, 1, 7)]
     cx = np.array([0, 1, 0, 1, 0, 1, 0, 1])
     cy = np.array([0, 0, 1, 1, 0, 0, 1, 1])
     cz = np.array([0, 0, 0, 0, 1, 1, 1, 1])
-    zc = zcorn[
-        2 * k_i[..., None] + cz, 2 * j_i[..., None] + cy, 2 * i_i[..., None] + cx
-    ]
-    pil = coord[j_i[..., None] + cy, i_i[..., None] + cx]  # (nz,ny,nx,8,6)
-    x1, y1, z1 = pil[..., 0], pil[..., 1], pil[..., 2]
-    x2, y2, z2 = pil[..., 3], pil[..., 4], pil[..., 5]
-    dz = z2 - z1
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = np.where(np.abs(dz) > 1e-12, (zc - z1) / np.where(dz == 0, 1, dz), 0.0)
-    xc = x1 + t * (x2 - x1)
-    yc = y1 + t * (y2 - y1)
+    act_mask = actnum.ravel() != 0
+    parts: list[dict] = []
+    for k0 in range(0, nz, slab_layers):
+        k1 = min(k0 + slab_layers, nz)
+        k_i, j_i, i_i = np.meshgrid(
+            np.arange(k0, k1), np.arange(ny), np.arange(nx), indexing="ij"
+        )
+        # corner c = cx + 2*cy + 4*cz ; arrays shaped (slab,ny,nx,8)
+        zc = zcorn[
+            2 * k_i[..., None] + cz, 2 * j_i[..., None] + cy, 2 * i_i[..., None] + cx
+        ]
+        pil = coord[j_i[..., None] + cy, i_i[..., None] + cx]  # (slab,ny,nx,8,6)
+        x1, y1, z1 = pil[..., 0], pil[..., 1], pil[..., 2]
+        x2, y2, z2 = pil[..., 3], pil[..., 4], pil[..., 5]
+        dz = z2 - z1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(np.abs(dz) > 1e-12, (zc - z1) / np.where(dz == 0, 1, dz), 0.0)
+        xc = x1 + t * (x2 - x1)
+        yc = y1 + t * (y2 - y1)
+        del pil, x1, y1, z1, x2, y2, z2, dz, t
 
-    pts = np.stack([xc, yc, zc], axis=-1)  # (nz,ny,nx,8,3)
-    tets = [(0, 1, 3, 7), (0, 3, 2, 7), (0, 2, 6, 7), (0, 6, 4, 7), (0, 4, 5, 7), (0, 5, 1, 7)]
-    vol = np.zeros(pts.shape[:3])
-    for a, b, c, d in tets:
-        u = pts[..., b, :] - pts[..., a, :]
-        v = pts[..., c, :] - pts[..., a, :]
-        w = pts[..., d, :] - pts[..., a, :]
-        vol += np.einsum("...i,...i->...", u, np.cross(v, w)) / 6.0
-    vol = np.abs(vol)
+        pts = np.stack([xc, yc, zc], axis=-1)  # (slab,ny,nx,8,3)
+        vol = np.zeros(pts.shape[:3])
+        for a, b, c, d in tets:
+            u = pts[..., b, :] - pts[..., a, :]
+            v = pts[..., c, :] - pts[..., a, :]
+            w = pts[..., d, :] - pts[..., a, :]
+            vol += np.einsum("...i,...i->...", u, np.cross(v, w)) / 6.0
+        vol = np.abs(vol)
+        del pts
 
-    glob = (i_i + nx * j_i + nx * ny * k_i).ravel()
-    active = actnum.ravel()[glob] != 0
-    # glob is the identity arange by construction (i varies fastest in
-    # the C-order ravel), so glob[active] is already ascending and the
-    # former stable argsort was a pure O(n log n) no-op per grid load;
-    # the O(n) monotonicity check keeps a fallback if the meshgrid
-    # convention ever changes
-    ga = glob[active]
-    if len(ga) > 1 and not np.all(np.diff(ga) > 0):  # pragma: no cover
-        order = np.argsort(ga, kind="stable")
-        ga = ga[order]
+        glob = (i_i + nx * j_i + nx * ny * k_i).ravel()
+        active = act_mask[glob]
+        # glob is the identity arange offset by the slab start (i varies
+        # fastest in the C-order ravel), so glob[active] is already
+        # ascending; the O(n) monotonicity check keeps a fallback if
+        # the meshgrid convention ever changes
+        ga = glob[active]
+        if len(ga) > 1 and not np.all(np.diff(ga) > 0):  # pragma: no cover
+            order = np.argsort(ga, kind="stable")
+            ga = ga[order]
 
-        def pick(a):
-            return a.ravel()[active][order]
+            def pick(a, active=active, order=order):
+                return a.ravel()[active][order]
 
+        else:
+
+            def pick(a, active=active):
+                return a.ravel()[active]
+
+        parts.append(
+            {
+                "I": pick(i_i) + 1,
+                "J": pick(j_i) + 1,
+                "K": pick(k_i) + 1,
+                "X": pick(xc.mean(axis=-1)),
+                "Y": pick(yc.mean(axis=-1)),
+                "Z": pick(zc.mean(axis=-1)),
+                "Z_MIN": pick(zc.min(axis=-1)),
+                "Z_MAX": pick(zc.max(axis=-1)),
+                "VOLUME": pick(vol),
+                "GLOBAL_INDEX": ga,
+            }
+        )
+
+    cols = ["I", "J", "K", "X", "Y", "Z", "Z_MIN", "Z_MAX", "VOLUME",
+            "GLOBAL_INDEX"]
+    if not parts:  # degenerate nz == 0 header
+        df = pd.DataFrame({c: np.array([]) for c in cols})
     else:
-
-        def pick(a):
-            return a.ravel()[active]
-
-    df = pd.DataFrame(
-        {
-            "I": pick(i_i) + 1,
-            "J": pick(j_i) + 1,
-            "K": pick(k_i) + 1,
-            "X": pick(xc.mean(axis=-1)),
-            "Y": pick(yc.mean(axis=-1)),
-            "Z": pick(zc.mean(axis=-1)),
-            "Z_MIN": pick(zc.min(axis=-1)),
-            "Z_MAX": pick(zc.max(axis=-1)),
-            "VOLUME": pick(vol),
-            "GLOBAL_INDEX": ga,
-        }
-    )
+        df = pd.DataFrame(
+            {c: np.concatenate([p[c] for p in parts]) for c in cols}
+        )
     df["ACTIVE_INDEX"] = np.arange(len(df), dtype=np.int64)
     return df
 
@@ -605,8 +660,16 @@ def unrst_vectors_pandas(unrst_buf: bytes, nactive: int, dates="all", vectors=No
     if not steps:
         return pd.DataFrame()
     def _as_date(d):
-        return d if isinstance(d, datetime.date) else datetime.date.fromisoformat(str(d))
+        # datetime.datetime IS a datetime.date, but date.__eq__ against
+        # a datetime is always False — normalize to the date part or a
+        # datetime argument could never match any step
+        if isinstance(d, datetime.datetime):
+            return d.date()
+        if isinstance(d, datetime.date):
+            return d
+        return datetime.date.fromisoformat(str(d))
 
+    avail = [str(s["date"]) for s in steps]
     if dates == "first":
         steps = steps[:1]
     elif dates == "last":
@@ -620,6 +683,13 @@ def unrst_vectors_pandas(unrst_buf: bytes, nactive: int, dates="all", vectors=No
     elif dates != "all":
         want = _as_date(dates)
         steps = [s for s in steps if s.get("date") == want]
+    if not steps:
+        # the reference raises 'date ... not found in UNRST file'
+        # (grid.py:94) — mirror that instead of letting pd.concat([])
+        # throw its cryptic 'No objects to concatenate'
+        raise ValueError(
+            f"date {dates!r} not found in UNRST file (available: {avail})"
+        )
     frames = []
     for s in steps:
         df = pd.DataFrame(s["_arrays"])
