@@ -313,6 +313,14 @@ def export_tar_shards(
     Returns the (shard, n_samples, n_bytes) manifest.  At 100 TB pick
     ``n_shards`` so shards land near the usual 0.1-1 GiB WebDataset
     target; the export is embarrassingly parallel across shards.
+
+    Crash hygiene: attempts write ``.shard-NNNNN.tar.tmp-<uuid>`` and
+    commit via atomic rename; a caught failure removes its own temps,
+    and a HARD-killed attempt's orphans (SIGKILL/OOM — no cleanup runs)
+    are swept by the next attempt that commits the same shard, once
+    they are stale (mtime > 1 h — a live speculative twin's temp stays
+    fresh while it writes).  Any remaining dot-temp in ``out_dir`` is
+    always safe to delete by hand.
     """
     import json as _json
 
@@ -409,6 +417,31 @@ def export_tar_shards(
             os.replace(
                 tmp_paths[sh], os.path.join(out_dir, f"shard-{sh:05d}.tar")
             )
+        # sweep orphaned temps (ADVICE r8): a hard-killed attempt
+        # (SIGKILL/OOM/speculation kill) skips the except-cleanup above
+        # and strands its .shard-NNNNN.tar.tmp-<uuid> forever; repeated
+        # retries would accumulate them.  Only temps for shards THIS
+        # attempt just committed, and only when stale (mtime > 1h old):
+        # a live speculative twin writes continuously so its temp stays
+        # fresh, while an orphan's mtime froze at kill time.  One
+        # listdir per task attempt, not per shard.
+        import time as _time
+
+        committed = {f".shard-{sh:05d}.tar.tmp-" for sh in tars}
+        if committed:
+            now = _time.time()
+            own = set(tmp_paths.values())
+            for name in os.listdir(out_dir):
+                p = os.path.join(out_dir, name)
+                if (
+                    p not in own
+                    and any(name.startswith(pre) for pre in committed)
+                ):
+                    try:
+                        if now - os.path.getmtime(p) > 3600:
+                            os.remove(p)
+                    except OSError:
+                        pass  # concurrently removed / still owned
         yield pd.DataFrame(
             {
                 "shard": list(counts),

@@ -338,6 +338,21 @@ def asof_join_chunked(
     in-chunk observations plus the one pre-chunk and one post-chunk
     observation that could win — exactly the candidates the plain
     nearest evaluates.
+
+    SCALING (round-9 diagnosis of SCALEPROBE_r08's 8.39× second-decade
+    reading): every piece of the decomposition is linear in the data —
+    the carry grid is ``#distinct(keys) × #chunks`` with ``#chunks``
+    bounded (fixed ``chunk_seconds`` over a fixed span, or
+    ``target_chunks ≈ 8×parallelism`` when derived), the grid window
+    sorts ``#chunks`` rows per key, and the final union-window
+    partitions on (keys, chunk) whose group count grows with keys.
+    Quiet-host re-measurement at the same probe shapes (1M→3M events,
+    30-day span, 5 chunks @7d): fixed-chunk 1.65s→1.30s and
+    derived-default 1.56s→1.58s at 3× data — ~1.0×, sub-linear with
+    warm-up amortized.  The r08 artifact's 8.39× was ~30s of sustained
+    host contention (all best-of-3 repeats slow); the probe now records
+    per-repeat times and auto-rechecks ratios >3× so contention cannot
+    masquerade as an engine defect again (tools/scale_probe.py).
     """
     on = list(on)
     if direction not in ("backward", "forward", "nearest"):

@@ -15,8 +15,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: Span memo keyed on (applicationId, analyzed-plan semanticHash, col):
+#: the skew-safe operators (asof_join, rolling_agg_chunked,
+#: sessionize_chunked) each derive chunk_seconds from the SAME frame's
+#: timeline span, so a composed pipeline without an explicit
+#: ``span_hint`` would pay one min/max Spark job PER OPERATOR CALL.
+#: Chunk sizing is performance-only — any chunk width yields identical
+#: results (the carry/halo constructions are width-agnostic and
+#: oracle-verified) — so a memoized span is always SAFE: a semanticHash
+#: collision or data changing under an identical plan can only mis-size
+#: chunks, never change an answer.  Bounded and clearable for long
+#: sessions; streaming frames never reach here (their callers must pass
+#: chunk_seconds / span_hint explicitly).
+_SPAN_CACHE: dict[tuple[str, int, str], tuple[int, int] | None] = {}
+_SPAN_CACHE_MAX = 256
 
-def timeline_span(df: DataFrame, ts_col: str) -> tuple[int, int] | None:
+
+def clear_span_cache() -> None:
+    """Drop every memoized timeline span (use after overwriting a table
+    in place within one session, where the identical scan plan would
+    otherwise reuse the stale span — mis-sized chunks, not wrong
+    answers, but worth refreshing for a long-lived service)."""
+    _SPAN_CACHE.clear()
+
+
+def timeline_span(
+    df: DataFrame, ts_col: str, use_cache: bool = True
+) -> tuple[int, int] | None:
     """(min, max) of ``ts_col`` in unix MICROSECONDS — the one eager
     scan behind :func:`derive_chunk_seconds`, exposed so a pipeline
     composing several skew-safe operators over the SAME frame computes
@@ -27,15 +52,36 @@ def timeline_span(df: DataFrame, ts_col: str) -> tuple[int, int] | None:
     This runs ONE Spark job eagerly (map-side partial min/max, one row
     per partition) — it re-executes the input lineage, so cache or
     checkpoint upstream heavy work first, and it cannot run on a
-    streaming DataFrame (pass an explicit ``chunk_seconds`` there)."""
+    streaming DataFrame (pass an explicit ``chunk_seconds`` there).
+
+    Memoized per (application, analyzed plan, column) — repeat calls on
+    a semantically identical frame (the common "several skew-safe
+    operators over one table" pipeline) run NO new job.  Pass
+    ``use_cache=False`` to force a re-scan (e.g. after rewriting the
+    table in place), or :func:`clear_span_cache` to flush everything."""
+    key: tuple[str, int, str] | None = None
+    if use_cache:
+        try:
+            key = (
+                df.sparkSession.sparkContext.applicationId,
+                df.semanticHash(),
+                ts_col,
+            )
+        except Exception:  # noqa: BLE001 — memo is best-effort
+            key = None
+        if key is not None and key in _SPAN_CACHE:
+            return _SPAN_CACHE[key]
     # cast first: the skew-safe operators accept DATE axes (their chunk
     # expressions cast the same way), and unix_micros on a raw DATE
     # column is an AnalysisException
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     lo, hi = df.agg(F.min(us), F.max(us)).first()
-    if lo is None or hi is None:
-        return None
-    return int(lo), int(hi)
+    span = None if lo is None or hi is None else (int(lo), int(hi))
+    if key is not None:
+        if len(_SPAN_CACHE) >= _SPAN_CACHE_MAX:
+            _SPAN_CACHE.clear()
+        _SPAN_CACHE[key] = span
+    return span
 
 
 def derive_chunk_seconds(
@@ -64,12 +110,14 @@ def derive_chunk_seconds(
     (i.e. at plan-construction time for the operators that default to
     this) — map-side partial agg emitting one row per partition, a tiny
     fraction of the window shuffle that follows, but it re-executes the
-    input lineage and fails on streaming inputs.  A pipeline composing
-    several skew-safe operators over the same frame passes
-    ``span_hint`` (one :func:`timeline_span` call, shared) so the scan
-    runs once; callers that cannot afford any extra scan (or want
-    plan-identical reruns regardless of data) pass an explicit
-    ``chunk_seconds`` instead.
+    input lineage and fails on streaming inputs.  The scan is memoized
+    per (application, analyzed plan, column) — see
+    :func:`timeline_span` — so composing several skew-safe operators
+    over the SAME frame pays it once even without ``span_hint``.
+    Callers that cannot afford any scan at all (streaming inputs) or
+    want plan-identical reruns regardless of data pass an explicit
+    ``chunk_seconds``; ``span_hint`` remains the explicit sharing lever
+    across DIFFERENT derived frames of one table.
     """
     spark = df.sparkSession
     if target_chunks is None:

@@ -318,7 +318,19 @@ def summary_long_many(spark, root_glob: str):
 
     ``binaryFile`` gives (path, content) rows — one whole file per
     row — so partitioning is per-file and the cluster scales with the
-    ensemble size; decode is numpy inside ``mapInPandas`` (Arrow)."""
+    ensemble size; decode is numpy inside ``mapInPandas`` (Arrow).
+
+    NOTE (like ``asof_join``'s span scan): this runs one EAGER Spark
+    job at CALL time — the missing-UNSMRY warning collects the
+    ensemble-sized path list to the driver so it fires driver-side
+    (an executor ``warnings.warn`` never reaches the user).  The list
+    is one row per realization, trivially small, but callers composing
+    fully-lazy pipelines should know plan construction touches the
+    filesystem here.  The driver-side check covers local/``file:``
+    paths only — the reader is local-filesystem-by-contract, and on any
+    other scheme the executor raises ``NotImplementedError`` anyway, so
+    an object-store ensemble fails loudly rather than losing its
+    crashed-run warning."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(root_glob)
@@ -590,7 +602,16 @@ def grid_geometry_pandas(egrid_buf: bytes):
     cols = ["I", "J", "K", "X", "Y", "Z", "Z_MIN", "Z_MAX", "VOLUME",
             "GLOBAL_INDEX"]
     if not parts:  # degenerate nz == 0 header
-        df = pd.DataFrame({c: np.array([]) for c in cols})
+        # per-column dtypes must match the populated path (int64 index
+        # columns, float64 geometry) — a bare np.array([]) is float64
+        # everywhere, a schema inconsistency for empty-grid inputs
+        int_cols = {"I", "J", "K", "GLOBAL_INDEX"}
+        df = pd.DataFrame(
+            {
+                c: np.array([], dtype=np.int64 if c in int_cols else np.float64)
+                for c in cols
+            }
+        )
     else:
         df = pd.DataFrame(
             {c: np.concatenate([p[c] for p in parts]) for c in cols}
