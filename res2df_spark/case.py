@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class ResdataCase:
@@ -178,9 +178,16 @@ class ResdataCase:
             )
         return self._frames[key]
 
-    def grid(self, rstdates=None) -> DataFrame:
+    def grid(self, rstdates=None, vectors="*", stackdates: bool = True,
+             dateinheaders: bool = False,
+             dropconstants: bool = False) -> DataFrame:
         """Geometry ⋈ INIT (⋈ UNRST when ``rstdates`` given) — the
-        reference's ``grid.df``."""
+        reference's ``grid.df`` (grid.py:476-536).  ``vectors`` /
+        ``stackdates`` / ``dateinheaders`` / ``dropconstants`` pass
+        through to :func:`res2df_spark.sources.eclbin.grid_table`;
+        note the engine default ``stackdates=True`` (the Spark-native
+        stacked DATE shape) — the CLI maps the reference's wide-shape
+        default."""
         from res2df_spark.sources import eclbin
 
         unrst = self._existing("UNRST") if rstdates is not None else None
@@ -192,19 +199,32 @@ class ResdataCase:
                 f"rstdates={rstdates!r} requested but {self.path('UNRST')} "
                 "does not exist"
             )
-        key = ("grid", str(rstdates))  # str(): rstdates may be a list
+        key = ("grid", str(rstdates), str(vectors), stackdates,
+               dateinheaders, dropconstants)
         if key not in self._frames:
             self._frames[key] = eclbin.grid_table(
                 self.spark, self.path("EGRID"), self._existing("INIT"),
-                unrst, rstdates=rstdates,
+                unrst, rstdates=rstdates, vectors=vectors,
+                stackdates=stackdates, dateinheaders=dateinheaders,
+                dropconstants=dropconstants,
             )
         return self._frames[key]
 
-    def rft(self) -> DataFrame:
+    def rft(self, wellname: str | None = None,
+            date: str | None = None) -> DataFrame:
+        """Per-connection RFT table; ``wellname``/``date`` are the
+        reference's P2 filters (rft.py:520-532, rft_main passes both
+        straight to ``rft.df``) — exact-match predicates Catalyst pushes
+        into the scan."""
         from res2df_spark.modules.rft import add_extras
         from res2df_spark.sources import eclbin
 
-        return add_extras(eclbin.rft_table(self.spark, self.path("RFT")))
+        out = add_extras(eclbin.rft_table(self.spark, self.path("RFT")))
+        if wellname is not None:
+            out = out.filter(F.col("WELL") == wellname)
+        if date is not None:
+            out = out.filter(F.to_date("DATE") == F.lit(str(date)))
+        return out
 
     def nnc(self) -> DataFrame:
         from res2df_spark.sources import eclbin
@@ -219,14 +239,113 @@ class ResdataCase:
         return trans_df(self.grid(), directions=directions)
 
     def pillars(self, region_col: str | None = None,
-                rstdates=None) -> DataFrame:
-        """Per-pillar stats (A1/J13).  ``rstdates`` defaults to None —
-        static-only pillars work on cases without a UNRST; pass
-        ``"last"`` for contact estimation on dynamic saturations."""
-        from res2df_spark.modules.grid import pillar_stats
+                rstdates=None, soilcutoff: float = 0.5,
+                sgascutoff: float = 0.5, swatcutoff: float = 0.5,
+                group: bool = False,
+                stackdates: bool = False) -> DataFrame:
+        """Per-pillar stats (A1/J13) — the reference's ``pillars.df``
+        + ``pillars_main`` composition (pillars.py:38-142, 409-438).
 
-        return pillar_stats(self.grid(rstdates=rstdates),
-                            region_col=region_col)
+        ``rstdates`` defaults to None — static-only pillars work on
+        cases without a UNRST.  With restart dates the stacked grid
+        gains the reference's phase volumes (WATVOL/GASVOL/OILVOL and
+        the *SURF forms when 1OVERBO/1OVERBG exist, pillars.py:144-190)
+        before aggregation, and OWC/GOC/GWC contacts per the three
+        cutoffs merge on (pillars.py:279-318 — reference CLI defaults
+        0.5 for all three).  ``group`` reproduces pillars_main:423-437:
+        aggregate over pillars (per region and/or DATE when present;
+        the plain global mean otherwise — including the reference's
+        mean-of-sums quirk) and re-derive PORO_WMEAN.  ``stackdates``
+        keeps the DATE column; False (reference default) pivots dated
+        stats to ``NAME@YYYY-MM-DD`` headers.  One shape divergence:
+        the engine aggregates the STACKED frame, so in the wide form
+        every aggregate carries the date tag (``VOLUME_SUM@d``), while
+        the reference leaves static aggregates undated — values are
+        identical, static ones merely repeat per date."""
+        import warnings
+
+        from res2df_spark.modules.grid import (
+            pillar_contacts,
+            pillar_stats,
+        )
+
+        grid = self.grid(rstdates=rstdates)
+        if region_col and region_col not in grid.columns:
+            # reference pillars.py:63-66: warn and ignore, don't fail
+            warnings.warn(
+                f"Region parameter {region_col!r} not found, ignored",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            region_col = None
+        cols = set(grid.columns)
+        has_dates = "DATE" in cols
+        if has_dates and "SWAT" in cols:
+            # phase volumes (pillars.py:144-190): SOIL by three-phase
+            # closure (or 1-SWAT two-phase), *VOL = sat × PORV,
+            # *VOLSURF via the reciprocal formation volume factors
+            soil = (
+                F.lit(1.0) - F.col("SWAT") - F.col("SGAS")
+                if "SGAS" in cols
+                else F.lit(1.0) - F.col("SWAT")
+            )
+            if "SOIL" not in cols:
+                grid = grid.withColumn("SOIL", soil)
+            if "PORV" in cols:
+                grid = grid.withColumn(
+                    "WATVOL", F.col("SWAT") * F.col("PORV")
+                ).withColumn("OILVOL", F.col("SOIL") * F.col("PORV"))
+                if "SGAS" in cols:
+                    grid = grid.withColumn(
+                        "GASVOL", F.col("SGAS") * F.col("PORV")
+                    )
+                if "1OVERBO" in cols:
+                    grid = grid.withColumn(
+                        "OILVOLSURF", F.col("OILVOL") * F.col("1OVERBO")
+                    )
+                if "1OVERBG" in cols and "SGAS" in cols:
+                    grid = grid.withColumn(
+                        "GASVOLSURF", F.col("GASVOL") * F.col("1OVERBG")
+                    )
+        extra = ["DATE"] if has_dates else []
+        out = pillar_stats(grid, region_col=region_col,
+                           extra_group_cols=extra)
+        key_names = (["PILLAR"] + ([region_col] if region_col else [])
+                     + extra)
+        contacts = pillar_contacts(
+            grid, region_col=region_col, soilcutoff=soilcutoff,
+            sgascutoff=sgascutoff, swatcutoff=swatcutoff,
+        ) if "SWAT" in cols else None
+        if contacts is not None:
+            out = out.join(contacts, key_names, "left")
+        if group:
+            gb = ([region_col] if region_col else []) + extra
+            num = [c for c in out.columns if c not in key_names]
+            if gb:
+                # pillars_main:429-434 — sum the *_SUM columns, mean
+                # the rest (reference AGGREGATORS by base name)
+                aggs = [
+                    (F.sum(c) if c.endswith("_SUM") else F.avg(c)).alias(c)
+                    for c in num
+                ]
+                out = out.groupBy(*gb).agg(*aggs)
+            else:
+                # pillars_main:435-436 — drop PILLAR, plain mean of
+                # EVERYTHING (the reference quirk: even the sums)
+                out = out.agg(*[F.avg(c).alias(c) for c in num])
+            if "PORV_SUM" in out.columns and "VOLUME_SUM" in out.columns:
+                # pillars_main:437 re-derives PORO after grouping
+                out = out.withColumn(
+                    "PORO_WMEAN",
+                    F.when(F.col("VOLUME_SUM") > 0,
+                           F.col("PORV_SUM") / F.col("VOLUME_SUM")),
+                )
+        if has_dates and not stackdates and "DATE" in out.columns:
+            from res2df_spark.operators.reshape import dates_to_headers
+
+            ids = [c for c in ("PILLAR", region_col) if c and c in out.columns]
+            out = dates_to_headers(out, ids)
+        return out
 
     def fipreports(self, fipname: str = "FIPNUM") -> DataFrame:
         from res2df_spark.modules import fipreports

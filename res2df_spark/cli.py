@@ -46,7 +46,9 @@ _BINARY_MODULES = {
 
 def _run_binary_module(
     name: str, spark, root: str, rstdates, time_index=None, column_keys=None,
-    start_date=None, end_date=None, with_params=False,
+    start_date=None, end_date=None, with_params=False, vectors=None,
+    dropconstants=False, stackdates=False, region=None, soilcutoff=0.5,
+    sgascutoff=0.5, swatcutoff=0.5, group=False, wellname=None, date=None,
 ):
     """Thin dispatch over :class:`res2df_spark.case.ResdataCase` — the
     CLI and the user API share ONE composition of the module layer, so
@@ -80,15 +82,27 @@ def _run_binary_module(
             out = attach_parameters(out, load_parameters(case.root))
         return out
     if name == "grid":
-        return case.grid(rstdates=rstdates)
+        # reference grid_main (grid.py:759-772): wide restart shape by
+        # default, --stackdates for the DATE column, --vectors wildcards
+        # select INIT/UNRST properties, --dropconstants prunes
+        return case.grid(
+            rstdates=rstdates, vectors=vectors or "*",
+            stackdates=stackdates, dropconstants=dropconstants,
+        )
     if name == "rft":
-        return case.rft()
+        return case.rft(wellname=wellname, date=date)
     if name == "nnc":
         return case.nnc()
     if name == "trans":
         return case.trans()
     if name == "pillars":
-        return case.pillars(rstdates=rstdates)
+        # reference pillars_main (pillars.py:409-438): region split,
+        # contact cutoffs (CLI defaults all 0.5), --group aggregation
+        return case.pillars(
+            region_col=region or None, rstdates=rstdates,
+            soilcutoff=soilcutoff, sgascutoff=sgascutoff,
+            swatcutoff=swatcutoff, group=group, stackdates=stackdates,
+        )
     if name == "fipreports":
         return case.fipreports()
     if name == "wellconnstatus":
@@ -188,10 +202,64 @@ def get_parser() -> argparse.ArgumentParser:
         s.add_argument("-o", "--output", default="-", help="CSV path, '-' = stdout")
         s.add_argument(
             "--rstdates", default="",
-            help="grid/pillars: restart dates to stack "
+            help="grid/pillars: restart dates to include "
                  "(first/last/all/ISO date; default: none — the "
                  "reference res2csv default)",
         )
+        if name in ("grid", "pillars"):
+            s.add_argument(
+                "--stackdates", action="store_true",
+                help="stack restart data under a DATE column instead of "
+                     "NAME@YYYY-MM-DD headers (reference --stackdates)",
+            )
+        if name == "grid":
+            s.add_argument(
+                "--vectors", nargs="+", default="*",
+                help="INIT and/or restart wildcards for vectors to "
+                     "include (reference grid --vectors)",
+            )
+            s.add_argument(
+                "--dropconstants", action="store_true",
+                help="drop constant columns from the dataset "
+                     "(reference grid --dropconstants)",
+            )
+        if name == "pillars":
+            s.add_argument(
+                "--region", default="",
+                help="region parameter to split pillar computations on "
+                     "(e.g. EQLNUM/FIPNUM; empty = no region grouping)",
+            )
+            s.add_argument(
+                "--soilcutoff", type=float, default=0.5,
+                help="OWC = deepest cell with SOIL above this, per "
+                     "pillar (reference pillars --soilcutoff)",
+            )
+            s.add_argument(
+                "--sgascutoff", type=float, default=0.5,
+                help="GOC/GWC = deepest cell with SGAS above this, per "
+                     "pillar (reference pillars --sgascutoff)",
+            )
+            s.add_argument(
+                "--swatcutoff", type=float, default=0.5,
+                help="only pillars with some cell above this water "
+                     "saturation get OWC/GWC (reference --swatcutoff)",
+            )
+            s.add_argument(
+                "--group", action="store_true",
+                help="aggregate over all pillars (per --region and/or "
+                     "DATE when present; reference pillars --group)",
+            )
+        if name == "rft":
+            s.add_argument(
+                "--wellname", default=None,
+                help="restrict data to one named well (reference rft "
+                     "--wellname)",
+            )
+            s.add_argument(
+                "--date", default=None,
+                help="restrict data to one date, YYYY-MM-DD (reference "
+                     "rft --date)",
+            )
         if name == "summary":
             s.add_argument(
                 "--time_index", default="raw",
@@ -249,6 +317,16 @@ def main(argv: list[str] | None = None) -> int:
             start_date=getattr(args, "start_date", None),
             end_date=getattr(args, "end_date", None),
             with_params=getattr(args, "params", False),
+            vectors=getattr(args, "vectors", None),
+            dropconstants=getattr(args, "dropconstants", False),
+            stackdates=getattr(args, "stackdates", False),
+            region=getattr(args, "region", None),
+            soilcutoff=getattr(args, "soilcutoff", 0.5),
+            sgascutoff=getattr(args, "sgascutoff", 0.5),
+            swatcutoff=getattr(args, "swatcutoff", 0.5),
+            group=getattr(args, "group", False),
+            wellname=getattr(args, "wellname", None),
+            date=getattr(args, "date", None),
         )
     elif args.module in _DECK_MODULES_EXTRA:
         from res2df_spark.sources.deck import read_deck

@@ -114,12 +114,26 @@ def vertical_nnc_filter(nnc: DataFrame) -> DataFrame:
     return nnc.filter((F.col("I1") == F.col("I2")) & (F.col("J1") == F.col("J2")))
 
 
-#: A1 aggregator map — the pillars AGGREGATORS pattern (pillars.py:18-35)
+#: A1 aggregator map — the full pillars AGGREGATORS set
+#: (pillars.py:18-35): bulk/pore/phase volumes sum, everything else
+#: unweighted mean.  PORO avg is an engine extra (the reference derives
+#: PORO only post-agg; we emit both PORO_AVG and the porevolume-weighted
+#: PORO_WMEAN).  Missing columns are skipped, so extending the map never
+#: changes output for frames that lack the new columns.
 PILLAR_AGGREGATORS: Mapping[str, str] = {
     "VOLUME": "sum",
     "PORV": "sum",
+    "WATVOL": "sum",
+    "GASVOL": "sum",
+    "OILVOL": "sum",
+    "GASVOLSURF": "sum",
+    "OILVOLSURF": "sum",
     "PERMX": "avg",
+    "PERMY": "avg",
+    "PERMZ": "avg",
     "PORO": "avg",
+    "X": "avg",
+    "Y": "avg",
     "Z": "avg",
 }
 
@@ -128,12 +142,20 @@ def pillar_stats(
     grid: DataFrame,
     region_col: str | None = None,
     aggregators: Mapping[str, str] = PILLAR_AGGREGATORS,
+    extra_group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """A1: per-pillar statistics.  PILLAR = 'I-J'; one shuffle on the
     pillar (+region) key; derived PORO = PORV/VOLUME after aggregation
-    (pillars.py:110-121)."""
+    (pillars.py:110-121).  ``extra_group_cols`` adds grouping keys —
+    the stacked-restart caller groups by DATE so static sums are not
+    multiplied by the number of stacked dates (the reference avoids
+    the same double-count with per-date ``@date`` column names)."""
     pillar = F.concat_ws("-", F.col("I"), F.col("J"))
-    keys = [pillar.alias("PILLAR")] + ([F.col(region_col)] if region_col else [])
+    keys = (
+        [pillar.alias("PILLAR")]
+        + ([F.col(region_col)] if region_col else [])
+        + [F.col(c) for c in extra_group_cols]
+    )
     aggs = [
         getattr(F, how)(c).alias(f"{c}_{how.upper()}")
         for c, how in aggregators.items()
@@ -189,6 +211,143 @@ def contact_estimate(
         )
         out = out.join(waterpillars, key_names, "left_semi")
     return out
+
+
+#: GOC cells must hold a minute oil saturation so gas injected into the
+#: water phase is not read as a gas cap (pillars.py:237-241).
+_EPSILON_SOIL = 0.01
+
+
+def pillar_contacts(
+    grid: DataFrame,
+    region_col: str | None = None,
+    soilcutoff: float = 0.5,
+    sgascutoff: float = 0.5,
+    swatcutoff: float = 0.5,
+) -> DataFrame | None:
+    """OWC/GOC/GWC per pillar — the reference's
+    ``compute_pillar_contacts`` (pillars.py:192-318) over the STACKED
+    grid frame (a DATE column, when present, is an extra grouping key;
+    the reference achieves per-date separation with ``@date`` column
+    names instead).
+
+    * OWC: deepest (max Z) cell with SOIL > soilcutoff, on pillars
+      holding water (some cell with SWAT > swatcutoff).
+    * GOC (three-phase, SOIL derivable): deepest cell with
+      SGAS > sgascutoff AND SOIL > 0.01, on pillars with any
+      SOIL > 0.01 cell.
+    * GWC (two-phase gas-water, no SOIL): deepest cell with
+      SGAS > sgascutoff, on water pillars.
+
+    When BOTH an OWC and a GOC/GWC frame exist they inner-join
+    (pillars.py:318 ``owc.merge(goc)``) — pillars with only one contact
+    drop, exactly like the reference.  Returns None when SWAT is absent
+    or every cutoff is falsy (the reference returns an empty frame and
+    skips the merge).
+
+    Scale: three filter→groupBy passes and two pillar-key joins — all
+    shuffle on the (pillar, region, date) key, no collect, no windows.
+    """
+    cols = set(grid.columns)
+    if "SWAT" not in cols:
+        return None
+    soil_expr = None
+    if "SOIL" in cols:
+        soil_expr = F.col("SOIL")
+    elif "SGAS" in cols:
+        # three-phase closure, like the reference's pre-computed SOIL
+        # (grid.py:250-256 / pillars.py:164-167)
+        soil_expr = F.lit(1.0) - F.col("SWAT") - F.col("SGAS")
+    keys = [F.concat_ws("-", F.col("I"), F.col("J")).alias("PILLAR")]
+    key_names = ["PILLAR"]
+    if region_col:
+        keys.append(F.col(region_col))
+        key_names.append(region_col)
+    if "DATE" in cols:
+        keys.append(F.col("DATE"))
+        key_names.append("DATE")
+
+    waterpillars = (
+        grid.filter(F.col("SWAT") > swatcutoff).select(*keys).distinct()
+    )
+    owc = goc = None
+    if soilcutoff and soil_expr is not None:
+        owc = (
+            grid.filter(soil_expr > soilcutoff)
+            .groupBy(*keys)
+            .agg(F.max("Z").alias("OWC"))
+            .join(waterpillars, key_names, "inner")
+        )
+    if sgascutoff and "SGAS" in cols:
+        if soil_expr is not None:
+            gocpillars = (
+                grid.filter(soil_expr > _EPSILON_SOIL).select(*keys).distinct()
+            )
+            goc = (
+                grid.filter(
+                    (F.col("SGAS") > sgascutoff) & (soil_expr > _EPSILON_SOIL)
+                )
+                .groupBy(*keys)
+                .agg(F.max("Z").alias("GOC"))
+                .join(gocpillars, key_names, "inner")
+            )
+        else:
+            goc = (
+                grid.filter(F.col("SGAS") > sgascutoff)
+                .groupBy(*keys)
+                .agg(F.max("Z").alias("GWC"))
+                .join(waterpillars, key_names, "inner")
+            )
+    if owc is None and goc is None:
+        return None
+    if goc is None:
+        return owc
+    if owc is None:
+        return goc
+    return owc.join(goc, key_names, "inner")
+
+
+def drop_constant_columns(
+    df: DataFrame, alwayskeep: Sequence[str] | str | None = None
+) -> DataFrame:
+    """P4 as an engine function — the reference's
+    ``grid.drop_constant_columns`` (grid.py:590-620): delete columns
+    with exactly ONE distinct value, where NULL counts as a value
+    (pandas ``.unique()`` semantics: an all-NULL column is constant and
+    drops; one value plus NULLs is two values and stays).
+
+    One eager map-side min/max+null-presence aggregation, one collected
+    row — constant ⇔ ``min <=> max`` (null-safe) and not a NULL/value
+    mix.  No countDistinct, so no Expand blow-up on wide frames at
+    100 TB.  Columns whose types are not orderable (arrays, maps) are
+    kept unprobed; an empty frame is returned unchanged (reference
+    grid.py:610-611)."""
+    keep = {alwayskeep} if isinstance(alwayskeep, str) else set(alwayskeep or ())
+    orderable = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        not in ("array", "map", "struct", "binary", "variant")
+    }
+    cand = [c for c in df.columns if c not in keep and c in orderable]
+    if not cand:
+        return df
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cand):
+        aggs.append(
+            (
+                F.min(c).eqNullSafe(F.max(c))
+                & ~(
+                    (F.max(F.col(c).isNull().cast("int")) == 1)
+                    & (F.max(F.col(c).isNotNull().cast("int")) == 1)
+                )
+            ).alias(f"__c{i}")
+        )
+    row = df.agg(*aggs).first()
+    if not row["__n"]:
+        return df
+    drop = [c for i, c in enumerate(cand) if row[f"__c{i}"]]
+    return df.drop(*drop) if drop else df
 
 
 def trans_df(grid: DataFrame, directions: str = "IJK") -> DataFrame:

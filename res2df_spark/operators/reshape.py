@@ -146,3 +146,47 @@ def stack_dated_columns(
         .withColumn(date_name, F.to_date(split.getItem(1)))
         .drop("__nv")
     )
+
+
+def dates_to_headers(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    date_col: str = "DATE",
+    sep: str = "@",
+) -> DataFrame:
+    """Inverse of :func:`stack_dated_columns` — pivot a stacked frame's
+    DATE column into ``NAME@YYYY-MM-DD`` wide headers, the reference's
+    default (non-``stackdates``) output shape for restart data
+    (grid.py:258-262, pillars.py — dynamic columns carry the ISO date).
+
+    One ``groupBy(id).pivot(date)`` — Spark's pivot needs the value
+    list up front, so the distinct dates are COLLECTED first (one eager
+    job; bounded by the number of restart report steps, never by table
+    size).  Value columns keep exactly one row per (id, date) in the
+    pillars/grid use (aggregated upstream); ``first()`` is the
+    pass-through aggregate."""
+    value_cols = [c for c in df.columns if c != date_col and c not in id_cols]
+    if not value_cols:
+        raise ValueError("dates_to_headers: no value columns to pivot")
+    dates = sorted(
+        r[0] for r in df.select(date_col).distinct().collect() if r[0] is not None
+    )
+
+    def _iso(d) -> str:
+        iso = getattr(d, "date", lambda: d)()
+        return iso.isoformat() if hasattr(iso, "isoformat") else str(d)
+
+    out = (
+        df.groupBy(*[F.col(c) for c in id_cols])
+        .pivot(date_col, dates)
+        .agg(*[F.first(c).alias(c) for c in value_cols])
+    )
+    # spark names pivoted columns '<date>_<alias>' (or '<date>' when a
+    # single agg) — rename to the reference's '<name>@<iso-date>'
+    renames: dict[str, str] = {}
+    for d in dates:
+        pref = str(d)
+        for c in value_cols:
+            src = f"{pref}_{c}" if len(value_cols) > 1 else pref
+            renames[src] = f"{c}{sep}{_iso(d)}"
+    return out.withColumnsRenamed(renames)

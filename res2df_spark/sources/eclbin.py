@@ -721,10 +721,31 @@ def unrst_vectors_pandas(unrst_buf: bytes, nactive: int, dates="all", vectors=No
 
 
 def grid_table(spark, egrid_path: str, init_path: str | None = None,
-               unrst_path: str | None = None, rstdates=None):
-    """The reference's ``grid.df()`` composition (grid.py:524-531):
-    geometry ⋈ INIT on ACTIVE_INDEX, optionally ⋈ UNRST (stacked with
-    DATE).  Equi-joins on the explicit index — never row order."""
+               unrst_path: str | None = None, rstdates=None,
+               vectors="*", stackdates: bool = True,
+               dateinheaders: bool = False, dropconstants: bool = False):
+    """The reference's ``grid.df()`` composition (grid.py:476-536):
+    geometry ⋈ INIT on ACTIVE_INDEX, optionally ⋈ UNRST.  Equi-joins on
+    the explicit index — never row order.
+
+    ``vectors`` — glob pattern (or list of patterns) selecting INIT and
+    UNRST property columns (grid.py:494-496); geometry/index columns are
+    always kept.  When SWAT and SGAS are both selected and SOIL is
+    absent, the three-phase SOIL = 1-SWAT-SGAS convenience column is
+    added if ``'SOIL'`` matches ``vectors`` (grid.py:250-256).
+
+    ``stackdates`` — the ENGINE default is True (restart vectors stack
+    under a DATE column: the Spark-native long shape every downstream
+    module consumes), the OPPOSITE of the reference API default; the
+    CLI maps the reference's flags (default wide, ``--stackdates`` to
+    stack).  With ``stackdates=False`` each selected date becomes its
+    own set of columns, tagged ``NAME@YYYY-MM-DD`` when
+    ``dateinheaders`` or more than one date is selected
+    (grid.py:258-262) — plain names for a single untagged date.
+
+    ``dropconstants`` — drop single-valued columns
+    (:func:`res2df_spark.modules.grid.drop_constant_columns`, one eager
+    probe job)."""
     with open(egrid_path, "rb") as f:
         ebuf = f.read()
     geo_pdf = grid_geometry_pandas(ebuf)
@@ -747,17 +768,70 @@ def grid_table(spark, egrid_path: str, init_path: str | None = None,
             actnum = np.asarray(v)
     if actnum is None:
         actnum = np.ones(nglobal, dtype=np.int64)
+    import fnmatch
+
+    pats = [vectors] if isinstance(vectors, str) else list(vectors)
+
+    def _vec_match(name: str) -> bool:
+        return any(fnmatch.fnmatch(name, p) for p in pats)
+
     df = spark.createDataFrame(geo_pdf)
     if init_path:
         with open(init_path, "rb") as f:
             ini = init_vectors_pandas(f.read(), nactive, nglobal, actnum)
+        ini = ini[
+            ["ACTIVE_INDEX"]
+            + [c for c in ini.columns if c != "ACTIVE_INDEX" and _vec_match(c)]
+        ]
         if len(ini.columns) > 1:
             df = df.join(spark.createDataFrame(ini), "ACTIVE_INDEX", "left")
     if unrst_path and rstdates is not None:
         with open(unrst_path, "rb") as f:
             rst = unrst_vectors_pandas(f.read(), nactive, dates=rstdates)
         if len(rst):
-            df = df.join(spark.createDataFrame(rst), "ACTIVE_INDEX", "left")
+            keep = [
+                c for c in rst.columns
+                if c not in ("DATE", "ACTIVE_INDEX") and _vec_match(c)
+            ]
+            # three-phase SOIL convenience column (grid.py:250-256):
+            # only from SELECTED saturations, like the reference (it
+            # computes from the already-vector-filtered rst frame)
+            if (
+                "SWAT" in keep and "SGAS" in keep
+                and "SOIL" not in keep and _vec_match("SOIL")
+            ):
+                rst = rst.copy()
+                rst["SOIL"] = 1.0 - rst["SWAT"] - rst["SGAS"]
+                keep.append("SOIL")
+            rst = rst[["DATE", "ACTIVE_INDEX"] + keep]
+            if not keep:
+                pass  # nothing selected: no restart join at all
+            elif stackdates:
+                df = df.join(spark.createDataFrame(rst), "ACTIVE_INDEX", "left")
+            else:
+                # reference wide shape: one column set per date,
+                # '@'-tagged when dateinheaders or multiple dates
+                # (grid.py:258-262, 278-279).  The per-date frames are
+                # the same driver-side pandas the stacked path builds —
+                # the joins stay ACTIVE_INDEX equi-joins.
+                dates = sorted(rst["DATE"].unique())
+                tag = dateinheaders or len(dates) > 1
+                for d in dates:
+                    sub = rst[rst["DATE"] == d].drop(columns=["DATE"])
+                    if tag:
+                        import pandas as pd
+
+                        iso = pd.Timestamp(d).date().isoformat()
+                        sub = sub.rename(
+                            columns={c: f"{c}@{iso}" for c in keep}
+                        )
+                    df = df.join(
+                        spark.createDataFrame(sub), "ACTIVE_INDEX", "left"
+                    )
+    if dropconstants:
+        from res2df_spark.modules.grid import drop_constant_columns
+
+        df = drop_constant_columns(df)
     return df
 
 
