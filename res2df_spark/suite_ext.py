@@ -6146,23 +6146,116 @@ def dedup_containment_xx(spark, sf_dir):
     )
 
 
-@_q("dedup_simhash_pairs_xx")
+_SIMHASH_XX_INV_SQL = """
+    WITH t AS (SELECT doc_id,
+                      list_sort(list_distinct(list_filter(
+                          string_split_regex(lower(trim(text)), '\\s+'),
+                          x -> x <> ''))) AS ts
+               FROM documents WHERE text IS NOT NULL),
+    p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM t a JOIN t b ON a.ts = b.ts AND a.doc_id < b.doc_id
+          WHERE len(a.ts) > 0)
+    SELECT (SELECT count(*) FROM p) AS n_exact_pairs,
+           CAST(0 AS BIGINT) AS n_exact_missing,
+           CAST(0 AS BIGINT) AS n_bound_violations,
+           CAST(0 AS BIGINT) AS n_noncanonical,
+           CAST(0 AS BIGINT) AS n_duplicate_rows
+"""
+
+
+@_q("dedup_simhash_pairs_xx", _SIMHASH_XX_INV_SQL)
 def dedup_simhash_pairs_xx(spark, sf_dir):
     """SimHash near-dup pairing on the xxhash64 backend
     (llm/dedup.simhash_near_pairs hash_fn='xxhash64', round 7): one
     64-bit integer hash per token replaces md5 + two hex conv()s — the
     production hash for signature CPU at 100 TB.  Signature BITS differ
-    from the md5 family (both are valid SimHash instances), so pairs
-    near the Hamming threshold legitimately differ and no DuckDB oracle
-    can replay Spark's seed-42 XXH64 over its internal encoding: this
-    row is registered WITHOUT oracle SQL (driver records the weaker
-    rows-only check); tests/test_hashfn.py pins the invariants that do
-    hold (exact-duplicate texts collide at Hamming 0 under any
-    backend, schema parity with the md5 row)."""
-    from res2df_spark.llm.dedup import simhash_near_pairs
+    from the md5 family (both are valid SimHash instances), so the
+    near-threshold pair MEMBERSHIP cannot be replayed by DuckDB
+    (Spark's seed-42 XXH64 over its internal encoding).  Round 9
+    (verdict #6): instead of a rows-only registration, this row
+    hash-verifies every DuckDB-derivable INVARIANT of the actual xx
+    pair set in one summary row:
+
+    * ``n_exact_pairs`` — identical-distinct-token-set pairs, the
+      hash-independent ground truth DuckDB recomputes from raw text;
+    * ``n_exact_missing`` = 0 — every exact pair present at Hamming 0
+      (anti-join of truth against the xx Hamming-0 set);
+    * ``n_bound_violations`` = 0 — every emitted pair within
+      0 ≤ hamming ≤ max_hamming;
+    * ``n_noncanonical`` = 0 — canonical d1 < d2 ordering;
+    * ``n_duplicate_rows`` = 0 — pair set is a set (count minus
+      countDistinct over (d1, d2)).
+
+    tests/test_hashfn.py still pins schema parity of the raw pair frame
+    with the md5 row, and dedup_simhash_xx_exact_pairs hash-verifies
+    the per-pair Hamming-0 lane; the md5 sibling dedup_simhash_pairs
+    remains the fully-oracled raw-pair registration.
+
+    Plan: the truth side is one groupBy on the sorted-distinct token
+    array; the pair side is the shared signature pipeline; one anti
+    equi-join and a single final aggregate over a tagged union — no
+    cartesian, no collect before the driver's own."""
+    from res2df_spark.functions.textan import tokens
+    from res2df_spark.llm.dedup import _bucket_pairs, simhash_near_pairs
 
     docs = Catalog(spark, sf_dir).documents
-    return simhash_near_pairs(docs, max_hamming=3, hash_fn="xxhash64")
+    pairs = simhash_near_pairs(docs, max_hamming=3, hash_fn="xxhash64")
+    ts = F.array_sort(F.array_distinct(tokens(F.col("text"))))
+    truth = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.col("doc_id"), ts.alias("__ts"))
+        .filter(F.size("__ts") > 0)
+        .groupBy("__ts")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(_bucket_pairs("ids").alias("p"))
+        .select(F.col("p.a").alias("d1"), F.col("p.b").alias("d2"))
+    )
+    ham0 = pairs.filter(F.col("hamming") == 0).select("d1", "d2")
+    missing = truth.join(ham0, ["d1", "d2"], "left_anti")
+    tagged = (
+        pairs.select(F.lit("p").alias("t"), "d1", "d2", "hamming")
+        .unionByName(
+            truth.select(
+                F.lit("e").alias("t"), "d1", "d2",
+                F.lit(0).cast(pairs.schema["hamming"].dataType).alias("hamming"),
+            )
+        )
+        .unionByName(
+            missing.select(
+                F.lit("m").alias("t"), "d1", "d2",
+                F.lit(0).cast(pairs.schema["hamming"].dataType).alias("hamming"),
+            )
+        )
+    )
+    is_p = F.col("t") == "p"
+    return tagged.agg(
+        F.coalesce(
+            F.sum((F.col("t") == "e").cast("long")), F.lit(0)
+        ).alias("n_exact_pairs"),
+        F.coalesce(
+            F.sum((F.col("t") == "m").cast("long")), F.lit(0)
+        ).alias("n_exact_missing"),
+        F.coalesce(
+            F.sum(
+                (
+                    is_p
+                    & ~((F.col("hamming") >= 0) & (F.col("hamming") <= 3))
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_bound_violations"),
+        F.coalesce(
+            F.sum((is_p & (F.col("d1") >= F.col("d2"))).cast("long")),
+            F.lit(0),
+        ).alias("n_noncanonical"),
+        (
+            F.coalesce(F.sum(is_p.cast("long")), F.lit(0))
+            - F.count_distinct(
+                F.when(is_p, F.struct(F.col("d1"), F.col("d2")))
+            )
+        ).alias("n_duplicate_rows"),
+    )
 
 
 from res2df_spark.suite import ORACLES as _ORACLES  # noqa: E402
@@ -6234,8 +6327,8 @@ def dedup_simhash_xx_exact_pairs(spark, sf_dir):
     drops rows and the hash goes red.  Hamming-0 COLLISIONS of
     non-identical token sets (vote coincidences — a handful exist at
     some SFs, under either backend) are legitimately engine-specific
-    and excluded by the join; only the full near-threshold pair set of
-    the xx row (dedup_simhash_pairs_xx) remains rows-only.
+    and excluded by the join; the xx row (dedup_simhash_pairs_xx) is
+    hash-verified through its invariant summary since round 9.
 
     Plan: the truth side is one groupBy on the sorted-distinct token
     array (group payload = tiny id lists, pair enumeration is in-array

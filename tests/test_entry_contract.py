@@ -14,12 +14,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 #: Queries registered WITHOUT oracle SQL — the driver then records the
 #: weaker rows-only check, so additions here need a reason the oracle
-#: is IMPOSSIBLE, not merely inconvenient:
-#: - dedup_simhash_pairs_xx: pairs depend on Spark's seed-42 XXH64 over
-#:   its internal binary encoding, which DuckDB cannot replay; the
-#:   hash-INVARIANT twin (dedup_containment_xx) is fully oracled, and
-#:   tests/test_hashfn.py pins the xx invariants that do hold.
-ROWS_ONLY_QUERIES = {"dedup_simhash_pairs_xx"}
+#: is IMPOSSIBLE, not merely inconvenient.  EMPTY since round 9: the
+#: last rows-only entry (dedup_simhash_pairs_xx — near-threshold pair
+#: membership depends on Spark's seed-42 XXH64, which DuckDB cannot
+#: replay) was re-registered as a hash-verified INVARIANT summary of
+#: the actual xx pair set (exact-pair completeness, hamming bound,
+#: canonical ordering, set-ness), so every registry entry now carries
+#: oracle SQL.
+ROWS_ONLY_QUERIES: set[str] = set()
 
 
 def test_queries_oracle_keys_align():

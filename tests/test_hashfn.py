@@ -146,18 +146,29 @@ def test_bad_hash_fn_rejected(docs):
 
 def test_xx_suite_rows_match_md5_semantics(spark):
     """The registered dedup_containment_xx row must equal the md5 row
-    (they share one oracle); dedup_simhash_pairs_xx must run and keep
-    the md5 row's schema."""
+    (they share one oracle); the RAW xx pair frame must keep the md5
+    row's schema, and the registered dedup_simhash_pairs_xx invariant
+    row (round 9: hash-oracled summary replacing the rows-only
+    registration) must report zero violations."""
     from res2df_spark import suite
+    from res2df_spark.catalog import Catalog
+    from res2df_spark.llm.dedup import simhash_near_pairs
 
     sf_dir = "/root/testdata/sf0.001"
     a = _rows(suite.QUERIES["dedup_containment"](spark, sf_dir))
     b = _rows(suite.QUERIES["dedup_containment_xx"](spark, sf_dir))
     assert a == b
     md5_df = suite.QUERIES["dedup_simhash_pairs"](spark, sf_dir)
-    xx_df = suite.QUERIES["dedup_simhash_pairs_xx"](spark, sf_dir)
-    assert dict(md5_df.dtypes) == dict(xx_df.dtypes)
-    assert xx_df.count() >= 0
+    raw_xx = simhash_near_pairs(
+        Catalog(spark, sf_dir).documents, max_hamming=3, hash_fn="xxhash64"
+    )
+    assert dict(md5_df.dtypes) == dict(raw_xx.dtypes)
+    inv = suite.QUERIES["dedup_simhash_pairs_xx"](spark, sf_dir).first()
+    assert inv.n_exact_missing == 0
+    assert inv.n_bound_violations == 0
+    assert inv.n_noncanonical == 0
+    assert inv.n_duplicate_rows == 0
+    assert inv.n_exact_pairs >= 0
 
 
 def test_exact_duplicates_hash_invariant(docs):
