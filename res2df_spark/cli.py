@@ -223,6 +223,11 @@ def get_parser() -> argparse.ArgumentParser:
                 help="drop constant columns from the dataset "
                      "(reference grid --dropconstants)",
             )
+            s.add_argument(
+                "--arrow", action="store_true",
+                help="write Arrow IPC (feather) instead of CSV "
+                     "(reference grid --arrow)",
+            )
         if name == "pillars":
             s.add_argument(
                 "--region", default="",

@@ -6507,3 +6507,170 @@ def j9_asof_nearest(spark, sf_dir):
         direction="nearest",
         chunk_seconds=7 * 86_400,
     ).select("user_id", "purchase_ts", "purchase_id", "view_value", "view_event_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 9 — oracles for the CLI-parity engine additions: three-phase
+# pillar contacts (OWC/GOC with the epsilon-oil gas-cap guard and the
+# reference's inner-join merge), constant-column dropping, and the
+# stacked↔dated-headers reshape round-trip.
+# ---------------------------------------------------------------------------
+
+_PILLAR_CONTACTS_SQL = """
+    WITH cells AS (
+        SELECT CAST(l_orderkey % 5 + 1 AS INT) AS i,
+               CAST(l_linenumber % 3 + 1 AS INT) AS j,
+               l_extendedprice / 1000.0 AS z,
+               l_discount * 9.0 AS swat,
+               l_tax * 4.0 AS sgas
+        FROM lineitem),
+    soil AS (
+        SELECT *, 1.0 - swat - sgas AS soil,
+               CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS pillar
+        FROM cells),
+    water AS (SELECT DISTINCT pillar FROM soil WHERE swat > 0.4),
+    owc AS (
+        SELECT s.pillar, max(s.z) AS owc
+        FROM soil s JOIN water w ON s.pillar = w.pillar
+        WHERE s.soil > 0.3 GROUP BY s.pillar),
+    gocp AS (SELECT DISTINCT pillar FROM soil WHERE soil > 0.01),
+    goc AS (
+        SELECT s.pillar, max(s.z) AS goc
+        FROM soil s JOIN gocp g ON s.pillar = g.pillar
+        WHERE s.sgas > 0.2 AND s.soil > 0.01 GROUP BY s.pillar)
+    SELECT o.pillar, round(o.owc, 6) AS owc, round(g.goc, 6) AS goc
+    FROM owc o JOIN goc g ON o.pillar = g.pillar
+"""
+
+
+@_q("pillar_contacts_3phase", _PILLAR_CONTACTS_SQL)
+def pillar_contacts_3phase(spark, sf_dir):
+    """Three-phase OWC/GOC contacts (modules/grid.pillar_contacts,
+    round 9 — reference compute_pillar_contacts, pillars.py:192-318) on
+    a synthetic saturation grid derived deterministically from
+    lineitem: SOIL by phase closure, OWC = deepest SOIL-above-cutoff
+    cell on water-bearing pillars, GOC = deepest SGAS-above-cutoff cell
+    holding the epsilon (0.01) minimum oil saturation — the guard that
+    keeps gas injected into the water phase out of the gas cap — and
+    the reference's INNER merge of the two contact frames (pillars with
+    only one contact drop).  Plan: three filter→groupBy passes and two
+    equi-joins, all on the pillar key."""
+    from res2df_spark.modules.grid import pillar_contacts
+
+    li = Catalog(spark, sf_dir).lineitem
+    cells = li.select(
+        (F.col("l_orderkey") % 5 + 1).cast("int").alias("I"),
+        (F.col("l_linenumber") % 3 + 1).cast("int").alias("J"),
+        (F.col("l_extendedprice") / 1000.0).alias("Z"),
+        (F.col("l_discount") * 9.0).alias("SWAT"),
+        (F.col("l_tax") * 4.0).alias("SGAS"),
+    )
+    out = pillar_contacts(
+        cells, soilcutoff=0.3, sgascutoff=0.2, swatcutoff=0.4
+    )
+    return out.select(
+        F.col("PILLAR").alias("pillar"),
+        F.round("OWC", 6).alias("owc"),
+        F.round("GOC", 6).alias("goc"),
+    )
+
+
+_DROP_CONSTANTS_SQL = """
+    SELECT 'l_returnflag' AS col_name FROM lineitem
+    HAVING count(DISTINCT l_returnflag)
+           + max(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) > 1
+    UNION ALL
+    SELECT 'l_tax' FROM lineitem
+    HAVING count(DISTINCT l_tax)
+           + max(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) > 1
+    UNION ALL
+    SELECT 'const_one' FROM lineitem
+    HAVING count(DISTINCT 1) + 0 > 1
+    UNION ALL
+    SELECT 'all_null' FROM lineitem
+    HAVING count(DISTINCT CAST(NULL AS VARCHAR))
+           + max(CASE WHEN CAST(NULL AS VARCHAR) IS NULL THEN 1 ELSE 0 END) > 1
+    UNION ALL
+    SELECT 'half_null' FROM lineitem
+    HAVING count(DISTINCT CASE WHEN l_orderkey % 2 = 0 THEN 5.0 END)
+           + max(CASE WHEN (CASE WHEN l_orderkey % 2 = 0 THEN 5.0 END)
+                 IS NULL THEN 1 ELSE 0 END) > 1
+"""
+
+
+@_q("p4_drop_constants", _DROP_CONSTANTS_SQL)
+def p4_drop_constants(spark, sf_dir):
+    """Constant-column DROP as an engine operator
+    (modules/grid.drop_constant_columns, round 9 — reference
+    grid.py:590-620 with pandas ``.unique()`` NULL semantics): survivor
+    column names of a frame with a constant, an all-NULL and a
+    half-NULL synthetic column.  Constant and all-NULL drop (one
+    "value" each); one-value-plus-NULLs is TWO values and stays.  The
+    probe is one map-side min/max aggregation — no countDistinct
+    Expand — and the survivors become rows so DuckDB re-derives the
+    same set from the same table."""
+    from res2df_spark.modules.grid import drop_constant_columns
+
+    li = Catalog(spark, sf_dir).lineitem
+    df = li.select(
+        "l_returnflag",
+        "l_tax",
+        F.lit(1).alias("const_one"),
+        F.lit(None).cast("string").alias("all_null"),
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(5.0)).alias("half_null"),
+    )
+    out = drop_constant_columns(df)
+    return spark.createDataFrame(
+        [(c,) for c in out.columns], "col_name string"
+    )
+
+
+_DATES_RT_SQL = """
+    WITH obs AS (
+        SELECT event_type, date_trunc('month', ts) AS dt,
+               round(sum(value), 2) AS total,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, 'TOTAL' AS variable, CAST(dt AS TIMESTAMP) AS d,
+           total AS v
+    FROM obs
+    UNION ALL
+    SELECT event_type, 'N', CAST(dt AS TIMESTAMP), n FROM obs
+"""
+
+
+@_q("r12_dates_roundtrip", _DATES_RT_SQL)
+def r12_dates_roundtrip(spark, sf_dir):
+    """dates_to_headers (operators/reshape, round 9 — the reference's
+    default non-stackdates restart shape, grid.py:258-262) verified by
+    ROUND-TRIP: monthly per-type aggregates are pivoted to
+    ``NAME@YYYY-MM-DD`` headers and melted back with
+    stack_dated_columns; the result must equal the long frame DuckDB
+    computes directly, proving the pivot put every value under the
+    right (name, date) header (a swapped or mis-tagged column breaks
+    the hash).  NULL cells fabricated by the pivot for absent
+    (type, month) pairs are dropped on the way back — the original
+    long frame has no such rows.  The pivot's distinct-date collect is
+    bounded by the number of months in the corpus."""
+    from res2df_spark.operators.reshape import (
+        dates_to_headers,
+        stack_dated_columns,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("month", "ts").alias("DATE")
+    ).agg(
+        F.round(F.sum("value"), 2).alias("TOTAL"),
+        F.count(F.lit(1)).cast("double").alias("N"),
+    )
+    wide = dates_to_headers(obs, ["event_type"])
+    dated = [c for c in wide.columns if "@" in c]
+    back = stack_dated_columns(
+        wide, ["event_type"], dated,
+        var_name="variable", date_name="d", value_name="v",
+    )
+    return back.filter(F.col("v").isNotNull()).select(
+        "event_type", "variable",
+        F.col("d").cast("timestamp").alias("d"), "v",
+    )
