@@ -243,109 +243,32 @@ class ResdataCase:
                 sgascutoff: float = 0.5, swatcutoff: float = 0.5,
                 group: bool = False,
                 stackdates: bool = False) -> DataFrame:
-        """Per-pillar stats (A1/J13) — the reference's ``pillars.df``
-        + ``pillars_main`` composition (pillars.py:38-142, 409-438).
-
-        ``rstdates`` defaults to None — static-only pillars work on
-        cases without a UNRST.  With restart dates the stacked grid
-        gains the reference's phase volumes (WATVOL/GASVOL/OILVOL and
-        the *SURF forms when 1OVERBO/1OVERBG exist, pillars.py:144-190)
-        before aggregation, and OWC/GOC/GWC contacts per the three
-        cutoffs merge on (pillars.py:279-318 — reference CLI defaults
-        0.5 for all three).  ``group`` reproduces pillars_main:423-437:
-        aggregate over pillars (per region and/or DATE when present;
-        the plain global mean otherwise — including the reference's
-        mean-of-sums quirk) and re-derive PORO_WMEAN.  ``stackdates``
-        keeps the DATE column; False (reference default) pivots dated
-        stats to ``NAME@YYYY-MM-DD`` headers.  One shape divergence:
-        the engine aggregates the STACKED frame, so in the wide form
-        every aggregate carries the date tag (``VOLUME_SUM@d``), while
-        the reference leaves static aggregates undated — values are
-        identical, static ones merely repeat per date."""
+        """Per-pillar stats (A1/J13) — thin facade over
+        :func:`res2df_spark.modules.grid.pillars_df` (the reference's
+        ``pillars.df`` + ``pillars_main`` composition: phase volumes,
+        OWC/GOC/GWC contacts per the three cutoffs — reference CLI
+        defaults 0.5 — ``group`` aggregation, wide ``NAME@date`` pivot
+        unless ``stackdates``).  ``rstdates`` defaults to None —
+        static-only pillars work on cases without a UNRST.  An unknown
+        ``region_col`` warns and is dropped (reference
+        pillars.py:63-66); the module function raises instead."""
         import warnings
 
-        from res2df_spark.modules.grid import (
-            pillar_contacts,
-            pillar_stats,
-        )
+        from res2df_spark.modules.grid import pillars_df
 
         grid = self.grid(rstdates=rstdates)
         if region_col and region_col not in grid.columns:
-            # reference pillars.py:63-66: warn and ignore, don't fail
             warnings.warn(
                 f"Region parameter {region_col!r} not found, ignored",
                 RuntimeWarning,
                 stacklevel=2,
             )
             region_col = None
-        cols = set(grid.columns)
-        has_dates = "DATE" in cols
-        if has_dates and "SWAT" in cols:
-            # phase volumes (pillars.py:144-190): SOIL by three-phase
-            # closure (or 1-SWAT two-phase), *VOL = sat × PORV,
-            # *VOLSURF via the reciprocal formation volume factors
-            soil = (
-                F.lit(1.0) - F.col("SWAT") - F.col("SGAS")
-                if "SGAS" in cols
-                else F.lit(1.0) - F.col("SWAT")
-            )
-            if "SOIL" not in cols:
-                grid = grid.withColumn("SOIL", soil)
-            if "PORV" in cols:
-                grid = grid.withColumn(
-                    "WATVOL", F.col("SWAT") * F.col("PORV")
-                ).withColumn("OILVOL", F.col("SOIL") * F.col("PORV"))
-                if "SGAS" in cols:
-                    grid = grid.withColumn(
-                        "GASVOL", F.col("SGAS") * F.col("PORV")
-                    )
-                if "1OVERBO" in cols:
-                    grid = grid.withColumn(
-                        "OILVOLSURF", F.col("OILVOL") * F.col("1OVERBO")
-                    )
-                if "1OVERBG" in cols and "SGAS" in cols:
-                    grid = grid.withColumn(
-                        "GASVOLSURF", F.col("GASVOL") * F.col("1OVERBG")
-                    )
-        extra = ["DATE"] if has_dates else []
-        out = pillar_stats(grid, region_col=region_col,
-                           extra_group_cols=extra)
-        key_names = (["PILLAR"] + ([region_col] if region_col else [])
-                     + extra)
-        contacts = pillar_contacts(
+        return pillars_df(
             grid, region_col=region_col, soilcutoff=soilcutoff,
-            sgascutoff=sgascutoff, swatcutoff=swatcutoff,
-        ) if "SWAT" in cols else None
-        if contacts is not None:
-            out = out.join(contacts, key_names, "left")
-        if group:
-            gb = ([region_col] if region_col else []) + extra
-            num = [c for c in out.columns if c not in key_names]
-            if gb:
-                # pillars_main:429-434 — sum the *_SUM columns, mean
-                # the rest (reference AGGREGATORS by base name)
-                aggs = [
-                    (F.sum(c) if c.endswith("_SUM") else F.avg(c)).alias(c)
-                    for c in num
-                ]
-                out = out.groupBy(*gb).agg(*aggs)
-            else:
-                # pillars_main:435-436 — drop PILLAR, plain mean of
-                # EVERYTHING (the reference quirk: even the sums)
-                out = out.agg(*[F.avg(c).alias(c) for c in num])
-            if "PORV_SUM" in out.columns and "VOLUME_SUM" in out.columns:
-                # pillars_main:437 re-derives PORO after grouping
-                out = out.withColumn(
-                    "PORO_WMEAN",
-                    F.when(F.col("VOLUME_SUM") > 0,
-                           F.col("PORV_SUM") / F.col("VOLUME_SUM")),
-                )
-        if has_dates and not stackdates and "DATE" in out.columns:
-            from res2df_spark.operators.reshape import dates_to_headers
-
-            ids = [c for c in ("PILLAR", region_col) if c and c in out.columns]
-            out = dates_to_headers(out, ids)
-        return out
+            sgascutoff=sgascutoff, swatcutoff=swatcutoff, group=group,
+            stackdates=stackdates,
+        )
 
     def fipreports(self, fipname: str = "FIPNUM") -> DataFrame:
         from res2df_spark.modules import fipreports

@@ -414,9 +414,19 @@ def export_tar_shards(
             raise
         for sh, t in tars.items():
             t.close()
-            os.replace(
-                tmp_paths[sh], os.path.join(out_dir, f"shard-{sh:05d}.tar")
-            )
+            try:
+                os.replace(
+                    tmp_paths[sh], os.path.join(out_dir, f"shard-{sh:05d}.tar")
+                )
+            except FileNotFoundError:
+                # our temp was swept by a concurrently-committing twin's
+                # janitor below (only possible when this attempt stalled
+                # >1h mid-write and the twin already committed the SAME
+                # shard — partitions are deterministic and sorted, so
+                # the committed bytes are identical).  Losing our copy
+                # is harmless; failing the attempt would be a spurious
+                # strike toward spark.task.maxFailures.
+                pass
         # sweep orphaned temps (ADVICE r8): a hard-killed attempt
         # (SIGKILL/OOM/speculation kill) skips the except-cleanup above
         # and strands its .shard-NNNNN.tar.tmp-<uuid> forever; repeated

@@ -233,11 +233,18 @@ def pillar_contacts(
 
     * OWC: deepest (max Z) cell with SOIL > soilcutoff, on pillars
       holding water (some cell with SWAT > swatcutoff).
-    * GOC (three-phase, SOIL derivable): deepest cell with
-      SGAS > sgascutoff AND SOIL > 0.01, on pillars with any
-      SOIL > 0.01 cell.
-    * GWC (two-phase gas-water, no SOIL): deepest cell with
+    * GOC (SOIL column present): deepest cell with SGAS > sgascutoff
+      AND SOIL > 0.01, on pillars with any SOIL > 0.01 cell.
+    * GWC (no SOIL column — two-phase gas-water): deepest cell with
       SGAS > sgascutoff, on water pillars.
+
+    Exactly like the reference, the SOIL COLUMN's presence selects the
+    GOC-vs-GWC branch and SOIL is NEVER derived here ("SOIL should be
+    pre-computed in three-phase runs before calling this",
+    pillars.py:204) — :meth:`res2df_spark.case.ResdataCase.pillars`
+    adds the phase-closure SOIL (the reference's ``compute_volumes``
+    step) before calling, so the composed path matches ``pillars.df``
+    and a direct call on a SOIL-less gas-water frame reaches GWC.
 
     When BOTH an OWC and a GOC/GWC frame exist they inner-join
     (pillars.py:318 ``owc.merge(goc)``) — pillars with only one contact
@@ -245,19 +252,16 @@ def pillar_contacts(
     or every cutoff is falsy (the reference returns an empty frame and
     skips the merge).
 
-    Scale: three filter→groupBy passes and two pillar-key joins — all
-    shuffle on the (pillar, region, date) key, no collect, no windows.
+    Scale: three filter→groupBy passes and two pillar-key SEMI joins —
+    all shuffle on the (pillar, region, date) key, no collect, no
+    windows.  (Kin of :func:`contact_estimate` — that is the single-
+    contact A2 primitive; this mirrors the reference's three-contact
+    composite with its per-cell GOC conjunction and inner merge, which
+    the primitive cannot express.)
     """
     cols = set(grid.columns)
     if "SWAT" not in cols:
         return None
-    soil_expr = None
-    if "SOIL" in cols:
-        soil_expr = F.col("SOIL")
-    elif "SGAS" in cols:
-        # three-phase closure, like the reference's pre-computed SOIL
-        # (grid.py:250-256 / pillars.py:164-167)
-        soil_expr = F.lit(1.0) - F.col("SWAT") - F.col("SGAS")
     keys = [F.concat_ws("-", F.col("I"), F.col("J")).alias("PILLAR")]
     key_names = ["PILLAR"]
     if region_col:
@@ -267,36 +271,34 @@ def pillar_contacts(
         keys.append(F.col("DATE"))
         key_names.append("DATE")
 
-    waterpillars = (
-        grid.filter(F.col("SWAT") > swatcutoff).select(*keys).distinct()
-    )
+    # pillars holding water — left_semi gates need no distinct()
+    waterpillars = grid.filter(F.col("SWAT") > swatcutoff).select(*keys)
     owc = goc = None
-    if soilcutoff and soil_expr is not None:
+    if soilcutoff and "SOIL" in cols:
         owc = (
-            grid.filter(soil_expr > soilcutoff)
+            grid.filter(F.col("SOIL") > soilcutoff)
             .groupBy(*keys)
             .agg(F.max("Z").alias("OWC"))
-            .join(waterpillars, key_names, "inner")
+            .join(waterpillars, key_names, "left_semi")
         )
     if sgascutoff and "SGAS" in cols:
-        if soil_expr is not None:
-            gocpillars = (
-                grid.filter(soil_expr > _EPSILON_SOIL).select(*keys).distinct()
-            )
+        if "SOIL" in cols:
+            gocpillars = grid.filter(F.col("SOIL") > _EPSILON_SOIL).select(*keys)
             goc = (
                 grid.filter(
-                    (F.col("SGAS") > sgascutoff) & (soil_expr > _EPSILON_SOIL)
+                    (F.col("SGAS") > sgascutoff)
+                    & (F.col("SOIL") > _EPSILON_SOIL)
                 )
                 .groupBy(*keys)
                 .agg(F.max("Z").alias("GOC"))
-                .join(gocpillars, key_names, "inner")
+                .join(gocpillars, key_names, "left_semi")
             )
         else:
             goc = (
                 grid.filter(F.col("SGAS") > sgascutoff)
                 .groupBy(*keys)
                 .agg(F.max("Z").alias("GWC"))
-                .join(waterpillars, key_names, "inner")
+                .join(waterpillars, key_names, "left_semi")
             )
     if owc is None and goc is None:
         return None
@@ -305,6 +307,103 @@ def pillar_contacts(
     if owc is None:
         return goc
     return owc.join(goc, key_names, "inner")
+
+
+def pillars_df(
+    grid: DataFrame,
+    region_col: str | None = None,
+    soilcutoff: float = 0.5,
+    sgascutoff: float = 0.5,
+    swatcutoff: float = 0.5,
+    group: bool = False,
+    stackdates: bool = False,
+) -> DataFrame:
+    """The full pillars composition over a (possibly DATE-stacked) grid
+    frame — the reference's ``pillars.df`` + ``pillars_main``
+    (pillars.py:38-142, 409-438): phase volumes (compute_volumes,
+    pillars.py:144-190), per-pillar aggregation, OWC/GOC/GWC contacts
+    per the three cutoffs, optional ``group`` aggregation over pillars
+    (per region and/or DATE when present; the plain global mean
+    otherwise — including the reference's mean-of-sums quirk) with
+    re-derived PORO_WMEAN, and the wide ``NAME@date`` pivot when
+    ``stackdates`` is False.  :meth:`res2df_spark.case.ResdataCase.
+    pillars` is the thin facade over this; library callers compose it
+    directly with any grid frame.
+
+    One shape divergence from the reference: the engine aggregates the
+    STACKED frame, so in the wide form every aggregate carries the date
+    tag (``VOLUME_SUM@d``) while the reference leaves static aggregates
+    undated — values are identical, static ones merely repeat per
+    date."""
+    cols = set(grid.columns)
+    has_dates = "DATE" in cols
+    if region_col and region_col not in cols:
+        raise ValueError(
+            f"pillars_df: region column {region_col!r} not in the grid "
+            f"frame (the case facade warns and drops it instead)"
+        )
+    if has_dates and "SWAT" in cols:
+        # phase volumes (pillars.py:144-190): SOIL by three-phase
+        # closure (or 1-SWAT two-phase), *VOL = sat × PORV,
+        # *VOLSURF via the reciprocal formation volume factors
+        soil = (
+            F.lit(1.0) - F.col("SWAT") - F.col("SGAS")
+            if "SGAS" in cols
+            else F.lit(1.0) - F.col("SWAT")
+        )
+        if "SOIL" not in cols:
+            grid = grid.withColumn("SOIL", soil)
+        if "PORV" in cols:
+            grid = grid.withColumn(
+                "WATVOL", F.col("SWAT") * F.col("PORV")
+            ).withColumn("OILVOL", F.col("SOIL") * F.col("PORV"))
+            if "SGAS" in cols:
+                grid = grid.withColumn("GASVOL", F.col("SGAS") * F.col("PORV"))
+            if "1OVERBO" in cols:
+                grid = grid.withColumn(
+                    "OILVOLSURF", F.col("OILVOL") * F.col("1OVERBO")
+                )
+            if "1OVERBG" in cols and "SGAS" in cols:
+                grid = grid.withColumn(
+                    "GASVOLSURF", F.col("GASVOL") * F.col("1OVERBG")
+                )
+    extra = ["DATE"] if has_dates else []
+    out = pillar_stats(grid, region_col=region_col, extra_group_cols=extra)
+    key_names = ["PILLAR"] + ([region_col] if region_col else []) + extra
+    contacts = pillar_contacts(
+        grid, region_col=region_col, soilcutoff=soilcutoff,
+        sgascutoff=sgascutoff, swatcutoff=swatcutoff,
+    ) if "SWAT" in grid.columns else None
+    if contacts is not None:
+        out = out.join(contacts, key_names, "left")
+    if group:
+        gb = ([region_col] if region_col else []) + extra
+        num = [c for c in out.columns if c not in key_names]
+        if gb:
+            # pillars_main:429-434 — sum the *_SUM columns, mean the
+            # rest (reference AGGREGATORS by base name)
+            aggs = [
+                (F.sum(c) if c.endswith("_SUM") else F.avg(c)).alias(c)
+                for c in num
+            ]
+            out = out.groupBy(*gb).agg(*aggs)
+        else:
+            # pillars_main:435-436 — drop PILLAR, plain mean of
+            # EVERYTHING (the reference quirk: even the sums)
+            out = out.agg(*[F.avg(c).alias(c) for c in num])
+        if "PORV_SUM" in out.columns and "VOLUME_SUM" in out.columns:
+            # pillars_main:437 re-derives PORO after grouping
+            out = out.withColumn(
+                "PORO_WMEAN",
+                F.when(F.col("VOLUME_SUM") > 0,
+                       F.col("PORV_SUM") / F.col("VOLUME_SUM")),
+            )
+    if has_dates and not stackdates and "DATE" in out.columns:
+        from res2df_spark.operators.reshape import dates_to_headers
+
+        ids = [c for c in ("PILLAR", region_col) if c and c in out.columns]
+        out = dates_to_headers(out, ids)
+    return out
 
 
 def drop_constant_columns(

@@ -813,7 +813,11 @@ def grid_table(spark, egrid_path: str, init_path: str | None = None,
                 # '@'-tagged when dateinheaders or multiple dates
                 # (grid.py:258-262, 278-279).  The per-date frames are
                 # the same driver-side pandas the stacked path builds —
-                # the joins stay ACTIVE_INDEX equi-joins.
+                # the joins stay ACTIVE_INDEX equi-joins.  NOTE the
+                # 'NAME@YYYY-MM-DD' tag format is shared with the
+                # Spark-side pivot operators/reshape.dates_to_headers
+                # (and its stack_dated_columns inverse) — change the
+                # format in all of them together.
                 dates = sorted(rst["DATE"].unique())
                 tag = dateinheaders or len(dates) > 1
                 for d in dates:

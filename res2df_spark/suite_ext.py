@@ -6564,6 +6564,11 @@ def pillar_contacts_3phase(spark, sf_dir):
         (F.col("l_extendedprice") / 1000.0).alias("Z"),
         (F.col("l_discount") * 9.0).alias("SWAT"),
         (F.col("l_tax") * 4.0).alias("SGAS"),
+    ).withColumn(
+        # the reference contract: SOIL is PRE-computed by the caller
+        # (compute_volumes' phase closure) — its presence selects the
+        # three-phase GOC branch over the gas-water GWC branch
+        "SOIL", F.lit(1.0) - F.col("SWAT") - F.col("SGAS"),
     )
     out = pillar_contacts(
         cells, soilcutoff=0.3, sgascutoff=0.2, swatcutoff=0.4

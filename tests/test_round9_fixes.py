@@ -164,3 +164,61 @@ def test_empty_grid_geometry_dtypes():
     assert list(empty.columns) == list(populated.columns)
     for c in populated.columns:
         assert empty[c].dtype == populated[c].dtype, (c, empty[c].dtype)
+
+
+def test_pillar_contacts_gwc_two_phase(spark):
+    """Reference compute_pillar_contacts parity (pillars.py:281-307):
+    with NO SOIL column the gas branch computes GWC (deepest
+    SGAS-above-cutoff cell on water pillars); with SOIL present it
+    computes GOC gated by the epsilon oil saturation."""
+    from pyspark.sql import functions as F
+
+    from res2df_spark.modules.grid import pillar_contacts
+
+    rows = [
+        # pillar 1-1: water at depth, gas on top -> GWC candidate
+        (1, 1, 1, 10.0, 0.1, 0.9),
+        (1, 1, 2, 20.0, 0.2, 0.8),
+        (1, 1, 3, 30.0, 0.9, 0.0),
+        # pillar 2-1: gas but NO water cell -> excluded by the gate
+        (2, 1, 1, 10.0, 0.1, 0.9),
+    ]
+    gw = spark.createDataFrame(
+        rows, "I int, J int, K int, Z double, SWAT double, SGAS double"
+    )
+    out = pillar_contacts(gw, sgascutoff=0.5, swatcutoff=0.5)
+    got = {r.PILLAR: r.GWC for r in out.collect()}
+    assert got == {"1-1": 20.0}
+    assert "GWC" in out.columns and "GOC" not in out.columns
+
+    # same frame with a pre-computed SOIL column takes the GOC branch
+    three = gw.withColumn("SOIL", F.lit(1.0) - F.col("SWAT") - F.col("SGAS"))
+    out3 = pillar_contacts(three, soilcutoff=0.0, sgascutoff=0.5,
+                           swatcutoff=0.5)
+    assert "GOC" in out3.columns and "GWC" not in out3.columns
+
+
+def test_pillars_df_module_layer(spark):
+    """pillars_df (module layer, round 9 review) — composition
+    reachable without a case fixture; unknown region raises there
+    (the facade warns instead)."""
+    import pytest as _pytest
+
+    from res2df_spark.modules.grid import pillars_df
+
+    grid = spark.createDataFrame(
+        [
+            (1, 1, 1, 10.0, 100.0, 20.0, 0.25),
+            (1, 1, 2, 20.0, 100.0, 30.0, 0.75),
+            (2, 1, 1, 10.0, 100.0, 40.0, 0.5),
+        ],
+        "I int, J int, K int, Z double, VOLUME double, PORV double, SWAT double",
+    )
+    out = pillars_df(grid)
+    rows = {r.PILLAR: r for r in out.collect()}
+    assert rows["1-1"].VOLUME_SUM == 200.0
+    assert abs(rows["1-1"].PORO_WMEAN - 50.0 / 200.0) < 1e-9
+    grouped = pillars_df(grid, group=True).collect()
+    assert len(grouped) == 1 and "PILLAR" not in grouped[0].asDict()
+    with _pytest.raises(ValueError, match="region column"):
+        pillars_df(grid, region_col="NOPE")

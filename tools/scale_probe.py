@@ -147,7 +147,8 @@ def run_one(
         t0 = time.time()
         df.write.mode("overwrite").format("noop").save()
         times.append(time.time() - t0)
-    return build, min(times), times
+    # --repeats 0 (build-only probing) must not crash on min([])
+    return build, min(times) if times else float("inf"), times
 
 
 #: The 32M-row hot-key battery (round-8 brief #1): the sessionize/asof
