@@ -26,6 +26,112 @@ from pyspark.sql.types import (
 )
 
 
+def asof_enrich_stream(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    probe_col: str,
+    value_cols: Sequence[str],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming point-in-time enrichment — the streaming twin of the
+    batch J9 ``asof_join`` (operators/asof.py) for one unified stream:
+    rows with ``probe_col`` true are PROBES (facts to enrich and emit),
+    rows with it false are OBSERVATIONS (consumed into per-key state).
+    Each probe is emitted once, with its ``value_cols`` REPLACED by the
+    latest observation at-or-before its time for the same keys —
+    ``merge_asof(direction='backward')`` on ordered arrival.
+
+    Per key the state is ONE observation (its time + value columns), so
+    state size is #keys × payload, never the history — the property
+    that makes point-in-time enrichment viable unbounded at 100 TB/day
+    (a stream-stream interval join would have to buffer both sides for
+    the watermark horizon; the lookback here is UNBOUNDED backward at
+    constant state).
+
+    Within a micro-batch rows are processed in ``ts_col`` order with
+    NULL timestamps FIRST (they can never match, exactly like the batch
+    form's NULL-time left rows → NULL payload), observations BEFORE
+    probes at equal times (backward includes at-time matches), and
+    equal-time duplicate observations resolving to the payload tuple
+    sorting LAST — byte-for-byte the batch engine's tiebreak, so the
+    finite available-now replay is hash-checkable against the same
+    LATERAL oracle as ``j9_asof_join``.  Cross-batch ordering relies on
+    the watermark bounding out-of-order arrival (the standard stateful
+    contract; a late observation older than the state's cannot rewind
+    already-emitted probes).
+
+    Output schema: the input minus ``probe_col``, probe rows only.
+    """
+    key_cols, value_cols = list(key_cols), list(value_cols)
+    out_fields = [f for f in stream.schema.fields if f.name != probe_col]
+    out_names = [f.name for f in out_fields]
+    out_schema = StructType(out_fields)
+    state_schema = StructType(
+        [StructField("__obs_ts", TimestampType())]
+        + [stream.schema[c] for c in value_cols]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cur = list(state.get) if state.exists else None
+        chunks = [pdf for pdf in pdfs]
+        if not chunks:
+            if cur is not None:
+                state.update(tuple(cur))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            # obs (False) before probes (True) at equal times; value
+            # columns last so equal-time duplicate observations iterate
+            # in payload order and the LAST one wins (the batch
+            # engine's struct-max tiebreak, NULLs smallest = pandas
+            # na_position='first')
+            [ts_col, probe_col, *value_cols],
+            kind="mergesort",
+            na_position="first",
+        )
+        ts_a = pdf[ts_col]
+        probe_a = pdf[probe_col]
+        val_a = {c: pdf[c] for c in value_cols}
+        probe_idx: list[int] = []
+        matched: list[tuple] = []
+        for i in range(len(pdf)):
+            if bool(probe_a.iat[i]):
+                probe_idx.append(i)
+                matched.append(
+                    tuple(cur[1:]) if cur is not None
+                    else (None,) * len(value_cols)
+                )
+            else:
+                ts = ts_a.iat[i]
+                if pd.isna(ts):
+                    continue  # timeless observation: excluded, like batch
+                if cur is None or ts >= cur[0]:
+                    cur = [ts] + [val_a[c].iat[i] for c in value_cols]
+        if cur is not None:
+            state.update(tuple(cur))
+        if probe_idx:
+            out = pdf.iloc[probe_idx].reset_index(drop=True)
+            for j, c in enumerate(value_cols):
+                out[c] = pd.Series(
+                    [m[j] for m in matched], dtype="object"
+                )
+            yield out[out_names]
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def status_change_stream(
     events: DataFrame,
     key_cols: Sequence[str],

@@ -6679,3 +6679,40 @@ def r12_dates_roundtrip(spark, sf_dir):
         "event_type", "variable",
         F.col("d").cast("timestamp").alias("d"), "v",
     )
+
+
+@_q("stream_asof_enrich", _ORACLES["j9_asof_join"])
+def stream_asof_enrich(spark, sf_dir):
+    """Streaming point-in-time enrichment (streaming/ops.
+    asof_enrich_stream, round 9) — the streaming twin of the batch J9
+    as-of join: views and purchases arrive as ONE stream, views update
+    a per-user single-observation state (constant per-key state — the
+    unbounded-backward lookback a stream-stream interval join cannot
+    give), purchases emit enriched with the latest at-or-before view.
+    The available-now replay over the finite events table shares
+    j9_asof_join's LATERAL oracle VERBATIM — a hash-green row proves
+    the stateful walk reproduces the batch union-window engine, ties,
+    NULL times and never-observed keys included."""
+    from res2df_spark.streaming.ops import asof_enrich_stream, run_available_now
+
+    ev = Catalog(spark, sf_dir).stream_table("events")
+    src = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").alias("__probe"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("view_value"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    out = run_available_now(
+        asof_enrich_stream(
+            src, ["user_id"], "ts", "__probe",
+            ["view_value", "view_event_id"],
+        ),
+        name="stream_asof_enrich",
+        output_mode="append",
+    )
+    return out.select(
+        "user_id", F.col("ts").alias("purchase_ts"), "purchase_id",
+        "view_value", "view_event_id",
+    )

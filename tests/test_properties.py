@@ -503,3 +503,88 @@ def test_line_dedup_invariants(spark, docs, window):
         # ordered subsequence check
         it = iter(toks)
         assert all(any(k == t for t in it) for k in kept)
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),          # group
+            st.integers(0, 4),                          # date index
+            st.floats(-100, 100, allow_nan=False),      # v1
+            st.one_of(st.none(), st.floats(-5, 5, allow_nan=False)),  # v2
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@_slow
+def test_dates_to_headers_stack_roundtrip(spark, data):
+    """dates_to_headers ∘ stack_dated_columns is the identity on any
+    stacked frame (one row per (id, date)): pivoting to NAME@date
+    headers and melting back reproduces exactly the non-NULL cells."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from res2df_spark.operators.reshape import (
+        dates_to_headers,
+        stack_dated_columns,
+    )
+
+    base = dt.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (g, dt.datetime.combine(base + dt.timedelta(days=30 * di), dt.time()), v1, v2)
+            for g, di, v1, v2 in data
+        ],
+        "g string, DATE timestamp, V1 double, V2 double",
+    )
+    wide = dates_to_headers(df, ["g"])
+    back = stack_dated_columns(
+        wide, ["g"], [c for c in wide.columns if "@" in c],
+        var_name="name", date_name="d", value_name="v",
+    ).filter(F.col("v").isNotNull())
+    got = {
+        (r.g, r.name, r.d.isoformat(), round(r.v, 9)) for r in back.collect()
+    }
+    want = set()
+    for g, di, v1, v2 in data:
+        d = (base + dt.timedelta(days=30 * di)).isoformat()
+        want.add((g, "V1", d, round(v1, 9)))
+        if v2 is not None:
+            want.add((g, "V2", d, round(v2, 9)))
+    assert got == want
+
+
+@given(
+    cols=st.lists(
+        st.lists(
+            st.one_of(st.none(), st.integers(-3, 3)), min_size=0, max_size=8
+        ),
+        min_size=1,
+        max_size=5,
+    ).filter(lambda cs: len({len(c) for c in cs}) == 1)
+)
+@_slow
+def test_drop_constant_columns_matches_pandas_unique(spark, cols):
+    """drop_constant_columns ≡ the reference's pandas rule
+    (grid.py:590-620): drop iff len(col.unique()) == 1 with NaN/None
+    counting as a value; empty frames are returned unchanged."""
+    from res2df_spark.modules.grid import drop_constant_columns
+
+    n = len(cols[0])
+    names = [f"c{i}" for i in range(len(cols))]
+    pdf = pd.DataFrame({nm: pd.array(c, dtype="Int64") for nm, c in zip(names, cols)})
+    schema = ", ".join(f"{nm} long" for nm in names)
+    df = spark.createDataFrame(
+        [tuple(None if pd.isna(x) else int(x) for x in row)
+         for row in pdf.itertuples(index=False)],
+        schema,
+    ) if n else spark.createDataFrame([], schema)
+    out = drop_constant_columns(df)
+    if n == 0:
+        expect = names  # reference: empty frame returned unchanged
+    else:
+        expect = [nm for nm in names if len(pdf[nm].unique()) != 1]
+    assert out.columns == expect

@@ -392,3 +392,61 @@ def test_semantic_claims_stream_matches_batch_novelty(spark, tmp_path):
     )
     assert stream_best["match_id"] == batch[100]["match_id"]
     assert stream_best["cos_sim"] == batch[100]["cos_sim"]
+
+
+def test_asof_enrich_stream_matches_batch_asof(spark, tmp_path):
+    """Streaming point-in-time enrichment (round 9): the available-now
+    replay over a finite source must equal the batch asof_join on the
+    same rows — equal-time inclusion, duplicate-obs tiebreak, NULL-time
+    probes with NULL payload, keys never observed."""
+    from datetime import datetime as dt
+
+    from res2df_spark.operators.asof import asof_join
+    from res2df_spark.streaming.ops import asof_enrich_stream
+
+    rows = [
+        # (user, ts, probe?, payload value, payload id)
+        (1, dt(2020, 1, 1, 0), False, 10.0, 100),
+        (1, dt(2020, 1, 1, 2), False, 20.0, 200),
+        (1, dt(2020, 1, 1, 2), False, 30.0, 300),   # equal-ts dup obs
+        (1, dt(2020, 1, 1, 1), True, None, None),    # between obs
+        (1, dt(2020, 1, 1, 2), True, None, None),    # AT obs time
+        (1, dt(2020, 1, 1, 5), True, None, None),    # after everything
+        (2, dt(2020, 1, 1, 1), True, None, None),    # never-observed key
+        (3, None, True, None, None),                 # NULL-time probe
+        (3, dt(2020, 1, 1, 0), False, 7.0, 700),
+    ]
+    src = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, probe boolean, v double, vid long"
+    )
+    path = str(tmp_path / "asof_src")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    out = asof_enrich_stream(
+        stream, ["user_id"], "ts", "probe", ["v", "vid"]
+    )
+    _run_stream(out, "asof_enrich_sink")
+    got = sorted(
+        ((r.user_id, r.ts, r.v, r.vid)
+         for r in spark.sql("SELECT * FROM asof_enrich_sink").collect()),
+        key=lambda t: (t[0], t[1] or dt.min),
+    )
+
+    probes = src.filter("probe").select("user_id", F.col("ts").alias("pts"))
+    obs = src.filter("NOT probe").select("user_id", "ts", "v", "vid")
+    want = sorted(
+        ((r.user_id, r.pts, r.v, r.vid)
+         for r in asof_join(
+             probes, obs, ["user_id"], "pts", "ts",
+             value_cols=["v", "vid"], skew_safe=False,
+         ).collect()),
+        key=lambda t: (t[0], t[1] or dt.min),
+    )
+    assert got == want
+    # spot-check the semantics directly
+    by = {(u, t): (v, vid) for u, t, v, vid in got}
+    assert by[(1, dt(2020, 1, 1, 1))] == (10.0, 100)
+    assert by[(1, dt(2020, 1, 1, 2))] == (30.0, 300)  # at-time, max payload
+    assert by[(1, dt(2020, 1, 1, 5))] == (30.0, 300)
+    assert by[(2, dt(2020, 1, 1, 1))] == (None, None)
+    assert by[(3, None)] == (None, None)
