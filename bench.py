@@ -65,6 +65,7 @@ HEADLINE = [
     "record_linkage",          # blocked fuzzy pairs (round 5)
     "table_profile",           # one-pass column profiler (round 5)
     "stream_funnel",           # stateful streaming funnel replay (round 5)
+    "stream_asof_enrich",      # streaming point-in-time enrich (round 9)
     "pq_recall",               # PQ encode+ADC+rerank vs exact recall (round 5)
     "bm25_topk",               # lexical retrieval, broadcast query postings (round 5)
     "corpus_entropy",          # dataset-card unigram stats (round 5)
