@@ -131,15 +131,17 @@ class ResdataCase:
     # -- binary scans --------------------------------------------------
 
     def summary(self, time_index=None, column_keys=None,
-                start_date=None, end_date=None) -> DataFrame:
+                start_date=None, end_date=None,
+                include_restart: bool = False) -> DataFrame:
         """Wide summary frame (S2 + W8), the reference's
-        ``summary.df``."""
+        ``summary.df``.  ``include_restart`` stitches the restart-chain
+        parents' history in front of this run (summary.py:299)."""
         from pyspark.sql import functions as F
 
         from res2df_spark.modules import summary as summary_mod
         from res2df_spark.sources import eclbin
 
-        long = self._summary_long()
+        long = self._summary_long(include_restart=include_restart)
         if start_date:
             long = long.filter(
                 F.col("DATE") >= F.lit(str(start_date)).cast("timestamp")
@@ -165,16 +167,17 @@ class ResdataCase:
             column_keys=list(column_keys or []),
         )
 
-    def _summary_long(self) -> DataFrame:
+    def _summary_long(self, include_restart: bool = False) -> DataFrame:
         """Memoized long-form summary scan — SMSPEC/UNSMRY are parsed
         eagerly at plan build, so every consumer must share one
         frame."""
         from res2df_spark.sources import eclbin
 
-        key = ("summary_long",)
+        key = ("summary_long", include_restart)
         if key not in self._frames:
             self._frames[key] = eclbin.summary_long(
-                self.spark, self.path("SMSPEC")
+                self.spark, self.path("SMSPEC"),
+                include_restart=include_restart,
             )
         return self._frames[key]
 

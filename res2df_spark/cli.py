@@ -6,6 +6,7 @@ reference's convention)."""
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from res2df_spark.session import get_spark
@@ -49,6 +50,7 @@ def _run_binary_module(
     start_date=None, end_date=None, with_params=False, vectors=None,
     dropconstants=False, stackdates=False, region=None, soilcutoff=0.5,
     sgascutoff=0.5, swatcutoff=0.5, group=False, wellname=None, date=None,
+    include_restart=False, paramfile=None,
 ):
     """Thin dispatch over :class:`res2df_spark.case.ResdataCase` — the
     CLI and the user API share ONE composition of the module layer, so
@@ -75,11 +77,14 @@ def _run_binary_module(
         out = case.summary(
             time_index=time_index, column_keys=keys,
             start_date=start_date or None, end_date=end_date or None,
+            include_restart=include_restart,
         )
-        if with_params:
+        if with_params or paramfile:
             from res2df_spark.sources.aux import attach_parameters, load_parameters
 
-            out = attach_parameters(out, load_parameters(case.root))
+            out = attach_parameters(
+                out, load_parameters(case.root, filebase=paramfile or None)
+            )
         return out
     if name == "grid":
         # reference grid_main (grid.py:759-772): wide restart shape by
@@ -294,6 +299,19 @@ def get_parser() -> argparse.ArgumentParser:
                 help="merge parameters.txt/yml/json from the case dir "
                      "onto every row (reference summary --params)",
             )
+            s.add_argument(
+                "--paramfile", default=None,
+                help="explicit key-value parameter file: absolute path "
+                     "loads that file, a relative name is searched in "
+                     "the case dir and parents (reference summary "
+                     "--paramfile; implies --params)",
+            )
+            s.add_argument(
+                "--include_restart", action="store_true",
+                help="prepend history from the restart-chain parent "
+                     "cases named in SMSPEC RESTART (reference summary "
+                     "--include_restart)",
+            )
     for name, help_ in _DECK_MODULES_EXTRA.items():
         s = sub.add_parser(name, help=help_)
         s.add_argument("deckfile", help="input .DATA / include file")
@@ -312,6 +330,10 @@ def get_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = get_parser().parse_args(argv)
+    # res2arrow console alias: same CLI, arrow output forced
+    # (reference res2csv.py:270-271 keys on the invoked program name)
+    if argv is None and "arrow" in os.path.basename(sys.argv[0] or ""):
+        args.__dict__["arrow"] = True
     spark = get_spark(f"res2csv-{args.module}")
     spark.sparkContext.setLogLevel("ERROR")
     if args.module in _BINARY_MODULES:
@@ -332,6 +354,8 @@ def main(argv: list[str] | None = None) -> int:
             group=getattr(args, "group", False),
             wellname=getattr(args, "wellname", None),
             date=getattr(args, "date", None),
+            include_restart=getattr(args, "include_restart", False),
+            paramfile=getattr(args, "paramfile", None),
         )
     elif args.module in _DECK_MODULES_EXTRA:
         from res2df_spark.sources.deck import read_deck

@@ -175,7 +175,9 @@ def _parse_parameterstxt(content: str) -> dict:
     return dict(pairs)
 
 
-def load_parameters(path: str, search_parents: int = 2) -> dict:
+def load_parameters(
+    path: str, search_parents: int = 2, filebase: str | None = None
+) -> dict:
     """Find and merge ``parameters.json`` / ``parameters.yml`` /
     ``parameters.txt`` / bare ``parameters`` in the case directory and
     up to ``search_parents`` levels above.
@@ -185,22 +187,34 @@ def load_parameters(path: str, search_parents: int = 2) -> dict:
     before yml before txt within a dir, and the FIRST occurrence of a
     key wins — i.e. nearest dir beats parents, json beats yml beats
     txt in the same dir.  Dict-valued keys (grouped json) are dropped
-    as in load() (parameters.py:178-183)."""
+    as in load() (parameters.py:178-183).
+
+    ``filebase`` is the reference's ``--paramfile`` contract
+    (summary.py:531-556): an ABSOLUTE path loads exactly that file; a
+    relative name replaces the default candidate names in the same
+    nearest-dir-first search."""
     merged: dict = {}
+    if filebase and os.path.isabs(filebase):
+        with open(filebase) as f:
+            return {
+                k: v
+                for k, v in _load_any(f.read()).items()
+                if not isinstance(v, dict)
+            }
     d = os.path.abspath(path if os.path.isdir(path) else os.path.dirname(path))
     dirs = [d]
     for _ in range(search_parents):
         d = os.path.dirname(d)
         dirs.append(d)
+    names = (
+        (filebase,)
+        if filebase
+        else ("parameters", "parameters.txt", "parameters.yml", "parameters.json")
+    )
     # Iterate lowest-precedence first so dict.update leaves the
     # highest-precedence (nearest dir, json-first) value standing.
     for d in reversed(dirs):
-        for fname in (
-            "parameters",
-            "parameters.txt",
-            "parameters.yml",
-            "parameters.json",
-        ):
+        for fname in names:
             p = os.path.join(d, fname)
             if not os.path.isfile(p):
                 continue

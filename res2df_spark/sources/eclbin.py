@@ -242,7 +242,17 @@ def parse_smspec(buf: bytes) -> dict:
         kws["KEYWORDS"], names, kws["NUMS"].astype(np.int64), nx, ny
     )
     units = [str(u).strip() for u in kws["UNITS"]]
-    return {"startdate": startdate, "vectors": vectors, "units": units, "nx": nx, "ny": ny}
+    # RESTART: the parent case this run restarted from, stored as the
+    # basename split into consecutive CHAR*8 chunks (resdata joins the
+    # chunks; the reference's include_restart stitches that parent's
+    # history in front of this run).  Chunks come back per-element
+    # rstripped, so joining reassembles any path without literal spaces.
+    restart = None
+    if "RESTART" in kws:
+        joined = "".join(str(s) for s in kws["RESTART"]).strip()
+        restart = joined or None
+    return {"startdate": startdate, "vectors": vectors, "units": units,
+            "nx": nx, "ny": ny, "restart": restart}
 
 
 def parse_unsmry(buf: bytes) -> list[np.ndarray]:
@@ -285,9 +295,18 @@ def summary_long_pandas(smspec_buf: bytes, unsmry_buf: bytes):
     )
 
 
-def summary_long(spark, smspec_path: str, unsmry_path: str | None = None):
-    """Single-run driver-side parse → Spark DataFrame (the ensemble
-    path is ``summary_long_many``)."""
+def _summary_long_chain_pandas(
+    smspec_path: str, unsmry_path: str | None, include_restart: bool,
+    _seen: frozenset = frozenset(),
+):
+    """Long pandas frame for one run, optionally with its restart chain
+    stitched in front (the reference's ``include_restart`` — resdata's
+    ecl_sum restart loading): the SMSPEC ``RESTART`` keyword names the
+    parent case; the parent's history STRICTLY BEFORE this run's first
+    date is prepended, recursively up the chain.  The parent path
+    resolves relative to the child SMSPEC's directory.  A missing
+    parent warns and continues with the child alone (a moved ensemble
+    must not fail outright); a cycle in the chain raises."""
     if unsmry_path is None:
         unsmry_path = os.path.splitext(smspec_path)[0] + ".UNSMRY"
     with open(smspec_path, "rb") as f:
@@ -295,6 +314,51 @@ def summary_long(spark, smspec_path: str, unsmry_path: str | None = None):
     with open(unsmry_path, "rb") as f:
         unsmry = f.read()
     pdf = summary_long_pandas(smspec, unsmry)
+    if not include_restart:
+        return pdf
+    restart = parse_smspec(smspec).get("restart")
+    if not restart:
+        return pdf
+    import pandas as pd
+
+    key = os.path.realpath(smspec_path)
+    if key in _seen:
+        raise EclFormatError(
+            f"restart chain cycle at {smspec_path} (RESTART={restart!r})"
+        )
+    parent_root = os.path.normpath(
+        os.path.join(os.path.dirname(os.path.abspath(smspec_path)), restart)
+    )
+    parent_smspec = parent_root + ".SMSPEC"
+    if not os.path.isfile(parent_smspec):
+        import warnings
+
+        warnings.warn(
+            f"include_restart: parent case {parent_root!r} (from "
+            f"{smspec_path}) has no SMSPEC — returning this run's own "
+            "history only",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return pdf
+    parent = _summary_long_chain_pandas(
+        parent_smspec, None, True, _seen | {key}
+    )
+    if len(pdf):
+        # resdata semantics: the parent contributes history strictly
+        # before the child's first report only — the child owns its own
+        # time range even where the parent simulated past the restart
+        parent = parent[parent["DATE"] < pdf["DATE"].min()]
+    return pd.concat([parent, pdf], ignore_index=True)
+
+
+def summary_long(spark, smspec_path: str, unsmry_path: str | None = None,
+                 include_restart: bool = False):
+    """Single-run driver-side parse → Spark DataFrame (the ensemble
+    path is ``summary_long_many``).  ``include_restart`` stitches the
+    restart-chain parents' history in front (reference summary.py:299,
+    resdatafiles.py:134-149 ``get_summary(include_restart=...)``)."""
+    pdf = _summary_long_chain_pandas(smspec_path, unsmry_path, include_restart)
     return spark.createDataFrame(pdf, schema="DATE timestamp, VECTOR string, VALUE double")
 
 

@@ -6716,3 +6716,73 @@ def stream_asof_enrich(spark, sf_dir):
         "user_id", F.col("ts").alias("purchase_ts"), "purchase_id",
         "view_value", "view_event_id",
     )
+
+
+_RESTART_CHAIN_SQL = """
+    WITH agg AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(count(*) AS DOUBLE) AS fopt
+        FROM orders GROUP BY 1 ORDER BY m LIMIT 4),
+    r AS (SELECT m, fopt, row_number() OVER (ORDER BY m) AS rn FROM agg)
+    SELECT CAST(m AS TIMESTAMP) AS d, 'FOPT' AS vector,
+           CAST(CAST(fopt AS REAL) AS DOUBLE) AS value
+    FROM r WHERE rn <= 2
+    UNION ALL
+    SELECT CAST(m AS TIMESTAMP) AS d, 'FOPT' AS vector,
+           CAST(CAST(fopt * 2 AS REAL) AS DOUBLE) AS value
+    FROM r WHERE rn >= 3
+"""
+
+
+@_q("summary_restart_chain", _RESTART_CHAIN_SQL)
+def summary_restart_chain(spark, sf_dir):
+    """include_restart stitching (sources/eclbin.summary_long, round 9
+    — reference summary.py:299 / resdatafiles.py:134-149): a parent
+    case holding three monthly FOPT values and a child case whose
+    SMSPEC RESTART keyword names it (child values doubled, overlapping
+    the parent's last month) are written as binary SMSPEC/UNSMRY pairs;
+    reading the CHILD with include_restart=True must return the
+    parent's history STRICTLY BEFORE the child's first date plus the
+    child's own rows — the parent's overlapping month must show the
+    CHILD's doubled value, proving the cutoff is the child's first
+    report, not a blind union.  The oracle recomputes the stitched
+    series from the same orders aggregate with the float32 cast."""
+    import datetime
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from res2df_spark.sources.eclbin import (
+        summary_long,
+        write_keyword,
+        write_summary,
+    )
+
+    months = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.trunc("o_orderdate", "month").alias("m"))
+        .agg(F.count(F.lit(1)).cast("double").alias("fopt"))
+        .orderBy("m")
+        .limit(4)
+        .collect()  # 4 rows — driver-side writer boundary, like all K* sinks
+    )
+    idx = pd.to_datetime([r["m"] for r in months])
+    fopt = [r["fopt"] for r in months]
+    d = tempfile.mkdtemp(prefix="eclbin_restart_")
+
+    parent = os.path.join(d, "PARENT.SMSPEC")
+    pw = pd.DataFrame({"FOPT": fopt[:3]}, index=idx[:3])
+    write_summary(parent, idx[0].to_pydatetime(), pw)
+
+    child = os.path.join(d, "CHILD.SMSPEC")
+    cw = pd.DataFrame({"FOPT": [v * 2 for v in fopt[2:4]]}, index=idx[2:4])
+    write_summary(child, idx[2].to_pydatetime(), cw)
+    with open(child, "ab") as f:
+        write_keyword(f, "RESTART", "CHAR", ["PARENT"])
+
+    out = summary_long(spark, child, include_restart=True)
+    return out.filter(F.col("VECTOR") == "FOPT").select(
+        F.col("DATE").alias("d"), F.col("VECTOR").alias("vector"),
+        F.col("VALUE").alias("value"),
+    ).orderBy("d")

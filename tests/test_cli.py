@@ -670,3 +670,20 @@ def test_cli_rft_wellname_and_date_filters(capsys):
     assert main(["rft", f"{_EIGHT}/EIGHTCELLS", "--wellname", "NOWELL",
                  "-o", "-"]) == 0
     assert len(capsys.readouterr().out.splitlines()) == 1
+
+
+@pytest.mark.skipif(not os.path.isdir(_EIGHT), reason="fixtures not present")
+def test_cli_summary_include_restart_and_paramfile(tmp_path, capsys):
+    """summary --include_restart is a no-op on a chain-less case;
+    --paramfile attaches the named key-value file (implies --params)."""
+    from res2df_spark.cli import main
+
+    pf = tmp_path / "custom.txt"
+    pf.write_text("MYKEY 42\n")
+    assert main(["summary", f"{_EIGHT}/EIGHTCELLS", "--include_restart",
+                 "--paramfile", str(pf), "-o", "-"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    # naive comma-split misaligns on quoted vector names like
+    # "BPR:1,1,1" — assert membership instead of position
+    assert "MYKEY" in out[0]
+    assert ",42" in out[1] or out[1].startswith("42")

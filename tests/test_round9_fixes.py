@@ -222,3 +222,89 @@ def test_pillars_df_module_layer(spark):
     assert len(grouped) == 1 and "PILLAR" not in grouped[0].asDict()
     with _pytest.raises(ValueError, match="region column"):
         pillars_df(grid, region_col="NOPE")
+
+
+def test_summary_include_restart_chain(spark, tmp_path):
+    """Reference summary include_restart (summary.py:299, resdata
+    restart loading): the SMSPEC RESTART keyword names the parent case;
+    its history STRICTLY BEFORE the child's first date is prepended,
+    recursively up the chain."""
+    import pandas as pd
+
+    from res2df_spark.sources import eclbin
+
+    def write_case(name, dates, fopt, restart=None):
+        wide = pd.DataFrame({"FOPT": fopt}, index=pd.to_datetime(dates))
+        smspec = str(tmp_path / f"{name}.SMSPEC")
+        eclbin.write_summary(smspec, pd.Timestamp(dates[0]), wide)
+        if restart:
+            with open(smspec, "ab") as f:
+                chunks = [restart[i:i + 8] for i in range(0, len(restart), 8)]
+                eclbin.write_keyword(f, "RESTART", "CHAR", chunks)
+        return smspec
+
+    write_case("GRANDPA", ["2019-01-01", "2019-06-01", "2020-06-01"],
+               [0.0, 10.0, 99.0])
+    write_case("PARENT", ["2019-06-01", "2019-12-01", "2020-03-01"],
+               [10.0, 20.0, 98.0], restart="GRANDPA")
+    child = write_case("CHILD", ["2020-01-01", "2020-02-01"],
+                       [30.0, 40.0], restart="PARENT")
+
+    plain = eclbin.summary_long(spark, child).filter("VECTOR = 'FOPT'")
+    assert plain.count() == 2
+
+    out = (
+        eclbin.summary_long(spark, child, include_restart=True)
+        .filter("VECTOR = 'FOPT'")
+        .orderBy("DATE")
+        .collect()
+    )
+    got = [(r.DATE.date().isoformat(), r.VALUE) for r in out]
+    # grandpa < parent's start, parent < child's start, child whole —
+    # the parents' post-restart rows (99.0 / 98.0) are excluded
+    assert got == [
+        ("2019-01-01", 0.0),
+        ("2019-06-01", 10.0),
+        ("2019-12-01", 20.0),
+        ("2020-01-01", 30.0),
+        ("2020-02-01", 40.0),
+    ]
+
+
+def test_summary_include_restart_missing_parent_warns(spark, tmp_path):
+    import pandas as pd
+    import pytest as _pytest
+
+    from res2df_spark.sources import eclbin
+
+    wide = pd.DataFrame({"FOPT": [1.0]}, index=pd.to_datetime(["2020-01-01"]))
+    smspec = str(tmp_path / "ORPHAN.SMSPEC")
+    eclbin.write_summary(smspec, pd.Timestamp("2020-01-01"), wide)
+    with open(smspec, "ab") as f:
+        eclbin.write_keyword(f, "RESTART", "CHAR", ["NOSUCHPA", "RENT"])
+    with _pytest.warns(RuntimeWarning, match="no SMSPEC"):
+        out = eclbin.summary_long(spark, smspec, include_restart=True)
+    assert out.filter("VECTOR = 'FOPT'").count() == 1
+
+
+def test_load_parameters_filebase(tmp_path):
+    """--paramfile contract (reference summary.py:531-556): absolute
+    path loads that exact file; relative name replaces the default
+    candidates in the nearest-dir-first search."""
+    from res2df_spark.sources.aux import load_parameters
+
+    case_dir = tmp_path / "real0"
+    case_dir.mkdir()
+    (case_dir / "parameters.txt").write_text("DEFAULT 1\n")
+    (case_dir / "myparams.txt").write_text("CUSTOM 2\n")
+    (tmp_path / "myparams.txt").write_text("CUSTOM 9\nUPPER 3\n")
+    abs_file = tmp_path / "explicit.txt"
+    abs_file.write_text("ONLY 4\n")
+
+    case = str(case_dir / "CASE.DATA")
+    assert load_parameters(case)["DEFAULT"] == 1
+    rel = load_parameters(case, filebase="myparams.txt")
+    assert rel["CUSTOM"] == 2  # nearest dir wins
+    assert rel["UPPER"] == 3   # parent contributes missing keys
+    assert "DEFAULT" not in rel
+    assert load_parameters(case, filebase=str(abs_file)) == {"ONLY": 4}
