@@ -195,6 +195,13 @@ def load_parameters(
     nearest-dir-first search."""
     merged: dict = {}
     if filebase and os.path.isabs(filebase):
+        if not os.path.isfile(filebase):
+            # a named-but-absent file is a user error worth a clear
+            # message, not a raw open() traceback (and unlike the
+            # relative search below, there is no other place to look)
+            raise FileNotFoundError(
+                f"parameter file {filebase!r} does not exist"
+            )
         with open(filebase) as f:
             return {
                 k: v
@@ -223,6 +230,17 @@ def load_parameters(
             merged.update(
                 {k: v for k, v in _load_any(content).items() if not isinstance(v, dict)}
             )
+    if filebase and not merged:
+        # an explicitly-named filebase matching nothing anywhere in the
+        # search path is almost certainly a typo — warn (the DEFAULT
+        # discovery staying empty is normal for cases without params)
+        import warnings
+
+        warnings.warn(
+            f"parameter file {filebase!r} not found in {dirs}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return merged
 
 

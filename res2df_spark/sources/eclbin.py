@@ -260,13 +260,17 @@ def parse_unsmry(buf: bytes) -> list[np.ndarray]:
     return [v for k, _t, v in iter_keywords(buf) if k == "PARAMS"]
 
 
-def summary_long_pandas(smspec_buf: bytes, unsmry_buf: bytes):
+def summary_long_pandas(smspec_buf: bytes, unsmry_buf: bytes, meta: dict | None = None):
     """(DATE, VECTOR, VALUE) pandas frame for one run — dates derive
     from the TIME vector (days since STARTDAT).  Duplicate vector
-    entries (seen in malformed SMSPECs) keep the first occurrence."""
+    entries (seen in malformed SMSPECs) keep the first occurrence.
+    ``meta`` accepts an already-parsed :func:`parse_smspec` result so
+    callers that need the meta anyway (the restart-chain walker) parse
+    the SMSPEC once."""
     import pandas as pd
 
-    meta = parse_smspec(smspec_buf)
+    if meta is None:
+        meta = parse_smspec(smspec_buf)
     params = parse_unsmry(unsmry_buf)
     if not params:
         return pd.DataFrame({"DATE": [], "VECTOR": [], "VALUE": []})
@@ -313,10 +317,14 @@ def _summary_long_chain_pandas(
         smspec = f.read()
     with open(unsmry_path, "rb") as f:
         unsmry = f.read()
-    pdf = summary_long_pandas(smspec, unsmry)
+    # parse once: the meta feeds both the long frame and the RESTART
+    # chain walk (a wide SMSPEC rebuilds tens of thousands of vector
+    # names — no reason to do it twice per chain level)
+    meta = parse_smspec(smspec)
+    pdf = summary_long_pandas(smspec, unsmry, meta=meta)
     if not include_restart:
         return pdf
-    restart = parse_smspec(smspec).get("restart")
+    restart = meta.get("restart")
     if not restart:
         return pdf
     import pandas as pd
@@ -330,13 +338,20 @@ def _summary_long_chain_pandas(
         os.path.join(os.path.dirname(os.path.abspath(smspec_path)), restart)
     )
     parent_smspec = parent_root + ".SMSPEC"
-    if not os.path.isfile(parent_smspec):
+    # BOTH halves must exist — a present SMSPEC with a missing UNSMRY
+    # (partially copied ensemble) must degrade the same way, not crash
+    # in the recursive open()
+    missing = [
+        ext for ext in ("SMSPEC", "UNSMRY")
+        if not os.path.isfile(f"{parent_root}.{ext}")
+    ]
+    if missing:
         import warnings
 
         warnings.warn(
             f"include_restart: parent case {parent_root!r} (from "
-            f"{smspec_path}) has no SMSPEC — returning this run's own "
-            "history only",
+            f"{smspec_path}) has no {'/'.join(missing)} — returning "
+            "this run's own history only",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -50,16 +50,30 @@ def asof_enrich_stream(
     constant state).
 
     Within a micro-batch rows are processed in ``ts_col`` order with
-    NULL timestamps FIRST (they can never match, exactly like the batch
-    form's NULL-time left rows → NULL payload), observations BEFORE
-    probes at equal times (backward includes at-time matches), and
-    equal-time duplicate observations resolving to the payload tuple
-    sorting LAST — byte-for-byte the batch engine's tiebreak, so the
-    finite available-now replay is hash-checkable against the same
-    LATERAL oracle as ``j9_asof_join``.  Cross-batch ordering relies on
-    the watermark bounding out-of-order arrival (the standard stateful
-    contract; a late observation older than the state's cannot rewind
-    already-emitted probes).
+    NULL timestamps FIRST, observations BEFORE probes at equal times
+    (backward includes at-time matches), and equal-time duplicate
+    observations resolving to the payload tuple sorting LAST with NULLs
+    smallest — byte-for-byte the batch engine's tiebreak, so the finite
+    available-now replay is hash-checkable against the same LATERAL
+    oracle as ``j9_asof_join``.  The tiebreak holds ACROSS batches too:
+    the state comparator replays the same (time, payload) ordering, so
+    an equal-time duplicate arriving in a later micro-batch cannot
+    displace a higher-sorting one by mere arrival order.
+
+    Cross-batch guarantees (the standard stateful contract, stated
+    precisely): a NULL-time probe always gets NULL payload regardless
+    of state; a probe NEVER matches an observation after its own time —
+    if newer observations have already advanced the state past a
+    late-arriving probe, that probe conservatively gets NULL payload
+    (the single-observation state cannot recover the older observation
+    a batch join would have found; it never fabricates a future match).
+    A late observation older than the state's cannot rewind
+    already-emitted probes.  Within one batch — and therefore in the
+    available-now replay — results equal the batch join exactly.
+
+    CPU shape: one Arrow-fed pandas pass with a per-row Python walk per
+    (key, micro-batch) — cost is bounded by micro-batch size, never
+    corpus size; state stays one observation per key.
 
     Output schema: the input minus ``probe_col``, probe rows only.
     """
@@ -71,6 +85,24 @@ def asof_enrich_stream(
         [StructField("__obs_ts", TimestampType())]
         + [stream.schema[c] for c in value_cols]
     )
+
+    def _null(v) -> bool:
+        return v is None or (isinstance(v, float) and v != v)
+
+    def _payload_cmp(a, b) -> int:
+        """Lexicographic payload compare with NULLs smallest — the
+        batch engine's struct ordering, applied to the STATE so the
+        equal-time tiebreak survives batch boundaries."""
+        for x, y in zip(a, b):
+            xn, yn = _null(x), _null(y)
+            if xn and yn:
+                continue
+            if xn or yn:
+                return -1 if xn else 1
+            if x == y:
+                continue
+            return -1 if x < y else 1
+        return 0
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -84,9 +116,9 @@ def asof_enrich_stream(
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
             # obs (False) before probes (True) at equal times; value
             # columns last so equal-time duplicate observations iterate
-            # in payload order and the LAST one wins (the batch
-            # engine's struct-max tiebreak, NULLs smallest = pandas
-            # na_position='first')
+            # in payload order (NULLs smallest = na_position='first');
+            # the explicit comparator below makes the same tiebreak
+            # hold against the carried STATE, not just within the sort
             [ts_col, probe_col, *value_cols],
             kind="mergesort",
             na_position="first",
@@ -94,21 +126,31 @@ def asof_enrich_stream(
         ts_a = pdf[ts_col]
         probe_a = pdf[probe_col]
         val_a = {c: pdf[c] for c in value_cols}
+        nulls = (None,) * len(value_cols)
         probe_idx: list[int] = []
         matched: list[tuple] = []
         for i in range(len(pdf)):
+            ts = ts_a.iat[i]
             if bool(probe_a.iat[i]):
                 probe_idx.append(i)
-                matched.append(
-                    tuple(cur[1:]) if cur is not None
-                    else (None,) * len(value_cols)
-                )
+                # NULL-time probes never match (batch parity), and a
+                # probe must never take an observation from after its
+                # own time (state already advanced past a late probe →
+                # conservative NULL, never a future match)
+                if cur is None or pd.isna(ts) or cur[0] > ts:
+                    matched.append(nulls)
+                else:
+                    matched.append(tuple(cur[1:]))
             else:
-                ts = ts_a.iat[i]
                 if pd.isna(ts):
                     continue  # timeless observation: excluded, like batch
-                if cur is None or ts >= cur[0]:
-                    cur = [ts] + [val_a[c].iat[i] for c in value_cols]
+                vals = [val_a[c].iat[i] for c in value_cols]
+                if (
+                    cur is None
+                    or ts > cur[0]
+                    or (ts == cur[0] and _payload_cmp(vals, cur[1:]) >= 0)
+                ):
+                    cur = [ts] + vals
         if cur is not None:
             state.update(tuple(cur))
         if probe_idx:

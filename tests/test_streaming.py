@@ -450,3 +450,61 @@ def test_asof_enrich_stream_matches_batch_asof(spark, tmp_path):
     assert by[(1, dt(2020, 1, 1, 5))] == (30.0, 300)
     assert by[(2, dt(2020, 1, 1, 1))] == (None, None)
     assert by[(3, None)] == (None, None)
+
+
+def test_asof_enrich_stream_cross_batch_semantics(spark, tmp_path):
+    """Round-9 review fixes, multi-batch (maxFilesPerTrigger=1 — one
+    parquet file per micro-batch): NULL-time probes get NULL payload
+    even with state present; a probe older than the state's observation
+    never takes that FUTURE observation (conservative NULL); an
+    equal-time duplicate observation arriving in a LATER batch cannot
+    displace a higher-sorting payload by arrival order."""
+    import os
+    import time
+    from datetime import datetime as dt
+
+    from res2df_spark.streaming.ops import asof_enrich_stream
+
+    schema = "user_id int, ts timestamp, probe boolean, v double, vid long"
+    d = tmp_path / "src"
+    d.mkdir()
+    batches = [
+        # b1: obs for k1 and the HIGH-sorting equal-ts obs for k2
+        [(1, dt(2020, 1, 1, 10, 0), False, 5.0, 500),
+         (2, dt(2020, 1, 1, 10, 0), False, 9.0, 900)],
+        # b2: newer obs for k1; LOW-sorting equal-ts duplicate for k2
+        [(1, dt(2020, 1, 1, 10, 5), False, 7.0, 700),
+         (2, dt(2020, 1, 1, 10, 0), False, 3.0, 300)],
+        # b3: probes — NULL-ts, late (before state's obs), current
+        [(1, None, True, None, None),
+         (1, dt(2020, 1, 1, 10, 2), True, None, None),
+         (1, dt(2020, 1, 1, 10, 6), True, None, None),
+         (2, dt(2020, 1, 1, 10, 1), True, None, None)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"b{i}"))
+        # distinct mtimes → deterministic file-source batch order
+        t = time.time() + i
+        for root, _, files in os.walk(d / f"b{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "b*"))
+    )
+    out = asof_enrich_stream(stream, ["user_id"], "ts", "probe", ["v", "vid"])
+    _run_stream(out, "asof_cross_batch_sink")
+    got = {
+        (r.user_id, r.ts): (r.v, r.vid)
+        for r in spark.sql("SELECT * FROM asof_cross_batch_sink").collect()
+    }
+    assert got[(1, None)] == (None, None)  # NULL-ts probe: never matches
+    # late probe: state holds 10:05 > probe 10:02 — never a future match
+    assert got[(1, dt(2020, 1, 1, 10, 2))] == (None, None)
+    assert got[(1, dt(2020, 1, 1, 10, 6))] == (7.0, 700)
+    # equal-ts duplicate from a later batch must NOT displace (9.0, 900)
+    assert got[(2, dt(2020, 1, 1, 10, 1))] == (9.0, 900)
