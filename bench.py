@@ -144,6 +144,70 @@ def run_one(spark, name: str, repeats: int = 5) -> float:
     return build, samples
 
 
+def _load_prev() -> dict[str, float]:
+    """Previous round's per-query timings for mover adjudication:
+    ``$SPARK_GRAFT_BENCH_PREV`` (a bench JSON path) or the newest
+    ``BENCH_r*.json`` the driver left in the repo dir.  Only float
+    entries are comparable."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = os.environ.get("SPARK_GRAFT_BENCH_PREV")
+    cands = (
+        [env]
+        if env
+        else sorted(
+            glob.glob(os.path.join(here, "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        )
+    )
+    for path in reversed(cands):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        queries = (rec.get("parsed") or rec).get("queries") or {}
+        floats = {k: v for k, v in queries.items() if isinstance(v, (int, float))}
+        if floats:
+            return floats
+    return {}
+
+
+def _isolated_rerun(name: str) -> float | None:
+    """Fresh-JVM best-of-3 for one query — the manual adjudication
+    protocol for >2× movers (rounds 8-9 both burned analysis time on
+    phantom regressions that a quiet-host rerun dissolved), promoted
+    into the artifact itself.  A separate process = separate JVM, so
+    the rerun sees none of the main session's heap/GC state."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", name],
+            capture_output=True, text=True, timeout=600,
+        )
+        return float(out.stdout.strip().splitlines()[-1])
+    except Exception:  # noqa: BLE001 — adjudication is best-effort
+        return None
+
+
+def _only(name: str) -> None:
+    """--only NAME: time one query in this (fresh) session, print the
+    best-of-3 exec seconds as the last stdout line."""
+    spark = get_spark("res2df-spark-bench-isolated")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        run_one(spark, "dedup_exact", repeats=2)  # warm footers/JVM
+    except Exception:  # noqa: BLE001
+        pass
+    # more repeats than the main loop: a fresh JVM JITs as it goes, so
+    # early samples read high — min-of-7 lets codegen settle
+    _, samples = run_one(spark, name, repeats=7)
+    print(round(min(samples), 3))
+
+
 def main() -> None:
     spark = get_spark("res2df-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -181,6 +245,42 @@ def main() -> None:
             timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
     errors = [n for n, t in timings.items() if not isinstance(t, float)]
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
+
+    # Self-adjudication of >2× movers vs the previous round: re-time
+    # each suspect in a FRESH process (new JVM).  If the isolated
+    # number lands back within 1.5× of the previous round, the mover
+    # is host noise ("suspect": "host") — the code did not regress;
+    # if it stays slow, it is flagged "confirmed" for human attention.
+    prev = _load_prev()
+    movers = [
+        n for n, t in timings.items()
+        if isinstance(t, float)
+        and isinstance(prev.get(n), (int, float))
+        and prev[n] >= 0.05
+        and t > 2.0 * prev[n]
+    ]
+    recheck: dict[str, dict[str, object]] = {}
+    for n in movers[:8]:  # bound the fresh-JVM cost
+        iso = _isolated_rerun(n)
+        recheck[n] = {
+            "prev": prev[n],
+            "main": timings[n],
+            "isolated": iso,
+            # three-band verdict: back near prev → host noise; still
+            # >2× on a fresh JVM → a real regression; the band between
+            # is inconclusive (fresh-JVM JIT can inflate sub-second
+            # queries ~1.5-2× even with the settle repeats)
+            "suspect": (
+                "unknown" if iso is None
+                else "host" if iso <= 1.5 * prev[n]
+                else "confirmed" if iso > 2.0 * prev[n]
+                else "inconclusive"
+            ),
+        }
+    if len(movers) > 8:
+        for n in movers[8:]:
+            recheck[n] = {"prev": prev[n], "main": timings[n],
+                          "isolated": None, "suspect": "unchecked"}
     record = {
         "metric": "headline_suite_total",
         # a partial total would read as a speedup; flag it instead
@@ -201,6 +301,8 @@ def main() -> None:
     if errors:
         record["errors"] = errors
         record["partial_total"] = total
+    if recheck:
+        record["recheck"] = recheck
 
     # The FULL record (build + per-query variance stats) outgrew the
     # driver's stdout tail capture — BENCH_r06/r07 both recorded
@@ -234,8 +336,21 @@ def main() -> None:
     if errors:
         compact["errors"] = errors
         compact["partial_total"] = total
+    if recheck:
+        # compact form: name → suspect tag (+ isolated secs when run)
+        compact["recheck"] = {
+            n: (
+                f"{r['suspect']}:{r['isolated']}"
+                if r.get("isolated") is not None
+                else r["suspect"]
+            )
+            for n, r in recheck.items()
+        }
     print(json.dumps(compact))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--only":
+        _only(sys.argv[2])
+    else:
+        main()

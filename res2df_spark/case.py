@@ -236,10 +236,25 @@ class ResdataCase:
             self.spark, self.path("EGRID"), self._existing("INIT")
         )
 
-    def trans(self, directions: str = "IJK") -> DataFrame:
-        from res2df_spark.modules.grid import trans_df
+    def trans(self, directions: str = "IJK", vectors=None,
+              boundaryfilter: bool = False, group: bool = False,
+              coords: bool = False, onlykdir: bool = False,
+              onlyijdir: bool = False, addnnc: bool = False) -> DataFrame:
+        """Neighbour transmissibilities; with any composition flag set
+        this is the reference's full ``trans.df()`` option surface
+        (trans.py:21-219) — NNC union, per-cell vector merge, midpoint
+        coords, boundary filter, interface grouping."""
+        from res2df_spark.modules.grid import trans_df, trans_full
 
-        return trans_df(self.grid(), directions=directions)
+        plain = not (vectors or boundaryfilter or group or coords
+                     or onlykdir or onlyijdir or addnnc)
+        if plain:
+            return trans_df(self.grid(), directions=directions)
+        return trans_full(
+            self.grid(), vectors=vectors, boundaryfilter=boundaryfilter,
+            group=group, coords=coords, onlykdir=onlykdir,
+            onlyijdir=onlyijdir, nnc=self.nnc() if addnnc else None,
+        )
 
     def pillars(self, region_col: str | None = None,
                 rstdates=None, soilcutoff: float = 0.5,
@@ -314,15 +329,28 @@ class ResdataCase:
         return load_parameters(self.path("DATA"))
 
     def wellcompletiondata(self, zonemap: DataFrame | None = None,
-                           excl_well_startswith: str | None = None
+                           excl_well_startswith: str | None = None,
+                           use_wellconnstatus: bool = False
                            ) -> DataFrame:
-        """compdat ⋈ zonemap → per-zone OPEN/KH aggregate (J11)."""
+        """compdat ⋈ zonemap → per-zone OPEN/KH aggregate (J11).
+
+        ``use_wellconnstatus=True`` swaps the schedule-file OPEN/SHUT
+        timeline for CPI-derived connection-status events (reference
+        wellcompletiondata.py:82-84 → _merge_compdat_and_connstatus).
+        The KH column carries its unit (mDm/mDft/mDcm per the deck's
+        unit-system keyword) as column metadata, like the reference's
+        Arrow field metadata (wellcompletiondata.py:88-96)."""
         from res2df_spark.modules import compdat, wellcompletiondata
 
         zmap = zonemap if zonemap is not None else self.get_zonemap()
         # the aggregate consumes the engine-internal single-K shape
         conns = compdat.df(self.spark, self.deck_text)
-        return wellcompletiondata.df(
+        connstatus = self.wellconnstatus() if use_wellconnstatus else None
+        out = wellcompletiondata.df(
             conns, zmap.select("K", "ZONE"),
             excl_well_prefix=excl_well_startswith,
+            connstatus=connstatus,
+        )
+        return wellcompletiondata.attach_kh_metadata(
+            out, wellcompletiondata.detect_unit_system(self.deck_text)
         )

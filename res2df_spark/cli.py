@@ -50,7 +50,7 @@ def _run_binary_module(
     start_date=None, end_date=None, with_params=False, vectors=None,
     dropconstants=False, stackdates=False, region=None, soilcutoff=0.5,
     sgascutoff=0.5, swatcutoff=0.5, group=False, wellname=None, date=None,
-    include_restart=False, paramfile=None,
+    include_restart=False, paramfile=None, **kwargs,
 ):
     """Thin dispatch over :class:`res2df_spark.case.ResdataCase` — the
     CLI and the user API share ONE composition of the module layer, so
@@ -97,9 +97,36 @@ def _run_binary_module(
     if name == "rft":
         return case.rft(wellname=wellname, date=date)
     if name == "nnc":
-        return case.nnc()
+        out = case.nnc()
+        # reference nnc fill_parser -c/--coords, -p/--pillars
+        # (nnc.py:175-200): vertical filter first (cheaper), then the
+        # midpoint-coordinate join
+        if kwargs.get("pillars"):
+            from res2df_spark.modules.grid import vertical_nnc_filter
+
+            out = vertical_nnc_filter(out)
+        if kwargs.get("coords"):
+            from pyspark.sql import functions as F
+
+            from res2df_spark.modules.grid import nnc_coordinates
+
+            geom = case.grid().select("I", "J", "K", "X", "Y", "Z")
+            out = nnc_coordinates(out, geom).select(
+                *out.columns,
+                F.col("X_MID").alias("X"), F.col("Y_MID").alias("Y"),
+                F.col("Z_MID").alias("Z"),
+            )
+        return out
     if name == "trans":
-        return case.trans()
+        # reference trans fill_parser (trans.py:236-280)
+        return case.trans(
+            vectors=vectors or None,
+            boundaryfilter=kwargs.get("boundaryfilter", False),
+            group=group, coords=kwargs.get("coords", False),
+            onlykdir=kwargs.get("onlyk", False),
+            onlyijdir=kwargs.get("onlyij", False),
+            addnnc=kwargs.get("addnnc", False),
+        )
     if name == "pillars":
         # reference pillars_main (pillars.py:409-438): region split,
         # contact cutoffs (CLI defaults all 0.5), --group aggregation
@@ -122,7 +149,26 @@ def _run_deck_module(name: str, spark, deck_text: str, **kwargs):
         # the reference shape (K1 == K2, 'OP/SH'), matching the res2csv
         # contract AND ResdataCase.compdat() — the engine-internal
         # single-K form is for downstream joins only
-        return compdat.to_reference_shape(compdat.df(spark, deck_text))
+        out = compdat.to_reference_shape(compdat.df(spark, deck_text))
+        initvectors = kwargs.get("initvectors")
+        if initvectors:
+            # reference compdat --initvectors (compdat.py:927-950 →
+            # grid.merge_initvectors with ijknames=["I","J","K1"]):
+            # per-cell INIT vectors joined on the connection's cell
+            from pyspark.sql import functions as F
+
+            from res2df_spark.case import ResdataCase
+
+            grid = ResdataCase(spark, kwargs["deckfile"]).grid()
+            missing = [v for v in initvectors if v not in grid.columns]
+            if missing:
+                raise SystemExit(f"INIT vectors {missing} not found")
+            dim = grid.select(
+                "I", "J", F.col("K").alias("K1"),
+                *[F.col(v) for v in initvectors],
+            )
+            out = out.join(dim, ["I", "J", "K1"], "left")
+        return out
     if name == "gruptree":
         return gruptree.df(spark, deck_text, startdate=kwargs.get("startdate"))
     if name == "satfunc":
@@ -133,10 +179,19 @@ def _run_deck_module(name: str, spark, deck_text: str, **kwargs):
         return tables.equil_df(spark, deck_text)
     if name == "wlist":
         return wlist.df(spark, deck_text)
-    if name == "vfpprod":
-        return vfp.df_prod(spark, deck_text)
-    if name == "vfpinj":
-        return vfp.df_inj(spark, deck_text)
+    if name in ("vfpprod", "vfpinj"):
+        out = vfp.df_prod(spark, deck_text) if name == "vfpprod" else (
+            vfp.df_inj(spark, deck_text)
+        )
+        numbers = kwargs.get("vfpnumbers")
+        if out is not None and numbers:
+            # P10 int-list table filter (reference _vfpprod.py:95-98)
+            from pyspark.sql import functions as F
+
+            from res2df_spark.functions.strings import string_to_intlist
+
+            out = out.filter(F.col("TABLE").isin(string_to_intlist(numbers)))
+        return out
     if name == "faults":
         return faults.df(spark, deck_text)
     if name == "wcon":
@@ -146,7 +201,9 @@ def _run_deck_module(name: str, spark, deck_text: str, **kwargs):
 
 def _run_wellcompletiondata(spark, deck_text: str, zonemap_path: str | None,
                             excl_well_prefix: str | None,
-                            deck_dir: str = "."):
+                            deck_dir: str = ".",
+                            use_wellconnstatus: bool = False,
+                            case_path: str | None = None):
     """Forward wellcompletiondata flow (reference
     wellcompletiondata.py:129-215): compdat pipeline ⋈ lyr zonemap →
     per-zone OPEN/KH aggregation.
@@ -175,9 +232,44 @@ def _run_wellcompletiondata(spark, deck_text: str, zonemap_path: str | None,
             print(f"Zonefile {path} not found, ignoring", file=sys.stderr)
         zmap = spark.createDataFrame([], "K int, ZONE string")
     conns = compdat.df(spark, deck_text)
-    return wellcompletiondata.df(
-        conns, zmap.select("K", "ZONE"), excl_well_prefix=excl_well_prefix
+    connstatus = None
+    if use_wellconnstatus:
+        # the reference flag reads CPI:* vectors from the case summary
+        # (wellcompletiondata.py:82-84) — needs the case, not just the
+        # deck text
+        from res2df_spark.case import ResdataCase
+
+        connstatus = ResdataCase(spark, case_path).wellconnstatus()
+    out = wellcompletiondata.df(
+        conns, zmap.select("K", "ZONE"), excl_well_prefix=excl_well_prefix,
+        connstatus=connstatus,
     )
+    return wellcompletiondata.attach_kh_metadata(
+        out, wellcompletiondata.detect_unit_system(deck_text)
+    )
+
+
+def _add_verbosity(s: argparse.ArgumentParser) -> None:
+    """-v/--verbose and --debug on every subparser, like the
+    reference's fill_parser blocks (e.g. summary.py:782-790,
+    trans.py:277) feeding getLogger_res2csv."""
+    s.add_argument("-v", "--verbose", action="store_true", help="Be verbose")
+    s.add_argument("--debug", action="store_true", help="Debug logging")
+
+
+def _apply_verbosity(args: argparse.Namespace) -> None:
+    """Map the flags onto the engine's logger tree (the reference's
+    getLogger_res2csv, res2csvlogger.py: INFO for -v, DEBUG for
+    --debug, WARNING otherwise)."""
+    import logging
+
+    level = (
+        logging.DEBUG if getattr(args, "debug", False)
+        else logging.INFO if getattr(args, "verbose", False)
+        else logging.WARNING
+    )
+    logging.basicConfig(level=level)
+    logging.getLogger("res2df_spark").setLevel(level)
 
 
 def get_parser() -> argparse.ArgumentParser:
@@ -188,8 +280,22 @@ def get_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="module", required=True)
     for name, help_ in _DECK_MODULES.items():
         s = sub.add_parser(name, help=help_)
+        _add_verbosity(s)
         s.add_argument("deckfile", help="input .DATA / include file")
         s.add_argument("-o", "--output", default="-", help="CSV path, '-' = stdout")
+        if name == "compdat":
+            s.add_argument(
+                "--initvectors", nargs="+", default=None,
+                help="INIT vectors to merge onto connections by "
+                     "(I, J, K1) — needs EGRID/INIT next to the deck "
+                     "(reference compdat --initvectors)",
+            )
+        if name in ("vfpprod", "vfpinj"):
+            s.add_argument(
+                "--vfpnumbers", default=None,
+                help="table numbers to extract, '[1,2,6:9]' int-list "
+                     "syntax (reference vfp --vfpnumbers)",
+            )
         if name == "gruptree":
             s.add_argument(
                 "--prettyprint", action="store_true",
@@ -203,6 +309,7 @@ def get_parser() -> argparse.ArgumentParser:
             )
     for name, help_ in _BINARY_MODULES.items():
         s = sub.add_parser(name, help=help_)
+        _add_verbosity(s)
         s.add_argument("case", help="case root (path with or without .DATA)")
         s.add_argument("-o", "--output", default="-", help="CSV path, '-' = stdout")
         s.add_argument(
@@ -259,6 +366,49 @@ def get_parser() -> argparse.ArgumentParser:
                 help="aggregate over all pillars (per --region and/or "
                      "DATE when present; reference pillars --group)",
             )
+        if name == "trans":
+            # reference trans fill_parser (trans.py:236-280)
+            s.add_argument(
+                "--vectors", nargs="+", default=None,
+                help="extra INIT vectors to be added as <VEC>1/<VEC>2",
+            )
+            s.add_argument(
+                "--boundaryfilter", action="store_true",
+                help="filter to connections where the INIT vector "
+                     "changes value (exactly one vector)",
+            )
+            s.add_argument(
+                "--onlyk", action="store_true",
+                help="filter to only K direction",
+            )
+            s.add_argument(
+                "--onlyij", action="store_true",
+                help="filter to only IJ-plane",
+            )
+            s.add_argument(
+                "--coords", action="store_true",
+                help="add connection midpoint coordinates and distances",
+            )
+            s.add_argument(
+                "--group", action="store_true",
+                help="sum transmissibilities over region interfaces "
+                     "(region name in --vectors)",
+            )
+            s.add_argument(
+                "--nnc", action="store_true", dest="addnnc",
+                help="add NNC transmissibilities to the same dataframe",
+            )
+        if name == "nnc":
+            # reference nnc fill_parser (nnc.py:175-200)
+            s.add_argument(
+                "-c", "--coords", action="store_true",
+                help="add xyz coords of connection midpoint",
+            )
+            s.add_argument(
+                "-p", "--pillars", "--vertical", action="store_true",
+                dest="pillars",
+                help="only dump vertical (along pillars) connections",
+            )
         if name == "rft":
             s.add_argument(
                 "--wellname", default=None,
@@ -314,6 +464,7 @@ def get_parser() -> argparse.ArgumentParser:
             )
     for name, help_ in _DECK_MODULES_EXTRA.items():
         s = sub.add_parser(name, help=help_)
+        _add_verbosity(s)
         s.add_argument("deckfile", help="input .DATA / include file")
         s.add_argument(
             "--zonemap", default=None,
@@ -324,12 +475,24 @@ def get_parser() -> argparse.ArgumentParser:
             "--excl_well_startswith", default=None,
             help="exclude wells with this name prefix (P8)",
         )
+        s.add_argument(
+            "--use_wellconnstatus", action="store_true",
+            help="use OPEN/SHUT events extracted from CPI* summary "
+                 "vectors instead of the schedule file (reference "
+                 "wellcompletiondata --use_wellconnstatus)",
+        )
+        s.add_argument(
+            "--arrow", action="store_true",
+            help="write Arrow IPC (feather) instead of CSV, with KH "
+                 "unit metadata (reference wellcompletiondata --arrow)",
+        )
         s.add_argument("-o", "--output", default="-", help="CSV path, '-' = stdout")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = get_parser().parse_args(argv)
+    _apply_verbosity(args)
     # res2arrow console alias: same CLI, arrow output forced
     # (reference res2csv.py:270-271 keys on the invoked program name)
     if argv is None and "arrow" in os.path.basename(sys.argv[0] or ""):
@@ -356,6 +519,12 @@ def main(argv: list[str] | None = None) -> int:
             date=getattr(args, "date", None),
             include_restart=getattr(args, "include_restart", False),
             paramfile=getattr(args, "paramfile", None),
+            coords=getattr(args, "coords", False),
+            pillars=getattr(args, "pillars", False),
+            boundaryfilter=getattr(args, "boundaryfilter", False),
+            onlyk=getattr(args, "onlyk", False),
+            onlyij=getattr(args, "onlyij", False),
+            addnnc=getattr(args, "addnnc", False),
         )
     elif args.module in _DECK_MODULES_EXTRA:
         from res2df_spark.sources.deck import read_deck
@@ -366,6 +535,8 @@ def main(argv: list[str] | None = None) -> int:
         df = _run_wellcompletiondata(
             spark, deck_text, args.zonemap, args.excl_well_startswith,
             deck_dir=_os.path.dirname(_os.path.abspath(args.deckfile)),
+            use_wellconnstatus=getattr(args, "use_wellconnstatus", False),
+            case_path=args.deckfile,
         )
     else:
         from res2df_spark.sources.deck import read_deck
@@ -376,7 +547,12 @@ def main(argv: list[str] | None = None) -> int:
             from datetime import date as _date
 
             startdate = _date.fromisoformat(startdate)
-        df = _run_deck_module(args.module, spark, deck_text, startdate=startdate)
+        df = _run_deck_module(
+            args.module, spark, deck_text, startdate=startdate,
+            initvectors=getattr(args, "initvectors", None),
+            vfpnumbers=getattr(args, "vfpnumbers", None),
+            deckfile=args.deckfile,
+        )
     if df is None:
         print("no matching keywords found in deck", file=sys.stderr)
         return 1
@@ -392,10 +568,14 @@ def main(argv: list[str] | None = None) -> int:
     if getattr(args, "arrow", False):
         import pyarrow.feather as feather
 
+        from res2df_spark.sinks.writers import to_arrow_table
+
         if args.output == "-":
             # reference common.py:141
             raise SystemExit("Not possible to write arrow format to stdout")
-        feather.write_feather(df.toPandas(), args.output)
+        # field metadata (e.g. the KH unit) rides the Arrow schema,
+        # like the reference's _df2pyarrow (wellcompletiondata.py:218)
+        feather.write_feather(to_arrow_table(df), args.output)
         return 0
     write_dataframe(df, args.output)
     return 0
@@ -426,6 +606,7 @@ def get_csv2res_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="module", required=True)
     for name, help_ in _CSV2RES_MODULES.items():
         s = sub.add_parser(name, help=help_)
+        _add_verbosity(s)
         s.add_argument("csvfile", help="input CSV (res2csv-spark output shape)")
         s.add_argument(
             "-o", "--output", default="-",
@@ -439,6 +620,7 @@ def csv2res_main(argv: list[str] | None = None) -> int:
     from res2df_spark.sinks import df2res
 
     args = get_csv2res_parser().parse_args(argv)
+    _apply_verbosity(args)
     spark = get_spark(f"csv2res-{args.module}")
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.csv(args.csvfile, header=True, inferSchema=True)
@@ -534,6 +716,7 @@ def get_curate_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="op", required=True)
     for name, help_ in _CURATE_MODULES.items():
         s = sub.add_parser(name, help=help_)
+        _add_verbosity(s)
         s.add_argument("input", help="input parquet path")
         s.add_argument("-o", "--output", required=True, help="output parquet path")
         s.add_argument("--id-col", default="doc_id")
@@ -651,6 +834,7 @@ def curate_main(argv: list[str] | None = None) -> int:
     from res2df_spark.llm import curation
 
     args = get_curate_parser().parse_args(argv)
+    _apply_verbosity(args)
     spark = get_spark(f"curate-{args.op}")
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(args.input)

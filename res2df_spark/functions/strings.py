@@ -70,3 +70,25 @@ def pair_key(a: Column | str, b: Column | str, sep: str = "-") -> Column:
         ca.isNotNull() & cb.isNotNull(),
         F.concat_ws(sep, F.least(ca, cb), F.greatest(ca, cb)),
     )
+
+
+def string_to_intlist(list_def_str: str) -> list[int]:
+    """P10: ``"[1,2,6:9]"`` int-list syntax → list of ints — the
+    reference's ``_string2intlist``
+    (/root/reference/src/res2df/vfp/_vfpcommon.py:26-44), used to
+    filter VFP tables by number (_vfpprod.py:95-98).
+
+    Faithful to the reference's CODE, including its quirk: a ``a:b``
+    item contributes the ENDPOINTS only (``"6:9"`` → ``[6, 9]``),
+    although the reference docstring claims the full range — callers
+    filtering with ``isin`` get reference-identical selections."""
+    out: list[int] = []
+    list_def = list_def_str.strip().strip("[").strip("]")
+    if not list_def.strip():
+        return out
+    for item in list_def.split(","):
+        if ":" in item:
+            out.extend(int(v) for v in item.split(":"))
+        else:
+            out.append(int(item))
+    return out

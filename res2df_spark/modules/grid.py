@@ -491,3 +491,119 @@ def trans_df(grid: DataFrame, directions: str = "IJK") -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def trans_full(
+    grid: DataFrame,
+    vectors: Sequence[str] | str | None = None,
+    boundaryfilter: bool = False,
+    group: bool = False,
+    coords: bool = False,
+    onlykdir: bool = False,
+    onlyijdir: bool = False,
+    nnc: DataFrame | None = None,
+) -> DataFrame:
+    """The full trans composition — the reference's ``trans.df()``
+    option surface (/root/reference/src/res2df/trans.py:21-219) over
+    the engine's map-only :func:`trans_df` core:
+
+    * ``nnc`` (the reference's ``addnnc``): union the NNC pair table
+      (I1..K2, TRAN) tagged ``DIR='NNC'`` (trans.py:137-142).
+    * ``vectors``: per-cell INIT vectors merged for BOTH cells as
+      ``<VEC>1``/``<VEC>2`` — two equi-joins on the (I, J, K) cell key
+      (trans.py:144-168); unknown vectors warn and are skipped.  Like
+      the reference's inner merge, a face whose neighbour cell is not
+      in the grid frame drops here.
+    * ``coords``: connection midpoint (X, Y, Z) and cell-centre
+      distance (DX, DY, DZ) (trans.py:170-177).
+    * ``boundaryfilter`` (implied by ``group``): keep pairs crossing a
+      region boundary — exactly one integer vector required; the
+      reference logs an error + returns empty (trans.py:83-91), the
+      engine raises (module-layer loud-failure convention).
+    * ``group``: sum TRAN (mean coords) per unordered region interface,
+      keyed ``str(min)-str(max)`` in ``<VEC>PAIR``, with ``<VEC>1`` /
+      ``<VEC>2`` reinstated as sorted STRINGS — the reference splits
+      the pair key back (trans.py:189-219).
+
+    Plan shape at scale: union is map-only; the two vector merges
+    shuffle both sides on the same cell key (Catalyst reuses the
+    exchange for the second join); the group aggregation is a
+    partial-aggregatable hash agg on a low-cardinality interface key.
+    """
+    import warnings
+
+    if vectors is None:
+        vectors = []
+    elif isinstance(vectors, str):
+        vectors = [vectors]
+    vectors = list(vectors)
+    if group:
+        boundaryfilter = True  # grouping implies boundaryfilter (trans.py:79-81)
+    if boundaryfilter and len(vectors) != 1:
+        raise ValueError(
+            "boundaryfilter/group needs exactly one INIT vector "
+            f"(got {vectors!r}) — reference trans.py:83-91"
+        )
+    if onlykdir and onlyijdir:
+        warnings.warn(
+            "Filtering to both k and to ij simultaneously results in "
+            "empty dataframe",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    directions = "K" if onlykdir else ("IJ" if onlyijdir else "IJK")
+    if onlykdir and onlyijdir:
+        directions = ""
+    out = trans_df(grid, directions=directions)
+    if nnc is not None:
+        out = out.unionByName(
+            nnc.select(
+                "I1", "J1", "K1", "I2", "J2", "K2",
+                F.lit("NNC").alias("DIR"), "TRAN",
+            )
+        )
+    missing = [v for v in vectors if v not in grid.columns]
+    if missing:
+        warnings.warn(
+            f"Vectors {missing} not found, skipping", RuntimeWarning, stacklevel=2
+        )
+        vectors = [v for v in vectors if v in grid.columns]
+        if boundaryfilter and not vectors:
+            raise ValueError(
+                "boundaryfilter/group vector not present in the grid frame"
+            )
+    vectorscoords = list(vectors)
+    if coords:
+        vectorscoords += [c for c in ("X", "Y", "Z") if c not in vectorscoords]
+    if vectorscoords:
+        g1 = grid.select(
+            F.col("I").alias("I1"), F.col("J").alias("J1"), F.col("K").alias("K1"),
+            *[F.col(v).alias(f"{v}1") for v in vectorscoords],
+        )
+        g2 = grid.select(
+            F.col("I").alias("I2"), F.col("J").alias("J2"), F.col("K").alias("K2"),
+            *[F.col(v).alias(f"{v}2") for v in vectorscoords],
+        )
+        out = out.join(g1, ["I1", "J1", "K1"]).join(g2, ["I2", "J2", "K2"])
+    if coords:
+        for c in ("X", "Y", "Z"):
+            out = out.withColumn(c, (F.col(f"{c}1") + F.col(f"{c}2")) / 2.0)
+            out = out.withColumn(f"D{c}", F.abs(F.col(f"{c}1") - F.col(f"{c}2")))
+        out = out.drop("X1", "X2", "Y1", "Y2", "Z1", "Z2")
+    if boundaryfilter:
+        out = boundary_filter(out, vectors[0])
+    if group:
+        vec = vectors[0]
+        pairname = f"{vec}PAIR"
+        key = pair_key(F.col(f"{vec}1"), F.col(f"{vec}2"))
+        aggs = [
+            F.avg(c).alias(c)
+            for c in ("X", "Y", "Z", "DX", "DY", "DZ")
+            if c in out.columns
+        ] + [F.sum("TRAN").alias("TRAN")]
+        out = out.groupBy(key.alias(pairname)).agg(*aggs)
+        split = F.split(F.col(pairname), "-")
+        out = out.withColumn(f"{vec}1", split.getItem(0)).withColumn(
+            f"{vec}2", split.getItem(1)
+        )
+    return out

@@ -182,11 +182,30 @@ def dates_to_headers(
         .agg(*[F.first(c).alias(c) for c in value_cols])
     )
     # spark names pivoted columns '<date>_<alias>' (or '<date>' when a
-    # single agg) — rename to the reference's '<name>@<iso-date>'
+    # single agg) — rename to the reference's '<name>@<iso-date>'.
+    # Two distinct TIMESTAMPS on the same calendar day would truncate
+    # to the same '<name>@<date>' target and silently shadow each
+    # other — such colliding dates keep their full-timestamp tag
+    # instead (and warn), so every pivoted column stays addressable
+    # and the stack_dated_columns round-trip stays lossless.
+    tags = [_iso(d) for d in dates]
+    collided = {t for t in tags if tags.count(t) > 1}
+    if collided:
+        import warnings
+
+        warnings.warn(
+            f"dates_to_headers: multiple timestamps share the calendar "
+            f"date(s) {sorted(collided)}; colliding columns keep full-"
+            f"timestamp tags",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     renames: dict[str, str] = {}
-    for d in dates:
+    for d, tag in zip(dates, tags):
         pref = str(d)
+        if tag in collided:
+            tag = str(d)
         for c in value_cols:
             src = f"{pref}_{c}" if len(value_cols) > 1 else pref
-            renames[src] = f"{c}{sep}{_iso(d)}"
+            renames[src] = f"{c}{sep}{tag}"
     return out.withColumnsRenamed(renames)

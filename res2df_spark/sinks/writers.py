@@ -167,6 +167,33 @@ def write_dataframe(df: DataFrame, path: str, fmt: str = "csv", mode: str = "ove
         raise ValueError(f"unsupported format {fmt!r}")
 
 
+def to_arrow_table(df: DataFrame) -> "pa.Table":  # noqa: F821
+    """Collect a (small, terminal) result frame as a pyarrow Table whose
+    field metadata carries each column's ``StructField.metadata`` — the
+    reference's ``_df2pyarrow`` channel (wellcompletiondata.py:218-246,
+    summary.py:506-521), so a ``--arrow`` export keeps units.
+
+    Spark's ``toPandas()`` drops column metadata; this re-attaches it on
+    the Arrow schema after the collect.  Values are bytes-encoded like
+    the reference (Arrow field metadata is bytes→bytes)."""
+    import pyarrow as pa
+
+    pdf = to_pandas_datesafe(df)
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    fields = []
+    meta_by_name = {f.name: f.metadata for f in df.schema}
+    for field in table.schema:
+        meta = meta_by_name.get(field.name) or {}
+        fields.append(
+            field.with_metadata(
+                {str(k).encode(): str(v).encode() for k, v in meta.items()}
+            )
+            if meta
+            else field
+        )
+    return table.cast(pa.schema(fields))
+
+
 def write_parquet_with_metadata(
     df: DataFrame, path: str, column_metadata: dict[str, dict], mode: str = "overwrite"
 ) -> None:

@@ -213,11 +213,14 @@ def load_parameters(
     for _ in range(search_parents):
         d = os.path.dirname(d)
         dirs.append(d)
-    names = (
-        (filebase,)
-        if filebase
-        else ("parameters", "parameters.txt", "parameters.yml", "parameters.json")
-    )
+    # candidate names per filebase, mirroring find_parameter_files
+    # (parameters.py:44-48): filebase+'.json'/'.yml'/'.txt' plus the
+    # bare name — listed lowest-precedence FIRST here because the
+    # update-loop below lets the last write win (json beats yml beats
+    # txt beats bare, same net precedence as the reference's
+    # first-found-wins order)
+    base = filebase or "parameters"
+    names = (base, f"{base}.txt", f"{base}.yml", f"{base}.json")
     # Iterate lowest-precedence first so dict.update leaves the
     # highest-precedence (nearest dir, json-first) value standing.
     for d in reversed(dirs):

@@ -68,12 +68,29 @@ def asof_enrich_stream(
     (the single-observation state cannot recover the older observation
     a batch join would have found; it never fabricates a future match).
     A late observation older than the state's cannot rewind
-    already-emitted probes.  Within one batch — and therefore in the
-    available-now replay — results equal the batch join exactly.
+    already-emitted probes — in-batch observations older than the
+    carried state are likewise inert (they can never advance the
+    state, so a probe between their time and the state's time still
+    gets NULL).  Within one batch — and therefore in the available-now
+    replay — results equal the batch join exactly.
 
-    CPU shape: one Arrow-fed pandas pass with a per-row Python walk per
-    (key, micro-batch) — cost is bounded by micro-batch size, never
-    corpus size; state stays one observation per key.
+    Rows with a NULL ``probe_col`` are DROPPED: the flag contract is
+    non-null boolean (a NULL flag is neither a probe to emit nor an
+    observation to consume; round 9 emitted such rows as probes
+    because ``bool(nan)`` is True).
+
+    CPU shape: fully vectorized per (key, micro-batch) — one pandas
+    mergesort + one ``pd.merge_asof`` (backward, exact matches
+    allowed) against the effective observation set with the carried
+    state prepended as a synthetic observation row; no per-row Python
+    loop.  The equal-time tiebreak (observations before probes,
+    duplicate observations resolving to the payload tuple sorting
+    LAST with NULLs smallest — the batch engine's struct order) is
+    carried by the sort: ``merge_asof`` takes the last right-side row
+    at a matching time, which after the [time, payload] mergesort is
+    exactly the walk's winner, state included.  Cost is bounded by
+    micro-batch size, never corpus size; state stays one observation
+    per key.
 
     Output schema: the input minus ``probe_col``, probe rows only.
     """
@@ -86,25 +103,8 @@ def asof_enrich_stream(
         + [stream.schema[c] for c in value_cols]
     )
 
-    def _null(v) -> bool:
-        return v is None or (isinstance(v, float) and v != v)
-
-    def _payload_cmp(a, b) -> int:
-        """Lexicographic payload compare with NULLs smallest — the
-        batch engine's struct ordering, applied to the STATE so the
-        equal-time tiebreak survives batch boundaries."""
-        for x, y in zip(a, b):
-            xn, yn = _null(x), _null(y)
-            if xn and yn:
-                continue
-            if xn or yn:
-                return -1 if xn else 1
-            if x == y:
-                continue
-            return -1 if x < y else 1
-        return 0
-
     def fn(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         cur = list(state.get) if state.exists else None
@@ -113,53 +113,67 @@ def asof_enrich_stream(
             if cur is not None:
                 state.update(tuple(cur))
             return
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        pdf = pd.concat(chunks, ignore_index=True)
+        # NULL probe flags are malformed (the contract is non-null
+        # boolean) — neither probes nor observations; drop them before
+        # the cast (bool(nan) is True and emitted phantom probes)
+        pdf = pdf[pdf[probe_col].notna()]
+        pdf = pdf.sort_values(
             # obs (False) before probes (True) at equal times; value
-            # columns last so equal-time duplicate observations iterate
+            # columns last so equal-time duplicate observations line up
             # in payload order (NULLs smallest = na_position='first');
-            # the explicit comparator below makes the same tiebreak
-            # hold against the carried STATE, not just within the sort
+            # merge_asof then takes the LAST equal-time right row — the
+            # batch engine's struct-order winner, state included
             [ts_col, probe_col, *value_cols],
             kind="mergesort",
             na_position="first",
-        )
-        ts_a = pdf[ts_col]
-        probe_a = pdf[probe_col]
-        val_a = {c: pdf[c] for c in value_cols}
-        nulls = (None,) * len(value_cols)
-        probe_idx: list[int] = []
-        matched: list[tuple] = []
-        for i in range(len(pdf)):
-            ts = ts_a.iat[i]
-            if bool(probe_a.iat[i]):
-                probe_idx.append(i)
-                # NULL-time probes never match (batch parity), and a
-                # probe must never take an observation from after its
-                # own time (state already advanced past a late probe →
-                # conservative NULL, never a future match)
-                if cur is None or pd.isna(ts) or cur[0] > ts:
-                    matched.append(nulls)
-                else:
-                    matched.append(tuple(cur[1:]))
-            else:
-                if pd.isna(ts):
-                    continue  # timeless observation: excluded, like batch
-                vals = [val_a[c].iat[i] for c in value_cols]
-                if (
-                    cur is None
-                    or ts > cur[0]
-                    or (ts == cur[0] and _payload_cmp(vals, cur[1:]) >= 0)
-                ):
-                    cur = [ts] + vals
+        ).reset_index(drop=True)
+        is_probe = pdf[probe_col].astype(bool)
+        vcols = [ts_col, *value_cols]
+        obs = pdf.loc[~is_probe & pdf[ts_col].notna(), vcols]
         if cur is not None:
-            state.update(tuple(cur))
-        if probe_idx:
-            out = pdf.iloc[probe_idx].reset_index(drop=True)
-            for j, c in enumerate(value_cols):
-                out[c] = pd.Series(
-                    [m[j] for m in matched], dtype="object"
-                )
-            yield out[out_names]
+            state_ts = pd.Timestamp(cur[0])
+            # in-batch observations older than the carried state can
+            # never advance it — drop them so the merge reproduces the
+            # one-pass walk exactly (a probe between an old obs and
+            # the state time gets NULL, never a rewind)
+            obs = obs[obs[ts_col] >= state_ts]
+            state_row = pd.DataFrame(
+                {ts_col: [state_ts],
+                 **{c: [v] for c, v in zip(value_cols, cur[1:])}}
+            )
+            eff = pd.concat([state_row, obs], ignore_index=True).sort_values(
+                vcols, kind="mergesort", na_position="first"
+            )
+        else:
+            eff = obs
+        if len(eff):
+            last = eff.iloc[-1]
+            state.update(tuple([last[ts_col]] + [last[c] for c in value_cols]))
+        probes = pdf[is_probe.values]
+        if not len(probes):
+            return
+        out = probes.reset_index(drop=True)
+        # NULL-time probes never match (batch parity); merge the rest
+        tagged = {c: f"__v_{c}" for c in value_cols}
+        filled = pd.DataFrame(
+            index=out.index, columns=list(tagged.values()), dtype="object"
+        )
+        live = out[ts_col].notna().values
+        if live.any() and len(eff):
+            merged = pd.merge_asof(
+                out.loc[live, [ts_col]],
+                eff.rename(columns=tagged),
+                on=ts_col,
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            for c in tagged.values():
+                vals = merged[c].astype("object")
+                filled.loc[live, c] = vals.where(pd.notna(vals), None).values
+        for c, tc in tagged.items():
+            out[c] = filled[tc].where(pd.notna(filled[tc]), None)
+        yield out[out_names]
 
     return (
         stream.withWatermark(ts_col, watermark)

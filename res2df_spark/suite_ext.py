@@ -977,6 +977,194 @@ def wcd_zone_agg(spark, sf_dir):
     )
 
 
+_TRANS_GRID_SQL = """(VALUES
+        (1, 1, 1, 100.0, 200.0, 10.0, 1, 5.0, 0.0, 2.0),
+        (2, 1, 1, 200.0, 200.0, 10.0, 2, 0.0, 0.0, 3.0),
+        (1, 1, 2, 100.0, 200.0, 20.0, 1, 4.0, CAST(NULL AS DOUBLE), 0.0),
+        (2, 1, 2, 200.0, 200.0, 22.0, 2, 0.0, 0.0, 0.0))"""
+
+_TRANS_FACES_SQL = """
+    faces AS (
+        SELECT i AS i1, j AS j1, k AS k1, i + 1 AS i2, j AS j2, k AS k2,
+               'I' AS dir, tranx AS tran FROM grid WHERE tranx > 0
+        UNION ALL
+        SELECT i, j, k, i, j + 1, k, 'J', trany FROM grid WHERE trany > 0
+        UNION ALL
+        SELECT i, j, k, i, j, k + 1, 'K', tranz FROM grid WHERE tranz > 0
+        UNION ALL
+        SELECT * FROM (VALUES (1, 1, 1, 2, 1, 2, 'NNC', 0.7))),
+    m AS (
+        SELECT f.*, g1.fipnum AS fipnum1, g1.x AS x1, g1.y AS y1, g1.z AS z1,
+               g2.fipnum AS fipnum2, g2.x AS x2, g2.y AS y2, g2.z AS z2
+        FROM faces f
+        JOIN grid g1 ON f.i1 = g1.i AND f.j1 = g1.j AND f.k1 = g1.k
+        JOIN grid g2 ON f.i2 = g2.i AND f.j2 = g2.j AND f.k2 = g2.k)"""
+
+
+def _trans_fixture(spark):
+    grid = spark.createDataFrame(
+        [(1, 1, 1, 100.0, 200.0, 10.0, 1, 5.0, 0.0, 2.0),
+         (2, 1, 1, 200.0, 200.0, 10.0, 2, 0.0, 0.0, 3.0),
+         (1, 1, 2, 100.0, 200.0, 20.0, 1, 4.0, None, 0.0),
+         (2, 1, 2, 200.0, 200.0, 22.0, 2, 0.0, 0.0, 0.0)],
+        "I int, J int, K int, X double, Y double, Z double, FIPNUM int, "
+        "TRANX double, TRANY double, TRANZ double",
+    )
+    nnc = spark.createDataFrame(
+        [(1, 1, 1, 2, 1, 2, 0.7)],
+        "I1 int, J1 int, K1 int, I2 int, J2 int, K2 int, TRAN double",
+    )
+    return grid, nnc
+
+
+@_q(
+    "trans_nnc_union",
+    f"""
+    WITH grid(i, j, k, x, y, z, fipnum, tranx, trany, tranz) AS
+        {_TRANS_GRID_SQL},
+    {_TRANS_FACES_SQL}
+    SELECT i1, j1, k1, i2, j2, k2, dir,
+           CAST(round(tran, 3) AS DOUBLE) AS tran, fipnum1, fipnum2,
+           CAST(round((x1 + x2) / 2, 3) AS DOUBLE) AS x,
+           CAST(round((y1 + y2) / 2, 3) AS DOUBLE) AS y,
+           CAST(round((z1 + z2) / 2, 3) AS DOUBLE) AS z,
+           CAST(round(abs(x1 - x2), 3) AS DOUBLE) AS dx,
+           CAST(round(abs(y1 - y2), 3) AS DOUBLE) AS dy,
+           CAST(round(abs(z1 - z2), 3) AS DOUBLE) AS dz
+    FROM m
+    """,
+)
+def trans_nnc_union(spark, sf_dir):
+    """Full trans composition with NNC union, vector merge and
+    midpoint coords (modules/grid.trans_full; reference
+    trans.df(addnnc=True, vectors=['FIPNUM'], coords=True),
+    trans.py:104-177)."""
+    from res2df_spark.modules.grid import trans_full
+
+    grid, nnc = _trans_fixture(spark)
+    out = trans_full(grid, vectors=["FIPNUM"], coords=True, nnc=nnc)
+    return out.select(
+        F.col("I1").alias("i1"), F.col("J1").alias("j1"),
+        F.col("K1").alias("k1"), F.col("I2").alias("i2"),
+        F.col("J2").alias("j2"), F.col("K2").alias("k2"),
+        F.col("DIR").alias("dir"), F.round("TRAN", 3).alias("tran"),
+        F.col("FIPNUM1").alias("fipnum1"), F.col("FIPNUM2").alias("fipnum2"),
+        F.round("X", 3).alias("x"), F.round("Y", 3).alias("y"),
+        F.round("Z", 3).alias("z"), F.round("DX", 3).alias("dx"),
+        F.round("DY", 3).alias("dy"), F.round("DZ", 3).alias("dz"),
+    )
+
+
+@_q(
+    "trans_group_nnc",
+    f"""
+    WITH grid(i, j, k, x, y, z, fipnum, tranx, trany, tranz) AS
+        {_TRANS_GRID_SQL},
+    {_TRANS_FACES_SQL}
+    SELECT CAST(least(fipnum1, fipnum2) AS VARCHAR) || '-' ||
+               CAST(greatest(fipnum1, fipnum2) AS VARCHAR) AS fipnumpair,
+           CAST(round(sum(tran), 3) AS DOUBLE) AS tran,
+           CAST(least(fipnum1, fipnum2) AS VARCHAR) AS fipnum1,
+           CAST(greatest(fipnum1, fipnum2) AS VARCHAR) AS fipnum2
+    FROM m WHERE fipnum1 <> fipnum2
+    GROUP BY 1, 3, 4
+    """,
+)
+def trans_group_nnc(spark, sf_dir):
+    """Interface grouping over the composed trans frame — boundary
+    filter + unordered-pair aggregation with the region pair
+    reinstated as sorted strings (reference trans.py:179-219)."""
+    from res2df_spark.modules.grid import trans_full
+
+    grid, nnc = _trans_fixture(spark)
+    out = trans_full(grid, vectors=["FIPNUM"], group=True, nnc=nnc)
+    return out.select(
+        F.col("FIPNUMPAIR").alias("fipnumpair"),
+        F.round("TRAN", 3).alias("tran"),
+        F.col("FIPNUM1").alias("fipnum1"), F.col("FIPNUM2").alias("fipnum2"),
+    )
+
+
+@_q(
+    "wcd_connstatus_merge",
+    """
+    WITH compdat(well, i, j, k, op_sh, date_, kh) AS (VALUES
+        ('OP1', 1, 1, 1, 'SHUT', DATE '2020-01-01', 10.0),
+        ('OP1', 1, 1, 1, 'OPEN', DATE '2020-02-01', 12.0),
+        ('OP1', 1, 1, 2, 'OPEN', DATE '2020-01-01', 20.0),
+        ('OP2', 2, 2, 1, 'OPEN', DATE '2020-01-01', 7.0),
+        ('OP3', 3, 3, 1, 'OPEN', DATE '2020-01-01', 9.0)),
+    zmap(k, zone) AS (VALUES (1, 'UPPER'), (2, 'LOWER')),
+    czoned AS (
+        SELECT c.*, z.zone FROM compdat c LEFT JOIN zmap z ON c.k = z.k),
+    cfirst AS (
+        SELECT well, i, j, k, kh, zone FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY well, i, j, k ORDER BY date_, op_sh, kh) AS rn
+            FROM czoned) WHERE rn = 1),
+    conn(well, i, j, k, date_, op_sh) AS (VALUES
+        ('OP1', 1, 1, 1, DATE '2020-01-01', 'OPEN'),
+        ('OP1', 1, 1, 1, DATE '2020-02-01', 'SHUT'),
+        ('OP1', 1, 1, 2, DATE '2020-02-01', 'OPEN'),
+        ('OP3', 3, 3, 2, DATE '2020-01-01', 'OPEN')),
+    merged AS (
+        SELECT cs.well, cs.date_, cs.op_sh, cf.kh, cf.zone
+        FROM conn cs LEFT JOIN cfirst cf
+          ON cs.well = cf.well AND cs.i = cf.i AND cs.j = cf.j AND cs.k = cf.k
+        UNION ALL
+        SELECT well, date_, op_sh, kh, zone FROM czoned
+        WHERE well NOT IN (SELECT DISTINCT well FROM conn)),
+    filled AS (
+        SELECT well, zone, date_, op_sh, coalesce(kh, 0.0) AS kh
+        FROM merged WHERE zone IS NOT NULL)
+    SELECT well, zone, date_ AS date,
+           CAST(max(CASE WHEN op_sh = 'OPEN' THEN 1 ELSE 0 END) AS BIGINT)
+               AS zone_open,
+           CAST(round(coalesce(
+               sum(CASE WHEN op_sh = 'OPEN' THEN kh END), 0.0), 2) AS DOUBLE)
+               AS kh
+    FROM filled GROUP BY 1, 2, 3
+    """,
+)
+def wcd_connstatus_merge(spark, sf_dir):
+    """J11 use_wellconnstatus merge (modules/wellcompletiondata.
+    merge_connstatus; reference wellcompletiondata.py:168-215).  The
+    fixture exercises every documented quirk: keep-FIRST compdat match
+    (OP1 conn (1,1,1) has two compdat rows — the 2020-01 SHUT row's
+    KH=10 wins for BOTH status events), anti-join fallback (OP2 absent
+    from connstatus keeps its compdat rows), compdat-ignored-when-
+    connstatus-exists (OP3's compdat conn (3,3,1) vanishes because OP3
+    HAS connstatus rows), KH fillna(0) + NULL-ZONE drop (OP3's
+    connstatus conn (3,3,2) has no compdat match)."""
+    from datetime import date as _d
+
+    from res2df_spark.modules import wellcompletiondata
+
+    d1, d2 = _d(2020, 1, 1), _d(2020, 2, 1)
+    conns = spark.createDataFrame(
+        [("OP1", 1, 1, 1, "SHUT", d1, 10.0), ("OP1", 1, 1, 1, "OPEN", d2, 12.0),
+         ("OP1", 1, 1, 2, "OPEN", d1, 20.0), ("OP2", 2, 2, 1, "OPEN", d1, 7.0),
+         ("OP3", 3, 3, 1, "OPEN", d1, 9.0)],
+        "WELL string, I int, J int, K int, OP_SH string, DATE date, KH double",
+    )
+    connstatus = spark.createDataFrame(
+        [("OP1", 1, 1, 1, d1, "OPEN"), ("OP1", 1, 1, 1, d2, "SHUT"),
+         ("OP1", 1, 1, 2, d2, "OPEN"), ("OP3", 3, 3, 2, d1, "OPEN")],
+        "WELL string, I int, J int, K int, DATE date, `OP/SH` string",
+    )
+    zonemap = spark.createDataFrame(
+        [(1, "UPPER"), (2, "LOWER")], "K int, ZONE string"
+    )
+    out = wellcompletiondata.df(conns, zonemap, connstatus=connstatus)
+    return out.select(
+        F.col("WELL").alias("well"),
+        F.col("ZONE").alias("zone"),
+        F.col("DATE").cast("timestamp").alias("date"),
+        (F.col("`OP/SH`") == "OPEN").cast("long").alias("zone_open"),
+        F.round("KH", 2).alias("kh"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A9 — hierarchical rollup (free from Spark/Catalyst; the reference has no
 # grouping sets — SURVEY §2.5 note — so this is engine surplus the oracle

@@ -1,0 +1,322 @@
+"""Round-10 additions: J11 use_wellconnstatus merge, KH unit metadata,
+trans composition (addnnc/coords/group), and CLI thin flags.
+
+Merge semantics mirror the reference's _merge_compdat_and_connstatus
+(/root/reference/src/res2df/wellcompletiondata.py:168-215)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+D1, D2 = date(2020, 1, 1), date(2020, 2, 1)
+
+
+def _conns(spark):
+    return spark.createDataFrame(
+        [("OP1", 1, 1, 1, "SHUT", D1, 10.0), ("OP1", 1, 1, 1, "OPEN", D2, 12.0),
+         ("OP1", 1, 1, 2, "OPEN", D1, 20.0), ("OP2", 2, 2, 1, "OPEN", D1, 7.0),
+         ("OP3", 3, 3, 1, "OPEN", D1, 9.0)],
+        "WELL string, I int, J int, K int, OP_SH string, DATE date, KH double",
+    )
+
+
+def _connstatus(spark):
+    return spark.createDataFrame(
+        [("OP1", 1, 1, 1, D1, "OPEN"), ("OP1", 1, 1, 1, D2, "SHUT"),
+         ("OP1", 1, 1, 2, D2, "OPEN"), ("OP3", 3, 3, 2, D1, "OPEN")],
+        "WELL string, I int, J int, K int, DATE date, `OP/SH` string",
+    )
+
+
+def _zmap(spark):
+    return spark.createDataFrame([(1, "UPPER"), (2, "LOWER")], "K int, ZONE string")
+
+
+class TestMergeConnstatus:
+    def test_keep_first_compdat_match(self, spark):
+        """Several compdat rows for one connection: the FIRST (earliest
+        DATE) wins for every status event — reference drop_duplicates
+        keep='first' (wellcompletiondata.py:204-207)."""
+        from res2df_spark.modules.wellcompletiondata import merge_connstatus
+
+        zoned = _conns(spark).join(_zmap(spark), "K", "left")
+        out = merge_connstatus(_connstatus(spark), zoned)
+        op1 = {
+            (r["DATE"], r["K"]): r["KH"]
+            for r in out.filter(F.col("WELL") == "OP1").collect()
+        }
+        # both OP1 (1,1,1) events carry the 2020-01 row's KH=10, not 12
+        assert op1[(D1, 1)] == 10.0 and op1[(D2, 1)] == 10.0
+
+    def test_fallback_and_ignore_quirks(self, spark):
+        """OP2 (absent from connstatus) keeps compdat rows; OP3's
+        compdat rows are IGNORED because OP3 has connstatus rows;
+        unmatched connstatus conn gets KH=0 (fillna)."""
+        from res2df_spark.modules.wellcompletiondata import merge_connstatus
+
+        zoned = _conns(spark).join(_zmap(spark), "K", "left")
+        out = merge_connstatus(_connstatus(spark), zoned).collect()
+        by_well = {}
+        for r in out:
+            by_well.setdefault(r["WELL"], []).append(r)
+        assert len(by_well["OP2"]) == 1 and by_well["OP2"][0]["KH"] == 7.0
+        # OP3: only the connstatus conn (3,3,2) — compdat (3,3,1) ignored
+        assert [(r["I"], r["J"], r["K"]) for r in by_well["OP3"]] == [(3, 3, 2)]
+        assert by_well["OP3"][0]["KH"] == 0.0 and by_well["OP3"][0]["ZONE"] is None
+
+    def test_df_connstatus_aggregation(self, spark):
+        """End-to-end df(connstatus=…): NULL-ZONE rows dropped like
+        pandas groupby NaN keys; zone OPEN iff any conn open."""
+        from res2df_spark.modules import wellcompletiondata
+
+        out = wellcompletiondata.df(
+            _conns(spark), _zmap(spark), connstatus=_connstatus(spark)
+        )
+        got = rows(out, "WELL", "ZONE", "DATE", "OP/SH", "KH")
+        assert got == sorted([
+            ("OP1", "UPPER", D1, "OPEN", 10.0),
+            ("OP1", "UPPER", D2, "SHUT", 0.0),
+            ("OP1", "LOWER", D2, "OPEN", 20.0),
+            ("OP2", "UPPER", D1, "OPEN", 7.0),
+        ])
+
+    def test_plain_path_unchanged(self, spark):
+        from res2df_spark.modules import wellcompletiondata
+
+        out = wellcompletiondata.df(_conns(spark), _zmap(spark))
+        assert out.filter(
+            (F.col("WELL") == "OP1") & (F.col("ZONE") == "UPPER")
+            & (F.col("DATE") == F.lit(str(D1)))
+        ).first()["OP/SH"] == "SHUT"
+
+
+class TestKhUnitMetadata:
+    @pytest.mark.parametrize(
+        "kw,unit",
+        [("METRIC", "mDm"), ("FIELD", "mDft"), ("LAB", "mDcm"),
+         ("PVT-M", "mDm")],
+    )
+    def test_detect_unit_system(self, kw, unit):
+        from res2df_spark.modules.wellcompletiondata import (
+            KH_UNITS, detect_unit_system,
+        )
+
+        deck = f"RUNSPEC\n{kw}\nSCHEDULE\n"
+        assert KH_UNITS[detect_unit_system(deck)] == unit
+
+    def test_default_is_metric(self):
+        from res2df_spark.modules.wellcompletiondata import detect_unit_system
+
+        assert detect_unit_system("RUNSPEC\nTITLE\n 'FIELD CASE' /\n") == "METRIC"
+
+    def test_metadata_attached(self, spark):
+        from res2df_spark.modules import wellcompletiondata
+
+        out = wellcompletiondata.df(_conns(spark), _zmap(spark))
+        out = wellcompletiondata.attach_kh_metadata(out, "FIELD")
+        meta = {f.name: f.metadata for f in out.schema}
+        assert meta["KH"] == {"unit": "mDft"}
+
+    def test_arrow_table_carries_metadata(self, spark):
+        from res2df_spark.modules import wellcompletiondata
+        from res2df_spark.sinks.writers import to_arrow_table
+
+        out = wellcompletiondata.attach_kh_metadata(
+            wellcompletiondata.df(_conns(spark), _zmap(spark)), "METRIC"
+        )
+        table = to_arrow_table(out)
+        assert table.schema.field("KH").metadata == {b"unit": b"mDm"}
+
+
+class TestTransFull:
+    def _grid(self, spark):
+        return spark.createDataFrame(
+            [(1, 1, 1, 100.0, 200.0, 10.0, 1, 5.0, 0.0, 2.0),
+             (2, 1, 1, 200.0, 200.0, 10.0, 2, 0.0, 0.0, 3.0),
+             (1, 1, 2, 100.0, 200.0, 20.0, 1, 4.0, None, 0.0),
+             (2, 1, 2, 200.0, 200.0, 22.0, 2, 0.0, 0.0, 0.0)],
+            "I int, J int, K int, X double, Y double, Z double, FIPNUM int, "
+            "TRANX double, TRANY double, TRANZ double",
+        )
+
+    def _nnc(self, spark):
+        return spark.createDataFrame(
+            [(1, 1, 1, 2, 1, 2, 0.7)],
+            "I1 int, J1 int, K1 int, I2 int, J2 int, K2 int, TRAN double",
+        )
+
+    def test_onlyk_onlyij(self, spark):
+        from res2df_spark.modules.grid import trans_full
+
+        g = self._grid(spark)
+        only_k = trans_full(g, onlykdir=True)
+        assert {r["DIR"] for r in only_k.collect()} == {"K"}
+        only_ij = trans_full(g, onlyijdir=True)
+        assert {r["DIR"] for r in only_ij.collect()} == {"I"}
+        with pytest.warns(RuntimeWarning):
+            both = trans_full(g, onlykdir=True, onlyijdir=True)
+        assert both.count() == 0
+
+    def test_nnc_union_dir_tag(self, spark):
+        from res2df_spark.modules.grid import trans_full
+
+        out = trans_full(self._grid(spark), nnc=self._nnc(spark))
+        dirs = [r["DIR"] for r in out.collect()]
+        assert dirs.count("NNC") == 1 and len(dirs) == 5
+
+    def test_boundaryfilter_needs_one_vector(self, spark):
+        from res2df_spark.modules.grid import trans_full
+
+        with pytest.raises(ValueError):
+            trans_full(self._grid(spark), boundaryfilter=True)
+        with pytest.raises(ValueError):
+            trans_full(self._grid(spark), group=True,
+                       vectors=["FIPNUM", "EQLNUM"])
+
+    def test_missing_vector_warns(self, spark):
+        from res2df_spark.modules.grid import trans_full
+
+        with pytest.warns(RuntimeWarning):
+            out = trans_full(self._grid(spark), vectors=["NOSUCH", "FIPNUM"])
+        assert "FIPNUM1" in out.columns and "NOSUCH1" not in out.columns
+
+    def test_group_reinstates_sorted_strings(self, spark):
+        from res2df_spark.modules.grid import trans_full
+
+        out = trans_full(
+            self._grid(spark), vectors=["FIPNUM"], group=True,
+            nnc=self._nnc(spark),
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["FIPNUMPAIR"] == "1-2"
+        assert (r["FIPNUM1"], r["FIPNUM2"]) == ("1", "2")
+        assert abs(r["TRAN"] - 9.7) < 1e-9
+
+    def test_coords_midpoint_and_distance(self, spark):
+        from res2df_spark.modules.grid import trans_full
+
+        out = trans_full(self._grid(spark), coords=True, onlykdir=True)
+        r = {(x["I1"], x["K1"]): x for x in out.collect()}
+        assert r[(1, 1)]["Z"] == 15.0 and r[(1, 1)]["DZ"] == 10.0
+        assert r[(2, 1)]["DX"] == 0.0
+
+
+import os
+
+_EIGHT = "/root/reference/tests/data/eightcells"
+
+
+@pytest.mark.skipif(not os.path.isdir(_EIGHT), reason="fixtures not present")
+class TestRound10Cli:
+    def test_trans_composition_flags(self, spark, capsys):
+        from res2df_spark.cli import main
+
+        assert main(["trans", f"{_EIGHT}/EIGHTCELLS", "--nnc", "--coords",
+                     "--vectors", "PORO", "-o", "-"]) == 0
+        header = capsys.readouterr().out.splitlines()[0].split(",")
+        assert {"DIR", "TRAN", "PORO1", "PORO2", "X", "DX"} <= set(header)
+
+    def test_trans_group_flag(self, spark, capsys):
+        from res2df_spark.cli import main
+
+        assert main(["trans", f"{_EIGHT}/EIGHTCELLS", "--group",
+                     "--vectors", "FIPNUM", "-o", "-"]) == 0
+        lines = capsys.readouterr().out.splitlines()
+        assert "FIPNUMPAIR" in lines[0].split(",")
+
+    def test_trans_onlyk(self, spark, capsys):
+        from res2df_spark.cli import main
+
+        assert main(["trans", f"{_EIGHT}/EIGHTCELLS", "--onlyk", "-o", "-"]) == 0
+        lines = capsys.readouterr().out.splitlines()
+        dir_idx = lines[0].split(",").index("DIR")
+        assert {ln.split(",")[dir_idx] for ln in lines[1:]} == {"K"}
+
+    def test_nnc_coords_pillars_flags(self, spark, capsys):
+        from res2df_spark.cli import main
+
+        # eightcells has no NNCs — the flags must still compose cleanly
+        assert main(["nnc", f"{_EIGHT}/EIGHTCELLS", "-c", "-p", "-o", "-"]) == 0
+        header = capsys.readouterr().out.splitlines()[0].split(",")
+        assert {"I1", "TRAN", "X", "Y", "Z"} <= set(header)
+
+    def test_compdat_initvectors(self, spark, capsys):
+        from res2df_spark.cli import main
+
+        assert main(["compdat", f"{_EIGHT}/EIGHTCELLS.DATA",
+                     "--initvectors", "PORO", "-o", "-"]) == 0
+        header = capsys.readouterr().out.splitlines()[0].split(",")
+        assert "PORO" in header and "WELL" in header
+
+    def test_compdat_initvectors_missing_raises(self, spark):
+        from res2df_spark.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["compdat", f"{_EIGHT}/EIGHTCELLS.DATA",
+                  "--initvectors", "NOSUCHVEC", "-o", "-"])
+
+    def test_wcd_use_wellconnstatus(self, spark, capsys):
+        from res2df_spark.cli import main
+
+        assert main(["wellcompletiondata", f"{_EIGHT}/EIGHTCELLS.DATA",
+                     "--zonemap", f"{_EIGHT}/zones.lyr",
+                     "--use_wellconnstatus", "-o", "-"]) == 0
+        lines = capsys.readouterr().out.splitlines()
+        assert {"WELL", "ZONE", "DATE", "OP/SH", "KH"} <= set(lines[0].split(","))
+        assert len(lines) > 1
+
+    def test_verbose_flag_accepted(self, spark, capsys):
+        from res2df_spark.cli import main
+
+        assert main(["trans", f"{_EIGHT}/EIGHTCELLS", "-v", "-o", "-"]) == 0
+        capsys.readouterr()
+
+
+def test_vfpnumbers_filter(spark, capsys):
+    from res2df_spark.cli import main
+
+    deck = """VFPPROD
+1 100.0 'LIQ' 'WCT' 'GOR' 'THP' ' ' 'METRIC' 'BHP' /
+1.0 2.0 /
+10.0 /
+0.0 /
+0.0 /
+0.0 /
+1 1 1 1 20.0 30.0 /
+/
+VFPPROD
+2 100.0 'LIQ' 'WCT' 'GOR' 'THP' ' ' 'METRIC' 'BHP' /
+1.0 2.0 /
+10.0 /
+0.0 /
+0.0 /
+0.0 /
+1 1 1 1 40.0 50.0 /
+/
+"""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".DATA", delete=False) as f:
+        f.write(deck)
+        path = f.name
+    assert main(["vfpprod", path, "--vfpnumbers", "[2]", "-o", "-"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    t_idx = lines[0].split(",").index("TABLE")
+    tables = {ln.split(",")[t_idx] for ln in lines[1:]}
+    assert tables == {"2"}
+    os.unlink(path)
+
+
+def test_string_to_intlist_reference_quirk():
+    from res2df_spark.functions.strings import string_to_intlist
+
+    assert string_to_intlist("[1,2,6:9]") == [1, 2, 6, 9]
+    assert string_to_intlist("") == []
+    assert string_to_intlist("4") == [4]
