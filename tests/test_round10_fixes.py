@@ -438,3 +438,88 @@ def test_welopen_complump_validation(spark, tail, match):
     deck = "COMPDAT\n 'OP1' 1 1 1 2 'OPEN' /\n/\n" + tail
     with pytest.raises(ValueError, match=match):
         compdat.df(spark, deck)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+
+def test_paramfile_relative_extension_candidates(tmp_path):
+    """A relative --paramfile/filebase without extension must find
+    filebase+'.json'/'.yml'/'.txt' like the reference's
+    find_parameter_files (parameters.py:44-48), json winning."""
+    from res2df_spark.sources.aux import load_parameters
+
+    (tmp_path / "CASE.DATA").write_text("RUNSPEC\n")
+    (tmp_path / "myparams.txt").write_text("A 1\nB 2\n")
+    got = load_parameters(str(tmp_path / "CASE.DATA"), filebase="myparams")
+    assert got == {"A": 1, "B": 2}
+    # json beats txt for the same filebase
+    (tmp_path / "myparams.json").write_text('{"A": 9}')
+    got = load_parameters(str(tmp_path / "CASE.DATA"), filebase="myparams")
+    assert got["A"] == 9 and got["B"] == 2
+
+
+def test_dates_to_headers_timestamp_collision_warns(spark):
+    """Two distinct timestamps on one calendar day must NOT silently
+    produce duplicate '<name>@<date>' headers — colliding dates keep
+    full-timestamp tags (round-9 ADVICE)."""
+    from datetime import datetime
+
+    from res2df_spark.operators.reshape import dates_to_headers
+
+    df = spark.createDataFrame(
+        [(1, datetime(2020, 1, 1, 0, 0), 10.0),
+         (1, datetime(2020, 1, 1, 12, 0), 11.0),
+         (1, datetime(2020, 2, 1, 0, 0), 12.0)],
+        "ID int, DATE timestamp, V double",
+    )
+    with pytest.warns(RuntimeWarning, match="share the calendar date"):
+        out = dates_to_headers(df, ["ID"])
+    cols = set(out.columns)
+    assert len(cols) == len(out.columns)  # no duplicate names
+    # the unambiguous date keeps the date-only tag; colliders keep time
+    assert "V@2020-02-01" in cols
+    assert sum(c.startswith("V@2020-01-01") for c in cols) == 2
+
+
+def test_stream_asof_null_probe_flag_dropped(spark, tmp_path):
+    """A NULL probe flag is neither probe nor observation — the row is
+    dropped (round 9 emitted it as a probe because bool(nan) is True)."""
+    import time as _time
+
+    from res2df_spark.streaming.ops import asof_enrich_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    chk = tmp_path / "chk"
+    out_dir = tmp_path / "out"
+    import json as _json
+
+    rows_in = [
+        {"k": "a", "ts": "2020-01-01T00:00:00", "probe": False, "v": 1.0},
+        {"k": "a", "ts": "2020-01-01T01:00:00", "probe": None, "v": None},
+        {"k": "a", "ts": "2020-01-01T02:00:00", "probe": True, "v": None},
+    ]
+    (src / "batch.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_in)
+    )
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, probe boolean, v double")
+        .json(str(src))
+    )
+    q = (
+        asof_enrich_stream(stream, ["k"], "ts", "probe", ["v"])
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out_dir)).collect()
+    # exactly ONE output row (the true probe), enriched from the obs;
+    # the NULL-flag row is gone
+    assert len(got) == 1
+    assert got[0]["v"] == 1.0
