@@ -256,6 +256,15 @@ class ResdataCase:
             onlyijdir=onlyijdir, nnc=self.nnc() if addnnc else None,
         )
 
+    def region_graph_edges(self, region: str = "FIPNUM") -> DataFrame:
+        """Region-connectivity edges weighted by summed TRAN — the
+        reference's ``trans.make_nx_graph`` artifact (trans.py:222-232)
+        as a DataFrame; ``modules.grid.to_networkx`` converts when a
+        driver-side graph object is wanted."""
+        from res2df_spark.modules.grid import region_graph_edges
+
+        return region_graph_edges(self.grid(), region=region)
+
     def pillars(self, region_col: str | None = None,
                 rstdates=None, soilcutoff: float = 0.5,
                 sgascutoff: float = 0.5, swatcutoff: float = 0.5,

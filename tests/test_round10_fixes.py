@@ -523,3 +523,30 @@ def test_stream_asof_null_probe_flag_dropped(spark, tmp_path):
     # the NULL-flag row is gone
     assert len(got) == 1
     assert got[0]["v"] == 1.0
+
+
+def test_region_graph_edges_and_networkx(spark):
+    """make_nx_graph parity (reference trans.py:222-232): region
+    interface edges weighted by summed TRAN."""
+    from res2df_spark.modules.grid import region_graph_edges, to_networkx
+
+    grid = spark.createDataFrame(
+        [(1, 1, 1, 100.0, 200.0, 10.0, 1, 5.0, 0.0, 2.0),
+         (2, 1, 1, 200.0, 200.0, 10.0, 2, 0.0, 0.0, 3.0),
+         (1, 1, 2, 100.0, 200.0, 20.0, 1, 4.0, None, 0.0),
+         (2, 1, 2, 200.0, 200.0, 22.0, 2, 0.0, 0.0, 0.0)],
+        "I int, J int, K int, X double, Y double, Z double, FIPNUM int, "
+        "TRANX double, TRANY double, TRANZ double",
+    )
+    edges = region_graph_edges(grid, "FIPNUM")
+    got = edges.collect()
+    assert len(got) == 1
+    assert (got[0]["FIPNUM1"], got[0]["FIPNUM2"]) == ("1", "2")
+    assert abs(got[0]["TRAN"] - 9.0) < 1e-9  # the two I faces, 5+4
+    try:
+        import networkx  # noqa: F401
+    except ImportError:
+        pytest.skip("networkx not installed")
+    g = to_networkx(edges)
+    assert g.number_of_edges() == 1
+    assert abs(g["1"]["2"]["weight"] - 9.0) < 1e-9
