@@ -154,13 +154,14 @@ def _load_prev() -> dict[str, float]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     env = os.environ.get("SPARK_GRAFT_BENCH_PREV")
+    def _round_no(p: str) -> int:
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1  # digit-less stragglers sort first
+
     cands = (
         [env]
         if env
-        else sorted(
-            glob.glob(os.path.join(here, "BENCH_r*.json")),
-            key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-        )
+        else sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), key=_round_no)
     )
     for path in reversed(cands):
         try:

@@ -254,6 +254,7 @@ class ResdataCase:
             self.grid(), vectors=vectors, boundaryfilter=boundaryfilter,
             group=group, coords=coords, onlykdir=onlykdir,
             onlyijdir=onlyijdir, nnc=self.nnc() if addnnc else None,
+            directions=directions,
         )
 
     def region_graph_edges(self, region: str = "FIPNUM") -> DataFrame:

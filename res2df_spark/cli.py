@@ -167,7 +167,10 @@ def _run_deck_module(name: str, spark, deck_text: str, **kwargs):
                 "I", "J", F.col("K").alias("K1"),
                 *[F.col(v) for v in initvectors],
             )
-            out = out.join(dim, ["I", "J", "K1"], "left")
+            # INNER like the reference's merge_initvectors
+            # (grid.py:365-408, pandas merge default): a connection
+            # addressing a cell absent from the grid frame drops
+            out = out.join(dim, ["I", "J", "K1"])
         return out
     if name == "gruptree":
         return gruptree.df(spark, deck_text, startdate=kwargs.get("startdate"))

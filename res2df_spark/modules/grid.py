@@ -502,6 +502,7 @@ def trans_full(
     onlykdir: bool = False,
     onlyijdir: bool = False,
     nnc: DataFrame | None = None,
+    directions: str | None = None,
 ) -> DataFrame:
     """The full trans composition — the reference's ``trans.df()``
     option surface (/root/reference/src/res2df/trans.py:21-219) over
@@ -551,9 +552,15 @@ def trans_full(
             RuntimeWarning,
             stacklevel=2,
         )
-    directions = "K" if onlykdir else ("IJ" if onlyijdir else "IJK")
-    if onlykdir and onlyijdir:
         directions = ""
+    elif onlykdir:
+        directions = "K"
+    elif onlyijdir:
+        directions = "IJ"
+    elif directions is None:
+        # engine extra: an explicit directions string passes through
+        # when neither reference-style only* flag is set
+        directions = "IJK"
     out = trans_df(grid, directions=directions)
     if nnc is not None:
         out = out.unionByName(

@@ -133,11 +133,20 @@ def detect_unit_system(deck_text: str) -> str:
     consumes silently, so this scans lines: a keyword must be the
     FIRST bare token on its line (Eclipse keyword grammar) — a quoted
     well named 'FIELD' or a FIELD inside a ``--`` comment never
-    matches."""
+    matches.  The scan STOPS at the first post-RUNSPEC section header:
+    unit keywords are RUNSPEC-only, while later sections carry legal
+    unquoted FIELD data tokens (``GCONPROD\\n  FIELD ...`` names the
+    root group) that would false-positive."""
     units = {"METRIC", "FIELD", "LAB", "PVT-M", "PVTM"}
+    sections = {"GRID", "EDIT", "PROPS", "REGIONS", "SOLUTION",
+                "SUMMARY", "SCHEDULE", "OPTIMIZE"}
     for line in deck_text.splitlines():
         tok = line.split("--", 1)[0].strip().split()
-        if tok and tok[0] in units:
+        if not tok:
+            continue
+        if tok[0] in sections:
+            break
+        if tok[0] in units:
             return "PVT-M" if tok[0] == "PVTM" else tok[0]
     return "METRIC"
 

@@ -186,8 +186,11 @@ def dates_to_headers(
     # Two distinct TIMESTAMPS on the same calendar day would truncate
     # to the same '<name>@<date>' target and silently shadow each
     # other — such colliding dates keep their full-timestamp tag
-    # instead (and warn), so every pivoted column stays addressable
-    # and the stack_dated_columns round-trip stays lossless.
+    # instead (and warn), so every pivoted column stays addressable.
+    # (stack_dated_columns still parses tags with to_date, so melting
+    # colliders back yields duplicate DATE rows — the collision is
+    # surfaced, not round-trippable; sub-day data belongs in the
+    # stacked shape.)
     tags = [_iso(d) for d in dates]
     collided = {t for t in tags if tags.count(t) > 1}
     if collided:

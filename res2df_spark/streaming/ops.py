@@ -106,7 +106,6 @@ def asof_enrich_stream(
     )
 
     def fn(key, pdfs, state: GroupState):
-        import numpy as np
         import pandas as pd
 
         cur = list(state.get) if state.exists else None

@@ -550,3 +550,47 @@ def test_region_graph_edges_and_networkx(spark):
     g = to_networkx(edges)
     assert g.number_of_edges() == 1
     assert abs(g["1"]["2"]["weight"] - 9.0) < 1e-9
+
+
+def test_trans_full_directions_passthrough(spark):
+    """case.trans(directions='K', coords=True) must honor directions
+    even when a composition flag routes through trans_full (review
+    finding: it was silently rebuilt as IJK)."""
+    from res2df_spark.modules.grid import trans_full
+
+    grid = spark.createDataFrame(
+        [(1, 1, 1, 100.0, 200.0, 10.0, 1, 5.0, 0.0, 2.0),
+         (2, 1, 1, 200.0, 200.0, 10.0, 2, 0.0, 0.0, 3.0),
+         (1, 1, 2, 100.0, 200.0, 20.0, 1, 4.0, None, 0.0),
+         (2, 1, 2, 200.0, 200.0, 22.0, 2, 0.0, 0.0, 0.0)],
+        "I int, J int, K int, X double, Y double, Z double, FIPNUM int, "
+        "TRANX double, TRANY double, TRANZ double",
+    )
+    out = trans_full(grid, coords=True, directions="K")
+    assert {r["DIR"] for r in out.collect()} == {"K"}
+
+
+def test_detect_unit_system_stops_at_sections():
+    """Unit keywords are RUNSPEC-only; an unquoted FIELD data token in
+    SCHEDULE (the root group name) must not flip the unit system."""
+    from res2df_spark.modules.wellcompletiondata import detect_unit_system
+
+    deck = (
+        "RUNSPEC\nOIL\nWATER\nSCHEDULE\n"
+        "GCONPROD\n  FIELD 'ORAT' 10000 /\n/\n"
+    )
+    assert detect_unit_system(deck) == "METRIC"
+
+
+@pytest.mark.skipif(not os.path.isdir(_EIGHT), reason="fixtures not present")
+def test_compdat_initvectors_inner_join(spark, capsys):
+    """--initvectors drops connections addressing cells absent from
+    the grid frame — the reference's inner merge (grid.py:365-408)."""
+    from res2df_spark.cli import main
+
+    assert main(["compdat", f"{_EIGHT}/EIGHTCELLS.DATA",
+                 "--initvectors", "PORO", "-o", "-"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    idx = lines[0].split(",").index("PORO")
+    # inner join: every surviving row has a non-empty PORO
+    assert all(ln.split(",")[idx] != "" for ln in lines[1:])
