@@ -594,3 +594,20 @@ def test_compdat_initvectors_inner_join(spark, capsys):
     idx = lines[0].split(",").index("PORO")
     # inner join: every surviving row has a non-empty PORO
     assert all(ln.split(",")[idx] != "" for ln in lines[1:])
+
+
+@pytest.mark.skipif(not os.path.isdir(_EIGHT), reason="fixtures not present")
+def test_wcd_arrow_feather_carries_kh_unit(spark, tmp_path):
+    """End-to-end --arrow: the feather file's KH field carries the
+    unit metadata, like the reference's _df2pyarrow export."""
+    import pyarrow.feather as feather
+
+    from res2df_spark.cli import main
+
+    out = tmp_path / "wcd.feather"
+    assert main(["wellcompletiondata", f"{_EIGHT}/EIGHTCELLS.DATA",
+                 "--zonemap", f"{_EIGHT}/zones.lyr",
+                 "--arrow", "-o", str(out)]) == 0
+    table = feather.read_table(str(out))
+    assert table.schema.field("KH").metadata == {b"unit": b"mDm"}
+    assert table.num_rows > 0
