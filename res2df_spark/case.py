@@ -88,20 +88,20 @@ class ResdataCase:
 
         return gruptree.df(self.spark, self.deck_text, startdate=startdate)
 
-    def satfunc(self) -> DataFrame | None:
+    def satfunc(self, keywords=None) -> DataFrame | None:
         from res2df_spark.modules import tables
 
-        return tables.satfunc_df(self.spark, self.deck_text)
+        return tables.satfunc_df(self.spark, self.deck_text, keywords=keywords)
 
-    def pvt(self) -> DataFrame | None:
+    def pvt(self, keywords=None) -> DataFrame | None:
         from res2df_spark.modules import tables
 
-        return tables.pvt_df(self.spark, self.deck_text)
+        return tables.pvt_df(self.spark, self.deck_text, keywords=keywords)
 
-    def equil(self) -> DataFrame | None:
+    def equil(self, keywords=None) -> DataFrame | None:
         from res2df_spark.modules import tables
 
-        return tables.equil_df(self.spark, self.deck_text)
+        return tables.equil_df(self.spark, self.deck_text, keywords=keywords)
 
     def faults(self) -> DataFrame:
         from res2df_spark.modules import faults

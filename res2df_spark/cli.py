@@ -67,7 +67,7 @@ def _run_binary_module(
         # reference fipreports accepts a bare PRT file as the "case"
         from res2df_spark.modules import fipreports
 
-        return fipreports.df(spark, root)
+        return fipreports.df(spark, root, fipname=kwargs.get("fipname") or "FIPNUM")
     case = ResdataCase(spark, root)
     if name == "summary":
         keys = [k.strip() for k in (column_keys or "").split(",") if k.strip()]
@@ -136,7 +136,7 @@ def _run_binary_module(
             swatcutoff=swatcutoff, group=group, stackdates=stackdates,
         )
     if name == "fipreports":
-        return case.fipreports()
+        return case.fipreports(fipname=kwargs.get("fipname") or "FIPNUM")
     if name == "wellconnstatus":
         return case.wellconnstatus()
     raise SystemExit(f"unknown module {name}")
@@ -175,11 +175,11 @@ def _run_deck_module(name: str, spark, deck_text: str, **kwargs):
     if name == "gruptree":
         return gruptree.df(spark, deck_text, startdate=kwargs.get("startdate"))
     if name == "satfunc":
-        return tables.satfunc_df(spark, deck_text)
+        return tables.satfunc_df(spark, deck_text, keywords=kwargs.get("keywords"))
     if name == "pvt":
-        return tables.pvt_df(spark, deck_text)
+        return tables.pvt_df(spark, deck_text, keywords=kwargs.get("keywords"))
     if name == "equil":
-        return tables.equil_df(spark, deck_text)
+        return tables.equil_df(spark, deck_text, keywords=kwargs.get("keywords"))
     if name == "wlist":
         return wlist.df(spark, deck_text)
     if name in ("vfpprod", "vfpinj"):
@@ -299,6 +299,17 @@ def get_parser() -> argparse.ArgumentParser:
                 help="table numbers to extract, '[1,2,6:9]' int-list "
                      "syntax (reference vfp --vfpnumbers)",
             )
+            s.add_argument(
+                "--arrow", action="store_true",
+                help="write Arrow IPC (feather) instead of CSV "
+                     "(reference vfp --arrow)",
+            )
+        if name in ("satfunc", "pvt", "equil"):
+            s.add_argument(
+                "-k", "--keywords", nargs="+", default=None,
+                help="restrict to these keywords (P9 want-list; "
+                     "reference satfunc/pvt/equil --keywords)",
+            )
         if name == "gruptree":
             s.add_argument(
                 "--prettyprint", action="store_true",
@@ -412,6 +423,12 @@ def get_parser() -> argparse.ArgumentParser:
                 dest="pillars",
                 help="only dump vertical (along pillars) connections",
             )
+        if name == "fipreports":
+            s.add_argument(
+                "--fipname", default="FIPNUM",
+                help="region parameter name of interest (reference "
+                     "fipreports --fipname)",
+            )
         if name == "rft":
             s.add_argument(
                 "--wellname", default=None,
@@ -448,7 +465,7 @@ def get_parser() -> argparse.ArgumentParser:
                      "(reference res2csv --arrow)",
             )
             s.add_argument(
-                "--params", action="store_true",
+                "-p", "--params", action="store_true",
                 help="merge parameters.txt/yml/json from the case dir "
                      "onto every row (reference summary --params)",
             )
@@ -528,6 +545,7 @@ def main(argv: list[str] | None = None) -> int:
             onlyk=getattr(args, "onlyk", False),
             onlyij=getattr(args, "onlyij", False),
             addnnc=getattr(args, "addnnc", False),
+            fipname=getattr(args, "fipname", None),
         )
     elif args.module in _DECK_MODULES_EXTRA:
         from res2df_spark.sources.deck import read_deck
@@ -554,6 +572,7 @@ def main(argv: list[str] | None = None) -> int:
             args.module, spark, deck_text, startdate=startdate,
             initvectors=getattr(args, "initvectors", None),
             vfpnumbers=getattr(args, "vfpnumbers", None),
+            keywords=getattr(args, "keywords", None),
             deckfile=args.deckfile,
         )
     if df is None:

@@ -24,6 +24,35 @@ PVT_KEYWORDS = ("PVDG", "PVDO", "PVTO", "PVTG", "PVTW", "DENSITY", "ROCK")
 EQUIL_SOLUTION_KEYWORDS = ("RSVD", "RVVD", "PBVD", "PDVD")
 
 
+def wanted_keywords(
+    wanted, supported: Sequence[str], modulename: str = ""
+) -> list[str]:
+    """P9 keyword want-list reduction — the reference's
+    ``handle_wanted_keywords`` (common.py:259-296): ``None`` (or a
+    ``[None]`` singleton) selects every supported keyword; a bare
+    string becomes a singleton; wanted keywords outside the supported
+    set WARN and drop.  Supported order is preserved so the family
+    union's frame order never depends on user argument order."""
+    if wanted is None:
+        return list(supported)
+    if isinstance(wanted, str):
+        wanted = [wanted]
+    if len(wanted) == 1 and wanted[0] is None:
+        return list(supported)
+    unsupported = set(wanted) - set(supported)
+    if unsupported:
+        import warnings
+
+        warnings.warn(
+            f"Requested keyword(s) not supported by {modulename}: "
+            f"{sorted(unsupported)}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    keep = set(wanted) - unsupported
+    return [k for k in supported if k in keep]
+
+
 def _family_df(
     spark: SparkSession, deck_text: str, keywords: Sequence[str], records=None
 ) -> DataFrame | None:
@@ -49,25 +78,28 @@ def _family_df(
 
 
 def satfunc_df(
-    spark: SparkSession, deck_text: str, interpolate_defaults: bool = True
+    spark: SparkSession, deck_text: str, interpolate_defaults: bool = True,
+    keywords=None,
 ) -> DataFrame | None:
     """Saturation-function tables → long frame (KEYWORD, SATNUM, ROW_IDX,
     value columns).  Defaulted (1*) values interpolate linearly against
     the saturation column inside each (KEYWORD, SATNUM) table — the
-    reference's per-SATNUM pandas interpolate (satfunc.py:132-157)."""
+    reference's per-SATNUM pandas interpolate (satfunc.py:132-157).
+    ``keywords`` is the P9 want-list (reference satfunc --keywords)."""
     from res2df_spark.sources.deck import fill_dates, parse_deck
 
+    wanted = wanted_keywords(keywords, SATFUNC_KEYWORDS, "satfunc")
     recs = fill_dates(parse_deck(deck_text))
     # reference satfunc.py:146-147: a defaulted (1*) SATURATION value is
     # not interpolatable (it is the interpolation axis) and raises; a
     # silent NULL would sort first in the interpolation windows and
     # corrupt the whole table
     for r in recs:
-        if r["KEYWORD"] in SATFUNC_KEYWORDS:
+        if r["KEYWORD"] in wanted:
             sat_col = TABLE_KEYWORDS[r["KEYWORD"]][0][0]
             if r.get(sat_col) is None:
                 raise ValueError("nan in saturation column is not allowed")
-    out = _family_df(spark, deck_text, SATFUNC_KEYWORDS, records=recs)
+    out = _family_df(spark, deck_text, wanted, records=recs)
     if out is None or not interpolate_defaults:
         return out
     sat_col = F.coalesce(*[F.col(c) for c in ("SW", "SG", "SL", "SO") if c in out.columns])
@@ -84,9 +116,14 @@ def satfunc_df(
     return out.drop("__x")
 
 
-def pvt_df(spark: SparkSession, deck_text: str) -> DataFrame | None:
-    """Dead-oil/dry-gas PVT + rock/density tables → long tagged frame."""
-    return _family_df(spark, deck_text, PVT_KEYWORDS)
+def pvt_df(
+    spark: SparkSession, deck_text: str, keywords=None
+) -> DataFrame | None:
+    """Dead-oil/dry-gas PVT + rock/density tables → long tagged frame.
+    ``keywords`` is the P9 want-list (reference pvt --keywords)."""
+    return _family_df(
+        spark, deck_text, wanted_keywords(keywords, PVT_KEYWORDS, "pvt")
+    )
 
 
 def phases_from_deck(deck_text: str) -> str:
@@ -123,7 +160,8 @@ _EQUIL_PHASE_RENAMES: dict[str, dict[str, str | None]] = {
 
 
 def equil_df(
-    spark: SparkSession, deck_text: str, solution_tables: bool = True
+    spark: SparkSession, deck_text: str, solution_tables: bool = True,
+    keywords=None,
 ) -> DataFrame | None:
     """EQUIL initial-condition records (one row per EQLNUM region),
     plus the RSVD/RVVD/PBVD/PDVD solution depth tables as a tagged
@@ -141,9 +179,12 @@ def equil_df(
 
     # ONE driver-side parse shared by the EQUIL frame and the solution
     # tables (presence comes from the record list — no eager take(1))
+    wanted = wanted_keywords(
+        keywords, ("EQUIL", *EQUIL_SOLUTION_KEYWORDS), "equil"
+    )
     recs = fill_dates(parse_deck(deck_text))
     eq = None
-    if any(r["KEYWORD"] == "EQUIL" for r in recs):
+    if "EQUIL" in wanted and any(r["KEYWORD"] == "EQUIL" for r in recs):
         eq = deck_records(spark, deck_text, "EQUIL", records=recs).drop(
             "KEYWORD_IDX", "RECORD_IDX", "DATE", "ROW_IDX"
         )
@@ -154,7 +195,8 @@ def equil_df(
             eq = eq.drop(raw) if new is None else eq.withColumnRenamed(raw, new)
     if not solution_tables:
         return eq
-    sol = _family_df(spark, deck_text, EQUIL_SOLUTION_KEYWORDS, records=recs)
+    sol_wanted = [k for k in EQUIL_SOLUTION_KEYWORDS if k in wanted]
+    sol = _family_df(spark, deck_text, sol_wanted, records=recs)
     if sol is None:
         return eq
     sol = sol.drop("ROW_IDX")

@@ -611,3 +611,88 @@ def test_wcd_arrow_feather_carries_kh_unit(spark, tmp_path):
     table = feather.read_table(str(out))
     assert table.schema.field("KH").metadata == {b"unit": b"mDm"}
     assert table.num_rows > 0
+
+
+# ---------------------------------------------------------------------------
+# P9 keyword want-list (reference handle_wanted_keywords /
+# satfunc/pvt/equil --keywords) and the fipreports --fipname flag
+# ---------------------------------------------------------------------------
+
+
+def test_wanted_keywords_semantics():
+    from res2df_spark.modules.tables import wanted_keywords
+
+    sup = ("SWOF", "SGOF", "SWFN")
+    assert wanted_keywords(None, sup) == list(sup)
+    assert wanted_keywords([None], sup) == list(sup)
+    assert wanted_keywords("SGOF", sup) == ["SGOF"]
+    with pytest.warns(RuntimeWarning, match="not supported"):
+        got = wanted_keywords(["SGOF", "NOSUCH"], sup, "satfunc")
+    assert got == ["SGOF"]
+    # supported order preserved regardless of wanted order
+    assert wanted_keywords(["SWFN", "SWOF"], sup) == ["SWOF", "SWFN"]
+
+
+def test_satfunc_keywords_filter(spark):
+    from res2df_spark.modules.tables import satfunc_df
+
+    deck = """SWOF
+0.1 0.0 1.0 0.0
+0.9 1.0 0.0 0.0 /
+/
+SGOF
+0.0 0.0 1.0 0.0
+0.8 1.0 0.0 0.0 /
+/
+"""
+    both = satfunc_df(spark, deck)
+    assert {r["KEYWORD"] for r in both.select("KEYWORD").distinct().collect()} == {
+        "SWOF", "SGOF"
+    }
+    only = satfunc_df(spark, deck, keywords=["SGOF"])
+    assert {r["KEYWORD"] for r in only.select("KEYWORD").distinct().collect()} == {
+        "SGOF"
+    }
+
+
+def test_equil_keywords_filter(spark):
+    from res2df_spark.modules.tables import equil_df
+
+    deck = """EQUIL
+2000 250 2100 0.0 1500 0.0 /
+RSVD
+2000 100.0
+2200 150.0 /
+/
+"""
+    full = equil_df(spark, deck)
+    kws = {r["KEYWORD"] for r in full.select("KEYWORD").distinct().collect()}
+    assert kws == {"EQUIL", "RSVD"}
+    rsvd_only = equil_df(spark, deck, keywords=["RSVD"])
+    kws = {r["KEYWORD"] for r in rsvd_only.select("KEYWORD").distinct().collect()}
+    assert kws == {"RSVD"}
+
+
+def test_cli_satfunc_keywords(spark, tmp_path, capsys):
+    from res2df_spark.cli import main
+
+    deck = tmp_path / "T.DATA"
+    deck.write_text(
+        "SWOF\n0.1 0.0 1.0 0.0\n0.9 1.0 0.0 0.0 /\n/\n"
+        "SGOF\n0.0 0.0 1.0 0.0\n0.8 1.0 0.0 0.0 /\n/\n"
+    )
+    assert main(["satfunc", str(deck), "-k", "SWOF", "-o", "-"]) == 0
+    out = capsys.readouterr().out
+    assert "SWOF" in out and "SGOF" not in out
+
+
+@pytest.mark.skipif(not os.path.isdir(_EIGHT), reason="fixtures not present")
+def test_cli_fipreports_fipname(spark, capsys):
+    from res2df_spark.cli import main
+
+    # eightcells PRT: FIPNUM reports exist; an absent fipname must
+    # yield an empty (but well-formed) frame rather than crash
+    assert main(["fipreports", f"{_EIGHT}/EIGHTCELLS", "--fipname",
+                 "FIPNUM", "-o", "-"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert len(lines) >= 1
