@@ -635,6 +635,12 @@ def get_csv2res_parser() -> argparse.ArgumentParser:
             help="include file path, '-' = stdout; for summary: the "
                  ".SMSPEC path (the .UNSMRY lands next to it)",
         )
+        if name in ("equil", "pvt", "satfunc"):
+            s.add_argument(
+                "-k", "--keywords", nargs="+", default=None,
+                help="restrict the include text to these keywords "
+                     "(reference csv2res fill_reverse_parser -k)",
+            )
     return p
 
 
@@ -668,6 +674,13 @@ def csv2res_main(argv: list[str] | None = None) -> int:
         write_summary(args.output, start, wide)
         return 0
 
+    keywords = getattr(args, "keywords", None)
+    if keywords and "KEYWORD" in df.columns:
+        # reference csv2res -k/--keywords (common.fill_reverse_parser):
+        # write back only the named keyword tables from the tagged CSV
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("KEYWORD").isin(list(keywords)))
     if args.module == "equil":
         text = df2res.df2res_equil(df)
     elif args.module == "pvt":

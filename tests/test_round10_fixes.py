@@ -696,3 +696,22 @@ def test_cli_fipreports_fipname(spark, capsys):
                  "FIPNUM", "-o", "-"]) == 0
     lines = capsys.readouterr().out.splitlines()
     assert len(lines) >= 1
+
+
+def test_csv2res_keywords_filter(spark, tmp_path, capsys):
+    """csv2res -k/--keywords writes back only the named keyword tables
+    (reference common.fill_reverse_parser)."""
+    from res2df_spark.cli import csv2res_main, main
+
+    deck = tmp_path / "T.DATA"
+    deck.write_text(
+        "SWOF\n0.1 0.0 1.0 0.0\n0.9 1.0 0.0 0.0 /\n/\n"
+        "SGOF\n0.0 0.0 1.0 0.0\n0.8 1.0 0.0 0.0 /\n/\n"
+    )
+    csv_path = tmp_path / "satfunc.csv"
+    assert main(["satfunc", str(deck), "-o", str(csv_path)]) == 0
+    assert csv2res_main([
+        "satfunc", str(csv_path), "-k", "SWOF", "-o", "-",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "SWOF" in out and "SGOF" not in out
