@@ -63,6 +63,13 @@ def merge_connstatus(connstatus: DataFrame, compdat_zoned: DataFrame) -> DataFra
       (:176-184).
     * KH is filled with 0 where no compdat row matched (:214).
 
+    Input contract: ``connstatus`` carries at most one event per
+    (WELL, I, J, K, DATE) — the :mod:`wellconnstatus` output shape
+    (status CHANGES cannot repeat a timestamp per connection).  Two
+    conflicting same-time events would both survive here, where the
+    reference's row-order drop_duplicates keeps an arbitrary first —
+    neither order is meaningful, so the engine does not invent one.
+
     Returns (WELL, I, J, K, DATE, OP_SH, KH, ZONE).
     """
     key = ["WELL", "I", "J", "K"]

@@ -588,3 +588,97 @@ def test_drop_constant_columns_matches_pandas_unique(spark, cols):
     else:
         expect = [nm for nm in names if len(pdf[nm].unique()) != 1]
     assert out.columns == expect
+
+
+# ---------------------------------------------------------------------------
+# J11 use_wellconnstatus merge (round 10): Spark merge + zone aggregate
+# vs an independent pandas model of the reference semantics
+# (wellcompletiondata.py:143-215) on randomized inputs.
+# ---------------------------------------------------------------------------
+
+_WELLS = ["W1", "W2", "W3"]
+_DATES = [pd.Timestamp("2020-01-01"), pd.Timestamp("2020-02-01"),
+          pd.Timestamp("2020-03-01")]
+
+_compdat_row = st.tuples(
+    st.sampled_from(_WELLS),
+    st.integers(1, 2), st.integers(1, 2), st.integers(1, 3),
+    st.sampled_from(["OPEN", "SHUT"]),
+    st.sampled_from(range(len(_DATES))),
+    st.integers(0, 50),
+)
+_conn_row = st.tuples(
+    st.sampled_from(_WELLS),
+    st.integers(1, 2), st.integers(1, 2), st.integers(1, 3),
+    st.sampled_from(range(len(_DATES))),
+    st.sampled_from(["OPEN", "SHUT"]),
+)
+
+
+def _wcd_model(compdat, connstatus, zmap):
+    """Clean-room pandas model of the reference merge + aggregation:
+    keep-FIRST compdat match per connection (engine tie order
+    DATE, OP_SH, KH), wells absent from connstatus fall back to
+    compdat, KH fillna(0), NaN-zone groups dropped, zone OPEN iff any
+    connection OPEN with KH summed over open connections only."""
+    cd = compdat.copy()
+    cd["ZONE"] = cd["K"].map(zmap)
+    cd = cd.sort_values(["DATE", "OP_SH", "KH"], kind="mergesort")
+    key = ["WELL", "I", "J", "K"]
+    first = cd.drop_duplicates(key, keep="first")[[*key, "KH", "ZONE"]]
+    merged = connstatus.merge(first, on=key, how="left")
+    fallback = cd[~cd["WELL"].isin(connstatus["WELL"].unique())]
+    out = pd.concat([merged, fallback], ignore_index=True)
+    out["KH"] = out["KH"].fillna(0.0)
+    out = out[out["ZONE"].notna()]
+    recs = []
+    for (w, z, d), g in out.groupby(["WELL", "ZONE", "DATE"]):
+        op = g[g["OP_SH"] == "OPEN"]
+        recs.append((w, z, d.date(), "OPEN" if len(op) else "SHUT",
+                     float(op["KH"].sum()) if len(op) else 0.0))
+    return sorted(recs)
+
+
+@given(
+    compdat=st.lists(_compdat_row, min_size=1, max_size=12),
+    connstatus=st.lists(_conn_row, min_size=0, max_size=10),
+)
+@_slow
+def test_wcd_connstatus_merge_matches_pandas_model(spark, compdat, connstatus):
+    from res2df_spark.modules import wellcompletiondata
+
+    zmap = {1: "UP", 2: "LO"}  # K=3 deliberately unmapped
+    cd_pdf = pd.DataFrame(
+        compdat, columns=["WELL", "I", "J", "K", "OP_SH", "DI", "KH"]
+    )
+    cd_pdf["DATE"] = cd_pdf["DI"].map(dict(enumerate(_DATES)))
+    cd_pdf["KH"] = cd_pdf["KH"].astype(float)
+    cs_pdf = pd.DataFrame(
+        connstatus, columns=["WELL", "I", "J", "K", "DI", "OP_SH"]
+    ).drop_duplicates(["WELL", "I", "J", "K", "DI"])
+    cs_pdf["DATE"] = cs_pdf["DI"].map(dict(enumerate(_DATES)))
+
+    conns = spark.createDataFrame(
+        [(r.WELL, r.I, r.J, r.K, r.OP_SH, r.DATE.date(), r.KH)
+         for r in cd_pdf.itertuples()],
+        "WELL string, I int, J int, K int, OP_SH string, DATE date, KH double",
+    )
+    cs = spark.createDataFrame(
+        [(r.WELL, r.I, r.J, r.K, r.DATE.date(), r.OP_SH)
+         for r in cs_pdf.itertuples()],
+        "WELL string, I int, J int, K int, DATE date, `OP/SH` string",
+    )
+    zonemap = spark.createDataFrame(list(zmap.items()), "K int, ZONE string")
+    out = wellcompletiondata.df(conns, zonemap, connstatus=cs)
+    got = sorted(
+        (r["WELL"], r["ZONE"], r["DATE"], r["OP/SH"], float(r["KH"]))
+        for r in out.collect()
+    )
+    want = _wcd_model(
+        cd_pdf[["WELL", "I", "J", "K", "OP_SH", "DATE", "KH"]],
+        cs_pdf[["WELL", "I", "J", "K", "DATE", "OP_SH"]].rename(
+            columns={"OP_SH": "OP_SH"}
+        ),
+        zmap,
+    )
+    assert got == want
