@@ -682,3 +682,73 @@ def test_wcd_connstatus_merge_matches_pandas_model(spark, compdat, connstatus):
         zmap,
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# trans composition (round 10): trans_full(vectors, coords, group, nnc)
+# vs an independent pandas model of the reference pipeline
+# (trans.py:104-219) on randomized grids.
+# ---------------------------------------------------------------------------
+
+_cell = st.tuples(
+    st.integers(1, 2), st.integers(1, 2), st.integers(1, 2),  # I, J, K
+    st.integers(1, 3),                                        # FIPNUM
+    st.integers(0, 20), st.integers(0, 20), st.integers(0, 20),  # TRAN*
+)
+
+
+def _trans_model(grid, nnc, region="FIPNUM"):
+    """Clean-room pandas model: directional faces for TRAN*>0 with
+    synthesized neighbour addresses, NNC union, both-cell region merge
+    (inner), boundary filter, min-max pair key with summed TRAN."""
+    faces = []
+    for _, r in grid.iterrows():
+        for vec, (di, dj, dk), d in (("TRANX", (1, 0, 0), "I"),
+                                     ("TRANY", (0, 1, 0), "J"),
+                                     ("TRANZ", (0, 0, 1), "K")):
+            if r[vec] > 0:
+                faces.append((r.I, r.J, r.K, r.I + di, r.J + dj, r.K + dk,
+                              d, float(r[vec])))
+    for _, r in nnc.iterrows():
+        faces.append((r.I1, r.J1, r.K1, r.I2, r.J2, r.K2, "NNC",
+                      float(r.TRAN)))
+    # itertuples keeps dtypes; iterrows would upcast FIPNUM to float
+    # and corrupt the pair-key strings
+    fip = {(r.I, r.J, r.K): int(getattr(r, region)) for r in grid.itertuples()}
+    agg: dict[str, float] = {}
+    for i1, j1, k1, i2, j2, k2, d, tran in faces:
+        f1, f2 = fip.get((i1, j1, k1)), fip.get((i2, j2, k2))
+        if f1 is None or f2 is None or f1 == f2:
+            continue  # inner merge drop / boundary filter
+        key = f"{min(f1, f2)}-{max(f1, f2)}"
+        agg[key] = agg.get(key, 0.0) + tran
+    return sorted((k, round(v, 6)) for k, v in agg.items())
+
+
+@given(
+    cells=st.lists(_cell, min_size=1, max_size=8, unique_by=lambda c: c[:3]),
+    nnc_tran=st.integers(0, 10),
+)
+@_slow
+def test_trans_group_matches_pandas_model(spark, cells, nnc_tran):
+    from res2df_spark.modules.grid import trans_full
+
+    grid_pdf = pd.DataFrame(
+        cells, columns=["I", "J", "K", "FIPNUM", "TRANX", "TRANY", "TRANZ"]
+    ).astype({"TRANX": float, "TRANY": float, "TRANZ": float})
+    nnc_pdf = pd.DataFrame(
+        [(1, 1, 1, 2, 2, 2, float(nnc_tran))] if nnc_tran else [],
+        columns=["I1", "J1", "K1", "I2", "J2", "K2", "TRAN"],
+    )
+    grid = spark.createDataFrame(
+        grid_pdf, "I int, J int, K int, FIPNUM int, TRANX double, "
+                  "TRANY double, TRANZ double",
+    )
+    nnc = spark.createDataFrame(
+        nnc_pdf, "I1 int, J1 int, K1 int, I2 int, J2 int, K2 int, TRAN double",
+    ) if len(nnc_pdf) else None
+    out = trans_full(grid, vectors=["FIPNUM"], group=True, nnc=nnc)
+    got = sorted(
+        (r["FIPNUMPAIR"], round(float(r["TRAN"]), 6)) for r in out.collect()
+    )
+    assert got == _trans_model(grid_pdf, nnc_pdf)
