@@ -253,6 +253,70 @@ def probe_second_decade(spark, repeats: int) -> dict:
     return out
 
 
+def probe_trans_big(spark, n: int = 4_000_000, repeats: int = 3) -> dict:
+    """Cell-table scaling for the round-10 trans composition: a
+    synthetic n-cell grid (pure `range()` projection — no input
+    shuffle) through ``trans_full(vectors=['FIPNUM'], coords=True,
+    group=True)`` at n and 3n cells.  The composition's cost is two
+    cell-key equi-joins plus a bounded-cardinality interface agg, so a
+    healthy ratio sits at/below the 3× data growth; a super-linear
+    reading here would mean a join degenerated."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from res2df_spark.modules.grid import trans_full
+
+    def grid(cells: int):
+        nx = ny = int(round(cells ** (1 / 3))) or 1
+        return spark.range(cells).select(
+            (F.col("id") % nx + 1).cast("int").alias("I"),
+            ((F.col("id") / nx).cast("long") % ny + 1).cast("int").alias("J"),
+            ((F.col("id") / (nx * ny)).cast("long") + 1).cast("int").alias("K"),
+            (F.col("id") % 5 + 1).cast("int").alias("FIPNUM"),
+            (F.col("id") % 997).cast("double").alias("X"),
+            (F.col("id") % 991).cast("double").alias("Y"),
+            (F.col("id") % 983).cast("double").alias("Z"),
+            # ~20% sealed faces per direction, deterministic
+            F.when(F.col("id") % 5 != 0, (F.col("id") % 7 + 1).cast("double"))
+            .otherwise(F.lit(0.0)).alias("TRANX"),
+            F.when(F.col("id") % 5 != 1, (F.col("id") % 11 + 1).cast("double"))
+            .otherwise(F.lit(0.0)).alias("TRANY"),
+            F.when(F.col("id") % 5 != 2, (F.col("id") % 13 + 1).cast("double"))
+            .otherwise(F.lit(0.0)).alias("TRANZ"),
+        )
+
+    def run(cells: int) -> float:
+        df = trans_full(grid(cells), vectors=["FIPNUM"], coords=True, group=True)
+        # one untimed pass first: the first execution at a new size
+        # pays JIT + shuffle-file setup that settles 3-4x above the
+        # steady state (measured 32.6s -> 11.5s within four repeats at
+        # 12M cells) and would masquerade as super-linear scaling
+        df.write.mode("overwrite").format("noop").save()
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = _time.time()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, _time.time() - t0)
+        return best
+
+    small = run(n)
+    big = run(3 * n)
+    out = {
+        "n_cells": n,
+        "data_growth": 3.0,
+        "small": round(small, 3),
+        "big": round(big, 3),
+        "ratio": round(big / small, 2) if small > 0 else None,
+    }
+    print(
+        f"  trans_big: {n} cells {small:.2f}s -> {3 * n} cells {big:.2f}s "
+        f"(x{out['ratio']})",
+        file=sys.stderr,
+    )
+    return out
+
+
 def probe_adversarial(spark) -> dict:
     """Feed each capped operator family its degenerate corpus shape —
     all-identical texts / vectors / blocking keys, the exact shape the
@@ -711,6 +775,8 @@ def main() -> None:
 
     print("second-decade probe (sf1.0 -> sf3.0) ...", file=sys.stderr)
     second_decade = probe_second_decade(spark, args.repeats)
+    print("trans composition cell-table probe ...", file=sys.stderr)
+    trans_big = probe_trans_big(spark)
     print("adversarial capped-operator probe ...", file=sys.stderr)
     adversarial = probe_adversarial(spark)
     print("skewed-key window-family probe ...", file=sys.stderr)
@@ -741,6 +807,7 @@ def main() -> None:
         "median_ratio": sorted(ratios)[len(ratios) // 2] if ratios else None,
         "queries": out,
         "second_decade": second_decade,
+        "trans_big": trans_big,
         "adversarial": adversarial,
         "skewed_keys": skewed_keys,
         "skewed_keys_big": skewed_keys_big,
