@@ -675,12 +675,35 @@ def csv2res_main(argv: list[str] | None = None) -> int:
         return 0
 
     keywords = getattr(args, "keywords", None)
-    if keywords and "KEYWORD" in df.columns:
+    if keywords:
         # reference csv2res -k/--keywords (common.fill_reverse_parser):
-        # write back only the named keyword tables from the tagged CSV
+        # write back only the named keyword tables from the tagged CSV.
+        # Same warn semantics as the forward direction's want-list: a
+        # typo'd keyword (or a CSV without a KEYWORD column) must not
+        # silently yield empty include text.
+        import warnings
+
         from pyspark.sql import functions as F
 
-        df = df.filter(F.col("KEYWORD").isin(list(keywords)))
+        if "KEYWORD" not in df.columns:
+            warnings.warn(
+                "-k/--keywords ignored: the CSV has no KEYWORD column",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        else:
+            present = {
+                r["KEYWORD"] for r in df.select("KEYWORD").distinct().collect()
+            }
+            missing = set(keywords) - present
+            if missing:
+                warnings.warn(
+                    f"Requested keyword(s) not in {args.csvfile}: "
+                    f"{sorted(missing, key=str)}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            df = df.filter(F.col("KEYWORD").isin(list(keywords)))
     if args.module == "equil":
         text = df2res.df2res_equil(df)
     elif args.module == "pvt":

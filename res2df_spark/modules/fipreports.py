@@ -67,6 +67,12 @@ def df(spark: SparkSession, prt_path: str, fipname: str = "FIPNUM") -> DataFrame
         raise ValueError("fipname must start with FIP")
     if len(fipname) > 8:
         raise ValueError("fipname can be at most 8 characters")
+    # Eclipse keyword names are alphanumeric; anything else would be
+    # spliced UNESCAPED into the region regex below — a '(' would die
+    # as an invalid pattern inside the job, and a balanced group would
+    # silently shift the capture index and extract wrong regions
+    if not fipname.isalnum():
+        raise ValueError(f"fipname must be alphanumeric, got {fipname!r}")
 
     # persisted: the context scan carries a lasts-aggregate self-join,
     # and without the cache the text file's whole numbering plan

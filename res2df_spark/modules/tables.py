@@ -43,9 +43,11 @@ def wanted_keywords(
     if unsupported:
         import warnings
 
+        # key=str: a stray None mixed into the want-list must warn,
+        # not crash sorted() on a None<str compare
         warnings.warn(
             f"Requested keyword(s) not supported by {modulename}: "
-            f"{sorted(unsupported)}",
+            f"{sorted(unsupported, key=str)}",
             RuntimeWarning,
             stacklevel=2,
         )

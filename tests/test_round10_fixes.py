@@ -690,12 +690,27 @@ def test_cli_satfunc_keywords(spark, tmp_path, capsys):
 def test_cli_fipreports_fipname(spark, capsys):
     from res2df_spark.cli import main
 
-    # eightcells PRT: FIPNUM reports exist; an absent fipname must
-    # yield an empty (but well-formed) frame rather than crash
+    # the flag is threaded through: FIPNAME appears in the header and
+    # the run exits cleanly (the eightcells PRT carries no FIP balance
+    # blocks — populated parsing is pinned by the fipreports_prt
+    # oracle row; this exercises the CLI plumbing + empty path)
     assert main(["fipreports", f"{_EIGHT}/EIGHTCELLS", "--fipname",
                  "FIPNUM", "-o", "-"]) == 0
-    lines = capsys.readouterr().out.splitlines()
-    assert len(lines) >= 1
+    default_lines = capsys.readouterr().out.splitlines()
+    assert "FIPNAME" in default_lines[0]
+    # a fipname with no matching PRT blocks yields an empty but
+    # well-formed frame (header at most), never a crash
+    assert main(["fipreports", f"{_EIGHT}/EIGHTCELLS", "--fipname",
+                 "FIPZON", "-o", "-"]) == 0
+    absent_lines = capsys.readouterr().out.splitlines()
+    assert len(absent_lines) <= 1
+
+
+def test_fipreports_fipname_validation(spark):
+    from res2df_spark.modules import fipreports
+
+    with pytest.raises(ValueError, match="alphanumeric"):
+        fipreports.df(spark, "/nonexistent.PRT", fipname="FIP(A")
 
 
 def test_csv2res_keywords_filter(spark, tmp_path, capsys):
@@ -715,3 +730,26 @@ def test_csv2res_keywords_filter(spark, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "SWOF" in out and "SGOF" not in out
+
+
+def test_wanted_keywords_none_mixed():
+    """A stray None mixed with an unsupported name warns, not crashes."""
+    from res2df_spark.modules.tables import wanted_keywords
+
+    with pytest.warns(RuntimeWarning, match="not supported"):
+        got = wanted_keywords(["SWOF", None, "TYPO"], ("SWOF", "SGOF"))
+    assert got == ["SWOF"]
+
+
+def test_csv2res_keywords_typo_warns(spark, tmp_path, capsys):
+    from res2df_spark.cli import csv2res_main, main
+
+    deck = tmp_path / "T.DATA"
+    deck.write_text("SWOF\n0.1 0.0 1.0 0.0\n0.9 1.0 0.0 0.0 /\n/\n")
+    csv_path = tmp_path / "satfunc.csv"
+    assert main(["satfunc", str(deck), "-o", str(csv_path)]) == 0
+    capsys.readouterr()
+    with pytest.warns(RuntimeWarning, match="not in"):
+        assert csv2res_main([
+            "satfunc", str(csv_path), "-k", "SWFO", "-o", "-",
+        ]) == 0

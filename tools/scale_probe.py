@@ -776,7 +776,7 @@ def main() -> None:
     print("second-decade probe (sf1.0 -> sf3.0) ...", file=sys.stderr)
     second_decade = probe_second_decade(spark, args.repeats)
     print("trans composition cell-table probe ...", file=sys.stderr)
-    trans_big = probe_trans_big(spark)
+    trans_big = probe_trans_big(spark, repeats=args.repeats)
     print("adversarial capped-operator probe ...", file=sys.stderr)
     adversarial = probe_adversarial(spark)
     print("skewed-key window-family probe ...", file=sys.stderr)
