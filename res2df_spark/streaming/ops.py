@@ -26,6 +26,80 @@ from pyspark.sql.types import (
 )
 
 
+def _enrich_batch(pdf, cur, ts_col, probe_col, value_cols):
+    """One (key, micro-batch) step of :func:`asof_enrich_stream`,
+    extracted as a pure pandas function so the vectorized semantics are
+    property-testable against the one-pass walk model without a
+    streaming query.
+
+    ``pdf``: the key's micro-batch rows; ``cur``: the carried state as
+    ``[obs_ts, *values]`` or None.  Returns ``(probe_output_df_or_None,
+    new_state_list_or_None)``."""
+    import pandas as pd
+
+    # NULL probe flags are malformed (the contract is non-null
+    # boolean) — neither probes nor observations; drop them before
+    # the cast (bool(nan) is True and emitted phantom probes)
+    pdf = pdf[pdf[probe_col].notna()]
+    pdf = pdf.sort_values(
+        # obs (False) before probes (True) at equal times; value
+        # columns last so equal-time duplicate observations line up
+        # in payload order (NULLs smallest = na_position='first');
+        # merge_asof then takes the LAST equal-time right row — the
+        # batch engine's struct-order winner, state included
+        [ts_col, probe_col, *value_cols],
+        kind="mergesort",
+        na_position="first",
+    ).reset_index(drop=True)
+    is_probe = pdf[probe_col].astype(bool)
+    vcols = [ts_col, *value_cols]
+    obs = pdf.loc[~is_probe & pdf[ts_col].notna(), vcols]
+    if cur is not None:
+        state_ts = pd.Timestamp(cur[0])
+        # in-batch observations older than the carried state can
+        # never advance it — drop them so the merge reproduces the
+        # one-pass walk exactly (a probe between an old obs and
+        # the state time gets NULL, never a rewind)
+        obs = obs[obs[ts_col] >= state_ts]
+        state_row = pd.DataFrame(
+            {ts_col: [state_ts],
+             **{c: [v] for c, v in zip(value_cols, cur[1:])}}
+        )
+        eff = pd.concat([state_row, obs], ignore_index=True).sort_values(
+            vcols, kind="mergesort", na_position="first"
+        )
+    else:
+        eff = obs
+    new_cur = cur
+    if len(eff):
+        last = eff.iloc[-1]
+        new_cur = [last[ts_col]] + [last[c] for c in value_cols]
+    probes = pdf[is_probe.values]
+    if not len(probes):
+        return None, new_cur
+    out = probes.reset_index(drop=True)
+    # NULL-time probes never match (batch parity); merge the rest
+    tagged = {c: f"__v_{c}" for c in value_cols}
+    filled = pd.DataFrame(
+        index=out.index, columns=list(tagged.values()), dtype="object"
+    )
+    live = out[ts_col].notna().values
+    if live.any() and len(eff):
+        merged = pd.merge_asof(
+            out.loc[live, [ts_col]],
+            eff.rename(columns=tagged),
+            on=ts_col,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        for c in tagged.values():
+            vals = merged[c].astype("object")
+            filled.loc[live, c] = vals.where(pd.notna(vals), None).values
+    for c, tc in tagged.items():
+        out[c] = filled[tc].where(pd.notna(filled[tc]), None)
+    return out, new_cur
+
+
 def asof_enrich_stream(
     stream: DataFrame,
     key_cols: Sequence[str],
@@ -115,66 +189,11 @@ def asof_enrich_stream(
                 state.update(tuple(cur))
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        # NULL probe flags are malformed (the contract is non-null
-        # boolean) — neither probes nor observations; drop them before
-        # the cast (bool(nan) is True and emitted phantom probes)
-        pdf = pdf[pdf[probe_col].notna()]
-        pdf = pdf.sort_values(
-            # obs (False) before probes (True) at equal times; value
-            # columns last so equal-time duplicate observations line up
-            # in payload order (NULLs smallest = na_position='first');
-            # merge_asof then takes the LAST equal-time right row — the
-            # batch engine's struct-order winner, state included
-            [ts_col, probe_col, *value_cols],
-            kind="mergesort",
-            na_position="first",
-        ).reset_index(drop=True)
-        is_probe = pdf[probe_col].astype(bool)
-        vcols = [ts_col, *value_cols]
-        obs = pdf.loc[~is_probe & pdf[ts_col].notna(), vcols]
-        if cur is not None:
-            state_ts = pd.Timestamp(cur[0])
-            # in-batch observations older than the carried state can
-            # never advance it — drop them so the merge reproduces the
-            # one-pass walk exactly (a probe between an old obs and
-            # the state time gets NULL, never a rewind)
-            obs = obs[obs[ts_col] >= state_ts]
-            state_row = pd.DataFrame(
-                {ts_col: [state_ts],
-                 **{c: [v] for c, v in zip(value_cols, cur[1:])}}
-            )
-            eff = pd.concat([state_row, obs], ignore_index=True).sort_values(
-                vcols, kind="mergesort", na_position="first"
-            )
-        else:
-            eff = obs
-        if len(eff):
-            last = eff.iloc[-1]
-            state.update(tuple([last[ts_col]] + [last[c] for c in value_cols]))
-        probes = pdf[is_probe.values]
-        if not len(probes):
-            return
-        out = probes.reset_index(drop=True)
-        # NULL-time probes never match (batch parity); merge the rest
-        tagged = {c: f"__v_{c}" for c in value_cols}
-        filled = pd.DataFrame(
-            index=out.index, columns=list(tagged.values()), dtype="object"
-        )
-        live = out[ts_col].notna().values
-        if live.any() and len(eff):
-            merged = pd.merge_asof(
-                out.loc[live, [ts_col]],
-                eff.rename(columns=tagged),
-                on=ts_col,
-                direction="backward",
-                allow_exact_matches=True,
-            )
-            for c in tagged.values():
-                vals = merged[c].astype("object")
-                filled.loc[live, c] = vals.where(pd.notna(vals), None).values
-        for c, tc in tagged.items():
-            out[c] = filled[tc].where(pd.notna(filled[tc]), None)
-        yield out[out_names]
+        out, new_cur = _enrich_batch(pdf, cur, ts_col, probe_col, value_cols)
+        if new_cur is not None:
+            state.update(tuple(new_cur))
+        if out is not None:
+            yield out[out_names]
 
     return (
         stream.withWatermark(ts_col, watermark)

@@ -752,3 +752,127 @@ def test_trans_group_matches_pandas_model(spark, cells, nnc_tran):
         (r["FIPNUMPAIR"], round(float(r["TRAN"]), 6)) for r in out.collect()
     )
     assert got == _trans_model(grid_pdf, nnc_pdf)
+
+
+# ---------------------------------------------------------------------------
+# asof_enrich_stream vectorization (round 10): the merge_asof-based
+# _enrich_batch vs a transcription of the one-pass walk semantics it
+# replaced, on randomized micro-batches with randomized carried state,
+# including multi-batch state threading.
+# ---------------------------------------------------------------------------
+
+
+def _walk_model(pdf, cur):
+    """The round-9 per-row walk, as the semantic model: sorted
+    (ts, probe, value) with NaT first; NULL probe flags dropped;
+    obs before probes at equal times; state advances on
+    (ts, payload) >= current with NULL-smallest payload order;
+    NULL-time probes and past-state probes get None."""
+    def null(v):
+        return v is None or (isinstance(v, float) and v != v) or pd.isna(v)
+
+    def cmp(a, b):
+        for x, y in zip(a, b):
+            xn, yn = null(x), null(y)
+            if xn and yn:
+                continue
+            if xn or yn:
+                return -1 if xn else 1
+            if x == y:
+                continue
+            return -1 if x < y else 1
+        return 0
+
+    pdf = pdf[pdf["probe"].notna()]
+    pdf = pdf.sort_values(["ts", "probe", "v"], kind="mergesort",
+                          na_position="first")
+    cur = list(cur) if cur is not None else None
+    matched = []
+    for r in pdf.itertuples():
+        if bool(r.probe):
+            if cur is None or pd.isna(r.ts) or cur[0] > r.ts:
+                matched.append((r.Index, None))
+            else:
+                matched.append((r.Index, cur[1]))
+        else:
+            if pd.isna(r.ts):
+                continue
+            vals = [r.v]
+            if cur is None or r.ts > cur[0] or (
+                r.ts == cur[0] and cmp(vals, cur[1:]) >= 0
+            ):
+                cur = [r.ts] + vals
+    return matched, cur
+
+
+_ts_vals = [pd.Timestamp("2020-01-01") + pd.Timedelta(hours=h)
+            for h in range(4)] + [pd.NaT]
+_v_vals = [None, 1.0, 2.0]
+_row = st.tuples(
+    st.sampled_from(range(len(_ts_vals))),
+    st.sampled_from([True, False, None]),
+    st.sampled_from(range(len(_v_vals))),
+)
+
+
+def _mk_pdf(rows):
+    return pd.DataFrame({
+        "ts": pd.Series([_ts_vals[t] for t, _, _ in rows],
+                        dtype="datetime64[ns]"),
+        "probe": pd.Series([p for _, p, _ in rows], dtype="object"),
+        "v": pd.Series([_v_vals[v] for _, _, v in rows], dtype="object"),
+    })
+
+
+def _norm_state(cur):
+    if cur is None:
+        return None
+    return (pd.Timestamp(cur[0]), None if pd.isna(cur[1]) else cur[1])
+
+
+@given(
+    rows=st.lists(_row, min_size=0, max_size=14),
+    state_v=st.sampled_from(range(len(_v_vals))),
+    has_state=st.booleans(),
+    split=st.integers(0, 14),
+)
+@settings(max_examples=120, deadline=None)
+def test_enrich_batch_matches_walk_model(rows, state_v, has_state, split):
+    from res2df_spark.streaming.ops import _enrich_batch
+
+    cur0 = ([pd.Timestamp("2020-01-01T01:00:00"), _v_vals[state_v]]
+            if has_state else None)
+
+    def run_vec(batches):
+        cur = cur0
+        got = []
+        for b in batches:
+            out, cur = _enrich_batch(b.copy(), cur, "ts", "probe", ["v"])
+            if out is not None:
+                got.extend(
+                    (r.ts if not pd.isna(r.ts) else None,
+                     None if r.v is None or pd.isna(r.v) else r.v)
+                    for r in out.itertuples()
+                )
+        return sorted(got, key=str), _norm_state(cur)
+
+    def run_walk(batches):
+        cur = cur0
+        got = []
+        for b in batches:
+            matched, cur = _walk_model(b, cur)
+            sub = b.loc[[i for i, _ in matched]]
+            got.extend(
+                (ts if not pd.isna(ts) else None, m)
+                for (_, m), ts in zip(matched, sub["ts"])
+            )
+        return sorted(got, key=str), _norm_state(cur)
+
+    pdf = _mk_pdf(rows)
+    # single batch
+    assert run_vec([pdf]) == run_walk([pdf])
+    # the same rows split across two micro-batches, state threaded
+    cut = min(split, len(pdf))
+    parts = [pdf.iloc[:cut].reset_index(drop=True),
+             pdf.iloc[cut:].reset_index(drop=True)]
+    assert run_vec(parts) == run_walk(parts)
