@@ -295,9 +295,12 @@ def get_parser() -> argparse.ArgumentParser:
             )
         if name in ("vfpprod", "vfpinj"):
             s.add_argument(
-                "--vfpnumbers", default=None,
+                "-n", "--vfpnumbers", default=None,
                 help="table numbers to extract, '[1,2,6:9]' int-list "
-                     "syntax (reference vfp --vfpnumbers)",
+                     "syntax; NOTE 'a:b' selects only the two endpoint "
+                     "table numbers a and b, not the range between "
+                     "(reference-faithful quirk of string_to_intlist; "
+                     "reference vfp -n/--vfpnumbers)",
             )
             s.add_argument(
                 "--arrow", action="store_true",

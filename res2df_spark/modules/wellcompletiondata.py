@@ -143,17 +143,33 @@ def detect_unit_system(deck_text: str) -> str:
     matches.  The scan STOPS at the first post-RUNSPEC section header:
     unit keywords are RUNSPEC-only, while later sections carry legal
     unquoted FIELD data tokens (``GCONPROD\\n  FIELD ...`` names the
-    root group) that would false-positive."""
+    root group) that would false-positive.
+
+    RUNSPEC itself contains free-text records — a ``TITLE`` keyword is
+    followed by one line of arbitrary text (``TITLE\\nFIELD STUDY``)
+    that must never match; the reference iterates PARSED keywords so
+    record payloads can't collide.  Two guards reproduce that: the
+    line after TITLE is skipped entirely, and a unit keyword must be
+    the ONLY token on its line (unit switches are zero-payload flags,
+    so a multi-token line is data, not a keyword)."""
     units = {"METRIC", "FIELD", "LAB", "PVT-M", "PVTM"}
     sections = {"GRID", "EDIT", "PROPS", "REGIONS", "SOLUTION",
                 "SUMMARY", "SCHEDULE", "OPTIMIZE"}
+    skip_record = False
     for line in deck_text.splitlines():
         tok = line.split("--", 1)[0].strip().split()
         if not tok:
             continue
+        if skip_record:
+            # TITLE's single free-text record line: consume blindly.
+            skip_record = False
+            continue
         if tok[0] in sections:
             break
-        if tok[0] in units:
+        if tok[0] == "TITLE":
+            skip_record = True
+            continue
+        if len(tok) == 1 and tok[0] in units:
             return "PVT-M" if tok[0] == "PVTM" else tok[0]
     return "METRIC"
 

@@ -55,7 +55,16 @@ def _enrich_batch(pdf, cur, ts_col, probe_col, value_cols):
     vcols = [ts_col, *value_cols]
     obs = pdf.loc[~is_probe & pdf[ts_col].notna(), vcols]
     if cur is not None:
-        state_ts = pd.Timestamp(cur[0])
+        # Re-coerce the carried state time ONLY for datetime batches:
+        # state round-trips through a python list, where a Timestamp
+        # decays to datetime and would mis-compare against a
+        # datetime64 column.  Numeric/string as-of keys (the walk
+        # model supported any ordered type) pass through untouched —
+        # pd.Timestamp(int) would misread an int key as nanoseconds.
+        if pd.api.types.is_datetime64_any_dtype(pdf[ts_col]):
+            state_ts = pd.Timestamp(cur[0])
+        else:
+            state_ts = cur[0]
         # in-batch observations older than the carried state can
         # never advance it — drop them so the merge reproduces the
         # one-pass walk exactly (a probe between an old obs and

@@ -1,0 +1,150 @@
+"""Round-11 regression tests for the three ADVICE items + the vfp `-n`
+short alias (the last CLI-parity residue from the round-10 verdict)."""
+import os
+
+import pandas as pd
+import pytest
+
+_EIGHT = "/root/reference/tests/data/eightcells"
+
+_VFP_DECK = """VFPPROD
+1 100.0 'LIQ' 'WCT' 'GOR' 'THP' ' ' 'METRIC' 'BHP' /
+1.0 2.0 /
+10.0 /
+0.0 /
+0.0 /
+0.0 /
+1 1 1 1 20.0 30.0 /
+/
+VFPPROD
+2 100.0 'LIQ' 'WCT' 'GOR' 'THP' ' ' 'METRIC' 'BHP' /
+1.0 2.0 /
+10.0 /
+0.0 /
+0.0 /
+0.0 /
+1 1 1 1 40.0 50.0 /
+/
+"""
+
+
+class TestDetectUnitSystemTitleGuard:
+    """ADVICE #1: TITLE's free-text record must never match a unit
+    keyword — the reference iterates PARSED keywords so record payloads
+    can't collide (_get_unit_system, wellcompletiondata.py:100-111)."""
+
+    def test_unquoted_title_starting_with_field(self):
+        from res2df_spark.modules.wellcompletiondata import detect_unit_system
+
+        deck = "RUNSPEC\nTITLE\nFIELD DEVELOPMENT STUDY\nSCHEDULE\n"
+        assert detect_unit_system(deck) == "METRIC"
+
+    def test_title_record_is_exactly_a_unit_token(self):
+        from res2df_spark.modules.wellcompletiondata import detect_unit_system
+
+        # worst case: the title is literally the single word FIELD
+        deck = "RUNSPEC\nTITLE\nFIELD\nSCHEDULE\n"
+        assert detect_unit_system(deck) == "METRIC"
+
+    def test_real_unit_after_title_still_found(self):
+        from res2df_spark.modules.wellcompletiondata import detect_unit_system
+
+        deck = "RUNSPEC\nTITLE\nLAB EXPERIMENT\nFIELD\nSCHEDULE\n"
+        assert detect_unit_system(deck) == "FIELD"
+
+    def test_multi_token_line_is_data_not_keyword(self):
+        from res2df_spark.modules.wellcompletiondata import detect_unit_system
+
+        # a unit word followed by more tokens is a data record, never
+        # the zero-payload unit flag
+        deck = "RUNSPEC\nFIELD 3 4 /\nSCHEDULE\n"
+        assert detect_unit_system(deck) == "METRIC"
+
+    def test_plain_units_unaffected(self):
+        from res2df_spark.modules.wellcompletiondata import detect_unit_system
+
+        for kw, want in [("METRIC", "METRIC"), ("FIELD", "FIELD"),
+                         ("LAB", "LAB"), ("PVT-M", "PVT-M"),
+                         ("PVTM", "PVT-M")]:
+            assert detect_unit_system(f"RUNSPEC\n{kw}\nGRID\n") == want
+
+
+class TestEnrichBatchNumericTs:
+    """ADVICE #2: the carried state time must not be coerced through
+    pd.Timestamp for non-datetime as-of keys (an int would be misread
+    as nanoseconds across batch boundaries)."""
+
+    def _run(self, batches, ts_dtype):
+        from res2df_spark.streaming.ops import _enrich_batch
+
+        cur = None
+        outs = []
+        for rows in batches:
+            pdf = pd.DataFrame(rows, columns=["ts", "probe", "v"])
+            pdf["ts"] = pdf["ts"].astype(ts_dtype)
+            pdf["probe"] = pdf["probe"].astype("object")
+            pdf["v"] = pdf["v"].astype("object")
+            out, cur = _enrich_batch(pdf, cur, "ts", "probe", ["v"])
+            if out is not None:
+                outs.append(out)
+        return outs, cur
+
+    def test_int_ts_state_threads_across_batches(self):
+        # batch 1: one observation at t=100; batch 2: probe at t=250
+        outs, cur = self._run(
+            [[(100, False, "a")], [(250, True, None)]], "int64"
+        )
+        assert cur[0] == 250 or cur[0] == 100  # state time stays an int
+        assert not isinstance(cur[0], pd.Timestamp)
+        assert len(outs) == 1
+        assert list(outs[0]["v"]) == ["a"]
+
+    def test_int_ts_probe_before_state_gets_null(self):
+        outs, _ = self._run(
+            [[(100, False, "a")], [(50, True, "junk")]], "int64"
+        )
+        assert len(outs) == 1
+        assert list(outs[0]["v"]) == [None]
+
+    def test_float_ts(self):
+        outs, cur = self._run(
+            [[(1.5, False, "x")], [(2.5, True, None), (3.5, False, "y")]],
+            "float64",
+        )
+        assert list(outs[0]["v"]) == ["x"]
+        assert cur == [3.5, "y"]
+
+    def test_datetime_ts_still_coerced(self):
+        from res2df_spark.streaming.ops import _enrich_batch
+
+        t0 = pd.Timestamp("2020-01-01")
+        b1 = pd.DataFrame({
+            "ts": pd.Series([t0], dtype="datetime64[ns]"),
+            "probe": pd.Series([False], dtype="object"),
+            "v": pd.Series(["a"], dtype="object"),
+        })
+        out, cur = _enrich_batch(b1, None, "ts", "probe", ["v"])
+        assert out is None
+        # simulate the list round-trip decaying Timestamp → datetime
+        cur = [cur[0].to_pydatetime(), cur[1]]
+        b2 = pd.DataFrame({
+            "ts": pd.Series([t0 + pd.Timedelta(hours=1)],
+                            dtype="datetime64[ns]"),
+            "probe": pd.Series([True], dtype="object"),
+            "v": pd.Series([None], dtype="object"),
+        })
+        out, _ = _enrich_batch(b2, cur, "ts", "probe", ["v"])
+        assert list(out["v"]) == ["a"]
+
+
+def test_vfp_n_short_alias(spark, tmp_path, capsys):
+    """Reference _vfp.py fill_parser registers -n as the short form of
+    --vfpnumbers (/root/reference/src/res2df/vfp/_vfp.py:467)."""
+    from res2df_spark.cli import main
+
+    path = tmp_path / "vfp.DATA"
+    path.write_text(_VFP_DECK)
+    assert main(["vfpprod", str(path), "-n", "[2]", "-o", "-"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    t_idx = lines[0].split(",").index("TABLE")
+    assert {ln.split(",")[t_idx] for ln in lines[1:]} == {"2"}
