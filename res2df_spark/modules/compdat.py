@@ -91,14 +91,40 @@ def df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
     compdat = deck_records(spark, deck_text, "COMPDAT", records=dated)
     welspecs = deck_records(spark, deck_text, "WELSPECS", records=dated)
     wo_recs = [r for r in dated if r["KEYWORD"] == "WELOPEN"]
+    # The reference's C1/C2 validations all live inside
+    # expand_complump_in_welopen_df (compdat.py:691-717), which
+    # EARLY-RETURNS when the deck has no COMPLUMP at all — so with no
+    # COMPLUMP the numbers are never validated: the row reaches
+    # applywelopen, where all-defaulted coordinates take the whole-well
+    # branch (C1/C2 silently ignored, reference :855-860 — test ids
+    # zero-values / negative-values pass '0 0 0 0 0' decks) and any
+    # explicit coordinate falls through to the could-not-be-parsed
+    # raise (:886-889, test id complump_missing).
+    has_complump = any(r["KEYWORD"] == "COMPLUMP" for r in dated)
+    if not has_complump:
+        fixed = []
+        for r in wo_recs:
+            if r["C1"] is not None or r["C2"] is not None:
+                if all(
+                    r[c] is None or r[c] <= 0 for c in ("I", "J", "K")
+                ):
+                    r = {**r, "C1": None, "C2": None}
+                else:
+                    raise ValueError(
+                        "A WELOPEN keyword contains data that could not "
+                        f"be parsed (well {r['WELL']!r}: completion "
+                        "numbers without any COMPLUMP in the deck)"
+                    )
+            fixed.append(r)
+        wo_recs = fixed
     for r in wo_recs:
-        if (r["C1"] is None) != (r["C2"] is None):
+        if has_complump and (r["C1"] is None) != (r["C2"] is None):
             # reference compdat.py expand_complump_in_welopen_df
             raise ValueError(
                 "Both or none of the completion numbers C1/C2 in WELOPEN "
                 f"must be defined (well {r['WELL']!r})"
             )
-        if r["C1"] is not None and r["C2"] is not None:
+        if has_complump and r["C1"] is not None and r["C2"] is not None:
             # reference expand_complump_in_welopen_df:710-717: zero and
             # negative completion numbers are rejected, not wildcards —
             # C1=0 would otherwise silently match every lump

@@ -119,23 +119,57 @@ def _apply_action(state: dict[str, list[str]], r: dict) -> None:
 
 def expand_welopen_wlists(records: list[dict]) -> list[dict]:
     """Replace ``*LIST`` well references in WELOPEN records with one
-    record per member well, using the list state at each record's deck
-    position (reference compdat.py:769-801
-    ``expand_wlist_in_welopen_df``; position-based state sidesteps the
-    documented same-date lossiness of the date-keyed frame).  An
-    undefined list raises ValueError like the reference."""
+    record per member well.
+
+    Visibility is by DATE, not deck position: the reference's
+    ``expand_wlist`` (compdat.py:556-653) emits the full list state
+    per DATE (end-of-date snapshots), and
+    ``expand_wlist_in_welopen_df`` (:757-788) filters
+    ``DATE <= action DATE`` then takes ``tail(1)`` — so a WELOPEN may
+    legally precede the WLIST that defines its list within the same
+    date (reference test_welopen.py 'Four wells, two lists': "In
+    res2df, the WELOPEN is allowed to be before WLIST"), and a
+    redefinition at the action date wins over an older one
+    (test id redefined_wlist).  An undefined list raises ValueError
+    like the reference."""
+    # pass 1: fold the running state; record the FULL state after each
+    # WLIST record keyed by its date — the last write per date is the
+    # end-of-date snapshot the reference emits (MOV touches OTHER
+    # lists too, hence full-state snapshots, not per-name)
     state: dict[str, list[str]] = {}
-    out: list[dict] = []
+    by_date: dict = {}
     for r in records:
         if r["KEYWORD"] == "WLIST":
             _apply_action(state, r)
-            out.append(r)
-        elif r["KEYWORD"] == "WELOPEN" and (r.get("WELL") or "").startswith("*"):
-            if r["WELL"] not in state:
-                raise ValueError(
-                    f"Well list {r['WELL'][1:]} not defined at {r['DATE']}"
-                )
-            out.extend(dict(r, WELL=w) for w in state[r["WELL"]])
+            by_date[r["DATE"]] = {n: tuple(ws) for n, ws in state.items()}
+
+    def _visible(snap_date, action_date) -> bool:
+        # a None deck date is earlier than any date (matches the
+        # reference's treatment of undated COMPDAT rows)
+        if snap_date is None:
+            return True
+        if action_date is None:
+            return False
+        return snap_date <= action_date
+
+    def _members(name: str, action_date):
+        cand = [
+            d for d, snap in by_date.items()
+            if _visible(d, action_date) and name in snap
+        ]
+        if not cand:
+            raise ValueError(
+                f"Well list {name[1:]} not defined at {action_date}"
+            )
+        latest = max(cand, key=lambda d: (d is not None, d))
+        return by_date[latest][name]
+
+    out: list[dict] = []
+    for r in records:
+        if r["KEYWORD"] == "WELOPEN" and (r.get("WELL") or "").startswith("*"):
+            out.extend(
+                dict(r, WELL=w) for w in _members(r["WELL"], r["DATE"])
+            )
         else:
             out.append(r)
     return out
