@@ -65,13 +65,21 @@ def df(
     # and keyword presence is known for free (no eager probe jobs).
     dated = fill_dates(parse_deck(deck_text))
     if startdate is None:
-        # reference gruptree.py:101-105: tree records before any
-        # START/DATES get 1900-01-01 (a NULL snapshot key would make
-        # prettyprint render nothing and break date-keyed consumers)
-        startdate = _dt.date(1900, 1, 1)
-    dated = [
-        dict(r, DATE=startdate) if r["DATE"] is None else r for r in dated
-    ]
+        # reference gruptree.py:95-105: the 1900-01-01 fallback fires
+        # ONLY when a DATES/START/TSTEP keyword follows undated tree
+        # data (the mid-deck flush needs a date key); a deck with no
+        # date keyword at all flushes once at EOF with date=None, so
+        # the frame keeps a NULL DATE (reference test_str2df asserts
+        # exactly this)
+        if any(
+            r["KEYWORD"] in ("DATES", "START", "TSTEP") for r in dated
+        ):
+            startdate = _dt.date(1900, 1, 1)
+    if startdate is not None:
+        dated = [
+            dict(r, DATE=startdate) if r["DATE"] is None else r
+            for r in dated
+        ]
     present = {r["KEYWORD"] for r in dated}
 
     def recs(kw):
@@ -370,7 +378,9 @@ def _render_children(subtree: dict, prefix: str) -> list[str]:
     lines = []
     for i, (name, sub) in enumerate(items):
         last = i == len(items) - 1
-        lines.append(prefix + ("└── " if last else "├── ") + name)
+        # str(): node names may be non-string (the reference's treelib
+        # renders integer node ids)
+        lines.append(prefix + ("└── " if last else "├── ") + str(name))
         lines.extend(_render_children(sub, prefix + ("    " if last else "│   ")))
     return lines
 
@@ -386,7 +396,9 @@ def tree_from_dict(nested_dict: dict) -> str:
             "The tree_from_dict function should be called with a single tree"
         )
     root = next(iter(nested_dict))
-    return "\n".join([root, *_render_children(nested_dict[root], "")]) + "\n"
+    return "\n".join(
+        [str(root), *_render_children(nested_dict[root], "")]
+    ) + "\n"
 
 
 def prettyprint(dframe) -> str:

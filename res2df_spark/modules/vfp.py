@@ -18,6 +18,80 @@ from pyspark.sql.functions import broadcast
 from res2df_spark.sources.deck import _coerce, _expand, _tokenize, known_keywords
 
 
+# Meta-record vocabularies (Eclipse keyword items 3-9, the reference's
+# _vfpdefs.py enums) with the reference's defaults for omitted items:
+# RATE GAS / WFR WCT / GFR GOR / THP THP / ALQ "''" (undefined) /
+# UNITS DEFAULT / TAB BHP (_vfpprod.py:100-120, _vfpinj.py equivalents).
+_VFPPROD_FLO = {"OIL", "LIQ", "GAS", "WG", "TM"}
+_VFPINJ_FLO = {"OIL", "WAT", "GAS", "WG", "TM"}
+_WFR_TYPES = {"WOR", "WCT", "WGR", "WWR", "WTF"}
+_GFR_TYPES = {"GOR", "GLR", "OGR", "MMW"}
+_ALQ_TYPES = {"GRAT", "IGLR", "TGLR", "PUMP", "COMP", "DENO", "DENG", "BEAN"}
+_UNIT_TYPES = {"METRIC", "FIELD", "LAB", "PVT-M"}
+_THP_TYPES = {"THP"}
+_TAB_PROD = {"BHP", "TEMP", "THT"}
+_TAB_INJ = {"BHP"}
+
+
+def _meta_item(meta: list, i: int) -> str | None:
+    """Item ``i`` of a VFP meta record as a bare string, or None when
+    absent / defaulted (``1*``) / quoted-empty (``''``, ``' '``)."""
+    if i >= len(meta):
+        return None
+    v = _expand([meta[i]])[0]
+    if v is None:
+        return None
+    s = str(v).strip("'").strip()
+    return s or None
+
+
+def _typed(meta: list, i: int, valid: set, default: str, what: str,
+           table: int) -> str:
+    v = _meta_item(meta, i)
+    if v is None:
+        return default
+    if v == "THT":
+        v = "TEMP"  # the reference's enum renders THT as TEMP
+    if v not in valid:
+        raise ValueError(
+            f"VFP table {table}: invalid {what} {v!r} "
+            f"(must be one of {sorted(valid)})"
+        )
+    return v
+
+
+def _parse_meta_types(meta: list, keyword: str, table: int) -> dict:
+    """Items 3+ of the meta record → the reference's *_TYPE values."""
+    if keyword == "VFPPROD":
+        return {
+            "RATE_TYPE": _typed(meta, 2, _VFPPROD_FLO, "GAS",
+                                "rate type", table),
+            "WFR_TYPE": _typed(meta, 3, _WFR_TYPES, "WCT",
+                               "WFR type", table),
+            "GFR_TYPE": _typed(meta, 4, _GFR_TYPES, "GOR",
+                               "GFR type", table),
+            "PRESSURE_TYPE": _typed(meta, 5, _THP_TYPES, "THP",
+                                    "pressure type", table),
+            # undefined artificial lift renders as the literal "''"
+            # (reference ALQ.UNDEFINED)
+            "ALQ_TYPE": _typed(meta, 6, _ALQ_TYPES, "''",
+                               "ALQ type", table),
+            "UNIT_TYPE": _typed(meta, 7, _UNIT_TYPES, "DEFAULT",
+                                "unit type", table),
+            "TAB_TYPE": _typed(meta, 8, _TAB_PROD, "BHP",
+                               "tab type", table),
+        }
+    return {
+        "RATE_TYPE": _typed(meta, 2, _VFPINJ_FLO, "GAS",
+                            "rate type", table),
+        "PRESSURE_TYPE": _typed(meta, 3, _THP_TYPES, "THP",
+                                "pressure type", table),
+        "UNIT_TYPE": _typed(meta, 4, _UNIT_TYPES, "DEFAULT",
+                            "unit type", table),
+        "TAB_TYPE": _typed(meta, 5, _TAB_INJ, "BHP", "tab type", table),
+    }
+
+
 def _parse_blocks(text: str, keyword: str) -> list[dict]:
     """Extract raw VFP blocks: meta record, axis records, value records."""
     toks = _tokenize(text)
@@ -73,9 +147,11 @@ def _parse_blocks(text: str, keyword: str) -> list[dict]:
                 [int(v) for v in vals[:n_idx]],
                 vals[n_idx:],
             ))
+        table = int(_coerce(meta[0], "int"))
         out.append({
-            "table": int(_coerce(meta[0], "int")),
+            "table": table,
             "datum": _coerce(meta[1], "float"),
+            "types": _parse_meta_types(meta, keyword, table),
             "axes": axes,
             "values": values,
         })
@@ -115,13 +191,21 @@ def df_prod(spark: SparkSession, deck_text: str) -> DataFrame | None:
                     f"has {len(vals)} BHP values for a {len(flow)}-value "
                     "FLOW axis"
                 )
-            rows.append((bi, b["table"], b["datum"], ithp, iwfr, igfr, ialq, flow, vals))
+            t = b["types"]
+            rows.append((
+                bi, b["table"], b["datum"], ithp, iwfr, igfr, ialq,
+                flow, vals, t["RATE_TYPE"], t["WFR_TYPE"], t["GFR_TYPE"],
+                t["ALQ_TYPE"], t["PRESSURE_TYPE"], t["TAB_TYPE"],
+                t["UNIT_TYPE"],
+            ))
         for name, ax in (("THP", thp), ("WFR", wfr), ("GFR", gfr), ("ALQ", alq)):
             axis_rows.extend((bi, b["table"], name, i + 1, v) for i, v in enumerate(ax))
     recs = spark.createDataFrame(
         rows,
         "BI int, TABLE int, DATUM double, ITHP int, IWFR int, IGFR int, IALQ int, "
-        "FLOW array<double>, BHP array<double>",
+        "FLOW array<double>, BHP array<double>, RATE_TYPE string, "
+        "WFR_TYPE string, GFR_TYPE string, ALQ_TYPE string, "
+        "PRESSURE_TYPE string, TAB_TYPE string, UNIT_TYPE string",
     )
     axes = spark.createDataFrame(
         axis_rows, "BI int, TABLE int, AXIS string, IDX int, VAL double"
@@ -137,13 +221,17 @@ def df_prod(spark: SparkSession, deck_text: str) -> DataFrame | None:
     for name, idx_col in (("THP", "ITHP"), ("WFR", "IWFR"), ("GFR", "IGFR"), ("ALQ", "IALQ")):
         a, cond = ax(name, idx_col)
         out = out.join(a, cond).drop("B2", "I2")
+    types = ["RATE_TYPE", "WFR_TYPE", "GFR_TYPE", "ALQ_TYPE",
+             "PRESSURE_TYPE", "TAB_TYPE", "UNIT_TYPE"]
     melted = out.select(
         "TABLE", "DATUM", "THP", "WFR", "GFR", "ALQ",
         F.explode(F.arrays_zip(F.col("FLOW").alias("RATE"), F.col("BHP").alias("BHP"))).alias("z"),
+        *types,
     )
     return melted.select(
         "TABLE", "DATUM", "THP", "WFR", "GFR", "ALQ",
         F.col("z.RATE").alias("RATE"), F.col("z.BHP").alias("BHP"),
+        *types,
     )
 
 
@@ -169,14 +257,92 @@ def df_inj(spark: SparkSession, deck_text: str) -> DataFrame | None:
                     f"{ithp} has {len(vals)} BHP values for a "
                     f"{len(flow)}-value FLOW axis"
                 )
-            rows.append((b["table"], b["datum"], thp[ithp - 1], flow, vals))
+            t = b["types"]
+            rows.append((
+                b["table"], b["datum"], thp[ithp - 1], flow, vals,
+                t["RATE_TYPE"], t["PRESSURE_TYPE"], t["TAB_TYPE"],
+                t["UNIT_TYPE"],
+            ))
     recs = spark.createDataFrame(
-        rows, "TABLE int, DATUM double, THP double, FLOW array<double>, BHP array<double>"
+        rows,
+        "TABLE int, DATUM double, THP double, FLOW array<double>, "
+        "BHP array<double>, RATE_TYPE string, PRESSURE_TYPE string, "
+        "TAB_TYPE string, UNIT_TYPE string",
     )
+    types = ["RATE_TYPE", "PRESSURE_TYPE", "TAB_TYPE", "UNIT_TYPE"]
     melted = recs.select(
         "TABLE", "DATUM", "THP",
         F.explode(F.arrays_zip(F.col("FLOW").alias("RATE"), F.col("BHP").alias("BHP"))).alias("z"),
+        *types,
     )
     return melted.select(
-        "TABLE", "DATUM", "THP", F.col("z.RATE").alias("RATE"), F.col("z.BHP").alias("BHP")
+        "TABLE", "DATUM", "THP", F.col("z.RATE").alias("RATE"),
+        F.col("z.BHP").alias("BHP"), *types,
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-vocabulary accessors (vfp/_vfp.py df()/dfs(): column names
+# RATE/PRESSURE/WFR/GFR/ALQ/TAB + VFP_TYPE/TABLE_NUMBER/DATUM/*_TYPE,
+# one frame per table in deck order, int-list table selection).
+# ---------------------------------------------------------------------------
+
+_PROD_REF_COLS = [
+    "RATE", "PRESSURE", "WFR", "GFR", "ALQ", "TAB", "VFP_TYPE",
+    "TABLE_NUMBER", "DATUM", "RATE_TYPE", "WFR_TYPE", "GFR_TYPE",
+    "ALQ_TYPE", "PRESSURE_TYPE", "TAB_TYPE", "UNIT_TYPE",
+]
+_INJ_REF_COLS = [
+    "RATE", "PRESSURE", "TAB", "VFP_TYPE", "TABLE_NUMBER", "DATUM",
+    "RATE_TYPE", "PRESSURE_TYPE", "TAB_TYPE", "UNIT_TYPE",
+]
+
+
+def _to_reference_shape(out: DataFrame, keyword: str) -> DataFrame:
+    """Engine melt shape → the reference's vfp.df() column vocabulary
+    (TABLE→TABLE_NUMBER, THP→PRESSURE, BHP→TAB, + VFP_TYPE literal)."""
+    out = (
+        out.withColumnRenamed("TABLE", "TABLE_NUMBER")
+        .withColumnRenamed("THP", "PRESSURE")
+        .withColumnRenamed("BHP", "TAB")
+        .withColumn("VFP_TYPE", F.lit(keyword))
+    )
+    cols = _PROD_REF_COLS if keyword == "VFPPROD" else _INJ_REF_COLS
+    return out.select(*cols)
+
+
+def df(spark: SparkSession, deck_text: str, keyword: str = "VFPPROD",
+       vfpnumbers_str: str | None = None) -> DataFrame | None:
+    """All tables of one VFP keyword family in the reference's column
+    vocabulary (reference vfp.df, _vfp.py:244-284), optionally reduced
+    to an int-list of table numbers (endpoints-only ``a:b`` quirk of
+    ``string_to_intlist`` preserved)."""
+    out = (df_prod if keyword == "VFPPROD" else df_inj)(spark, deck_text)
+    if out is None:
+        return None
+    if vfpnumbers_str:
+        from res2df_spark.functions.strings import string_to_intlist
+
+        out = out.filter(
+            F.col("TABLE").isin(string_to_intlist(vfpnumbers_str))
+        )
+    return _to_reference_shape(out, keyword)
+
+
+def dfs(spark: SparkSession, deck_text: str, keyword: str = "VFPPROD",
+        vfpnumbers_str: str | None = None) -> list[DataFrame]:
+    """One reference-shape frame PER TABLE, in deck order (reference
+    vfp.dfs, _vfp.py:287-320)."""
+    blocks = _parse_blocks(deck_text, keyword)
+    wanted = None
+    if vfpnumbers_str:
+        from res2df_spark.functions.strings import string_to_intlist
+
+        wanted = set(string_to_intlist(vfpnumbers_str))
+    full = df(spark, deck_text, keyword)
+    out = []
+    for b in blocks:
+        if wanted is not None and b["table"] not in wanted:
+            continue
+        out.append(full.filter(F.col("TABLE_NUMBER") == b["table"]))
+    return out

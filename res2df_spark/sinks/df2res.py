@@ -257,6 +257,26 @@ def df2res_pvt(df: DataFrame) -> str:
     return "\n".join(out)
 
 
+def _vfp_meta_line(tbl, table, datum, type_cols) -> str:
+    """Render a VFP meta record.  When the frame carries the *_TYPE
+    columns (reference vfp.df vocabulary), the type items are written
+    so a re-parse recovers them — UNIT_TYPE DEFAULT renders as ``1*``
+    (the units item was omitted) and ALQ_TYPE ``''`` as the literal
+    quoted-empty item; frames without type columns keep the minimal
+    ``table datum /`` meta (all types default on re-parse)."""
+    items = [str(int(table)), _fmt(datum)]
+    if all(c in tbl.columns for c in type_cols):
+        for c in type_cols:
+            v = str(tbl[c].iloc[0])
+            if c == "UNIT_TYPE" and v == "DEFAULT":
+                items.append("1*")
+            elif v == "''":
+                items.append("''")
+            else:
+                items.append(f"'{v}'")
+    return "  " + " ".join(items) + " /"
+
+
 def df2res_vfpprod(df: DataFrame) -> str:
     """Melted VFPPROD rows (TABLE, DATUM, THP, WFR, GFR, ALQ, RATE,
     BHP) → VFPPROD keyword text (vfp/_vfpprod.py's df2res): the axis
@@ -288,7 +308,11 @@ def df2res_vfpprod(df: DataFrame) -> str:
         }
         flow = sorted(tbl["RATE"].dropna().unique())
         out.append("VFPPROD")
-        out.append(f"  {int(table)} {_fmt(datum)} /")
+        out.append(_vfp_meta_line(
+            tbl, table, datum,
+            ["RATE_TYPE", "WFR_TYPE", "GFR_TYPE", "PRESSURE_TYPE",
+             "ALQ_TYPE", "UNIT_TYPE", "TAB_TYPE"],
+        ))
         out.append("  " + " ".join(_fmt(float(v)) for v in flow) + " /")
         for name in ("THP", "WFR", "GFR", "ALQ"):
             out.append("  " + " ".join(_fmt(float(v)) for v in axes[name]) + " /")
@@ -439,7 +463,10 @@ def df2res_vfpinj(df: DataFrame) -> str:
         thps = sorted(tbl["THP"].dropna().unique())
         flow = sorted(tbl["RATE"].dropna().unique())
         out.append("VFPINJ")
-        out.append(f"  {int(table)} {_fmt(datum)} /")
+        out.append(_vfp_meta_line(
+            tbl, table, datum,
+            ["RATE_TYPE", "PRESSURE_TYPE", "UNIT_TYPE", "TAB_TYPE"],
+        ))
         out.append("  " + " ".join(_fmt(float(v)) for v in flow) + " /")
         out.append("  " + " ".join(_fmt(float(v)) for v in thps) + " /")
         for i, t in enumerate(thps, start=1):

@@ -197,7 +197,7 @@ def test_csv2res_equil_roundtrip(spark, tmp_path, capsys):
 def test_csv2res_vfpinj_roundtrip(spark, tmp_path, capsys):
     deck = tmp_path / "vfp.inc"
     deck.write_text(
-        "VFPINJ\n  1 3000.0 'WAT' 'THP' 'BHP' /\n  100 200 /\n  10 20 /\n"
+        "VFPINJ\n  1 3000.0 'WAT' 'THP' 'METRIC' 'BHP' /\n  100 200 /\n  10 20 /\n"
         "  1 2000 2100 /\n  2 2200 2300 /\n"
     )
     csv1 = tmp_path / "vfp.csv"
