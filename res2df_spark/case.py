@@ -161,10 +161,17 @@ class ResdataCase:
             self._frames[meta_key] = eclbin.summary_meta(
                 self.spark, self.path("SMSPEC")
             )
-        return summary_mod.df(
+        out = summary_mod.df(
             long, self._frames[meta_key],
             time_index=time_index or "raw",
             column_keys=list(column_keys or []),
+        )
+        # the reference stamps smry_meta (unit/is_total/is_rate/...)
+        # as Arrow field metadata on every summary export
+        # (summary.py:567-599 + _df2pyarrow) — carried here on the
+        # schema so --arrow keeps it
+        return summary_mod.attach_summary_metadata(
+            out, self._frames[meta_key]
         )
 
     def _summary_long(self, include_restart: bool = False) -> DataFrame:

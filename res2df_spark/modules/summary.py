@@ -283,3 +283,44 @@ def meta_from_units(spark, vectors, units, vector_col: str = "VECTOR") -> DataFr
     return spark.createDataFrame(
         rows, f"{vector_col} string, UNIT string, IS_TOTAL boolean, IS_RATE boolean"
     )
+
+
+def attach_summary_metadata(out: DataFrame, meta: DataFrame) -> DataFrame:
+    """Stamp every vector column with the reference's ``smry_meta``
+    fields (summary.py:567-599, exported as Arrow field metadata by
+    ``_df2pyarrow``:486-521): unit, is_total, is_rate, is_historical,
+    keyword, wgname — carried here via ``StructField.metadata`` (the K2
+    typed-writer channel), which ``sinks.writers.to_arrow_table``
+    re-attaches on ``--arrow`` export.
+
+    Values are stringified exactly like the reference (``bytes(str(v))``
+    makes booleans "True"/"False" and a missing well-or-group name
+    "None").  ``is_historical`` follows the public summary-vector
+    convention the reference reads from resdata: the keyword of an
+    observed-history vector ends with ``H`` (FOPTH, WOPRH, ...).
+
+    The meta dim is bounded by SMSPEC width, so the driver-side collect
+    is a bounded lookup, not a distributed fold."""
+    rows = {r["VECTOR"]: r for r in meta.collect()}
+    cols = []
+    for c in out.columns:
+        r = rows.get(c)
+        if r is None:
+            cols.append(F.col(c))
+            continue
+        parts = c.split(":")
+        kw = parts[0]
+        m = {
+            "unit": r["UNIT"],
+            "is_total": str(bool(r["IS_TOTAL"])),
+            "is_rate": str(bool(r["IS_RATE"])),
+            "is_historical": str(kw.endswith("H")),
+            "keyword": kw,
+            # the well-or-group segment only: a completion vector
+            # CPI:OP1:1,1,1 has wgname OP1 (the cell address is the
+            # node's num, which the reference adds as get_num only
+            # when resdata resolves it — omitted here)
+            "wgname": parts[1] if len(parts) > 1 else "None",
+        }
+        cols.append(F.col(c).alias(c, metadata=m))
+    return out.select(*cols)

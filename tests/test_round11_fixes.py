@@ -148,3 +148,71 @@ def test_vfp_n_short_alias(spark, tmp_path, capsys):
     lines = capsys.readouterr().out.splitlines()
     t_idx = lines[0].split(",").index("TABLE")
     assert {ln.split(",")[t_idx] for ln in lines[1:]} == {"2"}
+
+
+# ---------------------------------------------------------------------------
+# Round-11 brief #8: unit-metadata sweep across the --arrow export
+# families.  Reference parity: summary stamps smry_meta fields
+# (summary.py:567-599 via _df2pyarrow:486-521), wellcompletiondata
+# stamps the KH unit (wellcompletiondata.py:218-246), grid/vfp attach
+# NO field metadata (grid.py:126-147 builds plain fields).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not os.path.isdir(_EIGHT), reason="fixtures not present")
+class TestArrowMetadataSweep:
+    def _case(self, spark):
+        from res2df_spark.case import ResdataCase
+
+        return ResdataCase(spark, f"{_EIGHT}/EIGHTCELLS")
+
+    def test_summary_field_metadata(self, spark):
+        out = self._case(spark).summary()
+        meta = {f.name: f.metadata for f in out.schema}
+        assert meta["FOPT"] == {
+            "unit": "SM3", "is_total": "True", "is_rate": "False",
+            "is_historical": "False", "keyword": "FOPT",
+            "wgname": "None",
+        }
+        assert meta["WOPR:OP1"]["is_rate"] == "True"
+        assert meta["WOPR:OP1"]["wgname"] == "OP1"
+        assert meta["WOPR:OP1"]["unit"] == "SM3/DAY"
+        # completion vector: wgname is the well segment only
+        cpi = [c for c in meta if c.startswith("CPI:")][0]
+        assert meta[cpi]["wgname"] == "OP1"
+        assert meta["DATE"] == {}
+
+    def test_summary_arrow_export_carries_metadata(self, spark):
+        from res2df_spark.sinks.writers import to_arrow_table
+
+        out = self._case(spark).summary()
+        table = to_arrow_table(out)
+        f = table.schema.field("FOPT")
+        assert f.metadata[b"unit"] == b"SM3"
+        assert f.metadata[b"is_total"] == b"True"
+        assert f.metadata[b"keyword"] == b"FOPT"
+
+    def test_grid_fields_carry_no_spurious_metadata(self, spark):
+        # reference grid._df2pyarrow attaches no field metadata
+        out = self._case(spark).grid()
+        assert all(not f.metadata for f in out.schema)
+
+    def test_vfp_fields_carry_no_spurious_metadata(self, spark):
+        from res2df_spark.modules import vfp
+
+        deck = (
+            "VFPINJ\n  1 3000.0 'WAT' 'THP' 'METRIC' 'BHP' /\n"
+            "  100 200 /\n  10 20 /\n  1 2000 2100 /\n  2 2200 2300 /\n"
+        )
+        out = vfp.df_inj(spark, deck)
+        assert all(not f.metadata for f in out.schema)
+
+    def test_wcd_kh_metadata_still_attached(self, spark):
+        from res2df_spark.modules import wellcompletiondata
+
+        frame = spark.createDataFrame(
+            [("OP1", "Z1", 1.0)], "WELL string, ZONE string, KH double"
+        )
+        out = wellcompletiondata.attach_kh_metadata(frame, "METRIC")
+        meta = {f.name: f.metadata for f in out.schema}
+        assert meta["KH"] == {"unit": "mDm"}

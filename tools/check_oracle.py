@@ -92,7 +92,31 @@ def main() -> int:
             return 2
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+
+    def _int_opt(flag: str) -> int | None:
+        nonlocal argv
+        if flag not in argv:
+            return None
+        i = argv.index(flag)
+        val = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+        return val
+
+    # --sample N [--offset K]: deterministic every-Kth pick of N queries
+    # from OUTSIDE the driver's correctness window (the alphabetical
+    # first 50) — the cheap CI-cadence insurance against out-of-window
+    # rot.  --offset rotates the pick between rounds so successive
+    # samples cover different names.
+    sample_n = _int_opt("--sample")
+    sample_offset = _int_opt("--offset") or 0
     only = set(argv)
+    if sample_n:
+        tail = sorted(suite.QUERIES)[50:]
+        step = max(1, len(tail) // sample_n)
+        picked = tail[sample_offset % step::step][:sample_n]
+        print(f"sampled {len(picked)}/{len(tail)} out-of-window queries "
+              f"(step {step}, offset {sample_offset % step})")
+        only |= set(picked)
     records: dict[str, dict] = {}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
