@@ -174,8 +174,12 @@ def asof_enrich_stream(
     exactly the walk's winner, state included.  Cost is bounded by
     micro-batch size, never corpus size; state stays one observation
     per key.  Measured on a 500k-row single-key micro-batch: the
-    round-9 per-row walk did ~0.12M rows/s, this form ~0.9M rows/s
-    (~8×), and the gap widens with payload width.
+    round-9 per-row walk (with its per-row dict building and output
+    appends) did ~0.12M rows/s, this form ~0.9M rows/s (~8×);
+    against a LEANER walk that only advances state and counts matches,
+    the probe harness (tools/scale_probe.probe_enrich_throughput)
+    measures ~3× — the honest bound pair.  The gap widens with
+    payload width.
 
     Output schema: the input minus ``probe_col``, probe rows only.
     """

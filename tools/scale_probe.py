@@ -317,6 +317,159 @@ def probe_trans_big(spark, n: int = 4_000_000, repeats: int = 3) -> dict:
     return out
 
 
+def probe_wcd_big(spark, n: int = 1_000_000, repeats: int = 3) -> dict:
+    """Event-table scaling for the round-10 connstatus merge
+    (wellcompletiondata.df with use_wellconnstatus): synthetic
+    status-change events at n and 10n rows through the full
+    merge+zone+aggregate composition.  The merge is a pre-deduped
+    equi-join (no fan-out) plus an anti-join and a zone groupBy, so a
+    healthy ratio sits at/below the 10× data growth.  Wells scale with
+    the events (fleet-growth shape), keeping per-key work constant."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from res2df_spark.modules import wellcompletiondata
+
+    zonemap = spark.createDataFrame(
+        [(k, f"Z{(k - 1) // 2}") for k in range(1, 9)],
+        "K int, ZONE string",
+    )
+
+    def connstatus(events: int, wells: int):
+        return spark.range(events).select(
+            F.concat(F.lit("W"), (F.col("id") % wells).cast("string")
+                     ).alias("WELL"),
+            (F.col("id") % 5 + 1).cast("int").alias("I"),
+            (F.col("id") % 7 + 1).cast("int").alias("J"),
+            (F.col("id") % 8 + 1).cast("int").alias("K"),
+            F.date_add(F.lit("2000-01-01").cast("date"),
+                       ((F.col("id") * 2654435761) % 3650).cast("int")
+                       ).alias("DATE"),
+            F.when(F.col("id") % 2 == 0, F.lit("OPEN"))
+            .otherwise(F.lit("SHUT")).alias("OP/SH"),
+        )
+
+    def connections(wells: int):
+        # 8 connection rows per well, keys aligned with the event
+        # generator so the merge actually matches
+        return spark.range(wells * 8).select(
+            F.concat(F.lit("W"), (F.col("id") % wells).cast("string")
+                     ).alias("WELL"),
+            (F.col("id") % 5 + 1).cast("int").alias("I"),
+            (F.col("id") % 7 + 1).cast("int").alias("J"),
+            (F.col("id") % 8 + 1).cast("int").alias("K"),
+            F.lit("OPEN").alias("OP_SH"),
+            F.lit("2000-01-01").cast("date").alias("DATE"),
+            (F.col("id") % 100).cast("double").alias("KH"),
+        )
+
+    def run(events: int) -> float:
+        wells = max(100, events // 1000)
+        df = wellcompletiondata.df(
+            connections(wells), zonemap,
+            connstatus=connstatus(events, wells),
+        )
+        df.write.mode("overwrite").format("noop").save()  # untimed warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = _time.time()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, _time.time() - t0)
+        return best
+
+    small = run(n)
+    big = run(10 * n)
+    out = {
+        "n_events": n,
+        "data_growth": 10.0,
+        "small": round(small, 3),
+        "big": round(big, 3),
+        "ratio": round(big / small, 2) if small > 0 else None,
+    }
+    print(
+        f"  wcd_big: {n} events {small:.2f}s -> {10 * n} events "
+        f"{big:.2f}s (x{out['ratio']})",
+        file=sys.stderr,
+    )
+    return out
+
+
+def probe_enrich_throughput(n: int = 300_000, repeats: int = 3) -> dict:
+    """Throughput of the vectorized streaming-enrich batch step
+    (streaming/ops._enrich_batch) — pins the round-10 '~8× over the
+    per-row walk' docstring claim with a measured number, and checks
+    the vectorized path itself scales linearly (n vs 3n).
+
+    Pure driver-side pandas: the batch step runs per (key,
+    micro-batch) inside applyInPandas, so single-batch rows/s IS the
+    per-core streaming throughput."""
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    from res2df_spark.streaming.ops import _enrich_batch
+
+    def batch(rows: int) -> pd.DataFrame:
+        ids = np.arange(rows)
+        return pd.DataFrame({
+            "ts": pd.to_datetime("2020-01-01")
+            + pd.to_timedelta((ids * 2654435761) % (86400 * 365), unit="s"),
+            "probe": pd.Series(ids % 2 == 0, dtype="object"),
+            "v": pd.Series((ids % 97).astype("float64"), dtype="object"),
+        }).sort_values("ts").reset_index(drop=True)
+
+    def walk(pdf, cur):
+        # transcription of the replaced round-9 per-row walk (the
+        # semantic model in tests/test_properties.py), timed as the
+        # baseline
+        matched = 0
+        for r in pdf.itertuples():
+            if bool(r.probe):
+                if cur is not None and not pd.isna(r.ts) and cur[0] <= r.ts:
+                    matched += 1
+            else:
+                if not pd.isna(r.ts) and (cur is None or r.ts >= cur[0]):
+                    cur = [r.ts, r.v]
+        return matched, cur
+
+    def time_vec(rows: int) -> float:
+        pdf = batch(rows)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = _time.time()
+            _enrich_batch(pdf.copy(), None, "ts", "probe", ["v"])
+            best = min(best, _time.time() - t0)
+        return best
+
+    vec_small = time_vec(n)
+    vec_big = time_vec(3 * n)
+    walk_n = n // 10  # the walk is too slow to run at full n
+    pdf = batch(walk_n)
+    t0 = _time.time()
+    walk(pdf, None)
+    walk_secs = _time.time() - t0
+    vec_rps = n / vec_small
+    walk_rps = walk_n / walk_secs
+    out = {
+        "n_rows": n,
+        "vec_small_secs": round(vec_small, 4),
+        "vec_big_secs": round(vec_big, 4),
+        "vec_ratio_at_3x": round(vec_big / vec_small, 2),
+        "vec_rows_per_sec": int(vec_rps),
+        "walk_rows_per_sec": int(walk_rps),
+        "speedup_vs_walk": round(vec_rps / walk_rps, 1),
+    }
+    print(
+        f"  enrich: vec {out['vec_rows_per_sec']}/s vs walk "
+        f"{out['walk_rows_per_sec']}/s (x{out['speedup_vs_walk']}), "
+        f"3x-data ratio {out['vec_ratio_at_3x']}",
+        file=sys.stderr,
+    )
+    return out
+
+
 def probe_adversarial(spark) -> dict:
     """Feed each capped operator family its degenerate corpus shape —
     all-identical texts / vectors / blocking keys, the exact shape the
@@ -777,6 +930,10 @@ def main() -> None:
     second_decade = probe_second_decade(spark, args.repeats)
     print("trans composition cell-table probe ...", file=sys.stderr)
     trans_big = probe_trans_big(spark, repeats=args.repeats)
+    print("wcd connstatus-merge event-table probe ...", file=sys.stderr)
+    wcd_big = probe_wcd_big(spark, repeats=args.repeats)
+    print("streaming-enrich batch-step throughput probe ...", file=sys.stderr)
+    enrich = probe_enrich_throughput(repeats=args.repeats)
     print("adversarial capped-operator probe ...", file=sys.stderr)
     adversarial = probe_adversarial(spark)
     print("skewed-key window-family probe ...", file=sys.stderr)
@@ -808,6 +965,8 @@ def main() -> None:
         "queries": out,
         "second_decade": second_decade,
         "trans_big": trans_big,
+        "wcd_big": wcd_big,
+        "enrich_throughput": enrich,
         "adversarial": adversarial,
         "skewed_keys": skewed_keys,
         "skewed_keys_big": skewed_keys_big,
