@@ -6974,3 +6974,95 @@ def summary_restart_chain(spark, sf_dir):
         F.col("DATE").alias("d"), F.col("VECTOR").alias("vector"),
         F.col("VALUE").alias("value"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# S10/R7 — the reference-vocabulary VFP accessor (vfp.df: RATE/PRESSURE/
+# TAB columns + VFP_TYPE/TABLE_NUMBER/*_TYPE meta, _vfp.py:244-284),
+# NEW in round 11.  One full-meta table and one fully-defaulted-meta
+# table pin the default vocabulary (GAS/WCT/GOR/''/THP/BHP/DEFAULT).
+# ---------------------------------------------------------------------------
+
+_VFP_REF_DECK = """
+VFPPROD
+  1 3000.0 'LIQ' 'WCT' 'GOR' 'THP' ' ' 'METRIC' 'BHP' /
+  100 200 /
+  10 /
+  0.0 /
+  0.0 /
+  0.0 /
+  1 1 1 1  500 450 /
+VFPPROD
+  2 4000.0 /
+  50 /
+  40 /
+  0 /
+  500 /
+  0 /
+  1 1 1 1  160.5 /
+VFPINJ
+  3 3200.0 'WAT' 'THP' 'FIELD' 'BHP' /
+  100 200 /
+  10 20 /
+  1 2000 2100 /
+  2 2200 2300 /
+VFPINJ
+  4 2500.0 /
+  50 /
+  10 /
+  1 300 /
+"""
+
+
+@_q(
+    "vfp_reference_prod",
+    """
+    WITH expected(rate, pressure, wfr, gfr, alq, tab, vfp_type,
+                  table_number, datum, rate_type, wfr_type, gfr_type,
+                  alq_type, pressure_type, tab_type, unit_type) AS (VALUES
+        (100.0, 10.0, 0.0, 0.0, 0.0, 500.0, 'VFPPROD', 1, 3000.0,
+         'LIQ', 'WCT', 'GOR', '''''', 'THP', 'BHP', 'METRIC'),
+        (200.0, 10.0, 0.0, 0.0, 0.0, 450.0, 'VFPPROD', 1, 3000.0,
+         'LIQ', 'WCT', 'GOR', '''''', 'THP', 'BHP', 'METRIC'),
+        (50.0, 40.0, 0.0, 500.0, 0.0, 160.5, 'VFPPROD', 2, 4000.0,
+         'GAS', 'WCT', 'GOR', '''''', 'THP', 'BHP', 'DEFAULT'))
+    SELECT rate, pressure, wfr, gfr, alq, tab, vfp_type,
+           CAST(table_number AS INT) AS table_number, datum, rate_type,
+           wfr_type, gfr_type, alq_type, pressure_type, tab_type,
+           unit_type
+    FROM expected
+    """,
+)
+def vfp_reference_prod(spark, sf_dir):
+    """The reference-shape VFPPROD frame over an embedded two-table
+    deck: full meta on table 1, fully-defaulted meta on table 2 (the
+    default vocabulary is part of the contract)."""
+    from res2df_spark.modules import vfp
+
+    out = vfp.df(spark, _VFP_REF_DECK, "VFPPROD")
+    return out.select(*[F.col(c).alias(c.lower()) for c in out.columns])
+
+
+@_q(
+    "vfp_reference_inj",
+    """
+    WITH expected(rate, pressure, tab, vfp_type, table_number, datum,
+                  rate_type, pressure_type, tab_type, unit_type) AS (VALUES
+        (100.0, 10.0, 2000.0, 'VFPINJ', 3, 3200.0, 'WAT', 'THP', 'BHP', 'FIELD'),
+        (200.0, 10.0, 2100.0, 'VFPINJ', 3, 3200.0, 'WAT', 'THP', 'BHP', 'FIELD'),
+        (100.0, 20.0, 2200.0, 'VFPINJ', 3, 3200.0, 'WAT', 'THP', 'BHP', 'FIELD'),
+        (200.0, 20.0, 2300.0, 'VFPINJ', 3, 3200.0, 'WAT', 'THP', 'BHP', 'FIELD'),
+        (50.0, 10.0, 300.0, 'VFPINJ', 4, 2500.0, 'GAS', 'THP', 'BHP', 'DEFAULT'))
+    SELECT rate, pressure, tab, vfp_type,
+           CAST(table_number AS INT) AS table_number, datum, rate_type,
+           pressure_type, tab_type, unit_type
+    FROM expected
+    """,
+)
+def vfp_reference_inj(spark, sf_dir):
+    """The reference-shape VFPINJ frame over the same embedded deck
+    (table 3 full meta incl. FIELD units, table 4 defaulted)."""
+    from res2df_spark.modules import vfp
+
+    out = vfp.df(spark, _VFP_REF_DECK, "VFPINJ")
+    return out.select(*[F.col(c).alias(c.lower()) for c in out.columns])
