@@ -150,6 +150,24 @@ def phases_from_deck(deck_text: str) -> str:
 #: (reference equil.py PHASE_RENAMERS:37-78).  Keys = the raw slot
 #: names from TABLE_KEYWORDS["EQUIL"]; absent = keep; None = drop
 #: (the reference's IGNORE* columns).
+def phases_from_columns(columns) -> str:
+    """Phase configuration from an equil frame's column names —
+    reference ``equil.phases_from_columns`` (equil.py:229-251):
+    OWC+GOC → oil-water-gas; GWC alone → gas-water; OWC alone →
+    oil-water; GOC alone → oil-gas; anything else (incl. the
+    meaningless OWC+GWC / GOC+GWC mixes) → "" (inconclusive)."""
+    cols = set(columns)
+    if "OWC" in cols and "GOC" in cols:
+        return "oil-water-gas"
+    if "GWC" in cols and not cols & {"OWC", "GOC"}:
+        return "gas-water"
+    if "OWC" in cols and not cols & {"GOC", "GWC"}:
+        return "oil-water"
+    if "GOC" in cols and not cols & {"OWC", "GWC"}:
+        return "oil-gas"
+    return ""
+
+
 _EQUIL_PHASE_RENAMES: dict[str, dict[str, str | None]] = {
     "oil-water-gas": {},
     "gas-water": {"OWC": "GWC", "PCOWC": "PCGWC", "GOC": None,

@@ -209,7 +209,15 @@ def _fmt_value(v, float_fmt: str | None = None) -> str:
     """One deck item: NULL → the Eclipse 'defaulted' token ``1*``;
     strings quoted; floats as repr() — the shortest round-tripping
     form; '%g' would truncate to 6 significant digits
-    (common.py:694-750)."""
+    (common.py:694-750).
+
+    Floating-point NOISE is trimmed first: values like
+    1000.00000000000000000005 (arithmetic residue) have been observed
+    to crash Eclipse, so the reference rounds on output (its
+    test_eclipse_rounding).  Here the 6-decimal round is applied ONLY
+    when it is a relative no-op (|Δ| < 1e-9·|v|) — noise disappears,
+    legitimate high-precision values (0.581051658) pass through
+    untouched, and the round-trip property is preserved."""
     if v is None:
         return "1*"
     if isinstance(v, bool):
@@ -219,6 +227,11 @@ def _fmt_value(v, float_fmt: str | None = None) -> str:
             # float NaN would render as the invalid deck token 'nan';
             # it means the same thing as a missing value here
             return "1*"
+        r = round(v, 6)
+        # PURELY relative tolerance: with max(1, |v|) a legitimate
+        # tiny value (1e-12 compressibility) would zero out
+        if abs(v - r) <= 1e-9 * abs(v):
+            v = r
         return float_fmt % v if float_fmt else repr(v)
     if isinstance(v, str):
         return f"'{v}'"
