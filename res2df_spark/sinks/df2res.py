@@ -91,6 +91,11 @@ def df2res_satfunc(df: DataFrame) -> str:
     (satfunc.py:272-383 nested-loop renderer)."""
     out = []
     pdf = df.toPandas()
+    if pdf.empty:
+        # reference parity: every keyword writer renders an explicit
+        # marker for an empty frame (equil.py:410, pvt.py:365, ...),
+        # keeping the include file self-describing; a reparse is empty
+        return "-- No data!\n"
     for kw in sorted(pdf["KEYWORD"].unique()):
         cols, region_col = TABLE_KEYWORDS[kw]
         sub = pdf[pdf["KEYWORD"] == kw]
@@ -124,6 +129,8 @@ def df2res_equil(df: DataFrame) -> str:
     cols, _ = TABLE_KEYWORDS["EQUIL"]
     has_kw = "KEYWORD" in df.columns
     pdf = df.toPandas()
+    if pdf.empty:
+        return "-- No data!\n"  # reference equil.py:410
     eq = pdf[pdf["KEYWORD"] == "EQUIL"] if has_kw else pdf
     # phase-configuration frames rename the contact slots
     # (modules/tables._EQUIL_PHASE_RENAMES: gas-water → GWC/PCGWC) —
@@ -219,6 +226,8 @@ def df2res_pvt(df: DataFrame) -> str:
     PVTNUM — the reference's _pvto_pvtnum/_pvto_pvtnum_rs nesting."""
     out = []
     pdf = df.toPandas()
+    if pdf.empty:
+        return "-- No data!\n"  # reference pvt.py:365
     for kw in sorted(pdf["KEYWORD"].unique()):
         sub = pdf[pdf["KEYWORD"] == kw]
         out.append(kw)
