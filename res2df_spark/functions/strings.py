@@ -92,3 +92,81 @@ def string_to_intlist(list_def_str: str) -> list[int]:
         else:
             out.append(int(item))
     return out
+
+
+def get_wells_matching_template(template: str, wells: list[str]) -> list[str]:
+    """Wells matching a wildcard template, input order preserved — the
+    reference's ``get_wells_matching_template`` (common.py:955-980):
+    prefix ``re.match`` semantics, ``*``/``?`` wildcards, a LEADING
+    wildcard only when escaped with a backslash (a bare leading ``*``
+    means a well list elsewhere in the deck grammar and raises)."""
+    rx = re.compile(
+        well_template_to_regex(
+            template, anchored_end=False, reject_leading_wildcard=True
+        )
+    )
+    return [w for w in wells if rx.match(w)]
+
+
+def runlength_compress(astring: str, sep: str = "  ") -> str:
+    """Eclipse-style run-length compression of a whitespace-separated
+    value string (the reference's ``runlength_compress``,
+    common.py:983-1010, used for grid-property export): consecutive
+    equal tokens collapse to ``N*V``; distinct values join on ``sep``
+    (two spaces by default, for readable include files).  The
+    DISTRIBUTED twin for billion-cell vectors is
+    ``sinks.writers.rle_encode_distributed`` (K5); this is the bounded
+    string form shared by small writers and tests."""
+    tokens = astring.split()
+    out = []
+    i = 0
+    while i < len(tokens):
+        j = i
+        while j < len(tokens) and tokens[j] == tokens[i]:
+            j += 1
+        n = j - i
+        out.append(f"{n}*{tokens[i]}" if n > 1 else tokens[i])
+        i = j
+    return sep.join(out)
+
+
+def datetime_to_ecldate(timestamp) -> str:
+    """Python/ISO date-ish → Eclipse DATES-record syntax — the
+    reference's ``datetime_to_ecldate`` (common.py:1013-1038):
+    ``1 'FEB' 2021`` with a trailing ``HH:MM:SS`` only when the time
+    of day is nonzero; sub-second precision is dropped; a non-ISO
+    string raises."""
+    import datetime as _dt
+
+    _MONTHS = ["JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+               "JUL", "AUG", "SEP", "OCT", "NOV", "DEC"]
+    if isinstance(timestamp, str):
+        try:
+            timestamp = _dt.datetime.fromisoformat(timestamp)
+        except ValueError:
+            # tolerate the reference's "YYYY-MM-DD HHMMSS" compact form
+            try:
+                timestamp = _dt.datetime.strptime(
+                    timestamp, "%Y-%m-%d %H%M%S"
+                )
+            except ValueError as err:
+                raise ValueError(
+                    f"Use ISO format for dates: {timestamp}"
+                ) from err
+    if isinstance(timestamp, _dt.datetime):
+        string = (
+            f"{timestamp.day} '{_MONTHS[timestamp.month - 1]}' "
+            f"{timestamp.year}"
+        )
+        if (timestamp.hour, timestamp.minute, timestamp.second) != (0, 0, 0):
+            string += (
+                f" {timestamp.hour:02d}:{timestamp.minute:02d}"
+                f":{timestamp.second:02d}"
+            )
+        return string
+    if isinstance(timestamp, _dt.date):
+        return (
+            f"{timestamp.day} '{_MONTHS[timestamp.month - 1]}' "
+            f"{timestamp.year}"
+        )
+    raise ValueError(f"Use ISO format for dates: {timestamp!r}")
