@@ -167,7 +167,17 @@ def resample_asof(
             .otherwise(F.coalesce(prev_y, next_y))
         )
     elif how == "bfill":
-        val = F.coalesce(next_y, prev_y)
+        # bfill is the RATE rule: a rate is valid backwards to the
+        # previous report step, so within the observed range the next
+        # observation's value applies.  PAST the last observation a
+        # rate extrapolates to ZERO, never carries forward — the
+        # reference's extrapolation contract ("rates should be zero,
+        # cumulatives should be constant", test_summary.py
+        # test_extrapolation; resdata gives 0 for rates beyond end).
+        # A key with no observations at all stays NULL.
+        val = F.coalesce(
+            next_y, F.when(prev_y.isNotNull(), F.lit(0.0))
+        )
     elif how == "ffill":
         val = F.coalesce(prev_y, next_y)
     else:
