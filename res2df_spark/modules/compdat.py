@@ -195,14 +195,15 @@ def df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
     conns = unroll_range(compdat, "K1", "K2", "K").select(
         "WELL", "I", "J", "K",
         F.col("OP/SH").alias("OP_SH"), "DATE", "KEYWORD_IDX", "RECORD_IDX",
-        "SATN", "KH", "SKIN",
+        "SATN", "TRAN", "WBDIA", "KH", "SKIN", "DFACT", "DIR", "PEQVR",
     )
 
     if not wo_recs:
         return dedup_keep(
             conns, keys=["WELL", "I", "J", "K", "DATE"],
             order_by=["KEYWORD_IDX", "RECORD_IDX"], keep="last",
-        ).select("WELL", "I", "J", "K", "OP_SH", "DATE", "SATN", "KH", "SKIN")
+        ).select("WELL", "I", "J", "K", "OP_SH", "DATE", "SATN", "TRAN",
+                 "WBDIA", "KH", "SKIN", "DFACT", "DIR", "PEQVR")
 
     # COMPLUMP (R5, compdat.py:656-754): lump-number assignments per
     # connection; WELOPEN actions carrying C1–C2 match by lump range
@@ -353,8 +354,10 @@ def df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
         status_expr.alias("OP_SH"), F.col("A_DATE").alias("DATE"),
         F.col("A_IDX").alias("KEYWORD_IDX"),
         F.col("A_RIDX").alias("RECORD_IDX"),
-        F.col("c.SATN").alias("SATN"), F.col("c.KH").alias("KH"),
-        F.col("c.SKIN").alias("SKIN"),
+        F.col("c.SATN").alias("SATN"), F.col("c.TRAN").alias("TRAN"),
+        F.col("c.WBDIA").alias("WBDIA"), F.col("c.KH").alias("KH"),
+        F.col("c.SKIN").alias("SKIN"), F.col("c.DFACT").alias("DFACT"),
+        F.col("c.DIR").alias("DIR"), F.col("c.PEQVR").alias("PEQVR"),
     )
 
     all_rows = conns.drop("LUMP", "L_DATE").unionByName(rewritten)
@@ -362,7 +365,10 @@ def df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
         all_rows, keys=["WELL", "I", "J", "K", "DATE"],
         order_by=["KEYWORD_IDX", "RECORD_IDX"], keep="last",
     )
-    return final.select("WELL", "I", "J", "K", "OP_SH", "DATE", "SATN", "KH", "SKIN")
+    return final.select(
+        "WELL", "I", "J", "K", "OP_SH", "DATE", "SATN", "TRAN", "WBDIA",
+        "KH", "SKIN", "DFACT", "DIR", "PEQVR",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -27,8 +27,10 @@ def test_cli_compdat_stdout(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     # reference shape (round 6): K1 == K2, 'OP/SH' — same contract as
     # ResdataCase.compdat() and the reference's res2csv
-    assert "WELL,I,J,DATE,SATN,KH,SKIN,K1,K2,OP/SH" in out
-    assert "OP1,3,4,2020-01-01,0,-1.0,0.0,1,1,OPEN" in out
+    assert ("WELL,I,J,DATE,SATN,TRAN,WBDIA,KH,SKIN,DFACT,DIR,PEQVR,K1,K2,OP/SH") in out
+    # full reference CSV item set: defaulted items carry their opm
+    # defaults (SATN 0, KH -1, SKIN 0, DIR Z) or stay empty
+    assert "OP1,3,4,2020-01-01,0,,,-1.0,0.0,,Z,,1,1,OPEN" in out
 
 
 def test_cli_satfunc(spark, tmp_path, capsys):

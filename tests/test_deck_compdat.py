@@ -407,7 +407,7 @@ def test_vfp_block_stops_at_next_keyword(spark):
 
     deck = """
 VFPINJ
-  1 3000.0 'WAT' 'THP' 'BHP' /
+  1 3000.0 'WAT' 'THP' 'METRIC' 'BHP' /
   100 200 /
   10 20 /
   1 2000 2100 /
