@@ -274,8 +274,8 @@ class ResdataCase:
         return region_graph_edges(self.grid(), region=region)
 
     def pillars(self, region_col: str | None = None,
-                rstdates=None, soilcutoff: float = 0.5,
-                sgascutoff: float = 0.5, swatcutoff: float = 0.5,
+                rstdates=None, soilcutoff: float = 0.2,
+                sgascutoff: float = 0.7, swatcutoff: float = 0.7,
                 group: bool = False,
                 stackdates: bool = False) -> DataFrame:
         """Per-pillar stats (A1/J13) — thin facade over

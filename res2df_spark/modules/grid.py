@@ -221,9 +221,9 @@ _EPSILON_SOIL = 0.01
 def pillar_contacts(
     grid: DataFrame,
     region_col: str | None = None,
-    soilcutoff: float = 0.5,
-    sgascutoff: float = 0.5,
-    swatcutoff: float = 0.5,
+    soilcutoff: float = 0.2,
+    sgascutoff: float = 0.7,
+    swatcutoff: float = 0.7,
 ) -> DataFrame | None:
     """OWC/GOC/GWC per pillar — the reference's
     ``compute_pillar_contacts`` (pillars.py:192-318) over the STACKED
@@ -306,15 +306,29 @@ def pillar_contacts(
         return owc
     if owc is None:
         return goc
+    # the reference merges by EMPTINESS, not column presence
+    # (pillars.py:312-318): an empty GOC frame yields the OWC frame
+    # alone — an unconditional inner join would wrongly drop every OWC
+    # row whenever no pillar clears the gas cutoff.  The emptiness
+    # probes are LIMIT-1 jobs over frames bounded by
+    # pillars × regions × dates — never cell-count-sized.
+    owc_empty = owc.isEmpty()
+    goc_empty = goc.isEmpty()
+    if owc_empty and goc_empty:
+        return owc.join(goc, key_names, "inner")  # empty, right schema
+    if goc_empty:
+        return owc
+    if owc_empty:
+        return goc
     return owc.join(goc, key_names, "inner")
 
 
 def pillars_df(
     grid: DataFrame,
     region_col: str | None = None,
-    soilcutoff: float = 0.5,
-    sgascutoff: float = 0.5,
-    swatcutoff: float = 0.5,
+    soilcutoff: float = 0.2,
+    sgascutoff: float = 0.7,
+    swatcutoff: float = 0.7,
     group: bool = False,
     stackdates: bool = False,
 ) -> DataFrame:
