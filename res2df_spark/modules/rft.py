@@ -105,6 +105,10 @@ def add_extras(df: DataFrame) -> DataFrame:
         df = df.withColumn(
             "CONMD", 0.5 * (F.col("CONLENST") + F.col("CONLENEN"))
         ).withColumn("CONLENTH", F.col("CONLENEN") - F.col("CONLENST"))
+    if "CONLENTH" in df.columns:
+        # scale whenever a connection length exists — derived above OR
+        # already present on the frame (the reference's add_extras
+        # gates each rate on CONLENTH alone, rft.py:463-508)
         for rate in ("CONORAT", "CONWRAT", "CONGRAT"):
             if rate in cols:
                 # zero-length connections (defaulted MD interval) must
