@@ -39,7 +39,8 @@ _logger = logging.getLogger(__name__)
 
 def df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
     """Deck text → connection table
-    (WELL, I, J, K, OP_SH, DATE, SATN, KH, SKIN).
+    (WELL, I, J, K, OP_SH, DATE, SATN, TRAN, WBDIA, KH, SKIN, DFACT,
+    DIR, PEQVR).
 
     ``records``: pre-parsed ``fill_dates(parse_deck(...))`` output —
     lets :func:`dfs` parse the deck once for every frame family."""
@@ -209,7 +210,7 @@ def df(spark: SparkSession, deck_text: str, records=None) -> DataFrame:
     # connection; WELOPEN actions carrying C1–C2 match by lump range
     # instead of coordinates.
     complump = deck_records(spark, deck_text, "COMPLUMP", records=dated)
-    if any(r["KEYWORD"] == "COMPLUMP" for r in dated):
+    if has_complump:
         lumps = unroll_range(complump, "K1", "K2", "K").select(
             F.col("WELL").alias("L_WELL"),
             F.col("I").alias("L_I"), F.col("J").alias("L_J"),

@@ -309,9 +309,13 @@ def pillar_contacts(
     # the reference merges by EMPTINESS, not column presence
     # (pillars.py:312-318): an empty GOC frame yields the OWC frame
     # alone — an unconditional inner join would wrongly drop every OWC
-    # row whenever no pillar clears the gas cutoff.  The emptiness
-    # probes are LIMIT-1 jobs over frames bounded by
-    # pillars × regions × dates — never cell-count-sized.
+    # row whenever no pillar clears the gas cutoff.  The contact
+    # frames are bounded by pillars × regions × dates (never
+    # cell-count-sized), so localCheckpoint materializes them ONCE —
+    # the emptiness probes and the downstream join then reuse the
+    # checkpointed rows instead of re-running the grid-scan groupBys.
+    owc = owc.localCheckpoint(eager=True)
+    goc = goc.localCheckpoint(eager=True)
     owc_empty = owc.isEmpty()
     goc_empty = goc.isEmpty()
     if owc_empty and goc_empty:

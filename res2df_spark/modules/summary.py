@@ -77,10 +77,10 @@ def resample(
     # two conditions partition every null combination — a vector can
     # never be silently dropped.  At spine dates PAST the last
     # observation (the rolled-forward month/year boundary) a rate has
-    # no next sample; resample_asof falls back to the last value there
-    # — a deliberate clamp matching resdata's end-of-range behavior
-    # (its Summary interpolation never extrapolates to NaN); callers
-    # that want NULL-past-end can crop the spine to max(DATE) first.
+    # no next sample; resample_asof's bfill extrapolates it to ZERO
+    # there while linear holds cumulatives constant — the simulator's
+    # extrapolation contract ("rates should be zero, cumulatives
+    # should be constant").
     is_rate = F.coalesce(F.col("IS_RATE"), F.lit(False)) & ~F.coalesce(
         F.col("IS_TOTAL"), F.lit(False)
     )
@@ -310,6 +310,13 @@ def attach_summary_metadata(out: DataFrame, meta: DataFrame) -> DataFrame:
             continue
         parts = c.split(":")
         kw = parts[0]
+        # wgname exists only for vector families addressed by a well
+        # or group name (W* well, G* group, C* completion, S* segment)
+        # — region/block/aquifer vectors (RPR:3, BPR:1,1,1) carry a
+        # numeric node id the reference exposes as get_num with
+        # wgname None; stamping the number as wgname would hand
+        # consumers phantom well names
+        named_family = kw[:1] in ("W", "G", "C", "S")
         m = {
             "unit": r["UNIT"],
             "is_total": str(bool(r["IS_TOTAL"])),
@@ -320,7 +327,8 @@ def attach_summary_metadata(out: DataFrame, meta: DataFrame) -> DataFrame:
             # CPI:OP1:1,1,1 has wgname OP1 (the cell address is the
             # node's num, which the reference adds as get_num only
             # when resdata resolves it — omitted here)
-            "wgname": parts[1] if len(parts) > 1 else "None",
+            "wgname": parts[1]
+            if named_family and len(parts) > 1 else "None",
         }
         cols.append(F.col(c).alias(c, metadata=m))
     return out.select(*cols)

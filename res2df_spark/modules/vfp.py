@@ -34,11 +34,15 @@ _TAB_INJ = {"BHP"}
 
 
 def _meta_item(meta: list, i: int) -> str | None:
-    """Item ``i`` of a VFP meta record as a bare string, or None when
-    absent / defaulted (``1*``) / quoted-empty (``''``, ``' '``)."""
+    """Item ``i`` of an ALREADY-EXPANDED meta record as a bare string,
+    or None when absent / defaulted / quoted-empty (``''``, ``' '``).
+    The record must be ``_expand``-ed ONCE as a whole before positional
+    reads — expanding tokens individually would mis-align items when a
+    deck defaults several at once (``2*`` covering FLO and WFR would
+    otherwise shift GOR into the WFR slot)."""
     if i >= len(meta):
         return None
-    v = _expand([meta[i]])[0]
+    v = meta[i]
     if v is None:
         return None
     s = str(v).strip("'").strip()
@@ -147,6 +151,9 @@ def _parse_blocks(text: str, keyword: str) -> list[dict]:
                 [int(v) for v in vals[:n_idx]],
                 vals[n_idx:],
             ))
+        # ONE whole-record expansion so n* default tokens keep the
+        # positional alignment (a 2* covers two item slots)
+        meta = _expand(meta)
         table = int(_coerce(meta[0], "int"))
         out.append({
             "table": table,
@@ -158,7 +165,8 @@ def _parse_blocks(text: str, keyword: str) -> list[dict]:
     return out
 
 
-def df_prod(spark: SparkSession, deck_text: str) -> DataFrame | None:
+def df_prod(spark: SparkSession, deck_text: str,
+            keep_block_index: bool = False) -> DataFrame | None:
     """VFPPROD → long rows (TABLE, DATUM, THP, WFR, GFR, ALQ, RATE, BHP)."""
     blocks = _parse_blocks(deck_text, "VFPPROD")
     if not blocks:
@@ -223,25 +231,27 @@ def df_prod(spark: SparkSession, deck_text: str) -> DataFrame | None:
         out = out.join(a, cond).drop("B2", "I2")
     types = ["RATE_TYPE", "WFR_TYPE", "GFR_TYPE", "ALQ_TYPE",
              "PRESSURE_TYPE", "TAB_TYPE", "UNIT_TYPE"]
+    extra = ["BI"] if keep_block_index else []
     melted = out.select(
-        "TABLE", "DATUM", "THP", "WFR", "GFR", "ALQ",
+        *extra, "TABLE", "DATUM", "THP", "WFR", "GFR", "ALQ",
         F.explode(F.arrays_zip(F.col("FLOW").alias("RATE"), F.col("BHP").alias("BHP"))).alias("z"),
         *types,
     )
     return melted.select(
-        "TABLE", "DATUM", "THP", "WFR", "GFR", "ALQ",
+        *extra, "TABLE", "DATUM", "THP", "WFR", "GFR", "ALQ",
         F.col("z.RATE").alias("RATE"), F.col("z.BHP").alias("BHP"),
         *types,
     )
 
 
-def df_inj(spark: SparkSession, deck_text: str) -> DataFrame | None:
+def df_inj(spark: SparkSession, deck_text: str,
+           keep_block_index: bool = False) -> DataFrame | None:
     """VFPINJ → long rows (TABLE, DATUM, THP, RATE, BHP)."""
     blocks = _parse_blocks(deck_text, "VFPINJ")
     if not blocks:
         return None
     rows = []
-    for b in blocks:
+    for bi, b in enumerate(blocks):
         flow, thp = b["axes"]
         for (ithp,), vals in b["values"]:
             # explicit bounds check: ithp=0 in a corrupt deck would
@@ -259,24 +269,25 @@ def df_inj(spark: SparkSession, deck_text: str) -> DataFrame | None:
                 )
             t = b["types"]
             rows.append((
-                b["table"], b["datum"], thp[ithp - 1], flow, vals,
+                bi, b["table"], b["datum"], thp[ithp - 1], flow, vals,
                 t["RATE_TYPE"], t["PRESSURE_TYPE"], t["TAB_TYPE"],
                 t["UNIT_TYPE"],
             ))
     recs = spark.createDataFrame(
         rows,
-        "TABLE int, DATUM double, THP double, FLOW array<double>, "
-        "BHP array<double>, RATE_TYPE string, PRESSURE_TYPE string, "
-        "TAB_TYPE string, UNIT_TYPE string",
+        "BI int, TABLE int, DATUM double, THP double, "
+        "FLOW array<double>, BHP array<double>, RATE_TYPE string, "
+        "PRESSURE_TYPE string, TAB_TYPE string, UNIT_TYPE string",
     )
     types = ["RATE_TYPE", "PRESSURE_TYPE", "TAB_TYPE", "UNIT_TYPE"]
+    extra = ["BI"] if keep_block_index else []
     melted = recs.select(
-        "TABLE", "DATUM", "THP",
+        *extra, "TABLE", "DATUM", "THP",
         F.explode(F.arrays_zip(F.col("FLOW").alias("RATE"), F.col("BHP").alias("BHP"))).alias("z"),
         *types,
     )
     return melted.select(
-        "TABLE", "DATUM", "THP", F.col("z.RATE").alias("RATE"),
+        *extra, "TABLE", "DATUM", "THP", F.col("z.RATE").alias("RATE"),
         F.col("z.BHP").alias("BHP"), *types,
     )
 
@@ -331,18 +342,28 @@ def df(spark: SparkSession, deck_text: str, keyword: str = "VFPPROD",
 
 def dfs(spark: SparkSession, deck_text: str, keyword: str = "VFPPROD",
         vfpnumbers_str: str | None = None) -> list[DataFrame]:
-    """One reference-shape frame PER TABLE, in deck order (reference
-    vfp.dfs, _vfp.py:287-320)."""
-    blocks = _parse_blocks(deck_text, keyword)
+    """One reference-shape frame PER KEYWORD INSTANCE, in deck order
+    (reference vfp.dfs, _vfp.py:287-320).  Frames are separated by the
+    block index, not the table number — a deck may legally REDEFINE a
+    table number later in SCHEDULE, and a TABLE_NUMBER filter would
+    merge both definitions into every returned frame."""
     wanted = None
     if vfpnumbers_str:
         from res2df_spark.functions.strings import string_to_intlist
 
         wanted = set(string_to_intlist(vfpnumbers_str))
-    full = df(spark, deck_text, keyword)
+    fn = df_prod if keyword == "VFPPROD" else df_inj
+    full = fn(spark, deck_text, keep_block_index=True)
+    if full is None:
+        return []
+    blocks = _parse_blocks(deck_text, keyword)
     out = []
-    for b in blocks:
+    for bi, b in enumerate(blocks):
         if wanted is not None and b["table"] not in wanted:
             continue
-        out.append(full.filter(F.col("TABLE_NUMBER") == b["table"]))
+        out.append(
+            _to_reference_shape(
+                full.filter(F.col("BI") == bi).drop("BI"), keyword
+            )
+        )
     return out

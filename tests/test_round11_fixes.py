@@ -216,3 +216,66 @@ class TestArrowMetadataSweep:
         out = wellcompletiondata.attach_kh_metadata(frame, "METRIC")
         meta = {f.name: f.metadata for f in out.schema}
         assert meta["KH"] == {"unit": "mDm"}
+
+
+# ---------------------------------------------------------------------------
+# Round-11 /code-review findings
+# ---------------------------------------------------------------------------
+
+
+def test_vfp_meta_multicount_default(spark):
+    """A 2* covering FLO and WFR must not shift GOR into the WFR slot
+    (whole-record expansion before positional reads)."""
+    from res2df_spark.modules import vfp
+
+    deck = ("VFPPROD\n 1 3000.0 2* 'GOR' /\n 100 /\n 10 /\n 0 /\n 0 /\n"
+            " 0 /\n 1 1 1 1 500 /\n")
+    out = vfp.df(spark, deck, "VFPPROD").first()
+    assert out["RATE_TYPE"] == "GAS"   # defaulted
+    assert out["WFR_TYPE"] == "WCT"    # defaulted
+    assert out["GFR_TYPE"] == "GOR"    # the explicit item, in ITS slot
+
+
+def test_vfp_dfs_redefined_table_number(spark):
+    """dfs() separates frames by keyword instance: a redefined table
+    number yields two clean frames, never a merged one."""
+    from res2df_spark.modules import vfp
+
+    deck = (
+        "VFPINJ\n 1 1000.0 'WAT' 'THP' 'METRIC' 'BHP' /\n 100 /\n 10 /\n"
+        " 1 2000 /\n"
+        "VFPINJ\n 1 2000.0 'WAT' 'THP' 'METRIC' 'BHP' /\n 100 /\n 10 /\n"
+        " 1 3000 /\n"
+    )
+    frames = vfp.dfs(spark, deck, "VFPINJ")
+    assert len(frames) == 2
+    a, b = (f.collect() for f in frames)
+    assert len(a) == 1 and len(b) == 1
+    assert a[0]["DATUM"] == 1000.0 and a[0]["TAB"] == 2000.0
+    assert b[0]["DATUM"] == 2000.0 and b[0]["TAB"] == 3000.0
+    assert "BI" not in frames[0].columns
+
+
+def test_summary_wgname_only_for_named_families(spark):
+    """Region/block vectors carry a numeric node id, not a well name —
+    wgname must stay 'None' for them."""
+    from res2df_spark.modules.summary import attach_summary_metadata
+
+    meta = spark.createDataFrame(
+        [("RPR:3", "BARSA", False, False),
+         ("BPR:1,1,1", "BARSA", False, False),
+         ("WOPR:OP1", "SM3/DAY", False, True),
+         ("GOPR:GRP1", "SM3/DAY", False, True)],
+        "VECTOR string, UNIT string, IS_TOTAL boolean, IS_RATE boolean",
+    )
+    wide = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 4.0)],
+        "`RPR:3` double, `BPR:1,1,1` double, `WOPR:OP1` double, "
+        "`GOPR:GRP1` double",
+    )
+    out = attach_summary_metadata(wide, meta)
+    m = {f.name: f.metadata for f in out.schema}
+    assert m["RPR:3"]["wgname"] == "None"
+    assert m["BPR:1,1,1"]["wgname"] == "None"
+    assert m["WOPR:OP1"]["wgname"] == "OP1"
+    assert m["GOPR:GRP1"]["wgname"] == "GRP1"
