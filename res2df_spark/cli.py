@@ -599,8 +599,16 @@ def main(argv: list[str] | None = None) -> int:
             # reference common.py:141
             raise SystemExit("Not possible to write arrow format to stdout")
         # field metadata (e.g. the KH unit) rides the Arrow schema,
-        # like the reference's _df2pyarrow (wellcompletiondata.py:218)
-        feather.write_feather(to_arrow_table(df), args.output)
+        # like the reference's _df2pyarrow (wellcompletiondata.py:218);
+        # summary and grid exports additionally downcast to the
+        # reference's 32-bit/millisecond dtype contract (their binary
+        # sources are 32-bit — summary.py:486-521, grid.py:126-147)
+        feather.write_feather(
+            to_arrow_table(
+                df, downcast32=args.module in ("summary", "grid")
+            ),
+            args.output,
+        )
         return 0
     write_dataframe(df, args.output)
     return 0

@@ -167,7 +167,7 @@ def write_dataframe(df: DataFrame, path: str, fmt: str = "csv", mode: str = "ove
         raise ValueError(f"unsupported format {fmt!r}")
 
 
-def to_arrow_table(df: DataFrame) -> "pa.Table":  # noqa: F821
+def to_arrow_table(df: DataFrame, downcast32: bool = False) -> "pa.Table":  # noqa: F821
     """Collect a (small, terminal) result frame as a pyarrow Table whose
     field metadata carries each column's ``StructField.metadata`` — the
     reference's ``_df2pyarrow`` channel (wellcompletiondata.py:218-246,
@@ -175,7 +175,15 @@ def to_arrow_table(df: DataFrame) -> "pa.Table":  # noqa: F821
 
     Spark's ``toPandas()`` drops column metadata; this re-attaches it on
     the Arrow schema after the collect.  Values are bytes-encoded like
-    the reference (Arrow field metadata is bytes→bytes)."""
+    the reference (Arrow field metadata is bytes→bytes).
+
+    ``downcast32=True`` applies the reference's summary/grid dtype
+    contract (summary.py _df2pyarrow:486-521, grid.py:126-147):
+    integers → int32, floats → float32 ("Eclipse specific" — the
+    binary formats are 32-bit, so 64-bit output would advertise
+    precision the data never had), timestamps → millisecond (which
+    also carries 500-year simulation spans beyond the nanosecond
+    range).  Strings pass through."""
     import pyarrow as pa
 
     pdf = to_pandas_datesafe(df)
@@ -183,13 +191,23 @@ def to_arrow_table(df: DataFrame) -> "pa.Table":  # noqa: F821
     fields = []
     meta_by_name = {f.name: f.metadata for f in df.schema}
     for field in table.schema:
+        ftype = field.type
+        if downcast32:
+            if pa.types.is_integer(ftype):
+                ftype = pa.int32()
+            elif pa.types.is_floating(ftype):
+                ftype = pa.float32()
+            elif pa.types.is_timestamp(ftype):
+                ftype = pa.timestamp("ms")
         meta = meta_by_name.get(field.name) or {}
         fields.append(
-            field.with_metadata(
-                {str(k).encode(): str(v).encode() for k, v in meta.items()}
+            pa.field(
+                field.name, ftype,
+                metadata={
+                    str(k).encode(): str(v).encode()
+                    for k, v in meta.items()
+                } if meta else None,
             )
-            if meta
-            else field
         )
     return table.cast(pa.schema(fields))
 

@@ -279,3 +279,66 @@ def test_summary_wgname_only_for_named_families(spark):
     assert m["BPR:1,1,1"]["wgname"] == "None"
     assert m["WOPR:OP1"]["wgname"] == "OP1"
     assert m["GOPR:GRP1"]["wgname"] == "GRP1"
+
+
+# ---------------------------------------------------------------------------
+# Reference _df2pyarrow dtype contract (summary.py:486-521 +
+# test_df2pyarrow_* matrix): --arrow summary/grid exports downcast to
+# int32 / float32 / timestamp[ms]; strings pass through; field
+# metadata coexists with the downcast.
+# ---------------------------------------------------------------------------
+
+
+class TestArrowDowncast:
+    def test_ints_and_floats(self, spark):
+        import pyarrow as pa
+
+        from res2df_spark.sinks.writers import to_arrow_table
+
+        df = spark.createDataFrame(
+            [(1, 2.2, "hei")], "FOO long, BAR double, BAZ string"
+        )
+        t = to_arrow_table(df, downcast32=True)
+        assert t.schema.field("FOO").type == pa.int32()
+        assert t.schema.field("BAR").type == pa.float32()
+        assert t.schema.field("BAZ").type == pa.string()
+        back = t.to_pandas()
+        assert back["FOO"][0] == 1
+        assert abs(back["BAR"][0] - 2.2) < 1e-6
+        assert back["BAZ"][0] == "hei"
+
+    def test_timestamp_ms(self, spark):
+        import datetime
+
+        import pyarrow as pa
+
+        from res2df_spark.sinks.writers import to_arrow_table
+
+        df = spark.createDataFrame(
+            [(datetime.datetime(2024, 1, 1),)], "DATE timestamp"
+        )
+        t = to_arrow_table(df, downcast32=True)
+        assert t.schema.field("DATE").type == pa.timestamp("ms")
+
+    def test_metadata_survives_downcast(self, spark):
+        from pyspark.sql import functions as F
+
+        from res2df_spark.sinks.writers import to_arrow_table
+
+        df = spark.createDataFrame([(1.0,)], "FOO double").select(
+            F.col("FOO").alias("FOO", metadata={"unit": "barf"})
+        )
+        t = to_arrow_table(df, downcast32=True)
+        f = t.schema.field("FOO")
+        assert f.metadata[b"unit"] == b"barf"
+        assert str(f.type) == "float"  # float32
+
+    def test_default_keeps_64bit(self, spark):
+        import pyarrow as pa
+
+        from res2df_spark.sinks.writers import to_arrow_table
+
+        df = spark.createDataFrame([(1, 2.2)], "FOO long, BAR double")
+        t = to_arrow_table(df)
+        assert t.schema.field("FOO").type == pa.int64()
+        assert t.schema.field("BAR").type == pa.float64()
