@@ -63,18 +63,22 @@ def date_spine(
     ``offset.rollforward``, an end already ON a period boundary stays
     put (advancing it would fabricate an extrapolated row past the end
     of the run).
+
+    An INVERTED range (start > end) yields an empty spine like the
+    reference's ``date_range`` — Spark's ``sequence`` would otherwise
+    abort the job with a raw "Illegal sequence boundaries" error.
     """
+    seq = F.when(
+        F.expr(f"to_timestamp('{start}') <= to_timestamp('{end}')"),
+        F.expr(
+            _spine_sql(
+                freq, f"to_timestamp('{start}')", f"to_timestamp('{end}')"
+            )
+        ),
+    ).otherwise(F.expr("array()").cast("array<timestamp>"))
     return (
         spark.range(1)
-        .select(
-            F.explode(
-                F.expr(
-                    _spine_sql(
-                        freq, f"to_timestamp('{start}')", f"to_timestamp('{end}')"
-                    )
-                )
-            ).alias(date_col)
-        )
+        .select(F.explode(seq).alias(date_col))
         .select(F.col(date_col).cast("date").alias(date_col))
     )
 

@@ -116,3 +116,41 @@ def test_start_end_date_crop(case):
     dates = _dates(out)
     assert dates
     assert all(str(d)[:10] == "2000-01-02" for d in dates)
+
+
+# --- date_range matrix (reference test_date_range, beyond-2262 spans) --------
+# The reference's date_range CLAMPS raw endpoints into the list; the
+# engine's date_spine ROLLS (start back, end forward) because the
+# resample layer handles exact endpoints separately — the boundary-
+# aligned cases below are contract-identical, and far-future dates
+# (past the pandas datetime64[ns] limit) must work natively.
+
+
+@pytest.mark.parametrize(
+    "start, end, freq, expected",
+    [
+        ("3000-01-01", "3002-01-01", "yearly",
+         ["3000-01-01", "3001-01-01", "3002-01-01"]),
+        ("2999-11-01", "3000-02-01", "monthly",
+         ["2999-11-01", "2999-12-01", "3000-01-01", "3000-02-01"]),
+        ("2260-01-01", "2263-01-01", "yearly",  # crossing the ns limit
+         ["2260-01-01", "2261-01-01", "2262-01-01", "2263-01-01"]),
+        ("3000-01-01", "3000-01-01", "yearly", ["3000-01-01"]),
+        ("2000-01-01", "2000-01-01", "yearly", ["2000-01-01"]),
+        ("2000-01-01", "1000-01-01", "yearly", []),  # inverted → empty
+        ("3000-01-01", "2000-01-01", "yearly", []),
+        ("2304-05-06", "2302-03-01", "yearly", []),
+    ],
+)
+def test_date_spine_far_future(spark, start, end, freq, expected):
+    from res2df_spark.operators.resample import date_spine
+
+    out = date_spine(spark, start, end, freq=freq)
+    assert [str(r["DATE"]) for r in out.orderBy("DATE").collect()] == expected
+
+
+def test_date_spine_unsupported_freq_raises(spark):
+    from res2df_spark.operators.resample import date_spine
+
+    with pytest.raises(ValueError, match="unsupported frequency"):
+        date_spine(spark, "2000-01-01", "2001-01-01", freq="fortnightly")
