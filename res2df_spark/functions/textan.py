@@ -112,9 +112,24 @@ def minhash_signature(toks: Column, num_hashes: int = 32) -> Column:
 
 def doc_tokens_long(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> DataFrame:
     """Explode documents to (id, token) long form — the substrate for
-    set-similarity joins.  Distinct per doc by default (set semantics)."""
-    out = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-    return out.distinct() if distinct else out
+    set-similarity joins.  Distinct per doc by default (set semantics).
+
+    The distinct is ``array_distinct`` BEFORE the explode — a document's
+    tokens all live in its one input row, so per-doc set semantics needs
+    no cross-row work: the old ``.distinct()`` after the explode paid a
+    full (id, token) hash-aggregate EXCHANGE for a dedup the row already
+    contains (and left downstream per-doc aggregations partial-agg-
+    hostile: post-shuffle, every doc's tokens were scattered across all
+    partitions).  Contract: ``id_col`` identifies one row per document —
+    callers feeding duplicate ids would previously get cross-row set
+    union and now get per-row sets (every caller in this package reads a
+    unique-keyed documents table)."""
+    if distinct:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+        )
+    return df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
 
 
 def normalize_text(text: Column | str) -> Column:

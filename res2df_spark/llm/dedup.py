@@ -109,14 +109,16 @@ def _doc_token_sets(
     if shingle_k:
         # materialize the token array before the shingle transform: a
         # lambda-captured expression re-evaluates per array element, so
-        # the raw split would re-run once per shingle index
-        toks = (
-            docs.withColumn("__toks", tokens(text_col))
-            .select(
-                F.col(id_col),
-                F.explode(shingles(F.col("__toks"), shingle_k)).alias("token"),
-            )
-            .distinct()
+        # the raw split would re-run once per shingle index.  Per-doc
+        # set semantics via array_distinct BEFORE the explode — the
+        # shingles of one document live in its one row, so the old
+        # post-explode .distinct() paid an (id, token) hash-aggregate
+        # exchange for nothing (see doc_tokens_long).
+        toks = docs.withColumn("__toks", tokens(text_col)).select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles(F.col("__toks"), shingle_k))
+            ).alias("token"),
         )
     else:
         toks = doc_tokens_long(docs, id_col, text_col, distinct=True)
@@ -125,13 +127,27 @@ def _doc_token_sets(
         # intersections are preserved; the join key shrinks to a long
         toks = toks.select(id_col, F.xxhash64("token").alias("token"))
     if max_token_df is not None:
-        hot = (
-            toks.groupBy("token")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_token_df)
-            .select("token")
+        # Stop-shingle cap as a WINDOW count over the token key instead
+        # of a groupBy + join-back: the old form re-evaluated the whole
+        # tokenize→shingle→explode pipeline a second time to build the
+        # document-frequency side (no cross-branch plan reuse), then
+        # joined it back.  The window needs ONE exchange on the token
+        # key — which the inverted-index self-join downstream wants
+        # anyway (same key, exchange reused) — and one pipeline pass.
+        # Skew note: a boilerplate token's rows count in one window
+        # task (no partial agg), the same bounded exposure the
+        # _cap_buckets formulation already accepts; WindowExec spills
+        # its per-group buffer, and hot tokens are precisely the rows
+        # this filter then discards.
+        from pyspark.sql import Window
+
+        toks = (
+            toks.withColumn(
+                "__tdf", F.count(F.lit(1)).over(Window.partitionBy("token"))
+            )
+            .filter(F.col("__tdf") <= max_token_df)
+            .drop("__tdf")
         )
-        toks = toks.join(hot, "token")
     return toks
 
 
@@ -228,22 +244,31 @@ def _cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int | None) ->
     )
 
 
-def _bucket_pairs(members_col: str):
+def _bucket_pairs(buckets: DataFrame, members_col: str) -> DataFrame:
     """(i < j) pair enumeration over a sorted per-bucket membership
     array — the no-self-join combinatorics the MinHash and SimHash
     families share (a self-join would evaluate the whole signature
-    pipeline twice and add a shuffle).  Yields structs (a, b) with the
-    original member payloads."""
-    return F.explode(
-        F.flatten(
-            F.transform(
-                F.col(members_col),
-                lambda x, i: F.transform(
-                    F.slice(F.col(members_col), i + 2, F.size(members_col)),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            )
-        )
+    pipeline twice and add a shuffle).  Returns columns ``a`` and ``b``
+    with the original member payloads.
+
+    Two CHAINED Generates (posexplode the members, then explode each
+    position's tail slice) instead of one explode over a flattened
+    nested-transform array: the flatten form materializes all C(n, 2)
+    pair structs of a bucket as ONE in-memory array value before the
+    explode — a 1,639-member bucket builds a 1.3M-struct array in a
+    single allocation (measured 4.1s → 1.7s on the sf0.1 uncapped
+    simhash pairing, and an OOM risk at corpus scale) — while the
+    chained form keeps only the O(n) members array live per row and
+    streams pairs through whole-stage codegen."""
+    pos = buckets.select(
+        F.col(members_col).alias("__ms"),
+        F.posexplode(F.col(members_col)).alias("__i", "a"),
+    )
+    return pos.select(
+        "a",
+        F.explode(
+            F.slice(F.col("__ms"), F.col("__i") + F.lit(2), F.size("__ms"))
+        ).alias("b"),
     )
 
 
@@ -435,9 +460,8 @@ def minhash_lsh_candidates(
         F.sort_array(F.collect_set(id_col)).alias("ids")
     )
     return (
-        buckets.filter(F.size("ids") > 1)
-        .select(_bucket_pairs("ids").alias("p"))
-        .select(F.col("p.a").alias("d1"), F.col("p.b").alias("d2"))
+        _bucket_pairs(buckets.filter(F.size("ids") > 1), "ids")
+        .select(F.col("a").alias("d1"), F.col("b").alias("d2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
@@ -796,13 +820,12 @@ def simhash_near_pairs(
             F.collect_set(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))
         ).alias("ms")
     )
-    hamming = F.bit_count(F.col("p.a.s").bitwiseXOR(F.col("p.b.s")))
+    hamming = F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s")))
     return (
-        buckets.filter(F.size("ms") > 1)
-        .select(_bucket_pairs("ms").alias("p"))
+        _bucket_pairs(buckets.filter(F.size("ms") > 1), "ms")
         .select(
-            F.col("p.a.i").alias("d1"),
-            F.col("p.b.i").alias("d2"),
+            F.col("a.i").alias("d1"),
+            F.col("b.i").alias("d2"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

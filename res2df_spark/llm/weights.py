@@ -56,8 +56,15 @@ def _grams_long(
     )
     toks = F.col("__toks")
     grams = toks if shingle_k is None else shingles(toks, shingle_k)
-    out = base.select(F.col(id_col), F.explode(grams).alias("gram"))
-    return out.distinct() if distinct else out
+    if distinct:
+        # per-doc set semantics map-side: a document's grams all live in
+        # its one row, so array_distinct before the explode replaces the
+        # old post-explode .distinct() and its (id, gram) hash-aggregate
+        # exchange (see functions.textan.doc_tokens_long)
+        return base.select(
+            F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+        )
+    return base.select(F.col(id_col), F.explode(grams).alias("gram"))
 
 
 def soft_dedup_weights(
@@ -83,10 +90,11 @@ def soft_dedup_weights(
       mean_log_df)`` is the smooth down-weight.  Documents with fewer
       than k tokens have no shingles and take commonness 0 (weight 1).
 
-    Plan shape: one md5 hash-aggregate for groups (uniform 128-bit
-    key), one shingle-df groupBy (vocabulary-sized output, partial-agg
-    collapses map-side), one join back on the shingle key, one per-doc
-    mean.  No driver scalars, no windows over unbounded groups.
+    Plan shape: one window count on the text hash (group sizes), one
+    shingle explode pass with a window count on the gram key (document
+    frequencies), one per-doc mean — two exchanges and ONE evaluation
+    of the shingle pipeline.  No driver scalars; the window groups are
+    bounded in bytes (ids + fixed-width keys) and spill-backed.
     NULL texts are excluded for the same phantom-group reason as
     ``exact_duplicates``.
 
@@ -100,20 +108,39 @@ def soft_dedup_weights(
     """
     from res2df_spark.llm.dedup import _check_hash_fn, _hash_col
 
+    from pyspark.sql import Window
+
     _check_hash_fn(hash_fn)
     base = spread(docs.filter(F.col(text_col).isNotNull()))
     grp = base.select(F.col(id_col), _hash_col(hash_fn, text_col).alias("__h"))
-    sizes = grp.groupBy("__h").agg(F.count(F.lit(1)).alias("group_size"))
-    by_doc = grp.join(sizes, "__h").select(id_col, "group_size")
+    # group size as a window count over the text-hash key: the old
+    # groupBy + join-back scanned and hashed the corpus twice (two
+    # parquet scans, one broadcast build); the window pays ONE exchange
+    # on __h and one pass.  A giant exact-dup group counts in one window
+    # task (count only, spill-backed buffer) — the rows are (id, hash),
+    # 24 bytes each, so even a million-copy group is ~24 MB in that task.
+    by_doc = grp.withColumn(
+        "group_size", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    ).select(id_col, "group_size")
 
     sh = _grams_long(docs, id_col, text_col, shingle_k, distinct=True)
     if hash_fn == "xxhash64":
         # injective-up-to-collision: df counts and the per-doc mean are
         # preserved while the join key shrinks to a long
         sh = sh.select(id_col, F.xxhash64("gram").alias("gram"))
-    df = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    # shingle document frequency as a window count over the gram key:
+    # the old groupBy + join-back evaluated the whole tokenize→shingle→
+    # explode→distinct pipeline a SECOND time for the df side (no
+    # cross-branch plan reuse — two Generate branches in the physical
+    # plan) and built a vocabulary-sized broadcast.  The window needs
+    # one exchange on gram and one pipeline pass; per-gram counts are
+    # identical, so mean_log_df is unchanged.  Same bounded skew
+    # exposure as the _cap_buckets formulation (boilerplate gram rows
+    # count in one spill-backed window task).
     commonness = (
-        sh.join(df, "gram")
+        sh.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
         .groupBy(id_col)
         .agg(F.avg(F.log(F.col("__df"))).alias("mean_log_df"))
     )

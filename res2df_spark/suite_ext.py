@@ -6396,8 +6396,9 @@ def dedup_simhash_pairs_xx(spark, sf_dir):
         .groupBy("__ts")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(_bucket_pairs("ids").alias("p"))
-        .select(F.col("p.a").alias("d1"), F.col("p.b").alias("d2"))
+    )
+    truth = _bucket_pairs(truth, "ids").select(
+        F.col("a").alias("d1"), F.col("b").alias("d2")
     )
     ham0 = pairs.filter(F.col("hamming") == 0).select("d1", "d2")
     missing = truth.join(ham0, ["d1", "d2"], "left_anti")
@@ -6535,8 +6536,9 @@ def dedup_simhash_xx_exact_pairs(spark, sf_dir):
         .groupBy("__ts")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(_bucket_pairs("ids").alias("p"))
-        .select(F.col("p.a").alias("d1"), F.col("p.b").alias("d2"))
+    )
+    truth = _bucket_pairs(truth, "ids").select(
+        F.col("a").alias("d1"), F.col("b").alias("d2")
     )
 
     def ham0(hash_fn: str, out: str):
