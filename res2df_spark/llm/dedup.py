@@ -86,6 +86,33 @@ def _hash_col(hash_fn: str, col):
     return F.md5(c) if hash_fn == "md5" else F.xxhash64(c)
 
 
+def _doc_token_arrays(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """(id, __arr) with the DISTINCT token/shingle array still packed in
+    its document row — the shared front of :func:`_doc_token_sets` (which
+    explodes it) and of the map-side set-size shortcut (``size(__arr)``
+    is the per-doc set size with ZERO shuffle, exactly because the
+    distinct happens inside the row)."""
+    docs = spread(docs)
+    if shingle_k:
+        # materialize the token array before the shingle transform: a
+        # lambda-captured expression re-evaluates per array element, so
+        # the raw split would re-run once per shingle index.
+        arr = F.array_distinct(
+            shingles(F.col("__toks"), shingle_k)
+        )
+        return docs.withColumn("__toks", tokens(text_col)).select(
+            F.col(id_col), arr.alias("__arr")
+        )
+    return docs.select(
+        F.col(id_col), F.array_distinct(tokens(text_col)).alias("__arr")
+    )
+
+
 def _doc_token_sets(
     docs: DataFrame,
     id_col: str,
@@ -103,25 +130,16 @@ def _doc_token_sets(
     set sizes / overlaps — hence Jaccard and containment — are
     IDENTICAL up to 64-bit collisions (``"md5"`` keeps raw strings; the
     oracle rows use that form so DuckDB can rebuild the same index).
+
+    Per-doc set semantics via array_distinct BEFORE the explode — the
+    shingles of one document live in its one row, so the old
+    post-explode .distinct() paid an (id, token) hash-aggregate
+    exchange for nothing (see doc_tokens_long).
     """
     _check_hash_fn(hash_fn)
-    docs = spread(docs)
-    if shingle_k:
-        # materialize the token array before the shingle transform: a
-        # lambda-captured expression re-evaluates per array element, so
-        # the raw split would re-run once per shingle index.  Per-doc
-        # set semantics via array_distinct BEFORE the explode — the
-        # shingles of one document live in its one row, so the old
-        # post-explode .distinct() paid an (id, token) hash-aggregate
-        # exchange for nothing (see doc_tokens_long).
-        toks = docs.withColumn("__toks", tokens(text_col)).select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(shingles(F.col("__toks"), shingle_k))
-            ).alias("token"),
-        )
-    else:
-        toks = doc_tokens_long(docs, id_col, text_col, distinct=True)
+    toks = _doc_token_arrays(docs, id_col, text_col, shingle_k).select(
+        F.col(id_col), F.explode("__arr").alias("token")
+    )
     if hash_fn == "xxhash64":
         # injective-up-to-collision map: distinctness, set sizes and
         # intersections are preserved; the join key shrinks to a long
@@ -151,25 +169,77 @@ def _doc_token_sets(
     return toks
 
 
-def _pair_overlap(toks: DataFrame, id_col: str) -> DataFrame:
+def _pair_overlap(
+    toks: DataFrame, id_col: str, sizes: DataFrame | None = None
+) -> DataFrame:
     """Inverted-index pair overlap: from (id, token) long form, every
     pair of docs sharing ≥1 token with (d1, d2, n_shared, size1, size2)
     and d1 < d2 — the shared candidate-generation block behind the
     Jaccard and containment pairings (one code path, so a skew guard or
-    cap change lands everywhere at once).  No array materialization:
-    three aggregates and one equi-join on the token key."""
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    t1 = toks.select(F.col(id_col).alias("d1"), "token")
-    t2 = toks.select(F.col(id_col).alias("d2"), "token")
+    cap change lands everywhere at once).
+
+    Bucket-enumeration form: the postings group into a sorted per-token
+    membership array on the SAME token-key partitioning the cap window
+    already established (the aggregation adds no exchange), and (i < j)
+    pairs stream out of the shared chained-Generate combinatorics
+    (:func:`_bucket_pairs`) instead of the old t1 ⋈ t2 self-join, which
+    re-read the postings exchange on two more branches, re-SORTED each
+    of them for its window, and broadcast one whole postings side as the
+    join build (measured 1.35 → 0.98 s on the sf0.1 capped
+    containment; the postings exchange is runtime-reused across the
+    remaining consumers by AQE stage reuse / ReuseExchange).  Bucket
+    arrays are bounded by the callers' ``max_token_df`` window cap,
+    which filters hot tokens BEFORE this aggregation; explicitly
+    uncapped calibration paths materialize df-sized arrays — the same
+    quadratic exposure their self-join form already accepted.
+
+    ``sizes`` (id, set_size): optional pre-computed per-doc set sizes —
+    uncapped callers pass the zero-shuffle ``size(__arr)`` form (the
+    set size is knowable map-side per document row); capped callers
+    leave it None and the post-cap sizes derive from the buckets
+    themselves."""
+    buckets = toks.groupBy("token").agg(
+        F.sort_array(F.collect_list(id_col)).alias("__ids")
+    )
+    if sizes is None:
+        sizes = (
+            buckets.select(F.explode("__ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("set_size"))
+        )
     shared = (
-        t1.join(t2, "token")
-        .filter(F.col("d1") < F.col("d2"))
+        _bucket_pairs(buckets.filter(F.size("__ids") > 1), "__ids")
+        .select(F.col("a").alias("d1"), F.col("b").alias("d2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("set_size").alias("size1"))
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("set_size").alias("size2"))
     return shared.join(s1, "d1").join(s2, "d2")
+
+
+def _map_side_sizes(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_token_df: int | None,
+    shingle_k: int | None,
+) -> DataFrame | None:
+    """Per-doc set sizes with ZERO shuffle for the UNCAPPED pairing
+    paths: the distinct token array lives whole in each document row, so
+    its size is one map-side expression.  Returns None when a
+    ``max_token_df`` cap is active — post-cap sizes must count only the
+    surviving postings, which the capped :func:`_pair_overlap` derives
+    from its buckets.  (Docs with empty token sets get a (id, 0) row the
+    long-form groupBy never produced; pair ids always hold ≥1 shared
+    token, so the inner size joins drop those rows identically.)"""
+    if max_token_df is not None:
+        return None
+    # cast matches the count()-derived long of the capped path, so the
+    # output schema does not depend on which sizes form a caller gets
+    return _doc_token_arrays(docs, id_col, text_col, shingle_k).select(
+        F.col(id_col), F.size("__arr").cast("long").alias("set_size")
+    )
 
 
 #: Default stop-shingle cap for the inverted-index pairing family.  A
@@ -212,7 +282,7 @@ def ngram_jaccard_pairs(
     """
     toks = _doc_token_sets(docs, id_col, text_col, max_token_df, shingle_k, hash_fn)
     out = (
-        _pair_overlap(toks, id_col)
+        _pair_overlap(toks, id_col, _map_side_sizes(docs, id_col, text_col, max_token_df, shingle_k))
         .withColumn(
             "jaccard",
             F.col("n_shared") / (F.col("size1") + F.col("size2") - F.col("n_shared")),
@@ -928,7 +998,7 @@ def containment_pairs(
     """
     toks = _doc_token_sets(docs, id_col, text_col, max_token_df, shingle_k, hash_fn)
     out = (
-        _pair_overlap(toks, id_col)
+        _pair_overlap(toks, id_col, _map_side_sizes(docs, id_col, text_col, max_token_df, shingle_k))
         .withColumn("c1", F.col("n_shared") / F.col("size1"))
         .withColumn("c2", F.col("n_shared") / F.col("size2"))
         .filter(F.greatest(F.col("c1"), F.col("c2")) >= F.lit(threshold))
@@ -1117,7 +1187,13 @@ def minhash_verified_pairs(
         hash_fn=hash_fn,
     ).localCheckpoint(eager=True)
     toks = _doc_token_sets(docs, id_col, text_col, None, shingle_k, hash_fn)
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    # uncapped path: the per-doc set size is one map-side expression
+    # over the packed distinct array — no explode, no exchange (the old
+    # groupBy re-evaluated the whole tokenize→shingle pipeline a third
+    # time just to count rows)
+    sizes = _map_side_sizes(docs, id_col, text_col, None, shingle_k).select(
+        id_col, F.col("set_size").alias("__sz")
+    )
     t1 = toks.select(F.col(id_col).alias("d1"), "token")
     t2 = toks.select(F.col(id_col).alias("d2"), "token")
     shared = (
