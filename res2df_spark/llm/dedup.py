@@ -86,31 +86,32 @@ def _hash_col(hash_fn: str, col):
     return F.md5(c) if hash_fn == "md5" else F.xxhash64(c)
 
 
-def _doc_token_arrays(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    shingle_k: int | None = None,
-) -> DataFrame:
-    """(id, __arr) with the DISTINCT token/shingle array still packed in
-    its document row — the shared front of :func:`_doc_token_sets` (which
-    explodes it) and of the map-side set-size shortcut (``size(__arr)``
-    is the per-doc set size with ZERO shuffle, exactly because the
-    distinct happens inside the row)."""
+def _doc_token_arrays(docs: DataFrame, text_col: str, shingle_k: int | None):
+    """(docs', __arr-expression) where ``__arr`` is the DISTINCT
+    token/shingle array computed whole inside each document row — the
+    shared front of :func:`_doc_token_sets` (which explodes it) and of
+    the map-side set-size shortcut (``size(__arr)`` is the per-doc set
+    size with ZERO shuffle, exactly because the distinct happens inside
+    the row).
+
+    Returned as an EXPRESSION over ``docs'``, never a projected column:
+    ``explode()`` over a projected alias invites
+    InferFiltersFromGenerate to add ``size(attr) > 0`` below the
+    Generate, which predicate pushdown then re-expands through the
+    alias into a full duplicate of the tokenize→shingle→distinct
+    pipeline inside a non-codegen Filter under the exchange — measured
+    3-4× on every shingle-family query (decontaminate 1.2 → 3.6 s
+    interleaved).  Inline in the Generate, the rule's
+    expensive-expression guard skips it."""
     docs = spread(docs)
     if shingle_k:
         # materialize the token array before the shingle transform: a
         # lambda-captured expression re-evaluates per array element, so
         # the raw split would re-run once per shingle index.
-        arr = F.array_distinct(
+        return docs.withColumn("__toks", tokens(text_col)), F.array_distinct(
             shingles(F.col("__toks"), shingle_k)
         )
-        return docs.withColumn("__toks", tokens(text_col)).select(
-            F.col(id_col), arr.alias("__arr")
-        )
-    return docs.select(
-        F.col(id_col), F.array_distinct(tokens(text_col)).alias("__arr")
-    )
+    return docs, F.array_distinct(tokens(text_col))
 
 
 def _doc_token_sets(
@@ -137,9 +138,8 @@ def _doc_token_sets(
     exchange for nothing (see doc_tokens_long).
     """
     _check_hash_fn(hash_fn)
-    toks = _doc_token_arrays(docs, id_col, text_col, shingle_k).select(
-        F.col(id_col), F.explode("__arr").alias("token")
-    )
+    base, arr = _doc_token_arrays(docs, text_col, shingle_k)
+    toks = base.select(F.col(id_col), F.explode(arr).alias("token"))
     if hash_fn == "xxhash64":
         # injective-up-to-collision map: distinctness, set sizes and
         # intersections are preserved; the join key shrinks to a long
@@ -235,10 +235,11 @@ def _map_side_sizes(
     token, so the inner size joins drop those rows identically.)"""
     if max_token_df is not None:
         return None
+    base, arr = _doc_token_arrays(docs, text_col, shingle_k)
     # cast matches the count()-derived long of the capped path, so the
     # output schema does not depend on which sizes form a caller gets
-    return _doc_token_arrays(docs, id_col, text_col, shingle_k).select(
-        F.col(id_col), F.size("__arr").cast("long").alias("set_size")
+    return base.select(
+        F.col(id_col), F.size(arr).cast("long").alias("set_size")
     )
 
 
