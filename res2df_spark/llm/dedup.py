@@ -949,19 +949,38 @@ def duplicate_ngram_spans(
         F.size("__sh").alias("__n"),
         F.explode_outer(F.transform("__sh", gram_h)).alias("__g"),
     )
-    counts = grams.filter(F.col("__g").isNotNull()).groupBy("__g").agg(
-        F.count(F.lit(1)).alias("__c")
+    # Corpus-wide gram count as a WINDOW over the gram hash instead of
+    # a groupBy + join-back: the old two-branch form re-evaluated the
+    # whole tokenize→shingle→digest pipeline (and its parquet scan)
+    # once per branch — exchange reuse cannot merge them because column
+    # pruning and the partial aggregation give each branch a different
+    # canonical subtree (verified: the plan carried two Scan→Generate
+    # subtrees).  The window needs ONE exchange on the md5-uniform gram
+    # key and one pipeline pass; a boilerplate gram's rows count inside
+    # one window task, the same bounded exposure the stop-shingle cap
+    # window (_doc_token_sets) already accepts, and ``max_gram_df``
+    # discards precisely those rows afterwards.  Short docs explode to
+    # one NULL-gram row each; they key by their OWN id (the "\\0" tag
+    # cannot collide with a hex digest / decimal hash) so a corpus of
+    # mostly-short documents does not funnel into a single NULL
+    # partition.
+    from pyspark.sql import Window
+
+    wkey = F.coalesce(
+        F.col("__g").cast("string"),
+        F.concat(F.lit("\0"), F.col(id_col).cast("string")),
     )
-    dup = counts.filter(F.col("__c") >= min_count)
+    cnt = F.count(F.col("__g")).over(Window.partitionBy(wkey))
+    is_dup = F.col("__g").isNotNull() & (F.col("__c") >= min_count)
     if max_gram_df is not None:
-        dup = dup.filter(F.col("__c") <= max_gram_df)
+        is_dup = is_dup & (F.col("__c") <= max_gram_df)
     hits = (
-        grams.join(dup, "__g", "left")
+        grams.withColumn("__c", cnt)
         .groupBy(id_col)
         .agg(
             F.max("__n").cast("long").alias("n_grams"),
             F.coalesce(
-                F.sum(F.when(F.col("__c").isNotNull(), 1)), F.lit(0)
+                F.sum(F.when(is_dup, 1)), F.lit(0)
             ).cast("long").alias("n_dup_grams"),
         )
     )
@@ -1109,14 +1128,30 @@ def cross_doc_segment_dedup(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("seg_idx", "seg"),
     ).withColumn("seg_h", _hash_col(hash_fn, "seg"))
-    seg_df = (
-        segs.select(id_col, "seg_h")
-        .distinct()
-        .groupBy("seg_h")
-        .agg(F.count(F.lit(1)).alias("__df"))
-    )
-    marked = segs.join(seg_df, "seg_h").withColumn(
-        "__keep", F.col("__df") <= F.lit(max_df)
+    # Segment document-frequency as two WINDOW passes over ONE exchange
+    # on the segment hash, instead of distinct → groupBy → join-back:
+    # that form re-ran the segmentation Generate (posexplode + per-
+    # segment digest) once per branch — the spread exchange was reused
+    # but the Generate above it was not — and paid two aggregate
+    # exchanges plus a broadcast.  Here the partition sorts by doc id,
+    # a lag() flags each segment's FIRST row per doc, and an unbounded
+    # sum of the flags is exactly count(DISTINCT doc) per segment.  One
+    # pipeline pass, one md5/xx-uniform exchange; a boilerplate
+    # segment's occurrences sort in one window task — the same bounded
+    # exposure as the stop-shingle cap window, and those are precisely
+    # the segments ``max_df`` then cuts.
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("seg_h")
+    first_in_doc = F.when(
+        F.lag(id_col).over(wp.orderBy(id_col)).isNull()
+        | (F.lag(id_col).over(wp.orderBy(id_col)) != F.col(id_col)),
+        1,
+    ).otherwise(0)
+    marked = (
+        segs.withColumn("__new", first_in_doc)
+        .withColumn("__df", F.sum("__new").over(wp))
+        .withColumn("__keep", F.col("__df") <= F.lit(max_df))
     )
     rebuilt = marked.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_segments"),

@@ -929,13 +929,12 @@ def semantic_dedup_pairs(
     per SIDE, not once per pair, so the per-pair work is a single dot
     product (3× fewer array folds than a naive cosine per pair).
 
-    Self-join note: Spark re-executes the assignment lineage for each
-    side of the pair join (ReuseExchange misses because the two sides
-    project different aliases) — a constant 2×, not a scale hazard.  In
-    a production pipeline, ``persist()``/checkpoint the assignment
-    frame before pairing (or reuse it across the dedup + reporting
-    consumers that want it anyway); the suite leaves it unmaterialized
-    so benchmarks measure the full plan, not a cache.
+    Self-join note: the planner shuffles both aliased sides on the
+    cluster id with IDENTICAL exchange subtrees, and ReuseExchange
+    computes the assignment lineage ONCE (verified in the physical
+    plan: the sort-merge join's second child is a ReusedExchange of the
+    first) — the pair join costs one assignment pass plus the join
+    itself, not 2×.
     """
     from res2df_spark.functions.vectors import dot
 

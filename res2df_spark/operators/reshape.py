@@ -37,14 +37,22 @@ def unroll_range(
     """
     seq = F.sequence(F.col(lo).cast("int"), F.col(hi).cast("int"))
     null_bound = F.col(lo).isNull() | F.col(hi).isNull()
+    # the range array is exploded as an INLINE expression, not a
+    # projected ``__seq`` column: explode() over a projected alias makes
+    # InferFiltersFromGenerate add ``size(__seq) > 0`` under the
+    # Generate, and predicate pushdown re-expands the alias — the
+    # sequence() array was being BUILT three times per row (size probe,
+    # null probe, generate).  Inline, the rule's expensive-expression
+    # guard skips it and the array is built once.
     df = df.withColumn(
-        "__seq",
-        F.when(null_bound, F.array(F.col(lo).cast("int")))
-        .when(F.col(hi) >= F.col(lo), seq)
-        # inverted: empty array — explode drops the row
-        .otherwise(F.array().cast("array<int>")),
+        out,
+        F.explode(
+            F.when(null_bound, F.array(F.col(lo).cast("int")))
+            .when(F.col(hi) >= F.col(lo), seq)
+            # inverted: empty array — explode drops the row
+            .otherwise(F.array().cast("array<int>"))
+        ),
     )
-    df = df.withColumn(out, F.explode("__seq")).drop("__seq")
     if not keep_bounds:
         df = df.drop(lo, hi)
     return df
