@@ -202,10 +202,16 @@ def _pair_overlap(
         F.sort_array(F.collect_list(id_col)).alias("__ids")
     )
     if sizes is None:
-        sizes = (
-            buckets.select(F.explode("__ids").alias(id_col))
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("set_size"))
+        # post-cap sizes straight off the capped postings: counting
+        # each id's surviving postings is the same number as exploding
+        # the bucket membership arrays back out, but the count form
+        # re-executes only the (reused) token exchange + cap window —
+        # the bucket-derived form re-ran the whole Sort + collect_list
+        # aggregation and paid a Generate just to undo it (plan diff on
+        # dedup_containment: second ObjectHashAggregate pair + Sort +
+        # Generate replaced by one partial-agg count)
+        sizes = toks.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("set_size")
         )
     shared = (
         _bucket_pairs(buckets.filter(F.size("__ids") > 1), "__ids")

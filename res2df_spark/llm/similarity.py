@@ -389,12 +389,19 @@ def recall_at_k(
     a = approx.filter(F.col(rank_col) <= k).select(q_col, id_col)
     e = exact.filter(F.col(rank_col) <= k).select(q_col, id_col)
     totals = e.groupBy(q_col).agg(F.count(F.lit(1)).alias("__n_exact"))
+    # Explicit broadcasts: every frame here is ≤ k·|queries| rows BY
+    # CONSTRUCTION (rank ≤ k filters), so the build sides are bounded
+    # by the sampled query set, never the corpus.  The hints matter
+    # because the caller's query set often reaches this point as a
+    # local relation (createDataFrame) whose size statistics are
+    # unknown — the planner then falls back to sort-merge and pays two
+    # exchange+sort stages per join on frames of a few dozen rows.
     hits = (
-        e.join(a, [q_col, id_col], "left_semi")
+        e.join(F.broadcast(a), [q_col, id_col], "left_semi")
         .groupBy(q_col)
         .agg(F.count(F.lit(1)).alias("__n_hit"))
     )
-    return totals.join(hits, q_col, "left").select(
+    return totals.join(F.broadcast(hits), q_col, "left").select(
         q_col,
         (
             F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("__n_exact")

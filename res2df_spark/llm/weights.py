@@ -202,7 +202,8 @@ def dsir_weights(
     """
     if n_buckets != 256:
         raise ValueError("md5_bucket256-backed DSIR supports n_buckets=256")
-    base = spread(docs.filter(F.col(text_col).isNotNull())).withColumn(
+    nonnull = docs.filter(F.col(text_col).isNotNull())
+    base = spread(nonnull).withColumn(
         "__is_t", target_filter
     ).withColumn("__toks", tokens(text_col))
     # token array materialized before the bigram transform — the HOF
@@ -250,8 +251,11 @@ def dsir_weights(
     )
     # zero-token docs have no feature rows — restore them with the
     # empty-product weight (log 0.0) so the output covers every
-    # non-NULL-text document
-    return base.select(id_col).join(scored, id_col, "left").select(
+    # non-NULL-text document.  The restore side reads the PRE-spread
+    # frame: it does no per-row CPU, and the spread()'d lineage made it
+    # pay a round-robin shuffle of the full row immediately followed by
+    # the join's own hash exchange (two stacked exchanges in the plan).
+    return nonnull.select(id_col).join(scored, id_col, "left").select(
         id_col,
         F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
         F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
@@ -288,9 +292,8 @@ def nb_quality_score(
     documents score at the bare class prior instead of silently
     vanishing from the output.
     """
-    base = spread(docs.filter(F.col(text_col).isNotNull())).withColumn(
-        "__pos", positive_filter
-    )
+    nonnull = docs.filter(F.col(text_col).isNotNull())
+    base = spread(nonnull).withColumn("__pos", positive_filter)
     tok = base.select(
         F.col(id_col), "__pos", F.explode(tokens(text_col)).alias("token")
     )
@@ -367,8 +370,11 @@ def nb_quality_score(
     prior_row = scalars.select(
         (F.log(F.col("__dp") / F.col("__dn"))).alias("__prior")
     )
+    # restore side off the PRE-spread frame — see dsir_weights: the
+    # no-CPU branch must not pay a round-robin shuffle stacked under
+    # the join's hash exchange
     return (
-        base.select(id_col)
+        nonnull.select(id_col)
         .crossJoin(broadcast(prior_row))
         .join(scored, id_col, "left")
         .select(

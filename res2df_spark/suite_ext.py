@@ -4068,13 +4068,33 @@ def pq_recall(spark, sf_dir):
     vecs = [[float(x) for x in r["embedding"]] for r in init]
     m, dsub = 4, len(vecs[0]) // 4
     books = [[v[j * dsub:(j + 1) * dsub] for v in vecs] for j in range(m)]
-    queries = (
-        base.orderBy("vec_id")
-        .limit(5)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_vec"),
+    # The probe set is the first 5 of the same 8 rows ALREADY collected
+    # for the codebooks — rebuild it from LITERALS instead of an
+    # orderBy().limit(5) subtree: the queries frame feeds four
+    # consumers (ADC distance tables, the rerank's __qv side, the exact
+    # crossJoin, recall_at_k), and each consumer re-planned a full scan
+    # + TakeOrdered of the corpus (14 parquet scans in the plan).  The
+    # literal form matters: spark.createDataFrame was tried first and
+    # REGRESSED — its Scan ExistingRDD keeps the rows in a pickled
+    # Python RDD, so every one of the four consumers spun Python
+    # workers just to deserialize 5 rows (measured 1.7 → 2.4 s), and
+    # its unknown size statistics flipped downstream joins to
+    # sort-merge.  explode(array(struct-literals)) stays entirely in
+    # the JVM; float32 values survive the collect → double-literal →
+    # float cast round-trip bit-exactly.
+    qrows = [
+        F.struct(
+            F.lit(int(r["vec_id"])).cast("long").alias("query_id"),
+            F.array(
+                *[F.lit(float(x)).cast("float") for x in r["embedding"]]
+            ).alias("query_vec"),
         )
+        for r in init[:5]
+    ]
+    queries = (
+        spark.range(1)
+        .select(F.explode(F.array(*qrows)).alias("__q"))
+        .select("__q.query_id", "__q.query_vec")
     )
     codes = pq_encode(base, books)
     approx = pq_topk_rerank(
@@ -6380,9 +6400,10 @@ def dedup_simhash_pairs_xx(spark, sf_dir):
     remains the fully-oracled raw-pair registration.
 
     Plan: the truth side is one groupBy on the sorted-distinct token
-    array; the pair side is the shared signature pipeline; one anti
-    equi-join and a single final aggregate over a tagged union — no
-    cartesian, no collect before the driver's own."""
+    array; the pair side is the shared signature pipeline, enumerated
+    ONCE; a tagged p∪e union grouped per (d1, d2) carries every
+    invariant (the old anti-join lane re-ran the pair enumeration) —
+    no cartesian, no collect before the driver's own."""
     from res2df_spark.functions.textan import tokens
     from res2df_spark.llm.dedup import _bucket_pairs, simhash_near_pairs
 
@@ -6400,48 +6421,53 @@ def dedup_simhash_pairs_xx(spark, sf_dir):
     truth = _bucket_pairs(truth, "ids").select(
         F.col("a").alias("d1"), F.col("b").alias("d2")
     )
-    ham0 = pairs.filter(F.col("hamming") == 0).select("d1", "d2")
-    missing = truth.join(ham0, ["d1", "d2"], "left_anti")
-    tagged = (
-        pairs.select(F.lit("p").alias("t"), "d1", "d2", "hamming")
-        .unionByName(
-            truth.select(
-                F.lit("e").alias("t"), "d1", "d2",
-                F.lit(0).cast(pairs.schema["hamming"].dataType).alias("hamming"),
-            )
-        )
-        .unionByName(
-            missing.select(
-                F.lit("m").alias("t"), "d1", "d2",
-                F.lit(0).cast(pairs.schema["hamming"].dataType).alias("hamming"),
-            )
+    # The "exact pair missing from the Hamming-0 lane" check used to be
+    # a third union branch built by anti-joining truth against a
+    # RE-DERIVED ham0 pair set — which re-ran the whole bucket assembly
+    # + C(n,2) pair Generate + (d1,d2) aggregate a second time (only
+    # the signature exchange below them was plan-reused).  Instead,
+    # union just the p and e rows, group ONCE per (d1, d2), and express
+    # every invariant over the per-pair tallies: a truth pair is
+    # "missing" exactly when its group holds no p row with hamming = 0
+    # (the anti-join's membership test), and count−countDistinct over p
+    # rows is Σp_cnt − #groups-with-p.  Pair enumeration now executes
+    # once; the anti-join, its broadcast, and the count_distinct
+    # expansion are gone.
+    is_p, is_e = F.col("t") == "p", F.col("t") == "e"
+    tagged = pairs.select(
+        F.lit("p").alias("t"), "d1", "d2", "hamming"
+    ).unionByName(
+        truth.select(
+            F.lit("e").alias("t"), "d1", "d2",
+            F.lit(0).cast(pairs.schema["hamming"].dataType).alias("hamming"),
         )
     )
-    is_p = F.col("t") == "p"
-    return tagged.agg(
+    per_pair = tagged.groupBy("d1", "d2").agg(
+        F.sum(is_e.cast("long")).alias("__e"),
+        F.sum(is_p.cast("long")).alias("__p"),
+        F.sum((is_p & (F.col("hamming") == 0)).cast("long")).alias("__h0"),
+        F.sum(
+            (
+                is_p
+                & ~((F.col("hamming") >= 0) & (F.col("hamming") <= 3))
+            ).cast("long")
+        ).alias("__viol"),
+        F.sum((is_p & (F.col("d1") >= F.col("d2"))).cast("long")).alias(
+            "__noncan"
+        ),
+    )
+    return per_pair.agg(
+        F.coalesce(F.sum("__e"), F.lit(0)).alias("n_exact_pairs"),
         F.coalesce(
-            F.sum((F.col("t") == "e").cast("long")), F.lit(0)
-        ).alias("n_exact_pairs"),
-        F.coalesce(
-            F.sum((F.col("t") == "m").cast("long")), F.lit(0)
+            F.sum(F.when(F.col("__h0") == 0, F.col("__e")).otherwise(0)),
+            F.lit(0),
         ).alias("n_exact_missing"),
-        F.coalesce(
-            F.sum(
-                (
-                    is_p
-                    & ~((F.col("hamming") >= 0) & (F.col("hamming") <= 3))
-                ).cast("long")
-            ),
-            F.lit(0),
-        ).alias("n_bound_violations"),
-        F.coalesce(
-            F.sum((is_p & (F.col("d1") >= F.col("d2"))).cast("long")),
-            F.lit(0),
-        ).alias("n_noncanonical"),
+        F.coalesce(F.sum("__viol"), F.lit(0)).alias("n_bound_violations"),
+        F.coalesce(F.sum("__noncan"), F.lit(0)).alias("n_noncanonical"),
         (
-            F.coalesce(F.sum(is_p.cast("long")), F.lit(0))
-            - F.count_distinct(
-                F.when(is_p, F.struct(F.col("d1"), F.col("d2")))
+            F.coalesce(F.sum("__p"), F.lit(0))
+            - F.coalesce(
+                F.sum((F.col("__p") > 0).cast("long")), F.lit(0)
             )
         ).alias("n_duplicate_rows"),
     )
