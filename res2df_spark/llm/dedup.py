@@ -418,18 +418,36 @@ def _minhash_bands(
         )
     else:
         n_md5 = -(-num_hashes // 4)
-        exploded = exploded.select(
+        # Aggregate the lanes as LONGS, not hex substrings: min(string)
+        # has no fixed-width buffer, so Spark plans SortAggregate — two
+        # extra sorts of the exploded (doc, element) rows.  Each lane is
+        # a fixed-width lowercase-hex slice, where lexicographic order
+        # equals numeric order, so min-as-long is min-as-string; the hex
+        # string is rebuilt after the (Hash)aggregation, one row per doc.
+        digests = exploded.select(
             id_col,
-            F.concat(
-                *[
-                    F.md5(F.concat(F.lit(f"{s}:"), F.col("__tok")))
-                    for s in range(n_md5)
-                ]
-            ).alias("__h"),
+            *[
+                F.md5(F.concat(F.lit(f"{s}:"), F.col("__tok"))).alias(f"__d{s}")
+                for s in range(n_md5)
+            ],
         )
-        sig = exploded.groupBy(id_col).agg(
+        lanes = digests.select(
+            id_col,
+            *[
+                F.conv(
+                    F.substring(F.col(f"__d{i // 4}"), 1 + 8 * (i % 4), 8), 16, 10
+                )
+                .cast("long")
+                .alias(f"__h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        sig = lanes.groupBy(id_col).agg(
             F.array(
-                *[F.min(F.substring("__h", 1 + 8 * i, 8)) for i in range(num_hashes)]
+                *[
+                    F.lower(F.lpad(F.hex(F.min(f"__h{i}")), 8, "0"))
+                    for i in range(num_hashes)
+                ]
             ).alias("sig")
         )
     n_bands = num_hashes // band_size

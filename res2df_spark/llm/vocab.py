@@ -62,11 +62,12 @@ def tfidf_topk(
 ) -> DataFrame:
     """Top-``k`` terms per document by TF-IDF (``tf · ln(N/df)``).
 
-    Plan shape: one (doc, term) partial-aggregated groupBy for tf, one
-    term-level groupBy for df (vocabulary-sized output), the tf⋈df join
-    on the term key, and a per-document ranking window.  The document
-    count ``N`` rides along as a broadcast single-row cross join — no
-    driver-side ``.count()`` in the plan.  Ranking happens on the
+    Plan shape: one (doc, term) partial-aggregated groupBy for tf, df
+    as a window count over the term key on the tf rows (one row per
+    (doc, term), so count-per-term IS the document frequency — no
+    second corpus pass, no join), and a per-document ranking window.
+    The document count ``N`` rides along as a broadcast single-row
+    cross join — no driver-side ``.count()`` in the plan.  Ranking happens on the
     score ROUNDED to 6 dp with ties broken by term: ``ln`` is only
     1-ulp-reproducible across math libraries (JVM vs libm disagree on
     e.g. ln(9) in the last bit, observed via hypothesis), so ranking
@@ -79,15 +80,24 @@ def tfidf_topk(
     topic mixing audits).
     """
     tf = _doc_terms(docs, id_col, text_col)
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N counts documents that CONTRIBUTE terms — NULL-text/zero-token
     # rows have no postings, and counting them into N would inflate
     # every idf (a term in every real document must get idf 0)
     n_docs = tf.select(
         F.count_distinct(F.col(id_col)).alias("__n")
     )
+    # df as a window count over the term key: tf has one row per
+    # (doc, term), so count-per-term IS the document frequency.  The
+    # former groupBy + join-back re-executed the whole scan→explode→tf
+    # subtree a second time (column pruning defeats exchange reuse
+    # across the branches); the window pays one exchange of the small
+    # (id, term, tf) rows instead.  A corpus-hot term's postings count
+    # inside one spill-backed window task — the same bounded exposure
+    # as the other key-count windows in this codebase.
     scored = (
-        tf.join(df, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -466,11 +476,11 @@ def bm25_topk(
         idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5))
 
     Plan shape: one (doc, term) partial-aggregated groupBy for tf, one
-    doc-level groupBy for lengths, one vocabulary-sized groupBy for df;
-    the QUERY side is small by contract and broadcasts onto the tf
-    table, so only postings for query terms survive into the scoring
-    join — the corpus never carries non-matching terms past the
-    broadcast.  N and avgdl ride as a one-row broadcast dimension (no
+    map-side length projection; the QUERY side is small by contract and
+    broadcast-SEMI-joins the tf table first, so only postings for query
+    terms survive — df is then a window count over the term key on the
+    survivors (per-term counts are unchanged by the query filter), not
+    a second vocabulary-wide pass over the corpus.  N and avgdl ride as a one-row broadcast dimension (no
     driver-side count).  The per-(query, doc) sum folds term scores in
     sorted-term order (groups are ≤ |query| terms), so the IEEE sum is
     a pure function of the corpus on any engine; ties rank by doc id.
@@ -495,11 +505,22 @@ def bm25_topk(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg("__dl").alias("__avgdl"),
     )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("__df"))
     q = broadcast(
         queries.select(
             F.col(query_id_col), F.col(term_col).alias("term")
         ).distinct()
+    )
+    # Drop non-query postings FIRST (broadcast semi-join on the terms),
+    # then take df as a window count over the term key on the survivors
+    # — per-term row counts are unchanged by the filter, and the former
+    # vocabulary-wide df groupBy re-executed the whole scan→explode→tf
+    # subtree a second time just to be inner-joined back onto exactly
+    # these terms.
+    tf = tf.join(
+        broadcast(q.select("term").distinct()), "term", "semi"
+    ).withColumn(
+        "__df",
+        F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double"),
     )
     idf = F.log(
         F.lit(1.0)
@@ -511,7 +532,6 @@ def bm25_topk(
     )
     per_term = (
         tf.join(q, "term")
-        .join(df_t, "term")
         .join(dl, id_col)
         .crossJoin(broadcast(stats))
         .select(

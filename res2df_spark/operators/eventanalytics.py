@@ -429,16 +429,27 @@ def retention_cohorts(
     first event; for each (cohort_day, day_offset) the count of
     cohort users active that day.
 
-    Two partial-agg groupBys (first-touch per user; distinct activity
-    days per user) joined on the user key, collapsing into the tiny
-    (days × offsets) grid — the corpus-sized data is only ever hashed
-    on user_id.
+    One partial-agg groupBy (distinct activity days per user), a
+    first-touch window over the user key on its day-grained output, and
+    the collapse into the tiny (days × offsets) grid — ONE scan of the
+    corpus, and the corpus-sized data is only ever hashed on user_id.
+    (The former first-touch groupBy + join-back planned a second full
+    scan and a broadcast; the window computes the same min over the
+    distinct-days frame — min over distinct days IS min over all days —
+    for one extra user-keyed exchange of the already-day-grained rows.)
+    NULL users are filtered explicitly, matching the inner user-key
+    join they used to fall out of.
     """
     day = F.date_trunc("day", F.col(ts_col))
-    first = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
-    active = events.select(F.col(user_col), day.alias("active_day")).distinct()
+    active = (
+        events.filter(F.col(user_col).isNotNull())
+        .select(F.col(user_col), day.alias("active_day"))
+        .distinct()
+    )
     grid = (
-        active.join(first, user_col)
+        active.withColumn(
+            "cohort_day", F.min("active_day").over(Window.partitionBy(user_col))
+        )
         .withColumn("day_offset", F.datediff("active_day", "cohort_day").cast("long"))
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))

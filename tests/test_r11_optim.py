@@ -1,0 +1,194 @@
+"""Focused regression tests for the round-11 optimization rewrites.
+
+Each test pins an internals change against the form it replaced (or an
+independent formulation), so the optimization cannot silently drift the
+operator's semantics:
+
+* md5 minhash lanes now aggregate as LONGS (HashAggregate) and rebuild
+  the hex strings afterward — pinned against the direct min-of-hex-
+  substring form, including leading-zero lanes.
+* retention_cohorts computes first-touch as a window over the distinct
+  (user, day) frame instead of a second scan + join — pinned against a
+  pandas re-derivation incl. NULL users (dropped) and NULL timestamps
+  (kept as NULL-offset cells).
+* tfidf_topk / bm25_topk take document frequency as a window count over
+  the postings instead of a groupBy + join-back — pinned against
+  explicitly recomputed df values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_md5_lane_roundtrip_matches_string_min(spark):
+    """The long-lane aggregation must reproduce the exact hex band keys
+    of the min-over-substring form — incl. lanes with leading zeros."""
+    from res2df_spark.llm.dedup import _minhash_bands
+
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta zeta",
+        "one two three four five six seven",
+        "",  # no tokens -> no bands
+        "alpha beta gamma delta epsilon",  # exact dup of row 0
+    ]
+    docs = _mk_docs(spark, texts)
+    got = {
+        (r["doc_id"], r["band_idx"]): r["band_key"]
+        for r in _minhash_bands(
+            docs, "doc_id", "text", num_hashes=16, band_size=4, shingle_k=2
+        ).collect()
+    }
+
+    # independent python re-derivation of the same signature scheme
+    def sig(text):
+        toks = [t for t in text.lower().split() if t]
+        shing = {
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        }
+        if not shing:
+            return None
+        mins = []
+        for i in range(16):
+            s, off = divmod(i, 4)
+            mins.append(
+                min(
+                    hashlib.md5(f"{s}:{el}".encode()).hexdigest()[
+                        8 * off : 8 * off + 8
+                    ]
+                    for el in shing
+                )
+            )
+        return mins
+
+    expect = {}
+    for i, t in enumerate(texts):
+        m = sig(t)
+        if m is None:
+            continue
+        for b in range(4):
+            expect[(i, b)] = "|".join(m[4 * b : 4 * b + 4])
+    assert got == expect
+    # leading-zero lanes exist in this fixture (else the lpad path is
+    # untested) — widen the fixture if this ever fails
+    assert any(
+        lane.startswith("0") for key in got.values() for lane in key.split("|")
+    )
+
+
+def test_retention_cohorts_window_form(spark):
+    """Single-scan window form: NULL users drop (the old inner join's
+    behavior), NULL timestamps stay as NULL-offset cells, counts are
+    per distinct (cohort, offset) user-day."""
+    from res2df_spark.operators.eventanalytics import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 12:00:00"),  # same day, dedups
+        (1, "2024-01-03 09:00:00"),
+        (2, "2024-01-01 23:59:59"),
+        (2, "2024-01-02 00:00:00"),
+        (3, "2024-01-02 05:00:00"),
+        (3, None),  # NULL ts -> (cohort, NULL) cell
+        (None, "2024-01-01 01:00:00"),  # NULL user -> dropped
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_active"]
+        for r in retention_cohorts(df, "ts", "user_id").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 0): 2,  # users 1 and 2 on their day 0
+        ("2024-01-01 00:00:00", 1): 1,  # user 2 next day
+        ("2024-01-01 00:00:00", 2): 1,  # user 1 on Jan 3
+        ("2024-01-02 00:00:00", 0): 1,  # user 3
+        ("2024-01-02 00:00:00", None): 1,  # user 3's NULL-ts row
+    }
+
+
+def test_tfidf_df_window_matches_recount(spark):
+    """df from the window count must equal an independent recount."""
+    from res2df_spark.llm.vocab import tfidf_topk
+
+    docs = _mk_docs(
+        spark,
+        [
+            "apple banana apple",
+            "banana cherry",
+            "apple cherry cherry date",
+            "date",
+        ],
+    )
+    out = tfidf_topk(docs, k=10).collect()
+    import collections
+
+    df_expect = collections.Counter()
+    for t in ["apple banana apple", "banana cherry", "apple cherry cherry date", "date"]:
+        for term in set(t.split()):
+            df_expect[term] += 1
+    assert {(r["term"], r["df"]) for r in out} == {
+        (t, n) for t, n in df_expect.items()
+    }
+
+
+def test_bm25_semi_join_df_is_corpus_wide(spark):
+    """df must count ALL documents containing the term, not just the
+    scoring join's survivors — the semi-join filter must not change it."""
+    from res2df_spark.llm.vocab import bm25_topk
+
+    docs = _mk_docs(
+        spark,
+        [
+            "spark shuffles data",
+            "spark joins data frames",
+            "duckdb joins tables",
+            "pandas frames",
+        ],
+    )
+    queries = spark.createDataFrame(
+        [(0, "spark"), (0, "joins")], "query_id long, term string"
+    )
+    out = bm25_topk(docs, queries, k=10).collect()
+    # doc 1 matches both query terms; df(spark)=2, df(joins)=2, N=4
+    import math
+
+    def idf(df_t, n=4.0):
+        return math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+
+    def tf_part(tf, dl, avgdl, k1=1.2, b=0.75):
+        return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    avgdl = (3 + 4 + 3 + 2) / 4.0
+    expect_doc1 = round(
+        idf(2) * tf_part(1, 4, avgdl) + idf(2) * tf_part(1, 4, avgdl), 6
+    )
+    got = {r["doc_id"]: (r["bm25"], r["n_matched"]) for r in out}
+    assert got[1] == (expect_doc1, 2)
+    assert got[0][1] == 1 and got[2][1] == 1  # one matched term each
+    assert 3 not in got  # no query term -> absent
+
+
+def test_minhash_plans_hash_aggregate(spark):
+    """The md5 signature aggregation must plan as HashAggregate — a
+    SortAggregate here means the string-min buffer crept back."""
+    from res2df_spark.llm.dedup import minhash_lsh_candidates
+
+    docs = _mk_docs(spark, ["a b c d", "a b c e", "x y z w"])
+    plan = (
+        minhash_lsh_candidates(docs, num_hashes=16, band_size=4, shingle_k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortAggregate" not in plan
