@@ -21,8 +21,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
-from res2df_spark.functions.vectors import cosine_similarity
+from res2df_spark.functions.vectors import cosine_similarity, dot, l2_norm
 from res2df_spark.session import truncate_lineage
+
+
+def _cosine_with_norms(a, b, na, nb):
+    """``cosine_similarity`` with the two norms supplied as columns —
+    the pair-scorer form: norms are per-ROW invariants, so the callers
+    compute them once per corpus/query row before the pair join instead
+    of twice per pair.  Same guard chain and same ``na * nb`` multiply
+    order as ``cosine_similarity``, so scores are bit-identical."""
+    denom = na * nb
+    return F.when(denom > 0, dot(a, b) / denom).when(
+        a.isNotNull() & b.isNotNull(), F.lit(0.0)
+    )
 
 
 def brute_force_topk(
@@ -40,17 +52,27 @@ def brute_force_topk(
     maps a NULL/zero norm to 0.0, so an unfiltered NULL query would be
     handed k arbitrary ids all "scoring" 0.0 as if they were real
     neighbors, and NULL corpus rows could occupy top-k slots whenever
-    a query has fewer than k positive-similarity candidates."""
+    a query has fewer than k positive-similarity candidates.
+
+    Norms are computed ONCE PER ROW before the cross join (same
+    expressions, same multiply order as ``cosine_similarity``, so the
+    scores are bit-identical) — inside the pair loop they cost two full
+    vector passes per PAIR, i.e. 2·|corpus|·|queries| norm folds where
+    |corpus| + |queries| suffice."""
     q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    corpus = corpus.filter(F.col(vec_col).isNotNull()).withColumn(
+        "__cn", l2_norm(F.col(vec_col))
     )
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
     scored = corpus.crossJoin(broadcast(q)).filter(
         F.col(query_id_col) != F.col(id_col)
     ).select(
         query_id_col,
         id_col,
-        cosine_similarity(F.col("__qv"), F.col(vec_col)).alias("cosine"),
+        _cosine_with_norms(
+            F.col("__qv"), F.col(vec_col), F.col("__qn"), F.col("__cn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -234,7 +256,12 @@ def lsh_bucketed_topk(
     # 0.0, so an unfiltered NULL would land in the all-'0' bucket and
     # surface as a fake 0.0-similarity neighbor (same contract as
     # brute_force_topk)
-    c = corpus.filter(F.col(vec_col).isNotNull()).crossJoin(
+    # per-row norms BEFORE the bucket explode and candidate join: the
+    # pair scorer reads them instead of re-folding both vectors per
+    # candidate pair (bit-identical scores — see _cosine_with_norms)
+    c = corpus.filter(F.col(vec_col).isNotNull()).withColumn(
+        "__cn", l2_norm(F.col(vec_col))
+    ).crossJoin(
         F.broadcast(planes_df)
     ).withColumn(
         "__bucket", F.explode(F.array(*c_buckets))
@@ -250,6 +277,7 @@ def lsh_bucketed_topk(
             F.col(id_col).alias(query_id_col),
             F.col(vec_col).alias("__qv"),
         )
+        .withColumn("__qn", l2_norm(F.col("__qv")))
         .crossJoin(F.broadcast(planes_df))
         .withColumn("__bucket", F.explode(F.array(*q_buckets)))
         .drop("__planes")
@@ -262,7 +290,9 @@ def lsh_bucketed_topk(
     scored = cand.select(
         query_id_col,
         id_col,
-        cosine_similarity(F.col("__qv"), F.col(vec_col)).alias("cosine"),
+        _cosine_with_norms(
+            F.col("__qv"), F.col(vec_col), F.col("__qn"), F.col("__cn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -341,7 +371,9 @@ def ivf_topk(
     # NULL vectors never list or score (NULL distances would sort
     # arbitrarily into list 0 and fake 0.0-cosine neighbors downstream
     # — same contract as brute_force_topk)
-    c = corpus.filter(F.col(vec_col).isNotNull()).crossJoin(
+    c = corpus.filter(F.col(vec_col).isNotNull()).withColumn(
+        "__cn", l2_norm(F.col(vec_col))
+    ).crossJoin(
         F.broadcast(cent_df)
     ).withColumn(
         "__list", nearest_lists(F.col(vec_col), 1).getItem(0).getField("i")
@@ -351,17 +383,20 @@ def ivf_topk(
         .select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
         )
+        .withColumn("__qn", l2_norm(F.col("__qv")))
         .crossJoin(F.broadcast(cent_df))
         .withColumn(
             "__probe",
             F.explode(nearest_lists(F.col("__qv"), min(n_probe, n_centroids))),
         )
-        .select(query_id_col, "__qv", F.col("__probe.i").alias("__list"))
+        .select(query_id_col, "__qv", "__qn", F.col("__probe.i").alias("__list"))
     )
     scored = c.join(q, "__list").filter(F.col(query_id_col) != F.col(id_col)).select(
         query_id_col,
         id_col,
-        cosine_similarity(F.col("__qv"), F.col(vec_col)).alias("cosine"),
+        _cosine_with_norms(
+            F.col("__qv"), F.col(vec_col), F.col("__qn"), F.col("__cn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (

@@ -732,13 +732,22 @@ def dedup_embedding_cosine(spark, sf_dir):
     same predicate runs over LSH-bucket candidates (ann_lsh_bucketed /
     llm.similarity.lsh_bucketed_topk) so the self-join is bucket-local
     instead of O(n²).  JVM-side fold for the dot products, no UDF."""
-    from res2df_spark.functions.vectors import cosine_similarity
+    from res2df_spark.functions.vectors import l2_norm
+    from res2df_spark.llm.similarity import _cosine_with_norms
 
     emb = Catalog(spark, sf_dir).embeddings
-    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
+    # norms once per row, not twice per pair (bit-identical — see
+    # _cosine_with_norms)
+    a = emb.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("ea")
+    ).withColumn("__na", l2_norm(F.col("ea")))
+    b = emb.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("eb")
+    ).withColumn("__nb", l2_norm(F.col("eb")))
     pairs = a.join(b, F.col("v1") < F.col("v2"))
-    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    cos = _cosine_with_norms(
+        F.col("ea"), F.col("eb"), F.col("__na"), F.col("__nb")
+    )
     return (
         pairs.select("v1", "v2", cos.alias("__c"))
         .filter(F.col("__c") >= 0.4)
