@@ -62,12 +62,12 @@ def tfidf_topk(
 ) -> DataFrame:
     """Top-``k`` terms per document by TF-IDF (``tf · ln(N/df)``).
 
-    Plan shape: one (doc, term) partial-aggregated groupBy for tf, df
-    as a window count over the term key on the tf rows (one row per
-    (doc, term), so count-per-term IS the document frequency — no
-    second corpus pass, no join), and a per-document ranking window.
-    The document count ``N`` rides along as a broadcast single-row
-    cross join — no driver-side ``.count()`` in the plan.  Ranking happens on the
+    Plan shape: one (doc, term) partial-aggregated groupBy for tf, one
+    term-level groupBy for df (vocabulary-sized output, skew-immune —
+    see the in-body note on why df is NOT a window), the tf⋈df join on
+    the term key, and a per-document ranking window.  The document
+    count ``N`` rides along as a broadcast single-row cross join — no
+    driver-side ``.count()`` in the plan.  Ranking happens on the
     score ROUNDED to 6 dp with ties broken by term: ``ln`` is only
     1-ulp-reproducible across math libraries (JVM vs libm disagree on
     e.g. ln(9) in the last bit, observed via hypothesis), so ranking
@@ -86,18 +86,21 @@ def tfidf_topk(
     n_docs = tf.select(
         F.count_distinct(F.col(id_col)).alias("__n")
     )
-    # df as a window count over the term key: tf has one row per
-    # (doc, term), so count-per-term IS the document frequency.  The
-    # former groupBy + join-back re-executed the whole scan→explode→tf
-    # subtree a second time (column pruning defeats exchange reuse
-    # across the branches); the window pays one exchange of the small
-    # (id, term, tf) rows instead.  A corpus-hot term's postings count
-    # inside one spill-backed window task — the same bounded exposure
-    # as the other key-count windows in this codebase.
+    # df stays a partial-aggregated groupBy + join-back, DELIBERATELY
+    # (round 11, measured then reverted): a window count over the
+    # unigram term key would save the second scan→explode pass (-20 %
+    # at sf0.1) but concentrates a stop-word's ENTIRE postings in one
+    # window task — 'the' appears in ~every document, so that task is
+    # O(|corpus|) with no partial aggregation and no AQE split (AQE
+    # cannot split window partitions).  The groupBy's second pass is
+    # corpus-sized but DISTRIBUTED and map-side-combined: at cluster
+    # scale the distributed pass beats the single straggler by orders
+    # of magnitude.  (The shingle-keyed windows elsewhere in this
+    # codebase are different: k-word shingles dilute hot-key mass, and
+    # the cap windows DISCARD the hot keys they count.)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-        )
+        tf.join(df, "term")
         .crossJoin(broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -478,9 +481,10 @@ def bm25_topk(
     Plan shape: one (doc, term) partial-aggregated groupBy for tf, one
     map-side length projection; the QUERY side is small by contract and
     broadcast-SEMI-joins the tf table first, so only postings for query
-    terms survive — df is then a window count over the term key on the
-    survivors (per-term counts are unchanged by the query filter), not
-    a second vocabulary-wide pass over the corpus.  N and avgdl ride as a one-row broadcast dimension (no
+    terms survive — df is then a partial-aggregated groupBy over the
+    survivors (per-term counts are unchanged by the query filter; the
+    output is ≤ |query terms| rows and broadcasts back), not a
+    vocabulary-wide aggregation.  N and avgdl ride as a one-row broadcast dimension (no
     driver-side count).  The per-(query, doc) sum folds term scores in
     sorted-term order (groups are ≤ |query| terms), so the IEEE sum is
     a pure function of the corpus on any engine; ties rank by doc id.
@@ -510,18 +514,21 @@ def bm25_topk(
             F.col(query_id_col), F.col(term_col).alias("term")
         ).distinct()
     )
-    # Drop non-query postings FIRST (broadcast semi-join on the terms),
-    # then take df as a window count over the term key on the survivors
-    # — per-term row counts are unchanged by the filter, and the former
-    # vocabulary-wide df groupBy re-executed the whole scan→explode→tf
-    # subtree a second time just to be inner-joined back onto exactly
-    # these terms.
-    tf = tf.join(
-        broadcast(q.select("term").distinct()), "term", "semi"
-    ).withColumn(
-        "__df",
-        F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double"),
+    # Drop non-query postings FIRST (broadcast semi-join on the terms):
+    # per-term row counts are unchanged by the filter, so df computed
+    # over the SURVIVORS is the true corpus df for every query term —
+    # a partial-aggregated groupBy whose output is ≤ |distinct query
+    # terms| rows (broadcastable BY the small-query contract), where
+    # the former df pass aggregated the whole vocabulary.  Deliberately
+    # a groupBy + broadcast join-back, NOT a window over the term key:
+    # a query containing a stop word would funnel that term's entire
+    # postings into one window task with no partial aggregation (see
+    # tfidf_topk's in-body note for the same adjudication).
+    tf = tf.join(broadcast(q.select("term").distinct()), "term", "semi")
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
     )
+    tf = tf.join(broadcast(df_t), "term")
     idf = F.log(
         F.lit(1.0)
         + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
