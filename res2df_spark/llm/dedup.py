@@ -145,27 +145,55 @@ def _doc_token_sets(
         # intersections are preserved; the join key shrinks to a long
         toks = toks.select(id_col, F.xxhash64("token").alias("token"))
     if max_token_df is not None:
-        # Stop-shingle cap as a WINDOW count over the token key instead
-        # of a groupBy + join-back: the old form re-evaluated the whole
-        # tokenize→shingle→explode pipeline a second time to build the
-        # document-frequency side (no cross-branch plan reuse), then
-        # joined it back.  The window needs ONE exchange on the token
-        # key — which the inverted-index self-join downstream wants
-        # anyway (same key, exchange reused) — and one pipeline pass.
-        # Skew note: a boilerplate token's rows count in one window
-        # task (no partial agg), the same bounded exposure the
-        # _cap_buckets formulation already accepts; WindowExec spills
-        # its per-group buffer, and hot tokens are precisely the rows
-        # this filter then discards.
-        from pyspark.sql import Window
+        if shingle_k:
+            # SHINGLE keys: stop-shingle cap as a WINDOW count over the
+            # token key instead of a groupBy + join-back: the old form
+            # re-evaluated the whole tokenize→shingle→explode pipeline a
+            # second time to build the document-frequency side (no
+            # cross-branch plan reuse), then joined it back.  The window
+            # needs ONE exchange on the token key — which the
+            # inverted-index self-join downstream wants anyway (same
+            # key, exchange reused) — and one pipeline pass.  Skew note:
+            # a k-word shingle key DILUTES hot-key mass (no single
+            # shingle owns a corpus-scale share the way a stop word
+            # does), so the one-window-task exposure is bounded;
+            # WindowExec spills its per-group buffer, and hot shingles
+            # are precisely the rows this filter then discards.
+            from pyspark.sql import Window
 
-        toks = (
-            toks.withColumn(
-                "__tdf", F.count(F.lit(1)).over(Window.partitionBy("token"))
+            toks = (
+                toks.withColumn(
+                    "__tdf", F.count(F.lit(1)).over(Window.partitionBy("token"))
+                )
+                .filter(F.col("__tdf") <= max_token_df)
+                .drop("__tdf")
             )
-            .filter(F.col("__tdf") <= max_token_df)
-            .drop("__tdf")
-        )
+        else:
+            # WORD keys (round 12): a unigram stop word appears in
+            # ~every document, and a window count over the raw token
+            # key would funnel its ENTIRE postings list into one
+            # un-splittable window task (no partial aggregation, and
+            # AQE cannot split window partitions) — an O(corpus)
+            # straggler at 100 TB, the same adjudication that reverted
+            # tfidf's window-df (llm/vocab.py).  Hot keys are exactly
+            # what partial aggregation collapses: compute the cap
+            # VIOLATORS with a map-side-combined groupBy (output is
+            # only the tokens with df > cap — tiny by definition) and
+            # broadcast them back as an anti-filter.  Costs a second
+            # pipeline pass for the df branch; buys a postings table
+            # whose downstream token-key exchange never carries a hot
+            # key at all.
+            hot = (
+                toks.groupBy("token")
+                .agg(F.count(F.lit(1)).alias("__tdf"))
+                .filter(F.col("__tdf") > max_token_df)
+                .select("token")
+            )
+            # re-select to keep the (id, token) column order the join
+            # key reordering would otherwise break
+            toks = toks.join(F.broadcast(hot), "token", "anti").select(
+                id_col, "token"
+            )
     return toks
 
 

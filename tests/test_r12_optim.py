@@ -1,0 +1,104 @@
+"""Round-12 optimization pins.
+
+The word-level (``shingle_k=None``) stop-token cap in
+``llm/dedup._doc_token_sets`` is a broadcast anti-join of
+partial-aggregated cap VIOLATORS, never a window count over the raw
+token key: a unigram stop word appears in ~every document, and a window
+count would funnel its entire postings list into one un-splittable
+window task (no partial aggregation; AQE cannot split window
+partitions).  Shingle-keyed callers keep the window form (k-word keys
+dilute hot-key mass, and the cap discards the keys it counts).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from res2df_spark.llm.dedup import _doc_token_sets, ngram_jaccard_pairs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 'the' is in every document (the stop-word hot key);
+        # 'alpha beta' pairs overlap across the first three docs
+        (1, "the alpha beta gamma"),
+        (2, "the alpha beta delta"),
+        (3, "the alpha beta gamma delta"),
+        (4, "the epsilon zeta"),
+        (5, "the epsilon zeta eta"),
+        (6, "the theta"),
+        (7, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_cap_matches_window_recount(spark, docs):
+    """Anti-join cap form == the window-count definition of the cap."""
+    got = sorted(
+        tuple(r)
+        for r in _doc_token_sets(docs, "doc_id", "text", 5, None).collect()
+    )
+    from res2df_spark.functions.textan import tokens
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens("text"))).alias("token"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in toks.withColumn(
+            "__tdf", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
+        .filter(F.col("__tdf") <= 5)
+        .drop("__tdf")
+        .collect()
+    )
+    assert got == want
+    # the cap actually fired: 'the' (df 6 > 5) is gone
+    assert all(t != "the" for _, t in got)
+
+
+def test_word_cap_plan_has_no_window(docs):
+    """The word-level capped postings plan must carry NO window over the
+    raw token key — the cap is a broadcast anti-join of violators."""
+    plan = (
+        _doc_token_sets(docs, "doc_id", "text", 5, None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_shingle_cap_keeps_window_form(docs):
+    """Shingle-keyed callers keep the single-pass window cap."""
+    plan = (
+        _doc_token_sets(docs, "doc_id", "text", 5, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+
+
+def test_word_capped_jaccard_pairs(docs):
+    """End-to-end word-level capped pairing: 'the' contributes no
+    pairs, rare-token overlap survives, sizes are post-cap."""
+    out = {
+        (r["d1"], r["d2"]): r
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.4, max_token_df=5, shingle_k=None
+        ).collect()
+    }
+    # docs 1/2/3 share {alpha, beta} (+gamma/delta variants); post-cap
+    # sizes exclude 'the' (doc1 -> {alpha,beta,gamma} = 3)
+    assert (1, 3) in out
+    assert out[(1, 3)]["size1"] == 3
+    # docs 4/5 share {epsilon, zeta}: jaccard 2/3
+    assert (4, 5) in out
+    assert abs(out[(4, 5)]["jaccard"] - 2 / 3) < 1e-9
+    # doc 6 shares only 'the' with everyone: no pair survives
+    assert not any(6 in p for p in out)
