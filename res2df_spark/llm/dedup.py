@@ -385,9 +385,20 @@ def _minhash_bands(
     band_size: int,
     shingle_k: int | None,
     hash_fn: str = "md5",
+    tag=None,
 ) -> DataFrame:
     """(id, band_idx, band_key) long form — the shared LSH front half of
     ``minhash_lsh_candidates`` and ``minhash_lsh_bucket_stats``.
+
+    ``tag`` (round 12): an optional Column over the input rows (a pure
+    function of ``id_col``, e.g. a batch parity) carried THROUGH the
+    signature aggregate as ``min(tag) AS __tag``.  Consumers that split
+    one corpus into branches (index vs probe) must filter on ``__tag``,
+    never on a raw ``id_col`` predicate: a deterministic filter on the
+    grouping key is pushed below the aggregate by Catalyst, which
+    splits the branches into two full tokenize→digest lineages — while
+    a filter on the aggregate OUTPUT stays above it, so both branches
+    share one scan and one signature exchange (ReuseExchange).
 
     ``hash_fn="xxhash64"`` swaps the seeded md5 digests for seeded
     ``xxhash64`` calls (two 32-bit signature lanes per 64-bit hash, vs
@@ -424,8 +435,12 @@ def _minhash_bands(
     # distinct elements only: min() is idempotent under repetition, so
     # hashing 'the' 500 times per document is pure wasted digest CPU —
     # array_distinct is map-side and free relative to the digests
+    tag_in = [] if tag is None else [tag.alias("__tagin")]
+    tag_keep = [] if tag is None else ["__tagin"]
+    tag_agg = [] if tag is None else [F.min("__tagin").alias("__tag")]
+    tag_out = [] if tag is None else ["__tag"]
     exploded = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(elems)).alias("__tok")
+        F.col(id_col), F.explode(F.array_distinct(elems)).alias("__tok"), *tag_in
     )
     if hash_fn == "xxhash64":
         # two independent 32-bit lanes per seeded 64-bit hash; integer
@@ -438,11 +453,12 @@ def _minhash_bands(
             lanes.append(
                 h.bitwiseAND(F.lit(0xFFFFFFFF)).alias(f"__h{2 * s + 1}")
             )
-        exploded = exploded.select(id_col, *lanes[:num_hashes])
+        exploded = exploded.select(id_col, *lanes[:num_hashes], *tag_keep)
         sig = exploded.groupBy(id_col).agg(
             F.array(
                 *[F.min(f"__h{i}") for i in range(num_hashes)]
-            ).alias("sig")
+            ).alias("sig"),
+            *tag_agg,
         )
     else:
         n_md5 = -(-num_hashes // 4)
@@ -458,6 +474,7 @@ def _minhash_bands(
                 F.md5(F.concat(F.lit(f"{s}:"), F.col("__tok"))).alias(f"__d{s}")
                 for s in range(n_md5)
             ],
+            *tag_keep,
         )
         lanes = digests.select(
             id_col,
@@ -469,6 +486,7 @@ def _minhash_bands(
                 .alias(f"__h{i}")
                 for i in range(num_hashes)
             ],
+            *tag_keep,
         )
         sig = lanes.groupBy(id_col).agg(
             F.array(
@@ -476,7 +494,8 @@ def _minhash_bands(
                     F.lower(F.lpad(F.hex(F.min(f"__h{i}")), 8, "0"))
                     for i in range(num_hashes)
                 ]
-            ).alias("sig")
+            ).alias("sig"),
+            *tag_agg,
         )
     n_bands = num_hashes // band_size
     return sig.select(
@@ -494,7 +513,8 @@ def _minhash_bands(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_key")
+        *tag_out,
+    ).select(id_col, "band.band_idx", "band.band_key", *tag_out)
 
 
 def minhash_lsh_bucket_stats(
@@ -807,9 +827,22 @@ def minhash_novelty(
     that makes daily-ingest dedup feasible at 100 TB.
     """
     bands = _minhash_bands(new_docs, id_col, text_col, num_hashes, band_size, shingle_k)
+    return _novelty_score(new_docs.select(id_col), bands, band_index, id_col)
+
+
+def _novelty_score(
+    new_ids: DataFrame, bands: DataFrame, band_index: DataFrame, id_col: str
+) -> DataFrame:
+    """Score precomputed new-batch ``bands`` against ``band_index`` —
+    the back half of :func:`minhash_novelty`, split out (round 12) so a
+    caller holding bands for BOTH halves of one corpus (see
+    ``_minhash_bands``'s ``tag``) can branch index/probe after the
+    shared signature aggregate instead of running two full
+    tokenize→digest lineages."""
     hits = band_index.select("band_idx", "band_key").withColumn("__hit", F.lit(1))
     scored = (
-        bands.join(hits, ["band_idx", "band_key"], "left")
+        bands.select(id_col, "band_idx", "band_key")
+        .join(hits, ["band_idx", "band_key"], "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("bands_total"),
@@ -820,7 +853,7 @@ def minhash_novelty(
     # from the output entirely; emit them with a NULL verdict (the same
     # honest contract as the streaming twin near_dup_verdicts)
     return (
-        new_docs.select(id_col)
+        new_ids
         .join(scored, id_col, "left")
         .select(
             id_col,

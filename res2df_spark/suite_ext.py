@@ -2522,16 +2522,58 @@ def dedup_incremental(spark, sf_dir):
     arrive as a new batch and are scored against the persisted band
     index of the even-id corpus — the corpus is never rescanned, the
     property that makes daily-ingest dedup feasible at 100 TB.  Batch
-    analogue of the streaming claim model."""
-    from res2df_spark.llm.dedup import minhash_band_index, minhash_novelty
+    analogue of the streaming claim model.
+
+    Round 12: both halves live in ONE table here, so the signature is
+    computed in ONE tokenize→digest pass over all documents, tagged
+    with the batch parity carried THROUGH the signature aggregate
+    (min(doc_id%2) — branch-side doc_id%2 filters would be pushed
+    below the aggregate by Catalyst / inferred into the scans by the
+    restore join's constraint, re-splitting the plan into two full
+    lineages: measured on the first attempt, whose index branch ended
+    up signing the WHOLE corpus).  Instead of splitting bands into
+    index/probe frames at all, ONE tagged-union aggregate per
+    (band_idx, band_key) computes `has_even` (max over the parity tag)
+    and collects the odd members — the same pattern as
+    dedup_simhash_pairs_xx's invariant lane, and the same per-band-key
+    membership-array exposure minhash_lsh_candidates' bucket
+    enumeration already accepts for this data family.  This also
+    removes the CORPUS-SIZED BroadcastExchange of the distinct band
+    index that the two-frame form built (a broadcast that grows with
+    the corpus — the retention_grid class of scale hazard); per-doc
+    scoring is row-identical because a band row hits iff its exact
+    (band_idx, band_key) exists among even docs' bands — exactly the
+    oracle's join."""
+    from res2df_spark.llm.dedup import _minhash_bands
 
     docs = Catalog(spark, sf_dir).documents
-    index = minhash_band_index(
-        docs.filter(F.col("doc_id") % 2 == 0),
-        num_hashes=16, band_size=4, shingle_k=3,
+    bands = _minhash_bands(
+        docs, "doc_id", "text", 16, 4, 3, tag=F.col("doc_id") % 2,
     )
-    new = docs.filter(F.col("doc_id") % 2 == 1)
-    return minhash_novelty(new, index, num_hashes=16, band_size=4, shingle_k=3)
+    per_key = bands.groupBy("band_idx", "band_key").agg(
+        F.max(F.when(F.col("__tag") == 0, 1).otherwise(0)).alias("__hit"),
+        F.collect_list(
+            F.when(F.col("__tag") == 1, F.col("doc_id"))
+        ).alias("__odds"),
+    )
+    scored = (
+        per_key.select(F.explode("__odds").alias("doc_id"), "__hit")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("bands_total"),
+            F.sum("__hit").cast("long").alias("bands_hit"),
+        )
+    )
+    new_ids = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id")
+    return new_ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("bands_total"), F.lit(0)).cast("long").alias("bands_total"),
+        F.coalesce(F.col("bands_hit"), F.lit(0)).cast("long").alias("bands_hit"),
+        F.when(
+            F.col("bands_total").isNotNull(),
+            F.col("bands_hit") < F.col("bands_total"),
+        ).alias("is_novel"),
+    )
 
 
 @_q(

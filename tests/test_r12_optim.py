@@ -84,6 +84,26 @@ def test_shingle_cap_keeps_window_form(docs):
     assert "Window" in plan
 
 
+def test_minhash_bands_tag_roundtrip(spark, docs):
+    """``_minhash_bands(tag=...)`` carries min(tag) through the
+    signature aggregate without changing any (id, band_idx, band_key)
+    row — the branch-after-aggregate contract dedup_incremental's
+    single tokenize pass relies on."""
+    from res2df_spark.llm.dedup import _minhash_bands
+
+    plain = sorted(
+        tuple(r)
+        for r in _minhash_bands(docs, "doc_id", "text", 8, 4, None).collect()
+    )
+    tagged = _minhash_bands(
+        docs, "doc_id", "text", 8, 4, None, tag=F.col("doc_id") % 2
+    )
+    assert tagged.columns == ["doc_id", "band_idx", "band_key", "__tag"]
+    rows = tagged.collect()
+    assert sorted((r[0], r[1], r[2]) for r in rows) == plain
+    assert all(r["__tag"] == r["doc_id"] % 2 for r in rows)
+
+
 def test_word_capped_jaccard_pairs(docs):
     """End-to-end word-level capped pairing: 'the' contributes no
     pairs, rare-token overlap survives, sizes are post-cap."""
