@@ -83,22 +83,36 @@ def tfidf_topk(
     # N counts documents that CONTRIBUTE terms — NULL-text/zero-token
     # rows have no postings, and counting them into N would inflate
     # every idf (a term in every real document must get idf 0)
-    n_docs = tf.select(
+    #
+    # Round 12: the df and N branches each re-executed the whole
+    # scan→tokenize→explode→aggregate tf lineage (3 corpus passes for
+    # one statistic) because column pruning dropped the unused ``tf``
+    # count from their child aggregates, making the children
+    # canonically different from the join-side tf — so ReuseExchange
+    # never fired.  Both branches now REFERENCE ``tf`` through an
+    # always-true predicate (count per group is ≥ 1 by construction):
+    # semantically identical, but the child plans become byte-equal and
+    # both branches ride the ONE (doc, term) exchange — scans 3 → 1,
+    # plan-pinned by tests/test_r12_optim.py.
+    n_docs = tf.filter(F.col("tf") >= 1).select(
         F.count_distinct(F.col(id_col)).alias("__n")
     )
     # df stays a partial-aggregated groupBy + join-back, DELIBERATELY
     # (round 11, measured then reverted): a window count over the
-    # unigram term key would save the second scan→explode pass (-20 %
-    # at sf0.1) but concentrates a stop-word's ENTIRE postings in one
-    # window task — 'the' appears in ~every document, so that task is
-    # O(|corpus|) with no partial aggregation and no AQE split (AQE
-    # cannot split window partitions).  The groupBy's second pass is
-    # corpus-sized but DISTRIBUTED and map-side-combined: at cluster
-    # scale the distributed pass beats the single straggler by orders
-    # of magnitude.  (The shingle-keyed windows elsewhere in this
-    # codebase are different: k-word shingles dilute hot-key mass, and
-    # the cap windows DISCARD the hot keys they count.)
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # unigram term key would save the second pass (-20 % at sf0.1) but
+    # concentrates a stop-word's ENTIRE postings in one window task —
+    # 'the' appears in ~every document, so that task is O(|corpus|)
+    # with no partial aggregation and no AQE split (AQE cannot split
+    # window partitions).  The groupBy is DISTRIBUTED and
+    # map-side-combined — and after the round-12 reuse fix above its
+    # input is the reused tf exchange, not a re-scan, so the skew
+    # posture costs no extra corpus pass anymore.  (The shingle-keyed
+    # windows elsewhere in this codebase are different: k-word shingles
+    # dilute hot-key mass, and the cap windows DISCARD the hot keys
+    # they count.)
+    df = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") >= 1, 1)).alias("df")
+    )
     scored = (
         tf.join(df, "term")
         .crossJoin(broadcast(n_docs))
@@ -525,6 +539,15 @@ def bm25_topk(
     # postings into one window task with no partial aggregation (see
     # tfidf_topk's in-body note for the same adjudication).
     tf = tf.join(broadcast(q.select("term").distinct()), "term", "semi")
+    # NOTE (round 12): tfidf_topk's exchange-reuse trick (count through
+    # an always-true ``tf`` reference so the df child stays canonically
+    # identical to the scoring-side tf) does NOT transfer here — the
+    # scoring side inner-joins ``dl`` on the doc id, and Catalyst
+    # infers ``isnotnull(doc_id)`` into that side's scan only, so the
+    # two children can never canonically match.  Filtering null ids out
+    # of the df side too would change what df counts on a null-id
+    # corpus (the oracle counts them), so the df branch keeps its own
+    # query-bounded second pass.
     df_t = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("__df")
     )

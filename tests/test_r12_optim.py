@@ -84,6 +84,38 @@ def test_shingle_cap_keeps_window_form(docs):
     assert "Window" in plan
 
 
+def test_tfidf_single_scan_reuse(spark, docs):
+    """tfidf_topk's df and N branches ride the one (doc, term) exchange
+    (ReuseExchange) instead of re-running the tf lineage — and the df
+    values still equal an independent recount."""
+    from res2df_spark.llm.vocab import tfidf_topk
+
+    # AQE wraps the static plan (reuse then happens per-stage at
+    # runtime); disable it for the assertion so ReusedExchange is
+    # visible in the compiled plan, like tools/dump_plans.py does
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = tfidf_topk(docs, k=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("ReusedExchange") >= 2
+    rows = out.collect()
+    assert rows
+    from res2df_spark.functions.textan import tokens
+
+    df_re = {
+        r["term"]: r["df"]
+        for r in docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    assert all(r["df"] == df_re[r["term"]] for r in rows)
+
+
 def test_minhash_bands_tag_roundtrip(spark, docs):
     """``_minhash_bands(tag=...)`` carries min(tag) through the
     signature aggregate without changing any (id, band_idx, band_key)
