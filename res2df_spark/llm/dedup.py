@@ -1366,6 +1366,20 @@ def minhash_recall(
     validation slice, never the production corpus — its output is the
     evidence that (num_hashes, band_size) meet the recall bar before a
     capped production run (:func:`minhash_verified_pairs`).
+
+    Round 12, ATTEMPTED AND REJECTED (measured): sharing the identical
+    distinct-shingle explode between the truth and LSH lanes through an
+    explicit ``repartition("token")`` exchange does give one Generate
+    lineage (plan verified: Generates 7→6, LSH lane on a
+    ReusedExchange), but the shared exchange ships the full exploded
+    corpus — raw shingle strings per (id, token) row — where the old
+    LSH lane shuffled only partial-aggregated per-doc signature minima
+    (one narrow row per doc per map partition) and the truth lane's
+    postings exchange carries each token string once per (partition,
+    token) inside collect_list partials.  Interleaved fresh-JVM A/B at
+    sf0.1: shared 1.89/2.03/2.06 s vs two-lineage 1.38/1.46/1.82 s —
+    more shuffle bytes to save one tokenize pass, the wrong side of
+    guide §2.3 at any scale.  The two-lineage form stays.
     """
     truth = ngram_jaccard_pairs(
         docs,
