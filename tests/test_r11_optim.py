@@ -11,9 +11,11 @@ operator's semantics:
   (user, day) frame instead of a second scan + join — pinned against a
   pandas re-derivation incl. NULL users (dropped) and NULL timestamps
   (kept as NULL-offset cells).
-* tfidf_topk / bm25_topk take document frequency as a window count over
-  the postings instead of a groupBy + join-back — pinned against
-  explicitly recomputed df values.
+* tfidf_topk / bm25_topk keep document frequency as a partial-
+  aggregated groupBy + join-back (the round-11 window form was measured
+  then REVERTED for unigram hot-key skew; bm25 applies its broadcast
+  semi-join on the query terms BEFORE the df aggregation) — pinned
+  against explicitly recomputed df values.
 """
 
 from __future__ import annotations
@@ -117,8 +119,9 @@ def test_retention_cohorts_window_form(spark):
     }
 
 
-def test_tfidf_df_window_matches_recount(spark):
-    """df from the window count must equal an independent recount."""
+def test_tfidf_df_matches_recount(spark):
+    """df from the shipped groupBy + join-back form must equal an
+    independent recount."""
     from res2df_spark.llm.vocab import tfidf_topk
 
     docs = _mk_docs(
