@@ -136,6 +136,63 @@ def test_minhash_bands_tag_roundtrip(spark, docs):
     assert all(r["__tag"] == r["doc_id"] % 2 for r in rows)
 
 
+def test_semantic_pairs_arrow_matches_fold(spark):
+    """The per-cluster Arrow pair scorer must reproduce the JVM dot-fold
+    form exactly — including zero-norm vectors (sim 0.0, never a
+    division error) and ragged dims (NULL-poisoned sim → dropped)."""
+    from res2df_spark.functions.vectors import dot
+    from res2df_spark.llm.similarity import (
+        seed_centroids,
+        semantic_dedup_pairs,
+        two_level_assign,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 0.0]),   # zero norm: pairs score 0.0
+        (5, [1.0, 0.0, 0.0]),        # ragged: NULL sim vs 4-dim peers
+        (6, [0.5, 0.5, 0.5, 0.5]),
+        (7, [0.45, 0.55, 0.5, 0.5]),
+        (8, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = seed_centroids(emb, 2)
+    got = sorted(
+        tuple(r)
+        for r in semantic_dedup_pairs(emb, cents, threshold=0.1).collect()
+    )
+    # independent recount: the pre-round-12 join + fold form
+    sides = two_level_assign(emb, cents)
+    a = sides.select(
+        "centroid_id", F.col("vec_id").alias("id_1"),
+        F.col("__v").alias("__v1"), F.col("__n").alias("__n1"),
+    )
+    b = sides.select(
+        "centroid_id", F.col("vec_id").alias("id_2"),
+        F.col("__v").alias("__v2"), F.col("__n").alias("__n2"),
+    )
+    denom = F.col("__n1") * F.col("__n2")
+    sim = F.when(
+        denom > 0, dot(F.col("__v1"), F.col("__v2")) / denom
+    ).otherwise(F.lit(0.0))
+    want = sorted(
+        tuple(r)
+        for r in a.join(b, "centroid_id")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= 0.1)
+        .select(
+            "id_1", "id_2", "centroid_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+        .collect()
+    )
+    assert got == want
+    assert got  # the fixture must actually produce pairs
+
+
 def test_word_capped_jaccard_pairs(docs):
     """End-to-end word-level capped pairing: 'the' contributes no
     pairs, rare-token overlap survives, sizes are post-cap."""
