@@ -145,10 +145,21 @@ def sessionize_chunked(
     tb = [F.col(c) if isinstance(c, str) else c for c in tiebreak]
     us = F.unix_micros(F.col(ts_col))
     with_us = df.withColumn("__us", us)
-    chunk = (
-        (F.col("__us") - F.pmod(F.col("__us"), F.lit(chunk_us)))
-        / F.lit(chunk_us)
-    ).cast("long")
+    # identity coalesce: __us is filtered non-null below, so the chunk
+    # index is never null — but Catalyst types the cast chain nullable,
+    # and the offsets join then INFERS isnotnull(__chunk) filters that
+    # push into the BODY branch's scan only (the offsets side stops at
+    # its aggregate), making the two copies of the union → exchange
+    # subtree canonically unequal — which blocks the ReuseExchange this
+    # operator's round-12 sharing relies on.  Marking the expression
+    # non-nullable removes the inference source; the value is unchanged.
+    chunk = F.coalesce(
+        (
+            (F.col("__us") - F.pmod(F.col("__us"), F.lit(chunk_us)))
+            / F.lit(chunk_us)
+        ).cast("long"),
+        F.lit(-1).cast("long"),
+    )
     real = (
         with_us.filter(F.col("__us").isNotNull())
         .withColumn("__chunk", chunk)
@@ -180,9 +191,30 @@ def sessionize_chunked(
     )
     # chunk-grain offsets: starts per (key, chunk), prefix-summed over
     # the key's chunks — the only per-key-global pass, and it runs on
-    # #chunks rows, not #events
+    # #chunks rows, not #events.
+    #
+    # Round 12: the summed __new rides inside a CASE WHEN that
+    # references every column this branch does not otherwise need
+    # (both branches yield __new, so the value is unchanged) — without
+    # it, column pruning drops those columns from this branch's copy
+    # of the union → exchange subtree, the two copies stop being
+    # canonically equal, and the offsets branch re-runs the whole
+    # scan + halo-aggregate + union pipeline instead of riding the
+    # body branch's exchange via ReuseExchange (measured: parquet
+    # scans 5 → 3; the exchange carries the full column set for the
+    # body branch anyway, so the shared shuffle adds no bytes).
+    cnt_cols = {*(str(k) for k in keys), "__chunk", "__new", "__us"}
+    missing = [c for c in with_us.columns if c not in cnt_cols]
+    starts_src = F.col("__new")
+    if missing:
+        # hash() is non-nullable and accepts any type, and
+        # `pmod(hash(...), 1)` is exactly 0 on every row but opaque to
+        # the simplifier (an identical-branch CASE WHEN and `hash()*0`
+        # were tried first; both got simplified away and pruning
+        # returned)
+        starts_src = starts_src + F.pmod(F.hash(*missing), F.lit(1))
     cnt = within.groupBy(*keys, "__chunk").agg(
-        F.sum("__new").alias("__starts")
+        F.sum(starts_src).alias("__starts")
     )
     off_w = (
         Window.partitionBy(*keys)

@@ -3325,8 +3325,15 @@ def sessionize_chunked_q(spark, sf_dir):
     from res2df_spark.operators.sessionize import sessionize_chunked
 
     ev = Catalog(spark, sf_dir).events
+    # project FIRST (guide §2.3): with the input pre-narrowed to the
+    # columns this query returns, the operator's chunk-grain offsets
+    # branch references the full input column set and its union →
+    # exchange subtree becomes canonically equal to the body branch's,
+    # so ReuseExchange shares ONE scan + halo union between them
+    # (scans 5 → 3 — see plans/r12/sessionize_chunked_after.txt)
     return sessionize_chunked(
-        ev, "ts", ["user_id"], _SESSION_GAP_S,
+        ev.select("user_id", "event_id", "ts"),
+        "ts", ["user_id"], _SESSION_GAP_S,
         chunk_seconds=12 * 3600, tiebreak=["event_id"],
     ).select("user_id", "event_id", "ts", "session_id")
 

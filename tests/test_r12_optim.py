@@ -136,6 +136,46 @@ def test_minhash_bands_tag_roundtrip(spark, docs):
     assert all(r["__tag"] == r["doc_id"] % 2 for r in rows)
 
 
+def test_sessionize_chunked_offsets_share_scan(spark):
+    """With a pre-projected input, sessionize_chunked's chunk-grain
+    offsets branch rides the body branch's union exchange
+    (ReuseExchange) instead of re-running the scan + halo pipeline —
+    and ids still equal the plain form's."""
+    from res2df_spark.operators.sessionize import (
+        sessionize,
+        sessionize_chunked,
+    )
+
+    rows = []
+    for u in range(4):
+        for e in range(12):
+            rows.append((u * 100 + e, f"2024-01-01 {e:02d}:{u:02d}:00", u))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    kwargs = dict(
+        ts_col="ts", keys=["user_id"], gap_seconds=3600,
+        tiebreak=["event_id"],
+    )
+    chunked = sessionize_chunked(df, chunk_seconds=7200, **kwargs)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = chunked._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in plan
+    got = sorted(
+        tuple(r) for r in chunked.select("event_id", "session_id").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sessionize(df, **kwargs)
+        .select("event_id", "session_id")
+        .collect()
+    )
+    assert got == want
+
+
 def test_semantic_pairs_arrow_matches_fold(spark):
     """The per-cluster Arrow pair scorer must reproduce the JVM dot-fold
     form exactly — including zero-norm vectors (sim 0.0, never a
