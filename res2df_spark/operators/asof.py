@@ -476,9 +476,16 @@ def asof_join_chunked(
     # --- the plain union-window construction, with (keys, chunk) as the
     # partition key and the carries unioned in as observations
     # (skew_safe=False: the chunked grain IS the skew treatment here —
-    # delegating again would recurse) ----------------------------------
-    out = asof_join(
-        l_real.withColumn("__chunk", chunk_of(left_time)),
+    # delegating again would recurse).  NULL-time left rows ride this
+    # same pass with a NULL chunk: their (keys, NULL) partition holds no
+    # observation (r_real excludes NULL times; carries come from
+    # l_real's non-NULL cells) and the window form independently
+    # guarantees them NULL payload in every direction (NULL __t sorts
+    # first, so the backward frame is empty and the forward fill is
+    # gated on a non-NULL time) — a separate filter-scan + union of the
+    # left table just to re-attach them was a third full left pass.
+    return asof_join(
+        left.withColumn("__chunk", chunk_of(left_time)),
         r_real.select(*on, right_time, *value_cols)
         .withColumn("__chunk", chunk_of(right_time))
         .unionByName(carries),
@@ -492,13 +499,3 @@ def asof_join_chunked(
         skew_safe=False,
         direction=direction,
     ).drop("__chunk")
-    # NULL-time left rows: no place on the axis, NULL payload (plain
-    # form's semantics — they sort before every observation)
-    nulls = left.filter(F.col(left_time).isNull()).select(
-        *out.columns[: len(out.columns) - len(value_cols)],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
-            for c in value_cols
-        ],
-    )
-    return out.unionByName(nulls)

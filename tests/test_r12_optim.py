@@ -251,3 +251,48 @@ def test_word_capped_jaccard_pairs(docs):
     assert abs(out[(4, 5)]["jaccard"] - 2 / 3) < 1e-9
     # doc 6 shares only 'the' with everyone: no pair survives
     assert not any(6 in p for p in out)
+
+
+def test_asof_chunked_null_times_ride_the_union_window(spark):
+    """Round 12: asof_join_chunked no longer re-scans the left table to
+    re-attach NULL-time rows — they ride the main union-window with a
+    NULL chunk (their (keys, NULL) partition holds no observation, and
+    the window form guarantees NULL payload in every direction).  Pins
+    (a) the semantics: NULL-time left rows keep their row with NULL
+    payload while their key still cross-chunk-matches normally, and
+    (b) the plan: ONE Union (the carries), not two — the second was
+    the NULL-time re-attach branch."""
+    import datetime as dt
+
+    from res2df_spark.operators.asof import asof_join, asof_join_chunked
+
+    base = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [
+            ("k", None, 0),                              # NULL time
+            ("k", base + dt.timedelta(days=20), 1),      # cross-chunk carry
+            (None, None, 2),                             # NULL key + NULL time
+            (None, base + dt.timedelta(days=20), 3),     # NULL key carry
+        ],
+        "k string, t timestamp, qid long",
+    )
+    rdf = spark.createDataFrame(
+        [("k", base, 1.0), (None, base, 2.0)], "k string, t timestamp, v double"
+    )
+    for direction in ("backward", "forward", "nearest"):
+        kw = dict(
+            on=["k"], left_time="t", right_time="t",
+            value_cols=["v"], direction=direction,
+        )
+        chunked = asof_join_chunked(ldf, rdf, chunk_seconds=86400 * 7, **kw)
+        got = {r["qid"]: r["v"] for r in chunked.collect()}
+        want = {
+            r["qid"]: r["v"]
+            for r in asof_join(ldf, rdf, skew_safe=False, **kw).collect()
+        }
+        assert got == want
+        assert got[0] is None and got[2] is None  # NULL-time rows kept, NULL payload
+        if direction != "forward":
+            assert got[1] == 1.0 and got[3] == 2.0  # carries still work
+        plan = chunked._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Union") == 1, plan
