@@ -145,14 +145,19 @@ def sessionize_chunked(
     tb = [F.col(c) if isinstance(c, str) else c for c in tiebreak]
     us = F.unix_micros(F.col(ts_col))
     with_us = df.withColumn("__us", us)
-    # identity coalesce: __us is filtered non-null below, so the chunk
-    # index is never null — but Catalyst types the cast chain nullable,
-    # and the offsets join then INFERS isnotnull(__chunk) filters that
-    # push into the BODY branch's scan only (the offsets side stops at
-    # its aggregate), making the two copies of the union → exchange
-    # subtree canonically unequal — which blocks the ReuseExchange this
-    # operator's round-12 sharing relies on.  Marking the expression
-    # non-nullable removes the inference source; the value is unchanged.
+    # The coalesce does double duty.  (1) NULL-timestamp rows ride the
+    # main pipeline in their own __chunk = -1 cell (round 12: a
+    # separate filter-scan + union just to hand them a NULL session id
+    # was a second full pass over the input); every decision below
+    # gates on __us IS NULL so they start no session, add 0 to every
+    # chunk offset, and surface with a NULL id.  (2) Catalyst types the
+    # cast chain nullable, and the offsets join then INFERS
+    # isnotnull(__chunk) filters that push into the BODY branch's scan
+    # only (the offsets side stops at its aggregate), making the two
+    # copies of the union → exchange subtree canonically unequal —
+    # which blocks the ReuseExchange this operator's round-12 sharing
+    # relies on.  Marking the expression non-nullable removes the
+    # inference source.
     chunk = F.coalesce(
         (
             (F.col("__us") - F.pmod(F.col("__us"), F.lit(chunk_us)))
@@ -161,13 +166,16 @@ def sessionize_chunked(
         F.lit(-1).cast("long"),
     )
     real = (
-        with_us.filter(F.col("__us").isNotNull())
-        .withColumn("__chunk", chunk)
+        with_us.withColumn("__chunk", chunk)
         .withColumn("__halo", F.lit(False))
     )
     # the halo is ONE row per (key, chunk): only its timestamp matters
     # (it sorts strictly before every real row of the next chunk, so
-    # tiebreak columns are irrelevant), and it never emits output
+    # tiebreak columns are irrelevant), and it never emits output.
+    # The NULL-ts cell (__chunk -1) also emits a halo row into chunk 0
+    # — its __us is max-of-NULLs = NULL, so it sorts first there and
+    # chunk 0's first real row still sees a NULL predecessor, exactly
+    # as when no chunk -1 existed.
     halo = (
         real.groupBy(*keys, "__chunk")
         .agg(F.max("__us").alias("__us"))
@@ -179,6 +187,10 @@ def sessionize_chunked(
     prev_us = F.lag("__us").over(w)
     is_new = (
         F.when(F.col("__halo"), F.lit(0))
+        # NULL-timestamp rows never open a session (same gate as the
+        # plain form) — without it every NULL-ts row fires the
+        # prev_us-is-NULL test and its count leaks into the offsets
+        .when(F.col("__us").isNull(), F.lit(0))
         .when(
             prev_us.isNull() | (F.col("__us") - prev_us >= F.lit(gap_us)),
             F.lit(1),
@@ -234,16 +246,12 @@ def sessionize_chunked(
     body = within.filter(~F.col("__halo"))
     cond = [body[k].eqNullSafe(offsets[f"__ok{i}"]) for i, k in enumerate(keys)]
     cond.append(body["__chunk"] == offsets["__oc"])
-    out_cols = [*df.columns, (F.col("__off") + F.col("__within")).cast(
-        "long"
-    ).alias(session_col)]
-    scored = body.join(offsets, cond).select(*out_cols)
-    nulls = (
-        with_us.filter(F.col("__us").isNull())
-        .select(*df.columns)
-        .withColumn(session_col, F.lit(None).cast("long"))
-    )
-    return scored.unionByName(nulls)
+    # NULL-ts rows (chunk -1, __within 0, __off 0) surface here with a
+    # NULL id — the plain form's semantics, with no re-attach pass
+    out_cols = [*df.columns, F.when(
+        F.col("__us").isNotNull(), F.col("__off") + F.col("__within")
+    ).cast("long").alias(session_col)]
+    return body.join(offsets, cond).select(*out_cols)
 
 
 def session_stats(

@@ -296,3 +296,49 @@ def test_asof_chunked_null_times_ride_the_union_window(spark):
             assert got[1] == 1.0 and got[3] == 2.0  # carries still work
         plan = chunked._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("Union") == 1, plan
+
+
+def test_sessionize_chunked_null_ts_single_pass(spark):
+    """Round 12: NULL-ts rows ride sessionize_chunked's main pipeline
+    in the __chunk = -1 cell (no re-attach filter-scan + union).  Pins
+    the semantics — NULL ids for NULL-ts rows, real ids UNSHIFTED by
+    their presence (the -1 cell must add 0 to every chunk offset) —
+    and the plan: ONE Union (the halo), not two."""
+    from res2df_spark.operators.sessionize import sessionize, sessionize_chunked
+
+    rows = []
+    for u in (1, 2, None):
+        rows.append((hash((u, -1)) % 10_000 + 20_000, None, u))
+        for e in range(8):
+            rows.append((
+                (0 if u is None else u) * 100 + e,
+                f"2024-01-01 {e:02d}:00:00",
+                u,
+            ))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    kwargs = dict(
+        ts_col="ts", keys=["user_id"], gap_seconds=3600,
+        tiebreak=["event_id"],
+    )
+    chunked = sessionize_chunked(df, chunk_seconds=7200, **kwargs)
+    # physical plan FIRST (before any action caches the AQE-final
+    # QueryExecution; AQE off like the shared-scan test): the halo
+    # union only — the NULL-ts re-attach union is gone — and the
+    # offsets branch still rides the body's exchange
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = chunked._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Union") == 1, plan
+    assert "ReusedExchange" in plan
+    got = {r["event_id"]: r["session_id"] for r in chunked.collect()}
+    want = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(df, **kwargs).collect()
+    }
+    assert got == want
+    assert len(got) == len(rows)
+    assert sum(v is None for v in got.values()) == 3  # the NULL-ts rows
