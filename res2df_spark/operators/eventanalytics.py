@@ -295,9 +295,13 @@ def rolling_agg_chunked(
         (F.col("__us") - F.pmod(F.col("__us"), F.lit(chunk_us)))
         / F.lit(chunk_us)
     ).cast("long")
+    # NULL-ts rows ride the main pipeline in their own NULL-chunk cell
+    # (round 12: a separate filter-scan + union just to aggregate the
+    # NULL peer group was a second full pass over the input); their
+    # frame values are gated below, and the halo filter's NULL pmod
+    # already excludes them from halo duplication
     main = (
-        with_us.filter(F.col("__us").isNotNull())
-        .withColumn("__chunk", chunk)
+        with_us.withColumn("__chunk", chunk)
         .withColumn("__halo", F.lit(False))
     )
     halo = (
@@ -322,26 +326,37 @@ def rolling_agg_chunked(
         n_col, s_col = F.count(F.lit(1)).over(w), F.sum(value_col).over(w)
     if round_digits is not None:
         s_col = F.round(s_col, round_digits)
-    scored = (
+    # NULL-ts rows: the plain form's RANGE frame puts them in the key's
+    # NULL peer group (count/sum over the key's NULL-ts rows).  They
+    # all live in the NULL-chunk cell, so the peer group IS their
+    # (keys, __chunk) partition.  The recompute engine's offset frame
+    # collapses to exactly that peer group on NULL ordering values
+    # (Spark RANGE-frame null-group semantics — the same rule the
+    # plain form relies on), so it needs no gate.  The prefix engine's
+    # DIFFERENCE of two offset frames reads 0 there (both prefixes see
+    # the whole null group), so its NULL rows gate to aggregates over
+    # the engine's own (unbounded, current-row) spec — byte-identical
+    # to w_le inside _prefix_frame_aggs, so Catalyst merges them into
+    # the one existing Window pass: no extra sort, exchange or window
+    # node, and no re-scan of the input for a NULL re-attach union.
+    if method == "prefix":
+        w_le = (
+            Window.partitionBy(*keys, "__chunk")
+            .orderBy(F.col("__us"))
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        null_total = F.sum(value_col).over(w_le)
+        if round_digits is not None:
+            null_total = F.round(null_total, round_digits)
+        is_null_ts = F.col("__us").isNull()
+        n_col = F.when(is_null_ts, F.count(F.lit(1)).over(w_le)).otherwise(n_col)
+        s_col = F.when(is_null_ts, null_total).otherwise(s_col)
+    return (
         both.withColumn(count_name, n_col.cast("long"))
         .withColumn(sum_name, s_col)
         .filter(~F.col("__halo"))
         .drop("__us", "__chunk", "__halo")
     )
-    # NULL-ts rows: the plain form's RANGE frame puts them in the key's
-    # NULL peer group (count/sum over the key's NULL-ts rows) — match
-    # it with one window over the (small) NULL subset only
-    null_w = Window.partitionBy(*keys)
-    null_total = F.sum(value_col).over(null_w)
-    if round_digits is not None:
-        null_total = F.round(null_total, round_digits)
-    nulls = (
-        with_us.filter(F.col("__us").isNull())
-        .drop("__us")
-        .withColumn(count_name, F.count(F.lit(1)).over(null_w).cast("long"))
-        .withColumn(sum_name, null_total)
-    )
-    return scored.unionByName(nulls)
 
 
 def funnel_steps(

@@ -342,3 +342,48 @@ def test_sessionize_chunked_null_ts_single_pass(spark):
     assert got == want
     assert len(got) == len(rows)
     assert sum(v is None for v in got.values()) == 3  # the NULL-ts rows
+
+
+def test_rolling_chunked_null_ts_single_pass(spark):
+    """Round 12: rolling_agg_chunked's NULL-ts rows ride the main
+    pipeline in the NULL-chunk cell instead of a re-attach filter-scan
+    + union.  The recompute engine's RANGE frame natively collapses to
+    the NULL peer group there; the prefix engine's difference reads 0
+    and gates to aggregates over its own (unbounded, current) spec.
+    Pins both engines against the plain form on a fixture with NULL-ts
+    rows (including an all-NULL-value group and a NaN), and the plan:
+    ONE Union (the halo), not two."""
+    from res2df_spark.operators.eventanalytics import (
+        rolling_agg,
+        rolling_agg_chunked,
+    )
+
+    rows = []
+    eid = 0
+    for u in (1, 2, None):
+        for v in (1.5, None, float("nan")) if u == 1 else (None, None):
+            rows.append((eid, None, u, v)); eid += 1
+        for e in range(6):
+            rows.append((eid, f"2024-01-01 00:{e * 9:02d}:00", u, float(e)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cols = ["event_id", "n_window", "sum_window"]
+
+    def _collect(df):
+        out = []
+        for r in sorted(df.select(*cols).collect(), key=lambda r: r[0]):
+            s = r["sum_window"]
+            out.append((r[0], r[1], "nan" if s is not None and s != s else s))
+        return out
+
+    plain = _collect(rolling_agg(ev, "ts", ["user_id"], "value", 1800))
+    for method in ("prefix", "recompute"):
+        chunked = rolling_agg_chunked(
+            ev, "ts", ["user_id"], "value", 1800,
+            chunk_seconds=3600, method=method,
+        )
+        plan = chunked._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Union") == 1, (method, plan)
+        assert _collect(chunked) == plain, method
