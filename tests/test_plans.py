@@ -361,14 +361,15 @@ def test_dedup_keep_agg_is_aggregate_not_window(spark):
 
 def test_rolling_chunked_partitions_on_time_chunk(spark):
     # the chunked window must partition on (user, chunk) — the hot-key
-    # mitigation — with ONE data exchange for the main path (the union
-    # of main + halo reuses the same partitioning) plus one exchange on
-    # the NULL-ts branch (keys-only window over the isnull() subset,
-    # the plain form's NULL-peer-group parity)
+    # mitigation — with ONE data exchange total (round 12): the union
+    # of main + halo reuses the same partitioning, and NULL-ts rows
+    # ride the NULL-chunk cell of that same exchange (their peer-group
+    # aggregates gate on isnull(__us) inside the one window pass)
+    # instead of a re-scanned, separately-exchanged side branch
     plan = _plan(spark, "rolling_chunked")
     assert "__chunk" in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 2, plan
-    assert "isnull" in plan, plan  # the second exchange is the null branch
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "isnull" in plan, plan  # the NULL-peer-group gate
 
 
 def test_plan_audit_extraction(spark):
